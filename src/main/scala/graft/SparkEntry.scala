@@ -1,13 +1,26 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{RelationalQueries, TextQueries, VectorQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query inventory (one entry per implemented operator, SURVEY.md §2):
+  *   v* — vector search surface (the reference's flagship pipeline)
+  *   r* — relational operator coverage (TPC-H-ish tables)
+  *   t* — text/dedup/multimodal training-data pipeline
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001: the reference's whole
+    * read path — embed-free k-NN cosine top-k over the index
+    * (reference server.js:217-265). Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    VectorQueries.knnTopK(spark, "/root/testdata/sf0.001", k = 5)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    VectorQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries
+
+  def oracleSql: Map[String, String] =
+    VectorQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles
 }

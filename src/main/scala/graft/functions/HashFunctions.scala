@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing.
+  *
+  * Spark's `hash`/`xxhash64` and DuckDB's `hash` use different algorithms,
+  * so anything hash-derived would be untestable against a SQL oracle.
+  * Instead all graft hashing is built on md5 (identical in every engine):
+  * the first 15 hex chars (60 bits) parsed as a non-negative Long.
+  *
+  * DuckDB equivalent of [[md5Long]]:
+  *   CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)
+  */
+object HashFunctions {
+
+  /** First 60 bits of md5(s) as a non-negative Long column. */
+  def md5Long(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Salted variant — independent hash families for MinHash/SimHash. */
+  def md5Long(s: Column, salt: Int): Column =
+    md5Long(concat(lit(salt.toString), lit(":"), s))
+
+  /** Bit `i` (0-based from LSB of the 60-bit hash) as ±1 — SimHash votes. */
+  def hashBitSign(s: Column, bit: Int): Column =
+    when(shiftright(md5Long(s), bit).bitwiseAND(1) === 1, lit(1))
+      .otherwise(lit(-1))
+}

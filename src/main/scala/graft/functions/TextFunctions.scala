@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the chunker, dedup and text-analysis ops.
+  * All pure built-in column expressions (codegen'd, SQL-oracle-friendly).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization — the reference's `text.split(/\s+/)`
+    * (reference embed.js:184). Empty/blank text → empty array. */
+  def words(text: Column): Column =
+    when(trim(text) === "", array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** HTML-element strip + tokenize + truncate — the reference's
+    * `tokenizeContent` (reference embed.js:29-40): remove tags, split,
+    * keep the first `maxTokens` tokens. */
+  def tokenizeContent(html: Column, maxTokens: Int = 3000): Column =
+    slice(words(regexp_replace(html, "<[^>]*>", " ")), 1, maxTokens)
+
+  /** Word n-gram shingles: ["a","b","c","d"], n=3 → ["a b c","b c d"].
+    * Fewer than n words → single shingle of the whole text (so short
+    * docs still participate in MinHash/Jaccard). */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) <= n, array(array_join(tokens, " ")))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(tokens) - n),
+          i => array_join(slice(tokens, i + 1, lit(n)), " ")))
+
+  /** BPE-ish subword token count: runs of letters, runs of digits, or a
+    * single non-space symbol each count as one token. A cheap, regex-only
+    * stand-in for a real BPE vocabulary (deterministic + SQL-portable). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+}

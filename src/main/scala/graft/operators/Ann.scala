@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.functions.VectorFunctions.{cosineSim, l2Dist}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor scaffolding over an embedding column.
+  *
+  * Brute-force exact scan (see [[Search]]) is the semantic baseline —
+  * and genuinely the right plan at the reference's scale (7 vectors;
+  * reference server.js:45-61). The scale path is IVF: partition vectors
+  * into Voronoi cells around centroids, search only the cells nearest
+  * the query. Both stay pure DataFrame plans.
+  */
+object Ann {
+
+  /** Deterministic centroid seed set: the `nCentroids` lowest-id vectors.
+    * (k-means would converge better but needs iterative driver control;
+    * seeded selection keeps the pipeline a single declarative plan and is
+    * deterministic for the oracle. Swap-in point for MLlib KMeans.)
+    */
+  def seedCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int): DataFrame =
+    emb.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid"))
+
+  /** Assign every vector to its nearest centroid (min L2, ties to the
+    * lower centroid id). Broadcast nested-loop against the tiny centroid
+    * set + one ranking window — the window is partitioned by vector id,
+    * so with AQE it is a local sort, not a global shuffle of the corpus.
+    */
+  def ivfAssign(emb: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("dist").asc, col("centroid_id").asc)
+    emb.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol),
+        col("centroid_id"), l2Dist(col(vecCol), col("centroid")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "dist")
+  }
+
+  /** IVF search: rank centroids by distance to the query vector, keep the
+    * `nProbe` nearest cells, then exact cosine top-k within those cells
+    * only. At scale the assignment is precomputed/partitioned by
+    * centroid_id, so the probe is a partition-pruned scan.
+    */
+  def ivfSearch(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
+                idCol: String, vecCol: String, queryVecCol: String,
+                nProbe: Int, k: Int): DataFrame = {
+    val probed = centroids.crossJoin(broadcast(query))
+      .select(col("centroid_id"),
+        l2Dist(col("centroid"), col(queryVecCol)).as("qdist"))
+      .orderBy(col("qdist").asc, col("centroid_id"))
+      .limit(nProbe)
+      .select("centroid_id")
+    assigned
+      .join(broadcast(probed), Seq("centroid_id"))
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        cosineSim(col(vecCol), col(queryVecCol)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact cosine near-duplicate pairs above `threshold`. All-pairs is
+    * expressed as an id-ordered self-join so each unordered pair is
+    * scored once; at scale, swap the crossJoin for an LSH/IVF bucket
+    * equi-join (same downstream plan) — see [[ivfAssign]].
+    */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineSim(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Bucketed near-dup: vectors are first routed to their IVF cell, then
+    * only same-cell pairs are scored — the quadratic term becomes
+    * sum over cells of |cell|², the standard blocking trick.
+    */
+  def bucketedNearDupPairs(emb: DataFrame, centroids: DataFrame,
+                           idCol: String, vecCol: String,
+                           threshold: Double): DataFrame = {
+    val assigned = ivfAssign(emb, centroids, idCol, vecCol)
+    val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineSim(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

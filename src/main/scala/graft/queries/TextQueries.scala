@@ -1,0 +1,295 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Chunker, Dedup, Multimodal, TextAnalysis}
+import graft.functions.TextFunctions.words
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline surface: chunking (the reference's embed.js:183-207),
+  * exact + near dedup, text analysis, multimodal plumbing.
+  *
+  * All hashing is md5-based so every query here has a bit-exact DuckDB
+  * oracle — including MinHash signatures and LSH candidate pairs (see
+  * [[graft.functions.HashFunctions]]). hash60(s) in SQL:
+  * CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT).
+  */
+object TextQueries {
+
+  // chunker params sized to the fixtures (docs are 10-99 words;
+  // the reference's 1000/50 would always yield one chunk)
+  private val ChunkSize = 40
+  private val Overlap = 10
+
+  def chunkDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Chunker.chunk(Tables.documents(spark, sfDir), "text", ChunkSize, Overlap)
+      .select(col("doc_id"), col("chunk_ix"), col("chunk_words").cast("long").as("chunk_words"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_ix")
+
+  /** Exact dedup with INSERT OR IGNORE semantics (reference
+    * server.js:198) demonstrated on a batch that duplicates every doc:
+    * the store self-unioned must dedup back to one row per text, keeping
+    * the smallest id. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.exactDedup(docs.unionByName(docs), "text", "doc_id")
+      .agg(count("*").as("n_unique"), sum("doc_id").as("sum_keeper_ids"))
+  }
+
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir),
+        "doc_id", "text", n = 3, threshold = 0.1, maxDf = 1000L)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  /** First 4 MinHash signature components per doc — pins the signature
+    * math itself against the oracle. */
+  def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minHash(Tables.documents(spark, sfDir), "doc_id", "text",
+        n = 3, numHashes = 16)
+      .select(col("doc_id"),
+        element_at(col("signature"), 1).as("sig0"),
+        element_at(col("signature"), 2).as("sig1"),
+        element_at(col("signature"), 3).as("sig2"),
+        element_at(col("signature"), 4).as("sig3"))
+      .orderBy("doc_id")
+
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = Dedup.minHash(Tables.documents(spark, sfDir), "doc_id", "text",
+      n = 3, numHashes = 16)
+    Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4)
+      .select(col("id_a"), col("id_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simHashDocs(Tables.documents(spark, sfDir), "doc_id", "text",
+        bits = 16)
+      .orderBy("doc_id")
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(TextAnalysis.langId(col("text")).as("pred_lang"), col("lang"))
+      .groupBy("pred_lang", "lang")
+      .agg(count("*").as("n"))
+      .orderBy("pred_lang", "lang")
+
+  def quality(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityFeatures(Tables.documents(spark, sfDir),
+        "doc_id", "text")
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"),
+        round(col("alnum_ratio"), 6).as("alnum_ratio"),
+        col("quality"))
+      .orderBy("doc_id")
+
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(spark, sfDir), "doc_id", "text")
+      .join(Tables.documents(spark, sfDir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count("*").as("n_docs"),
+        sum("ws_tokens").as("ws_tokens"),
+        sum("bpe_tokens").as("bpe_tokens"),
+        sum("distinct_tokens").as("distinct_tokens"))
+      .orderBy("lang")
+
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.decodeStub(
+        Multimodal.asBinaryPayload(Tables.documents(spark, sfDir),
+          "doc_id", "text"))
+      .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_chunk_docs" -> (chunkDocs(_, _)),
+    "t02_dedup_exact" -> (dedupExact(_, _)),
+    "t03_ngram_jaccard" -> (ngramJaccard(_, _)),
+    "t04_minhash_sig" -> (minhashSig(_, _)),
+    "t05_minhash_lsh" -> (minhashLsh(_, _)),
+    "t06_simhash" -> (simhash(_, _)),
+    "t07_lang_id" -> (langId(_, _)),
+    "t08_quality" -> (quality(_, _)),
+    "t09_token_stats" -> (tokenStats(_, _)),
+    "t10_fingerprint" -> (fingerprint(_, _)),
+    "t11_multimodal_meta" -> (multimodalMeta(_, _)))
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  /** Shared SQL fragments (DuckDB). */
+  private val wsExpr =
+    "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) " +
+      "ELSE string_split_regex(trim(text), '\\s+') END"
+
+  private def hash60(e: String): String =
+    s"CAST(concat('0x', substring(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Distinct 3-gram shingles of ws (list expr) — mirrors
+    * TextFunctions.shingles for n=3 incl. the short-doc branch. */
+  private val shinglesExpr =
+    """list_distinct(CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
+      |ELSE list_transform(range(0, len(ws) - 2),
+      |       i -> array_to_string(ws[(i+1):(i+3)], ' ')) END)""".stripMargin
+      .replace("\n", " ")
+
+  val oracles: Map[String, String] = Map(
+    "t01_chunk_docs" ->
+      s"""WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |c AS (SELECT doc_id, ws,
+         |        unnest(range(0, 1 + CAST(ceil(greatest(len(ws) - $ChunkSize, 0)
+         |          / ${ChunkSize - Overlap}.0) AS INT))) AS chunk_ix
+         |      FROM w)
+         |SELECT doc_id, CAST(chunk_ix AS INT) AS chunk_ix,
+         |       len(ws[(chunk_ix*${ChunkSize - Overlap}+1):(chunk_ix*${ChunkSize - Overlap}+$ChunkSize)]) AS chunk_words,
+         |       md5(array_to_string(ws[(chunk_ix*${ChunkSize - Overlap}+1):(chunk_ix*${ChunkSize - Overlap}+$ChunkSize)], ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_ix""".stripMargin,
+    "t02_dedup_exact" ->
+      """SELECT count(*) AS n_unique, CAST(sum(k) AS BIGINT) AS sum_keeper_ids FROM (
+        |  SELECT min(doc_id) AS k
+        |  FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |  GROUP BY text)""".stripMargin,
+    "t03_ngram_jaccard" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, unnest($shinglesExpr) AS shingle
+         |  FROM (SELECT doc_id, $wsExpr AS ws FROM documents)),
+         |keep AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) <= 1000),
+         |f AS (SELECT s.* FROM s JOIN keep USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM f GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE i / (sa.sz + sb.sz - i) >= 0.1
+         |ORDER BY id_a, id_b""".stripMargin,
+    "t04_minhash_sig" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesExpr AS shs
+         |  FROM (SELECT doc_id, $wsExpr AS ws FROM documents))
+         |SELECT doc_id,
+         |  list_min(list_transform(shs, s -> ${hash60("concat('0:', s)")})) AS sig0,
+         |  list_min(list_transform(shs, s -> ${hash60("concat('1:', s)")})) AS sig1,
+         |  list_min(list_transform(shs, s -> ${hash60("concat('2:', s)")})) AS sig2,
+         |  list_min(list_transform(shs, s -> ${hash60("concat('3:', s)")})) AS sig3
+         |FROM sh ORDER BY doc_id""".stripMargin,
+    "t05_minhash_lsh" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesExpr AS shs
+         |  FROM (SELECT doc_id, $wsExpr AS ws FROM documents)),
+         |sig AS (
+         |  SELECT doc_id,
+         |         list_transform(range(0, 16), j -> list_min(list_transform(shs,
+         |           s -> ${hash60("concat(j, ':', s)")}))) AS signature
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc_id, signature, unnest(range(0, 4)) AS band FROM sig),
+         |keyed AS (
+         |  SELECT doc_id, signature, band,
+         |         md5(array_to_string(signature[(band*4+1):(band*4+4)], ':')) AS key
+         |  FROM banded),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         list_sum(list_transform(range(0, 16),
+         |           j -> CASE WHEN a.signature[CAST(j+1 AS INT)]
+         |                        = b.signature[CAST(j+1 AS INT)]
+         |                     THEN 1 ELSE 0 END))::DOUBLE / 16.0 AS est_jaccard
+         |  FROM keyed a JOIN keyed b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
+         |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "t06_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |votes AS (
+         |  SELECT doc_id, bit,
+         |         sum(CASE WHEN (${hash60("w")} >> CAST(bit AS INT)) % 2 = 1
+         |                  THEN 1 ELSE -1 END) AS v
+         |  FROM (SELECT doc_id, unnest(ws) AS w FROM t),
+         |       (SELECT unnest(range(0, 16)) AS bit)
+         |  GROUP BY doc_id, bit)
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** bit AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t07_lang_id" -> langIdOracle,
+    "t08_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $wsExpr AS ws FROM documents),
+         |feat AS (
+         |  SELECT doc_id,
+         |    len(ws) AS n_words,
+         |    CASE WHEN len(ws) = 0 THEN 0.0
+         |         ELSE list_sum(list_transform(ws, w -> len(w)))::DOUBLE / len(ws) END
+         |      AS mean_word_len,
+         |    CASE WHEN len(ws) = 0 THEN 0.0
+         |         ELSE len(list_filter(ws, w -> lower(w) IN ('the','a','of','and','is')))::DOUBLE
+         |              / len(ws) END AS stopword_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |         ELSE len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+         |              / len(text) END AS alnum_ratio
+         |  FROM t)
+         |SELECT doc_id, n_words,
+         |  round(mean_word_len, 6) AS mean_word_len,
+         |  round(stopword_ratio, 6) AS stopword_ratio,
+         |  round(alnum_ratio, 6) AS alnum_ratio,
+         |  (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.25 ELSE 0.0 END +
+         |   CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END +
+         |   CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END +
+         |   CASE WHEN alnum_ratio >= 0.6 THEN 0.25 ELSE 0.0 END) AS quality
+         |FROM feat ORDER BY doc_id""".stripMargin,
+    "t09_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $wsExpr AS ws FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(ws)) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(len(list_distinct(ws))) AS BIGINT) AS distinct_tokens
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "t10_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+         |       ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+         |  FROM documents)
+         |SELECT doc_id, ${hash60("array_to_string(ws, ' ')")} AS fingerprint
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "t11_multimodal_meta" ->
+      s"""WITH p AS (SELECT doc_id, text AS payload FROM documents),
+         |h AS (SELECT doc_id, payload, ${hash60("payload")} AS hv FROM p)
+         |SELECT doc_id, octet_length(encode(payload)) AS byte_len,
+         |  CAST(hv % 1280 + 1 AS INT) AS width,
+         |  CAST((hv >> 16) % 720 + 1 AS INT) AS height,
+         |  (['jpeg','png','webp','wav'])[CAST((hv >> 32) % 4 + 1 AS INT)] AS format
+         |FROM h ORDER BY doc_id""".stripMargin)
+
+  private lazy val langIdOracle: String = {
+    val cases = TextAnalysis.markers.keys.toSeq.sorted.map { lang =>
+      val lst = TextAnalysis.markers(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(lws, w -> w IN ($lst))) AS hits_$lang"
+    }.mkString(",\n    ")
+    // fold in sorted lang order with strict > — mirrors TextAnalysis.langId
+    val langs = TextAnalysis.markers.keys.toSeq.sorted
+    val folded = langs.foldLeft(("0", "'und'")) { case ((bestH, bestL), l) =>
+      (s"CASE WHEN hits_$l > $bestH THEN hits_$l ELSE $bestH END",
+        s"CASE WHEN hits_$l > $bestH THEN '$l' ELSE $bestL END")
+    }._2
+    s"""WITH t AS (SELECT lang,
+       |  CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+       |       ELSE string_split_regex(trim(lower(text)), '\\s+') END AS lws
+       |  FROM documents),
+       |h AS (SELECT lang,
+       |    $cases
+       |  FROM t)
+       |SELECT $folded AS pred_lang, lang, count(*) AS n
+       |FROM h GROUP BY 1, 2 ORDER BY pred_lang, lang""".stripMargin
+  }
+}

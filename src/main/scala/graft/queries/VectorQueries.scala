@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions.cosineSim
+import graft.operators.{Ann, Search}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The vector-search surface: the reference's flagship k-NN pipeline
+  * (reference server.js:217-265) plus the ANN scale path.
+  *
+  * Oracle-stability conventions (SURVEY.md §7.4): top-k selection uses
+  * the exact Double score with `vec_id` tie-break; emitted scores are
+  * rounded; final output is re-ordered by integer keys so row order
+  * never depends on float comparisons.
+  */
+object VectorQueries {
+
+  /** The query row: vec_id 0's embedding, kept as a 1-row frame so the
+    * whole pipeline is one plan (no driver collect). */
+  private def queryVec(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+
+  def knnTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Search.topK(emb.filter(col("vec_id") =!= 0), queryVec(emb),
+        "vec_id", "embedding", "qe", k)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy("vec_id")
+  }
+
+  def knnEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val hits = Search.topK(emb.filter(col("vec_id") =!= 0), queryVec(emb),
+      "vec_id", "embedding", "qe", 10)
+    emb.select(col("vec_id"), col("label"))
+      .join(broadcast(hits), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+      .orderBy("vec_id")
+  }
+
+  def groupedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val scored = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(emb)))
+      .select(col("label"), col("vec_id"),
+        cosineSim(col("embedding"), col("qe")).as("score"))
+    Search.topKPerQuery(scored, "label", "vec_id", 3)
+      .select(col("label"), col("rank").cast("long").as("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy("label", "rank")
+  }
+
+  /** Context aggregation over the top-5 docs (documents joined on
+    * doc_id = vec_id): the reference's enumerate-and-join context
+    * builder (server.js:251-254) as one output row. */
+  def searchContext(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val hits = Search.topK(emb.filter(col("vec_id") =!= 0), queryVec(emb),
+      "vec_id", "embedding", "qe", 5)
+    val enriched = hits
+      .join(docs.select(col("doc_id").as("vec_id"),
+        substring(col("text"), 1, 30).as("content")), Seq("vec_id"), "left")
+      .withColumn("query_id", lit(0L))
+    Search.contextAgg(enriched, "query_id", "vec_id", "content")
+      .select("query_id", "context")
+  }
+
+  /** Batched search: every vector with vec_id < 8 is a query; per-query
+    * top-5 over the rest of the index — the 100 TB-shaped formulation
+    * (one shuffle keyed by query id). */
+  def batchSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = Search.scoreAll(
+      emb.filter(col("vec_id") >= 8), queries,
+      "vec_id", "embedding", "query_id", "qe")
+    Search.topKPerQuery(scored, "query_id", "vec_id", 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Ann.cosineNearDupPairs(Tables.embeddings(spark, sfDir),
+        "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+
+  def ivfSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 16)
+    val assigned = Ann.ivfAssign(emb.filter(col("vec_id") >= 16), centroids,
+      "vec_id", "embedding")
+    Ann.ivfSearch(assigned, centroids, queryVec(emb),
+        "vec_id", "embedding", "qe", nProbe = 4, k = 10)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF cell histogram — verifies the assignment step on its own. */
+  def ivfCells(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 16)
+    Ann.ivfAssign(emb.filter(col("vec_id") >= 16), centroids,
+        "vec_id", "embedding")
+      .groupBy("centroid_id")
+      .agg(count("*").as("n_vectors"), sum("vec_id").as("sum_ids"))
+      .orderBy("centroid_id")
+  }
+
+  /** DuckDB oracles. `embeddings`/`documents` resolve to the same parquet. */
+  val oracles: Map[String, String] = Map(
+    "v01_knn_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |top AS (
+        |  SELECT e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> 0
+        |  ORDER BY score DESC, e.vec_id LIMIT 10)
+        |SELECT vec_id, round(score, 6) AS score FROM top ORDER BY vec_id""".stripMargin,
+    "v02_knn_enrich" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |top AS (
+        |  SELECT e.vec_id, e.label,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> 0
+        |  ORDER BY score DESC, e.vec_id LIMIT 10)
+        |SELECT vec_id, label, round(score, 6) AS score FROM top ORDER BY vec_id""".stripMargin,
+    "v03_grouped_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.label, e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> 0),
+        |ranked AS (
+        |  SELECT label, vec_id, score,
+        |         row_number() OVER (PARTITION BY label
+        |                            ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT label, rank, vec_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 3 ORDER BY label, rank""".stripMargin,
+    "v04_search_context" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |top AS (
+        |  SELECT e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> 0
+        |  ORDER BY score DESC, e.vec_id LIMIT 5),
+        |enriched AS (
+        |  SELECT t.vec_id, t.score, substring(d.text, 1, 30) AS content
+        |  FROM top t LEFT JOIN documents d ON d.doc_id = t.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+        |  FROM enriched WHERE content IS NOT NULL)
+        |SELECT CAST(0 AS BIGINT) AS query_id,
+        |       string_agg(rank || '. ' || content, chr(10) ORDER BY rank) AS context
+        |FROM ranked""".stripMargin,
+    "v05_batch_search" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) AS score
+        |  FROM embeddings e, q WHERE e.vec_id >= 8),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "v06_near_dup_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "v07_ivf_search" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS centroid
+        |           FROM embeddings ORDER BY vec_id LIMIT 16),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |assigned AS (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.centroid_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+        |                                    CAST(c.centroid AS DOUBLE[])),
+        |                      c.centroid_id) AS rn
+        |    FROM embeddings e, c WHERE e.vec_id >= 16) WHERE rn = 1),
+        |probed AS (
+        |  SELECT c.centroid_id FROM c, q
+        |  ORDER BY list_distance(CAST(c.centroid AS DOUBLE[]),
+        |                         CAST(q.qe AS DOUBLE[])), c.centroid_id
+        |  LIMIT 4),
+        |top AS (
+        |  SELECT a.vec_id,
+        |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) AS score
+        |  FROM assigned a JOIN probed p USING (centroid_id), q
+        |  ORDER BY score DESC, a.vec_id LIMIT 10)
+        |SELECT vec_id, round(score, 6) AS score FROM top ORDER BY vec_id""".stripMargin,
+    "v08_ivf_cells" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS centroid
+        |           FROM embeddings ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT e.vec_id, c.centroid_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+        |                                    CAST(c.centroid AS DOUBLE[])),
+        |                      c.centroid_id) AS rn
+        |    FROM embeddings e, c WHERE e.vec_id >= 16) WHERE rn = 1)
+        |SELECT centroid_id, count(*) AS n_vectors, CAST(sum(vec_id) AS BIGINT) AS sum_ids
+        |FROM assigned GROUP BY centroid_id ORDER BY centroid_id""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v01_knn_topk" -> ((s, d) => knnTopK(s, d)),
+    "v02_knn_enrich" -> ((s, d) => knnEnrich(s, d)),
+    "v03_grouped_topk" -> ((s, d) => groupedTopK(s, d)),
+    "v04_search_context" -> ((s, d) => searchContext(s, d)),
+    "v05_batch_search" -> ((s, d) => batchSearch(s, d)),
+    "v06_near_dup_pairs" -> ((s, d) => nearDupPairs(s, d)),
+    "v07_ivf_search" -> ((s, d) => ivfSearch(s, d)),
+    "v08_ivf_cells" -> ((s, d) => ivfCells(s, d)))
+}

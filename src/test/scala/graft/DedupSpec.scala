@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Dedup
+import graft.functions.TextFunctions.{shingles, words}
+import org.apache.spark.sql.functions._
+
+/** Dedup suite: exact dedup keeper semantics (INSERT OR IGNORE parity —
+  * reference server.js:198), shingle/MinHash/LSH/SimHash invariants.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup keeps the smallest id per duplicated text") {
+    val df = docsDf((3L, "x"), (1L, "x"), (2L, "y"))
+    val got = Dedup.exactDedup(df, "text", "doc_id")
+      .orderBy("doc_id").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("x", 1L), ("y", 2L)))
+  }
+
+  test("exactDedup is idempotent: re-deduping changes nothing") {
+    val df = docsDf((1L, "a"), (2L, "a"), (3L, "b"))
+    val once = Dedup.exactDedup(df, "text", "doc_id")
+    val twice = Dedup.exactDedup(once, "text", "doc_id")
+    assert(once.orderBy("doc_id").collect().toSeq ==
+      twice.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("shingleSet emits distinct n-grams; short docs yield one shingle") {
+    val got = Dedup.shingleSet(docsDf((1L, "a b c d"), (2L, "a b")),
+        "doc_id", "text", 3)
+      .orderBy("doc_id", "shingle").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a b c"), (1L, "b c d"), (2L, "a b")))
+  }
+
+  test("ngramJaccardPairs: identical docs score 1.0; disjoint docs absent") {
+    val df = docsDf(
+      (1L, "the quick brown fox jumps over"),
+      (2L, "the quick brown fox jumps over"),
+      (3L, "entirely different words here now"))
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+
+  test("ngramJaccardPairs maxDf drops stop-shingles from pairing") {
+    // the shared shingle appears in all 3 docs; maxDf=2 suppresses it
+    val df = docsDf((1L, "a b c"), (2L, "a b c"), (3L, "a b c"))
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.1, maxDf = 2L)
+    assert(got.count() == 0)
+  }
+
+  test("minHash: identical docs share full signature; length = numHashes") {
+    val sigs = Dedup.minHash(docsDf((1L, "a b c d e"), (2L, "a b c d e")),
+        "doc_id", "text", n = 3, numHashes = 16)
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    assert(sigs(0)._2.length == 16)
+    assert(sigs(0)._2 == sigs(1)._2)
+    assert(sigs(0)._2.forall(_ >= 0L))
+  }
+
+  test("lshCandidatePairs surfaces identical docs with est_jaccard 1.0") {
+    val sigs = Dedup.minHash(
+      docsDf((1L, "a b c d e f g"), (2L, "a b c d e f g"),
+        (3L, "q r s t u v w")),
+      "doc_id", "text", n = 3, numHashes = 16)
+    val got = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simHash: equal docs equal fingerprints, hamming 0; bounded bits") {
+    val fp = Dedup.simHashDocs(
+        docsDf((1L, "a b c"), (2L, "a b c"), (3L, "x y z w")),
+        "doc_id", "text", bits = 16)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(fp(0)._2 == fp(1)._2)
+    assert(fp.forall { case (_, h) => h >= 0 && h < (1L << 16) })
+    val hd = Seq((fp(0)._2, fp(1)._2), (fp(0)._2, fp(2)._2))
+      .toDF("a", "b")
+      .select(Dedup.hammingDist(col("a"), col("b"))).as[Long].collect()
+    assert(hd(0) == 0L)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Vector math: the codegen'd Catalyst expressions against their
+  * built-in higher-order-function twins, plus the cosine properties from
+  * SURVEY.md §5 (symmetry, range, self-similarity, zero-norm guard —
+  * the reference NaNs there, reference server.js:46-51).
+  *
+  * Property-style cases run over seeded random vectors (deterministic).
+  */
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(42)
+  private def randVec(n: Int = 8): Seq[Float] =
+    Seq.fill(n)((rng.nextFloat() - 0.5f) * 20f)
+  private val samples: Seq[(Seq[Float], Seq[Float])] =
+    Seq.fill(25)((randVec(), randVec()))
+
+  private def eval(pairs: Seq[(Seq[Float], Seq[Float])])
+      : Seq[(Double, Double, Double, Double)] =
+    pairs.map { case (a, b) => (a.toArray, b.toArray) }
+      .toDF("a", "b")
+      .select(
+        cosineSim(col("a"), col("b")),
+        cosineSimHof(col("a"), col("b")),
+        dotProduct(col("a"), col("b")),
+        dotProductHof(col("a"), col("b")))
+      .as[(Double, Double, Double, Double)].collect().toSeq
+
+  test("expression and HOF implementations agree bit-for-bit") {
+    eval(samples).foreach { case (cosE, cosH, dotE, dotH) =>
+      assert(cosE == cosH && dotE == dotH)
+    }
+  }
+
+  test("cosine is symmetric and within [-1, 1]") {
+    val ab = eval(samples)
+    val ba = eval(samples.map(_.swap))
+    ab.zip(ba).foreach { case ((x, _, _, _), (y, _, _, _)) =>
+      assert(math.abs(x - y) < 1e-12)
+      assert(x >= -1.0 - 1e-9 && x <= 1.0 + 1e-9)
+    }
+  }
+
+  test("self-similarity is 1 for nonzero vectors") {
+    eval(samples.map(p => (p._1, p._1))).foreach { case (c, _, _, _) =>
+      assert(math.abs(c - 1.0) < 1e-9)
+    }
+  }
+
+  test("zero-norm guard: cosine with a zero vector is 0.0, not NaN") {
+    val (c, ch, _, _) = eval(Seq((Seq(0f, 0f, 0f), Seq(1f, 2f, 3f)))).head
+    assert(c == 0.0 && ch == 0.0)
+  }
+
+  test("l2Dist matches manual euclidean distance") {
+    val d = Seq((Array(0f, 3f), Array(4f, 0f))).toDF("a", "b")
+      .select(l2Dist(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(d - 5.0) < 1e-12)
+  }
+
+  test("l2Normalize yields unit vectors; zero vector passes through") {
+    val n = Seq(Tuple1(Array(3f, 4f))).toDF("a")
+      .select(aggregate(transform(l2Normalize(col("a")),
+        x => x * x), lit(0.0), (s, x) => s + x))
+      .as[Double].head()
+    assert(math.abs(n - 1.0) < 1e-12)
+    val z = Seq(Tuple1(Array(0f, 0f))).toDF("a")
+      .select(l2Normalize(col("a"))).as[Seq[Double]].head()
+    assert(z == Seq(0.0, 0.0))
+  }
+
+  test("vectorMean averages element-wise") {
+    val m = Seq(Tuple1(Seq(Array(1.0, 2.0), Array(3.0, 4.0))))
+      .toDF("vs").select(vectorMean(col("vs"))).as[Seq[Double]].head()
+    assert(m == Seq(2.0, 3.0))
+  }
+
+  test("double arrays are accepted too (type-polymorphic expression)") {
+    val c = Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
+      .select(cosineSim(col("a"), col("b"))).as[Double].head()
+    assert(c == 1.0)
+  }
+}
