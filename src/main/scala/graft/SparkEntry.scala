@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{IngestQueries, RelationalQueries, StreamingQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -9,6 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   v* — vector search surface (the reference's flagship pipeline)
   *   r* — relational operator coverage (TPC-H-ish tables)
   *   t* — text/dedup/multimodal training-data pipeline
+  *   i* — ingest path (embed, dedup-ingest, id assignment)
+  *   s* — Structured Streaming (batch/stream parity oracles)
   */
 object SparkEntry {
 
@@ -19,8 +21,10 @@ object SparkEntry {
     VectorQueries.knnTopK(spark, "/root/testdata/sf0.001", k = 5)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    VectorQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries
+    VectorQueries.queries ++ RelationalQueries.queries ++
+      TextQueries.queries ++ IngestQueries.queries ++ StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
-    VectorQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles
+    VectorQueries.oracles ++ RelationalQueries.oracles ++
+      TextQueries.oracles ++ IngestQueries.oracles ++ StreamingQueries.oracles
 }

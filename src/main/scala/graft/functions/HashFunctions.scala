@@ -27,4 +27,24 @@ object HashFunctions {
   def hashBitSign(s: Column, bit: Int): Column =
     when(shiftright(md5Long(s), bit).bitwiseAND(1) === 1, lit(1))
       .otherwise(lit(-1))
+
+  // ---- affine universal-hash family over one md5 base hash ------------
+  //
+  // md5 (string hex → conv → long) is ~50× the cost of integer math, so
+  // hash families pay ONE md5 per input and derive family member j as
+  //   h_j(x) = (A_j · (md5Long(x) mod P) + B_j) mod P,  P = 2^31 − 1
+  // — the classic Carter–Wegman construction. All operands stay < 2^62,
+  // so the arithmetic is exact in Long on Spark and BIGINT on DuckDB
+  // (constants are embedded in the oracle SQL as literals).
+
+  /** Mersenne prime 2^31 − 1: multiplications fit exactly in a Long. */
+  val AffineP: Long = 2147483647L
+
+  /** Knuth-multiplicative constants; j is the family index. */
+  def affineA(j: Int): Long = (2654435761L * (j + 1) + 1) % AffineP
+  def affineB(j: Int): Long = (40503L * (j + 1) + 2971215073L) % AffineP
+
+  /** Family member j applied to a precomputed 60-bit base hash column. */
+  def affineHash(base: Column, j: Int): Column =
+    (lit(affineA(j)) * (base % AffineP) + affineB(j)) % AffineP
 }

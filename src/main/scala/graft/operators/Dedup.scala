@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.HashFunctions.{hashBitSign, md5Long}
+import graft.functions.HashFunctions.{affineHash, md5Long}
 import graft.functions.TextFunctions.{shingles, words}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -62,24 +62,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature column (array<bigint>, length numHashes) for a
-    * shingle-array column. Hash family j is md5 salted with j; the
-    * signature component is the min over the shingle set — a narrow,
-    * shuffle-free projection.
+  /** MinHash signature (array<bigint>, length numHashes) from a column of
+    * precomputed 60-bit shingle hashes: component j is the min over the
+    * affine family member j (one md5 per shingle TOTAL, not per family —
+    * see [[graft.functions.HashFunctions.affineHash]]). Narrow,
+    * shuffle-free.
     */
-  def minHashSignature(shingleArr: Column, numHashes: Int): Column =
+  def minHashSignature(baseHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { j =>
-      array_min(transform(shingleArr,
-        s => md5Long(concat(lit(s"$j:"), s))))
+      array_min(transform(baseHashes, b => affineHash(b, j)))
     }: _*)
 
-  /** (idCol, signature) per document. */
+  /** (idCol, signature) per document. The base md5 pass lives in its own
+    * projection so it is evaluated once, not once per hash family.
+    */
   def minHash(df: DataFrame, idCol: String, textCol: String,
               n: Int, numHashes: Int): DataFrame =
     df.select(
-      col(idCol),
-      minHashSignature(array_distinct(shingles(words(col(textCol)), n)),
-        numHashes).as("signature"))
+        col(idCol),
+        transform(array_distinct(shingles(words(col(textCol)), n)),
+          s => md5Long(s)).as("shingle_hashes"))
+      .select(
+        col(idCol),
+        minHashSignature(col("shingle_hashes"), numHashes).as("signature"))
 
   /** LSH banding: signature split into `bands` bands of
     * numHashes/bands rows each; docs sharing a full band land in the
@@ -89,6 +94,10 @@ object Dedup {
     */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, bands: Int)
       : DataFrame = {
+    // self-join below would otherwise recompute the whole signature
+    // pipeline on both sides; signatures are numHashes longs per doc, so
+    // caching them is strictly cheaper than one recomputation
+    sigs.persist()
     val banded = sigs.select(
         col(idCol),
         col("signature"),
@@ -115,24 +124,31 @@ object Dedup {
         slice(signature, bnd * rowsPerBand + 1, rowsPerBand), ":")))
   }
 
-  /** SimHash fingerprint (bits ≤ 60): per-token md5 bit votes, weighted
-    * by token multiplicity; bit set iff the vote sum is positive.
-    * Narrow projection, no shuffle.
+  /** SimHash fingerprint (bits ≤ 60) from precomputed 60-bit token
+    * hashes: per-bit ±1 votes weighted by token multiplicity; bit set iff
+    * the vote sum is positive. Narrow projection, no shuffle.
     */
-  def simHash(tokens: Column, bits: Int): Column = {
+  def simHashFromHashes(tokenHashes: Column, bits: Int): Column = {
     require(bits <= 60, "simHash uses the 60-bit md5Long")
     (0 until bits).map { i =>
       when(
-        aggregate(tokens, lit(0),
-          (acc, t) => acc + hashBitSign(t, i)) > 0,
+        aggregate(tokenHashes, lit(0),
+          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1,
+            lit(1)).otherwise(lit(-1))) > 0,
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
-  /** (idCol, simhash) per document over whitespace tokens. */
+  /** (idCol, simhash) per document over whitespace tokens. The md5 pass
+    * lives in its own projection so each token is hashed once, not once
+    * per bit.
+    */
   def simHashDocs(df: DataFrame, idCol: String, textCol: String, bits: Int)
       : DataFrame =
-    df.select(col(idCol), simHash(words(col(textCol)), bits).as("simhash"))
+    df.select(col(idCol),
+        transform(words(col(textCol)), t => md5Long(t)).as("token_hashes"))
+      .select(col(idCol),
+        simHashFromHashes(col("token_hashes"), bits).as("simhash"))
 
   /** Hamming distance between two simhash fingerprints. */
   def hammingDist(a: Column, b: Column): Column =

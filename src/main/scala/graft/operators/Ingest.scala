@@ -29,7 +29,7 @@ object Ingest {
     * L2-normalized. Order-insensitive (bag of words), dimension
     * configurable (the reference pins 1536; fixtures use 64).
     */
-  def hashEmbed(df: DataFrame, textCol: String, dim: Int): DataFrame = {
+  def hashEmbedRaw(df: DataFrame, textCol: String, dim: Int): DataFrame = {
     val ws = words(lower(col(textCol)))
     // scatter-add: for each bucket d, sum the signed votes of tokens
     // hashing to d. Pure built-ins; one pass per dim over the token
@@ -46,23 +46,29 @@ object Ingest {
       (acc, t) => transform(acc, (v, i) =>
         when(i === t.getField("bucket"), v + t.getField("sign"))
           .otherwise(v)))
-    df.withColumn("embedding",
-      transform(l2Normalize(dense), _.cast("float")))
+    df.withColumn("embedding", l2Normalize(dense))
   }
+
+  /** Float32 variant — the reference's storage type (server.js:194). */
+  def hashEmbed(df: DataFrame, textCol: String, dim: Int): DataFrame =
+    hashEmbedRaw(df, textCol, dim)
+      .withColumn("embedding", transform(col("embedding"), _.cast("float")))
 
   /** Dedup-ingest: keep only batch rows whose content is new w.r.t. the
     * store AND unique within the batch (first occurrence wins), then
     * assign ids continuing after the store's max id.
     */
   def dedupIngest(batch: DataFrame, store: DataFrame,
-                  contentCol: String): DataFrame = {
+                  contentCol: String, idCol: String): DataFrame = {
     val keyed = batch.withColumn("content_key", md5Long(col(contentCol)))
     val storeKeys = store.select(md5Long(col(contentCol)).as("content_key"))
       .distinct()
     val novel = keyed
       .join(storeKeys, Seq("content_key"), "left_anti")
       .groupBy("content_key")
-      .agg(min_by(struct(batch.columns.map(col): _*), col(contentCol))
+      // keeper = the smallest-id row per content (deterministic even when
+      // the same text enters a batch under several ids)
+      .agg(min_by(struct(batch.columns.map(col): _*), col(idCol))
         .as("row"))
       .select((batch.columns.map(c => col(s"row.$c").as(c))
         :+ col("content_key")): _*)

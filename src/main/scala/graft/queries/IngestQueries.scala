@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Ingest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ingest surface — the reference's write path (reference
+  * server.js:161-215): deterministic hash embedding (O6 stand-in),
+  * INSERT-OR-IGNORE dedup ingest (O7), sequential id assignment
+  * (AUTOINCREMENT parity), all oracle-checked.
+  */
+object IngestQueries {
+
+  private val Dim = 64
+
+  /** The synthetic ingest batch used by i02/i03: every stored doc
+    * re-submitted under a new id (must all dedup away) plus an " EXTRA"
+    * variant of every 10th doc (must all survive).
+    */
+  private def syntheticBatch(docs: DataFrame): DataFrame =
+    docs.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      .unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" EXTRA")).as("text")))
+
+  /** Hash-embedder output as relational rows (doc_id, bucket, val) —
+    * the sparse view of the dense vector, which is what a SQL oracle can
+    * recompute (scatter-add = GROUP BY bucket; ±1 sums and the norm
+    * divide are exact/IEEE-identical on both engines).
+    */
+  def hashEmbedBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    Ingest.hashEmbedRaw(
+        Tables.documents(spark, sfDir).select("doc_id", "text"), "text", Dim)
+      .select(col("doc_id"),
+        posexplode(col("embedding")).as(Seq("bucket", "val")))
+      .filter(col("val") =!= 0.0)
+      .select(col("doc_id"), col("bucket"), round(col("val"), 6).as("val"))
+      .orderBy("doc_id", "bucket")
+
+  /** Dedup-ingest over the synthetic batch: count of surviving (novel)
+    * rows and their id sum — INSERT OR IGNORE parity (server.js:198).
+    */
+  def dedupIngestCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    Ingest.dedupIngest(syntheticBatch(docs), docs, "text", "doc_id")
+      .agg(count("*").as("n_new"), sum("doc_id").as("sum_batch_ids"))
+  }
+
+  /** Full ingest id assignment: novel rows get contiguous ids continuing
+    * after the store's max — AUTOINCREMENT parity (server.js:28).
+    * Emits (doc_id, batch_id) so the oracle pins the full mapping.
+    */
+  def assignedIds(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val novel = Ingest.dedupIngest(syntheticBatch(docs), docs, "text", "doc_id")
+      .withColumnRenamed("doc_id", "batch_id")
+    Ingest.assignIds(novel, "text", maxId)
+      .select(col("doc_id"), col("batch_id"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i01_hash_embed" -> (hashEmbedBuckets(_, _)),
+    "i02_dedup_ingest" -> (dedupIngestCount(_, _)),
+    "i03_assign_ids" -> (assignedIds(_, _)))
+
+  private val wsLower =
+    "CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) " +
+      "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+
+  private def hash60(e: String): String =
+    s"CAST(concat('0x', substring(md5($e), 1, 15)) AS BIGINT)"
+
+  private val batchSql =
+    """SELECT doc_id + 10000 AS doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 20000 AS doc_id, text || ' EXTRA' AS text
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "i01_hash_embed" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($wsLower) AS w FROM documents),
+         |b AS (
+         |  SELECT doc_id, ${hash60("w")} % $Dim AS bucket,
+         |         CASE WHEN ${hash60("concat('sign:', w)")} % 2 = 1
+         |              THEN 1.0 ELSE -1.0 END AS sgn
+         |  FROM tok),
+         |s AS (SELECT doc_id, bucket, sum(sgn) AS v
+         |      FROM b GROUP BY doc_id, bucket),
+         |n AS (SELECT doc_id, sqrt(sum(v * v)) AS norm
+         |      FROM s GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(bucket AS INT) AS bucket,
+         |       round(v / norm, 6) AS val
+         |FROM s JOIN n ON s.doc_id = n.doc_id
+         |WHERE v <> 0
+         |ORDER BY s.doc_id, bucket""".stripMargin,
+    "i02_dedup_ingest" ->
+      s"""WITH batch AS ($batchSql)
+         |SELECT count(*) AS n_new, CAST(sum(keeper) AS BIGINT) AS sum_batch_ids
+         |FROM (
+         |  SELECT min(doc_id) AS keeper FROM batch
+         |  WHERE text NOT IN (SELECT text FROM documents)
+         |  GROUP BY text)""".stripMargin,
+    "i03_assign_ids" ->
+      s"""WITH batch AS ($batchSql),
+         |novel AS (
+         |  SELECT text, min(doc_id) AS batch_id FROM batch
+         |  WHERE text NOT IN (SELECT text FROM documents)
+         |  GROUP BY text),
+         |mx AS (SELECT max(doc_id) AS m FROM documents)
+         |SELECT CAST(row_number() OVER (ORDER BY text) + m AS BIGINT) AS doc_id,
+         |       batch_id
+         |FROM novel, mx
+         |ORDER BY doc_id""".stripMargin)
+}

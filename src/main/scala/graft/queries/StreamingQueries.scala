@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming surface, verified through batch/stream parity:
+  * each query runs a finite (AvailableNow) streaming pipeline to a
+  * memory sink, and its oracle is the equivalent BATCH SQL — so the
+  * correctness gate proves the incremental plan converges to the batch
+  * answer.
+  */
+object StreamingQueries {
+
+  /** Watermarked hourly windowed aggregation, streaming twin of
+    * r12_hourly_events. */
+  def streamHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = Streaming.hourlyCounts(Streaming.eventsStream(spark, sfDir))
+    Streaming.runAvailableNow(spark, agg, "graft_s01")
+      .select(col("hour"), col("event_type"), col("n"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Stateful streaming dedup (dropDuplicates on user_id) + count — the
+    * streaming INSERT-OR-IGNORE: one surviving row per user.
+    */
+  def streamDedupUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    // dedup state and the count stay in separate plans (chaining two
+    // stateful operators in one streaming query is mode-restricted):
+    // append-mode dedup drains into the sink, the count is batch on top
+    val deduped = Streaming
+      .streamingDedup(Streaming.eventsStream(spark, sfDir), "user_id")
+      .select("user_id")
+    Streaming.runAvailableNowAppend(spark, deduped, "graft_s02")
+      .agg(count("*").as("n_users"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_stream_hourly" -> (streamHourly(_, _)),
+    "s02_stream_dedup" -> (streamDedupUsers(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    // identical to the batch r12 oracle — THE parity statement
+    "s01_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+    "s02_stream_dedup" ->
+      "SELECT count(DISTINCT user_id) AS n_users FROM events")
+}

@@ -111,6 +111,21 @@ object TextQueries {
         col("meta.format").as("format"))
       .orderBy("doc_id")
 
+  /** O18 tokenizeContent (reference embed.js:29-40): HTML-strip →
+    * whitespace tokenize → truncate (reference caps at 3000; 50 here so
+    * the cap actually bites on the fixtures). */
+  def tokenizeHtml(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenizeContent
+    val fakeHtml =
+      concat(lit("<p class=\"d\">"), col("text"), lit(" <br/> tail</p>"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokenizeContent(fakeHtml, 50).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        md5(array_join(col("toks"), " ")).as("tokens_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_chunk_docs" -> (chunkDocs(_, _)),
     "t02_dedup_exact" -> (dedupExact(_, _)),
@@ -122,7 +137,8 @@ object TextQueries {
     "t08_quality" -> (quality(_, _)),
     "t09_token_stats" -> (tokenStats(_, _)),
     "t10_fingerprint" -> (fingerprint(_, _)),
-    "t11_multimodal_meta" -> (multimodalMeta(_, _)))
+    "t11_multimodal_meta" -> (multimodalMeta(_, _)),
+    "t12_tokenize_html" -> (tokenizeHtml(_, _)))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -133,6 +149,22 @@ object TextQueries {
 
   private def hash60(e: String): String =
     s"CAST(concat('0x', substring(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Affine hash family member j over a base-hash SQL expr — mirrors
+    * [[graft.functions.HashFunctions.affineHash]] (constants are Scala
+    * Long arithmetic embedded as BIGINT literals). */
+  private def affineSql(baseExpr: String, j: Int): String = {
+    val p = graft.functions.HashFunctions.AffineP
+    s"(${graft.functions.HashFunctions.affineA(j)} * ($baseExpr % $p) + " +
+      s"${graft.functions.HashFunctions.affineB(j)}) % $p"
+  }
+
+  /** Same family with the index as a SQL variable `j` (for range lambdas). */
+  private def affineSqlJ(baseExpr: String): String = {
+    val p = graft.functions.HashFunctions.AffineP
+    s"(((2654435761 * (j + 1) + 1) % $p) * ($baseExpr % $p) + " +
+      s"((40503 * (j + 1) + 2971215073) % $p)) % $p"
+  }
 
   /** Distinct 3-gram shingles of ws (list expr) — mirrors
     * TextFunctions.shingles for n=3 incl. the short-doc branch. */
@@ -178,22 +210,22 @@ object TextQueries {
          |ORDER BY id_a, id_b""".stripMargin,
     "t04_minhash_sig" ->
       s"""WITH sh AS (
-         |  SELECT doc_id, $shinglesExpr AS shs
+         |  SELECT doc_id, list_transform($shinglesExpr, s -> ${hash60("s")}) AS hb
          |  FROM (SELECT doc_id, $wsExpr AS ws FROM documents))
          |SELECT doc_id,
-         |  list_min(list_transform(shs, s -> ${hash60("concat('0:', s)")})) AS sig0,
-         |  list_min(list_transform(shs, s -> ${hash60("concat('1:', s)")})) AS sig1,
-         |  list_min(list_transform(shs, s -> ${hash60("concat('2:', s)")})) AS sig2,
-         |  list_min(list_transform(shs, s -> ${hash60("concat('3:', s)")})) AS sig3
+         |  list_min(list_transform(hb, b -> ${affineSql("b", 0)})) AS sig0,
+         |  list_min(list_transform(hb, b -> ${affineSql("b", 1)})) AS sig1,
+         |  list_min(list_transform(hb, b -> ${affineSql("b", 2)})) AS sig2,
+         |  list_min(list_transform(hb, b -> ${affineSql("b", 3)})) AS sig3
          |FROM sh ORDER BY doc_id""".stripMargin,
     "t05_minhash_lsh" ->
       s"""WITH sh AS (
-         |  SELECT doc_id, $shinglesExpr AS shs
+         |  SELECT doc_id, list_transform($shinglesExpr, s -> ${hash60("s")}) AS hb
          |  FROM (SELECT doc_id, $wsExpr AS ws FROM documents)),
          |sig AS (
          |  SELECT doc_id,
-         |         list_transform(range(0, 16), j -> list_min(list_transform(shs,
-         |           s -> ${hash60("concat(j, ':', s)")}))) AS signature
+         |         list_transform(range(0, 16), j -> list_min(list_transform(hb,
+         |           b -> ${affineSqlJ("b")}))) AS signature
          |  FROM sh),
          |banded AS (
          |  SELECT doc_id, signature, unnest(range(0, 4)) AS band FROM sig),
@@ -261,6 +293,20 @@ object TextQueries {
          |       ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
          |  FROM documents)
          |SELECT doc_id, ${hash60("array_to_string(ws, ' ')")} AS fingerprint
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "t12_tokenize_html" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  '<p class="d">' || text || ' <br/> tail</p>' AS html
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |  trim(regexp_replace(html, '<[^>]*>', ' ', 'g')) AS stripped
+         |  FROM h),
+         |t AS (SELECT doc_id,
+         |  (CASE WHEN stripped = '' THEN CAST([] AS VARCHAR[])
+         |        ELSE string_split_regex(stripped, '\\s+') END)[1:50] AS toks
+         |  FROM s)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(toks, ' ')) AS tokens_md5
          |FROM t ORDER BY doc_id""".stripMargin,
     "t11_multimodal_meta" ->
       s"""WITH p AS (SELECT doc_id, text AS payload FROM documents),

@@ -112,6 +112,43 @@ object VectorQueries {
       .orderBy("centroid_id")
   }
 
+  /** The flagship in pure SQL text: custom `cosine_sim` Expression
+    * registered in the FunctionRegistry ([[graft.GraftFunctions]]), plan
+    * identical to the DataFrame variant (same codegen'd expression).
+    */
+  def sqlKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("graft_emb")
+    spark.sql("""
+      WITH q AS (SELECT embedding AS qe FROM graft_emb WHERE vec_id = 0),
+      top AS (
+        SELECT e.vec_id, cosine_sim(e.embedding, q.qe) AS score
+        FROM graft_emb e CROSS JOIN q WHERE e.vec_id <> 0
+        ORDER BY score DESC, e.vec_id LIMIT 7)
+      SELECT vec_id, round(score, 6) AS score FROM top ORDER BY vec_id""")
+  }
+
+  /** Batched search through the bounded-heap UDAF
+    * ([[graft.operators.TopKAggregator]]) instead of the ranking window:
+    * one partial-agg shuffle of ≤k rows per group — the plan that wins at
+    * 100 TB. Same contract as v05, pinned by an identical oracle.
+    */
+  def batchSearchHeap(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = Search.scoreAll(
+      emb.filter(col("vec_id") >= 8), queries,
+      "vec_id", "embedding", "query_id", "qe")
+    val topk = graft.operators.TopKAggregator.topKUdaf(5)
+    scored.groupBy("query_id")
+      .agg(topk(col("vec_id"), col("score")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit._1").as("vec_id"), round(col("hit._2"), 6).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** DuckDB oracles. `embeddings`/`documents` resolve to the same parquet. */
   val oracles: Map[String, String] = Map(
     "v01_knn_topk" ->
@@ -211,6 +248,30 @@ object VectorQueries {
         |  FROM assigned a JOIN probed p USING (centroid_id), q
         |  ORDER BY score DESC, a.vec_id LIMIT 10)
         |SELECT vec_id, round(score, 6) AS score FROM top ORDER BY vec_id""".stripMargin,
+    "v09_sql_knn" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |top AS (
+        |  SELECT e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> 0
+        |  ORDER BY score DESC, e.vec_id LIMIT 7)
+        |SELECT vec_id, round(score, 6) AS score FROM top ORDER BY vec_id""".stripMargin,
+    "v10_batch_search_heap" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) AS score
+        |  FROM embeddings e, q WHERE e.vec_id >= 8),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "v08_ivf_cells" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding AS centroid
         |           FROM embeddings ORDER BY vec_id LIMIT 16),
@@ -233,5 +294,7 @@ object VectorQueries {
     "v05_batch_search" -> ((s, d) => batchSearch(s, d)),
     "v06_near_dup_pairs" -> ((s, d) => nearDupPairs(s, d)),
     "v07_ivf_search" -> ((s, d) => ivfSearch(s, d)),
-    "v08_ivf_cells" -> ((s, d) => ivfCells(s, d)))
+    "v08_ivf_cells" -> ((s, d) => ivfCells(s, d)),
+    "v09_sql_knn" -> (sqlKnn(_, _)),
+    "v10_batch_search_heap" -> (batchSearchHeap(_, _)))
 }

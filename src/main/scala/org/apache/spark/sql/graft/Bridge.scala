@@ -1,15 +1,24 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Spark 4 removed the public `Column(expr)` constructor; the supported
   * conversion lives in `org.apache.spark.sql.classic.ExpressionUtils`,
   * which is `private[sql]`. This object lives inside the `sql` package
-  * hierarchy purely to re-export the two conversions to graft code.
+  * hierarchy purely to re-export the conversions (and temp-function
+  * registration, same visibility situation) to graft code.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function on an existing session (the
+    * non-extension path; see graft.GraftExtensions for the
+    * cluster-config path). */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

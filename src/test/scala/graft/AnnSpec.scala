@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Ann, Search}
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters around (10,0) and (0,10)
+  private def emb = vecsDf(
+    (1L, Seq(10f, 0f)), (2L, Seq(0f, 10f)),         // seeds
+    (3L, Seq(9f, 1f)), (4L, Seq(11f, 0f)),
+    (5L, Seq(1f, 9f)), (6L, Seq(0f, 11f)))
+
+  test("seedCentroids takes the lowest-id vectors deterministically") {
+    val c = Ann.seedCentroids(emb, "vec_id", "embedding", 2)
+      .select("centroid_id").as[Long].collect().toSeq.sorted
+    assert(c == Seq(1L, 2L))
+  }
+
+  test("ivfAssign routes every vector to its nearest centroid") {
+    val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 2)
+    val got = Ann.ivfAssign(emb.filter(col("vec_id") > 2), centroids,
+        "vec_id", "embedding")
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 1L, 4L -> 1L, 5L -> 2L, 6L -> 2L))
+  }
+
+  test("ivfSearch with all cells probed equals exact brute force") {
+    val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 2)
+    val assigned = Ann.ivfAssign(emb, centroids, "vec_id", "embedding")
+    val q = Seq(Tuple1(Array(10f, 1f))).toDF("qe")
+    val ivf = Ann.ivfSearch(assigned, centroids, q,
+      "vec_id", "embedding", "qe", nProbe = 2, k = 3)
+      .as[(Long, Double)].collect().toSeq
+    val exact = Search.topK(emb, q, "vec_id", "embedding", "qe", 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(ivf == exact)
+  }
+
+  test("ivfSearch nProbe=1 searches only the nearest cell") {
+    val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 2)
+    val assigned = Ann.ivfAssign(emb, centroids, "vec_id", "embedding")
+    val q = Seq(Tuple1(Array(10f, 1f))).toDF("qe")
+    val got = Ann.ivfSearch(assigned, centroids, q,
+        "vec_id", "embedding", "qe", nProbe = 1, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1).toSet == Set(1L, 3L, 4L)) // cluster-1 members only
+  }
+
+  test("cosineNearDupPairs finds each unordered pair once, above threshold") {
+    val got = Ann.cosineNearDupPairs(emb, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 3L), (1L, 4L), (2L, 5L), (2L, 6L), (3L, 4L), (5L, 6L)))
+  }
+
+  test("bucketedNearDupPairs ≡ exact pairs when clusters are clean") {
+    val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 2)
+    val exact = Ann.cosineNearDupPairs(emb, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    val bucketed = Ann.bucketedNearDupPairs(emb, centroids,
+        "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    assert(bucketed == exact)
+  }
+}

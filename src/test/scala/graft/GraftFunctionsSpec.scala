@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SQL surface + multimodal plumbing. */
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("register exposes cosine_sim/dot_product/l2_distance to SQL text") {
+    GraftFunctions.register(spark)
+    val (c, d, l) = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)),
+        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)),
+        |       l2_distance(array(0.0D, 3.0D), array(4.0D, 0.0D))""".stripMargin)
+      .as[(Double, Double, Double)].head()
+    assert(c == 1.0 && d == 11.0 && l == 5.0)
+  }
+
+  test("GraftExtensions injects the functions at session build time") {
+    // getOrCreate would return the shared session (ignoring extensions);
+    // clear it so a genuinely new session is built, then restore
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val c = s2.sql("SELECT cosine_sim(array(1.0D, 2.0D), array(1.0D, 2.0D))")
+        .collect()(0).getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-12)
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+
+  test("multimodal decodeStub: deterministic bounded metadata") {
+    val got = Multimodal.decodeStub(
+      Multimodal.asBinaryPayload(docsDf((1L, "some payload"),
+        (2L, "some payload"), (3L, "other")), "doc_id", "text"))
+    val rows = got.select("doc_id", "byte_len", "meta.width", "meta.height",
+        "meta.format")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(rows(0)._2 == "some payload".length)
+    assert(rows(0) == rows(1).copy(_1 = 1L)) // same bytes → same meta
+    assert(rows.forall { case (_, _, w, h, f) =>
+      w >= 1 && w <= 1280 && h >= 1 && h <= 720 &&
+        Set("jpeg", "png", "webp", "wav")(f)
+    })
+  }
+
+  test("multimodal featureStub: fixed-dim float features in [0,1)") {
+    val f = Multimodal.featureStub(
+        Multimodal.asBinaryPayload(docsDf((1L, "abc")), "doc_id", "text"), 8)
+      .select("features").as[Seq[Float]].head()
+    assert(f.length == 8)
+    assert(f.forall(x => x >= 0f && x < 1f))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Ingest
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Ingest path: hash embedder determinism/normalization, dedup-ingest
+  * INSERT-OR-IGNORE parity (reference server.js:191-215), contiguous id
+  * assignment, store round-trip, CSV/JSON/text-dir sources.
+  */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashEmbed: unit norm, deterministic, word-order-insensitive") {
+    val e = Ingest.hashEmbed(docsDf((1L, "alpha beta gamma"),
+        (2L, "gamma beta alpha"), (3L, "")), "text", 32)
+      .select("doc_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(e(1).length == 32)
+    assert(e(1) == e(2)) // bag-of-words
+    assert(math.abs(e(1).map(x => x * x).sum - 1.0) < 1e-5)
+    assert(e(3).forall(_ == 0f)) // empty doc → zero vector, no NaN
+  }
+
+  test("dedupIngest drops rows already in the store and in-batch dups") {
+    val store = docsDf((1L, "old one"), (2L, "old two"))
+    val batch = docsDf((10L, "old one"), (11L, "new one"),
+      (12L, "new one"), (13L, "new two"))
+    val novel = Ingest.dedupIngest(batch, store, "text", "doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq.sorted
+    // "old one" gone; "new one" keeps smallest id 11
+    assert(novel == Seq((11L, "new one"), (13L, "new two")))
+  }
+
+  test("dedupIngest is idempotent: second ingest of same batch is empty") {
+    val store = docsDf((1L, "a"), (2L, "b"))
+    val batch = docsDf((10L, "c"), (11L, "d"))
+    val afterFirst = store.unionByName(
+      Ingest.dedupIngest(batch, store, "text", "doc_id").select("doc_id", "text"))
+    assert(Ingest.dedupIngest(batch, afterFirst, "text", "doc_id").count() == 0)
+  }
+
+  test("assignIds: contiguous ids after maxExisting, ordered by content") {
+    val novel = docsDf((10L, "bb"), (11L, "aa"), (12L, "cc"))
+      .withColumnRenamed("doc_id", "batch_id")
+    val got = Ingest.assignIds(novel, "text", 100L)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq.sorted
+    assert(got == Seq((101L, "aa"), (102L, "bb"), (103L, "cc")))
+  }
+
+  test("store write/read round-trip preserves vectors") {
+    val dir = Files.createTempDirectory("graft_store").toString + "/docs"
+    val df = Ingest.hashEmbed(docsDf((1L, "x y z"), (2L, "p q r")), "text", 16)
+    Ingest.writeStore(df, dir)
+    val back = Ingest.readStore(spark, dir)
+    assert(back.count() == 2)
+    val a = df.orderBy("doc_id").select("embedding").as[Seq[Float]].collect()
+    val b = back.orderBy("doc_id").select("embedding").as[Seq[Float]].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("buildIndex persists (id, vector) projection") {
+    val df = Ingest.hashEmbed(docsDf((1L, "x"), (2L, "y")), "text", 8)
+    val idx = Ingest.buildIndex(df, "doc_id", "embedding")
+    assert(idx.columns.toSeq == Seq("doc_id", "embedding"))
+    assert(idx.storageLevel.useMemory)
+    idx.unpersist()
+  }
+
+  test("csv sink/source round-trip (header, schema inferred)") {
+    val dir = Files.createTempDirectory("graft_csv").toString + "/out"
+    Sources.writeCsv(docsDf((1L, "hello"), (2L, "world")), dir)
+    val back = Sources.readCsv(spark, dir)
+    assert(back.orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "hello"), (2L, "world")))
+  }
+
+  test("json sink/source round-trip") {
+    val dir = Files.createTempDirectory("graft_json").toString + "/out"
+    Sources.writeJson(docsDf((1L, "hello")), dir)
+    assert(Sources.readJson(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "hello")))
+  }
+
+  test("textDir scans a directory of files, one row per file") {
+    val dir = Files.createTempDirectory("graft_txt")
+    Files.writeString(dir.resolve("a.txt"), "alpha doc\nwith lines")
+    Files.writeString(dir.resolve("b.txt"), "beta doc")
+    val got = Sources.textDir(spark, dir.toString)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a.txt" -> "alpha doc\nwith lines", "b.txt" -> "beta doc"))
+  }
+}

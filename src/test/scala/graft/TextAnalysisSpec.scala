@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.TextAnalysis
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the language with most marker hits; und on none") {
+    val got = docsDf(
+        (1L, "the cat is on the mat and a dog"),
+        (2L, "el perro es de la casa que es"),
+        (3L, "der Hund und die Katze das ist"),
+        (4L, "zzz qqq xxx"))
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "und"))
+  }
+
+  test("qualityFeatures: empty text scores 0 with zeroed features") {
+    val r = TextAnalysis.qualityFeatures(docsDf((1L, "")), "doc_id", "text")
+      .head()
+    assert(r.getAs[Int]("n_words") == 0)
+    assert(r.getAs[Double]("mean_word_len") == 0.0)
+    assert(r.getAs[Double]("quality") == 0.0)
+  }
+
+  test("qualityFeatures: clean english prose passes all four gates") {
+    val text = ("the quick brown fox jumps over a lazy dog and then " * 3).trim
+    val r = TextAnalysis.qualityFeatures(docsDf((1L, text)), "doc_id", "text")
+      .head()
+    assert(r.getAs[Double]("quality") == 1.0)
+  }
+
+  test("tokenCounts: ws vs bpe-ish vs distinct") {
+    val r = TextAnalysis.tokenCounts(docsDf((1L, "ab ab c4d e-f")),
+      "doc_id", "text").head()
+    assert(r.getAs[Int]("ws_tokens") == 4)
+    // ab|ab|c|4|d|e|-|f
+    assert(r.getAs[Int]("bpe_tokens") == 8)
+    assert(r.getAs[Int]("distinct_tokens") == 3)
+  }
+
+  test("fingerprint is whitespace/case-insensitive, content-sensitive") {
+    val fps = docsDf((1L, "Hello  World"), (2L, "hello world"),
+        (3L, "hello worlds"))
+      .select(TextAnalysis.fingerprint(col("text")))
+      .as[Long].collect().toSeq
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("tokenizeContent strips tags and truncates") {
+    val got = Seq(Tuple1("<p>a <b>bold</b> word list here</p>"))
+      .toDF("html")
+      .select(TextFunctions.tokenizeContent(col("html"), 3))
+      .as[Seq[String]].head()
+    assert(got == Seq("a", "bold", "word"))
+  }
+}
