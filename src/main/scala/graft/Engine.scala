@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{Chunker, Ingest, Search}
+import graft.sources.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The user-facing facade: one method per reference endpoint, so a user
+  * of the reference service can switch call-for-call.
+  *
+  * | reference endpoint            | here                 |
+  * |-------------------------------|----------------------|
+  * | POST /add (server.js:102-124) | [[addDocument]]      |
+  * | GET /load-documents (161-190) | [[loadDocuments]]    |
+  * | POST /search (217-265)        | [[search]] / [[answer]] |
+  * | GET /count-documents (127-157)| [[countDocuments]]   |
+  * | GET /documents (271-276)      | [[documents]]        |
+  * | startup sync (65-94)          | [[index]] (lazy build) |
+  *
+  * The store is parquet at `storePath` with schema
+  * (doc_id, source, chunk_ix, content, embedding) — unlike the reference
+  * we keep chunk provenance (its `chunkName` is silently dropped,
+  * server.js:191; SURVEY.md §2.1). The "index" is the cached
+  * (doc_id, embedding) projection, rebuilt lazily after each write —
+  * synchronizeFAISS parity.
+  *
+  * All mutation goes through dedup-ingest (INSERT OR IGNORE parity) and
+  * contiguous id assignment. Embedding is the deterministic hash
+  * embedder ([[graft.expressions.HashEmbed]]); answering is extractive
+  * (top-1 content) — the two intentional stand-ins for the reference's
+  * network LLM calls (SURVEY.md §7.4).
+  */
+class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
+             chunkSize: Int = 1000, overlap: Int = 50) {
+
+  @volatile private var cachedIndex: Option[DataFrame] = None
+
+  private def storeExists: Boolean =
+    scala.util.Try(spark.read.parquet(storePath).schema).isSuccess
+
+  /** Full store scan (GET /documents). */
+  def documents(): DataFrame =
+    if (storeExists) spark.read.parquet(storePath)
+    else spark.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit("").as("source"),
+        lit(0).as("chunk_ix"), lit("").as("content"),
+        array().cast("array<float>").as("embedding"))
+      .limit(0)
+
+  def countDocuments(): Long = documents().count()
+
+  /** The cached (doc_id, embedding) index, built on demand. */
+  def index(): DataFrame = synchronized {
+    cachedIndex.getOrElse {
+      val idx = Ingest.buildIndex(documents(), "doc_id", "embedding")
+      cachedIndex = Some(idx)
+      idx
+    }
+  }
+
+  private def invalidateIndex(): Unit = synchronized {
+    cachedIndex.foreach(_.unpersist())
+    cachedIndex = None
+  }
+
+  /** Chunk → embed → dedup → assign ids → append. Returns the number of
+    * newly stored chunks (the reference reports per-chunk add results).
+    */
+  private def ingest(docs: DataFrame): Long = {
+    val store = documents()
+    val chunked = Chunker.chunk(docs, "text", chunkSize, overlap)
+      .select(col("source"), col("chunk_ix"), col("chunk").as("content"))
+    val embedded = Ingest.hashEmbed(chunked, "content", dim)
+      // deterministic keeper when the same chunk text arrives from
+      // several (source, chunk_ix) positions in one batch
+      .withColumn("batch_order",
+        graft.functions.HashFunctions.md5Long(
+          concat_ws(":", col("source"), col("chunk_ix"))))
+    val novel = Ingest.dedupIngest(embedded,
+      store.select("content"), "content", "batch_order")
+    val maxId = store.agg(coalesce(max("doc_id"), lit(0L))).head().getLong(0)
+    val assigned = Ingest
+      .assignIds(novel.drop("batch_order"), "content", maxId)
+      .select("doc_id", "source", "chunk_ix", "content", "embedding")
+    val n = assigned.count()
+    if (n > 0) {
+      Ingest.writeStore(assigned, storePath)
+      invalidateIndex()
+    }
+    n
+  }
+
+  /** POST /add — one pasted document. */
+  def addDocument(text: String, source: String = "inline"): Long = {
+    import spark.implicits._
+    ingest(Seq((source, text)).toDF("source", "text"))
+  }
+
+  /** GET /load-documents — whole-file scan of a directory. */
+  def loadDocuments(dir: String): Long =
+    ingest(Sources.textDir(spark, dir))
+
+  /** POST /search — embed the query, cosine top-k over the index,
+    * enrich with content: (doc_id, score, content).
+    */
+  def search(query: String, k: Int = 1): DataFrame = {
+    import spark.implicits._
+    val qv = Ingest.hashEmbed(Seq(query).toDF("text"), "text", dim)
+      .select(col("embedding").as("qe"))
+    val hits = Search.topK(index(), qv, "doc_id", "embedding", "qe", k)
+    Search.enrich(hits, documents().select("doc_id", "content"), "doc_id")
+      .select("doc_id", "score", "content")
+  }
+
+  /** The reference's context string (server.js:251-254). */
+  def context(query: String, k: Int): String = {
+    val enriched = search(query, k).withColumn("query_id", lit(0L))
+    val rows = Search.contextAgg(enriched, "query_id", "doc_id", "content")
+      .select("context").collect()
+    if (rows.isEmpty) "" else rows(0).getString(0)
+  }
+
+  /** Extractive answer — deterministic stand-in for the reference's
+    * chat completion (embed.js:160-180): best-scoring content.
+    */
+  def answer(query: String): String = {
+    val rows = search(query, k = 1).select("content").collect()
+    if (rows.isEmpty) "" else rows(0).getString(0)
+  }
+}

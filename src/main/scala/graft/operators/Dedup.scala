@@ -46,6 +46,9 @@ object Dedup {
       s.groupBy("shingle").count().filter(col("count") <= maxDf)
         .select("shingle"),
       Seq("shingle"))
+      // reused three times below (sizes + both join sides) — cache the
+      // filtered inverted index instead of re-shingling the corpus
+      .persist()
     val sizes = filtered.groupBy(col(idCol)).agg(count("*").as("sz"))
     val a = filtered.select(col(idCol).as("id_a"), col("shingle"))
     val b = filtered.select(col(idCol).as("id_b"), col("shingle"))

@@ -1,11 +1,10 @@
 package graft.operators
 
-import graft.functions.VectorFunctions.l2Normalize
 import graft.functions.HashFunctions.md5Long
-import graft.functions.TextFunctions.words
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** The reference's ingest pipeline (reference server.js:161-215):
   * read docs → chunk → embed → dedupe on content (INSERT OR IGNORE,
@@ -29,25 +28,9 @@ object Ingest {
     * L2-normalized. Order-insensitive (bag of words), dimension
     * configurable (the reference pins 1536; fixtures use 64).
     */
-  def hashEmbedRaw(df: DataFrame, textCol: String, dim: Int): DataFrame = {
-    val ws = words(lower(col(textCol)))
-    // scatter-add: for each bucket d, sum the signed votes of tokens
-    // hashing to d. Pure built-ins; one pass per dim over the token
-    // array would be O(dim·words), so instead pre-hash each token once
-    // and aggregate per bucket via a histogram array update.
-    val hashed = transform(ws, w =>
-      struct(
-        pmod(md5Long(w), lit(dim)).cast("int").as("bucket"),
-        when(md5Long(concat(lit("sign:"), w))
-          .bitwiseAND(1) === 1, 1.0).otherwise(-1.0).as("sign")))
-    val dense = aggregate(
-      hashed,
-      transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0)),
-      (acc, t) => transform(acc, (v, i) =>
-        when(i === t.getField("bucket"), v + t.getField("sign"))
-          .otherwise(v)))
-    df.withColumn("embedding", l2Normalize(dense))
-  }
+  def hashEmbedRaw(df: DataFrame, textCol: String, dim: Int): DataFrame =
+    df.withColumn("embedding", Bridge.column(
+      graft.expressions.HashEmbed(Bridge.expression(col(textCol)), dim)))
 
   /** Float32 variant — the reference's storage type (server.js:194). */
   def hashEmbed(df: DataFrame, textCol: String, dim: Int): DataFrame =

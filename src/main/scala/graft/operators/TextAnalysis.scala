@@ -29,16 +29,21 @@ object TextAnalysis {
   /** Predicted language = argmax marker-hit count (ties broken by
     * language code order); no hits at all → "und" (undetermined),
     * matching BCP-47 practice.
+    *
+    * Implemented as ONE `greatest` over (hits, priority, lang) structs —
+    * a when-chain fold would embed every hit count twice per level and
+    * blow the expression tree up to 2^langs evaluations of the marker
+    * filters.
     */
   def langId(textCol: Column): Column = {
     val ws = words(lower(textCol))
-    val scored = (best: (Column, Column), lang: String) => {
-      val hits = markerHits(ws, lang)
-      (when(hits > best._1, hits).otherwise(best._1),
-        when(hits > best._1, lit(lang)).otherwise(best._2))
-    }
-    val init: (Column, Column) = (lit(0), lit("und"))
-    markers.keys.toSeq.sorted.foldLeft(init)(scored)._2
+    val langs = markers.keys.toSeq.sorted
+    val best = greatest(langs.zipWithIndex.map { case (l, i) =>
+      struct(markerHits(ws, l).as("hits"),
+        lit(langs.size - 1 - i).as("prio"), // earlier lang wins ties
+        lit(l).as("lang"))
+    }: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
   }
 
   /** Quality features + a weighted score in [0, ~1]:
@@ -95,4 +100,25 @@ object TextAnalysis {
     */
   def fingerprint(textCol: Column): Column =
     md5Long(array_join(words(lower(textCol)), " "))
+
+  /** Relevant-token extraction — deterministic stand-in for the
+    * reference's LLM token scorer (reference embed.js:51-98; SURVEY.md
+    * §2.1 O19): stopword filter + term-frequency ranking, top `k` tokens
+    * per document (ties broken alphabetically). One partial-aggregated
+    * shuffle keyed by (doc, token) + a ranking window keyed by doc.
+    */
+  def relevantTokens(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = markers("en")
+    val tf = df
+      .select(col(idCol), explode(words(lower(col(textCol)))).as("token"))
+      .filter(!col("token").isin(stop: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count("*").as("tf"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("token"))
+    tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

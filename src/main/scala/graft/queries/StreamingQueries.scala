@@ -36,9 +36,27 @@ object StreamingQueries {
       .agg(count("*").as("n_users"))
   }
 
+  /** Custom-state sessionization (mapGroupsWithState) — must equal the
+    * batch lag/cumsum formulation r11. A group may be re-emitted once
+    * per micro-batch in update mode; the final state per user is the row
+    * with the highest event count.
+    */
+  def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val sess = Streaming
+      .sessionCounts(Streaming.eventsStream(spark, sfDir)).toDF()
+    Streaming.runAvailableNowUpdate(spark, sess, "graft_s03")
+      .groupBy("user_id")
+      .agg(max_by(struct(col("n_sessions"), col("n_events")),
+        col("n_events")).as("f"))
+      .select(col("user_id"), col("f.n_sessions").as("n_sessions"),
+        col("f.n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_hourly" -> (streamHourly(_, _)),
-    "s02_stream_dedup" -> (streamDedupUsers(_, _)))
+    "s02_stream_dedup" -> (streamDedupUsers(_, _)),
+    "s03_stream_sessions" -> (streamSessions(_, _)))
 
   val oracles: Map[String, String] = Map(
     // identical to the batch r12 oracle — THE parity statement
@@ -47,5 +65,17 @@ object StreamingQueries {
         |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
     "s02_stream_dedup" ->
-      "SELECT count(DISTINCT user_id) AS n_users FROM events")
+      "SELECT count(DISTINCT user_id) AS n_users FROM events",
+    // identical to the batch r11 oracle — custom state ≡ lag/cumsum
+    "s03_stream_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         date_diff('second',
+        |           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |           ts) AS gap
+        |  FROM events)
+        |SELECT user_id,
+        |       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

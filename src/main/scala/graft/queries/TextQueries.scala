@@ -126,6 +126,16 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** O19 stand-in (reference embed.js:51-98): stopword-filtered TF
+    * top-5 tokens per doc, for the first 30 docs. */
+  def relevantTokens(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.relevantTokens(
+        Tables.documents(spark, sfDir).filter(col("doc_id") < 30),
+        "doc_id", "text", 5)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("token"), col("tf"))
+      .orderBy("doc_id", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_chunk_docs" -> (chunkDocs(_, _)),
     "t02_dedup_exact" -> (dedupExact(_, _)),
@@ -138,7 +148,8 @@ object TextQueries {
     "t09_token_stats" -> (tokenStats(_, _)),
     "t10_fingerprint" -> (fingerprint(_, _)),
     "t11_multimodal_meta" -> (multimodalMeta(_, _)),
-    "t12_tokenize_html" -> (tokenizeHtml(_, _)))
+    "t12_tokenize_html" -> (tokenizeHtml(_, _)),
+    "t13_relevant_tokens" -> (relevantTokens(_, _)))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -308,6 +319,23 @@ object TextQueries {
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
          |       md5(array_to_string(toks, ' ')) AS tokens_md5
          |FROM t ORDER BY doc_id""".stripMargin,
+    "t13_relevant_tokens" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(CASE WHEN trim(lower(text)) = ''
+         |      THEN CAST([] AS VARCHAR[])
+         |      ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS token
+         |  FROM documents WHERE doc_id < 30),
+         |f AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM tok
+         |  WHERE token NOT IN ('the', 'a', 'of', 'and', 'is')
+         |  GROUP BY doc_id, token),
+         |r AS (
+         |  SELECT doc_id, token, tf,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY tf DESC, token) AS rank
+         |  FROM f)
+         |SELECT doc_id, rank, token, tf
+         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "t11_multimodal_meta" ->
       s"""WITH p AS (SELECT doc_id, text AS payload FROM documents),
          |h AS (SELECT doc_id, payload, ${hash60("payload")} AS hv FROM p)

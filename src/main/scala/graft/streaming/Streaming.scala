@@ -82,4 +82,59 @@ object Streaming {
     */
   def streamingDedup(stream: DataFrame, keyCol: String): DataFrame =
     stream.dropDuplicates(keyCol)
+
+  /** Same as [[runAvailableNow]] but update output — for
+    * mapGroupsWithState, which emits one refreshed row per touched group
+    * per micro-batch. */
+  def runAvailableNowUpdate(spark: SparkSession, rows: DataFrame,
+                            queryName: String): DataFrame = {
+    val q = rows.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  case class SessState(lastTs: Long, sessions: Long, events: Long)
+  case class SessOut(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Custom-state sessionization with `mapGroupsWithState`: a session
+    * ends after a >30 min silence per user (same contract as the batch
+    * lag/cumsum formulation). State per user is 24 bytes (last event
+    * second, session & event counts) — the KeyValueGroupedDataset path
+    * for logic that windows/aggregations can't express.
+    *
+    * Events are sorted within each micro-batch delivery; state carries
+    * the last timestamp so session boundaries survive batch splits (with
+    * the usual streaming caveat that late cross-batch arrivals belong in
+    * front of the watermark, which a finite AvailableNow drain
+    * satisfies trivially).
+    */
+  def sessionCounts(events: DataFrame)
+      : org.apache.spark.sql.Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id"), col("ts"), col("event_id"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessState, SessOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[SessEvent], state) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var (lastTs, sessions, count) = state.getOption
+            .map(s => (s.lastTs, s.sessions, s.events))
+            .getOrElse((Long.MinValue, 0L, 0L))
+          for (e <- sorted) {
+            val t = e.ts.getTime / 1000
+            if (lastTs == Long.MinValue || t - lastTs > 1800) sessions += 1
+            lastTs = t
+            count += 1
+          }
+          state.update(SessState(lastTs, sessions, count))
+          SessOut(uid, sessions, count)
+      }
+  }
 }

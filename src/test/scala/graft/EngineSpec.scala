@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+/** End-to-end replay of the reference's usage (SURVEY.md §5.4): ingest a
+  * small corpus + pasted sentences, dedupe on re-ingest, k-NN search with
+  * content enrichment, ranked context, extractive answer — the whole
+  * /add → /load-documents → /search lifecycle against a real parquet
+  * store on disk.
+  */
+class EngineSpec extends SparkSpec {
+
+  private lazy val corpusDir: String = {
+    val d = Files.createTempDirectory("graft_corpus")
+    Files.writeString(d.resolve("viz.txt"),
+      "charts and dashboards present data visually so analysts " +
+        "can explore trends with interactive visualization tools")
+    Files.writeString(d.resolve("brew.txt"),
+      "steeping loose leaves in hot water makes a calming cup " +
+        "preferred by tea drinkers every afternoon")
+    d.toString
+  }
+
+  private def freshEngine: Engine = {
+    val store = Files.createTempDirectory("graft_engine").toString + "/store"
+    new Engine(spark, store, dim = 64, chunkSize = 40, overlap = 10)
+  }
+
+  test("full lifecycle: load, add, dedupe, count, search, answer") {
+    val e = freshEngine
+    assert(e.countDocuments() == 0)
+
+    // GET /load-documents
+    val loaded = e.loadDocuments(corpusDir)
+    assert(loaded == 2) // both files are shorter than one chunk window
+
+    // POST /add
+    assert(e.addDocument("john likes tea") == 1)
+    assert(e.addDocument("john likes beer") == 1)
+    assert(e.countDocuments() == 4)
+
+    // INSERT OR IGNORE parity: exact re-adds store nothing
+    assert(e.addDocument("john likes tea") == 0)
+    assert(e.loadDocuments(corpusDir) == 0)
+    assert(e.countDocuments() == 4)
+
+    // ids are contiguous from 1
+    val ids = e.documents().select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L))
+
+    // topical search ranks the right corpus doc first (reference §5.4:
+    // a visualization query must beat the tea sentences)
+    val vizTop = e.search(
+      "interactive charts visualization dashboards data", k = 2)
+      .orderBy(org.apache.spark.sql.functions.col("score").desc)
+      .select("content").collect().map(_.getString(0))
+    assert(vizTop.head.contains("visualization"))
+
+    val teaTop = e.answer("a calming cup of tea every afternoon")
+    assert(teaTop.contains("tea"))
+
+    // ranked context format
+    val ctx = e.context("visualization dashboards", k = 2)
+    assert(ctx.startsWith("1. ") && ctx.contains("\n2. "))
+  }
+
+  test("search on an empty store returns no hits, not an error") {
+    val e = freshEngine
+    assert(e.search("anything", k = 3).count() == 0)
+    assert(e.answer("anything") == "")
+    assert(e.context("anything", 2) == "")
+  }
+
+  test("long documents chunk with overlap and remain searchable") {
+    val e = freshEngine
+    val long = (1 to 120).map(i => s"token$i").mkString(" ") +
+      " unique anchor phrase appears here"
+    // chunkSize 40 / overlap 10 → stride 30 → ceil((124-40)/30)+1 = 4 chunks
+    assert(e.addDocument(long, "long.txt") == 4)
+    val hit = e.search("unique anchor phrase appears here", k = 1)
+      .select("content").collect()(0).getString(0)
+    assert(hit.contains("anchor"))
+  }
+}

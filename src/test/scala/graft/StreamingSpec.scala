@@ -50,6 +50,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq("click", "view"))
   }
 
+  test("mapGroupsWithState sessionization matches the batch lag/cumsum") {
+    val d = Files.createTempDirectory("graft_sess").toString
+    Seq(
+      (1L, "2024-01-01 10:00:00", 1L), // u1 s1
+      (1L, "2024-01-01 10:10:00", 2L), // u1 s1 (10 min gap)
+      (1L, "2024-01-01 11:00:00", 3L), // u1 s2 (50 min gap)
+      (2L, "2024-01-01 09:00:00", 4L), // u2 s1
+      (2L, "2024-01-01 09:30:00", 5L), // u2 s1 (exactly 30 min → same)
+      (2L, "2024-01-01 10:00:01", 6L)) // u2 s2 (30m01s > 30m)
+      .toDF("user_id", "ts_s", "event_id")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_id"))
+      .write.mode("overwrite").parquet(s"$d/ev")
+    val schema = spark.read.parquet(s"$d/ev").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$d/ev")
+    val got = Streaming.runAvailableNowUpdate(spark,
+        Streaming.sessionCounts(stream).toDF(), "graft_test_sessions")
+      .orderBy("user_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L), (2L, 2L, 3L)))
+  }
+
   test("file-stream ingest appends new files incrementally") {
     val out = Files.createTempDirectory("graft_stream_out").toString
     val chk = Files.createTempDirectory("graft_stream_chk").toString

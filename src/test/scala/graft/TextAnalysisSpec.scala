@@ -51,6 +51,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("relevantTokens: stopwords dropped, TF-ranked, ties alphabetical") {
+    val got = TextAnalysis.relevantTokens(
+        docsDf((1L, "the spark spark engine engine engine is a fast fast thing")),
+        "doc_id", "text", 3)
+      .select("rank", "token", "tf")
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, "engine", 3L), (2, "fast", 2L), (3, "spark", 2L)))
+  }
+
   test("tokenizeContent strips tags and truncates") {
     val got = Seq(Tuple1("<p>a <b>bold</b> word list here</p>"))
       .toDF("html")
