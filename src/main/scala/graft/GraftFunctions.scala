@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, DotProduct, L2Distance}
+import graft.expressions.{CosineSimilarity, DotProduct, FloatVectorFromBinary, FloatVectorToBinary, L2Distance}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -22,7 +22,9 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (args => CosineSimilarity(args(0), args(1))),
     "dot_product" -> (args => DotProduct(args(0), args(1))),
-    "l2_distance" -> (args => L2Distance(args(0), args(1))))
+    "l2_distance" -> (args => L2Distance(args(0), args(1))),
+    "float_vector_from_binary" -> (args => FloatVectorFromBinary(args(0))),
+    "float_vector_to_binary" -> (args => FloatVectorToBinary(args(0))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, b) => Bridge.registerFunction(spark, name, b) }

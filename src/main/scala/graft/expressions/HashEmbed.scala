@@ -1,8 +1,5 @@
 package graft.expressions
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -40,24 +37,7 @@ case class HashEmbed(child: Expression, dim: Int)
       s"got ${child.dataType.sql}")
   }
 
-  @transient private lazy val localDigest =
-    new ThreadLocal[MessageDigest] {
-      override def initialValue(): MessageDigest =
-        MessageDigest.getInstance("MD5")
-    }
-
-  /** First 60 bits of md5 — identical to HashFunctions.md5Long and the
-    * oracle's CAST(concat('0x', substring(md5(s),1,15)) AS BIGINT). */
-  private def md5_60(s: String): Long = {
-    val d = localDigest.get()
-    d.reset()
-    val h = d.digest(s.getBytes(StandardCharsets.UTF_8))
-    // 15 hex chars = 7.5 bytes: bytes 0-6 fully, high nibble of byte 7
-    var acc = 0L
-    var i = 0
-    while (i < 7) { acc = (acc << 8) | (h(i) & 0xffL); i += 1 }
-    (acc << 4) | ((h(7) & 0xf0L) >> 4)
-  }
+  import Md5Util.md5_60
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString

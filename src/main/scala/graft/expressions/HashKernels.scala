@@ -1,0 +1,185 @@
+package graft.expressions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Shared md5 kernel: first 60 bits of md5 as a non-negative Long —
+  * identical to [[graft.functions.HashFunctions.md5Long]] and the
+  * oracle's `CAST(concat('0x', substring(md5(s),1,15)) AS BIGINT)`.
+  */
+object Md5Util {
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  def md5_60(s: String): Long = {
+    val d = digest.get()
+    d.reset()
+    val h = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    // 15 hex chars = 7.5 bytes: bytes 0-6 fully, high nibble of byte 7
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (h(i) & 0xffL); i += 1 }
+    (acc << 4) | ((h(7) & 0xf0L) >> 4)
+  }
+}
+
+/** Element-wise 60-bit md5 over an array<string> — the batch form of
+  * md5Long. The `transform(arr, s -> conv(substring(md5(s)...)))` column
+  * equivalent runs interpreted (higher-order functions don't codegen)
+  * through string radix conversion; this is one digest per element in a
+  * primitive loop.
+  */
+case class Md5LongArray(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "md5_long_array"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"$prettyName requires array<string> input, got ${other.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = Md5Util.md5_60(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Distinct word n-gram shingle hashes straight from a token array:
+  * windows of `n` tokens joined with single spaces, md5'd (60-bit) and
+  * deduped — semantically `md5LongArray(array_distinct(shingles(ws, n)))`
+  * (fewer than n tokens → one whole-text shingle, matching
+  * TextFunctions.shingles), but one pass with no intermediate string
+  * arrays. Set equality is what downstream consumers (MinHash min,
+  * inverted-index explode) observe, so emission order is free.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def prettyName: String = "shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"$prettyName requires array<string> input, got ${other.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val count = arr.numElements()
+    val tokens = new Array[String](count)
+    var i = 0
+    while (i < count) { tokens(i) = arr.getUTF8String(i).toString; i += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder
+    if (count <= n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < count) {
+        if (k > 0) sb.append(' ')
+        sb.append(tokens(k)); k += 1
+      }
+      seen.add(Md5Util.md5_60(sb.toString))
+    } else {
+      var start = 0
+      while (start <= count - n) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(tokens(start + k)); k += 1
+        }
+        seen.add(Md5Util.md5_60(sb.toString))
+        start += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** SimHash fingerprint from precomputed 60-bit token hashes: bit i of
+  * the result is set iff the ±1 votes of bit i across all token hashes
+  * sum positive. O(tokens × bits) primitive loop; matches the
+  * bit-vote oracle exactly.
+  */
+case class SimHashBits(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits <= 60, "simHash uses the 60-bit md5 hash")
+
+  override def prettyName: String = "simhash_bits"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"$prettyName requires array<bigint> input, got ${other.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}

@@ -19,6 +19,22 @@ object HashFunctions {
   def md5Long(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** Element-wise md5Long over an array<string> column — a single-pass
+    * kernel; the `transform(arr, md5Long)` formulation runs interpreted
+    * (higher-order functions don't participate in codegen). */
+  def md5LongArray(arr: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Md5LongArray(
+        org.apache.spark.sql.graft.Bridge.expression(arr)))
+
+  /** Distinct n-gram shingle hashes from a token array — single-pass
+    * kernel equivalent of md5LongArray(array_distinct(shingles(ws, n))).
+    */
+  def shingleHashes(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ShingleHashes(
+        org.apache.spark.sql.graft.Bridge.expression(tokens), n))
+
   /** Salted variant — independent hash families for MinHash/SimHash. */
   def md5Long(s: Column, salt: Int): Column =
     md5Long(concat(lit(salt.toString), lit(":"), s))

@@ -27,6 +27,14 @@ object VectorFunctions {
   def l2Dist(a: Column, b: Column): Column =
     Bridge.column(L2Distance(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Reference blob-format codec (little-endian float32; SURVEY §2.1
+    * O3/O4). */
+  def floatVectorFromBinary(b: Column): Column =
+    Bridge.column(graft.expressions.FloatVectorFromBinary(Bridge.expression(b)))
+
+  def floatVectorToBinary(v: Column): Column =
+    Bridge.column(graft.expressions.FloatVectorToBinary(Bridge.expression(v)))
+
   /** dot(a,b) via built-ins: aggregate(zip_with(a, b, *), 0.0, +). */
   def dotProductHof(a: Column, b: Column): Column =
     aggregate(

@@ -1,6 +1,7 @@
 package graft.operators
 
-import graft.functions.HashFunctions.{affineHash, md5Long}
+import graft.functions.HashFunctions.{md5LongArray, shingleHashes}
+import org.apache.spark.sql.graft.Bridge
 import graft.functions.TextFunctions.{shingles, words}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -31,30 +32,46 @@ object Dedup {
         col(idCol),
         explode(array_distinct(shingles(words(col(textCol)), n))).as("shingle"))
 
+  /** Same inverted-index relation keyed by the 60-bit shingle hash — an
+    * 8-byte shuffle key instead of the n-gram string. Oracles hash with
+    * the same md5, so even a (astronomically unlikely) collision yields
+    * identical results on both engines.
+    */
+  def shingleHashSet(df: DataFrame, idCol: String, textCol: String, n: Int)
+      : DataFrame =
+    df.select(
+        col(idCol),
+        explode(shingleHashes(words(col(textCol)), n)).as("shingle"))
+
   /** Exact n-gram Jaccard similarity for every pair with at least one
-    * shared shingle, via an inverted-index self-join (shingle → docs) —
-    * never a cross join. `maxDf` drops stop-shingles (present in more
-    * than maxDf docs) before pairing, the standard frequency cap that
-    * bounds the join fan-out at scale: a shingle shared by d docs yields
-    * d·(d-1)/2 pair rows, so the output is O(sum over shingles of d²).
+    * shared shingle, via an inverted index (shingle hash → sorted doc-id
+    * postings list) — never a cross join. One shuffle builds the
+    * postings, pair generation is a narrow slice-explode over each list,
+    * one shuffle counts pairs. `maxDf` drops stop-shingles (postings
+    * longer than maxDf) before pairing, the standard frequency cap that
+    * bounds fan-out at scale: a shingle shared by d docs yields
+    * d·(d-1)/2 pair rows, so the blow-up is O(sum over shingles of d²).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxDf: Long = 1000L): DataFrame = {
-    val s = shingleSet(df, idCol, textCol, n)
-    val filtered = s.join(
-      s.groupBy("shingle").count().filter(col("count") <= maxDf)
-        .select("shingle"),
-      Seq("shingle"))
-      // reused three times below (sizes + both join sides) — cache the
-      // filtered inverted index instead of re-shingling the corpus
-      .persist()
-    val sizes = filtered.groupBy(col(idCol)).agg(count("*").as("sz"))
-    val a = filtered.select(col(idCol).as("id_a"), col("shingle"))
-    val b = filtered.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count("*").as("inter"))
+    val postings = shingleHashSet(df, idCol, textCol, n)
+      .groupBy("shingle")
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+      .persist() // feeds both the sizes and the pair branch
+    val sizes = postings
+      .select(explode(col("ids")).as(idCol))
+      .groupBy(col(idCol)).agg(count("*").as("sz"))
+    // all ordered pairs (ids[i], ids[j>i]) from each postings list
+    val pairs = postings.select(explode(flatten(
+      transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, greatest(size(col("ids")), lit(1))),
+          y => struct(x.as("id_a"), y.as("id_b"))))))
+      .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .filter(col("id_a") < col("id_b")) // drop same-doc dup-hash pairs
+    val inter = pairs.groupBy("id_a", "id_b").agg(count("*").as("inter"))
     inter
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -72,9 +89,8 @@ object Dedup {
     * shuffle-free.
     */
   def minHashSignature(baseHashes: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { j =>
-      array_min(transform(baseHashes, b => affineHash(b, j)))
-    }: _*)
+    Bridge.column(graft.expressions.MinHashSignature(
+      Bridge.expression(baseHashes), numHashes))
 
   /** (idCol, signature) per document. The base md5 pass lives in its own
     * projection so it is evaluated once, not once per hash family.
@@ -82,12 +98,9 @@ object Dedup {
   def minHash(df: DataFrame, idCol: String, textCol: String,
               n: Int, numHashes: Int): DataFrame =
     df.select(
-        col(idCol),
-        transform(array_distinct(shingles(words(col(textCol)), n)),
-          s => md5Long(s)).as("shingle_hashes"))
-      .select(
-        col(idCol),
-        minHashSignature(col("shingle_hashes"), numHashes).as("signature"))
+      col(idCol),
+      minHashSignature(shingleHashes(words(col(textCol)), n), numHashes)
+        .as("signature"))
 
   /** LSH banding: signature split into `bands` bands of
     * numHashes/bands rows each; docs sharing a full band land in the
@@ -131,16 +144,9 @@ object Dedup {
     * hashes: per-bit ±1 votes weighted by token multiplicity; bit set iff
     * the vote sum is positive. Narrow projection, no shuffle.
     */
-  def simHashFromHashes(tokenHashes: Column, bits: Int): Column = {
-    require(bits <= 60, "simHash uses the 60-bit md5Long")
-    (0 until bits).map { i =>
-      when(
-        aggregate(tokenHashes, lit(0),
-          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1,
-            lit(1)).otherwise(lit(-1))) > 0,
-        lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def simHashFromHashes(tokenHashes: Column, bits: Int): Column =
+    Bridge.column(graft.expressions.SimHashBits(
+      Bridge.expression(tokenHashes), bits))
 
   /** (idCol, simhash) per document over whitespace tokens. The md5 pass
     * lives in its own projection so each token is hashed once, not once
@@ -149,9 +155,8 @@ object Dedup {
   def simHashDocs(df: DataFrame, idCol: String, textCol: String, bits: Int)
       : DataFrame =
     df.select(col(idCol),
-        transform(words(col(textCol)), t => md5Long(t)).as("token_hashes"))
-      .select(col(idCol),
-        simHashFromHashes(col("token_hashes"), bits).as("simhash"))
+      simHashFromHashes(md5LongArray(words(col(textCol))), bits)
+        .as("simhash"))
 
   /** Hamming distance between two simhash fingerprints. */
   def hammingDist(a: Column, b: Column): Column =

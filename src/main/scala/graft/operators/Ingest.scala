@@ -76,11 +76,17 @@ object Ingest {
     index
   }
 
-  /** Persist a document store partitioned by source — partition pruning
-    * for per-source reads at scale.
-    */
   def writeStore(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).option("compression", "zstd")
+      .parquet(path)
+
+  /** Store partitioned on low-cardinality columns (e.g. source, lang) —
+    * per-partition reads become directory pruning, not data scans.
+    */
+  def writeStorePartitioned(df: DataFrame, path: String,
+                            partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append).option("compression", "zstd")
+      .partitionBy(partitionCols: _*)
       .parquet(path)
 
   def readStore(spark: SparkSession, path: String): DataFrame =

@@ -46,6 +46,29 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
   }
 
+  /** DataFrame-level langId: tokenization runs ONCE in its own
+    * projection (the column form re-derives the split per language —
+    * Catalyst won't collapse the barrier because split isn't cheap, so
+    * this shape does 1 split + 5 array scans per row instead of 5+5).
+    */
+  def langIdDf(df: DataFrame, textCol: String,
+               outCol: String = "pred_lang"): DataFrame = {
+    val langs = markers.keys.toSeq.sorted
+    val withWs = df.withColumn("__ws", words(lower(col(textCol))))
+    val withHits = langs.foldLeft(withWs) { (d, l) =>
+      d.withColumn(s"__hits_$l", markerHits(col("__ws"), l))
+    }
+    val best = greatest(langs.zipWithIndex.map { case (l, i) =>
+      struct(col(s"__hits_$l").as("hits"),
+        lit(langs.size - 1 - i).as("prio"), lit(l).as("lang"))
+    }: _*)
+    withHits
+      .withColumn(outCol,
+        when(best.getField("hits") > 0, best.getField("lang"))
+          .otherwise("und"))
+      .drop(("__ws" +: langs.map(l => s"__hits_$l")): _*)
+  }
+
   /** Quality features + a weighted score in [0, ~1]:
     *   - word count within [20, 1000] (length gate)
     *   - mean word length within [2, 12]

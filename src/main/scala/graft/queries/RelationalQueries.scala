@@ -155,6 +155,48 @@ object RelationalQueries {
         col("n_suppliers"))
       .orderBy("region", "nation")
 
+  /** CUBE over (segment, nation-of-customer) order counts — all four
+    * grouping sets in one pass. */
+  def cubeOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count("*").as("n_orders"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("c_nationkey").cast("string"), lit("ALL")).as("nation"),
+        col("n_orders"))
+      .orderBy("segment", "nation")
+
+  /** Window-function battery beyond row_number: rank, dense_rank, lag,
+    * lead, running sum — per-customer order timelines (top-3 customers
+    * by key to keep output compact).
+    */
+  def windowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") <= 3)
+      .withColumn("seq", row_number().over(w))
+      .withColumn("price_rank", rank().over(wPrice))
+      .withColumn("price_dense", dense_rank().over(wPrice))
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .withColumn("next_key", lead("o_orderkey", 1).over(w))
+      .withColumn("run_spend",
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .select(col("o_custkey"), col("seq").cast("long").as("seq"),
+        col("o_orderkey"), col("o_totalprice"),
+        col("price_rank").cast("long").as("price_rank"),
+        col("price_dense").cast("long").as("price_dense"),
+        col("prev_price"), col("next_key"), col("run_spend"))
+      .orderBy("o_custkey", "seq")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_pricing_summary" -> (pricingSummary(_, _)),
     "r02_revenue_by_segment" -> (revenueBySegment(_, _)),
@@ -168,7 +210,9 @@ object RelationalQueries {
     "r10_events_json" -> (eventsJson(_, _)),
     "r11_sessionize" -> (sessionize(_, _)),
     "r12_hourly_events" -> (hourlyEvents(_, _)),
-    "r13_rollup_suppliers" -> (rollupSuppliers(_, _)))
+    "r13_rollup_suppliers" -> (rollupSuppliers(_, _)),
+    "r14_cube_orders" -> (cubeOrders(_, _)),
+    "r15_window_funcs" -> (windowFuncs(_, _)))
 
   val oracles: Map[String, String] = Map(
     "r01_pricing_summary" ->
@@ -255,6 +299,32 @@ object RelationalQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+    "r14_cube_orders" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |       coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, c_nationkey)
+        |ORDER BY segment, nation""".stripMargin,
+    "r15_window_funcs" ->
+      """SELECT o_custkey,
+        |  CAST(row_number() OVER seq_w AS BIGINT) AS seq,
+        |  o_orderkey, o_totalprice,
+        |  CAST(rank() OVER price_w AS BIGINT) AS price_rank,
+        |  CAST(dense_rank() OVER price_w AS BIGINT) AS price_dense,
+        |  lag(o_totalprice, 1) OVER seq_w AS prev_price,
+        |  lead(o_orderkey, 1) OVER seq_w AS next_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS run_spend
+        |FROM orders
+        |WHERE o_custkey <= 3
+        |WINDOW
+        |  seq_w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  price_w AS (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, seq""".stripMargin,
     "r13_rollup_suppliers" ->
       """SELECT coalesce(CAST(n_regionkey AS VARCHAR), 'ALL') AS region,
         |       coalesce(n_name, 'ALL') AS nation,

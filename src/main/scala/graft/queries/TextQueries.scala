@@ -70,8 +70,8 @@ object TextQueries {
       .orderBy("doc_id")
 
   def langId(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(TextAnalysis.langId(col("text")).as("pred_lang"), col("lang"))
+    TextAnalysis.langIdDf(
+        Tables.documents(spark, sfDir).select("text", "lang"), "text")
       .groupBy("pred_lang", "lang")
       .agg(count("*").as("n"))
       .orderBy("pred_lang", "lang")
@@ -203,7 +203,8 @@ object TextQueries {
         |  GROUP BY text)""".stripMargin,
     "t03_ngram_jaccard" ->
       s"""WITH s AS (
-         |  SELECT doc_id, unnest($shinglesExpr) AS shingle
+         |  SELECT doc_id, unnest(list_transform($shinglesExpr,
+         |    sh -> ${hash60("sh")})) AS shingle
          |  FROM (SELECT doc_id, $wsExpr AS ws FROM documents)),
          |keep AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) <= 1000),
          |f AS (SELECT s.* FROM s JOIN keep USING (shingle)),

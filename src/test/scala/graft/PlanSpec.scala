@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Ingest
+import graft.queries.{RelationalQueries, VectorQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Physical-plan contracts — the shapes that make the engine scale are
+  * asserted, not assumed: global top-k must plan as TakeOrderedAndProject
+  * (per-partition heaps, no full sort), small dimensions must broadcast,
+  * filters must reach the parquet scan, partitioned stores must prune
+  * directories. Runs against sf0.001 so plans reflect real scans.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** AQE finalizes codegen stages and exchange reuse only at runtime —
+    * materialize, then read the final adaptive plan. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(VectorQueries.knnTopK(spark, sf, k = 10))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("fact-to-dim joins are broadcast hash joins") {
+    val p = plan(RelationalQueries.revenueBySegment(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("anti join (customers without orders) keeps LeftAnti semantics") {
+    val p = plan(RelationalQueries.customersWithoutOrders(spark, sf))
+    assert(p.contains("LeftAnti"))
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val df = Tables.documents(spark, sf).filter(col("doc_id") < 30)
+      .select("doc_id", "lang")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,30)]"),
+      s"no pushed filters in:\n$p")
+  }
+
+  test("column pruning: a 2-column projection reads a 2-column schema") {
+    val p = plan(Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"unpruned scan in:\n$p")
+  }
+
+  test("whole-stage codegen covers the scoring projection") {
+    val p = finalPlan(VectorQueries.knnTopK(spark, sf, k = 5))
+    assert(p.contains("*(")) // codegen'd stages are starred
+  }
+
+  test("partitioned store: per-source read prunes directories") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/store"
+    import spark.implicits._
+    val docs = Seq((1L, "a", "s1"), (2L, "b", "s2"), (3L, "c", "s2"))
+      .toDF("doc_id", "text", "source")
+    Ingest.writeStorePartitioned(docs, dir, Seq("source"))
+    val read = spark.read.parquet(dir).filter(col("source") === "s2")
+    val p = plan(read)
+    assert(p.contains("PartitionFilters:") &&
+      p.contains("(source") && read.count() == 2,
+      s"no partition pruning in:\n$p")
+  }
+
+  test("exchange reuse: self-joined aggregates reuse one shuffle") {
+    // same aggregate on both sides → ReusedExchange in the plan
+    val agg = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(count("*").as("n"))
+    val joined = agg.as("a").join(agg.as("b"), "o_custkey")
+    assert(finalPlan(joined).contains("ReusedExchange"))
+  }
+}

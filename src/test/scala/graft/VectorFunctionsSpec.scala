@@ -84,4 +84,17 @@ class VectorFunctionsSpec extends SparkSpec {
       .select(cosineSim(col("a"), col("b"))).as[Double].head()
     assert(c == 1.0)
   }
+
+  test("blob codec round-trips the reference's little-endian float32 format") {
+    val v = Array(1.5f, -2.25f, 0f, 3.75f)
+    val (bytes, back) = Seq(Tuple1(v)).toDF("v")
+      .select(floatVectorToBinary(col("v")).as("b"))
+      .select(col("b"), floatVectorFromBinary(col("b")).as("r"))
+      .as[(Array[Byte], Seq[Float])].head()
+    assert(back == v.toSeq)
+    assert(bytes.length == 16)
+    // little-endian: 1.5f = 0x3FC00000 → bytes 00 00 C0 3F
+    assert((bytes(0) & 0xff, bytes(1) & 0xff, bytes(2) & 0xff, bytes(3) & 0xff)
+      == (0x00, 0x00, 0xc0, 0x3f))
+  }
 }
