@@ -197,6 +197,32 @@ object RelationalQueries {
       .orderBy("o_custkey", "seq")
   }
 
+  /** Left-semi join: customers with at least one open order — the
+    * existence-check shape of the reference's IN-list lookup (O13). */
+  def openOrderCustomers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count("*").as("n_customers"), dsum(col("c_acctbal")).as("acctbal"))
+      .orderBy("c_mktsegment")
+
+  /** Large-large equi-join (lineitem ⋈ orders): the shuffle-join shape —
+    * both sides exceed the broadcast threshold at scale, so Catalyst
+    * plans a shuffled join keyed on orderkey; AQE sizes the exchanges.
+    */
+  def revenueByPriority(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count("*").as("n_lineitems"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_pricing_summary" -> (pricingSummary(_, _)),
     "r02_revenue_by_segment" -> (revenueBySegment(_, _)),
@@ -212,7 +238,9 @@ object RelationalQueries {
     "r12_hourly_events" -> (hourlyEvents(_, _)),
     "r13_rollup_suppliers" -> (rollupSuppliers(_, _)),
     "r14_cube_orders" -> (cubeOrders(_, _)),
-    "r15_window_funcs" -> (windowFuncs(_, _)))
+    "r15_window_funcs" -> (windowFuncs(_, _)),
+    "r16_semi_join" -> (openOrderCustomers(_, _)),
+    "r17_big_join" -> (revenueByPriority(_, _)))
 
   val oracles: Map[String, String] = Map(
     "r01_pricing_summary" ->
@@ -325,6 +353,20 @@ object RelationalQueries {
         |  price_w AS (PARTITION BY o_custkey
         |              ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, seq""".stripMargin,
+    "r16_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "r17_big_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lineitems,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "r13_rollup_suppliers" ->
       """SELECT coalesce(CAST(n_regionkey AS VARCHAR), 'ALL') AS region,
         |       coalesce(n_name, 'ALL') AS nation,

@@ -72,6 +72,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 3L), (2L, 2L, 3L)))
   }
 
+  test("watermark drops late data in append-mode windowed aggregation") {
+    val d = Files.createTempDirectory("graft_late").toString
+    val chk = Files.createTempDirectory("graft_late_chk").toString
+    val out = Files.createTempDirectory("graft_late_out").toString + "/agg"
+    def writeBatch(rows: Seq[(String, Double)], mode: String): Unit =
+      rows.toDF("ts_s", "value")
+        .select(to_timestamp(col("ts_s")).as("ts"), col("value"))
+        .write.mode(mode).parquet(s"$d/ev")
+    def drain(): Unit = {
+      // memory sink can't recover a checkpoint → durable parquet sink
+      val schema = spark.read.parquet(s"$d/ev").schema
+      val q = spark.readStream.schema(schema).parquet(s"$d/ev")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count("*").as("n"))
+        .select(date_format(col("window.start"), "HH:mm").as("h"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append") // append emits a window only once it closes
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1 advances the watermark far past the 10:00 window
+    writeBatch(Seq(("2024-01-01 10:05:00", 1.0), ("2024-01-01 10:20:00", 1.0),
+      ("2024-01-01 13:00:00", 1.0)), "overwrite")
+    drain()
+    // batch 2: a late event for the long-closed 10:00 window + one live
+    writeBatch(Seq(("2024-01-01 10:30:00", 9.9), ("2024-01-01 14:00:00", 1.0)),
+      "append")
+    drain()
+    val got = spark.read.parquet(out).orderBy("h")
+      .as[(String, Long)].collect().toMap
+    // 10:00 window emitted with ONLY the 2 on-time events; late row gone
+    assert(got("10:00") == 2L, s"late event leaked into $got")
+    assert(!got.contains("14:00"), "unclosed window must not be emitted yet")
+  }
+
   test("file-stream ingest appends new files incrementally") {
     val out = Files.createTempDirectory("graft_stream_out").toString
     val chk = Files.createTempDirectory("graft_stream_chk").toString
