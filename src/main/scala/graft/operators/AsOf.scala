@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, the latest right row
+  * with `rightTime <= leftTime` within the same key — the
+  * event-enrichment primitive (feature lookups, slowly-changing state)
+  * that training-data pipelines need and the reference lacks entirely
+  * (SURVEY.md §2.2 "as-of: absent").
+  *
+  * Built by composition (the preferred path before custom plans —
+  * /opt/skills/guides/spark_guide.md's own example operator): union both
+  * sides tagged, ONE window per key ordered by (time, side) with rights
+  * sorting before lefts on ties (inclusive semantics, matching DuckDB's
+  * `ASOF JOIN ... ON l.t >= r.t`), then `last(value, ignoreNulls)`
+  * carries the most recent right value forward. One shuffle, keyed by
+  * the join key — the same exchange a sort-merge join would pay, with no
+  * per-row subquery or range explosion.
+  *
+  * Right rows must be unique per (key, time) — pre-aggregate if not, or
+  * ties are resolved by union order (nondeterministic).
+  */
+object AsOf {
+
+  /** @param valueCols right-side columns carried onto left rows; must
+    *                   not collide with left column names (rename on the
+    *                   right first) */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(valueCols.forall(c => !leftCols.contains(c)),
+      s"valueCols must not collide with left columns: " +
+        s"${valueCols.filter(leftCols.contains)}")
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__left", lit(1))
+    val r = right.select(
+      (col(key) +: col(rightTime).as("__t") +: lit(0).as("__left") +:
+        valueCols.map(col)): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // rights sort before lefts at equal time → rt <= lt is inclusive
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__left") === 1)
+      .select((leftCols ++ valueCols).map(col): _*)
+  }
+}

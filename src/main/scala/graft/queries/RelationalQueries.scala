@@ -223,6 +223,26 @@ object RelationalQueries {
           .cast("double").as("revenue"))
       .orderBy("o_orderpriority")
 
+  /** As-of join: each click event enriched with the most recent view
+    * event's value at-or-before it, per user. Right side pre-aggregated
+    * to one row per (user, ts) so tie-breaks are deterministic on both
+    * engines.
+    */
+  def asOfEnrichment(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(max("value").as("view_value"))
+    graft.operators.AsOf.asOfJoin(clicks, views,
+        "user_id", "ts", "ts", Seq("view_value"))
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 4).as("value"),
+        round(col("view_value"), 4).as("view_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_pricing_summary" -> (pricingSummary(_, _)),
     "r02_revenue_by_segment" -> (revenueBySegment(_, _)),
@@ -240,7 +260,8 @@ object RelationalQueries {
     "r14_cube_orders" -> (cubeOrders(_, _)),
     "r15_window_funcs" -> (windowFuncs(_, _)),
     "r16_semi_join" -> (openOrderCustomers(_, _)),
-    "r17_big_join" -> (revenueByPriority(_, _)))
+    "r17_big_join" -> (revenueByPriority(_, _)),
+    "r18_asof_join" -> (asOfEnrichment(_, _)))
 
   val oracles: Map[String, String] = Map(
     "r01_pricing_summary" ->
@@ -353,6 +374,18 @@ object RelationalQueries {
         |  price_w AS (PARTITION BY o_custkey
         |              ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, seq""".stripMargin,
+    "r18_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, round(c.value, 4) AS value,
+        |       round(v.view_value, 4) AS view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
     "r16_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, 5L, "l1"), (1L, 10L, "l2"), (1L, 2L, "l0"),
+    (2L, 7L, "m1"))
+    .toDF("k", "t", "tag")
+  private def right = Seq(
+    (1L, 3L, 30.0), (1L, 7L, 70.0), (1L, 10L, 100.0),
+    (2L, 99L, 990.0))
+    .toDF("k", "rt", "v")
+
+  test("as-of picks the latest right row at or before each left time") {
+    val got = AsOf.asOfJoin(left, right, "k", "t", "rt", Seq("v"))
+      .select("k", "t", "tag", "v")
+      .as[(Long, Long, String, Option[Double])].collect().toSet
+    assert(got == Set(
+      (1L, 2L, "l0", None),        // nothing at or before t=2
+      (1L, 5L, "l1", Some(30.0)),  // rt=3
+      (1L, 10L, "l2", Some(100.0)), // rt=10 inclusive
+      (2L, 7L, "m1", None)))       // right exists only in the future
+  }
+
+  test("as-of never crosses keys") {
+    val got = AsOf.asOfJoin(left.filter(col("k") === 2), right, "k",
+        "t", "rt", Seq("v"))
+      .select("v").as[Option[Double]].collect().toSeq
+    assert(got == Seq(None))
+  }
+
+  test("left rows and columns pass through unchanged") {
+    val out = AsOf.asOfJoin(left, right, "k", "t", "rt", Seq("v"))
+    assert(out.count() == left.count())
+    assert(out.columns.toSeq == Seq("k", "t", "tag", "v"))
+  }
+}
