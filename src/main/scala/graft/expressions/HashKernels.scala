@@ -134,6 +134,75 @@ case class ShingleHashes(child: Expression, n: Int)
       : Expression = copy(child = newChild)
 }
 
+/** Sign-random-projection (cosine LSH) sketch of a float/double vector:
+  * bit j = sign(dot(v, r_j)) where hyperplane r_j has ±1 components
+  * derived from md5("srp:j:i") — deterministic, so the SQL oracle can
+  * rebuild the very same hyperplanes. Hamming distance between sketches
+  * estimates angular distance; bucketing on sketch prefixes blocks
+  * near-dup search over embeddings the way MinHash bands do for text.
+  */
+case class CosineLshBits(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits <= 60, "sketch fits a 60-bit long")
+
+  override def prettyName: String = "cosine_lsh_bits"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"$prettyName requires array<float|double> input, got ${other.sql}")
+    }
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // ±1 hyperplane matrix, built on first eval for the observed dim
+  @transient private var signs: Array[Array[Double]] = _
+  @transient private var signsDim: Int = -1
+
+  private def signMatrix(dim: Int): Array[Array[Double]] = {
+    if (signsDim != dim) {
+      signs = Array.tabulate(bits, dim) { (j, i) =>
+        if ((Md5Util.md5_60(s"srp:$j:$i") & 1L) == 1L) 1.0 else -1.0
+      }
+      signsDim = dim
+    }
+    signs
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val m = signMatrix(dim)
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      val row = m(j)
+      var dot = 0.0
+      i = 0
+      while (i < dim) { dot += v(i) * row(i); i += 1 }
+      if (dot > 0.0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** SimHash fingerprint from precomputed 60-bit token hashes: bit i of
   * the result is set iff the ±1 votes of bit i across all token hashes
   * sum positive. O(tokens × bits) primitive loop; matches the

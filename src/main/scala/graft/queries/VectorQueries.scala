@@ -149,6 +149,35 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Near-dup pairs with IVF blocking — the 100 TB formulation of v06:
+    * vectors are routed to their Voronoi cell first and only same-cell
+    * pairs are scored, turning the all-pairs quadratic into
+    * sum-over-cells of |cell|². The oracle replicates the blocking, so
+    * the (deliberate) recall loss vs v06 is pinned, not hidden.
+    */
+  def bucketedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 16)
+    Ann.bucketedNearDupPairs(emb.filter(col("vec_id") >= 16), centroids,
+        "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Sign-random-projection sketches (cosine LSH) for every embedding:
+    * the constant-size per-vector fingerprint that makes embedding
+    * near-dup blocking O(n) — hamming distance ≈ angular distance.
+    * Oracle rebuilds the identical md5-derived hyperplanes.
+    */
+  def srpSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.select(col("vec_id"),
+        Bridge.column(graft.expressions.CosineLshBits(
+          Bridge.expression(col("embedding")), 16)).as("sketch"))
+      .orderBy("vec_id")
+  }
+
   /** DuckDB oracles. `embeddings`/`documents` resolve to the same parquet. */
   val oracles: Map[String, String] = Map(
     "v01_knn_topk" ->
@@ -272,6 +301,37 @@ object VectorQueries {
         |  FROM scored)
         |SELECT query_id, rank, vec_id, round(score, 6) AS score
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "v12_srp_sketch" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 16), j ->
+        |    CASE WHEN list_sum(list_transform(range(0, len(e)), i ->
+        |        e[CAST(i + 1 AS INT)] *
+        |        (CASE WHEN CAST(concat('0x', substring(
+        |               md5(concat('srp:', j, ':', i)), 1, 15)) AS BIGINT)
+        |              % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+        |    THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS sketch
+        |FROM v ORDER BY vec_id""".stripMargin,
+    "v11_bucketed_near_dup" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS centroid
+        |           FROM embeddings ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.centroid_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+        |                                    CAST(c.centroid AS DOUBLE[])),
+        |                      c.centroid_id) AS rn
+        |    FROM embeddings e, c WHERE e.vec_id >= 16) WHERE rn = 1)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM assigned a JOIN assigned b
+        |  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "v08_ivf_cells" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding AS centroid
         |           FROM embeddings ORDER BY vec_id LIMIT 16),
@@ -296,5 +356,7 @@ object VectorQueries {
     "v07_ivf_search" -> ((s, d) => ivfSearch(s, d)),
     "v08_ivf_cells" -> ((s, d) => ivfCells(s, d)),
     "v09_sql_knn" -> (sqlKnn(_, _)),
-    "v10_batch_search_heap" -> (batchSearchHeap(_, _)))
+    "v10_batch_search_heap" -> (batchSearchHeap(_, _)),
+    "v11_bucketed_near_dup" -> (bucketedNearDup(_, _)),
+    "v12_srp_sketch" -> (srpSketch(_, _)))
 }

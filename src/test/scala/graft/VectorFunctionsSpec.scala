@@ -85,6 +85,23 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(c == 1.0)
   }
 
+  test("SRP sketch: identical vectors identical sketches; similar close, opposite far") {
+    import org.apache.spark.sql.graft.Bridge
+    def sketch(c: org.apache.spark.sql.Column) =
+      Bridge.column(graft.expressions.CosineLshBits(Bridge.expression(c), 16))
+    val v = Array.tabulate(32)(i => math.sin(i + 1).toFloat)
+    val similar = v.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.01f else x }
+    val opposite = v.map(-_)
+    val Seq(s1, s2, s3, s4) =
+      Seq(Tuple1(v), Tuple1(v), Tuple1(similar), Tuple1(opposite))
+        .toDF("v").select(sketch(col("v"))).as[Long].collect().toSeq
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(s1 == s2)
+    assert(hamming(s1, s3) <= 2)   // tiny perturbation: nearly same sketch
+    assert(hamming(s1, s4) == 16)  // antipode flips every bit
+  }
+
   test("blob codec round-trips the reference's little-endian float32 format") {
     val v = Array(1.5f, -2.25f, 0f, 3.75f)
     val (bytes, back) = Seq(Tuple1(v)).toDF("v")
