@@ -112,6 +112,27 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
       .select("doc_id", "score", "content")
   }
 
+  /** Batched search: many queries in ONE plan — per-query top-k via the
+    * ranking window, one shuffle keyed by query id (the shape that holds
+    * at fleet scale; looping [[search]] would launch a job per query).
+    * Returns (query_id, rank, doc_id, score, content).
+    */
+  def searchAll(queryTexts: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    val qs = Ingest.hashEmbed(
+        queryTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("query_id", "text"), "text", dim)
+      .select(col("query_id"), col("embedding").as("qe"))
+    val scored = Search.scoreAll(index(), qs, "doc_id", "embedding",
+      "query_id", "qe")
+    val hits = Search.topKPerQuery(scored, "query_id", "doc_id", k)
+    // hits are queries×k rows — broadcast THEM into the corpus join
+    documents().select("doc_id", "content")
+      .join(broadcast(hits), Seq("doc_id"))
+      .select("query_id", "rank", "doc_id", "score", "content")
+      .orderBy("query_id", "rank")
+  }
+
   /** The reference's context string (server.js:251-254). */
   def context(query: String, k: Int): String = {
     val enriched = search(query, k).withColumn("query_id", lit(0L))

@@ -161,4 +161,34 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs: fingerprints within `maxHamming` of
+    * each other, found by the pigeonhole block trick — split the `bits`
+    * fingerprint into maxHamming+1 blocks; any pair within the radius
+    * agrees exactly on at least one block, so candidate generation is an
+    * equi-join on (block index, block value) and only candidates pay the
+    * hamming check. Same blocking-join shape as MinHash banding.
+    */
+  def simHashNearDupPairs(fingerprints: DataFrame, idCol: String,
+                          bits: Int, maxHamming: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val width = bits / nBlocks
+    require(width > 0, s"bits=$bits too small for maxHamming=$maxHamming")
+    val blocked = fingerprints.select(
+      col(idCol), col("simhash"),
+      posexplode(array((0 until nBlocks).map { b =>
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("block", "block_val")))
+    val a = blocked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("block"), col("block_val"))
+    val b = blocked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("block"), col("block_val"))
+    a.join(b, Seq("block", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

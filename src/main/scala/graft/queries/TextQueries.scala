@@ -136,6 +136,17 @@ object TextQueries {
         col("token"), col("tf"))
       .orderBy("doc_id", "rank")
 
+  /** SimHash near-duplicate pairs within hamming 3 of each other, found
+    * via pigeonhole block join (exact for the radius — the oracle checks
+    * with a plain all-pairs scan). */
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = Dedup.simHashDocs(Tables.documents(spark, sfDir),
+      "doc_id", "text", bits = 16)
+    Dedup.simHashNearDupPairs(fp, "doc_id", bits = 16, maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_chunk_docs" -> (chunkDocs(_, _)),
     "t02_dedup_exact" -> (dedupExact(_, _)),
@@ -149,7 +160,8 @@ object TextQueries {
     "t10_fingerprint" -> (fingerprint(_, _)),
     "t11_multimodal_meta" -> (multimodalMeta(_, _)),
     "t12_tokenize_html" -> (tokenizeHtml(_, _)),
-    "t13_relevant_tokens" -> (relevantTokens(_, _)))
+    "t13_relevant_tokens" -> (relevantTokens(_, _)),
+    "t14_simhash_near_dup" -> (simhashNearDup(_, _)))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -267,6 +279,25 @@ object TextQueries {
          |SELECT doc_id,
          |       CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** bit AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t14_simhash_near_dup" ->
+      s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |votes AS (
+         |  SELECT doc_id, bit,
+         |         sum(CASE WHEN (${hash60("w")} >> CAST(bit AS INT)) % 2 = 1
+         |                  THEN 1 ELSE -1 END) AS v
+         |  FROM (SELECT doc_id, unnest(ws) AS w FROM t),
+         |       (SELECT unnest(range(0, 16)) AS bit)
+         |  GROUP BY doc_id, bit),
+         |sh AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** bit AS BIGINT)
+         |                       ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "t07_lang_id" -> langIdOracle,
     "t08_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $wsExpr AS ws FROM documents),

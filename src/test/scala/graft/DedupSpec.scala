@@ -68,6 +68,25 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1.0)))
   }
 
+  test("simHashNearDupPairs: block join finds all pairs within the radius") {
+    val docs = docsDf(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // identical → hamming 0
+      (3L, "alpha beta gamma delta epsilon eta"),  // near
+      (4L, "totally different words everywhere here now"))
+    val fp = Dedup.simHashDocs(docs, "doc_id", "text", bits = 16)
+    val blocked = Dedup.simHashNearDupPairs(fp, "doc_id", 16, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth by brute force
+    val hs = fp.as[(Long, Long)].collect().toMap
+    val exact = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      if java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 3
+    } yield (a, b)).toSet
+    assert(blocked == exact)
+    assert(blocked.contains((1L, 2L)))
+  }
+
   test("simHash: equal docs equal fingerprints, hamming 0; bounded bits") {
     val fp = Dedup.simHashDocs(
         docsDf((1L, "a b c"), (2L, "a b c"), (3L, "x y z w")),

@@ -64,6 +64,21 @@ class EngineSpec extends SparkSpec {
     assert(ctx.startsWith("1. ") && ctx.contains("\n2. "))
   }
 
+  test("searchAll answers many queries in one plan, per-query ranked") {
+    val e = freshEngine
+    e.loadDocuments(corpusDir)
+    e.addDocument("john likes tea")
+    val got = e.searchAll(Seq(
+        "interactive charts visualization dashboards data",
+        "a calming cup of tea"), k = 2)
+      .select("query_id", "rank", "content").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.length == 4)
+    assert(got.count(_._1 == 0L) == 2 && got.count(_._1 == 1L) == 2)
+    assert(got.find(g => g._1 == 0L && g._2 == 1).get._3.contains("visualization"))
+    assert(got.find(g => g._1 == 1L && g._2 == 1).get._3.contains("tea"))
+  }
+
   test("search on an empty store returns no hits, not an error") {
     val e = freshEngine
     assert(e.search("anything", k = 3).count() == 0)
