@@ -55,9 +55,11 @@ case class HashEmbed(child: Expression, dim: Int)
     var i = 0
     while (i < dim) { norm2 += acc(i) * acc(i); i += 1 }
     if (norm2 > 0.0) {
-      val inv = 1.0 / math.sqrt(norm2)
+      // divide (not multiply-by-reciprocal): bit-identical to the SQL
+      // oracle's v / norm
+      val norm = math.sqrt(norm2)
       i = 0
-      while (i < dim) { acc(i) *= inv; i += 1 }
+      while (i < dim) { acc(i) /= norm; i += 1 }
     }
     new GenericArrayData(acc)
   }

@@ -56,4 +56,67 @@ object Multimodal {
         (pmod(md5Long(concat(col("payload").cast("string"), lit(":"),
           i.cast("string"))), lit(1000)).cast("double") / 1000.0)
           .cast("float")))
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class DecodedRow(doc_id: Long, byte_len: Int, width: Int,
+                        height: Int, format: String,
+                        features: Array[Float])
+
+  /** Batch-shaped decode+extract: the Scala analog of a pandas-UDF
+    * `mapInPandas` media pipeline. One CODEC handle per PARTITION (real
+    * decoders — libjpeg, ffmpeg contexts — are expensive to init and not
+    * serializable, so they must be constructed inside mapPartitions, not
+    * per row and not on the driver), then a streaming iterator over the
+    * partition's rows. The stub codec derives deterministic metadata +
+    * features from the bytes; a real decoder drops into `Codec` without
+    * touching the plumbing.
+    */
+  def decodeBatch(df: DataFrame, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition "codec" init happens HERE, once
+        val codec = new StubCodec(dim)
+        rows.map { r =>
+          val m = codec.decode(r.payload)
+          DecodedRow(r.doc_id, r.payload.length, m.width, m.height,
+            m.format, codec.features(r.payload))
+        }
+      }
+      .toDF()
+  }
+
+  /** Deterministic stand-in for a native media codec. Holds the mutable
+    * scratch state a real decoder would (buffers, contexts) — hence one
+    * instance per partition.
+    */
+  final class StubCodec(dim: Int) {
+    private val digest = java.security.MessageDigest.getInstance("MD5")
+
+    case class Meta(width: Int, height: Int, format: String)
+
+    private def h60(bytes: Array[Byte], salt: String): Long = {
+      digest.reset()
+      digest.update(bytes)
+      digest.update(salt.getBytes("UTF-8"))
+      val h = digest.digest()
+      var acc = 0L
+      var i = 0
+      while (i < 7) { acc = (acc << 8) | (h(i) & 0xffL); i += 1 }
+      (acc << 4) | ((h(7) & 0xf0L) >> 4)
+    }
+
+    private val formats = Array("jpeg", "png", "webp", "wav")
+
+    def decode(payload: Array[Byte]): Meta = {
+      val h = h60(payload, "")
+      Meta((h % 1280 + 1).toInt, ((h >> 16) % 720 + 1).toInt,
+        formats(((h >> 32) % 4).toInt))
+    }
+
+    def features(payload: Array[Byte]): Array[Float] =
+      Array.tabulate(dim)(i =>
+        (h60(payload, s":$i") % 1000).toFloat / 1000.0f)
+  }
 }

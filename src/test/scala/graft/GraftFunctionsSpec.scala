@@ -55,6 +55,21 @@ class GraftFunctionsSpec extends SparkSpec {
     })
   }
 
+  test("multimodal decodeBatch: mapPartitions pipeline, per-partition codec") {
+    val media = Multimodal.asBinaryPayload(
+      docsDf((1L, "abc"), (2L, "abc"), (3L, "different")), "doc_id", "text")
+      .repartition(2) // exercise >1 partition → >1 codec instance
+    val got = Multimodal.decodeBatch(media, dim = 4)
+    assert(got.columns.toSeq ==
+      Seq("doc_id", "byte_len", "width", "height", "format", "features"))
+    val rows = got.orderBy("doc_id")
+      .as[(Long, Int, Int, Int, String, Seq[Float])].collect()
+    assert(rows(0)._2 == 3 && rows(0)._6.length == 4)
+    // determinism across partitions/instances: same bytes → same output
+    assert(rows(0).copy(_1 = 0L) == rows(1).copy(_1 = 0L))
+    assert(rows(0)._6 != rows(2)._6)
+  }
+
   test("multimodal featureStub: fixed-dim float features in [0,1)") {
     val f = Multimodal.featureStub(
         Multimodal.asBinaryPayload(docsDf((1L, "abc")), "doc_id", "text"), 8)
