@@ -140,9 +140,13 @@ object TextQueries {
     * via pigeonhole block join (exact for the radius — the oracle checks
     * with a plain all-pairs scan). */
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    // 32-bit fingerprints → 8-bit pigeonhole blocks (256 bucket values):
+    // bucket size stays ~n/256, so candidate fan-out is linear-ish; a
+    // 16-bit sketch would leave only 16 bucket values per block and the
+    // block join would go quadratic
     val fp = Dedup.simHashDocs(Tables.documents(spark, sfDir),
-      "doc_id", "text", bits = 16)
-    Dedup.simHashNearDupPairs(fp, "doc_id", bits = 16, maxHamming = 3)
+      "doc_id", "text", bits = 32)
+    Dedup.simHashNearDupPairs(fp, "doc_id", bits = 32, maxHamming = 3)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("id_a", "id_b")
   }
@@ -286,7 +290,7 @@ object TextQueries {
          |         sum(CASE WHEN (${hash60("w")} >> CAST(bit AS INT)) % 2 = 1
          |                  THEN 1 ELSE -1 END) AS v
          |  FROM (SELECT doc_id, unnest(ws) AS w FROM t),
-         |       (SELECT unnest(range(0, 16)) AS bit)
+         |       (SELECT unnest(range(0, 32)) AS bit)
          |  GROUP BY doc_id, bit),
          |sh AS (
          |  SELECT doc_id,

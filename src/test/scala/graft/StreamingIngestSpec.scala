@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{Chunker, Ingest}
+import graft.functions.HashFunctions.md5Long
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** The reference's ingest path as a stream: text files arriving in a
+  * directory → chunk → hash-embed → stateful dedup on content hash →
+  * parquet store, with exactly-once file tracking across drains — the
+  * continuous version of GET /load-documents (reference
+  * server.js:161-190).
+  */
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file-arrival ingest: chunk, embed, dedup, append — exactly once") {
+    val in = Files.createTempDirectory("graft_sing_in").toString
+    val store = Files.createTempDirectory("graft_sing_store").toString + "/docs"
+    val chk = Files.createTempDirectory("graft_sing_chk").toString
+
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .option("wholetext", "true").text(in)
+        .select(
+          regexp_extract(input_file_name(), "([^/]+)$", 1).as("source"),
+          col("value").as("text"))
+      val chunked = Chunker.chunk(stream, "text", 40, 10)
+        .select(col("source"), col("chunk_ix"), col("chunk").as("content"))
+      val embedded = Ingest.hashEmbed(chunked, "content", 16)
+        .withColumn("content_key", md5Long(col("content")))
+        // stateful dedup: INSERT OR IGNORE across the life of the stream
+        .dropDuplicates("content_key")
+      val q = embedded
+        .select("source", "chunk_ix", "content", "embedding")
+        .writeStream.format("parquet")
+        .option("path", store)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    Files.writeString(java.nio.file.Paths.get(in, "a.txt"),
+      "alpha beta gamma delta")
+    drain()
+    assert(spark.read.parquet(store).count() == 1)
+
+    // second file: one duplicate doc (same text) + one new doc
+    Files.writeString(java.nio.file.Paths.get(in, "b.txt"),
+      "alpha beta gamma delta")
+    Files.writeString(java.nio.file.Paths.get(in, "c.txt"),
+      "totally new content here")
+    drain()
+    val rows = spark.read.parquet(store)
+    assert(rows.count() == 2, "duplicate chunk must not be re-stored")
+    assert(rows.filter(col("content") === "totally new content here")
+      .count() == 1)
+    // embeddings landed with the right shape
+    assert(rows.select("embedding").as[Seq[Float]].collect()
+      .forall(_.length == 16))
+
+    // re-drain with nothing new: no-op (file tracking is exactly-once)
+    drain()
+    assert(spark.read.parquet(store).count() == 2)
+  }
+}
