@@ -73,6 +73,29 @@ class PlanSpec extends SparkSpec {
       s"no partition pruning in:\n$p")
   }
 
+  test("bucketed tables join without any exchange (co-located join)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq.tabulate(100)(i => (i.toLong, s"l$i")).toDF("k", "lv")
+        .write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+        .saveAsTable("graft_bucket_l")
+      Seq.tabulate(100)(i => (i.toLong, s"r$i")).toDF("k", "rv")
+        .write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+        .saveAsTable("graft_bucket_r")
+      val joined = spark.table("graft_bucket_l")
+        .join(spark.table("graft_bucket_r"), "k")
+      val p = finalPlan(joined)
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles:\n$p")
+      assert(joined.count() == 100)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_l")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_r")
+    }
+  }
+
   test("exchange reuse: self-joined aggregates reuse one shuffle") {
     // same aggregate on both sides → ReusedExchange in the plan
     val agg = Tables.orders(spark, sf).groupBy("o_custkey")
