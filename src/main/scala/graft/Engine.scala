@@ -82,12 +82,17 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
     val assigned = Ingest
       .assignIds(novel.drop("batch_order"), "content", maxId)
       .select("doc_id", "source", "chunk_ix", "content", "embedding")
-    val n = assigned.count()
-    if (n > 0) {
-      Ingest.writeStore(assigned, storePath)
-      invalidateIndex()
-    }
-    n
+      // count() + write would otherwise run the whole chunk→embed→
+      // anti-join→window pipeline twice
+      .persist()
+    try {
+      val n = assigned.count()
+      if (n > 0) {
+        Ingest.writeStore(assigned, storePath)
+        invalidateIndex()
+      }
+      n
+    } finally assigned.unpersist()
   }
 
   /** POST /add — one pasted document. */

@@ -32,13 +32,15 @@ object Tables {
     table(spark, sfDir, "region")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read it as a nanos Long (legacy flag) and convert
-    * to a microsecond TimestampType column (values are ms-aligned, so
-    * the truncation is lossless here and matches DuckDB's ns→µs read).
+    * to a microsecond TimestampType column. Integer `div`, NOT `/`:
+    * Spark's `/` is double division, and epoch nanos (~1.7e18) exceed
+    * a double's 2^53 integer range — the rounded quotient can land one
+    * microsecond off DuckDB's exact ns→µs conversion.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

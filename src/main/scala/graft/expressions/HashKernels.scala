@@ -162,12 +162,14 @@ case class CosineLshBits(child: Expression, bits: Int)
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  // ±1 hyperplane matrix, built on first eval for the observed dim
+  // ±1 hyperplane matrix, built on first eval for the observed dim.
+  // The null check (not a dim sentinel) guards correctness across task
+  // serialization: @transient vars reset to 0/null on the executor.
   @transient private var signs: Array[Array[Double]] = _
-  @transient private var signsDim: Int = -1
+  @transient private var signsDim: Int = _
 
   private def signMatrix(dim: Int): Array[Array[Double]] = {
-    if (signsDim != dim) {
+    if (signs == null || signsDim != dim) {
       signs = Array.tabulate(bits, dim) { (j, i) =>
         if ((Md5Util.md5_60(s"srp:$j:$i") & 1L) == 1L) 1.0 else -1.0
       }
@@ -179,6 +181,7 @@ case class CosineLshBits(child: Expression, bits: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val dim = arr.numElements()
+    if (dim == 0) return 0L // zero vector: every dot is 0, no bit set
     val m = signMatrix(dim)
     val v = new Array[Double](dim)
     var i = 0

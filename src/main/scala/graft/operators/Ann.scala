@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.VectorFunctions.{cosineSim, l2Dist}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor scaffolding over an embedding column.
@@ -27,20 +26,22 @@ object Ann {
 
   /** Assign every vector to its nearest centroid (min L2, ties to the
     * lower centroid id). Broadcast nested-loop against the tiny centroid
-    * set + one ranking window — the window is partitioned by vector id,
-    * so with AQE it is a local sort, not a global shuffle of the corpus.
+    * set, then argmin as a partial-aggregating min_by: each vector's
+    * |centroids| candidate rows combine map-side, so the exchange moves
+    * one row per vector — a ranking-window formulation would shuffle the
+    * full |emb|×|centroids| scored set.
     */
   def ivfAssign(emb: DataFrame, centroids: DataFrame,
-                idCol: String, vecCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("dist").asc, col("centroid_id").asc)
+                idCol: String, vecCol: String): DataFrame =
     emb.crossJoin(broadcast(centroids))
       .select(col(idCol), col(vecCol),
         col("centroid_id"), l2Dist(col(vecCol), col("centroid")).as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "dist")
-  }
+      .groupBy(col(idCol))
+      .agg(min_by(
+        struct(col(vecCol), col("centroid_id")),
+        struct(col("dist"), col("centroid_id"))).as("best"))
+      .select(col(idCol), col(s"best.$vecCol").as(vecCol),
+        col("best.centroid_id").as("centroid_id"))
 
   /** IVF search: rank centroids by distance to the query vector, keep the
     * `nProbe` nearest cells, then exact cosine top-k within those cells

@@ -35,18 +35,22 @@ object AsOf {
       s"valueCols must not collide with left columns: " +
         s"${valueCols.filter(leftCols.contains)}")
     val l = left.withColumn("__t", col(leftTime)).withColumn("__left", lit(1))
+    // values ride in ONE struct: the struct is non-null for every right
+    // row even when individual value columns are legitimately NULL, so
+    // last(ignoreNulls) carries the LATEST right row verbatim instead of
+    // skipping back to an older row's non-null value (ASOF semantics)
     val r = right.select(
-      (col(key) +: col(rightTime).as("__t") +: lit(0).as("__left") +:
-        valueCols.map(col)): _*)
+      col(key), col(rightTime).as("__t"), lit(0).as("__left"),
+      struct(valueCols.map(col): _*).as("__vals"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // rights sort before lefts at equal time → rt <= lt is inclusive
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__left") === 1)
-      .select((leftCols ++ valueCols).map(col): _*)
+    unioned
+      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
+      .filter(col("__left") === 1)
+      .select((leftCols.map(col) ++
+        valueCols.map(c => col(s"__vals.$c").as(c))): _*)
   }
 }

@@ -110,6 +110,12 @@ object Dedup {
     */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, bands: Int)
       : DataFrame = {
+    // NOTE: bands must divide the signature length, and bands >
+    // numHashes would make every band slice empty (md5("") for all docs
+    // → an all-pairs cross product). Signature length is only known at
+    // runtime, so the arithmetic guard below (rowsPerBand >= 1) is a
+    // row-level safety net; callers own the static check.
+    require(bands >= 1, s"bands must be >= 1, got $bands")
     // self-join below would otherwise recompute the whole signature
     // pipeline on both sides; signatures are numHashes longs per doc, so
     // caching them is strictly cheaper than one recomputation
@@ -131,13 +137,22 @@ object Dedup {
       .distinct()
   }
 
-  /** One md5 bucket key per band: md5 of the ':'-joined band slice. */
+  /** One md5 bucket key per band: md5 of the ':'-joined band slice.
+    * Degenerate geometry (bands > signature length → empty slices whose
+    * identical md5("") would bucket everything together) fails the row
+    * instead of silently going quadratic.
+    */
   private def bandKeys(signature: Column, bands: Int): Column = {
     val rowsPerBand = size(signature) / bands
     transform(
       sequence(lit(0), lit(bands - 1)),
       bnd => md5(array_join(
-        slice(signature, bnd * rowsPerBand + 1, rowsPerBand), ":")))
+        slice(signature,
+          bnd * rowsPerBand + 1,
+          when(rowsPerBand >= 1, rowsPerBand)
+            .otherwise(raise_error(lit(
+              "lshCandidatePairs: bands exceeds signature length")))),
+        ":")))
   }
 
   /** SimHash fingerprint (bits ≤ 60) from precomputed 60-bit token

@@ -58,11 +58,15 @@ object Search {
   }
 
   /** Enrich hits with document content — broadcast the (tiny) hit set
-    * into the corpus join, left semantics like the reference's
-    * `Array.find` lookup (server.js:245-248).
+    * into the corpus join. Inner join: a broadcast hash join cannot
+    * build the broadcast side of an outer join that preserves it (the
+    * right-outer formulation silently shuffles the whole corpus), and
+    * hits always exist in the store they were scored from; the
+    * reference's null-content case (server.js:245-252) is filtered
+    * immediately afterwards anyway.
     */
   def enrich(hits: DataFrame, docs: DataFrame, idCol: String): DataFrame =
-    docs.join(broadcast(hits), Seq(idCol), "right")
+    docs.join(broadcast(hits), Seq(idCol))
 
   /** The reference's context builder (server.js:251-254): rank hits by
     * score, enumerate "i. content", newline-join to a single string.

@@ -26,7 +26,8 @@ object Streaming {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer div, not `/`: epoch nanos exceed a double's exact range
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Run a finite (available-now) streaming aggregation to a memory

@@ -26,6 +26,17 @@ class AsOfSpec extends SparkSpec {
       (2L, 7L, "m1", None)))       // right exists only in the future
   }
 
+  test("a NULL value on the latest right row is carried as NULL, not skipped") {
+    val r = Seq((1L, 3L, Some(30.0)), (1L, 7L, None))
+      .toDF("k", "rt", "v")
+    val got = AsOf.asOfJoin(left.filter(col("t") === 10), r, "k",
+        "t", "rt", Seq("v"))
+      .select("v").as[Option[Double]].collect().toSeq
+    // latest right row (rt=7) wins even though its value is NULL —
+    // ASOF semantics, not "latest non-null"
+    assert(got == Seq(None))
+  }
+
   test("as-of never crosses keys") {
     val got = AsOf.asOfJoin(left.filter(col("k") === 2), right, "k",
         "t", "rt", Seq("v"))
