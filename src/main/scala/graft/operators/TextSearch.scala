@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.TextFunctions.words
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval: BM25 scoring and reciprocal-rank fusion — the
+  * lexical half of hybrid search. The reference retrieves by embedding
+  * cosine only (server.js:217-265); production RAG engines pair that
+  * with a term-match ranker and fuse the two rankings.
+  *
+  * All math is deterministic double arithmetic with fixed evaluation
+  * order, so both rankers are SQL-oracle-checkable.
+  *
+  * Scale shape: corpus statistics (df, avg doclen) are one aggregation
+  * pass each; scoring touches only postings of query terms (the term
+  * filter prunes before any shuffle); per-query work is independent —
+  * the classic distributed inverted-index formulation without
+  * materializing an index.
+  */
+object TextSearch {
+
+  /** Per-(doc, term) frequencies over lowercased whitespace tokens. */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol),
+        explode(words(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count("*").as("tf"))
+
+  /** BM25 top-k for one tokenized query.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    * with the standard Robertson/Sparck-Jones idf
+    * ln(1 + (N − df + 0.5)/(df + 0.5)).
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val lens = docs.select(col(idCol),
+      size(words(lower(col(textCol)))).cast("double").as("dl"))
+    val corpus = lens.agg(count("*").as("n"), avg("dl").as("avgdl"))
+    val tf = termFrequencies(docs, idCol, textCol)
+      .filter(col("term").isin(terms: _*))
+    val df = tf.groupBy("term").agg(count("*").as("df"))
+    tf.join(broadcast(df), "term")
+      .join(lens, idCol)
+      .crossJoin(broadcast(corpus))
+      .select(col(idCol), col("term"),
+        (log(lit(1.0) +
+          (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy(col(idCol))
+      .agg(sum("term_score").as("score"))
+  }
+
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(docs, idCol, textCol, queryTerms, k1, b)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** Reciprocal-rank fusion of two rankings of the same id space:
+    * rrf(d) = Σ_r 1/(c + rank_r(d)), missing-from-a-ranking contributes
+    * nothing. The standard score-scale-free hybridizer.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
+              c: Int = 60): DataFrame = {
+    def ranked(df: DataFrame): DataFrame =
+      df.withColumn("rrf",
+        lit(1.0) / (lit(c) + row_number().over(
+          Window.orderBy(col("score").desc, col(idCol)))))
+        .select(col(idCol), col("rrf"))
+    ranked(a).unionByName(ranked(b))
+      .groupBy(col(idCol))
+      .agg(sum("rrf").as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -151,6 +151,22 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** BM25 lexical top-10 for a fixed 4-term query. Scores are rounded to
+    * 6 digits BEFORE ranking on both engines — log/accumulation-order
+    * noise is ~1e-15, far below the rounding grain (SURVEY.md §7.4).
+    */
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextSearch
+    TextSearch.bm25Scores(Tables.documents(spark, sfDir), "doc_id", "text",
+        Seq("hash", "join", "stream", "vector"))
+      // round BEFORE ranking (both engines): ties at the k-boundary must
+      // resolve identically, and raw doubles differ in the last ulps
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_chunk_docs" -> (chunkDocs(_, _)),
     "t02_dedup_exact" -> (dedupExact(_, _)),
@@ -165,7 +181,8 @@ object TextQueries {
     "t11_multimodal_meta" -> (multimodalMeta(_, _)),
     "t12_tokenize_html" -> (tokenizeHtml(_, _)),
     "t13_relevant_tokens" -> (relevantTokens(_, _)),
-    "t14_simhash_near_dup" -> (simhashNearDup(_, _)))
+    "t14_simhash_near_dup" -> (simhashNearDup(_, _)),
+    "t15_bm25" -> (bm25(_, _)))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -283,6 +300,7 @@ object TextQueries {
          |SELECT doc_id,
          |       CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** bit AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t15 oracle lives above t07 (ordering in this map is irrelevant)
     "t14_simhash_near_dup" ->
       s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
          |votes AS (
@@ -302,6 +320,31 @@ object TextQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    "t15_bm25" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id, CAST(len($wsExpr) AS DOUBLE) AS dl FROM documents),
+         |corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+         |tok AS (
+         |  SELECT doc_id, unnest(CASE WHEN trim(lower(text)) = ''
+         |      THEN CAST([] AS VARCHAR[])
+         |      ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM tok
+         |  WHERE term IN ('hash', 'join', 'stream', 'vector')
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |         ln(1.0 + (n - df.df + 0.5) / (df.df + 0.5)) *
+         |           (tf.tf * 2.2) /
+         |           (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS term_score
+         |  FROM tf JOIN df USING (term)
+         |  JOIN lens ON lens.doc_id = tf.doc_id, corpus),
+         |agg AS (SELECT doc_id, round(sum(term_score), 6) AS score
+         |        FROM scored GROUP BY doc_id),
+         |top AS (SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT doc_id, score FROM top ORDER BY doc_id""".stripMargin,
     "t07_lang_id" -> langIdOracle,
     "t08_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $wsExpr AS ws FROM documents),

@@ -178,6 +178,27 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    * ranking and the cosine vector ranking (documents and embeddings
+    * share the id space). Rank-based fusion is score-scale-free, and
+    * integer ranks make it bit-exact across engines.
+    */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val lexical = TextSearch.bm25Scores(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      Seq("hash", "join", "stream", "vector"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val vector = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(emb)))
+      .select(col("vec_id").as("doc_id"),
+        round(cosineSim(col("embedding"), col("qe")), 6).as("score"))
+    TextSearch.rrfFuse(lexical, vector, "doc_id", k = 10)
+      .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"))
+      .orderBy("doc_id")
+  }
+
   /** DuckDB oracles. `embeddings`/`documents` resolve to the same parquet. */
   val oracles: Map[String, String] = Map(
     "v01_knn_topk" ->
@@ -301,6 +322,44 @@ object VectorQueries {
         |  FROM scored)
         |SELECT query_id, rank, vec_id, round(score, 6) AS score
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "v13_hybrid_rrf" ->
+      """WITH ws AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS w
+        |  FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM ws),
+        |corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS term FROM ws)
+        |  WHERE term IN ('hash', 'join', 'stream', 'vector')
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |lex AS (
+        |  SELECT tf.doc_id, round(sum(
+        |    ln(1.0 + (n - df.df + 0.5) / (df.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+        |  FROM tf JOIN df USING (term)
+        |  JOIN lens ON lens.doc_id = tf.doc_id, corpus
+        |  GROUP BY tf.doc_id),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |vec AS (
+        |  SELECT e.vec_id AS doc_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.qe AS DOUBLE[])), 6) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> 0),
+        |ranked AS (
+        |  SELECT doc_id, 1.0 / (60 + row_number() OVER
+        |           (ORDER BY score DESC, doc_id)) AS rrf FROM lex
+        |  UNION ALL
+        |  SELECT doc_id, 1.0 / (60 + row_number() OVER
+        |           (ORDER BY score DESC, doc_id)) AS rrf FROM vec),
+        |fused AS (
+        |  SELECT doc_id, sum(rrf) AS rrf_score FROM ranked GROUP BY doc_id),
+        |top AS (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10)
+        |SELECT doc_id, round(rrf_score, 6) AS rrf_score FROM top
+        |ORDER BY doc_id""".stripMargin,
     "v12_srp_sketch" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |           FROM embeddings)
@@ -358,5 +417,6 @@ object VectorQueries {
     "v09_sql_knn" -> (sqlKnn(_, _)),
     "v10_batch_search_heap" -> (batchSearchHeap(_, _)),
     "v11_bucketed_near_dup" -> (bucketedNearDup(_, _)),
-    "v12_srp_sketch" -> (srpSketch(_, _)))
+    "v12_srp_sketch" -> (srpSketch(_, _)),
+    "v13_hybrid_rrf" -> (hybridRrf(_, _)))
 }

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.TextSearch
+import org.apache.spark.sql.functions._
+
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = docsDf(
+    (1L, "spark joins data with hash joins and merge joins"),
+    (2L, "hash tables power the hash join"),
+    (3L, "streams of events flow into windows"),
+    (4L, "completely unrelated prose about gardens"))
+
+  test("bm25: docs matching more/rarer query terms rank higher") {
+    val got = TextSearch.bm25TopK(docs, "doc_id", "text",
+        Seq("hash", "joins"), k = 4)
+      .select("doc_id").as[Long].collect().toSeq
+    // doc 1 has both terms (joins x3, hash x1); doc 2 only "hash" (x2);
+    // docs 3/4 match nothing and must be absent entirely
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("bm25 term frequency saturates (k1): tf 10x does not score 10x") {
+    val rep = docsDf(
+      (1L, ("hash " * 10).trim + " filler words here"),
+      (2L, "hash filler words here"))
+    val scores = TextSearch.bm25Scores(rep, "doc_id", "text", Seq("hash"))
+      .orderBy("doc_id").select("score").as[Double].collect()
+    assert(scores(0) > scores(1))
+    assert(scores(0) / scores(1) < 3.0, "saturation failed")
+  }
+
+  test("rrfFuse rewards presence in both rankings") {
+    val a = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("doc_id", "score")
+    val b = Seq((3L, 0.99), (2L, 0.5)).toDF("doc_id", "score")
+    val got = TextSearch.rrfFuse(a, b, "doc_id", k = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    // doc 3: 1/63 + 1/61 ≈ .03227 edges doc 2: 1/62 + 1/62 ≈ .03226
+    // (convexity); both beat single-ranking doc 1: 1/61 ≈ .01639
+    assert(got == Seq(3L, 2L, 1L))
+  }
+}
