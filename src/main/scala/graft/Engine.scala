@@ -138,6 +138,27 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
       .orderBy("query_id", "rank")
   }
 
+  /** Hybrid retrieval: cosine ranking fused with BM25 lexical ranking
+    * by reciprocal rank (the query string serves both as embedding
+    * input and term bag). Returns (doc_id, rrf_score, content).
+    */
+  def hybridSearch(query: String, k: Int): DataFrame = {
+    import spark.implicits._
+    import graft.operators.TextSearch
+    val qv = Ingest.hashEmbed(Seq(query).toDF("text"), "text", dim)
+      .select(lit(0L).as("query_id"), col("embedding").as("qe"))
+    val vector = Search
+      .scoreAll(index(), qv, "doc_id", "embedding", "query_id", "qe")
+      .select("doc_id", "score")
+    val lexical = TextSearch.bm25Scores(
+      documents().select("doc_id", "content"), "doc_id", "content",
+      query.toLowerCase.trim.split("\\s+").toSeq)
+    val fused = TextSearch.rrfFuse(lexical, vector, "doc_id", k)
+    Search.enrich(fused, documents().select("doc_id", "content"), "doc_id")
+      .select("doc_id", "rrf_score", "content")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+  }
+
   /** The reference's context string (server.js:251-254). */
   def context(query: String, k: Int): String = {
     val enriched = search(query, k).withColumn("query_id", lit(0L))

@@ -34,6 +34,10 @@ object AsOf {
     require(valueCols.forall(c => !leftCols.contains(c)),
       s"valueCols must not collide with left columns: " +
         s"${valueCols.filter(leftCols.contains)}")
+    val reserved = Seq("__t", "__left", "__vals")
+    require(!leftCols.exists(reserved.contains),
+      s"left columns collide with asOfJoin internals: " +
+        s"${leftCols.filter(reserved.contains)}")
     val l = left.withColumn("__t", col(leftTime)).withColumn("__left", lit(1))
     // values ride in ONE struct: the struct is non-null for every right
     // row even when individual value columns are legitimately NULL, so

@@ -118,7 +118,10 @@ object Dedup {
     require(bands >= 1, s"bands must be >= 1, got $bands")
     // self-join below would otherwise recompute the whole signature
     // pipeline on both sides; signatures are numHashes longs per doc, so
-    // caching them is strictly cheaper than one recomputation
+    // caching them is strictly cheaper than one recomputation. The cache
+    // cannot be unpersisted here (the returned plan is lazy) — callers
+    // that loop over corpora should clearCache()/unpersist between calls
+    // (Bench/Verify do).
     sigs.persist()
     val banded = sigs.select(
         col(idCol),
@@ -138,12 +141,15 @@ object Dedup {
   }
 
   /** One md5 bucket key per band: md5 of the ':'-joined band slice.
-    * Degenerate geometry (bands > signature length → empty slices whose
-    * identical md5("") would bucket everything together) fails the row
-    * instead of silently going quadratic.
+    * Integer floor division (Column `/` would be double division, making
+    * non-divisible band counts overlap/gap the slices); bands must
+    * divide the signature length — degenerate geometry (bands > length →
+    * empty slices whose identical md5("") would bucket everything
+    * together) aborts the query via raise_error rather than silently
+    * going quadratic.
     */
   private def bandKeys(signature: Column, bands: Int): Column = {
-    val rowsPerBand = size(signature) / bands
+    val rowsPerBand = floor(size(signature) / bands).cast("int")
     transform(
       sequence(lit(0), lit(bands - 1)),
       bnd => md5(array_join(

@@ -68,13 +68,21 @@ object TextSearch {
   /** Reciprocal-rank fusion of two rankings of the same id space:
     * rrf(d) = Σ_r 1/(c + rank_r(d)), missing-from-a-ranking contributes
     * nothing. The standard score-scale-free hybridizer.
+    *
+    * Each input is first truncated to its top `depth` rows via
+    * orderBy+limit (TakeOrderedAndProject — per-partition heaps), so the
+    * unpartitioned ranking window only ever sees ≤ depth rows; feeding a
+    * corpus-sized ranking through a global row_number would funnel every
+    * row to one task. depth ≥ corpus size makes the fusion exact;
+    * smaller depths are the standard top-m approximation.
     */
   def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
-              c: Int = 60): DataFrame = {
+              c: Int = 60, depth: Int = 1000): DataFrame = {
     def ranked(df: DataFrame): DataFrame =
-      df.withColumn("rrf",
-        lit(1.0) / (lit(c) + row_number().over(
-          Window.orderBy(col("score").desc, col(idCol)))))
+      df.orderBy(col("score").desc, col(idCol)).limit(depth)
+        .withColumn("rrf",
+          lit(1.0) / (lit(c) + row_number().over(
+            Window.orderBy(col("score").desc, col(idCol)))))
         .select(col(idCol), col("rrf"))
     ranked(a).unionByName(ranked(b))
       .groupBy(col(idCol))

@@ -185,16 +185,19 @@ object VectorQueries {
     */
   def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.TextSearch
+    // doc 0 is the query row by convention — excluded from BOTH halves
+    // (the vector side always excludes it; the lexical side must too)
     val lexical = TextSearch.bm25Scores(
-      Tables.documents(spark, sfDir), "doc_id", "text",
-      Seq("hash", "join", "stream", "vector"))
+      Tables.documents(spark, sfDir).filter(col("doc_id") =!= 0),
+      "doc_id", "text", Seq("hash", "join", "stream", "vector"))
       .select(col("doc_id"), round(col("score"), 6).as("score"))
     val emb = Tables.embeddings(spark, sfDir)
     val vector = emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(queryVec(emb)))
       .select(col("vec_id").as("doc_id"),
         round(cosineSim(col("embedding"), col("qe")), 6).as("score"))
-    TextSearch.rrfFuse(lexical, vector, "doc_id", k = 10)
+    // depth covers every fixture corpus → fusion is exact vs the oracle
+    TextSearch.rrfFuse(lexical, vector, "doc_id", k = 10, depth = 100000)
       .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"))
       .orderBy("doc_id")
   }
@@ -326,7 +329,7 @@ object VectorQueries {
       """WITH ws AS (
         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
         |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS w
-        |  FROM documents),
+        |  FROM documents WHERE doc_id <> 0),
         |lens AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM ws),
         |corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
         |tf AS (

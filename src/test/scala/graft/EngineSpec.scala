@@ -79,6 +79,17 @@ class EngineSpec extends SparkSpec {
     assert(got.find(g => g._1 == 1L && g._2 == 1).get._3.contains("tea"))
   }
 
+  test("hybridSearch fuses lexical and vector evidence") {
+    val e = freshEngine
+    e.loadDocuments(corpusDir)
+    e.addDocument("john likes tea")
+    // "tea" appears verbatim (lexical hit) and the tea doc should also
+    // be the vector neighbor → fused rank 1
+    val top = e.hybridSearch("tea drinkers prefer a calming cup", k = 3)
+      .select("content").collect().map(_.getString(0))
+    assert(top.nonEmpty && top.head.contains("tea"))
+  }
+
   test("search on an empty store returns no hits, not an error") {
     val e = freshEngine
     assert(e.search("anything", k = 3).count() == 0)
