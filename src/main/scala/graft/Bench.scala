@@ -15,7 +15,13 @@ object Bench {
     // on sub-second queries); min-of-2 measures the steady state.
     // clearCache between runs drops per-call persisted intermediates
     // (LSH signatures, postings) so data is still computed fresh.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration filter: comma-separated query-name prefixes.
+    // Unset (the driver's case) => full inventory.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq).getOrElse(Seq(""))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.exists(n.startsWith) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         // a failed query must NOT masquerade as a fast success: -1 marker

@@ -34,9 +34,21 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
              chunkSize: Int = 1000, overlap: Int = 50) {
 
   @volatile private var cachedIndex: Option[DataFrame] = None
+  @volatile private var cachedLexical
+      : Option[graft.operators.TextSearch.Bm25Index] = None
 
+  /** True iff the store path exists and is readable. ONLY "path does
+    * not exist" means an empty store; any other failure (corrupt or
+    * partial files, permissions) must propagate — treating it as empty
+    * would restart doc_id assignment at 0 and append duplicate ids once
+    * the store becomes readable again.
+    */
   private def storeExists: Boolean =
-    scala.util.Try(spark.read.parquet(storePath).schema).isSuccess
+    try { spark.read.parquet(storePath).schema; true }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => false
+    }
 
   /** Full store scan (GET /documents). */
   def documents(): DataFrame =
@@ -58,9 +70,23 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
     }
   }
 
+  /** The cached BM25 corpus statistics, built on demand and released
+    * together with the vector index on every store write.
+    */
+  def lexicalIndex(): graft.operators.TextSearch.Bm25Index = synchronized {
+    cachedLexical.getOrElse {
+      val idx = graft.operators.TextSearch.buildBm25Index(
+        documents().select("doc_id", "content"), "doc_id", "content")
+      cachedLexical = Some(idx)
+      idx
+    }
+  }
+
   private def invalidateIndex(): Unit = synchronized {
     cachedIndex.foreach(_.unpersist())
     cachedIndex = None
+    cachedLexical.foreach(_.release())
+    cachedLexical = None
   }
 
   /** Chunk → embed → dedup → assign ids → append. Returns the number of
@@ -150,8 +176,7 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
     val vector = Search
       .scoreAll(index(), qv, "doc_id", "embedding", "query_id", "qe")
       .select("doc_id", "score")
-    val lexical = TextSearch.bm25Scores(
-      documents().select("doc_id", "content"), "doc_id", "content",
+    val lexical = TextSearch.bm25ScoresIndexed(lexicalIndex(),
       query.toLowerCase.trim.split("\\s+").toSeq)
     val fused = TextSearch.rrfFuse(lexical, vector, "doc_id", k)
     Search.enrich(fused, documents().select("doc_id", "content"), "doc_id")

@@ -38,18 +38,23 @@ object StreamingQueries {
 
   /** Custom-state sessionization (mapGroupsWithState) — must equal the
     * batch lag/cumsum formulation r11. A group may be re-emitted once
-    * per micro-batch in update mode; the final state per user is the row
-    * with the highest event count.
+    * per micro-batch in update mode, and a user whose state was
+    * watermark-evicted re-appears as a NEW state segment (keyed by
+    * `seg_start`); the final row per segment is the one with the highest
+    * event count, and per-user totals are the sum over segments —
+    * correct because eviction only fires after the session gap provably
+    * elapsed, so segment boundaries are also session boundaries.
     */
   def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
     val sess = Streaming
       .sessionCounts(Streaming.eventsStream(spark, sfDir)).toDF()
     Streaming.runAvailableNowUpdate(spark, sess, "graft_s03")
-      .groupBy("user_id")
+      .groupBy("user_id", "seg_start")
       .agg(max_by(struct(col("n_sessions"), col("n_events")),
         col("n_events")).as("f"))
-      .select(col("user_id"), col("f.n_sessions").as("n_sessions"),
-        col("f.n_events").as("n_events"))
+      .groupBy("user_id")
+      .agg(sum("f.n_sessions").as("n_sessions"),
+        sum("f.n_events").as("n_events"))
       .orderBy("user_id")
   }
 

@@ -183,6 +183,15 @@ object VectorQueries {
     * share the id space). Rank-based fusion is score-scale-free, and
     * integer ranks make it bit-exact across engines.
     */
+  /** Fusion depth for v13: each ranking is truncated to its top 1000
+    * before fusing — the production bound that keeps the single-task
+    * ranking stage at ≤ depth rows no matter the corpus size. The
+    * ORACLE replicates the truncation (rank ≤ depth on both sides), so
+    * the approximation is pinned, not hidden — same convention as v11's
+    * deliberate recall loss.
+    */
+  private val RrfDepth = 1000
+
   def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.TextSearch
     // doc 0 is the query row by convention — excluded from BOTH halves
@@ -196,8 +205,7 @@ object VectorQueries {
       .crossJoin(broadcast(queryVec(emb)))
       .select(col("vec_id").as("doc_id"),
         round(cosineSim(col("embedding"), col("qe")), 6).as("score"))
-    // depth covers every fixture corpus → fusion is exact vs the oracle
-    TextSearch.rrfFuse(lexical, vector, "doc_id", k = 10, depth = 100000)
+    TextSearch.rrfFuse(lexical, vector, "doc_id", k = 10, depth = RrfDepth)
       .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"))
       .orderBy("doc_id")
   }
@@ -353,11 +361,15 @@ object VectorQueries {
         |                                      CAST(q.qe AS DOUBLE[])), 6) AS score
         |  FROM embeddings e, q WHERE e.vec_id <> 0),
         |ranked AS (
-        |  SELECT doc_id, 1.0 / (60 + row_number() OVER
-        |           (ORDER BY score DESC, doc_id)) AS rrf FROM lex
+        |  SELECT doc_id, 1.0 / (60 + rk) AS rrf FROM (
+        |    SELECT doc_id, row_number() OVER
+        |             (ORDER BY score DESC, doc_id) AS rk FROM lex)
+        |  WHERE rk <= 1000
         |  UNION ALL
-        |  SELECT doc_id, 1.0 / (60 + row_number() OVER
-        |           (ORDER BY score DESC, doc_id)) AS rrf FROM vec),
+        |  SELECT doc_id, 1.0 / (60 + rk) AS rrf FROM (
+        |    SELECT doc_id, row_number() OVER
+        |             (ORDER BY score DESC, doc_id) AS rk FROM vec)
+        |  WHERE rk <= 1000),
         |fused AS (
         |  SELECT doc_id, sum(rrf) AS rrf_score FROM ranked GROUP BY doc_id),
         |top AS (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10)

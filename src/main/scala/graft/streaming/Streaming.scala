@@ -16,6 +16,39 @@ import org.apache.spark.sql.types.StructType
   */
 object Streaming {
 
+  /** Shuffle-partition count — and therefore state-store instance count —
+    * pinned for every streaming query started by the runners below.
+    *
+    * Stateful streaming does NOT get AQE partition coalescing: each state
+    * partition is a full store (checkpoint delta files, snapshot
+    * maintenance, per-batch commit) whose cost is paid per micro-batch
+    * regardless of how little data it holds. Deriving the count from the
+    * host CPU count (32 on the bench host) multiplies that fixed overhead
+    * for kilobyte-scale state while adding nothing — state stores are
+    * I/O-bound, not CPU-bound. A real deployment sizes this to state
+    * VOLUME (keys × state size / healthy-store size), never to cores;
+    * 8 keeps enough parallelism for the fixture scales while staying
+    * cheap at any core count.
+    */
+  val StatePartitions = 8
+
+  /** Run `body` (which must both start AND drain the streaming query)
+    * with `spark.sql.shuffle.partitions` pinned to [[StatePartitions]].
+    * The value is captured by the query at start and kept for the
+    * checkpoint's lifetime; batch queries around it are unaffected
+    * because the previous value is restored on exit.
+    */
+  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, StatePartitions.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** File stream over the driver's events parquet (TIMESTAMP(NANOS) —
     * read as nanos Long, converted like [[graft.Tables.events]]).
     */
@@ -35,31 +68,33 @@ object Streaming {
     * aggregate, so the result equals the batch computation.
     */
   def runAvailableNow(spark: SparkSession, aggregated: DataFrame,
-                      queryName: String): DataFrame = {
-    val q = aggregated.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+                      queryName: String): DataFrame =
+    withStatePartitions(spark) {
+      val q = aggregated.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
 
   /** Same as [[runAvailableNow]] but append output — for stateful
     * row-level operators (dedup) whose results accrete rather than
     * update. */
   def runAvailableNowAppend(spark: SparkSession, rows: DataFrame,
-                            queryName: String): DataFrame = {
-    val q = rows.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+                            queryName: String): DataFrame =
+    withStatePartitions(spark) {
+      val q = rows.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
 
   /** Hourly per-type event counts as a watermarked windowed streaming
     * aggregation — the streaming twin of the batch hourly rollup. State
@@ -76,66 +111,115 @@ object Streaming {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
-  /** Streaming exact dedup on a key column: `dropDuplicates` keeps
-    * first-seen per key across micro-batches (state-backed) — the
-    * streaming twin of the reference's INSERT OR IGNORE (reference
-    * server.js:198).
+  /** Streaming exact dedup on a key column — the streaming twin of the
+    * reference's INSERT OR IGNORE (reference server.js:198) — with
+    * watermark-BOUNDED state: `dropDuplicatesWithinWatermark` evicts a
+    * key's state once the event-time watermark passes its first-seen
+    * timestamp plus `delay`, so state size is O(keys seen within the
+    * watermark horizon), not O(all keys ever) — the difference between a
+    * job that runs forever and one that OOMs its state store at 100 TB.
+    *
+    * Contract: a key recurring AFTER its state was evicted is emitted
+    * again (the standard bounded-state tradeoff; callers needing exact
+    * global dedup reconcile downstream, e.g. the batch anti-join of
+    * [[graft.operators.Ingest.dedupIngest]]). Within one micro-batch —
+    * the AvailableNow parity runs — the result is exact.
     */
-  def streamingDedup(stream: DataFrame, keyCol: String): DataFrame =
-    stream.dropDuplicates(keyCol)
+  def streamingDedup(stream: DataFrame, keyCol: String,
+                     tsCol: String = "ts",
+                     delay: String = "3 hours"): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCol)
 
   /** Same as [[runAvailableNow]] but update output — for
     * mapGroupsWithState, which emits one refreshed row per touched group
     * per micro-batch. */
   def runAvailableNowUpdate(spark: SparkSession, rows: DataFrame,
-                            queryName: String): DataFrame = {
-    val q = rows.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+                            queryName: String): DataFrame =
+    withStatePartitions(spark) {
+      val q = rows.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
 
   case class SessEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
-  case class SessState(lastTs: Long, sessions: Long, events: Long)
-  case class SessOut(user_id: Long, n_sessions: Long, n_events: Long)
+  case class SessState(segStart: Long, lastTs: Long,
+                       sessions: Long, events: Long)
+  case class SessOut(user_id: Long, seg_start: Long,
+                     n_sessions: Long, n_events: Long)
 
   /** Custom-state sessionization with `mapGroupsWithState`: a session
     * ends after a >30 min silence per user (same contract as the batch
-    * lag/cumsum formulation). State per user is 24 bytes (last event
-    * second, session & event counts) — the KeyValueGroupedDataset path
-    * for logic that windows/aggregations can't express.
+    * lag/cumsum formulation). State per user is 32 bytes — the
+    * KeyValueGroupedDataset path for logic that windows/aggregations
+    * can't express.
+    *
+    * State is WATERMARK-BOUNDED via `EventTimeTimeout`: once the
+    * watermark passes a user's last event + the session gap, no
+    * in-watermark event can ever extend that user's current session, so
+    * the state is emitted one final time and removed. A user recurring
+    * later starts a fresh state *segment*; because eviction only happens
+    * after the gap has provably elapsed, session boundaries partition
+    * cleanly across segments and per-user totals are the SUM over
+    * segments. Each output row carries `seg_start` (epoch millis of the
+    * segment's first event) so downstream aggregation can take the final
+    * row per segment and then sum — see
+    * [[graft.queries.StreamingQueries.streamSessions]].
     *
     * Events are sorted within each micro-batch delivery; state carries
     * the last timestamp so session boundaries survive batch splits (with
     * the usual streaming caveat that late cross-batch arrivals belong in
-    * front of the watermark, which a finite AvailableNow drain
-    * satisfies trivially).
+    * front of the watermark — late rows are dropped by the stateful
+    * operator once a watermark is set).
     */
-  def sessionCounts(events: DataFrame)
+  def sessionCounts(events: DataFrame, delay: String = "3 hours",
+                    gapSeconds: Long = 1800)
       : org.apache.spark.sql.Dataset[SessOut] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     events.select(col("user_id"), col("ts"), col("event_id"))
       .as[SessEvent]
+      .withWatermark("ts", delay)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessState, SessOut](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[SessState, SessOut](
+          GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[SessEvent], state) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var (lastTs, sessions, count) = state.getOption
-            .map(s => (s.lastTs, s.sessions, s.events))
-            .getOrElse((Long.MinValue, 0L, 0L))
-          for (e <- sorted) {
-            val t = e.ts.getTime / 1000
-            if (lastTs == Long.MinValue || t - lastTs > 1800) sessions += 1
-            lastTs = t
-            count += 1
+          if (state.hasTimedOut) {
+            // watermark > lastTs + gap: the segment can never grow.
+            // Emit its final row once more (idempotent downstream) and
+            // release the state — THE eviction that bounds state size.
+            val s = state.get
+            val out = SessOut(uid, s.segStart, s.sessions, s.events)
+            state.remove()
+            out
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var (segStart, lastTs, sessions, count) = state.getOption
+              .map(s => (s.segStart, s.lastTs, s.sessions, s.events))
+              .getOrElse((sorted.head.ts.getTime, Long.MinValue, 0L, 0L))
+            for (e <- sorted) {
+              val t = e.ts.getTime / 1000
+              if (lastTs == Long.MinValue || t - lastTs > gapSeconds)
+                sessions += 1
+              lastTs = t
+              count += 1
+            }
+            state.update(SessState(segStart, lastTs, sessions, count))
+            // Safe-eviction point: one second past the first instant at
+            // which any still-valid event would start a new session
+            // anyway. Must stay ahead of the current watermark or Spark
+            // rejects the timestamp (can lag when this group's events
+            // arrived well behind other keys').
+            val evictAt = (lastTs + gapSeconds + 1) * 1000
+            state.setTimeoutTimestamp(
+              math.max(evictAt, state.getCurrentWatermarkMs + 1))
+            SessOut(uid, segStart, sessions, count)
           }
-          state.update(SessState(lastTs, sessions, count))
-          SessOut(uid, sessions, count)
       }
   }
 }

@@ -65,10 +65,95 @@ class StreamingSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$d/ev")
     val schema = spark.read.parquet(s"$d/ev").schema
     val stream = spark.readStream.schema(schema).parquet(s"$d/ev")
-    val got = Streaming.runAvailableNowUpdate(spark,
-        Streaming.sessionCounts(stream).toDF(), "graft_test_sessions")
-      .orderBy("user_id")
+    val got = sessionTotals(Streaming.runAvailableNowUpdate(spark,
+        Streaming.sessionCounts(stream).toDF(), "graft_test_sessions"))
       .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L), (2L, 2L, 3L)))
+  }
+
+  /** The s03 downstream: final row per state segment, summed per user. */
+  private def sessionTotals(raw: org.apache.spark.sql.DataFrame) =
+    raw.groupBy("user_id", "seg_start")
+      .agg(max_by(struct(col("n_sessions"), col("n_events")),
+        col("n_events")).as("f"))
+      .groupBy("user_id")
+      .agg(sum("f.n_sessions").as("n_sessions"),
+        sum("f.n_events").as("n_events"))
+      .orderBy("user_id")
+
+  /** Write `rows` as a single parquet file named `batch$i.parquet` inside
+    * `dir`, with a strictly increasing mod time — so a file stream with
+    * maxFilesPerTrigger=1 replays them as separate micro-batches in
+    * order (the file source schedules by modification time).
+    */
+  private def writeBatchFile(dir: String, i: Int,
+                             rows: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = Files.createTempDirectory("graft_batchfile").toString
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    val dest = java.nio.file.Paths.get(dir, s"batch$i.parquet")
+    Files.move(part, dest)
+    Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
+  }
+
+  test("dropDuplicatesWithinWatermark evicts state and re-emits old keys") {
+    val d = Files.createTempDirectory("graft_dedup_evict").toString
+    def batch(rows: Seq[(String, String)]) =
+      rows.toDF("ts_s", "k")
+        .select(to_timestamp(col("ts_s")).as("ts"), col("k"))
+    // b1: A and B; b2: C advances the watermark (20:00 − 10 min) far past
+    // A's expiry (first-seen 10:00 + 10 min); b3: one more batch so the
+    // advanced watermark is applied to state cleanup (cleanup in batch N
+    // uses the watermark as of batch N−1's end); b4: A recurs AFTER
+    // eviction
+    writeBatchFile(d, 1, batch(Seq(("2024-01-01 10:00:00", "A"),
+      ("2024-01-01 10:00:00", "B"))))
+    writeBatchFile(d, 2, batch(Seq(("2024-01-01 20:00:00", "C"))))
+    writeBatchFile(d, 3, batch(Seq(("2024-01-01 20:10:00", "D"))))
+    writeBatchFile(d, 4, batch(Seq(("2024-01-01 20:30:00", "A"))))
+    val schema = batch(Nil).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val got = Streaming.runAvailableNowAppend(spark,
+        Streaming.streamingDedup(stream, "k", "ts", "10 minutes")
+          .select("k"),
+        "graft_test_dedup_evict")
+      .as[String].collect().toSeq
+    // bounded-state contract: the recurrence past the watermark horizon
+    // is emitted again — state for A was genuinely evicted
+    assert(got.count(_ == "A") == 2, s"expected evicted A to re-emit: $got")
+    assert(got.sorted == Seq("A", "A", "B", "C", "D"))
+  }
+
+  test("session state is watermark-evicted; totals sum across segments") {
+    val d = Files.createTempDirectory("graft_sess_evict").toString
+    def batch(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("user_id", "ts_s", "event_id")
+        .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"),
+          col("event_id"))
+    // b1: u1 one session (2 events), u2 alive; b2: u2 advances watermark
+    // to 17:00 — past u1's 10:40 evict-at; b3: u2 only → u1 has no input
+    // rows, so its timeout FIRES (final emit + state removal); b4: u1
+    // recurs → fresh state segment
+    writeBatchFile(d, 1, batch(Seq((1L, "2024-01-01 10:00:00", 1L),
+      (1L, "2024-01-01 10:10:00", 2L), (2L, "2024-01-01 10:00:00", 3L))))
+    writeBatchFile(d, 2, batch(Seq((2L, "2024-01-01 20:00:00", 4L))))
+    writeBatchFile(d, 3, batch(Seq((2L, "2024-01-01 20:05:00", 5L))))
+    writeBatchFile(d, 4, batch(Seq((1L, "2024-01-01 20:30:00", 6L))))
+    val schema = batch(Nil).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val raw = Streaming.runAvailableNowUpdate(spark,
+      Streaming.sessionCounts(stream).toDF(), "graft_test_sess_evict")
+    // u1 must appear under TWO distinct segments: state was removed
+    // between its 10:10 and 20:30 events
+    val segs = raw.filter(col("user_id") === 1)
+      .select("seg_start").distinct().count()
+    assert(segs == 2, s"expected 2 state segments for u1, got $segs")
+    // and the summed totals still equal the batch lag/cumsum answer
+    val got = sessionTotals(raw).as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L, 3L), (2L, 2L, 3L)))
   }
 
