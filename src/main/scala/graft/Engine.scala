@@ -104,9 +104,8 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
           concat_ws(":", col("source"), col("chunk_ix"))))
     val novel = Ingest.dedupIngest(embedded,
       store.select("content"), "content", "batch_order")
-    val maxId = store.agg(coalesce(max("doc_id"), lit(0L))).head().getLong(0)
     val assigned = Ingest
-      .assignIds(novel.drop("batch_order"), "content", maxId)
+      .assignIdsAfter(novel.drop("batch_order"), "content", store, "doc_id")
       .select("doc_id", "source", "chunk_ix", "content", "embedding")
       // count() + write would otherwise run the whole chunk→embed→
       // anti-join→window pipeline twice

@@ -24,6 +24,41 @@ object Ann {
     emb.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid"))
 
+  /** Learned IVF centroids: MLlib k-means (k-means|| init, fixed seed)
+    * over the embedding column — the production replacement for
+    * [[seedCentroids]], behind the same (centroid_id, centroid) shape.
+    * Real IVF recall depends on centroids tracking the data's density;
+    * the reference has no ANN at all (brute force, server.js:45-61), so
+    * this is strictly beyond-reference capability.
+    *
+    * Deterministic by construction: the seed is fixed AND the input is
+    * hash-repartitioned by id first — k-means|| samples per partition,
+    * so the physical layout is effectively part of the seed; without the
+    * repartition the learned centers would vary with file-split count
+    * (i.e. with the host's core count). The model fit collects k×dim
+    * doubles to the driver — centroids are tiny by definition; the
+    * training passes themselves are distributed MLlib jobs.
+    */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int, maxIter: Int = 20,
+                      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = emb
+      .select(col(idCol), array_to_vector(col(vecCol).cast("array<double>"))
+        .as("features"))
+      .repartition(8, col(idCol))
+    val model = new KMeans()
+      .setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features")
+      .fit(feats)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+      .toDF("centroid_id", "centroid")
+  }
+
   /** Assign every vector to its nearest centroid (min L2, ties to the
     * lower centroid id). Broadcast nested-loop against the tiny centroid
     * set, then argmin as a partial-aggregating min_by: each vector's
@@ -68,12 +103,29 @@ object Ann {
 
   /** Exact cosine near-duplicate pairs above `threshold`. All-pairs is
     * expressed as an id-ordered self-join so each unordered pair is
-    * scored once; at scale, swap the crossJoin for an LSH/IVF bucket
-    * equi-join (same downstream plan) — see [[ivfAssign]].
+    * scored once. This is the EXACT SEMANTIC BASELINE, O(n²) by
+    * construction — the scale formulation is [[bucketedNearDupPairs]]
+    * (same downstream plan, IVF-cell equi-join blocking).
+    *
+    * Because an accidental call on a real corpus would be a cluster
+    * killer, the plan aborts via `raise_error` when the input exceeds
+    * `maxInputRows` (same convention as the degenerate-LSH-geometry
+    * guard in [[Dedup]]): the guard count rides a broadcast 1-row
+    * aggregate and is checked before the cross join fans out.
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double,
+                         maxInputRows: Long = 100000L): DataFrame = {
+    val guard = emb.agg(count("*").as("_n"))
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+      .crossJoin(broadcast(guard))
+      .filter(when(col("_n") > maxInputRows,
+          raise_error(concat(lit("cosineNearDupPairs: all-pairs input "),
+            col("_n"),
+            lit(s" rows exceeds maxInputRows=$maxInputRows; " +
+              "use bucketedNearDupPairs"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("_n")
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))

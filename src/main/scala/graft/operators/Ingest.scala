@@ -65,7 +65,27 @@ object Ingest {
   def assignIds(novel: DataFrame, contentCol: String, maxExisting: Long)
       : DataFrame =
     novel.withColumn("doc_id",
-      row_number().over(Window.orderBy(col(contentCol))) + maxExisting)
+      // partitionBy(lit): the single-partition ranking is the documented
+      // AUTOINCREMENT-parity serialization point, deliberate, not an
+      // accidental unpartitioned window
+      row_number().over(Window.partitionBy(lit(0))
+        .orderBy(col(contentCol))) + maxExisting)
+
+  /** Single-plan variant: the store's max id arrives as a broadcast
+    * 1-row aggregate instead of a driver-side `.head()` fetch, so the
+    * whole ingest (chunk → embed → anti-join → assign → write) stays ONE
+    * Spark job instead of splitting at a driver sync.
+    */
+  def assignIdsAfter(novel: DataFrame, contentCol: String,
+                     store: DataFrame, storeIdCol: String): DataFrame = {
+    val maxFrame = store
+      .agg(coalesce(max(col(storeIdCol)), lit(0L)).as("_max_existing"))
+    novel.crossJoin(broadcast(maxFrame))
+      .withColumn("doc_id",
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col(contentCol))) + col("_max_existing"))
+      .drop("_max_existing")
+  }
 
   /** Index build = columnar store scan of (id, vector) + cache — the
     * Spark analog of synchronizeFAISS (reference server.js:65-94).

@@ -54,10 +54,9 @@ object IngestQueries {
     */
   def assignedIds(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val maxId = docs.agg(max("doc_id")).head().getLong(0)
     val novel = Ingest.dedupIngest(syntheticBatch(docs), docs, "text", "doc_id")
       .withColumnRenamed("doc_id", "batch_id")
-    Ingest.assignIds(novel, "text", maxId)
+    Ingest.assignIdsAfter(novel, "text", docs, "doc_id")
       .select(col("doc_id"), col("batch_id"))
       .orderBy("doc_id")
   }

@@ -210,6 +210,45 @@ object VectorQueries {
       .orderBy("doc_id")
   }
 
+  /** Recall@10 of learned-centroid IVF search against the exact
+    * brute-force answer — the measurement that makes the ANN claim
+    * checkable: (k, n_probe, recall_at_10) as one row. Probing 4 of 16
+    * k-means cells reads ~1/4 of the corpus; recall says what that
+    * saving costs for THIS data.
+    *
+    * Deliberately absent from [[oracles]]: k-means is not
+    * SQL-expressible, so the driver records the rows-only check here;
+    * the recall value itself is pinned by AnnSpec on a fixture whose
+    * exact answer is known, and every IVF building block (v07/v08/v11)
+    * keeps its full hash-checked oracle via seeded centroids.
+    */
+  def ivfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val exact = Search.topK(corpus, queryVec(emb),
+      "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("hit"))
+    val centroids = Ann.kmeansCentroids(corpus, "vec_id", "embedding", 16)
+    val assigned = Ann.ivfAssign(corpus, centroids, "vec_id", "embedding")
+    // recall must rise monotonically in n_probe and reach exactly 1.0 at
+    // 16/16 (all cells probed ≡ exact scan) — a built-in self-check.
+    // NOTE: the fixture embeddings are near-uniform random, so partial
+    // probes measure close to n_probe/16 — IVF's saving is honest only
+    // when the data has density structure; this query states the cost.
+    Seq(1L, 4L, 8L, 16L)
+      .map { p =>
+        Ann.ivfSearch(assigned, centroids, queryVec(emb),
+            "vec_id", "embedding", "qe", nProbe = p.toInt, k = 10)
+          .select(lit(p).as("n_probe"), col("vec_id"))
+      }
+      .reduce(_ unionByName _)
+      .join(exact, Seq("vec_id"), "left")
+      .groupBy("n_probe")
+      .agg((sum(coalesce(col("hit"), lit(0L))) / lit(10.0))
+        .as("recall_at_10"))
+      .orderBy("n_probe")
+  }
+
   /** DuckDB oracles. `embeddings`/`documents` resolve to the same parquet. */
   val oracles: Map[String, String] = Map(
     "v01_knn_topk" ->
@@ -433,5 +472,6 @@ object VectorQueries {
     "v10_batch_search_heap" -> (batchSearchHeap(_, _)),
     "v11_bucketed_near_dup" -> (bucketedNearDup(_, _)),
     "v12_srp_sketch" -> (srpSketch(_, _)),
-    "v13_hybrid_rrf" -> (hybridRrf(_, _)))
+    "v13_hybrid_rrf" -> (hybridRrf(_, _)),
+    "v14_ivf_recall" -> (ivfRecall(_, _)))
 }

@@ -54,6 +54,53 @@ class AnnSpec extends SparkSpec {
     assert(got == Seq((1L, 3L), (1L, 4L), (2L, 5L), (2L, 6L), (3L, 4L), (5L, 6L)))
   }
 
+  test("kmeansCentroids learns the two clusters; assignment matches") {
+    val centroids = Ann.kmeansCentroids(emb, "vec_id", "embedding", 2)
+    // learned centers must separate the (10,0)-ish and (0,10)-ish groups
+    val byCell = Ann.ivfAssign(emb, centroids, "vec_id", "embedding")
+      .select("centroid_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    assert(byCell == Set(Set(1L, 3L, 4L), Set(2L, 5L, 6L)), s"got $byCell")
+  }
+
+  test("kmeansCentroids is deterministic across calls") {
+    def centers = Ann.kmeansCentroids(emb, "vec_id", "embedding", 2)
+      .orderBy("centroid_id").as[(Long, Seq[Float])].collect().toSeq
+    assert(centers == centers)
+  }
+
+  test("learned-centroid IVF recall >= seeded on a skewed fixture") {
+    // 1 lonely far point + a dense blob: seeded centroids (2 lowest ids)
+    // both land in the blob's first points, learned ones track density
+    val pts = (1L, Seq(100f, 100f)) +: (2L to 20L).map(i =>
+      (i, Seq(i.toFloat / 100f, 1f + (i % 3).toFloat / 10f)))
+    val data = vecsDf(pts: _*)
+    val q = Seq(Tuple1(Array(0.1f, 1f))).toDF("qe")
+    def recallWith(centroids: org.apache.spark.sql.DataFrame): Double = {
+      val assigned = Ann.ivfAssign(data, centroids, "vec_id", "embedding")
+      val ivf = Ann.ivfSearch(assigned, centroids, q,
+        "vec_id", "embedding", "qe", nProbe = 1, k = 5)
+        .select("vec_id").as[Long].collect().toSet
+      val exact = Search.topK(data, q, "vec_id", "embedding", "qe", 5)
+        .select("vec_id").as[Long].collect().toSet
+      (ivf & exact).size.toDouble / exact.size
+    }
+    val learned = recallWith(
+      Ann.kmeansCentroids(data, "vec_id", "embedding", 2))
+    val seeded = recallWith(
+      Ann.seedCentroids(data, "vec_id", "embedding", 2))
+    assert(learned >= seeded, s"learned=$learned seeded=$seeded")
+    assert(learned == 1.0, s"learned centroids should isolate the blob: $learned")
+  }
+
+  test("cosineNearDupPairs aborts above its input-size guard") {
+    val e = intercept[Exception] {
+      Ann.cosineNearDupPairs(emb, "vec_id", "embedding", 0.95,
+        maxInputRows = 3).count()
+    }
+    assert(e.getMessage.contains("maxInputRows"), e.getMessage)
+  }
+
   test("bucketedNearDupPairs ≡ exact pairs when clusters are clean") {
     val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 2)
     val exact = Ann.cosineNearDupPairs(emb, "vec_id", "embedding", 0.95)
