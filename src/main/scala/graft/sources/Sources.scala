@@ -34,4 +34,44 @@ object Sources {
 
   def readJson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  /** Opaque whole-file scan: (path, length, payload) per file — the
+    * multimodal entry point (payload stays `binary`; see
+    * [[graft.operators.Multimodal]]).
+    */
+  def binaryDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("source"),
+        col("length"), col("content").as("payload"))
+
+  /** Migration path for an existing reference store: read a
+    * `vectors.db` SQLite file (reference server.js:21-32 schema:
+    * `documents(id INTEGER PRIMARY KEY, content TEXT UNIQUE, vector
+    * BLOB)`) into (doc_id, content, vector) with the 1536-dim
+    * little-endian float32 blob decoded (reference server.js:86).
+    *
+    * `path` may be a glob over many .db files; parsing runs inside
+    * executors, one task per file ([[SqliteReader]] is a pure function
+    * over the file bytes). A single SQLite file is an inherently
+    * serial read — the format is single-node by design — so this is
+    * the one-time migration scan, not an operational source: land the
+    * output in the parquet store and query that.
+    */
+  def fromSqliteDocuments(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.floatVectorFromBinary
+    spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        SqliteReader.readTable(bytes, "documents").map { r =>
+          (r.values(0).asInstanceOf[Long],
+            r.values(1).asInstanceOf[String],
+            r.values(2).asInstanceOf[Array[Byte]])
+        }
+      }
+      .toDF("doc_id", "content", "vector_blob")
+      .select(col("doc_id"), col("content"),
+        floatVectorFromBinary(col("vector_blob")).as("vector"))
+  }
 }

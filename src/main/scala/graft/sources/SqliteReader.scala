@@ -1,0 +1,206 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+
+/** Minimal read-only parser for the SQLite database file format
+  * (format 3, the public on-disk format documented at
+  * sqlite.org/fileformat2) — just enough to migrate a reference-style
+  * `vectors.db` (reference server.js:21-32: one rowid table
+  * `documents(id INTEGER PRIMARY KEY, content TEXT UNIQUE, vector
+  * BLOB)`) into the engine without a JDBC driver, which this
+  * zero-dependency build does not ship.
+  *
+  * Supported: table B-trees (interior + leaf pages), overflow-page
+  * chains (the 6144-byte float32 blobs always overflow a 4096-byte
+  * page), all integer/float/text/blob serial types, rowid-alias
+  * columns (INTEGER PRIMARY KEY stores NULL in the record; the value
+  * is the B-tree rowid). Not supported (not needed for migration
+  * reads): indexes, freelists, WAL, pointer-map pages, non-UTF8 text
+  * encodings.
+  *
+  * Pure function over the file bytes → runs inside executors; see
+  * [[Sources.fromSqliteDocuments]] for the distributed wiring.
+  */
+object SqliteReader {
+
+  /** One decoded cell: the B-tree rowid plus the record's column
+    * values (null | Long | Double | String | Array[Byte]). */
+  final case class Row(rowid: Long, values: IndexedSeq[Any])
+
+  private final class Db(bytes: Array[Byte]) {
+    require(bytes.length >= 100 &&
+      new String(bytes, 0, 16, "ISO-8859-1").startsWith("SQLite format 3"),
+      "not a SQLite format 3 file")
+    private val declaredPageSize =
+      ((bytes(16) & 0xff) << 8) | (bytes(17) & 0xff)
+    val pageSize: Int =
+      if (declaredPageSize == 1) 65536 else declaredPageSize
+    val usable: Int = pageSize - (bytes(20) & 0xff)
+
+    def u8(off: Int): Int = bytes(off) & 0xff
+    def u16(off: Int): Int = (u8(off) << 8) | u8(off + 1)
+    def u32(off: Int): Long =
+      (u8(off).toLong << 24) | (u8(off + 1) << 16) |
+        (u8(off + 2) << 8) | u8(off + 3)
+
+    /** Absolute offset of page `n` (1-based). */
+    def pageOff(n: Long): Int = ((n - 1) * pageSize).toInt
+
+    /** (value, bytesConsumed) of the varint at `off`. */
+    def varint(off: Int): (Long, Int) = {
+      var v = 0L
+      var i = 0
+      while (i < 8) {
+        val b = u8(off + i)
+        v = (v << 7) | (b & 0x7f)
+        i += 1
+        if ((b & 0x80) == 0) return (v, i)
+      }
+      ((v << 8) | u8(off + 8), 9) // 9th byte contributes all 8 bits
+    }
+
+    /** Walk the table B-tree rooted at `root`, decoding every leaf cell
+      * (payload reassembled across overflow chains).
+      */
+    def tableRows(root: Long): Iterator[Row] = {
+      val off = pageOff(root)
+      val hdr = off + (if (root == 1L) 100 else 0)
+      u8(hdr) match {
+        case 0x05 => // interior table page: recurse into children
+          val nCells = u16(hdr + 3)
+          // cell pointer array starts after the 12-byte interior header;
+          // each cell = 4-byte child page + varint key
+          val children = (0 until nCells).map { i =>
+            val cellOff = off + u16(hdr + 12 + 2 * i)
+            u32(cellOff)
+          } :+ u32(hdr + 8) // right-most pointer
+          children.iterator.flatMap(tableRows)
+        case 0x0d => // leaf table page
+          val nCells = u16(hdr + 3)
+          (0 until nCells).iterator.map { i =>
+            val cellOff = off + u16(hdr + 8 + 2 * i)
+            readLeafCell(cellOff)
+          }
+        case t => throw new IllegalStateException(
+          s"unexpected b-tree page type 0x${t.toHexString} at page $root")
+      }
+    }
+
+    private def readLeafCell(cellOff: Int): Row = {
+      val (payloadLen, n1) = varint(cellOff)
+      val (rowid, n2) = varint(cellOff + n1)
+      val payloadOff = cellOff + n1 + n2
+      val maxLocal = usable - 35
+      val payload: Array[Byte] =
+        if (payloadLen <= maxLocal) {
+          java.util.Arrays.copyOfRange(bytes, payloadOff,
+            payloadOff + payloadLen.toInt)
+        } else {
+          // overflow: the documented local-size formula, then a chain of
+          // overflow pages each holding (usable - 4) payload bytes
+          val minLocal = (usable - 12) * 32 / 255 - 23
+          val k = minLocal + ((payloadLen - minLocal) % (usable - 4)).toInt
+          val local = if (k > maxLocal) minLocal else k
+          val out = new Array[Byte](payloadLen.toInt)
+          System.arraycopy(bytes, payloadOff, out, 0, local)
+          var written = local
+          var page = u32(payloadOff + local)
+          while (page != 0L && written < payloadLen) {
+            val po = pageOff(page)
+            val take = math.min(usable - 4, payloadLen.toInt - written)
+            System.arraycopy(bytes, po + 4, out, written, take)
+            written += take
+            page = u32(po)
+          }
+          require(written == payloadLen,
+            s"overflow chain ended early: $written of $payloadLen bytes")
+          out
+        }
+      Row(rowid, decodeRecord(payload))
+    }
+
+    /** Decode a record payload: header of serial types, then values. */
+    private def decodeRecord(p: Array[Byte]): IndexedSeq[Any] = {
+      def pVarint(off: Int): (Long, Int) = {
+        var v = 0L
+        var i = 0
+        while (i < 8) {
+          val b = p(off + i) & 0xff
+          v = (v << 7) | (b & 0x7f)
+          i += 1
+          if ((b & 0x80) == 0) return (v, i)
+        }
+        ((v << 8) | (p(off + 8) & 0xff), 9)
+      }
+      val (hdrLen, n0) = pVarint(0)
+      var off = n0
+      val types = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (off < hdrLen) {
+        val (t, n) = pVarint(off)
+        types += t
+        off += n
+      }
+      var dataOff = hdrLen.toInt
+      types.map { t =>
+        def int(nBytes: Int): Long = {
+          var v = if ((p(dataOff) & 0x80) != 0) -1L else 0L // sign-extend
+          var i = 0
+          while (i < nBytes) { v = (v << 8) | (p(dataOff + i) & 0xff); i += 1 }
+          dataOff += nBytes
+          v
+        }
+        t match {
+          case 0 => null
+          case 1 => int(1)
+          case 2 => int(2)
+          case 3 => int(3)
+          case 4 => int(4)
+          case 5 => int(6)
+          case 6 => int(8)
+          case 7 =>
+            val v = java.lang.Double.longBitsToDouble(int(8)); v
+          case 8 => 0L
+          case 9 => 1L
+          case n if n >= 13 && n % 2 == 1 => // text
+            val len = ((n - 13) / 2).toInt
+            val s = new String(p, dataOff, len, "UTF-8")
+            dataOff += len
+            s
+          case n if n >= 12 && n % 2 == 0 => // blob
+            val len = ((n - 12) / 2).toInt
+            val b = java.util.Arrays.copyOfRange(p, dataOff, dataOff + len)
+            dataOff += len
+            b
+          case other =>
+            throw new IllegalStateException(s"reserved serial type $other")
+        }
+      }.toIndexedSeq
+    }
+
+    /** rootpage of `table` from sqlite_master (B-tree at page 1; its
+      * rows are (type, name, tbl_name, rootpage, sql)). */
+    def rootPageOf(table: String): Long =
+      tableRows(1L)
+        .collectFirst {
+          case Row(_, vs)
+              if vs.lift(0).contains("table") && vs.lift(1).contains(table) =>
+            vs(3).asInstanceOf[Long]
+        }
+        .getOrElse(throw new NoSuchElementException(
+          s"table '$table' not found in sqlite_master"))
+  }
+
+  /** All rows of `table`, rowid-aliased NULL integer-primary-key
+    * columns resolved to the rowid.
+    */
+  def readTable(bytes: Array[Byte], table: String): Iterator[Row] = {
+    val db = new Db(bytes)
+    db.tableRows(db.rootPageOf(table)).map { r =>
+      // `INTEGER PRIMARY KEY` columns store NULL; surface the rowid so
+      // callers see the value SQL would return
+      if (r.values.nonEmpty && r.values.head == null)
+        r.copy(values = r.rowid +: r.values.tail)
+      else r
+    }
+  }
+}
