@@ -40,6 +40,27 @@ abstract class VectorBinaryExpression extends BinaryExpression {
       case _         => a.getDouble(i)
     }
 
+  /** Common length of both vectors; mismatched dimensions RAISE (like
+    * DuckDB's list_cosine_similarity) — silently truncating to the
+    * shorter vector would return a plausible-looking score for what is
+    * always a caller bug.
+    */
+  @inline protected final def checkedLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n != m) throw new IllegalArgumentException(
+      s"$prettyName: vector dimensions differ: $n vs $m")
+    n
+  }
+
+  /** Codegen twin of [[checkedLen]]: declares `final int n`. */
+  protected final def jCheckedLen(a: String, b: String, n: String): String =
+    s"""final int $n = $a.numElements();
+       |if ($n != $b.numElements()) {
+       |  throw new IllegalArgumentException(
+       |    "$prettyName: vector dimensions differ: " + $n + " vs " + $b.numElements());
+       |}""".stripMargin
+
   /** Java accessor snippet for codegen, widened to double. */
   protected final def jGet(arr: String, dt: DataType, i: String): String =
     dt match {
@@ -61,7 +82,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val lt = elementType(left)
     val rt = elementType(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -83,7 +104,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${jCheckedLen(a, b, n)}
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $x = ${jGet(a, elementType(left), i)};
@@ -110,7 +131,7 @@ case class DotProduct(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val lt = elementType(left)
     val rt = elementType(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     var dot = 0.0
     var i = 0
     while (i < n) { dot += elem(a, lt, i) * elem(b, rt, i); i += 1 }
@@ -123,7 +144,7 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${jCheckedLen(a, b, n)}
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += (${jGet(a, elementType(left), i)}) * (${jGet(b, elementType(right), i)});
@@ -147,7 +168,7 @@ case class L2Distance(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val lt = elementType(left)
     val rt = elementType(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -165,7 +186,7 @@ case class L2Distance(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${jCheckedLen(a, b, n)}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $d = (${jGet(a, elementType(left), i)}) - (${jGet(b, elementType(right), i)});

@@ -35,12 +35,26 @@ object VectorFunctions {
   def floatVectorToBinary(v: Column): Column =
     Bridge.column(graft.expressions.FloatVectorToBinary(Bridge.expression(v)))
 
+  /** Mismatched dimensions RAISE, matching the kernel expressions'
+    * [[graft.expressions.VectorBinaryExpression]] semantics — without
+    * this, zip_with's null-padding would make the "bit-identical" HOF
+    * twin silently diverge from the kernel on bad input.
+    */
+  private def requireSameDim(a: Column, b: Column, op: String,
+                             result: Column): Column =
+    when(size(a) =!= size(b),
+      raise_error(concat(lit(s"$op: vector dimensions differ: "),
+        size(a).cast("string"), lit(" vs "), size(b).cast("string")))
+        .cast("double"))
+      .otherwise(result)
+
   /** dot(a,b) via built-ins: aggregate(zip_with(a, b, *), 0.0, +). */
   def dotProductHof(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    requireSameDim(a, b, "dot_product_hof",
+      aggregate(
+        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0),
+        (acc, x) => acc + x))
 
   def l2NormHof(a: Column): Column = sqrt(dotProductHof(a, a))
 

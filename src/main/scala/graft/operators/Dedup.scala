@@ -51,6 +51,12 @@ object Dedup {
     * longer than maxDf) before pairing, the standard frequency cap that
     * bounds fan-out at scale: a shingle shared by d docs yields
     * d·(d-1)/2 pair rows, so the blow-up is O(sum over shingles of d²).
+    *
+    * OWNERSHIP: persists the postings intermediate (it feeds two
+    * branches) and, being lazy, cannot unpersist it — the caller that
+    * evaluates the result releases it (`unpersist`/`clearCache`), as
+    * Bench/Verify do between queries. Same contract as
+    * [[lshCandidatePairs]].
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,

@@ -18,14 +18,20 @@ object Skew {
     * the unsalted join exactly; only the shuffle layout changes.
     *
     * The salt must vary WITHIN a key (that is the whole point), so it is
-    * derived from the whole row, not the key: hash of all big-side
-    * columns mod salts.
+    * derived from the whole row plus a per-row ordinal
+    * (`monotonically_increasing_id`) — without the ordinal, fully
+    * IDENTICAL duplicate rows (a common real skew shape: repeated
+    * events) would all hash to one salt and still pile onto a single
+    * reducer. Any salt value is correct for an inner equi-join (the
+    * small side carries every salt), so nondeterminism here only moves
+    * rows between reducers, never changes the result.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      pmod(xxhash64((big.columns.map(col)
+        :+ monotonically_increasing_id()).toIndexedSeq: _*), lit(salts)))
     val exploded = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")

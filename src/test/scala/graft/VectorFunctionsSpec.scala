@@ -79,6 +79,20 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(m == Seq(2.0, 3.0))
   }
 
+  test("mismatched dimensions raise in both kernel and HOF variants") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val kernel = intercept[Exception] {
+      df.select(cosineSim(col("a"), col("b"))).collect()
+    }
+    assert(kernel.getMessage.contains("dimensions differ") ||
+      kernel.getCause.getMessage.contains("dimensions differ"))
+    val hof = intercept[Exception] {
+      df.select(cosineSimHof(col("a"), col("b"))).collect()
+    }
+    assert(hof.getMessage.contains("dimensions differ") ||
+      hof.getCause.getMessage.contains("dimensions differ"))
+  }
+
   test("double arrays are accepted too (type-polymorphic expression)") {
     val c = Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
       .select(cosineSim(col("a"), col("b"))).as[Double].head()
