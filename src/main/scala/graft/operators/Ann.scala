@@ -40,7 +40,7 @@ object Ann {
     * training passes themselves are distributed MLlib jobs.
     */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                      nCentroids: Int, maxIter: Int = 20,
+                      nCentroids: Int, maxIter: Int = 8,
                       seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector

@@ -66,6 +66,12 @@ object Dedup {
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) <= maxDf)
       .persist() // feeds both the sizes and the pair branch
+    // materialize NOW: the downstream join evaluates `sizes` inside a
+    // broadcast future that runs CONCURRENTLY with the main job, and a
+    // lazily-persisted frame gives racing readers each a full recompute
+    // of the shingle scan (measured 3-10x bench inflation); one eager
+    // pass pins the cache first (same precedent as Ingest.buildIndex)
+    postings.count()
     val sizes = postings
       .select(explode(col("ids")).as(idCol))
       .groupBy(col(idCol)).agg(count("*").as("sz"))
@@ -127,8 +133,11 @@ object Dedup {
     // caching them is strictly cheaper than one recomputation. The cache
     // cannot be unpersisted here (the returned plan is lazy) — callers
     // that loop over corpora should clearCache()/unpersist between calls
-    // (Bench/Verify do).
+    // (Bench/Verify do). Materialized eagerly so the self-join's two
+    // sides (one of which may evaluate inside a concurrent broadcast
+    // future) read the cache instead of racing to recompute it.
     sigs.persist()
+    sigs.count()
     val banded = sigs.select(
         col(idCol),
         col("signature"),

@@ -37,8 +37,18 @@ object TextQueries {
       .agg(count("*").as("n_unique"), sum("doc_id").as("sum_keeper_ids"))
   }
 
+  /** The fixture corpus is ONE small parquet file = one input split, so
+    * without this the CPU-heavy shingle explode serializes onto a single
+    * task; hashing docs across the cores first costs one skinny
+    * (id, text) shuffle. At production scale the scan already yields
+    * >= cores splits and the repartition coalesces away into a no-op
+    * cost-wise (same key, balanced).
+    */
+  private def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir),
+    Dedup.ngramJaccardPairs(spread(Tables.documents(spark, sfDir), "doc_id"),
         "doc_id", "text", n = 3, threshold = 0.1, maxDf = 1000L)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
@@ -56,8 +66,8 @@ object TextQueries {
       .orderBy("doc_id")
 
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = Dedup.minHash(Tables.documents(spark, sfDir), "doc_id", "text",
-      n = 3, numHashes = 16)
+    val sigs = Dedup.minHash(spread(Tables.documents(spark, sfDir), "doc_id"),
+      "doc_id", "text", n = 3, numHashes = 16)
     Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4)
       .select(col("id_a"), col("id_b"),
         round(col("est_jaccard"), 6).as("est_jaccard"))

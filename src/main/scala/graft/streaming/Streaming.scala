@@ -26,22 +26,26 @@ object Streaming {
     * host CPU count (32 on the bench host) multiplies that fixed overhead
     * for kilobyte-scale state while adding nothing — state stores are
     * I/O-bound, not CPU-bound. A real deployment sizes this to state
-    * VOLUME (keys × state size / healthy-store size), never to cores;
-    * 8 keeps enough parallelism for the fixture scales while staying
-    * cheap at any core count.
+    * VOLUME (keys × state size / healthy-store size), never to cores —
+    * set `graft.streaming.statePartitions` in the session conf to
+    * override the default of 4.
     */
-  val StatePartitions = 8
+  val DefaultStatePartitions = 4
+
+  def statePartitions(spark: SparkSession): Int =
+    spark.conf.getOption("graft.streaming.statePartitions")
+      .map(_.toInt).getOrElse(DefaultStatePartitions)
 
   /** Run `body` (which must both start AND drain the streaming query)
-    * with `spark.sql.shuffle.partitions` pinned to [[StatePartitions]].
-    * The value is captured by the query at start and kept for the
-    * checkpoint's lifetime; batch queries around it are unaffected
-    * because the previous value is restored on exit.
+    * with `spark.sql.shuffle.partitions` pinned to
+    * [[statePartitions]]. The value is captured by the query at start
+    * and kept for the checkpoint's lifetime; batch queries around it
+    * are unaffected because the previous value is restored on exit.
     */
   private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key, StatePartitions.toString)
+    spark.conf.set(key, statePartitions(spark).toString)
     try body
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
