@@ -15,11 +15,13 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_EVENTLOG_DIR", "/tmp/spark-events"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Two timed runs per query, report the faster: the first run of a
+    // Timed runs per query, report the fastest: the first run of a
     // plan shape pays one-time janino/JIT compilation (seconds of noise
-    // on sub-second queries); min-of-2 measures the steady state.
+    // on sub-second queries), and the build host has noisy neighbors —
+    // min-of-3 measures the steady state through transient load spikes.
     // clearCache between runs drops per-call persisted intermediates
     // (LSH signatures, postings) so data is still computed fresh.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     // Local-iteration filter: comma-separated query-name prefixes.
     // Unset (the driver's case) => full inventory.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -27,7 +29,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.exists(n.startsWith) }
       .map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // a failed query must NOT masquerade as a fast success: -1 marker
         val dt =
