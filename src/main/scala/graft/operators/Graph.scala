@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Small graph toolkit for the dedup pipeline: near-duplicate PAIRS
+  * (from [[Dedup]]/[[Ann]]) are only half the job — to keep one
+  * representative per duplicate GROUP you need the transitive closure,
+  * i.e. connected components over the pair graph. The reference
+  * deduplicates by exact content only (INSERT OR IGNORE,
+  * server.js:198), so this is beyond-reference capability every
+  * training-data pipeline needs.
+  */
+object Graph {
+
+  /** Connected components by iterative min-label propagation: every
+    * node starts labeled with itself; each round a node adopts the
+    * minimum label among itself and its neighbors; at fixpoint the
+    * label IS the component id (the smallest node id in the component).
+    *
+    * Convergence takes O(component diameter) rounds — near-dup
+    * clusters are shallow (stars/cliques around a popular document),
+    * so the loop is short in practice; `maxIter` bounds adversarial
+    * chains and the result is still a valid partition refinement if
+    * truncated (only over-segmented, never wrongly merged). Each round
+    * is one equi-join + one min-aggregate, both shuffled on node id —
+    * the alternating-star optimization (Kiveris et al., "Connected
+    * Components in MapReduce") drops in here if diameters ever matter.
+    *
+    * Iterative-by-nature: runs Spark actions per round (an eager
+    * localCheckpoint + the convergence count), like MLlib's iterative
+    * fitters. The returned frame is locally checkpointed; its blocks
+    * are released by Spark's context cleaner once unreferenced.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    // localCheckpoint (eager), NOT persist: each round's plan references
+    // the previous round's labels twice (join + union), so lineage
+    // doubles per round — persist truncates recompute but not the
+    // logical plan, and 15 rounds of doubling OOMs the planner.
+    // Checkpointing cuts the lineage at every round.
+    var labels = und.select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborLabels = und
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .select(col("src").as("node"), col("label"))
+      val updated = labels.unionByName(neighborLabels)
+        .groupBy("node")
+        .agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.select(col("node"), col("label").as("old")), "node")
+        .filter(col("label") < col("old"))
+        .count()
+      labels = updated
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+}

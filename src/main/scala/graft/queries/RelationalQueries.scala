@@ -243,6 +243,32 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Bucketed range join ([[graft.operators.RangeJoin]]): lineitems
+    * shipped inside 30-day "promo windows" opened by the 20 priciest
+    * orders. A naive BETWEEN theta join is a nested-loop cross; the
+    * bucketed formulation is an equi-join on window-sized buckets —
+    * exactly-once per qualifying pair, shuffle keyed on bucket id.
+    */
+  def rangeJoinPromos(spark: SparkSession, sfDir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val ships = Tables.lineitem(spark, sfDir)
+      .select(datediff(col("l_shipdate"), epoch).as("ship_day"),
+        col("l_quantity"))
+    val promos = Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey").as("promo_id"),
+        datediff(col("o_orderdate"), epoch).as("lo"))
+      .withColumn("hi", col("lo") + 30)
+    graft.operators.RangeJoin
+      .pointInInterval(ships, promos, "ship_day", "lo", "hi",
+        bucketWidth = 30L)
+      .groupBy("promo_id")
+      .agg(count("*").as("n_shipped"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("promo_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_pricing_summary" -> (pricingSummary(_, _)),
     "r02_revenue_by_segment" -> (revenueBySegment(_, _)),
@@ -261,7 +287,8 @@ object RelationalQueries {
     "r15_window_funcs" -> (windowFuncs(_, _)),
     "r16_semi_join" -> (openOrderCustomers(_, _)),
     "r17_big_join" -> (revenueByPriority(_, _)),
-    "r18_asof_join" -> (asOfEnrichment(_, _)))
+    "r18_asof_join" -> (asOfEnrichment(_, _)),
+    "r19_range_join" -> (rangeJoinPromos(_, _)))
 
   val oracles: Map[String, String] = Map(
     "r01_pricing_summary" ->
@@ -374,6 +401,20 @@ object RelationalQueries {
         |  price_w AS (PARTITION BY o_custkey
         |              ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, seq""".stripMargin,
+    "r19_range_join" ->
+      """WITH promos AS (
+        |  SELECT o_orderkey AS promo_id,
+        |         date_diff('day', DATE '1970-01-01', o_orderdate) AS lo,
+        |         date_diff('day', DATE '1970-01-01', o_orderdate) + 30 AS hi
+        |  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20),
+        |ships AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', l_shipdate) AS ship_day,
+        |         l_quantity
+        |  FROM lineitem)
+        |SELECT promo_id, count(*) AS n_shipped,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM promos p JOIN ships s ON s.ship_day BETWEEN p.lo AND p.hi
+        |GROUP BY promo_id ORDER BY promo_id""".stripMargin,
     "r18_asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts, value FROM events

@@ -53,6 +53,22 @@ object TextQueries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** Near-duplicate GROUPS: connected components over the t03 pair
+    * graph ([[graft.operators.Graph.connectedComponents]]) — the
+    * transitive closure that turns pairwise evidence into "keep one per
+    * cluster" dedup decisions. Oracle: the same closure as a DuckDB
+    * recursive CTE. Output (component = min doc_id, n_docs).
+    */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+      spread(Tables.documents(spark, sfDir), "doc_id"),
+      "doc_id", "text", n = 3, threshold = 0.1, maxDf = 1000L)
+    graft.operators.Graph.connectedComponents(pairs, "id_a", "id_b")
+      .groupBy(col("label").as("component"))
+      .agg(count("*").as("n_docs"))
+      .orderBy("component")
+  }
+
   /** First 4 MinHash signature components per doc — pins the signature
     * math itself against the oracle. */
   def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
@@ -192,7 +208,8 @@ object TextQueries {
     "t12_tokenize_html" -> (tokenizeHtml(_, _)),
     "t13_relevant_tokens" -> (relevantTokens(_, _)),
     "t14_simhash_near_dup" -> (simhashNearDup(_, _)),
-    "t15_bm25" -> (bm25(_, _)))
+    "t15_bm25" -> (bm25(_, _)),
+    "t16_dup_clusters" -> (dupClusters(_, _)))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -226,6 +243,27 @@ object TextQueries {
     """list_distinct(CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
       |ELSE list_transform(range(0, len(ws) - 2),
       |       i -> array_to_string(ws[(i+1):(i+3)], ' ')) END)""".stripMargin
+
+  /** The n-gram-Jaccard candidate-pair pipeline as CTEs ending in
+    * `jpairs(id_a, id_b, jac)` — shared by t03 (the pairs themselves)
+    * and t16 (connected components over them). */
+  private lazy val jaccardPairCtes =
+    s"""s AS (
+       |  SELECT doc_id, unnest(list_transform($shinglesExpr,
+       |    sh -> ${hash60("sh")})) AS shingle
+       |  FROM (SELECT doc_id, $wsExpr AS ws FROM documents)),
+       |keep AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) <= 1000),
+       |f AS (SELECT s.* FROM s JOIN keep USING (shingle)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM f GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jpairs AS (
+       |  SELECT id_a, id_b, i / (sa.sz + sb.sz - i) AS jac
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b)""".stripMargin
       .replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
@@ -245,24 +283,23 @@ object TextQueries {
         |  FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |  GROUP BY text)""".stripMargin,
     "t03_ngram_jaccard" ->
-      s"""WITH s AS (
-         |  SELECT doc_id, unnest(list_transform($shinglesExpr,
-         |    sh -> ${hash60("sh")})) AS shingle
-         |  FROM (SELECT doc_id, $wsExpr AS ws FROM documents)),
-         |keep AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) <= 1000),
-         |f AS (SELECT s.* FROM s JOIN keep USING (shingle)),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM f GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-         |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b,
-         |       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
-         |FROM inter
-         |JOIN sizes sa ON sa.doc_id = id_a
-         |JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE i / (sa.sz + sb.sz - i) >= 0.1
+      s"""WITH $jaccardPairCtes
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard
+         |FROM jpairs WHERE jac >= 0.1
          |ORDER BY id_a, id_b""".stripMargin,
+    "t16_dup_clusters" ->
+      s"""WITH RECURSIVE $jaccardPairCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jac >= 0.1
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM jpairs WHERE jac >= 0.1),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+         |SELECT component, count(*) AS n_docs FROM (
+         |  SELECT node, min(label) AS component FROM walk GROUP BY node)
+         |GROUP BY component ORDER BY component""".stripMargin,
     "t04_minhash_sig" ->
       s"""WITH sh AS (
          |  SELECT doc_id, list_transform($shinglesExpr, s -> ${hash60("s")}) AS hb
