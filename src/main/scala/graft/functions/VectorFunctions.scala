@@ -35,6 +35,12 @@ object VectorFunctions {
   def floatVectorToBinary(v: Column): Column =
     Bridge.column(graft.expressions.FloatVectorToBinary(Bridge.expression(v)))
 
+  /** Symmetric int8 quantization codes (see
+    * [[graft.expressions.Int8Quantize]]); feed straight into
+    * [[cosineSim]] — per-vector scale cancels. */
+  def int8Quantize(v: Column): Column =
+    Bridge.column(graft.expressions.Int8Quantize(Bridge.expression(v)))
+
   /** Mismatched dimensions RAISE, matching the kernel expressions'
     * [[graft.expressions.VectorBinaryExpression]] semantics — without
     * this, zip_with's null-padding would make the "bit-identical" HOF

@@ -269,6 +269,30 @@ object RelationalQueries {
       .orderBy("promo_id")
   }
 
+  /** Heavy hitters: the [[graft.operators.Skew.keyHistogram]] pre-flight
+    * that sizes a salting factor, as an oracle-checked query — top-20
+    * event users by frequency, deterministic tie-break on key.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Skew
+      .keyHistogram(Tables.events(spark, sfDir), "user_id", topN = 20)
+
+  /** Exact interpolated percentiles of lineitem quantity per return
+    * flag — Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * p·(n−1) linear-interpolation definition, so values hash-match.
+    * (The approximate twin at 100 TB is `approx_percentile`, one pass,
+    * mergeable sketch; exact percentile shuffles each group's values.)
+    */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_pricing_summary" -> (pricingSummary(_, _)),
     "r02_revenue_by_segment" -> (revenueBySegment(_, _)),
@@ -288,7 +312,9 @@ object RelationalQueries {
     "r16_semi_join" -> (openOrderCustomers(_, _)),
     "r17_big_join" -> (revenueByPriority(_, _)),
     "r18_asof_join" -> (asOfEnrichment(_, _)),
-    "r19_range_join" -> (rangeJoinPromos(_, _)))
+    "r19_range_join" -> (rangeJoinPromos(_, _)),
+    "r20_heavy_hitters" -> (heavyHitters(_, _)),
+    "r21_percentiles" -> (percentiles(_, _)))
 
   val oracles: Map[String, String] = Map(
     "r01_pricing_summary" ->
@@ -401,6 +427,16 @@ object RelationalQueries {
         |  price_w AS (PARTITION BY o_custkey
         |              ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, seq""".stripMargin,
+    "r20_heavy_hitters" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
+    "r21_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "r19_range_join" ->
       """WITH promos AS (
         |  SELECT o_orderkey AS promo_id,

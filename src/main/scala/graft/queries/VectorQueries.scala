@@ -249,6 +249,29 @@ object VectorQueries {
       .orderBy("n_probe")
   }
 
+  /** k-NN over int8-quantized codes ([[graft.expressions.Int8Quantize]]):
+    * the 4× memory/bandwidth cut for the index at scale. Per-vector
+    * scale cancels in cosine, so ranking runs on raw codes with the
+    * same codegen kernel — no dequantize pass. The oracle replicates
+    * quantization exactly (floor(x/scale + 0.5), scale = max|x|/127),
+    * so the quantization error is pinned, not hidden: qscore is the
+    * real quantized similarity, top-k is the real quantized ranking.
+    */
+  def quantizedKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.int8Quantize
+    val emb = Tables.embeddings(spark, sfDir)
+    val codes = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), int8Quantize(col("embedding")).as("codes"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(int8Quantize(col("embedding")).as("qcodes"))
+    codes.crossJoin(broadcast(q))
+      .select(col("vec_id"), cosineSim(col("codes"), col("qcodes")).as("s"))
+      .orderBy(col("s").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("s"), 6).as("qscore"))
+      .orderBy("vec_id")
+  }
+
   /** DuckDB oracles. `embeddings`/`documents` resolve to the same parquet. */
   val oracles: Map[String, String] = Map(
     "v01_knn_topk" ->
@@ -414,6 +437,28 @@ object VectorQueries {
         |top AS (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10)
         |SELECT doc_id, round(rrf_score, 6) AS rrf_score FROM top
         |ORDER BY doc_id""".stripMargin,
+    "v15_quantized_knn" ->
+      """WITH d AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e,
+        |         list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0
+        |           AS sc
+        |  FROM d),
+        |c AS (
+        |  SELECT vec_id,
+        |         CASE WHEN sc = 0 THEN list_transform(e, x -> 0.0)
+        |              ELSE list_transform(e, x -> floor(x / sc + 0.5)) END
+        |           AS codes
+        |  FROM s),
+        |qc AS (SELECT codes AS qcodes FROM c WHERE vec_id = 0),
+        |top AS (
+        |  SELECT c.vec_id,
+        |         list_cosine_similarity(c.codes, qc.qcodes) AS qscore
+        |  FROM c, qc WHERE c.vec_id <> 0
+        |  ORDER BY qscore DESC, c.vec_id LIMIT 10)
+        |SELECT vec_id, round(qscore, 6) AS qscore FROM top
+        |ORDER BY vec_id""".stripMargin,
     "v12_srp_sketch" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |           FROM embeddings)
@@ -473,5 +518,6 @@ object VectorQueries {
     "v11_bucketed_near_dup" -> (bucketedNearDup(_, _)),
     "v12_srp_sketch" -> (srpSketch(_, _)),
     "v13_hybrid_rrf" -> (hybridRrf(_, _)),
-    "v14_ivf_recall" -> (ivfRecall(_, _)))
+    "v14_ivf_recall" -> (ivfRecall(_, _)),
+    "v15_quantized_knn" -> (quantizedKnn(_, _)))
 }

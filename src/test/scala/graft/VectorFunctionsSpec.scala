@@ -93,6 +93,23 @@ class VectorFunctionsSpec extends SparkSpec {
       hof.getCause.getMessage.contains("dimensions differ"))
   }
 
+  test("int8Quantize: exact codes, cosine preserved, zero vector safe") {
+    // scale = 0.5/127; 0.1/sc=25.4 -> 25, -0.5/sc=-127, 0.25/sc=63.5 -> 64
+    val codes = Seq(Tuple1(Array(0.1f, -0.5f, 0.25f))).toDF("a")
+      .select(int8Quantize(col("a"))).as[Seq[Float]].head()
+    assert(codes == Seq(25f, -127f, 64f))
+    val zero = Seq(Tuple1(Array(0f, 0f))).toDF("a")
+      .select(int8Quantize(col("a"))).as[Seq[Float]].head()
+    assert(zero == Seq(0f, 0f))
+    // quantized cosine approximates the exact cosine (scale cancels)
+    val (exact, quant) = Seq((Array(0.3f, 0.7f, -0.2f), Array(0.31f, 0.69f, -0.18f)))
+      .toDF("a", "b")
+      .select(cosineSim(col("a"), col("b")),
+        cosineSim(int8Quantize(col("a")), int8Quantize(col("b"))))
+      .as[(Double, Double)].head()
+    assert(math.abs(exact - quant) < 0.01, s"$exact vs $quant")
+  }
+
   test("double arrays are accepted too (type-polymorphic expression)") {
     val c = Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
       .select(cosineSim(col("a"), col("b"))).as[Double].head()
