@@ -130,6 +130,20 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
   def loadDocuments(dir: String): Long =
     ingest(Sources.textDir(spark, dir))
 
+  /** One-call migration from a reference `vectors.db` (SQLite; schema
+    * server.js:21-32): contents flow through the NORMAL ingest path —
+    * chunk → hash-embed → content-dedup → id assignment — because this
+    * engine's embedder differs from the reference's OpenAI vectors (the
+    * raw 1536-dim blobs remain accessible via
+    * [[Sources.fromSqliteDocuments]] for side-by-side checks). Returns
+    * newly stored chunk count; re-importing the same db is a no-op
+    * (INSERT OR IGNORE parity).
+    */
+  def importSqlite(dbPath: String): Long =
+    ingest(Sources.fromSqliteDocuments(spark, dbPath)
+      .select(concat(lit("sqlite:"), col("doc_id").cast("string"))
+        .as("source"), col("content").as("text")))
+
   /** POST /search — embed the query, cosine top-k over the index,
     * enrich with content: (doc_id, score, content).
     */

@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, DotProduct, FloatVectorFromBinary, FloatVectorToBinary, L2Distance}
+import graft.expressions.{CosineSimilarity, DotProduct, FloatVectorFromBinary, FloatVectorToBinary, Int8Quantize, L2Distance}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,7 +24,8 @@ object GraftFunctions {
     "dot_product" -> (args => DotProduct(args(0), args(1))),
     "l2_distance" -> (args => L2Distance(args(0), args(1))),
     "float_vector_from_binary" -> (args => FloatVectorFromBinary(args(0))),
-    "float_vector_to_binary" -> (args => FloatVectorToBinary(args(0))))
+    "float_vector_to_binary" -> (args => FloatVectorToBinary(args(0))),
+    "int8_quantize" -> (args => Int8Quantize(args(0))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, b) => Bridge.registerFunction(spark, name, b) }

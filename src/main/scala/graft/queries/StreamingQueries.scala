@@ -58,10 +58,30 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Stream-static join: the event stream enriched against the static
+    * customer dimension (broadcast — the dim is re-read per micro-batch
+    * but never shuffled), then a running aggregate per market segment.
+    * The canonical streaming-enrichment shape: facts stream, dims are
+    * slowly-changing tables on disk.
+    */
+  def streamEnriched(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Streaming.eventsStream(spark, sfDir)
+    val dim = broadcast(graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
+    val agg = ev.join(dim, "user_id")
+      .groupBy("c_mktsegment")
+      .agg(count("*").as("n"), sum("value").as("sum_value"))
+      .select(col("c_mktsegment"), col("n"),
+        round(col("sum_value"), 4).as("sum_value"))
+    Streaming.runAvailableNow(spark, agg, "graft_s04")
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_hourly" -> (streamHourly(_, _)),
     "s02_stream_dedup" -> (streamDedupUsers(_, _)),
-    "s03_stream_sessions" -> (streamSessions(_, _)))
+    "s03_stream_sessions" -> (streamSessions(_, _)),
+    "s04_stream_enrich" -> (streamEnriched(_, _)))
 
   val oracles: Map[String, String] = Map(
     // identical to the batch r12 oracle — THE parity statement
@@ -71,6 +91,10 @@ object StreamingQueries {
         |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
     "s02_stream_dedup" ->
       "SELECT count(DISTINCT user_id) AS n_users FROM events",
+    "s04_stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // identical to the batch r11 oracle — custom state ≡ lag/cumsum
     "s03_stream_sessions" ->
       """WITH g AS (

@@ -16,6 +16,10 @@ class GraftFunctionsSpec extends SparkSpec {
         |       l2_distance(array(0.0D, 3.0D), array(4.0D, 0.0D))""".stripMargin)
       .as[(Double, Double, Double)].head()
     assert(c == 1.0 && d == 11.0 && l == 5.0)
+    val q = spark
+      .sql("SELECT int8_quantize(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)))")
+      .as[Seq[Float]].head()
+    assert(q == Seq(127f, -63f), q)
   }
 
   test("GraftExtensions injects the functions at session build time") {

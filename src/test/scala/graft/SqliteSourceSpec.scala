@@ -60,6 +60,19 @@ class SqliteSourceSpec extends SparkSpec {
     assert(got.forall { case (id, _, v0) => v0 == id.toFloat })
   }
 
+  test("Engine.importSqlite migrates the reference store end-to-end") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_sqlite_store").toString + "/store"
+    val engine = new Engine(spark, store)
+    val n = engine.importSqlite(db)
+    assert(n == 7, s"expected 7 migrated chunks, got $n")
+    // idempotent: re-import dedups everything away (INSERT OR IGNORE)
+    assert(engine.importSqlite(db) == 0)
+    val hit = engine.search("John Likes ice creme", k = 1)
+      .select("content").as[String].head()
+    assert(hit == "John Likes ice creme")
+  }
+
   test("binaryDir payload lengths match the real file sizes") {
     val expected = new java.io.File(docsDir).listFiles()
       .map(f => f.getName -> f.length()).toMap
