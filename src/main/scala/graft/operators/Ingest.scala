@@ -109,6 +109,20 @@ object Ingest {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Store BUCKETED on the join key (catalog table at `path`): two
+    * tables bucketed the same way join WITHOUT any exchange — the
+    * pre-shuffle is paid once at write time, then every doc↔embedding /
+    * store↔batch join is co-located. At 100 TB this converts the
+    * biggest recurring shuffle of the pipeline into a bucket-local
+    * sort-merge; BucketedStoreSpec asserts the exchange-free plan.
+    */
+  def writeStoreBucketed(df: DataFrame, table: String, path: String,
+                         bucketCol: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet").option("path", path)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+
   def readStore(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 }

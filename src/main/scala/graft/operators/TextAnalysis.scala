@@ -107,6 +107,46 @@ object TextAnalysis {
         when(alnumRatio >= 0.6, 0.25).otherwise(0.0)).as("quality"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): highly
+    * repetitive documents are low-quality training data even when the
+    * t08 surface gates pass. Emits per doc:
+    *   - dup_word_frac: 1 − distinct/total words (word-level repetition)
+    *   - top_bigram_frac: occurrences of the most frequent word bigram
+    *     over all bigrams (phrase-level loops)
+    * Bigrams come from a per-doc `lead` window over the exploded token
+    * list — pure relational ops (one shuffle keyed by doc), no per-row
+    * lambda loops, so the whole computation stays codegen'd and the
+    * SQL oracle mirrors it with the same window.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol),
+      posexplode(words(lower(col(textCol)))).as(Seq("pos", "w")))
+    val wordStats = tok.groupBy(col(idCol))
+      .agg(count("*").as("n_words"),
+        countDistinct(col("w")).as("n_distinct"))
+    val bigrams = tok
+      .withColumn("nxt",
+        lead("w", 1).over(Window.partitionBy(col(idCol)).orderBy("pos")))
+      .filter(col("nxt").isNotNull)
+      .select(col(idCol), concat(col("w"), lit(" "), col("nxt")).as("bg"))
+    val bigramStats = bigrams.groupBy(col(idCol), col("bg"))
+      .agg(count("*").as("c"))
+      .groupBy(col(idCol))
+      .agg(max("c").as("top_bg"), sum("c").as("n_bg"))
+    df.select(col(idCol))
+      .join(wordStats, Seq(idCol), "left")
+      .join(bigramStats, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(lit(1.0) - col("n_distinct").cast("double") / col("n_words"),
+          lit(0.0)).as("dup_word_frac"),
+        coalesce(col("top_bg").cast("double") / col("n_bg"), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
   /** Per-document token counts: whitespace words and BPE-ish subword
     * tokens (see [[graft.functions.TextFunctions.bpeTokenCount]]).
     */

@@ -69,6 +69,16 @@ object TextQueries {
       .orderBy("component")
   }
 
+  /** Gopher repetition gates over every document
+    * ([[graft.operators.TextAnalysis.repetitionSignals]]). */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.TextAnalysis
+      .repetitionSignals(Tables.documents(spark, sfDir), "doc_id", "text")
+      .select(col("doc_id"), col("n_words"),
+        round(col("dup_word_frac"), 6).as("dup_word_frac"),
+        round(col("top_bigram_frac"), 6).as("top_bigram_frac"))
+      .orderBy("doc_id")
+
   /** First 4 MinHash signature components per doc — pins the signature
     * math itself against the oracle. */
   def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
@@ -209,7 +219,8 @@ object TextQueries {
     "t13_relevant_tokens" -> (relevantTokens(_, _)),
     "t14_simhash_near_dup" -> (simhashNearDup(_, _)),
     "t15_bm25" -> (bm25(_, _)),
-    "t16_dup_clusters" -> (dupClusters(_, _)))
+    "t16_dup_clusters" -> (dupClusters(_, _)),
+    "t17_repetition" -> (repetition(_, _)))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -217,6 +228,10 @@ object TextQueries {
   private val wsExpr =
     "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) " +
       "ELSE string_split_regex(trim(text), '\\s+') END"
+
+  private val wsLowerExpr =
+    "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) " +
+      "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
 
   private def hash60(e: String): String =
     s"CAST(concat('0x', substring(md5($e), 1, 15)) AS BIGINT)"
@@ -287,6 +302,36 @@ object TextQueries {
          |SELECT id_a, id_b, round(jac, 6) AS jaccard
          |FROM jpairs WHERE jac >= 0.1
          |ORDER BY id_a, id_b""".stripMargin,
+    "t17_repetition" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, w, pos FROM (
+         |    SELECT doc_id, unnest($wsLowerExpr) AS w,
+         |           generate_subscripts($wsLowerExpr, 1) AS pos
+         |    FROM documents)),
+         |ws AS (
+         |  SELECT doc_id, count(*) AS n_words,
+         |         count(DISTINCT w) AS n_distinct
+         |  FROM tok GROUP BY doc_id),
+         |bg AS (
+         |  SELECT doc_id, w || ' ' || nxt AS b FROM (
+         |    SELECT doc_id, w,
+         |           lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |    FROM tok)
+         |  WHERE nxt IS NOT NULL),
+         |bgs AS (
+         |  SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM (
+         |    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(ws.n_words, 0) AS n_words,
+         |       round(coalesce(1.0 - n_distinct / CAST(ws.n_words AS DOUBLE),
+         |                      0.0), 6) AS dup_word_frac,
+         |       round(coalesce(top_bg / CAST(n_bg AS DOUBLE), 0.0), 6)
+         |         AS top_bigram_frac
+         |FROM documents d
+         |LEFT JOIN ws ON ws.doc_id = d.doc_id
+         |LEFT JOIN bgs ON bgs.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "t16_dup_clusters" ->
       s"""WITH RECURSIVE $jaccardPairCtes,
          |edges AS (

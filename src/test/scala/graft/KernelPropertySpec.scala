@@ -144,4 +144,31 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(eval(v.map(_ * 7.5)) == s)        // scale-invariant
     }
   }
+
+  test("Int8Quantize: codes bounded, signs kept, reference formula, scale-invariant") {
+    val expr = Int8Quantize(
+      BoundReference(0, ArrayType(DoubleType), nullable = false))
+    def eval(v: Seq[Double]): Seq[Float] = {
+      val out = expr.nullSafeEval(new GenericArrayData(v.toArray))
+        .asInstanceOf[ArrayData]
+      (0 until out.numElements()).map(out.getFloat)
+    }
+    for (_ <- 1 to 200) {
+      val n = rng.nextInt(32) + 1
+      val v = Seq.fill(n)(rng.nextDouble() * 20 - 10)
+      val got = eval(v)
+      // independent reference
+      val maxAbs = v.map(math.abs).max
+      val want =
+        if (maxAbs == 0.0) Seq.fill(n)(0f)
+        else v.map(x => math.floor(x / (maxAbs / 127.0) + 0.5).toFloat)
+      assert(got == want)
+      assert(got.forall(c => c >= -127f && c <= 127f), s"out of range: $got")
+      assert(got.zip(v).forall { case (c, x) =>
+        c == 0f || (c > 0) == (x > 0) }, "sign flip")
+      // positive rescaling leaves codes unchanged
+      assert(eval(v.map(_ * 3.25)) == got)
+    }
+    assert(eval(Seq(0.0, 0.0)) == Seq(0f, 0f))
+  }
 }

@@ -18,6 +18,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "und"))
   }
 
+  test("repetitionSignals: dup-word and top-bigram fractions") {
+    val got = TextAnalysis.repetitionSignals(docsDf(
+        (1L, "a b c d"),             // all distinct; 3 bigrams, all unique
+        (2L, "spam spam spam spam"), // one word, one bigram repeated
+        (3L, "x y x y x"),           // 2 distinct of 5; "x y" 2 of 4
+        (4L, "")),                   // degenerate
+      "doc_id", "text")
+      .select("doc_id", "n_words", "dup_word_frac", "top_bigram_frac")
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    assert(got(1L) == ((4L, 0.0, 1.0 / 3)))
+    assert(got(2L) == ((4L, 0.75, 1.0)))
+    assert(got(3L) == ((5L, 0.6, 0.5)))
+    assert(got(4L) == ((0L, 0.0, 0.0)))
+  }
+
   test("qualityFeatures: empty text scores 0 with zeroed features") {
     val r = TextAnalysis.qualityFeatures(docsDf((1L, "")), "doc_id", "text")
       .head()
