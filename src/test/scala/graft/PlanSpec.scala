@@ -96,6 +96,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("range join plans as a broadcast hash join on bucket id") {
+    val p = plan(RelationalQueries.rangeJoinPromos(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"range join fell back to a nested loop:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("quantized knn scores in one narrow stage, top-k via heaps") {
+    val p = plan(VectorQueries.quantizedKnn(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("int8_quantize"), s"kernel missing from plan:\n$p")
+  }
+
   test("exchange reuse: self-joined aggregates reuse one shuffle") {
     // same aggregate on both sides → ReusedExchange in the plan
     val agg = Tables.orders(spark, sf).groupBy("o_custkey")
