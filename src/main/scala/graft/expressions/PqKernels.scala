@@ -1,0 +1,107 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Product-quantization kernels (see [[graft.operators.Pq]]). Both
+  * carry their tiny model data (codebooks / per-query LUT, a few KiB)
+  * as plain fields — serialized with the expression to executors, the
+  * same transport a broadcast variable would use at this size.
+  */
+
+/** vector → PQ codes: codes(j) = argmin_c L2²(subvector_j, book(j)(c)),
+  * ties to the lower code id. Output array<int> of length m.
+  */
+case class PqEncode(child: Expression, dsub: Int,
+                    codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"$prettyName requires array<float|double> input, got ${other.sql}")
+    }
+  }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    if (arr.numElements() != m * dsub) throw new IllegalArgumentException(
+      s"$prettyName: vector dim ${arr.numElements()} != $m×$dsub")
+    @inline def at(i: Int): Double =
+      if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val book = codebooks(j)
+      var best = 0
+      var bestDist = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cen = book(c)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = at(j * dsub + i) - cen(i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestDist) { bestDist = acc; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** PQ codes → approximate squared L2 distance to the (implicit) query:
+  * sum over subspaces of lut(j)(codes(j)).
+  */
+case class PqAdcDistance(child: Expression, lut: Array[Array[Float]])
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "pq_adc_distance"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(IntegerType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"$prettyName requires array<int> codes, got ${other.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[ArrayData]
+    if (codes.numElements() != lut.length) throw new IllegalArgumentException(
+      s"$prettyName: ${codes.numElements()} codes vs ${lut.length} subspaces")
+    var acc = 0.0
+    var j = 0
+    while (j < lut.length) {
+      acc += lut(j)(codes.getInt(j))
+      j += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}

@@ -272,6 +272,45 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** Recall@10 of product-quantization ADC search
+    * ([[graft.operators.Pq]]) against the exact L2 scan: one row
+    * (m, k_codes, recall_at_10). PQ codes at m=8 are a ~30× memory cut
+    * over raw float32 vectors; this query prices that compression in
+    * recall on THIS corpus. Like v14, k-means training is not
+    * SQL-expressible → rows-only oracle; PqSpec pins exact behavior on
+    * fixtures (centroid self-recovery, clustered recall = 1.0). The
+    * single-row query-vector collect is endpoint semantics (one query
+    * per request, reference server.js:218).
+    */
+  def pqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.l2Dist
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val model = Pq.trainCodebooks(corpus, "vec_id", "embedding",
+      m = 8, k = 16)
+    val encoded = Pq.encode(corpus, "vec_id", "embedding", model)
+    val exact = corpus.crossJoin(broadcast(queryVec(emb)))
+      .select(col("vec_id"), l2Dist(col("embedding"), col("qe")).as("d"))
+      .orderBy(col("d").asc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), lit(1L).as("hit"))
+    def recallOf(hits: DataFrame): DataFrame = hits
+      .join(exact, Seq("vec_id"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0L))) / lit(10.0)).as("r"))
+    val adc = recallOf(Pq.search(encoded, "vec_id", q, model, 10)
+      .select("vec_id"))
+    // the production shape: ADC shortlist of 100 from codes, exact
+    // re-rank of only those — recovers most of the compression loss
+    val rerank = recallOf(Pq.searchRerank(encoded, corpus, "vec_id",
+      "embedding", q, model, shortlist = 100, k = 10).select("vec_id"))
+    adc.select(lit(8L).as("m"), lit(16L).as("k_codes"),
+        col("r").as("recall_adc_at_10"))
+      .crossJoin(rerank.select(col("r").as("recall_rerank100_at_10")))
+  }
+
   /** DuckDB oracles. `embeddings`/`documents` resolve to the same parquet. */
   val oracles: Map[String, String] = Map(
     "v01_knn_topk" ->
@@ -519,5 +558,6 @@ object VectorQueries {
     "v12_srp_sketch" -> (srpSketch(_, _)),
     "v13_hybrid_rrf" -> (hybridRrf(_, _)),
     "v14_ivf_recall" -> (ivfRecall(_, _)),
-    "v15_quantized_knn" -> (quantizedKnn(_, _)))
+    "v15_quantized_knn" -> (quantizedKnn(_, _)),
+    "v16_pq_recall" -> (pqRecall(_, _)))
 }
