@@ -289,8 +289,12 @@ object VectorQueries {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val q = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
-    val model = Pq.trainCodebooks(corpus, "vec_id", "embedding",
-      m = 8, k = 16)
+    // codebooks are trained on a deterministic half-sample (standard
+    // PQ practice: a few hundred vectors per centroid suffice) and
+    // encode the FULL corpus
+    val model = Pq.trainCodebooks(
+      corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding", m = 8, k = 16, maxIter = 4)
     val encoded = Pq.encode(corpus, "vec_id", "embedding", model)
     val exact = corpus.crossJoin(broadcast(queryVec(emb)))
       .select(col("vec_id"), l2Dist(col("embedding"), col("qe")).as("d"))
