@@ -43,9 +43,17 @@ object Graph {
     // doubles per round — persist truncates recompute but not the
     // logical plan, and 15 rounds of doubling OOMs the planner.
     // Checkpointing cuts the lineage at every round.
-    var labels = und.select(col("src").as("node"))
-      .distinct()
-      .withColumn("label", col("node"))
+    //
+    // Init fuses round one: with identity labels the first neighbor
+    // join would just deliver each node's neighbor ids, so start from
+    // min(self, neighbors) directly — one aggregate instead of a full
+    // join round (size-≤3 components, the common near-dup shape,
+    // then converge in a single checking round).
+    var labels = und.select(col("src").as("node"), col("dst").as("label"))
+      .unionByName(und.select(col("src").as("node"),
+        col("src").as("label")))
+      .groupBy("node")
+      .agg(min("label").as("label"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
