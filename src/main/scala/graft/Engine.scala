@@ -37,17 +37,24 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
   @volatile private var cachedLexical
       : Option[graft.operators.TextSearch.Bm25Index] = None
 
-  /** True iff the store path exists and is readable. ONLY "path does
-    * not exist" means an empty store; any other failure (corrupt or
-    * partial files, permissions) must propagate — treating it as empty
-    * would restart doc_id assignment at 0 and append duplicate ids once
-    * the store becomes readable again.
+  /** True iff the store path exists and is readable. "Path does not
+    * exist" and "directory exists but holds no files" (a crashed first
+    * write can leave one) both mean an empty store — neither has
+    * readable doc_ids, so restarting id assignment is safe. Any OTHER
+    * failure (corrupt or partial files, permissions) must propagate —
+    * treating a real-but-unreadable store as empty would restart doc_id
+    * assignment at 0 and append duplicate ids once it becomes readable.
     */
   private def storeExists: Boolean =
     try { spark.read.parquet(storePath).schema; true }
     catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "PATH_NOT_FOUND" => false
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" &&
+            Option(new java.io.File(storePath).listFiles())
+              .forall(_.forall(f => f.getName.startsWith("_") ||
+                f.getName.startsWith("."))) => false
     }
 
   /** Full store scan (GET /documents). */

@@ -34,10 +34,20 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the caller's edge frame once: the undirected union
+    // reads it twice, and near-dup pair inputs (t16) are expensive —
+    // without this the pair join would run once per branch
+    val edgesP = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .persist()
+    edgesP.count()
+    val und = edgesP.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edgesP.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .persist()
+    // eager for the same reason: both init branches and every loop
+    // round scan it
+    und.count()
+    edgesP.unpersist()
     // localCheckpoint (eager), NOT persist: each round's plan references
     // the previous round's labels twice (join + union), so lineage
     // doubles per round — persist truncates recompute but not the

@@ -52,6 +52,13 @@ object TextSearch {
     val lens = docs.select(col(idCol),
       size(words(lower(col(textCol)))).cast("double").as("dl")).persist()
     val postings = termFrequencies(docs, idCol, textCol).persist()
+    // materialize NOW: scoring evaluates corpus stats and the df
+    // aggregate inside broadcast futures that run concurrently with the
+    // main join job; racing readers of a lazily-persisted frame each
+    // recompute the full tokenization scan (same fix as
+    // Dedup.ngramJaccardPairs)
+    lens.count()
+    postings.count()
     val corpus = lens.agg(count("*").as("n"), avg("dl").as("avgdl"))
     Bm25Index(lens, postings, corpus, idCol)
   }

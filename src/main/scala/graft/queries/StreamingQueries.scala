@@ -33,7 +33,10 @@ object StreamingQueries {
       .streamingDedup(Streaming.eventsStream(spark, sfDir), "user_id")
       .select("user_id")
     Streaming.runAvailableNowAppend(spark, deduped, "graft_s02")
-      .agg(count("*").as("n_users"))
+      // countDistinct, not count(*): the watermark-BOUNDED dedup
+      // re-emits a key whose state was evicted (multi-batch inputs), so
+      // raw sink rows could overcount vs the batch answer
+      .agg(countDistinct("user_id").as("n_users"))
   }
 
   /** Custom-state sessionization (mapGroupsWithState) — must equal the

@@ -97,6 +97,17 @@ class EngineSpec extends SparkSpec {
     assert(e.context("anything", 2) == "")
   }
 
+  test("an existing-but-file-less store directory is treated as empty") {
+    // a crashed first write can leave the directory with no data files
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_empty_store").toString
+    val e = new Engine(spark, dir)
+    assert(e.countDocuments() == 0)
+    assert(e.search("anything", k = 1).count() == 0)
+    assert(e.addDocument("now it has content") > 0)
+    assert(e.countDocuments() == 1)
+  }
+
   test("long documents chunk with overlap and remain searchable") {
     val e = freshEngine
     val long = (1 to 120).map(i => s"token$i").mkString(" ") +
