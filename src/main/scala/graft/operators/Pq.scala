@@ -167,4 +167,52 @@ object Pq {
       .orderBy(col("dist").asc, col(idCol))
       .limit(k)
   }
+
+  /** The classic IVF-PQ layout ([[Ann]] cell routing × PQ codes): the
+    * index holds (id, centroid_id, codes); a query probes only its
+    * `nProbe` nearest Voronoi cells, ADC-scans just those cells' CODES
+    * for a shortlist, and exact-reranks the shortlist against raw
+    * vectors. Three multiplicative prunings — cells (read 1/nlist-ish
+    * of rows), codes (read ~30× fewer bytes per row), rerank (touch
+    * full vectors only for `shortlist` rows). With the index
+    * partitioned by centroid_id on disk the probe is partition pruning,
+    * not a filter scan.
+    */
+  def ivfPqSearch(cellCodes: DataFrame, centroids: DataFrame,
+                  raw: DataFrame, idCol: String, vecCol: String,
+                  query: Array[Float], model: PqModel,
+                  nProbe: Int, shortlist: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.l2Dist
+    val qLit = array(query.map(x => lit(x)).toIndexedSeq: _*)
+    val probed = centroids
+      .select(col("centroid_id"), l2Dist(col("centroid"), qLit).as("qd"))
+      .orderBy(col("qd").asc, col("centroid_id"))
+      .limit(nProbe)
+      .select("centroid_id")
+    val cands = cellCodes
+      .join(broadcast(probed), Seq("centroid_id"))
+      .select(col(idCol),
+        adcDistance(col("codes"), query, model).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol))
+      .limit(shortlist)
+      .select(idCol)
+    raw.join(broadcast(cands), Seq(idCol))
+      .select(col(idCol), l2Dist(col(vecCol), qLit).as("dist"))
+      .orderBy(col("dist").asc, col(idCol))
+      .limit(k)
+  }
+
+  /** Build the IVF-PQ index frame: (idCol, centroid_id, codes) — one
+    * cell-assignment pass, codes projected in the same narrow stage.
+    * Write it partitioned by centroid_id
+    * ([[Ingest.writeStorePartitioned]]) and the probe becomes directory
+    * pruning.
+    */
+  def buildIvfPqIndex(emb: DataFrame, centroids: DataFrame,
+                      idCol: String, vecCol: String,
+                      model: PqModel): DataFrame =
+    Ann.ivfAssign(emb, centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"),
+        Bridge.column(PqEncode(Bridge.expression(col(vecCol)),
+          model.dsub, model.codebooks)).as("codes"))
 }

@@ -151,6 +151,37 @@ object Streaming {
       spark.table(queryName)
     }
 
+  /** Store-backed streaming upsert: each micro-batch anti-joins against
+    * the DURABLE STORE ([[graft.operators.Ingest.dedupIngest]]) and
+    * appends only novel content — INSERT OR IGNORE (reference
+    * server.js:198) as `foreachBatch`. Unlike state-based
+    * `dropDuplicates*`, this holds ZERO streaming state and is exact at
+    * ANY horizon: the store itself is the dedup ground truth. The cost
+    * is one scan of the store's 8-byte content-key column per
+    * micro-batch — the right trade when batches are seconds apart and
+    * the store is parquet (column-pruned scan), the wrong one at
+    * per-event latencies (use [[streamingDedup]] there).
+    */
+  def upsertToStore(rows: DataFrame, storePath: String,
+                    checkpointPath: String, contentCol: String,
+                    orderCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val store = scala.util.Try(
+            spark.read.parquet(storePath).select(contentCol))
+          .getOrElse(batch.select(contentCol).limit(0))
+        val novel = graft.operators.Ingest
+          .dedupIngest(batch, store, contentCol, orderCol)
+          .drop("content_key")
+        graft.operators.Ingest.writeStore(novel, storePath)
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   case class SessEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   case class SessState(segStart: Long, lastTs: Long,
                        sessions: Long, events: Long)

@@ -72,6 +72,33 @@ class PqSpec extends SparkSpec {
     assert(reranked == exact)
   }
 
+  test("IVF-PQ: full probe + full shortlist equals exact; cells prune") {
+    import graft.functions.VectorFunctions.l2Dist
+    import graft.operators.Ann
+    val centroids = Ann.kmeansCentroids(emb, "vec_id", "embedding", 2)
+    val index = Pq.buildIvfPqIndex(emb, centroids, "vec_id", "embedding",
+      model)
+    val q = Array(10f, 0f, 10f, 0f)
+    // all cells + all candidates: must equal the exact scan
+    val full = Pq.ivfPqSearch(index, centroids, emb, "vec_id",
+        "embedding", q, model, nProbe = 2, shortlist = 8, k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    val qdf = Seq(Tuple1(q)).toDF("qe")
+    val exact = emb.crossJoin(qdf)
+      .select(col("vec_id"), l2Dist(col("embedding"), col("qe")).as("d"))
+      .orderBy(col("d").asc, col("vec_id")).limit(3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == exact)
+    // nProbe=1 must only surface ids from the query's own cell
+    val probed1 = Pq.ivfPqSearch(index, centroids, emb, "vec_id",
+        "embedding", q, model, nProbe = 1, shortlist = 8, k = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val ownCell = Ann.ivfAssign(emb, centroids, "vec_id", "embedding")
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(probed1.map(ownCell).size == 1,
+      s"nProbe=1 leaked across cells: $probed1")
+  }
+
   test("dimension mismatch raises in encode and adc") {
     val bad = vecsDf((1L, Seq(1f, 2f, 3f)))
     val e = intercept[Exception] {

@@ -65,4 +65,35 @@ class StreamingIngestSpec extends SparkSpec {
     drain()
     assert(spark.read.parquet(store).count() == 2)
   }
+
+  test("upsertToStore: store-backed dedup across drains, zero state") {
+    val in = Files.createTempDirectory("graft_ups_in").toString
+    val store = Files.createTempDirectory("graft_ups_store").toString + "/docs"
+    val chk = Files.createTempDirectory("graft_ups_chk").toString
+
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .option("wholetext", "true").text(in)
+        .select(
+          regexp_extract(input_file_name(), "([^/]+)$", 1).as("source"),
+          col("value").as("text"))
+        .withColumn("batch_order", md5Long(col("source")))
+      val q = graft.streaming.Streaming.upsertToStore(
+        stream, store, chk, "text", "batch_order")
+      q.awaitTermination()
+    }
+
+    Files.writeString(java.nio.file.Paths.get(in, "a.txt"), "first doc")
+    drain()
+    assert(spark.read.parquet(store).count() == 1)
+    // duplicate content in a NEW file (new batch): the state-free dedup
+    // must catch it against the STORE, not in-memory state
+    Files.writeString(java.nio.file.Paths.get(in, "b.txt"), "first doc")
+    Files.writeString(java.nio.file.Paths.get(in, "c.txt"), "second doc")
+    drain()
+    val rows = spark.read.parquet(store)
+    assert(rows.count() == 2, "store-backed dedup missed a duplicate")
+    assert(rows.select("text").as[String].collect().toSet ==
+      Set("first doc", "second doc"))
+  }
 }
