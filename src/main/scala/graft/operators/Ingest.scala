@@ -42,12 +42,22 @@ object Ingest {
     * assign ids continuing after the store's max id.
     */
   def dedupIngest(batch: DataFrame, store: DataFrame,
-                  contentCol: String, idCol: String): DataFrame = {
+                  contentCol: String, idCol: String): DataFrame =
+    dedupIngestKeyed(batch,
+      store.select(md5Long(col(contentCol)).as("content_key")).distinct(),
+      contentCol, idCol)
+
+  /** [[dedupIngest]] against PRECOMPUTED store keys: when the store
+    * persists its `content_key` column (as [[graft.streaming.Streaming
+    * .upsertToStore]] does), the anti-join reads an 8-byte key column
+    * instead of re-hashing the full text of the corpus on every call.
+    */
+  def dedupIngestKeyed(batch: DataFrame, storeKeys: DataFrame,
+                       contentCol: String, idCol: String): DataFrame = {
     val keyed = batch.withColumn("content_key", md5Long(col(contentCol)))
-    val storeKeys = store.select(md5Long(col(contentCol)).as("content_key"))
-      .distinct()
     val novel = keyed
-      .join(storeKeys, Seq("content_key"), "left_anti")
+      .join(storeKeys.select("content_key").distinct(),
+        Seq("content_key"), "left_anti")
       .groupBy("content_key")
       // keeper = the smallest-id row per content (deterministic even when
       // the same text enters a batch under several ids)

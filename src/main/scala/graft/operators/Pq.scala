@@ -105,14 +105,18 @@ object Pq {
     } finally subRows.unpersist()
   }
 
+  /** The PqEncode kernel as a column — single construction point for
+    * both the flat and the IVF-PQ index builders. */
+  private def encodeCol(vecCol: String, model: PqModel): Column =
+    Bridge.column(PqEncode(Bridge.expression(col(vecCol)),
+      model.dsub, model.codebooks))
+
   /** (idCol, codes) — codes(j) = argmin_c L2(subvector_j, codebook_j_c),
     * ties to the lower code. One narrow kernel pass, no shuffle.
     */
   def encode(emb: DataFrame, idCol: String, vecCol: String,
              model: PqModel): DataFrame =
-    emb.select(col(idCol),
-      Bridge.column(PqEncode(Bridge.expression(col(vecCol)),
-        model.dsub, model.codebooks)).as("codes"))
+    emb.select(col(idCol), encodeCol(vecCol, model).as("codes"))
 
   /** Approximate squared-L2 distance of every encoded vector to `query`
     * via the per-query lookup table: LUT(j)(c) = ||query_j − book_j_c||²,
@@ -157,15 +161,39 @@ object Pq {
     */
   def searchRerank(encoded: DataFrame, raw: DataFrame, idCol: String,
                    vecCol: String, query: Array[Float], model: PqModel,
-                   shortlist: Int, k: Int): DataFrame = {
+                   shortlist: Int, k: Int): DataFrame =
+    rerankExact(raw,
+      search(encoded, idCol, query, model, shortlist).select(idCol),
+      idCol, vecCol, queryLit(query), k)
+
+  /** Query vector as a literal array<float> column. */
+  private def queryLit(query: Array[Float]): Column =
+    array(query.map(x => lit(x)).toIndexedSeq: _*)
+
+  /** Exact top-k among `cands` (broadcast semi-join fetches only their
+    * full vectors) — the shared rerank tail of [[searchRerank]] and
+    * [[ivfPqSearch]]. Ascending L2, ties to the lower id.
+    */
+  private def rerankExact(raw: DataFrame, cands: DataFrame, idCol: String,
+                          vecCol: String, qLit: Column, k: Int)
+      : DataFrame = {
     import graft.functions.VectorFunctions.l2Dist
-    val cands = search(encoded, idCol, query, model, shortlist)
-      .select(idCol)
-    val qLit = array(query.map(x => lit(x)).toIndexedSeq: _*)
     raw.join(broadcast(cands), Seq(idCol))
       .select(col(idCol), l2Dist(col(vecCol), qLit).as("dist"))
       .orderBy(col("dist").asc, col(idCol))
       .limit(k)
+  }
+
+  /** The `nProbe` cells nearest the query (ascending centroid distance,
+    * ties to the lower cell id). */
+  private def probeCells(centroids: DataFrame, qLit: Column,
+                         nProbe: Int): DataFrame = {
+    import graft.functions.VectorFunctions.l2Dist
+    centroids
+      .select(col("centroid_id"), l2Dist(col("centroid"), qLit).as("qd"))
+      .orderBy(col("qd").asc, col("centroid_id"))
+      .limit(nProbe)
+      .select("centroid_id")
   }
 
   /** The classic IVF-PQ layout ([[Ann]] cell routing × PQ codes): the
@@ -182,24 +210,16 @@ object Pq {
                   raw: DataFrame, idCol: String, vecCol: String,
                   query: Array[Float], model: PqModel,
                   nProbe: Int, shortlist: Int, k: Int): DataFrame = {
-    import graft.functions.VectorFunctions.l2Dist
-    val qLit = array(query.map(x => lit(x)).toIndexedSeq: _*)
-    val probed = centroids
-      .select(col("centroid_id"), l2Dist(col("centroid"), qLit).as("qd"))
-      .orderBy(col("qd").asc, col("centroid_id"))
-      .limit(nProbe)
-      .select("centroid_id")
+    val qLit = queryLit(query)
     val cands = cellCodes
-      .join(broadcast(probed), Seq("centroid_id"))
+      .join(broadcast(probeCells(centroids, qLit, nProbe)),
+        Seq("centroid_id"))
       .select(col(idCol),
         adcDistance(col("codes"), query, model).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col(idCol))
       .limit(shortlist)
       .select(idCol)
-    raw.join(broadcast(cands), Seq(idCol))
-      .select(col(idCol), l2Dist(col(vecCol), qLit).as("dist"))
-      .orderBy(col("dist").asc, col(idCol))
-      .limit(k)
+    rerankExact(raw, cands, idCol, vecCol, qLit, k)
   }
 
   /** Build the IVF-PQ index frame: (idCol, centroid_id, codes) — one
@@ -213,6 +233,5 @@ object Pq {
                       model: PqModel): DataFrame =
     Ann.ivfAssign(emb, centroids, idCol, vecCol)
       .select(col(idCol), col("centroid_id"),
-        Bridge.column(PqEncode(Bridge.expression(col(vecCol)),
-          model.dsub, model.codebooks)).as("codes"))
+        encodeCol(vecCol, model).as("codes"))
 }

@@ -152,34 +152,44 @@ object Streaming {
     }
 
   /** Store-backed streaming upsert: each micro-batch anti-joins against
-    * the DURABLE STORE ([[graft.operators.Ingest.dedupIngest]]) and
-    * appends only novel content — INSERT OR IGNORE (reference
+    * the DURABLE STORE ([[graft.operators.Ingest.dedupIngestKeyed]])
+    * and appends only novel content — INSERT OR IGNORE (reference
     * server.js:198) as `foreachBatch`. Unlike state-based
     * `dropDuplicates*`, this holds ZERO streaming state and is exact at
-    * ANY horizon: the store itself is the dedup ground truth. The cost
-    * is one scan of the store's 8-byte content-key column per
-    * micro-batch — the right trade when batches are seconds apart and
-    * the store is parquet (column-pruned scan), the wrong one at
+    * ANY horizon: the store itself is the dedup ground truth. The store
+    * PERSISTS the 8-byte `content_key` column, so per-batch cost really
+    * is one column-pruned key scan (never a rehash of the corpus text)
+    * — the right trade when batches are seconds apart, the wrong one at
     * per-event latencies (use [[streamingDedup]] there).
+    *
+    * Only "store does not exist yet" falls back to an empty store; any
+    * other read failure PROPAGATES and fails the batch (the checkpoint
+    * retries it) — swallowing it would silently disable dedup and
+    * append duplicates.
     */
   def upsertToStore(rows: DataFrame, storePath: String,
                     checkpointPath: String, contentCol: String,
-                    orderCol: String)
+                    orderCol: String,
+                    trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val store = scala.util.Try(
-            spark.read.parquet(storePath).select(contentCol))
-          .getOrElse(batch.select(contentCol).limit(0))
+        import org.apache.spark.sql.functions.lit
+        val storeKeys =
+          try spark.read.parquet(storePath).select("content_key")
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" =>
+              batch.select(lit(0L).as("content_key")).limit(0)
+          }
         val novel = graft.operators.Ingest
-          .dedupIngest(batch, store, contentCol, orderCol)
-          .drop("content_key")
+          .dedupIngestKeyed(batch, storeKeys, contentCol, orderCol)
         graft.operators.Ingest.writeStore(novel, storePath)
         ()
       }
       .option("checkpointLocation", checkpointPath)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   case class SessEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)

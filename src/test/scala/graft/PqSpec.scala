@@ -89,14 +89,17 @@ class PqSpec extends SparkSpec {
       .orderBy(col("d").asc, col("vec_id")).limit(3)
       .select("vec_id").as[Long].collect().toSeq
     assert(full == exact)
-    // nProbe=1 must only surface ids from the query's own cell
+    // nProbe=1 must surface ONLY the query's own (nearest) cell — the
+    // cell of vec_id 2, whose embedding equals q exactly; a reversed
+    // probe ordering would surface the wrong cell
     val probed1 = Pq.ivfPqSearch(index, centroids, emb, "vec_id",
         "embedding", q, model, nProbe = 1, shortlist = 8, k = 8)
       .select("vec_id").as[Long].collect().toSet
     val ownCell = Ann.ivfAssign(emb, centroids, "vec_id", "embedding")
       .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
-    assert(probed1.map(ownCell).size == 1,
-      s"nProbe=1 leaked across cells: $probed1")
+    assert(probed1.map(ownCell) == Set(ownCell(2L)),
+      s"nProbe=1 must probe exactly the query's nearest cell: $probed1")
+    assert(probed1.contains(2L), "the exact match must be in its cell")
   }
 
   test("dimension mismatch raises in encode and adc") {
