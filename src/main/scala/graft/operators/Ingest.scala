@@ -119,6 +119,34 @@ object Ingest {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Compact a streaming-append store: every [[writeStore]] append and
+    * every `foreachBatch` upsert adds files, and a store fed by
+    * micro-batches degenerates into thousands of KB-sized files whose
+    * open/footer overhead eventually dominates scans (the classic
+    * small-file problem). Rewrites the store into `numFiles` balanced
+    * files via round-robin repartition, then swaps directories.
+    *
+    * The swap (write temp → delete old → rename) is NOT transactional —
+    * run it when no writer is active; production deployments layer a
+    * table format with commit protocols on top, this is the maintenance
+    * utility for the plain-parquet store.
+    */
+  def compactStore(spark: SparkSession, path: String,
+                   numFiles: Int): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    val tmp = path + ".compact.tmp"
+    spark.read.parquet(path)
+      .repartition(numFiles)
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .parquet(tmp)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath))
+      throw new java.io.IOException(
+        s"compactStore: rename $tmp -> $path failed; data remains at $tmp")
+  }
+
   /** Store BUCKETED on the join key (catalog table at `path`): two
     * tables bucketed the same way join WITHOUT any exchange — the
     * pre-shuffle is paid once at write time, then every doc↔embedding /

@@ -293,6 +293,30 @@ object RelationalQueries {
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))
       .orderBy("l_returnflag")
 
+  /** The window functions r15 leaves out: distribution ranks (ntile,
+    * percent_rank, cume_dist) and explicit frames (running first_value,
+    * 3-row moving max) — completing the window battery.
+    */
+  def windowFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") <= 3)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("first_price", first("o_totalprice")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("max3", max("o_totalprice")
+        .over(w.rowsBetween(-2, Window.currentRow)))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("quartile").cast("long").as("quartile"),
+        round(col("pct_rank"), 6).as("pct_rank"),
+        round(col("cume"), 6).as("cume"),
+        col("first_price"), col("max3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_pricing_summary" -> (pricingSummary(_, _)),
     "r02_revenue_by_segment" -> (revenueBySegment(_, _)),
@@ -314,7 +338,8 @@ object RelationalQueries {
     "r18_asof_join" -> (asOfEnrichment(_, _)),
     "r19_range_join" -> (rangeJoinPromos(_, _)),
     "r20_heavy_hitters" -> (heavyHitters(_, _)),
-    "r21_percentiles" -> (percentiles(_, _)))
+    "r21_percentiles" -> (percentiles(_, _)),
+    "r22_window_frames" -> (windowFrames(_, _)))
 
   val oracles: Map[String, String] = Map(
     "r01_pricing_summary" ->
@@ -427,6 +452,19 @@ object RelationalQueries {
         |  price_w AS (PARTITION BY o_custkey
         |              ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, seq""".stripMargin,
+    "r22_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  first_value(o_totalprice) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS first_price,
+        |  max(o_totalprice) OVER
+        |    (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS max3
+        |FROM orders WHERE o_custkey <= 3
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "r20_heavy_hitters" ->
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20""".stripMargin,

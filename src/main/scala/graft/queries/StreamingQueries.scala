@@ -80,11 +80,32 @@ object StreamingQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Store-backed streaming upsert end-to-end
+    * ([[Streaming.upsertToStore]]): events streamed into a fresh
+    * parquet store with per-batch anti-join dedup on user_id — the
+    * zero-state INSERT OR IGNORE. The oracle pins both the surviving
+    * row count AND which row won per key (the min-event_id keeper), so
+    * the keeper rule is verified, not just cardinality.
+    */
+  def streamUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_s05").toString
+    val ev = Streaming.eventsStream(spark, sfDir)
+      .select(col("user_id").cast("string").as("content"), col("event_id"))
+    val q = Streaming.upsertToStore(ev, s"$base/store", s"$base/chk",
+      "content", "event_id")
+    q.awaitTermination()
+    spark.read.parquet(s"$base/store")
+      .agg(count("*").as("n_users"),
+        sum("event_id").as("sum_keeper_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_hourly" -> (streamHourly(_, _)),
     "s02_stream_dedup" -> (streamDedupUsers(_, _)),
     "s03_stream_sessions" -> (streamSessions(_, _)),
-    "s04_stream_enrich" -> (streamEnriched(_, _)))
+    "s04_stream_enrich" -> (streamEnriched(_, _)),
+    "s05_stream_upsert" -> (streamUpsert(_, _)))
 
   val oracles: Map[String, String] = Map(
     // identical to the batch r12 oracle — THE parity statement
@@ -98,6 +119,10 @@ object StreamingQueries {
       """SELECT c_mktsegment, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "s05_stream_upsert" ->
+      """SELECT count(*) AS n_users,
+        |       CAST(sum(me) AS BIGINT) AS sum_keeper_events
+        |FROM (SELECT min(event_id) AS me FROM events GROUP BY user_id)""".stripMargin,
     // identical to the batch r11 oracle — custom state ≡ lag/cumsum
     "s03_stream_sessions" ->
       """WITH g AS (

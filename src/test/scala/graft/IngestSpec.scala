@@ -49,6 +49,24 @@ class IngestSpec extends SparkSpec {
     assert(got == Seq((101L, "aa"), (102L, "bb"), (103L, "cc")))
   }
 
+  test("compactStore merges append-accumulated small files losslessly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString + "/store"
+    // 8 tiny appends -> at least 8 part files
+    for (i <- 1 to 8)
+      Ingest.writeStore(docsDf((i.toLong, s"doc $i")), dir)
+    def partFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(partFiles >= 8)
+    val before = spark.read.parquet(dir)
+      .orderBy("doc_id").collect().toSeq
+    Ingest.compactStore(spark, dir, numFiles = 2)
+    assert(partFiles == 2, s"expected 2 files after compaction, got $partFiles")
+    val after = spark.read.parquet(dir)
+      .orderBy("doc_id").collect().toSeq
+    assert(after == before, "compaction must not change the data")
+  }
+
   test("store write/read round-trip preserves vectors") {
     val dir = Files.createTempDirectory("graft_store").toString + "/docs"
     val df = Ingest.hashEmbed(docsDf((1L, "x y z"), (2L, "p q r")), "text", 16)
