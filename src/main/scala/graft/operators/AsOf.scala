@@ -24,12 +24,31 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** @param valueCols right-side columns carried onto left rows; must
+  /** Backward as-of (the default direction): latest right row with
+    * `rightTime <= leftTime`.
+    *
+    * @param valueCols right-side columns carried onto left rows; must
     *                   not collide with left column names (rename on the
     *                   right first) */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               valueCols: Seq[String]): DataFrame = {
+               valueCols: Seq[String]): DataFrame =
+    impl(left, right, key, leftTime, rightTime, valueCols,
+      backward = true)
+
+  /** Forward as-of: the EARLIEST right row with `rightTime >= leftTime`
+    * — "what happens next" enrichment (next session event, next price
+    * tick), the mirror of [[asOfJoin]] with the window looking ahead.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      valueCols: Seq[String]): DataFrame =
+    impl(left, right, key, leftTime, rightTime, valueCols,
+      backward = false)
+
+  private def impl(left: DataFrame, right: DataFrame, key: String,
+                   leftTime: String, rightTime: String,
+                   valueCols: Seq[String], backward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(valueCols.forall(c => !leftCols.contains(c)),
       s"valueCols must not collide with left columns: " +
@@ -41,18 +60,27 @@ object AsOf {
     val l = left.withColumn("__t", col(leftTime)).withColumn("__left", lit(1))
     // values ride in ONE struct: the struct is non-null for every right
     // row even when individual value columns are legitimately NULL, so
-    // last(ignoreNulls) carries the LATEST right row verbatim instead of
-    // skipping back to an older row's non-null value (ASOF semantics)
+    // last/first(ignoreNulls) carries the nearest right row verbatim
+    // instead of skipping to an older row's non-null value
     val r = right.select(
       col(key), col(rightTime).as("__t"), lit(0).as("__left"),
       struct(valueCols.map(col): _*).as("__vals"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // rights sort before lefts at equal time → rt <= lt is inclusive
+    // tie ordering makes both directions INCLUSIVE: backward sorts
+    // rights before lefts at equal time (rt <= lt), forward sorts lefts
+    // before rights (lt <= rt)
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t"), col("__left"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried =
+      if (backward)
+        last(col("__vals"), ignoreNulls = true).over(
+          w.orderBy(col("__t"), col("__left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      else
+        first(col("__vals"), ignoreNulls = true).over(
+          w.orderBy(col("__t"), col("__left").desc)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing))
     unioned
-      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
+      .withColumn("__vals", carried)
       .filter(col("__left") === 1)
       .select((leftCols.map(col) ++
         valueCols.map(c => col(s"__vals.$c").as(c))): _*)

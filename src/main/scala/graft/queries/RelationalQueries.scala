@@ -293,6 +293,25 @@ object RelationalQueries {
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))
       .orderBy("l_returnflag")
 
+  /** Forward as-of: every click enriched with the NEXT view at-or-after
+    * it per user ([[graft.operators.AsOf.asOfJoinForward]]) — the
+    * "what happened next" mirror of r18.
+    */
+  def asOfForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(max("value").as("next_view_value"))
+    graft.operators.AsOf.asOfJoinForward(clicks, views,
+        "user_id", "ts", "ts", Seq("next_view_value"))
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 4).as("value"),
+        round(col("next_view_value"), 4).as("next_view_value"))
+      .orderBy("event_id")
+  }
+
   /** The window functions r15 leaves out: distribution ranks (ntile,
     * percent_rank, cume_dist) and explicit frames (running first_value,
     * 3-row moving max) — completing the window battery.
@@ -339,7 +358,8 @@ object RelationalQueries {
     "r19_range_join" -> (rangeJoinPromos(_, _)),
     "r20_heavy_hitters" -> (heavyHitters(_, _)),
     "r21_percentiles" -> (percentiles(_, _)),
-    "r22_window_frames" -> (windowFrames(_, _)))
+    "r22_window_frames" -> (windowFrames(_, _)),
+    "r23_asof_forward" -> (asOfForward(_, _)))
 
   val oracles: Map[String, String] = Map(
     "r01_pricing_summary" ->
@@ -452,6 +472,18 @@ object RelationalQueries {
         |  price_w AS (PARTITION BY o_custkey
         |              ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, seq""".stripMargin,
+    "r23_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, max(value) AS next_view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, round(c.value, 4) AS value,
+        |       round(v.next_view_value, 4) AS next_view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts <= v.ts
+        |ORDER BY c.event_id""".stripMargin,
     "r22_window_frames" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,

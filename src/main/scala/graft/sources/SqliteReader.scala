@@ -43,8 +43,17 @@ object SqliteReader {
       (u8(off).toLong << 24) | (u8(off + 1) << 16) |
         (u8(off + 2) << 8) | u8(off + 3)
 
-    /** Absolute offset of page `n` (1-based). */
-    def pageOff(n: Long): Int = ((n - 1) * pageSize).toInt
+    /** Absolute offset of page `n` (1-based), verified to lie fully
+      * inside the file — without this a TRUNCATED file would be read
+      * through `Arrays.copyOfRange`'s silent zero-padding and yield
+      * corrupt rows instead of an error.
+      */
+    def pageOff(n: Long): Int = {
+      require(n >= 1 && n * pageSize <= bytes.length,
+        s"page $n (of ${bytes.length / pageSize} in file) out of " +
+          "bounds — truncated or corrupt SQLite file")
+      ((n - 1) * pageSize).toInt
+    }
 
     /** (value, bytesConsumed) of the varint at `off`. */
     def varint(off: Int): (Long, Int) = {

@@ -37,6 +37,25 @@ class AsOfSpec extends SparkSpec {
     assert(got == Seq(None))
   }
 
+  test("forward as-of picks the earliest right row at or after each left time") {
+    val got = AsOf.asOfJoinForward(left, right, "k", "t", "rt", Seq("v"))
+      .select("k", "t", "tag", "v")
+      .as[(Long, Long, String, Option[Double])].collect().toSet
+    assert(got == Set(
+      (1L, 2L, "l0", Some(30.0)),   // next right is rt=3
+      (1L, 5L, "l1", Some(70.0)),   // next right is rt=7
+      (1L, 10L, "l2", Some(100.0)), // rt=10 inclusive
+      (2L, 7L, "m1", Some(990.0)))) // the future right now matches
+  }
+
+  test("forward as-of yields NULL when no right row follows") {
+    val r = Seq((1L, 3L, 30.0)).toDF("k", "rt", "v")
+    val got = AsOf.asOfJoinForward(left.filter(col("t") === 10), r, "k",
+        "t", "rt", Seq("v"))
+      .select("v").as[Option[Double]].collect().toSeq
+    assert(got == Seq(None))
+  }
+
   test("as-of never crosses keys") {
     val got = AsOf.asOfJoin(left.filter(col("k") === 2), right, "k",
         "t", "rt", Seq("v"))

@@ -73,6 +73,29 @@ class SqliteSourceSpec extends SparkSpec {
     assert(hit == "John Likes ice creme")
   }
 
+  test("corrupt inputs fail loudly, never silently zero-pad") {
+    val real = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        getClass.getResource("/graft/multipage.db").getPath))
+    // truncated mid-b-tree: must raise, not yield zero-padded rows
+    val truncated = java.util.Arrays.copyOfRange(real, 0, real.length / 2)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.SqliteReader.readTable(truncated, "documents").toList
+    }
+    assert(e1.getMessage.contains("truncated"), e1.getMessage)
+    // garbage bytes: rejected at the header
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.SqliteReader.readTable(
+        Array.fill[Byte](4096)(0x41), "documents").toList
+    }
+    assert(e2.getMessage.contains("SQLite format 3"), e2.getMessage)
+    // unknown table: clean error naming the table
+    val e3 = intercept[NoSuchElementException] {
+      graft.sources.SqliteReader.readTable(real, "nope").toList
+    }
+    assert(e3.getMessage.contains("nope"), e3.getMessage)
+  }
+
   test("binaryDir payload lengths match the real file sizes") {
     val expected = new java.io.File(docsDir).listFiles()
       .map(f => f.getName -> f.length()).toMap
