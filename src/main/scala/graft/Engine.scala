@@ -52,10 +52,22 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
           if e.getCondition == "PATH_NOT_FOUND" => false
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "UNABLE_TO_INFER_SCHEMA" &&
-            Option(new java.io.File(storePath).listFiles())
-              .forall(_.forall(f => f.getName.startsWith("_") ||
-                f.getName.startsWith("."))) => false
+            storeHoldsOnlyMetadataFiles => false
     }
+
+  /** Hadoop-FS listing (works for HDFS/S3/local alike, unlike
+    * java.io.File which would return null off the local FS and silently
+    * classify a real-but-unreadable store as empty). A listing failure
+    * propagates — same rationale as the schema-inference guard above.
+    */
+  private def storeHoldsOnlyMetadataFiles: Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(storePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(hPath).forall { st =>
+      val n = st.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+  }
 
   /** Full store scan (GET /documents). */
   def documents(): DataFrame =

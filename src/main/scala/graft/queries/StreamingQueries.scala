@@ -119,6 +119,13 @@ object StreamingQueries {
       """SELECT c_mktsegment, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // SINGLE-BATCH ASSUMPTION: upsertToStore's keeper is "min event_id
+    // within the FIRST batch that saw the key"; this oracle pins the
+    // GLOBAL min, which coincides only because the events fixture is one
+    // parquet file drained in one AvailableNow batch. If the fixture
+    // ever splits across files/triggers, weaken this to count-only —
+    // the multi-batch keeper rule itself is pinned by
+    // StreamingIngestSpec ("first batch wins over later lower-order").
     "s05_stream_upsert" ->
       """SELECT count(*) AS n_users,
         |       CAST(sum(me) AS BIGINT) AS sum_keeper_events

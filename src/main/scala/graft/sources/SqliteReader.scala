@@ -102,6 +102,11 @@ object SqliteReader {
       val maxLocal = usable - 35
       val payload: Array[Byte] =
         if (payloadLen <= maxLocal) {
+          // copyOfRange zero-pads past end-of-array; a corrupt cell
+          // pointer must fail loudly, not fabricate zero bytes
+          require(payloadOff + payloadLen <= bytes.length,
+            s"cell payload at $payloadOff+$payloadLen overruns " +
+              s"${bytes.length}-byte file (corrupt cell pointer?)")
           java.util.Arrays.copyOfRange(bytes, payloadOff,
             payloadOff + payloadLen.toInt)
         } else {

@@ -96,4 +96,43 @@ class StreamingIngestSpec extends SparkSpec {
     assert(rows.select("text").as[String].collect().toSet ==
       Set("first doc", "second doc"))
   }
+
+  test("upsertToStore keeper rule: first batch wins, min order within batch") {
+    val in = Files.createTempDirectory("graft_upk_in").toString
+    val store = Files.createTempDirectory("graft_upk_store").toString + "/docs"
+    val chk = Files.createTempDirectory("graft_upk_chk").toString
+
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .option("wholetext", "true").text(in)
+        .select(
+          regexp_extract(input_file_name(), "([^/]+)$", 1).as("source"),
+          col("value").as("content"))
+        .withColumn("ord",
+          regexp_extract(col("source"), "^(\\d+)", 1).cast("long"))
+      val q = graft.streaming.Streaming.upsertToStore(
+        stream, store, chk, "content", "ord")
+      q.awaitTermination()
+    }
+
+    // batch 1: same content under orders 5 and 7 → within-batch keeper 5
+    Files.writeString(java.nio.file.Paths.get(in, "5_a.txt"), "dup doc")
+    Files.writeString(java.nio.file.Paths.get(in, "7_b.txt"), "dup doc")
+    drain()
+    val after1 = spark.read.parquet(store)
+    assert(after1.count() == 1)
+    assert(after1.select("ord").as[Long].head() == 5L)
+
+    // batch 2: the same content arrives again with LOWER order 1. The
+    // first batch's keeper must survive — a global-min rule would pick
+    // 1. This is exactly the single-batch caveat documented on the s05
+    // oracle (StreamingQueries.oracles): global min == keeper only when
+    // the whole fixture drains in one batch.
+    Files.writeString(java.nio.file.Paths.get(in, "1_c.txt"), "dup doc")
+    drain()
+    val after2 = spark.read.parquet(store)
+    assert(after2.count() == 1)
+    assert(after2.select("ord").as[Long].head() == 5L,
+      "keeper must be min-order within FIRST batch, not global min")
+  }
 }
