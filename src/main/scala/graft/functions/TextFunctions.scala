@@ -35,4 +35,22 @@ object TextFunctions {
     * stand-in for a real BPE vocabulary (deterministic + SQL-portable). */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Email-address pattern, shared by [[redact]] and its match counter.
+    * Simple character classes only, so Java regex (Spark) and RE2
+    * (DuckDB oracle) agree on every match. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Digit-run pattern for [[redact]]. */
+  val NumberPattern = "[0-9]+"
+
+  /** PII-style scrub for training-data pipelines: mask email addresses
+    * then digit runs (emails first — the digit pass would otherwise
+    * shred the address before it can match). Pure `regexp_replace`
+    * chain: codegen'd, one projection, no UDF.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      NumberPattern, "<NUM>")
 }

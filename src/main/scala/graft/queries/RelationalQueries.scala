@@ -336,6 +336,65 @@ object RelationalQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Correlated subqueries, written as literal SQL so Catalyst's
+    * decorrelation does the rewrite: the scalar subquery (per-nation
+    * average balance) becomes an aggregate + join, the EXISTS becomes a
+    * left-semi join — no per-row re-execution anywhere in the physical
+    * plan. At 100 TB both decorrelated joins shuffle once on their keys;
+    * the naive nested-loop interpretation would be O(rows × subquery).
+    */
+  def existsSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("g_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("g_orders")
+    spark.sql(
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM g_customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM g_customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |  AND EXISTS (SELECT 1 FROM g_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Pivot: order counts and exact revenue per year × order status,
+    * statuses as columns. A pivot with an EXPLICIT value list is one
+    * map-side conditional aggregation (no second pass to discover
+    * pivot values, no extra shuffle) — always enumerate the values at
+    * 100 TB.
+    */
+  def pivotOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("year", year(col("o_orderdate")))
+      .groupBy("year")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      // count(1), not count(*): star expansion is invalid inside a pivot
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+      .select(col("year"),
+        coalesce(col("F_n"), lit(0L)).as("n_f"),
+        coalesce(col("F_rev"), lit(0.0)).as("rev_f"),
+        coalesce(col("O_n"), lit(0L)).as("n_o"),
+        coalesce(col("O_rev"), lit(0.0)).as("rev_o"),
+        coalesce(col("P_n"), lit(0L)).as("n_p"),
+        coalesce(col("P_rev"), lit(0.0)).as("rev_p"))
+      .orderBy("year")
+
+  /** Skew-salted join as an oracle-checked query: events (big, skewed
+    * key space) joined to the customer dim through
+    * [[graft.operators.Skew.saltedJoin]] — the salt fans each hot key
+    * over 8 reducers, and the oracle pins that the result EQUALS the
+    * plain join (salting changes shuffle layout, never semantics).
+    */
+  def saltedJoinSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("user_id"), col("value"))
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.operators.Skew.saltedJoin(ev, dim, "user_id", salts = 8)
+      .groupBy("c_mktsegment")
+      .agg(count("*").as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_pricing_summary" -> (pricingSummary(_, _)),
     "r02_revenue_by_segment" -> (revenueBySegment(_, _)),
@@ -359,9 +418,37 @@ object RelationalQueries {
     "r20_heavy_hitters" -> (heavyHitters(_, _)),
     "r21_percentiles" -> (percentiles(_, _)),
     "r22_window_frames" -> (windowFrames(_, _)),
-    "r23_asof_forward" -> (asOfForward(_, _)))
+    "r23_asof_forward" -> (asOfForward(_, _)),
+    "r24_exists_subquery" -> (existsSubquery(_, _)),
+    "r25_pivot_orders" -> (pivotOrders(_, _)),
+    "r26_salted_join" -> (saltedJoinSegments(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "r24_exists_subquery" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "r25_pivot_orders" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS year,
+        |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'F'), 0) AS DOUBLE) AS rev_f,
+        |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'O'), 0) AS DOUBLE) AS rev_o,
+        |  count(*) FILTER (o_orderstatus = 'P') AS n_p,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'P'), 0) AS DOUBLE) AS rev_p
+        |FROM orders GROUP BY year ORDER BY year""".stripMargin,
+    "r26_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "r01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

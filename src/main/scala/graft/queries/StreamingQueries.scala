@@ -100,12 +100,41 @@ object StreamingQueries {
         sum("event_id").as("sum_keeper_events"))
   }
 
+  /** Stream-stream join: every click joined to the purchases the same
+    * user makes within the following 30 minutes. Both sides carry
+    * watermarks AND the join condition bounds event time on both ends,
+    * so the join state is EVICTABLE: a click older than watermark +
+    * 30 min can never match a future purchase and is dropped — the
+    * state-bounding contract stream-stream joins require at 100 TB.
+    * Inner-join results emit as soon as they match (append mode); the
+    * batch-parity oracle is the identical interval self-join in SQL.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Streaming.eventsStream(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    val pairs = clicks.join(purchases,
+      expr("""user_id = p_user AND
+              p_ts >= click_ts AND
+              p_ts <= click_ts + interval 30 minutes"""))
+    Streaming.runAvailableNowAppend(spark, pairs, "graft_s06")
+      .groupBy("user_id")
+      .agg(count("*").as("n_pairs"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_hourly" -> (streamHourly(_, _)),
     "s02_stream_dedup" -> (streamDedupUsers(_, _)),
     "s03_stream_sessions" -> (streamSessions(_, _)),
     "s04_stream_enrich" -> (streamEnriched(_, _)),
-    "s05_stream_upsert" -> (streamUpsert(_, _)))
+    "s05_stream_upsert" -> (streamUpsert(_, _)),
+    "s06_stream_join" -> (streamStreamJoin(_, _)))
 
   val oracles: Map[String, String] = Map(
     // identical to the batch r12 oracle — THE parity statement
@@ -130,6 +159,17 @@ object StreamingQueries {
       """SELECT count(*) AS n_users,
         |       CAST(sum(me) AS BIGINT) AS sum_keeper_events
         |FROM (SELECT min(event_id) AS me FROM events GROUP BY user_id)""".stripMargin,
+    "s06_stream_join" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, ts AS p_ts, value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS n_pairs,
+        |       round(sum(value), 4) AS sum_value
+        |FROM c JOIN p ON user_id = p_user
+        |  AND p_ts >= click_ts
+        |  AND p_ts <= click_ts + INTERVAL 30 MINUTE
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // identical to the batch r11 oracle — custom state ≡ lag/cumsum
     "s03_stream_sessions" ->
       """WITH g AS (

@@ -203,6 +203,24 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** PII-style redaction ([[graft.functions.TextFunctions.redact]])
+    * over a synthesized user record (uid + event props — the documents
+    * fixture contains no digits, so the op is exercised where matches
+    * exist). One codegen'd projection, no shuffle: the 100 TB cost is
+    * exactly one pass over the column.
+    */
+  def redactEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("raw",
+        concat(lit("uid="), col("user_id").cast("string"), lit(" "),
+          col("props")))
+      .select(col("event_id"),
+        graft.functions.TextFunctions.redact(col("raw")).as("redacted"),
+        regexp_count(col("raw"),
+          lit(graft.functions.TextFunctions.NumberPattern))
+          .cast("long").as("n_masked"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_chunk_docs" -> (chunkDocs(_, _)),
     "t02_dedup_exact" -> (dedupExact(_, _)),
@@ -220,7 +238,8 @@ object TextQueries {
     "t14_simhash_near_dup" -> (simhashNearDup(_, _)),
     "t15_bm25" -> (bm25(_, _)),
     "t16_dup_clusters" -> (dupClusters(_, _)),
-    "t17_repetition" -> (repetition(_, _)))
+    "t17_repetition" -> (repetition(_, _)),
+    "t18_redact" -> (redactEvents(_, _)))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -282,6 +301,19 @@ object TextQueries {
       .replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
+    "t18_redact" ->
+      """WITH r AS (
+        |  SELECT event_id,
+        |         'uid=' || CAST(user_id AS VARCHAR) || ' ' || props AS raw
+        |  FROM events)
+        |SELECT event_id,
+        |  regexp_replace(
+        |    regexp_replace(raw,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |      'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(raw, '[0-9]+')) AS BIGINT) AS n_masked
+        |FROM r ORDER BY event_id""".stripMargin,
     "t01_chunk_docs" ->
       s"""WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents),
          |c AS (SELECT doc_id, ws,

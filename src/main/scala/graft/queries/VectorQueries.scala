@@ -315,8 +315,37 @@ object VectorQueries {
       .crossJoin(rerank.select(col("r").as("recall_rerank100_at_10")))
   }
 
+  /** Range search (FAISS's `range_search` surface — the reference's
+    * index exposes only top-k, server.js:45-61): EVERY vector whose
+    * cosine to the query clears a threshold, no k. The plan is
+    * broadcast-project-filter — no sort, no shuffle, no top-k state —
+    * so it is one scan at any corpus size; selectivity, not k, bounds
+    * the output. The threshold comparison uses the ROUNDED score so
+    * Spark and the oracle cut at identical values.
+    */
+  def rangeSearch(spark: SparkSession, sfDir: String,
+                  threshold: Double = 0.2): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(emb)))
+      .select(col("vec_id"),
+        round(cosineSim(col("embedding"), col("qe")), 6).as("score"))
+      .filter(col("score") >= threshold)
+      .orderBy("vec_id")
+  }
+
   /** DuckDB oracles. `embeddings`/`documents` resolve to the same parquet. */
   val oracles: Map[String, String] = Map(
+    "v17_range_search" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.qe AS DOUBLE[])), 6)
+        |           AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, score FROM s WHERE score >= 0.2
+        |ORDER BY vec_id""".stripMargin,
     "v01_knn_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |top AS (
@@ -563,5 +592,6 @@ object VectorQueries {
     "v13_hybrid_rrf" -> (hybridRrf(_, _)),
     "v14_ivf_recall" -> (ivfRecall(_, _)),
     "v15_quantized_knn" -> (quantizedKnn(_, _)),
-    "v16_pq_recall" -> (pqRecall(_, _)))
+    "v16_pq_recall" -> (pqRecall(_, _)),
+    "v17_range_search" -> (rangeSearch(_, _)))
 }

@@ -109,6 +109,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("int8_quantize"), s"kernel missing from plan:\n$p")
   }
 
+  test("correlated EXISTS + scalar subquery decorrelate to joins") {
+    val p = finalPlan(RelationalQueries.existsSubquery(spark, sf))
+    assert(p.contains("LeftSemi"),
+      s"EXISTS did not become a semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"correlated subquery left a per-row nested loop:\n$p")
+  }
+
   test("exchange reuse: self-joined aggregates reuse one shuffle") {
     // same aggregate on both sides → ReusedExchange in the plan
     val agg = Tables.orders(spark, sf).groupBy("o_custkey")

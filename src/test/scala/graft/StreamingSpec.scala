@@ -157,6 +157,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 3L), (2L, 2L, 3L)))
   }
 
+  test("stream-stream interval join buffers state across micro-batches") {
+    val d = Files.createTempDirectory("graft_ssj").toString
+    def batch(rows: Seq[(Long, String, String, Double)]) =
+      rows.toDF("user_id", "ts_s", "event_type", "value")
+        .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"),
+          col("event_type"), col("value"))
+    // batch 1: clicks only; batch 2: purchases — u1's lands inside the
+    // 30-min window of a batch-1 click (the match must come from
+    // BUFFERED join state, not same-batch rows), u2's is outside the
+    // interval, u3 never clicked
+    writeBatchFile(d, 1, batch(Seq(
+      (1L, "2024-01-01 10:00:00", "click", 0.0),
+      (2L, "2024-01-01 10:00:00", "click", 0.0))))
+    writeBatchFile(d, 2, batch(Seq(
+      (1L, "2024-01-01 10:20:00", "purchase", 5.0),
+      (2L, "2024-01-01 11:30:00", "purchase", 7.0),
+      (3L, "2024-01-01 10:10:00", "purchase", 9.0))))
+    val schema = batch(Nil).schema
+    val ev = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value"))
+    .withWatermark("p_ts", "10 minutes")
+    val pairs = clicks.join(purchases,
+      expr("""user_id = p_user AND p_ts >= click_ts AND
+              p_ts <= click_ts + interval 30 minutes"""))
+    val got = Streaming.runAvailableNowAppend(spark, pairs, "graft_test_ssj")
+      .select("user_id", "value").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 5.0)),
+      s"expected only the in-window cross-batch pair: $got")
+  }
+
   test("watermark drops late data in append-mode windowed aggregation") {
     val d = Files.createTempDirectory("graft_late").toString
     val chk = Files.createTempDirectory("graft_late_chk").toString

@@ -83,4 +83,21 @@ class TextAnalysisSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(got == Seq("a", "bold", "word"))
   }
+
+  test("redact masks emails before digit runs, leaves clean text alone") {
+    val got = Seq(
+        "write to jo.doe+x@mail example.org", // no TLD dot → not an email
+        "write to jo.doe+x@mail.example.org now",
+        "card 4111 1111, pin 07",
+        "no secrets here")
+      .toDF("text")
+      .select(TextFunctions.redact(col("text")))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      // the digit pass never sees an address the email pass consumed
+      "write to jo.doe+x@mail example.org",
+      "write to <EMAIL> now",
+      "card <NUM> <NUM>, pin <NUM>",
+      "no secrets here"))
+  }
 }
