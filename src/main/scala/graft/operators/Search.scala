@@ -57,6 +57,79 @@ object Search {
       .filter(col("rank") <= k)
   }
 
+  /** Maximal-marginal-relevance re-rank of a SHORTLIST: greedily pick k
+    * results maximizing `lambda·rel − (1−lambda)·max_sim_to_selected`
+    * (Carbonell & Goldstein 1998) — the standard diversification pass a
+    * RAG retriever runs AFTER ANN narrows the corpus to a few dozen
+    * candidates. Greedy selection is inherently sequential, so this is
+    * the documented `mapPartitions` last resort — legitimate here
+    * because the input is k-bounded BY CONSTRUCTION (a top-N
+    * shortlist, never the corpus): at 100 TB the distributed work is
+    * the retrieval that produced the shortlist, and this pass stays
+    * O(k·N·d) on ~50 rows regardless of corpus size.
+    *
+    * Determinism: candidates are processed in (score desc, id) order,
+    * ties in the marginal score break on ascending id, and the
+    * candidate-candidate cosine mirrors
+    * [[graft.expressions.CosineSimilarity]] (float→double widening,
+    * sequential accumulation, `dot/(√na·√nb)`) so results are
+    * bit-comparable with a SQL oracle.
+    */
+  def mmrRerank(shortlist: DataFrame, idCol: String, vecCol: String,
+                scoreCol: String, k: Int, lambda: Double): DataFrame = {
+    val spark = shortlist.sparkSession
+    import spark.implicits._
+    val rows = shortlist
+      .select(col(idCol).cast("long"), col(scoreCol).cast("double"),
+        col(vecCol).cast("array<float>"))
+      .as[(Long, Double, Array[Float])]
+    rows.coalesce(1).mapPartitions { it =>
+      def cosine(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val cand = it.toArray.sortBy { case (id, s, _) => (-s, id) }
+      val used = new Array[Boolean](cand.length)
+      val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      val out = Iterator.range(0, math.min(k, cand.length)).map { step =>
+        var bestIx = -1; var bestVal = Double.NegativeInfinity
+        var i = 0
+        while (i < cand.length) {
+          if (!used(i)) {
+            val (id, rel, v) = cand(i)
+            // empty selection → pure relevance; otherwise the TRUE max
+            // (cosines can be negative — clamping at 0 would diverge
+            // from SQL max())
+            var maxSim =
+              if (selVecs.isEmpty) 0.0 else Double.NegativeInfinity
+            var j = 0
+            while (j < selVecs.length) {
+              val s = cosine(v, selVecs(j))
+              if (s > maxSim) maxSim = s
+              j += 1
+            }
+            val value = lambda * rel - (1.0 - lambda) * maxSim
+            // strict >: on ties the earlier (higher-rel / lower-id)
+            // candidate wins — the same tie-break the sort pinned
+            if (value > bestVal) { bestVal = value; bestIx = i }
+          }
+          i += 1
+        }
+        used(bestIx) = true
+        selVecs += cand(bestIx)._3
+        (step + 1L, cand(bestIx)._1, bestVal)
+      }
+      out
+    }.toDF("rank", idCol, "mmr")
+  }
+
   /** Enrich hits with document content — broadcast the (tiny) hit set
     * into the corpus join. Inner join: a broadcast hash join cannot
     * build the broadcast side of an outer join that preserves it (the

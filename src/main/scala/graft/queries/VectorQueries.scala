@@ -334,8 +334,65 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** MMR diversified top-5 over a top-50 shortlist
+    * ([[graft.operators.Search.mmrRerank]], lambda = 0.5): the
+    * production RAG re-rank — retrieval narrows the corpus (that part
+    * is the distributed plan), the greedy diversification runs on the
+    * k-bounded shortlist. Oracle = the same greedy UNROLLED to five
+    * selection steps in SQL (tie-break mmr desc, rel desc, id).
+    */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val shortlist = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(emb)))
+      .select(col("vec_id"), col("embedding"),
+        cosineSim(col("embedding"), col("qe")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(50)
+    Search.mmrRerank(shortlist, "vec_id", "embedding", "score",
+        k = 5, lambda = 0.5)
+      .select(col("rank"), col("vec_id"), round(col("mmr"), 6).as("mmr"))
+      .orderBy("rank")
+  }
+
   /** DuckDB oracles. `embeddings`/`documents` resolve to the same parquet. */
   val oracles: Map[String, String] = Map(
+    "v18_mmr_rerank" -> {
+      def step(i: Int): String = {
+        val sel = if (i == 2) "s1" else s"sel${i - 1}"
+        s"""p$i AS (
+           |  SELECT c.id, c.v, c.rel,
+           |         0.5*c.rel - 0.5*(SELECT max(list_cosine_similarity(c.v, s.v))
+           |                          FROM $sel s) AS mmr
+           |  FROM cand c WHERE c.id NOT IN (SELECT id FROM $sel)),
+           |s$i AS (SELECT $i AS rank, id, v, rel, mmr FROM p$i
+           |        ORDER BY mmr DESC, rel DESC, id LIMIT 1),
+           |sel$i AS (SELECT id, v FROM $sel UNION ALL SELECT id, v FROM s$i)"""
+          .stripMargin
+      }
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+         |           FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v,
+         |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                                q.qe) AS rel
+         |  FROM embeddings e, q WHERE e.vec_id <> 0
+         |  ORDER BY rel DESC, e.vec_id LIMIT 50),
+         |s1 AS (SELECT 1 AS rank, id, v, rel, 0.5*rel AS mmr FROM cand
+         |       ORDER BY mmr DESC, rel DESC, id LIMIT 1),
+         |${step(2)},
+         |${step(3)},
+         |${step(4)},
+         |${step(5)}
+         |SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id,
+         |       round(mmr, 6) AS mmr
+         |FROM (SELECT rank, id, mmr FROM s1
+         |      UNION ALL SELECT rank, id, mmr FROM s2
+         |      UNION ALL SELECT rank, id, mmr FROM s3
+         |      UNION ALL SELECT rank, id, mmr FROM s4
+         |      UNION ALL SELECT rank, id, mmr FROM s5)
+         |ORDER BY rank""".stripMargin
+    },
     "v17_range_search" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |s AS (
@@ -593,5 +650,6 @@ object VectorQueries {
     "v14_ivf_recall" -> (ivfRecall(_, _)),
     "v15_quantized_knn" -> (quantizedKnn(_, _)),
     "v16_pq_recall" -> (pqRecall(_, _)),
-    "v17_range_search" -> (rangeSearch(_, _)))
+    "v17_range_search" -> (rangeSearch(_, _)),
+    "v18_mmr_rerank" -> (mmrRerank(_, _)))
 }

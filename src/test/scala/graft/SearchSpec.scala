@@ -72,6 +72,34 @@ class SearchSpec extends SparkSpec {
     assert(ctx == "1. first doc\n2. third doc\n3. second doc")
   }
 
+  test("mmrRerank diversifies: a duplicate of #1 is pushed out of top-3") {
+    // ids 1 and 5 are identical vectors (cosine 1.0): pure relevance
+    // ranks them 1-2. At diversity-heavy lambda=0.3 the duplicate's
+    // penalty (0.7·1.0) sinks it below the opposite (id 4, negative
+    // max-sim is a bonus) and the orthogonal (id 3) candidates.
+    val shortlist = index
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), col("embedding"),
+        cosineSim(col("embedding"), col("qe")).as("score"))
+    val got = Search.mmrRerank(shortlist, "vec_id", "embedding", "score",
+        k = 3, lambda = 0.3)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 4L), (3L, 3L)),
+      s"expected rel-then-diversity order: $got")
+  }
+
+  test("mmrRerank at lambda=1 is plain relevance ranking") {
+    val shortlist = index
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), col("embedding"),
+        cosineSim(col("embedding"), col("qe")).as("score"))
+    val got = Search.mmrRerank(shortlist, "vec_id", "embedding", "score",
+        k = 3, lambda = 1.0)
+      .select("vec_id").as[Long].collect().toSeq
+    // ties (1,5 both cosine 1.0) break on id, like topK
+    assert(got == Seq(1L, 5L, 2L), s"lambda=1 must equal topK order: $got")
+  }
+
   test("contextAgg drops null contents like the reference filter") {
     val enriched = Seq(
       (0L, 1L, 0.9, Some("a")), (0L, 2L, 0.8, None), (0L, 3L, 0.7, Some("b")))
