@@ -164,6 +164,36 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     md5Long(array_join(words(lower(textCol)), " "))
 
+  /** Per-document unigram surprisal — the perplexity-style quality
+    * filter of CCNet/CC-style pipelines (Wenzek et al. 2020), with the
+    * corpus itself as the language model: a doc whose tokens are
+    * systematically improbable under the corpus unigram distribution is
+    * an outlier (boilerplate, noise, wrong language). Emits per doc the
+    * token count and mean −ln p(token), p = corpus tf / corpus total.
+    *
+    * Scale shape: one agg builds the vocabulary (tf per token), one
+    * shuffle joins tokens back to it (AQE splits the stop-word skew),
+    * one agg per doc. The corpus total rides along as a broadcast
+    * 1-row frame — the whole computation is a single plan, no driver
+    * sync. The token frame feeds both the vocab agg and the join, so
+    * it is persisted and eagerly materialized (broadcast-future
+    * recompute race — see round-2 notes).
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tok = df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(words(lower(col(textCol)))).as("w"))
+      .persist()
+    tok.count()
+    val vocab = tok.groupBy("w").agg(count("*").as("tf"))
+    val total = vocab.agg(sum("tf").as("t"))
+    tok.join(vocab, "w")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count("*").as("n_tokens"),
+        round(avg(-log(col("tf") / col("t"))), 6).as("avg_surprisal"))
+  }
+
   /** Relevant-token extraction — deterministic stand-in for the
     * reference's LLM token scorer (reference embed.js:51-98; SURVEY.md
     * §2.1 O19): stopword filter + term-frequency ranking, top `k` tokens

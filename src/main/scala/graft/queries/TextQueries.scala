@@ -221,6 +221,14 @@ object TextQueries {
           .cast("long").as("n_masked"))
       .orderBy("event_id")
 
+  /** Corpus-LM surprisal quality signal
+    * ([[graft.operators.TextAnalysis.unigramSurprisal]]) over the
+    * documents table. */
+  def surprisal(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis
+      .unigramSurprisal(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_chunk_docs" -> (chunkDocs(_, _)),
     "t02_dedup_exact" -> (dedupExact(_, _)),
@@ -239,7 +247,8 @@ object TextQueries {
     "t15_bm25" -> (bm25(_, _)),
     "t16_dup_clusters" -> (dupClusters(_, _)),
     "t17_repetition" -> (repetition(_, _)),
-    "t18_redact" -> (redactEvents(_, _)))
+    "t18_redact" -> (redactEvents(_, _)),
+    "t19_surprisal" -> (surprisal(_, _)))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -301,6 +310,16 @@ object TextQueries {
       .replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
+    "t19_surprisal" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($wsLowerExpr) AS w
+         |  FROM documents WHERE trim(text) <> ''),
+         |vocab AS (SELECT w, count(*) AS tf FROM tok GROUP BY w),
+         |tot AS (SELECT sum(tf) AS t FROM vocab)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(avg(-ln(tf / t)), 6) AS avg_surprisal
+         |FROM tok JOIN vocab USING (w), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t18_redact" ->
       """WITH r AS (
         |  SELECT event_id,

@@ -84,6 +84,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq("a", "bold", "word"))
   }
 
+  test("unigramSurprisal: mean -ln(corpus tf/total), blanks dropped") {
+    val got = TextAnalysis.unigramSurprisal(
+        docsDf((1L, "a a b"), (2L, "c"), (3L, "  ")), "doc_id", "text")
+      .select("doc_id", "n_tokens", "avg_surprisal")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // vocab: a↦2 b↦1 c↦1, total 4; doc1 = (ln2+ln2+ln4)/3, doc2 = ln4
+    assert(got == Seq(
+      (1L, 3L, BigDecimal(2 * math.log(2) + math.log(4))./(3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (2L, 1L, 1.386294)))
+  }
+
   test("redact masks emails before digit runs, leaves clean text alone") {
     val got = Seq(
         "write to jo.doe+x@mail example.org", // no TLD dot → not an email
