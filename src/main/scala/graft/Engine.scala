@@ -196,6 +196,31 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
       .orderBy("query_id", "rank")
   }
 
+  /** Diversified search: cosine retrieval narrows the corpus to a
+    * `shortlistSize` shortlist, then MMR greedily re-ranks it to `k`
+    * results balancing relevance against redundancy
+    * ([[graft.operators.Search.mmrRerank]]) — the answer to chunked
+    * corpora where the top-k fills up with near-identical chunks of one
+    * document. Returns (rank, doc_id, mmr, content).
+    */
+  def searchDiverse(query: String, k: Int, lambda: Double = 0.5,
+                    shortlistSize: Int = 50): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.cosineSim
+    val qv = Ingest.hashEmbed(Seq(query).toDF("text"), "text", dim)
+      .select(col("embedding").as("qe"))
+    val shortlist = index().crossJoin(broadcast(qv))
+      .select(col("doc_id"), col("embedding"),
+        cosineSim(col("embedding"), col("qe")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(shortlistSize)
+    val ranked = Search.mmrRerank(shortlist, "doc_id", "embedding",
+      "score", k, lambda)
+    Search.enrich(ranked, documents().select("doc_id", "content"), "doc_id")
+      .select("rank", "doc_id", "mmr", "content")
+      .orderBy("rank")
+  }
+
   /** Hybrid retrieval: cosine ranking fused with BM25 lexical ranking
     * by reciprocal rank (the query string serves both as embedding
     * input and term bag). Returns (doc_id, rrf_score, content).

@@ -25,6 +25,27 @@ object IngestQueries {
           .select((col("doc_id") + 20000).as("doc_id"),
             concat(col("text"), lit(" EXTRA")).as("text")))
 
+  /** O20/O1 round-trip as an oracle query: the documents table written
+    * through the CSV sink (header, like reference embed.js:108-114) and
+    * read back through the CSV source with schema inference, then
+    * aggregated — the oracle aggregates the ORIGINAL parquet, so any
+    * loss/corruption in the CSV codec (quoting, type round-trip) breaks
+    * the hash match.
+    */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_i04").toString + "/csv"
+    graft.sources.Sources.writeCsv(
+      Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars"),
+      tmp)
+    graft.sources.Sources.readCsv(spark, tmp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum("doc_id").as("sum_ids"))
+      .orderBy("lang")
+  }
+
   /** Hash-embedder output as relational rows (doc_id, bucket, val) —
     * the sparse view of the dense vector, which is what a SQL oracle can
     * recompute (scatter-add = GROUP BY bucket; ±1 sums and the norm
@@ -64,7 +85,8 @@ object IngestQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i01_hash_embed" -> (hashEmbedBuckets(_, _)),
     "i02_dedup_ingest" -> (dedupIngestCount(_, _)),
-    "i03_assign_ids" -> (assignedIds(_, _)))
+    "i03_assign_ids" -> (assignedIds(_, _)),
+    "i04_csv_roundtrip" -> (csvRoundtrip(_, _)))
 
   private val wsLower =
     "CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) " +
@@ -80,6 +102,11 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "i04_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "i01_hash_embed" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($wsLower) AS w FROM documents),

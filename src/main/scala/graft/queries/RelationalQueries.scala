@@ -395,6 +395,29 @@ object RelationalQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Full outer join — the one join type r01-r26 leave uncovered. The
+    * two sides are filtered to OVERLAPPING but distinct key ranges so
+    * left-only, right-only and matched rows all occur; nulls from the
+    * outer sides are coalesced into the output (count 0). At scale a
+    * full outer cannot broadcast either side (both must be preserved)
+    * — it is always a shuffled sort-merge join on the key, which is
+    * exactly what the plan does here.
+    */
+  def fullOuterNations(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_nationkey") < 20)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, sfDir)
+      .filter(col("s_nationkey") >= 5)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_pricing_summary" -> (pricingSummary(_, _)),
     "r02_revenue_by_segment" -> (revenueBySegment(_, _)),
@@ -421,9 +444,20 @@ object RelationalQueries {
     "r23_asof_forward" -> (asOfForward(_, _)),
     "r24_exists_subquery" -> (existsSubquery(_, _)),
     "r25_pivot_orders" -> (pivotOrders(_, _)),
-    "r26_salted_join" -> (saltedJoinSegments(_, _)))
+    "r26_salted_join" -> (saltedJoinSegments(_, _)),
+    "r27_full_outer" -> (fullOuterNations(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "r27_full_outer" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer
+        |           WHERE c_nationkey < 20 GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+        |      WHERE s_nationkey >= 5 GROUP BY s_nationkey)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        |       coalesce(n_cust, 0) AS n_cust,
+        |       coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
     "r24_exists_subquery" ->
       """SELECT c_custkey, c_nationkey, c_acctbal
         |FROM customer c

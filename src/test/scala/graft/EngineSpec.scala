@@ -90,6 +90,28 @@ class EngineSpec extends SparkSpec {
     assert(top.nonEmpty && top.head.contains("tea"))
   }
 
+  test("searchDiverse de-duplicates the result list via MMR") {
+    val e = freshEngine
+    e.loadDocuments(corpusDir)
+    // a near-duplicate of the brew.txt tea doc (exact re-adds dedup
+    // away at ingest; near-dups are what MMR exists for)
+    e.addDocument("steeping loose leaves in hot water makes a calming " +
+      "cup preferred by tea drinkers every afternoon indeed")
+    e.addDocument("charts are visual")
+    val got = e.searchDiverse(
+      "calming tea cup afternoon", k = 3, lambda = 0.3)
+    val rows = got.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    val contents = rows.sortBy(_.getAs[Long]("rank"))
+      .map(_.getAs[String]("content"))
+    // rank 1 is the pure-relevance winner (a tea doc); its near-twin
+    // must be demoted below the unrelated docs at diversity-heavy λ
+    assert(contents(0).contains("tea"))
+    assert(contents.take(2).count(_.contains("steeping")) == 1,
+      s"near-duplicate pair must not fill ranks 1-2: ${contents.toSeq}")
+  }
+
   test("search on an empty store returns no hits, not an error") {
     val e = freshEngine
     assert(e.search("anything", k = 3).count() == 0)
