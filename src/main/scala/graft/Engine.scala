@@ -206,14 +206,10 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
   def searchDiverse(query: String, k: Int, lambda: Double = 0.5,
                     shortlistSize: Int = 50): DataFrame = {
     import spark.implicits._
-    import graft.functions.VectorFunctions.cosineSim
     val qv = Ingest.hashEmbed(Seq(query).toDF("text"), "text", dim)
       .select(col("embedding").as("qe"))
-    val shortlist = index().crossJoin(broadcast(qv))
-      .select(col("doc_id"), col("embedding"),
-        cosineSim(col("embedding"), col("qe")).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(shortlistSize)
+    val shortlist = Search.topKWithVec(index(), qv, "doc_id", "embedding",
+      "qe", shortlistSize)
     val ranked = Search.mmrRerank(shortlist, "doc_id", "embedding",
       "score", k, lambda)
     Search.enrich(ranked, documents().select("doc_id", "content"), "doc_id")

@@ -40,8 +40,18 @@ object Search {
   def topK(index: DataFrame, query: DataFrame,
            idCol: String, vecCol: String, queryVecCol: String,
            k: Int): DataFrame =
+    topKWithVec(index, query, idCol, vecCol, queryVecCol, k).drop(vecCol)
+
+  /** [[topK]] keeping the vector column — the shortlist shape re-rankers
+    * ([[mmrRerank]]) consume. One definition of the score/tie-break/
+    * limit contract for both.
+    */
+  def topKWithVec(index: DataFrame, query: DataFrame,
+                  idCol: String, vecCol: String, queryVecCol: String,
+                  k: Int): DataFrame =
     index.crossJoin(broadcast(query))
-      .select(col(idCol), cosineSim(col(vecCol), col(queryVecCol)).as("score"))
+      .select(col(idCol), col(vecCol),
+        cosineSim(col(vecCol), col(queryVecCol)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
@@ -98,12 +108,16 @@ object Search {
       val cand = it.toArray.sortBy { case (id, s, _) => (-s, id) }
       val used = new Array[Boolean](cand.length)
       val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-      val out = Iterator.range(0, math.min(k, cand.length)).map { step =>
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double)]
+      var step = 0
+      var exhausted = false
+      while (step < math.min(k, cand.length) && !exhausted) {
         var bestIx = -1; var bestVal = Double.NegativeInfinity
         var i = 0
         while (i < cand.length) {
           if (!used(i)) {
-            val (id, rel, v) = cand(i)
+            val (_, rel, v) = cand(i)
             // empty selection → pure relevance; otherwise the TRUE max
             // (cosines can be negative — clamping at 0 would diverge
             // from SQL max())
@@ -122,11 +136,17 @@ object Search {
           }
           i += 1
         }
-        used(bestIx) = true
-        selVecs += cand(bestIx)._3
-        (step + 1L, cand(bestIx)._1, bestVal)
+        // every remaining marginal compared false (NaN scores/vectors):
+        // stop with the clean prefix rather than indexing at -1
+        if (bestIx < 0) exhausted = true
+        else {
+          used(bestIx) = true
+          selVecs += cand(bestIx)._3
+          out += ((step + 1L, cand(bestIx)._1, bestVal))
+          step += 1
+        }
       }
-      out
+      out.iterator
     }.toDF("rank", idCol, "mmr")
   }
 

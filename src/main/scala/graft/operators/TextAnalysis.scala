@@ -173,25 +173,23 @@ object TextAnalysis {
     *
     * Scale shape: one agg builds the vocabulary (tf per token), one
     * shuffle joins tokens back to it (AQE splits the stop-word skew),
-    * one agg per doc. The corpus total rides along as a broadcast
-    * 1-row frame — the whole computation is a single plan, no driver
-    * sync. The token frame feeds both the vocab agg and the join, so
-    * it is persisted and eagerly materialized (broadcast-future
-    * recompute race — see round-2 notes).
+    * one agg per doc. The token frame feeds both the vocab agg and the
+    * join, so it is persisted and eagerly materialized (broadcast-
+    * future recompute race — see round-2 notes); the materializing
+    * count IS the corpus token total, so it folds into the surprisal
+    * as a literal instead of a second full vocab aggregation.
     */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val tok = df.filter(trim(col(textCol)) =!= "")
       .select(col(idCol), explode(words(lower(col(textCol)))).as("w"))
       .persist()
-    tok.count()
+    val total = tok.count()
     val vocab = tok.groupBy("w").agg(count("*").as("tf"))
-    val total = vocab.agg(sum("tf").as("t"))
     tok.join(vocab, "w")
-      .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(count("*").as("n_tokens"),
-        round(avg(-log(col("tf") / col("t"))), 6).as("avg_surprisal"))
+        round(avg(-log(col("tf") / lit(total))), 6).as("avg_surprisal"))
   }
 
   /** Relevant-token extraction — deterministic stand-in for the

@@ -33,8 +33,10 @@ object IngestQueries {
     * the hash match.
     */
   def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_i04").toString + "/csv"
+    // fixed per-process path (Overwrite mode), not a fresh temp dir per
+    // call: Bench invokes the query several times per run and orphaned
+    // CSV copies of the table would otherwise accumulate
+    val tmp = sys.props("java.io.tmpdir") + "/graft_i04_csv"
     graft.sources.Sources.writeCsv(
       Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars"),
       tmp)

@@ -214,9 +214,17 @@ object TextQueries {
       .withColumn("raw",
         concat(lit("uid="), col("user_id").cast("string"), lit(" "),
           col("props")))
+      // count digit runs AFTER the email pass (its replacement token has
+      // no digits): digits inside a masked address must not inflate the
+      // count of <NUM> masks actually emitted
+      .withColumn("email_masked",
+        regexp_replace(col("raw"),
+          graft.functions.TextFunctions.EmailPattern, "<EMAIL>"))
       .select(col("event_id"),
-        graft.functions.TextFunctions.redact(col("raw")).as("redacted"),
-        regexp_count(col("raw"),
+        regexp_replace(col("email_masked"),
+          graft.functions.TextFunctions.NumberPattern, "<NUM>")
+          .as("redacted"),
+        regexp_count(col("email_masked"),
           lit(graft.functions.TextFunctions.NumberPattern))
           .cast("long").as("n_masked"))
       .orderBy("event_id")
@@ -323,15 +331,15 @@ object TextQueries {
     "t18_redact" ->
       """WITH r AS (
         |  SELECT event_id,
-        |         'uid=' || CAST(user_id AS VARCHAR) || ' ' || props AS raw
+        |         regexp_replace(
+        |           'uid=' || CAST(user_id AS VARCHAR) || ' ' || props,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |           '<EMAIL>', 'g') AS email_masked
         |  FROM events)
         |SELECT event_id,
-        |  regexp_replace(
-        |    regexp_replace(raw,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
-        |      'g'),
-        |    '[0-9]+', '<NUM>', 'g') AS redacted,
-        |  CAST(len(regexp_extract_all(raw, '[0-9]+')) AS BIGINT) AS n_masked
+        |  regexp_replace(email_masked, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(email_masked, '[0-9]+')) AS BIGINT)
+        |    AS n_masked
         |FROM r ORDER BY event_id""".stripMargin,
     "t01_chunk_docs" ->
       s"""WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents),

@@ -343,12 +343,8 @@ object VectorQueries {
     */
   def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val shortlist = emb.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(queryVec(emb)))
-      .select(col("vec_id"), col("embedding"),
-        cosineSim(col("embedding"), col("qe")).as("score"))
-      .orderBy(col("score").desc, col("vec_id"))
-      .limit(50)
+    val shortlist = Search.topKWithVec(emb.filter(col("vec_id") =!= 0),
+      queryVec(emb), "vec_id", "embedding", "qe", 50)
     Search.mmrRerank(shortlist, "vec_id", "embedding", "score",
         k = 5, lambda = 0.5)
       .select(col("rank"), col("vec_id"), round(col("mmr"), 6).as("mmr"))
