@@ -418,6 +418,25 @@ object RelationalQueries {
       .orderBy("nationkey")
   }
 
+  /** Explicit GROUPING SETS — the grouping API r13 (rollup) and r14
+    * (cube) don't cover: two independent one-dimension breakdowns plus
+    * the grand total in ONE pass over customer (a cube would add the
+    * unwanted 2-D set). Same single Expand+aggregate plan shape as
+    * rollup/cube: rows duplicate per set, one shuffle.
+    */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("g_customer")
+    spark.sql(
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |       coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nation,
+        |       count(*) AS n_customers,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS acctbal
+        |FROM g_customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY segment, nation""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_pricing_summary" -> (pricingSummary(_, _)),
     "r02_revenue_by_segment" -> (revenueBySegment(_, _)),
@@ -445,9 +464,19 @@ object RelationalQueries {
     "r24_exists_subquery" -> (existsSubquery(_, _)),
     "r25_pivot_orders" -> (pivotOrders(_, _)),
     "r26_salted_join" -> (saltedJoinSegments(_, _)),
-    "r27_full_outer" -> (fullOuterNations(_, _)))
+    "r27_full_outer" -> (fullOuterNations(_, _)),
+    "r28_grouping_sets" -> (groupingSets(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "r28_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |       coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+        |       count(*) AS n_customers,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS acctbal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY segment, nation""".stripMargin,
     "r27_full_outer" ->
       """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer
         |           WHERE c_nationkey < 20 GROUP BY c_nationkey),

@@ -193,6 +193,52 @@ class StreamingSpec extends SparkSpec {
       s"expected only the in-window cross-batch pair: $got")
   }
 
+  test("stream-stream LEFT OUTER join emits null-matched rows only " +
+    "after the watermark closes the interval") {
+    val d = Files.createTempDirectory("graft_ssj_outer").toString
+    def batch(rows: Seq[(Long, String, String, Double)]) =
+      rows.toDF("user_id", "ts_s", "event_type", "value")
+        .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"),
+          col("event_type"), col("value"))
+    // b1: u1 matches in-batch; u2's click has no purchase — its NULL row
+    // may only emit once the watermark proves no match can arrive.
+    // b2 carries a click AND a purchase at 20:00 (rows must survive
+    // each side's filter to advance that side's watermark); b3 gives
+    // the engine a batch in which to apply it (outer emission in batch
+    // N uses the watermark as of batch N−1's end).
+    writeBatchFile(d, 1, batch(Seq(
+      (1L, "2024-01-01 10:00:00", "click", 0.0),
+      (1L, "2024-01-01 10:20:00", "purchase", 5.0),
+      (2L, "2024-01-01 10:00:00", "click", 0.0))))
+    writeBatchFile(d, 2, batch(Seq(
+      (8L, "2024-01-01 20:00:00", "click", 0.0),
+      (9L, "2024-01-01 20:00:00", "purchase", 1.0))))
+    writeBatchFile(d, 3, batch(Seq(
+      (8L, "2024-01-01 20:40:00", "click", 0.0),
+      (9L, "2024-01-01 20:40:00", "purchase", 1.0))))
+    val schema = batch(Nil).schema
+    val ev = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    val pairs = clicks.join(purchases,
+      expr("""user_id = p_user AND p_ts >= click_ts AND
+              p_ts <= click_ts + interval 30 minutes"""),
+      "left_outer")
+    val got = Streaming
+      .runAvailableNowAppend(spark, pairs, "graft_test_ssj_outer")
+      .filter(col("user_id") <= 2)
+      .select("user_id", "value")
+      .as[(Long, Option[Double])].collect().toSet
+    assert(got == Set((1L, Some(5.0)), (2L, None)),
+      s"expected one match and one watermark-closed null row: $got")
+  }
+
   test("watermark drops late data in append-mode windowed aggregation") {
     val d = Files.createTempDirectory("graft_late").toString
     val chk = Files.createTempDirectory("graft_late_chk").toString
