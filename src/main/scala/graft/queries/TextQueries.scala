@@ -237,6 +237,37 @@ object TextQueries {
       .unigramSurprisal(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** The capstone curation pipeline — the composition a real
+    * training-data run executes, as ONE oracle-checked plan: keep a doc
+    * iff (a) it is English, (b) it passes all four t08 quality gates,
+    * and (c) it is the keeper (min-id member) of its near-dup cluster —
+    * or belongs to none. Emits the survivor count plus id/char sums so
+    * the oracle pins exact MEMBERSHIP, not just cardinality.
+    *
+    * Plan shape: the quality filter is a narrow projection feeding a
+    * semi join; near-dup losers come from the t03/t16 machinery
+    * (inverted-index pairs → min-label components) feeding an anti
+    * join; nothing in the composition adds a shuffle beyond what the
+    * parts already pay.
+    */
+  def curation(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val qualityIds = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+      .filter(col("quality") === 1.0).select("doc_id")
+    val pairs = Dedup.ngramJaccardPairs(spread(docs, "doc_id"),
+      "doc_id", "text", n = 3, threshold = 0.1, maxDf = 1000L)
+    val losers = graft.operators.Graph
+      .connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    docs.filter(col("lang") === "en")
+      .join(qualityIds, "doc_id")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_survivors"),
+        sum("doc_id").as("sum_survivor_ids"),
+        sum("n_chars").as("total_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_chunk_docs" -> (chunkDocs(_, _)),
     "t02_dedup_exact" -> (dedupExact(_, _)),
@@ -256,7 +287,8 @@ object TextQueries {
     "t16_dup_clusters" -> (dupClusters(_, _)),
     "t17_repetition" -> (repetition(_, _)),
     "t18_redact" -> (redactEvents(_, _)),
-    "t19_surprisal" -> (surprisal(_, _)))
+    "t19_surprisal" -> (surprisal(_, _)),
+    "t20_curation" -> (curation(_, _)))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -317,6 +349,26 @@ object TextQueries {
        |  JOIN sizes sb ON sb.doc_id = id_b)""".stripMargin
       .replace("\n", " ")
 
+  /** The t08 quality-feature pipeline as CTEs ending in
+    * `feat(doc_id, n_words, mean_word_len, stopword_ratio, alnum_ratio)`
+    * — shared by t08 (per-doc features) and t20 (the gate filter).
+    */
+  private lazy val qualityFeatCtes =
+    s"""t AS (SELECT doc_id, text, $wsExpr AS ws FROM documents),
+       |feat AS (
+       |  SELECT doc_id,
+       |    len(ws) AS n_words,
+       |    CASE WHEN len(ws) = 0 THEN 0.0
+       |         ELSE list_sum(list_transform(ws, w -> len(w)))::DOUBLE / len(ws) END
+       |      AS mean_word_len,
+       |    CASE WHEN len(ws) = 0 THEN 0.0
+       |         ELSE len(list_filter(ws, w -> lower(w) IN ('the','a','of','and','is')))::DOUBLE
+       |              / len(ws) END AS stopword_ratio,
+       |    CASE WHEN len(text) = 0 THEN 0.0
+       |         ELSE len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+       |              / len(text) END AS alnum_ratio
+       |  FROM t)""".stripMargin.replace("\n", " ")
+
   val oracles: Map[String, String] = Map(
     "t19_surprisal" ->
       s"""WITH tok AS (
@@ -328,6 +380,35 @@ object TextQueries {
          |       round(avg(-ln(tf / t)), 6) AS avg_surprisal
          |FROM tok JOIN vocab USING (w), tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t20_curation" ->
+      s"""WITH RECURSIVE $jaccardPairCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jac >= 0.1
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM jpairs WHERE jac >= 0.1),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+         |losers AS (
+         |  SELECT node AS doc_id
+         |  FROM (SELECT node, min(label) AS label FROM walk GROUP BY node)
+         |  WHERE node <> label),
+         |$qualityFeatCtes,
+         |q AS (SELECT doc_id FROM feat
+         |      WHERE n_words BETWEEN 20 AND 1000
+         |        AND mean_word_len BETWEEN 2.0 AND 12.0
+         |        AND stopword_ratio BETWEEN 0.01 AND 0.6
+         |        AND alnum_ratio >= 0.6),
+         |surv AS (
+         |  SELECT d.doc_id, d.n_chars FROM documents d
+         |  JOIN q USING (doc_id)
+         |  WHERE d.lang = 'en'
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM losers))
+         |SELECT count(*) AS n_survivors,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_survivor_ids,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM surv""".stripMargin,
     "t18_redact" ->
       """WITH r AS (
         |  SELECT event_id,
@@ -498,20 +579,7 @@ object TextQueries {
          |SELECT doc_id, score FROM top ORDER BY doc_id""".stripMargin,
     "t07_lang_id" -> langIdOracle,
     "t08_quality" ->
-      s"""WITH t AS (SELECT doc_id, text, $wsExpr AS ws FROM documents),
-         |feat AS (
-         |  SELECT doc_id,
-         |    len(ws) AS n_words,
-         |    CASE WHEN len(ws) = 0 THEN 0.0
-         |         ELSE list_sum(list_transform(ws, w -> len(w)))::DOUBLE / len(ws) END
-         |      AS mean_word_len,
-         |    CASE WHEN len(ws) = 0 THEN 0.0
-         |         ELSE len(list_filter(ws, w -> lower(w) IN ('the','a','of','and','is')))::DOUBLE
-         |              / len(ws) END AS stopword_ratio,
-         |    CASE WHEN len(text) = 0 THEN 0.0
-         |         ELSE len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
-         |              / len(text) END AS alnum_ratio
-         |  FROM t)
+      s"""WITH $qualityFeatCtes
          |SELECT doc_id, n_words,
          |  round(mean_word_len, 6) AS mean_word_len,
          |  round(stopword_ratio, 6) AS stopword_ratio,
