@@ -128,15 +128,64 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Continuous vector search: a STREAM of query vectors scored against
+    * the STATIC index — the serving shape of the reference's /search at
+    * fleet scale (queries arrive continuously, the index is a table).
+    * The static side joins per micro-batch without shuffling the
+    * stream; per-query top-5 runs as the bounded-heap UDAF inside the
+    * streaming aggregation (≤k rows of state per query — the only
+    * top-k formulation legal in a stream, where sort+limit is not).
+    * Batch-parity oracle = v10's SQL on the same split.
+    */
+  def streamSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val qStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val index = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= 8)
+      .select(col("vec_id"), col("embedding"))
+    val scored = qStream.crossJoin(index)
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorFunctions
+          .cosineSim(col("embedding"), col("qe")).as("score"))
+    val topk = graft.operators.TopKAggregator.topKUdaf(5)
+    val agg = scored.groupBy("query_id")
+      .agg(topk(col("vec_id"), col("score")).as("hits"))
+    Streaming.runAvailableNow(spark, agg, "graft_s07")
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit._1").as("vec_id"), round(col("hit._2"), 6).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_hourly" -> (streamHourly(_, _)),
     "s02_stream_dedup" -> (streamDedupUsers(_, _)),
     "s03_stream_sessions" -> (streamSessions(_, _)),
     "s04_stream_enrich" -> (streamEnriched(_, _)),
     "s05_stream_upsert" -> (streamUpsert(_, _)),
-    "s06_stream_join" -> (streamStreamJoin(_, _)))
+    "s06_stream_join" -> (streamStreamJoin(_, _)),
+    "s07_stream_search" -> (streamSearch(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // identical to the batch v10 oracle — continuous search ≡ batch
+    "s07_stream_search" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) AS score
+        |  FROM embeddings e, q WHERE e.vec_id >= 8),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // identical to the batch r12 oracle — THE parity statement
     "s01_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
@@ -159,6 +208,22 @@ object StreamingQueries {
       """SELECT count(*) AS n_users,
         |       CAST(sum(me) AS BIGINT) AS sum_keeper_events
         |FROM (SELECT min(event_id) AS me FROM events GROUP BY user_id)""".stripMargin,
+    // identical to the batch v10 oracle — continuous search ≡ batch
+    "s07_stream_search" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) AS score
+        |  FROM embeddings e, q WHERE e.vec_id >= 8),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "s06_stream_join" ->
       """WITH c AS (SELECT user_id, ts AS click_ts FROM events
         |           WHERE event_type = 'click'),
