@@ -43,6 +43,19 @@ object TopKAggregator {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Hit]]()
     }
 
+  /** Shared result-shaping tail for heap-UDAF searches: explode the
+    * `hits` array to (queryIdCol, rank, vec_id, score) rows — ONE
+    * definition of the rank/round contract for the batch (v10) and
+    * streaming (s07) twins.
+    */
+  def explodeHits(df: org.apache.spark.sql.DataFrame, queryIdCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(col(queryIdCol), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col(queryIdCol), (col("pos") + 1).cast("long").as("rank"),
+        col("hit._1").as("vec_id"), round(col("hit._2"), 6).as("score"))
+  }
+
   /** Column function: top_k(idCol, scoreCol) → array<struct<_1,_2>>. */
   def topKUdaf(k: Int): (Column, Column) => Column = {
     val fn = udaf(topK(k))

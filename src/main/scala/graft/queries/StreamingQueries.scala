@@ -143,9 +143,11 @@ object StreamingQueries {
       .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
       .filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val index = graft.Tables.embeddings(spark, sfDir)
+    // broadcast pinned (like s04's dim): without the hint a production
+    // autoBroadcastJoinThreshold=-1 would plan a per-batch cartesian
+    val index = broadcast(graft.Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") >= 8)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding")))
     val scored = qStream.crossJoin(index)
       .select(col("query_id"), col("vec_id"),
         graft.functions.VectorFunctions
@@ -170,22 +172,8 @@ object StreamingQueries {
     "s07_stream_search" -> (streamSearch(_, _)))
 
   val oracles: Map[String, String] = Map(
-    // identical to the batch v10 oracle — continuous search ≡ batch
-    "s07_stream_search" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-        |           FROM embeddings WHERE vec_id < 8),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id,
-        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                                CAST(q.qe AS DOUBLE[])) AS score
-        |  FROM embeddings e, q WHERE e.vec_id >= 8),
-        |ranked AS (
-        |  SELECT query_id, vec_id, score,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, vec_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, vec_id, round(score, 6) AS score
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the batch v10 oracle verbatim — continuous search ≡ batch
+    "s07_stream_search" -> VectorQueries.batchHeapTopKOracle,
     // identical to the batch r12 oracle — THE parity statement
     "s01_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
@@ -208,22 +196,6 @@ object StreamingQueries {
       """SELECT count(*) AS n_users,
         |       CAST(sum(me) AS BIGINT) AS sum_keeper_events
         |FROM (SELECT min(event_id) AS me FROM events GROUP BY user_id)""".stripMargin,
-    // identical to the batch v10 oracle — continuous search ≡ batch
-    "s07_stream_search" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-        |           FROM embeddings WHERE vec_id < 8),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id,
-        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                                CAST(q.qe AS DOUBLE[])) AS score
-        |  FROM embeddings e, q WHERE e.vec_id >= 8),
-        |ranked AS (
-        |  SELECT query_id, vec_id, score,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, vec_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, vec_id, round(score, 6) AS score
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "s06_stream_join" ->
       """WITH c AS (SELECT user_id, ts AS click_ts FROM events
         |           WHERE event_type = 'click'),

@@ -141,11 +141,10 @@ object VectorQueries {
       emb.filter(col("vec_id") >= 8), queries,
       "vec_id", "embedding", "query_id", "qe")
     val topk = graft.operators.TopKAggregator.topKUdaf(5)
-    scored.groupBy("query_id")
-      .agg(topk(col("vec_id"), col("score")).as("hits"))
-      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("hit._1").as("vec_id"), round(col("hit._2"), 6).as("score"))
+    graft.operators.TopKAggregator.explodeHits(
+        scored.groupBy("query_id")
+          .agg(topk(col("vec_id"), col("score")).as("hits")),
+        "query_id")
       .orderBy("query_id", "rank")
   }
 
@@ -351,6 +350,26 @@ object VectorQueries {
       .orderBy("rank")
   }
 
+  /** The per-query top-5 search oracle, shared verbatim by v05 (window
+    * formulation), v10 (bounded-heap UDAF) and s07 (continuous) — ONE
+    * definition of the parity statement all three twins must satisfy.
+    */
+  val batchHeapTopKOracle: String =
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) AS score
+        |  FROM embeddings e, q WHERE e.vec_id >= 8),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** DuckDB oracles. `embeddings`/`documents` resolve to the same parquet. */
   val oracles: Map[String, String] = Map(
     "v18_mmr_rerank" -> {
@@ -448,21 +467,7 @@ object VectorQueries {
         |SELECT CAST(0 AS BIGINT) AS query_id,
         |       string_agg(rank || '. ' || content, chr(10) ORDER BY rank) AS context
         |FROM ranked""".stripMargin,
-    "v05_batch_search" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-        |           FROM embeddings WHERE vec_id < 8),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id,
-        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                                CAST(q.qe AS DOUBLE[])) AS score
-        |  FROM embeddings e, q WHERE e.vec_id >= 8),
-        |ranked AS (
-        |  SELECT query_id, vec_id, score,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, vec_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, vec_id, round(score, 6) AS score
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "v05_batch_search" -> batchHeapTopKOracle,
     "v06_near_dup_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -505,21 +510,7 @@ object VectorQueries {
         |  FROM embeddings e, q WHERE e.vec_id <> 0
         |  ORDER BY score DESC, e.vec_id LIMIT 7)
         |SELECT vec_id, round(score, 6) AS score FROM top ORDER BY vec_id""".stripMargin,
-    "v10_batch_search_heap" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-        |           FROM embeddings WHERE vec_id < 8),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id,
-        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                                CAST(q.qe AS DOUBLE[])) AS score
-        |  FROM embeddings e, q WHERE e.vec_id >= 8),
-        |ranked AS (
-        |  SELECT query_id, vec_id, score,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, vec_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, vec_id, round(score, 6) AS score
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "v10_batch_search_heap" -> batchHeapTopKOracle,
     "v13_hybrid_rrf" ->
       """WITH ws AS (
         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
