@@ -437,6 +437,27 @@ object RelationalQueries {
         |ORDER BY segment, nation""".stripMargin)
   }
 
+  /** Time-RANGE window frame — the frame type r22's ROWS battery leaves
+    * out: per customer, the rolling 30-day order count and exact spend
+    * ending at each order. RANGE frames bound by VALUE distance (here
+    * epoch-day), so ties in order date share one frame regardless of row
+    * order — the semantics ROWS frames cannot express.
+    */
+  def rangeFrameSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("order_day"))
+      .rangeBetween(-30, 0)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") <= 5)
+      .withColumn("order_day",
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("order_day"),
+        count(lit(1)).over(w).as("n_30d"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("spend_30d"))
+      .orderBy("o_custkey", "order_day", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_pricing_summary" -> (pricingSummary(_, _)),
     "r02_revenue_by_segment" -> (revenueBySegment(_, _)),
@@ -465,9 +486,23 @@ object RelationalQueries {
     "r25_pivot_orders" -> (pivotOrders(_, _)),
     "r26_salted_join" -> (saltedJoinSegments(_, _)),
     "r27_full_outer" -> (fullOuterNations(_, _)),
-    "r28_grouping_sets" -> (groupingSets(_, _)))
+    "r28_grouping_sets" -> (groupingSets(_, _)),
+    "r29_range_frame" -> (rangeFrameSpend(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "r29_range_frame" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         date_diff('day', DATE '1970-01-01', o_orderdate) AS order_day,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_custkey <= 5)
+        |SELECT o_custkey, o_orderkey, order_day,
+        |  count(*) OVER w AS n_30d,
+        |  CAST(sum(price) OVER w AS DOUBLE) AS spend_30d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY order_day
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, order_day, o_orderkey""".stripMargin,
     "r28_grouping_sets" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
         |       coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,

@@ -100,6 +100,28 @@ class SearchSpec extends SparkSpec {
     assert(got == Seq(1L, 5L, 2L), s"lambda=1 must equal topK order: $got")
   }
 
+  test("mmrRerank invariants on random vectors: ranks 1..k, distinct " +
+    "ids from the shortlist, rank 1 = relevance argmax") {
+    val rng = new scala.util.Random(99)
+    val vecs = (1L to 60L).map(i =>
+      (i, Seq.fill(8)(rng.nextGaussian().toFloat)))
+    val qv = Seq(Tuple1(Array.fill(8)(rng.nextGaussian().toFloat))).toDF("qe")
+    val shortlist = vecsDf(vecs: _*)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("embedding"),
+        cosineSim(col("embedding"), col("qe")).as("score"))
+    val top1 = Search.topK(vecsDf(vecs: _*), qv,
+      "vec_id", "embedding", "qe", 1).as[(Long, Double)].head()._1
+    val got = Search.mmrRerank(shortlist, "vec_id", "embedding", "score",
+        k = 7, lambda = 0.5)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(got.map(_._1) == (1L to 7L), s"rank sequence broken: $got")
+    assert(got.map(_._2).distinct.size == 7, s"duplicate pick: $got")
+    assert(got.map(_._2).toSet.subsetOf(vecs.map(_._1).toSet))
+    assert(got.head._2 == top1, "rank 1 must be the pure-relevance winner")
+  }
+
   test("contextAgg drops null contents like the reference filter") {
     val enriched = Seq(
       (0L, 1L, 0.9, Some("a")), (0L, 2L, 0.8, None), (0L, 3L, 0.7, Some("b")))

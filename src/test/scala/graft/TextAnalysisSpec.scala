@@ -96,6 +96,23 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 1L, 1.386294)))
   }
 
+  test("redact is idempotent and leaves no digits behind") {
+    val rng = new scala.util.Random(7)
+    val words = Seq("alpha", "42", "x9y", "a@b.co", "no.reply+1@x.org",
+      "<NUM>", "<EMAIL>", "7", "mail@mail", "end.")
+    val samples = (1 to 60).map(_ =>
+      Seq.fill(rng.nextInt(6) + 1)(words(rng.nextInt(words.length)))
+        .mkString(" "))
+    val got = samples.toDF("text")
+      .select(col("text"), TextFunctions.redact(col("text")).as("r1"))
+      .select(col("r1"), TextFunctions.redact(col("r1")).as("r2"))
+      .as[(String, String)].collect()
+    got.foreach { case (r1, r2) =>
+      assert(r1 == r2, s"redact not idempotent on: $r1")
+      assert(!r1.exists(_.isDigit), s"digits survived redaction: $r1")
+    }
+  }
+
   test("redact masks emails before digit runs, leaves clean text alone") {
     val got = Seq(
         "write to jo.doe+x@mail example.org", // no TLD dot → not an email
