@@ -48,6 +48,26 @@ object IngestQueries {
       .orderBy("lang")
   }
 
+  /** JSON-lines round-trip, i04's twin for the JSON sink/source: write
+    * events (id, type, value, and the RAW nested props string) as
+    * json-lines, read back with schema inference, aggregate. Exercises
+    * quoting/escaping of embedded JSON and double round-tripping; the
+    * oracle aggregates the original parquet.
+    */
+  def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = sys.props("java.io.tmpdir") + "/graft_i05_json"
+    graft.sources.Sources.writeJson(
+      Tables.events(spark, sfDir)
+        .select("event_id", "event_type", "value", "props"), tmp)
+    graft.sources.Sources.readJson(spark, tmp)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("event_id").as("sum_ids"),
+        round(sum("value"), 4).as("sum_value"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+      .orderBy("event_type")
+  }
+
   /** Hash-embedder output as relational rows (doc_id, bucket, val) —
     * the sparse view of the dense vector, which is what a SQL oracle can
     * recompute (scatter-add = GROUP BY bucket; ±1 sums and the norm
@@ -88,7 +108,8 @@ object IngestQueries {
     "i01_hash_embed" -> (hashEmbedBuckets(_, _)),
     "i02_dedup_ingest" -> (dedupIngestCount(_, _)),
     "i03_assign_ids" -> (assignedIds(_, _)),
-    "i04_csv_roundtrip" -> (csvRoundtrip(_, _)))
+    "i04_csv_roundtrip" -> (csvRoundtrip(_, _)),
+    "i05_json_roundtrip" -> (jsonRoundtrip(_, _)))
 
   private val wsLower =
     "CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) " +
@@ -104,6 +125,13 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "i05_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |       round(sum(value), 4) AS sum_value,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "i04_csv_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
