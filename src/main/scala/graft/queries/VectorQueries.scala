@@ -350,6 +350,24 @@ object VectorQueries {
       .orderBy("rank")
   }
 
+  /** Filtered (metadata-predicated) search: top-10 only among vectors
+    * whose label passes a predicate — the capability dedicated vector
+    * stores struggle with (pre- vs post-filter recall trade-offs,
+    * filtered-HNSW connectivity). In a relational engine it is FREE
+    * and EXACT: the predicate pushes into the parquet scan
+    * (PushedFilters), the index never materializes rows the filter
+    * rejects, and top-k runs on exactly the qualifying set — no recall
+    * loss, no over-fetch heuristics.
+    */
+  def filteredKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Search.topK(
+        emb.filter(col("vec_id") =!= 0 && col("label") % 3 === 0),
+        queryVec(emb), "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy("vec_id")
+  }
+
   /** The per-query top-5 search oracle, shared verbatim by v05 (window
     * formulation), v10 (bounded-heap UDAF) and s07 (continuous) — ONE
     * definition of the parity statement all three twins must satisfy.
@@ -372,6 +390,17 @@ object VectorQueries {
 
   /** DuckDB oracles. `embeddings`/`documents` resolve to the same parquet. */
   val oracles: Map[String, String] = Map(
+    "v19_filtered_knn" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |top AS (
+        |  SELECT e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) AS score
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> 0 AND e.label % 3 = 0
+        |  ORDER BY score DESC, e.vec_id LIMIT 10)
+        |SELECT vec_id, round(score, 6) AS score FROM top
+        |ORDER BY vec_id""".stripMargin,
     "v18_mmr_rerank" -> {
       def step(i: Int): String = {
         val sel = if (i == 2) "s1" else s"sel${i - 1}"
@@ -638,5 +667,6 @@ object VectorQueries {
     "v15_quantized_knn" -> (quantizedKnn(_, _)),
     "v16_pq_recall" -> (pqRecall(_, _)),
     "v17_range_search" -> (rangeSearch(_, _)),
-    "v18_mmr_rerank" -> (mmrRerank(_, _)))
+    "v18_mmr_rerank" -> (mmrRerank(_, _)),
+    "v19_filtered_knn" -> (filteredKnn(_, _)))
 }
