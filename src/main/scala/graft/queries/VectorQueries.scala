@@ -357,12 +357,14 @@ object VectorQueries {
     * and EXACT: the predicate pushes into the parquet scan
     * (PushedFilters), the index never materializes rows the filter
     * rejects, and top-k runs on exactly the qualifying set — no recall
-    * loss, no over-fetch heuristics.
+    * loss, no over-fetch heuristics. The predicate is deliberately a
+    * plain comparison (arithmetic like `label % 3` would NOT translate
+    * to a data-source filter); PlanSpec asserts it reaches the scan.
     */
   def filteredKnn(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     Search.topK(
-        emb.filter(col("vec_id") =!= 0 && col("label") % 3 === 0),
+        emb.filter(col("vec_id") =!= 0 && col("label") < 5),
         queryVec(emb), "vec_id", "embedding", "qe", 10)
       .select(col("vec_id"), round(col("score"), 6).as("score"))
       .orderBy("vec_id")
@@ -397,7 +399,7 @@ object VectorQueries {
         |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |                                CAST(q.qe AS DOUBLE[])) AS score
         |  FROM embeddings e, q
-        |  WHERE e.vec_id <> 0 AND e.label % 3 = 0
+        |  WHERE e.vec_id <> 0 AND e.label < 5
         |  ORDER BY score DESC, e.vec_id LIMIT 10)
         |SELECT vec_id, round(score, 6) AS score FROM top
         |ORDER BY vec_id""".stripMargin,

@@ -118,6 +118,12 @@ class PlanSpec extends SparkSpec {
       s"correlated subquery left a per-row nested loop:\n$p")
   }
 
+  test("filtered search pushes the metadata predicate into the scan") {
+    val p = plan(VectorQueries.filteredKnn(spark, sf))
+    assert(p.contains("LessThan(label,5)"),
+      s"label predicate did not reach PushedFilters:\n$p")
+  }
+
   test("exchange reuse: self-joined aggregates reuse one shuffle") {
     // same aggregate on both sides → ReusedExchange in the plan
     val agg = Tables.orders(spark, sf).groupBy("o_custkey")
