@@ -96,6 +96,36 @@ class SqliteSourceSpec extends SparkSpec {
     assert(e3.getMessage.contains("nope"), e3.getMessage)
   }
 
+  test("tail truncation never silently corrupts: pristine rows or a raise") {
+    // the cell-extent guard's contract: clipping ANY suffix of the file
+    // either leaves every decoded row bit-identical (only unused space
+    // was clipped) or raises loudly — it must never zero-pad a payload
+    def canon(r: graft.sources.SqliteReader.Row): (Long, Seq[Any]) =
+      (r.rowid, r.values.map {
+        case b: Array[Byte] => b.toSeq
+        case v => v
+      })
+    val real = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        getClass.getResource("/graft/multipage.db").getPath))
+    val pristine = graft.sources.SqliteReader
+      .readTable(real, "documents").map(canon).toList
+    for (k <- Seq(1, 3, 100, 4000, 5000)) {
+      val cut = java.util.Arrays.copyOfRange(real, 0, real.length - k)
+      try {
+        val got = graft.sources.SqliteReader
+          .readTable(cut, "documents").map(canon).toList
+        assert(got == pristine,
+          s"truncating $k bytes silently altered decoded rows")
+      } catch {
+        case e: Exception =>
+          assert(e.getMessage.contains("overruns") ||
+            e.getMessage.contains("truncated") ||
+            e.getMessage.contains("page"), s"k=$k: ${e.getMessage}")
+      }
+    }
+  }
+
   test("binaryDir payload lengths match the real file sizes") {
     val expected = new java.io.File(docsDir).listFiles()
       .map(f => f.getName -> f.length()).toMap
