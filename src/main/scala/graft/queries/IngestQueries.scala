@@ -68,6 +68,26 @@ object IngestQueries {
       .orderBy("event_type")
   }
 
+  /** ORC round-trip — the third columnar-format leg (parquet is the
+    * store's native format, CSV/JSON cover text interchange, ORC covers
+    * the other columnar ecosystem). Nested types survive: the lineitem
+    * slice round-trips a (string, double) aggregate per return flag.
+    */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = sys.props("java.io.tmpdir") + "/graft_i06_orc"
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).orc(tmp)
+    spark.read.orc(tmp)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum("l_quantity").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"),
+        sum("l_orderkey").as("sum_keys"))
+      .orderBy("l_returnflag")
+  }
+
   /** Hash-embedder output as relational rows (doc_id, bucket, val) —
     * the sparse view of the dense vector, which is what a SQL oracle can
     * recompute (scatter-add = GROUP BY bucket; ±1 sums and the norm
@@ -109,7 +129,8 @@ object IngestQueries {
     "i02_dedup_ingest" -> (dedupIngestCount(_, _)),
     "i03_assign_ids" -> (assignedIds(_, _)),
     "i04_csv_roundtrip" -> (csvRoundtrip(_, _)),
-    "i05_json_roundtrip" -> (jsonRoundtrip(_, _)))
+    "i05_json_roundtrip" -> (jsonRoundtrip(_, _)),
+    "i06_orc_roundtrip" -> (orcRoundtrip(_, _)))
 
   private val wsLower =
     "CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) " +
@@ -125,6 +146,13 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "i06_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS sum_keys
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "i05_json_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(event_id) AS BIGINT) AS sum_ids,
