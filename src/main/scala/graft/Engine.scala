@@ -51,8 +51,18 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "PATH_NOT_FOUND" => false
       case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" &&
-            storeHoldsOnlyMetadataFiles => false
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        // evaluate the FS listing outside the pattern guard: a listing
+        // failure (store deleted between Spark's inference attempt and
+        // this probe, transient FS error) must not REPLACE the original
+        // AnalysisException — attach it as suppressed so the root cause
+        // survives the rethrow
+        val onlyMeta =
+          try storeHoldsOnlyMetadataFiles
+          catch {
+            case scala.util.control.NonFatal(t) => t.addSuppressed(e); throw t
+          }
+        if (onlyMeta) false else throw e
     }
 
   /** Hadoop-FS listing (works for HDFS/S3/local alike, unlike

@@ -176,6 +176,58 @@ object Dedup {
         ":")))
   }
 
+  /** C4-style cross-document line dedup: split every document into
+    * fixed-width non-overlapping word windows ("lines" — the fixture
+    * corpus has no newlines), keep the globally FIRST occurrence of each
+    * line (min (id, position) — the C4 rule "remove any duplicated
+    * line, keeping one"), and report per-document totals. Returns
+    * (idCol, n_lines, n_kept).
+    *
+    * Scale shape: the only shuffle is the window over the 8-byte line
+    * hash (same skinny-key rationale as [[shingleHashSet]]); line
+    * windows themselves are a narrow chunker projection. Per-line state
+    * in the window is one row — no postings lists, no pair blow-up.
+    */
+  def lineDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                         lineWords: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = Chunker
+      .chunk(df.select(col(idCol), col(textCol)), textCol, lineWords, 0)
+      .select(col(idCol), col("chunk_ix").as("pos"),
+        graft.functions.HashFunctions.md5Long(col("chunk")).as("line_key"))
+    lines
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("line_key").orderBy(col(idCol), col("pos"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("rn") === 1).cast("long")).as("n_kept"))
+  }
+
+  /** Benchmark decontamination (the GPT-3/PaLM eval-leak gate): for
+    * every corpus document, count how many of its distinct n-gram
+    * shingles also occur in the (small) eval set. Returns
+    * (idCol, n_shingles, n_hits) for ALL corpus docs — callers apply
+    * their overlap-fraction threshold.
+    *
+    * Scale shape: the eval shingle set is distinct-reduced and
+    * BROADCAST (benchmarks are a few thousand docs; the corpus is the
+    * 100 TB side) — the corpus is never shuffled for the probe, only
+    * for its own per-doc count.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val evalShingles = shingleHashSet(evalSet, idCol, textCol, n)
+      .select("shingle").distinct()
+    val corpusShingles = shingleHashSet(corpus, idCol, textCol, n)
+    val sizes = corpusShingles.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = corpusShingles
+      .join(broadcast(evalShingles), "shingle")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    sizes.join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_hits"))
+  }
+
   /** SimHash fingerprint (bits ≤ 60) from precomputed 60-bit token
     * hashes: per-bit ±1 votes weighted by token multiplicity; bit set iff
     * the vote sum is positive. Narrow projection, no shuffle.

@@ -14,6 +14,17 @@ object IngestQueries {
 
   private val Dim = 64
 
+  /** Scratch dir for the sink/source round-trip queries: stable WITHIN a
+    * run (Overwrite mode — Bench re-invokes each query without orphaned
+    * copies accumulating) but unique PER SparkSession (applicationId), so
+    * two JVMs running the same query concurrently (bench alongside
+    * correctness, parallel CI on one host) never race write-vs-read on a
+    * shared path.
+    */
+  private def roundtripDir(spark: SparkSession, name: String): String =
+    sys.props("java.io.tmpdir") +
+      s"/${name}_${spark.sparkContext.applicationId}"
+
   /** The synthetic ingest batch used by i02/i03: every stored doc
     * re-submitted under a new id (must all dedup away) plus an " EXTRA"
     * variant of every 10th doc (must all survive).
@@ -33,10 +44,7 @@ object IngestQueries {
     * the hash match.
     */
   def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    // fixed per-process path (Overwrite mode), not a fresh temp dir per
-    // call: Bench invokes the query several times per run and orphaned
-    // CSV copies of the table would otherwise accumulate
-    val tmp = sys.props("java.io.tmpdir") + "/graft_i04_csv"
+    val tmp = roundtripDir(spark, "graft_i04_csv")
     graft.sources.Sources.writeCsv(
       Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars"),
       tmp)
@@ -55,7 +63,7 @@ object IngestQueries {
     * oracle aggregates the original parquet.
     */
   def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = sys.props("java.io.tmpdir") + "/graft_i05_json"
+    val tmp = roundtripDir(spark, "graft_i05_json")
     graft.sources.Sources.writeJson(
       Tables.events(spark, sfDir)
         .select("event_id", "event_type", "value", "props"), tmp)
@@ -74,7 +82,7 @@ object IngestQueries {
     * slice round-trips a (string, double) aggregate per return flag.
     */
   def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = sys.props("java.io.tmpdir") + "/graft_i06_orc"
+    val tmp = roundtripDir(spark, "graft_i06_orc")
     Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).orc(tmp)
@@ -86,6 +94,28 @@ object IngestQueries {
           .cast("double").as("sum_price"),
         sum("l_orderkey").as("sum_keys"))
       .orderBy("l_returnflag")
+  }
+
+  /** XML round-trip — Spark 4's NATIVE xml data source (the fourth
+    * interchange leg after CSV/JSON/ORC): customer written one element
+    * per row, read back with schema inference (long/double/string all
+    * survive the text round-trip — Java double-to-string is exact), and
+    * aggregated; the oracle aggregates the original parquet.
+    */
+  def xmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = roundtripDir(spark, "graft_i07_xml")
+    Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("rootTag", "customers").option("rowTag", "customer")
+      .format("xml").save(tmp)
+    spark.read.option("rowTag", "customer").format("xml").load(tmp)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("sum_acctbal"),
+        sum("c_custkey").as("sum_keys"))
+      .orderBy("c_mktsegment")
   }
 
   /** Hash-embedder output as relational rows (doc_id, bucket, val) —
@@ -130,7 +160,8 @@ object IngestQueries {
     "i03_assign_ids" -> (assignedIds(_, _)),
     "i04_csv_roundtrip" -> (csvRoundtrip(_, _)),
     "i05_json_roundtrip" -> (jsonRoundtrip(_, _)),
-    "i06_orc_roundtrip" -> (orcRoundtrip(_, _)))
+    "i06_orc_roundtrip" -> (orcRoundtrip(_, _)),
+    "i07_xml_roundtrip" -> (xmlRoundtrip(_, _)))
 
   private val wsLower =
     "CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) " +
@@ -146,6 +177,12 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "i07_xml_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_acctbal,
+        |       CAST(sum(c_custkey) AS BIGINT) AS sum_keys
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "i06_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,
         |       sum(l_quantity) AS sum_qty,

@@ -458,6 +458,69 @@ object RelationalQueries {
       .orderBy("o_custkey", "order_day", "o_orderkey")
   }
 
+  /** Unpivot (wide → long melt): the four lineitem measures as
+    * (measure, value) rows, then totals per measure. Spark's `unpivot`
+    * is a single Expand projection — rows fan out map-side, one shuffle
+    * for the aggregate, never a join or a union of N scans (the naive
+    * melt re-reads the table once per measure; the oracle is written
+    * that way and must still match).
+    */
+  def unpivotMeasures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("decimal(18,2)").as("quantity"),
+        col("l_extendedprice").cast("decimal(18,2)").as("extendedprice"),
+        col("l_discount").cast("decimal(18,2)").as("discount"),
+        col("l_tax").cast("decimal(18,2)").as("tax"))
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("quantity"), col("extendedprice"), col("discount"),
+          col("tax")),
+        "measure", "value")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), sum("value").cast("double").as("total"))
+      .orderBy("measure")
+
+  /** Bloom-prefiltered join ([[graft.operators.Prefilter]]): lineitem
+    * rows are dropped by a compact sketch of the urgent-order keys
+    * BEFORE the join, and the exact join then removes the sketch's
+    * false positives — so the oracle is the PLAIN join, pinning that
+    * the prefilter never loses a true match. The runtime-filter shape
+    * for shuffled joins whose dim side exceeds the broadcast threshold.
+    */
+  def bloomJoinUrgent(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderpriority")
+    val prefiltered = graft.operators.Prefilter.bloomSemiFilter(
+      Tables.lineitem(spark, sfDir), dim, "l_orderkey", "o_orderkey",
+      expectedKeys = 100000L, fpp = 0.01)
+    prefiltered.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        sum("l_orderkey").as("sum_keys"))
+  }
+
+  /** INTERSECT ALL / EXCEPT ALL — bag (multiset) set ops, where r08's
+    * set-semantics battery keeps only distinct rows: multiplicities are
+    * min(a,b) for intersect and a−b for except. Catalyst plans both as
+    * one aggregate (per-side counts) + generate — a single shuffle on
+    * the value, no join of the raw sides.
+    */
+  def bagSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val a = li.filter(col("l_returnflag") === "R").select("l_suppkey")
+    val b = li.filter(col("l_quantity") > 25).select("l_suppkey")
+    a.intersectAll(b).groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+      .unionByName(
+        a.exceptAll(b).groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all")))
+      .select("op", "l_suppkey", "n")
+      .orderBy("op", "l_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_pricing_summary" -> (pricingSummary(_, _)),
     "r02_revenue_by_segment" -> (revenueBySegment(_, _)),
@@ -487,9 +550,44 @@ object RelationalQueries {
     "r26_salted_join" -> (saltedJoinSegments(_, _)),
     "r27_full_outer" -> (fullOuterNations(_, _)),
     "r28_grouping_sets" -> (groupingSets(_, _)),
-    "r29_range_frame" -> (rangeFrameSpend(_, _)))
+    "r29_range_frame" -> (rangeFrameSpend(_, _)),
+    "r30_unpivot" -> (unpivotMeasures(_, _)),
+    "r31_bloom_join" -> (bloomJoinUrgent(_, _)),
+    "r32_bag_setops" -> (bagSetOps(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "r30_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'discount' AS measure, CAST(l_discount AS DECIMAL(18,2)) AS v
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'quantity', CAST(l_quantity AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
+        |SELECT measure, count(*) AS n, CAST(sum(v) AS DOUBLE) AS total
+        |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
+    "r31_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS sum_keys
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority""".stripMargin,
+    "r32_bag_setops" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+        |b AS (SELECT l_suppkey FROM lineitem WHERE l_quantity > 25),
+        |i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+        |e AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |SELECT * FROM (
+        |  SELECT 'intersect_all' AS op, l_suppkey, count(*) AS n
+        |  FROM i GROUP BY l_suppkey
+        |  UNION ALL
+        |  SELECT 'except_all', l_suppkey, count(*) FROM e GROUP BY l_suppkey)
+        |ORDER BY op, l_suppkey""".stripMargin,
     "r29_range_frame" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey,

@@ -155,10 +155,9 @@ object StreamingQueries {
     val topk = graft.operators.TopKAggregator.topKUdaf(5)
     val agg = scored.groupBy("query_id")
       .agg(topk(col("vec_id"), col("score")).as("hits"))
-    Streaming.runAvailableNow(spark, agg, "graft_s07")
-      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("hit._1").as("vec_id"), round(col("hit._2"), 6).as("score"))
+    graft.operators.TopKAggregator
+      .explodeHits(Streaming.runAvailableNow(spark, agg, "graft_s07"),
+        "query_id")
       .orderBy("query_id", "rank")
   }
 

@@ -268,7 +268,62 @@ object TextQueries {
         sum("n_chars").as("total_chars"))
   }
 
+  /** Words per dedup "line" for t21 — small enough that cross-doc
+    * duplicates actually occur in the word-soup fixtures. */
+  private val LineWords = 6
+
+  /** C4-style cross-document line dedup
+    * ([[graft.operators.Dedup.lineDedupKeepFirst]]): per doc, how many
+    * 6-word lines it has and how many survive keep-globally-first. */
+  def lineDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.lineDedupKeepFirst(spread(Tables.documents(spark, sfDir), "doc_id"),
+        "doc_id", "text", LineWords)
+      .orderBy("doc_id")
+
+  /** Eval-set n-gram overlap threshold for t22: flag a doc when ≥5% of
+    * its shingles appear in the benchmark. */
+  private val ContamFrac = 0.05
+
+  /** Benchmark decontamination
+    * ([[graft.operators.Dedup.decontaminate]]): docs 0-4 play the held-
+    * out eval set; every other doc sharing ≥1 3-gram with it is
+    * reported with its overlap fraction and the ≥5% contamination flag.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.decontaminate(
+        spread(docs.filter(col("doc_id") >= 5), "doc_id"),
+        docs.filter(col("doc_id") < 5), "doc_id", "text", n = 3)
+      .filter(col("n_hits") >= 1)
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        round(col("n_hits") / col("n_shingles"), 6).as("hit_frac"),
+        (col("n_hits") / col("n_shingles") >= ContamFrac)
+          .cast("long").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic hash-bucket sampling: md5(doc_id) mod 100 < 20 — the
+    * reproducible ~20% sample every distributed pipeline needs. Unlike
+    * seeded `sample()`, the decision is a pure function of the KEY:
+    * partition-layout-independent, stable across reruns/engines (the
+    * oracle applies the identical predicate), and consistent across
+    * tables sharing the key. A narrow codegen'd filter — at 100 TB it
+    * rides the scan, no shuffle.
+    */
+  def hashSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(graft.functions.HashFunctions
+        .md5Long(concat(lit("sample:"), col("doc_id").cast("string")))
+        % 100 < 20)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_line_dedup" -> (lineDedup(_, _)),
+    "t22_decontaminate" -> (decontaminate(_, _)),
+    "t23_hash_sample" -> (hashSample(_, _)),
     "t01_chunk_docs" -> (chunkDocs(_, _)),
     "t02_dedup_exact" -> (dedupExact(_, _)),
     "t03_ngram_jaccard" -> (ngramJaccard(_, _)),
@@ -370,6 +425,49 @@ object TextQueries {
        |  FROM t)""".stripMargin.replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
+    "t21_line_dedup" ->
+      s"""WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |c AS (SELECT doc_id, ws,
+         |        unnest(range(0, 1 + CAST(ceil(greatest(len(ws) - $LineWords, 0)
+         |          / $LineWords.0) AS INT))) AS pos
+         |      FROM w),
+         |l AS (SELECT doc_id, pos,
+         |        ${hash60(s"array_to_string(ws[(pos*$LineWords+1):(pos*$LineWords+$LineWords)], ' ')")}
+         |          AS line_key
+         |      FROM c),
+         |k AS (SELECT doc_id,
+         |        row_number() OVER (PARTITION BY line_key
+         |                           ORDER BY doc_id, pos) AS rn
+         |      FROM l)
+         |SELECT doc_id, count(*) AS n_lines,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t22_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |sg AS (SELECT doc_id, unnest(list_transform($shinglesExpr,
+         |         sh -> ${hash60("sh")})) AS shingle
+         |       FROM w),
+         |ev AS (SELECT DISTINCT shingle FROM sg WHERE doc_id < 5),
+         |corpus AS (SELECT doc_id, count(*) AS n_shingles FROM sg
+         |           WHERE doc_id >= 5 GROUP BY doc_id),
+         |hits AS (SELECT sg.doc_id, count(*) AS n_hits
+         |         FROM sg JOIN ev USING (shingle)
+         |         WHERE sg.doc_id >= 5 GROUP BY sg.doc_id)
+         |SELECT c.doc_id, c.n_shingles, h.n_hits,
+         |       round(CAST(h.n_hits AS DOUBLE) / c.n_shingles, 6) AS hit_frac,
+         |       CAST(CASE WHEN CAST(h.n_hits AS DOUBLE) / c.n_shingles
+         |                      >= $ContamFrac
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM corpus c JOIN hits h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "t23_hash_sample" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |WHERE ${hash60("concat('sample:', doc_id)")} % 100 < 20
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "t19_surprisal" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($wsLowerExpr) AS w

@@ -49,6 +49,37 @@ class DedupSpec extends SparkSpec {
     assert(got.count() == 0)
   }
 
+  test("lineDedupKeepFirst: first occurrence survives, later copies drop") {
+    // doc 1 lines: "a b", "c d"; doc 2 lines: "c d" (dup), "e f" (novel)
+    val df = docsDf((1L, "a b c d"), (2L, "c d e f"))
+    val got = Dedup.lineDedupKeepFirst(df, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L), (2L, 2L, 1L)))
+  }
+
+  test("lineDedupKeepFirst: duplicate line WITHIN one doc keeps only first") {
+    val df = docsDf((1L, "a b a b"))
+    val got = Dedup.lineDedupKeepFirst(df, "doc_id", "text", 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L)))
+  }
+
+  test("decontaminate counts eval-set shingle overlap per corpus doc") {
+    val evalSet = docsDf((100L, "w x y z"))
+    // doc 1 shares shingles ("w x y", "x y z"); doc 2 shares none
+    val corpus = docsDf((1L, "w x y z q"), (2L, "p q r s t"))
+    val got = Dedup.decontaminate(corpus, evalSet, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L), (2L, 3L, 0L)))
+  }
+
+  test("decontaminate: zero-overlap docs still report their shingle count") {
+    val got = Dedup.decontaminate(docsDf((1L, "a b c d")),
+        docsDf((9L, "x y z")), "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L)))
+  }
+
   test("minHash: identical docs share full signature; length = numHashes") {
     val sigs = Dedup.minHash(docsDf((1L, "a b c d e"), (2L, "a b c d e")),
         "doc_id", "text", n = 3, numHashes = 16)

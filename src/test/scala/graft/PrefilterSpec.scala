@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Prefilter
+import org.apache.spark.sql.functions._
+
+/** Bloom semi-join prefilter: the no-false-negative guarantee (the
+  * property that makes `prefilter then exact join` ≡ `join`, which the
+  * r31 oracle pins end-to-end) plus actual selectivity on disjoint keys.
+  */
+class PrefilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keyed(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, tag)).toDF("k", "tag")
+
+  test("bloomSemiFilter keeps EVERY true match (no false negatives)") {
+    val big = keyed(0 until 2000, "big")
+    val dim = keyed(500 until 600, "dim").withColumnRenamed("k", "dk")
+    val kept = Prefilter
+      .bloomSemiFilter(big, dim, "k", "dk", expectedKeys = 1000L, fpp = 0.05)
+      .select("k").as[Long].collect().toSet
+    assert((500L until 600L).forall(kept.contains))
+  }
+
+  test("bloomSemiFilter drops most non-matching rows at the target fpp") {
+    val big = keyed(0 until 2000, "big")
+    val dim = keyed(10000 until 10100, "dim").withColumnRenamed("k", "dk")
+    val kept = Prefilter
+      .bloomSemiFilter(big, dim, "k", "dk", expectedKeys = 1000L, fpp = 0.01)
+      .count()
+    // disjoint key ranges: everything kept is a false positive; allow
+    // 10x the nominal 1% rate before calling the sketch broken
+    assert(kept <= 200, s"kept $kept of 2000 disjoint keys")
+  }
+}
