@@ -173,6 +173,34 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
       .select(concat(lit("sqlite:"), col("doc_id").cast("string"))
         .as("source"), col("content").as("text")))
 
+  /** Delete by doc id — the inverse of ingest (FAISS `remove_ids` /
+    * `DELETE FROM documents WHERE id IN (...)`; the reference exposes no
+    * delete endpoint, but its SQLite store supports the statement and a
+    * complete engine needs it). Plain parquet has no row deletes, so the
+    * store is rewritten without the victims via the same temp-dir swap
+    * as [[Ingest.compactStore]] (table formats layer deletion vectors on
+    * top of exactly this maintenance pass). The victim set rides a
+    * broadcast anti-join — the store side is never shuffled. Returns the
+    * number of rows removed; ids are never reused afterwards (max-id
+    * assignment keeps AUTOINCREMENT parity, like un-vacuumed SQLite).
+    */
+  def deleteDocuments(ids: Seq[Long]): Long = {
+    import spark.implicits._
+    if (ids.isEmpty || !storeExists) return 0L
+    val victims = ids.distinct.toDF("doc_id")
+    val n = documents()
+      .join(broadcast(victims), Seq("doc_id"), "left_semi").count()
+    if (n > 0) {
+      val tmp = storePath + ".delete.tmp"
+      documents().join(broadcast(victims), Seq("doc_id"), "left_anti")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(tmp)
+      Ingest.replaceStoreDir(spark, tmp, storePath)
+      invalidateIndex()
+    }
+    n
+  }
+
   /** POST /search — embed the query, cosine top-k over the index,
     * enrich with content: (doc_id, score, content).
     */

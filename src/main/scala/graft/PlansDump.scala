@@ -79,6 +79,18 @@ object PlansDump {
         ("Full outer join: both sides must be preserved so neither can " +
           "broadcast — shuffled sort-merge on the key, partial " +
           "aggregation on both inputs before the join."),
+      "r31_bloom_join" ->
+        ("Bloom-prefiltered join: the sketch probe is a narrow filter ON " +
+          "the lineitem scan (before any exchange), so rows that cannot " +
+          "match never reach the join — the explicit form of AQE's " +
+          "runtime bloom filter; the exact join then removes the false " +
+          "positives."),
+      "r33_market_share" ->
+        ("Widest join tree (6 joins): lineitem⨝orders is the one " +
+          "shuffled large-large join; customer-region and supplier-" +
+          "nation hops are BroadcastHashJoins — numerator and " +
+          "denominator of the share fall out of one conditional " +
+          "aggregation pass."),
       "t19_surprisal" ->
         ("Corpus-LM surprisal: vocabulary aggregate + token join " +
           "(AQE splits stop-word skew) + per-doc aggregate; the corpus " +

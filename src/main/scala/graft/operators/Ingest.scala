@@ -139,12 +139,22 @@ object Ingest {
       .repartition(numFiles)
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(tmp)
+    replaceStoreDir(spark, tmp, path)
+  }
+
+  /** The write-temp → delete-old → rename swap shared by
+    * [[compactStore]] and [[graft.Engine.deleteDocuments]]. NOT
+    * transactional — callers own writer exclusion (see compactStore
+    * doc).
+    */
+  def replaceStoreDir(spark: SparkSession, tmp: String,
+                      path: String): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(hPath, true)
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath))
       throw new java.io.IOException(
-        s"compactStore: rename $tmp -> $path failed; data remains at $tmp")
+        s"replaceStoreDir: rename $tmp -> $path failed; data remains at $tmp")
   }
 
   /** Store BUCKETED on the join key (catalog table at `path`): two

@@ -521,6 +521,49 @@ object RelationalQueries {
       .orderBy("op", "l_suppkey")
   }
 
+  /** TPC-H Q8-shaped market share: of all lineitem revenue ordered by
+    * ASIA-region customers, the fraction supplied from NATION_7, per
+    * order year. The widest join tree in the battery (lineitem ⨝ orders
+    * ⨝ customer ⨝ nation ⨝ region ⨝ supplier ⨝ nation): the one
+    * genuinely large-large join (lineitem⨝orders) shuffles on the
+    * orderkey; every dimension hop is a broadcast hash join — the mixed
+    * plan 100 TB star queries need (broadcasting orders instead would
+    * OOM; shuffling nation would be absurd). Numerator and denominator
+    * come out of ONE pass via conditional aggregation.
+    */
+  def marketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = Tables.nation(spark, sfDir)
+    val asiaCustomers = Tables.customer(spark, sfDir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)
+          .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNation = Tables.supplier(spark, sfDir)
+      .join(broadcast(nat.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val volume = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCustomers), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("volume", volume)
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(
+          sum(when(col("supp_nation") === "NATION_7", col("volume"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+            sum(col("volume")).cast("double"),
+          6).as("mkt_share"),
+        sum(col("volume")).cast("double").as("total_volume"))
+      .orderBy("o_year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_pricing_summary" -> (pricingSummary(_, _)),
     "r02_revenue_by_segment" -> (revenueBySegment(_, _)),
@@ -553,9 +596,31 @@ object RelationalQueries {
     "r29_range_frame" -> (rangeFrameSpend(_, _)),
     "r30_unpivot" -> (unpivotMeasures(_, _)),
     "r31_bloom_join" -> (bloomJoinUrgent(_, _)),
-    "r32_bag_setops" -> (bagSetOps(_, _)))
+    "r32_bag_setops" -> (bagSetOps(_, _)),
+    "r33_market_share" -> (marketShare(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "r33_market_share" ->
+      """WITH vol AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) -
+        |            CAST(l_discount AS DECIMAL(18,2))) AS volume,
+        |         sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'ASIA')
+        |SELECT o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+        |                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |        CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+        |  CAST(sum(volume) AS DOUBLE) AS total_volume
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
     "r30_unpivot" ->
       """WITH m AS (
         |  SELECT 'discount' AS measure, CAST(l_discount AS DECIMAL(18,2)) AS v

@@ -112,6 +112,41 @@ class EngineSpec extends SparkSpec {
       s"near-duplicate pair must not fill ranks 1-2: ${contents.toSeq}")
   }
 
+  test("deleteDocuments removes rows, ids stay unreused, search adapts") {
+    val e = freshEngine
+    assert(e.addDocument("john likes tea") == 1)
+    assert(e.addDocument("john likes beer") == 1)
+    assert(e.addDocument("data visualization dashboards") == 1)
+
+    // delete one real id + one unknown id: only the real one counts
+    assert(e.deleteDocuments(Seq(2L, 99L)) == 1)
+    assert(e.countDocuments() == 2)
+    assert(e.deleteDocuments(Seq(2L)) == 0) // already gone
+    assert(e.deleteDocuments(Nil) == 0)
+
+    // the deleted doc no longer surfaces; the index was invalidated
+    val hits = e.search("john likes beer", k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!hits.contains(2L))
+
+    // AUTOINCREMENT parity: the next ingest continues AFTER the old
+    // max (3), never back-filling the hole at 2
+    assert(e.addDocument("an entirely new document") == 1)
+    val ids = e.documents().select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L, 4L))
+  }
+
+  test("deleteDocuments of every row leaves a working empty store") {
+    val e = freshEngine
+    assert(e.addDocument("only doc") == 1)
+    assert(e.deleteDocuments(Seq(1L)) == 1)
+    assert(e.countDocuments() == 0)
+    // ingest after full delete restarts cleanly
+    assert(e.addDocument("fresh start") == 1)
+    assert(e.countDocuments() == 1)
+  }
+
   test("search on an empty store returns no hits, not an error") {
     val e = freshEngine
     assert(e.search("anything", k = 3).count() == 0)
