@@ -113,6 +113,45 @@ object Ann {
     * guard in [[Dedup]]): the guard count rides a broadcast 1-row
     * aggregate and is checked before the cross join fans out.
     */
+  /** SRP binary-sketch shortlist search (the FAISS fast-scan pattern):
+    * rank the whole index by HAMMING distance between 16-60-bit
+    * sign-random-projection sketches (a bit_count over longs — ~100×
+    * cheaper than a d-dim float dot product), keep the `shortlist`
+    * closest, then exact-cosine re-rank only those. Recall is governed
+    * by shortlist size and sketch width, and the approximation is
+    * PINNED by the oracle (which rebuilds the identical md5-derived
+    * hyperplanes — see [[graft.expressions.CosineLshBits]]).
+    *
+    * Scale shape: sketching is a narrow projection; both the hamming
+    * shortlist and the final top-k are TakeOrderedAndProject
+    * (per-partition heaps, no shuffle of the scored set); the full
+    * vectors of non-shortlisted rows are never touched after the
+    * sketch pass — at 100 TB the hamming scan can run off a sketch-only
+    * column (8 bytes/vector) with the vector column pruned away.
+    *
+    * `query` must be one row (qe, qsketch). Returns
+    * (idCol, hamming, score) — the exact cosine, ranked.
+    */
+  def srpShortlistKnn(index: DataFrame, query: DataFrame, idCol: String,
+                      vecCol: String, bits: Int, shortlist: Int,
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val sketched = index.select(col(idCol), col(vecCol),
+      Bridge.column(graft.expressions.CosineLshBits(
+        Bridge.expression(col(vecCol)), bits)).as("sketch"))
+    val short = sketched.crossJoin(broadcast(query))
+      .withColumn("hamming",
+        bit_count(col("sketch").bitwiseXOR(col("qsketch"))).cast("long"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(shortlist)
+    short
+      .select(col(idCol), col("hamming"),
+        graft.functions.VectorFunctions
+          .cosineSim(col(vecCol), col("qe")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          threshold: Double,
                          maxInputRows: Long = 100000L): DataFrame = {

@@ -177,6 +177,27 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** SRP-shortlist search ([[Ann.srpShortlistKnn]]): hamming-distance
+    * prefilter on 16-bit sketches down to a 50-candidate shortlist,
+    * exact cosine re-rank to top-10. Both cuts are deterministic
+    * (integer hamming / id tie-breaks), so the DuckDB oracle replicates
+    * the pipeline exactly — approximation pinned, not hidden.
+    */
+  def srpShortlistKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val emb = Tables.embeddings(spark, sfDir)
+    val sketched = emb.select(col("vec_id"), col("embedding"),
+      Bridge.column(graft.expressions.CosineLshBits(
+        Bridge.expression(col("embedding")), 16)).as("sketch"))
+    val q = sketched.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("sketch").as("qsketch"))
+    Ann.srpShortlistKnn(emb.filter(col("vec_id") =!= 0), q,
+        "vec_id", "embedding", bits = 16, shortlist = 50, k = 10)
+      .select(col("vec_id"), col("hamming"),
+        round(col("score"), 6).as("score"))
+      .orderBy("vec_id")
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     * ranking and the cosine vector ranking (documents and embeddings
     * share the id space). Rank-based fusion is score-scale-free, and
@@ -606,6 +627,31 @@ object VectorQueries {
         |  ORDER BY qscore DESC, c.vec_id LIMIT 10)
         |SELECT vec_id, round(qscore, 6) AS qscore FROM top
         |ORDER BY vec_id""".stripMargin,
+    "v20_srp_shortlist" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |  CAST(list_sum(list_transform(range(0, 16), j ->
+        |    CASE WHEN list_sum(list_transform(range(0, len(e)), i ->
+        |        e[CAST(i + 1 AS INT)] *
+        |        (CASE WHEN CAST(concat('0x', substring(
+        |               md5(concat('srp:', j, ':', i)), 1, 15)) AS BIGINT)
+        |              % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+        |    THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS sketch
+        |  FROM v),
+        |q AS (SELECT e AS qe, sketch AS qsketch FROM s WHERE vec_id = 0),
+        |short AS (
+        |  SELECT s.vec_id, s.e,
+        |         CAST(bit_count(xor(s.sketch, q.qsketch)) AS BIGINT)
+        |           AS hamming,
+        |         q.qe
+        |  FROM s, q WHERE s.vec_id <> 0
+        |  ORDER BY hamming, s.vec_id LIMIT 50),
+        |top AS (
+        |  SELECT vec_id, hamming, list_cosine_similarity(e, qe) AS score
+        |  FROM short ORDER BY score DESC, vec_id LIMIT 10)
+        |SELECT vec_id, hamming, round(score, 6) AS score FROM top
+        |ORDER BY vec_id""".stripMargin,
     "v12_srp_sketch" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |           FROM embeddings)
@@ -664,6 +710,7 @@ object VectorQueries {
     "v10_batch_search_heap" -> (batchSearchHeap(_, _)),
     "v11_bucketed_near_dup" -> (bucketedNearDup(_, _)),
     "v12_srp_sketch" -> (srpSketch(_, _)),
+    "v20_srp_shortlist" -> (srpShortlistKnn(_, _)),
     "v13_hybrid_rrf" -> (hybridRrf(_, _)),
     "v14_ivf_recall" -> (ivfRecall(_, _)),
     "v15_quantized_knn" -> (quantizedKnn(_, _)),

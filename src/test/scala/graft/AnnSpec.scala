@@ -93,6 +93,39 @@ class AnnSpec extends SparkSpec {
     assert(learned == 1.0, s"learned centroids should isolate the blob: $learned")
   }
 
+  test("srpShortlistKnn with a full-size shortlist equals exact search") {
+    import org.apache.spark.sql.graft.Bridge
+    val index = emb.filter(col("vec_id") =!= 1)
+    val sketched = emb.select(col("vec_id"), col("embedding"),
+      Bridge.column(graft.expressions.CosineLshBits(
+        Bridge.expression(col("embedding")), 16)).as("sketch"))
+    val q = sketched.filter(col("vec_id") === 1)
+      .select(col("embedding").as("qe"), col("sketch").as("qsketch"))
+    val approx = Ann.srpShortlistKnn(index, q, "vec_id", "embedding",
+        bits = 16, shortlist = 100, k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = Search.topK(index,
+        emb.filter(col("vec_id") === 1).select(col("embedding").as("qe")),
+        "vec_id", "embedding", "qe", 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(approx == exact)
+  }
+
+  test("srpShortlistKnn hamming distances are consistent with clusters") {
+    import org.apache.spark.sql.graft.Bridge
+    val sketched = emb.select(col("vec_id"), col("embedding"),
+      Bridge.column(graft.expressions.CosineLshBits(
+        Bridge.expression(col("embedding")), 16)).as("sketch"))
+    val q = sketched.filter(col("vec_id") === 1)
+      .select(col("embedding").as("qe"), col("sketch").as("qsketch"))
+    val ham = Ann.srpShortlistKnn(emb.filter(col("vec_id") =!= 1), q,
+        "vec_id", "embedding", bits = 16, shortlist = 100, k = 5)
+      .select("vec_id", "hamming").as[(Long, Long)].collect().toMap
+    // same-cluster vectors (3,4 near (10,0)) must be at least as close
+    // in hamming space as the opposite cluster's center (2)
+    assert(ham(3L) <= ham(2L) && ham(4L) <= ham(2L))
+  }
+
   test("cosineNearDupPairs aborts above its input-size guard") {
     val e = intercept[Exception] {
       Ann.cosineNearDupPairs(emb, "vec_id", "embedding", 0.95,

@@ -38,4 +38,42 @@ class MiscFunctionsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("hll_sketch_agg: mergeable distinct sketches — union of halves " +
+      "equals the whole") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_orderkey"), col("l_partkey"))
+    // the property that makes approx-distinct work at 100 TB: sketches
+    // built on disjoint partitions MERGE (per-executor partials, one
+    // tiny binary each) — and merging loses nothing vs sketching the
+    // whole dataset in one pass
+    val whole = li.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("n"))
+      .as[Long].head()
+    val halves = li
+      .withColumn("half", (col("l_orderkey") % 2).cast("int"))
+      .groupBy("half")
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n"))
+      .as[Long].head()
+    // union promotes the sketch's internal representation (HLL_4 →
+    // HLL_8), so estimates are close but NOT bit-identical to the
+    // single-pass sketch — the contract is accuracy, not equality
+    val exact = li.agg(countDistinct(col("l_partkey"))).as[Long].head()
+    assert(math.abs(whole - exact).toDouble / exact < 0.05,
+      s"hll=$whole exact=$exact")
+    assert(math.abs(halves - exact).toDouble / exact < 0.05,
+      s"merged hll=$halves exact=$exact")
+  }
+
+  test("approx_percentile tracks exact percentiles within its accuracy") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val row = li.agg(
+        expr("percentile(l_extendedprice, array(0.5, 0.9))").as("exact"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)")
+          .as("approx"))
+      .as[(Seq[Double], Seq[Double])].head()
+    row._1.zip(row._2).foreach { case (e, a) =>
+      assert(math.abs(a - e) / e < 0.02, s"approx=$a exact=$e") }
+  }
 }
