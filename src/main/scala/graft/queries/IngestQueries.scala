@@ -118,6 +118,25 @@ object IngestQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Partitioned-store round-trip: documents written hive-partitioned
+    * by `lang` ([[Ingest.writeStorePartitioned]] layout, Overwrite for
+    * per-run idempotence), read back through partition DISCOVERY with a
+    * partition-column filter — at 100 TB the `lang = 'en'` predicate is
+    * directory pruning (PartitionFilters in the scan, plan-asserted in
+    * PlanSpec), so non-English files are never opened. The oracle
+    * aggregates the original parquet under the same predicate.
+    */
+  def partitionedStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = roundtripDir(spark, "graft_i08_part")
+    Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").partitionBy("lang").parquet(tmp)
+    spark.read.parquet(tmp)
+      .filter(col("lang") === "en")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+        sum("n_chars").as("sum_chars"))
+  }
+
   /** Hash-embedder output as relational rows (doc_id, bucket, val) —
     * the sparse view of the dense vector, which is what a SQL oracle can
     * recompute (scatter-add = GROUP BY bucket; ±1 sums and the norm
@@ -161,7 +180,8 @@ object IngestQueries {
     "i04_csv_roundtrip" -> (csvRoundtrip(_, _)),
     "i05_json_roundtrip" -> (jsonRoundtrip(_, _)),
     "i06_orc_roundtrip" -> (orcRoundtrip(_, _)),
-    "i07_xml_roundtrip" -> (xmlRoundtrip(_, _)))
+    "i07_xml_roundtrip" -> (xmlRoundtrip(_, _)),
+    "i08_partitioned_store" -> (partitionedStore(_, _)))
 
   private val wsLower =
     "CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) " +
@@ -177,6 +197,11 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "i08_partitioned_store" ->
+      """SELECT count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'""".stripMargin,
     "i07_xml_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n,
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)

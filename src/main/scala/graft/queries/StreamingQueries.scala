@@ -161,7 +161,24 @@ object StreamingQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Sessionization through the BUILT-IN session_window operator
+    * ([[Streaming.sessionWindowCounts]]) — s03's twin without custom
+    * state. The oracle's session rule is `gap >= 1800` (window bound
+    * [start, last+gap) — one tick stricter than r11/s03's `gap > 1800`),
+    * so the boundary semantics of the native operator are themselves
+    * pinned by the parity check.
+    */
+  def streamSessionWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val sess = Streaming
+      .sessionWindowCounts(Streaming.eventsStream(spark, sfDir))
+    Streaming.runAvailableNow(spark, sess, "graft_s08")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s08_session_window" -> (streamSessionWindows(_, _)),
     "s01_stream_hourly" -> (streamHourly(_, _)),
     "s02_stream_dedup" -> (streamDedupUsers(_, _)),
     "s03_stream_sessions" -> (streamSessions(_, _)),
@@ -171,6 +188,19 @@ object StreamingQueries {
     "s07_stream_search" -> (streamSearch(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // gap >= 1800, NOT > 1800: session_window bounds are [start,
+    // last+gap) — see streamSessionWindows
+    "s08_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         date_diff('second',
+        |           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |           ts) AS gap
+        |  FROM events)
+        |SELECT user_id,
+        |       CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the batch v10 oracle verbatim — continuous search ≡ batch
     "s07_stream_search" -> VectorQueries.batchHeapTopKOracle,
     // identical to the batch r12 oracle — THE parity statement

@@ -192,6 +192,26 @@ object Streaming {
       .trigger(trigger)
       .start()
 
+  /** Sessionization via Spark's NATIVE `session_window` — the built-in
+    * twin of the custom-state [[sessionCounts]]: the aggregation
+    * operator itself merges overlapping [event, event+gap) windows in
+    * state, no user code. Prefer this form when per-session output is an
+    * aggregation (counts/sums); drop to mapGroupsWithState only for
+    * logic aggregates can't express (e.g. [[sessionCounts]]'s segment
+    * bookkeeping).
+    *
+    * Boundary semantics differ by one tick from the lag/cumsum batch
+    * rule: a window is [start, last + gap), so an event arriving EXACTLY
+    * `gap` after the previous one starts a NEW session — the batch twin
+    * is `gap >= G`, where r11/s03 use `gap > G`.
+    */
+  def sessionWindowCounts(events: DataFrame,
+                          gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+
   case class SessEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   case class SessState(segStart: Long, lastTs: Long,
                        sessions: Long, events: Long)
