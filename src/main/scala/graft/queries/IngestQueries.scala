@@ -137,6 +137,28 @@ object IngestQueries {
         sum("n_chars").as("sum_chars"))
   }
 
+  /** Schema-evolution read: two batches written to one store with
+    * DIFFERENT schemas (the second adds n_chars), read back with
+    * `mergeSchema` — the drift every long-lived store accumulates.
+    * Old-batch rows surface the added column as NULL; the oracle
+    * reconstructs the identical union from the original parquet, so
+    * both the merged schema and the null semantics are pinned.
+    */
+  def mergeSchemaRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = roundtripDir(spark, "graft_i09_evolve")
+    val docs = Tables.documents(spark, sfDir)
+    docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(tmp)
+    spark.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"),
+        sum("n_chars").as("sum_chars_odd"),
+        count("n_chars").as("n_with_chars"))
+      .orderBy("lang")
+  }
+
   /** Hash-embedder output as relational rows (doc_id, bucket, val) —
     * the sparse view of the dense vector, which is what a SQL oracle can
     * recompute (scatter-add = GROUP BY bucket; ±1 sums and the norm
@@ -181,7 +203,8 @@ object IngestQueries {
     "i05_json_roundtrip" -> (jsonRoundtrip(_, _)),
     "i06_orc_roundtrip" -> (orcRoundtrip(_, _)),
     "i07_xml_roundtrip" -> (xmlRoundtrip(_, _)),
-    "i08_partitioned_store" -> (partitionedStore(_, _)))
+    "i08_partitioned_store" -> (partitionedStore(_, _)),
+    "i09_merge_schema" -> (mergeSchemaRead(_, _)))
 
   private val wsLower =
     "CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) " +
@@ -197,6 +220,14 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "i09_merge_schema" ->
+      """SELECT lang, count(*) AS n,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END)
+        |            AS BIGINT) AS sum_chars_odd,
+        |       CAST(count(CASE WHEN doc_id % 2 = 1 THEN n_chars END)
+        |            AS BIGINT) AS n_with_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "i08_partitioned_store" ->
       """SELECT count(*) AS n_docs,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,

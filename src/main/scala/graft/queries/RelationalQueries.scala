@@ -564,6 +564,27 @@ object RelationalQueries {
       .orderBy("o_year")
   }
 
+  /** LOCF gap-fill (last observation carried forward): every event row
+    * annotated with the user's most recent purchase value — `last(...,
+    * ignoreNulls)` over a running frame, the IGNORE NULLS window
+    * feature r22's battery doesn't touch and the standard forward-fill
+    * for sparse signals in event streams. One shuffle keyed by user;
+    * the frame is running-state, O(1) per row.
+    */
+  def locfGapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .filter(col("user_id") <= 20)
+      .withColumn("purchase_value",
+        when(col("event_type") === "purchase", round(col("value"), 4)))
+      .select(col("user_id"), col("event_id"),
+        last(col("purchase_value"), ignoreNulls = true).over(w)
+          .as("last_purchase_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_pricing_summary" -> (pricingSummary(_, _)),
     "r02_revenue_by_segment" -> (revenueBySegment(_, _)),
@@ -597,9 +618,19 @@ object RelationalQueries {
     "r30_unpivot" -> (unpivotMeasures(_, _)),
     "r31_bloom_join" -> (bloomJoinUrgent(_, _)),
     "r32_bag_setops" -> (bagSetOps(_, _)),
-    "r33_market_share" -> (marketShare(_, _)))
+    "r33_market_share" -> (marketShare(_, _)),
+    "r34_locf_gapfill" -> (locfGapFill(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "r34_locf_gapfill" ->
+      """SELECT user_id, event_id,
+        |  last_value(CASE WHEN event_type = 'purchase'
+        |                  THEN round(value, 4) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase_value
+        |FROM events WHERE user_id <= 20
+        |ORDER BY user_id, event_id""".stripMargin,
     "r33_market_share" ->
       """WITH vol AS (
         |  SELECT year(o_orderdate) AS o_year,
