@@ -15,14 +15,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev-loop subset filter, same convention as Bench: comma-separated
-    // name prefixes. Unset (the driver's invocation) runs everything.
+    // dev-loop subset filter, IDENTICAL semantics to Bench's (incl. the
+    // set-but-empty case, where "".startsWith matches everything):
+    // comma-separated name prefixes; unset (the driver's invocation)
+    // runs the full inventory.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").toSeq.filter(_.nonEmpty))
-    def selected(name: String): Boolean =
-      only.forall(_.exists(name.startsWith))
+      .map(_.split(",").toSeq).getOrElse(Seq(""))
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(p => selected(p._1)).foreach { case (name, fn) =>
+      .filter { case (n, _) => only.exists(n.startsWith) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

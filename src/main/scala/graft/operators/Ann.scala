@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions.{cosineSim, l2Dist}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor scaffolding over an embedding column.
@@ -101,18 +102,6 @@ object Ann {
       .limit(k)
   }
 
-  /** Exact cosine near-duplicate pairs above `threshold`. All-pairs is
-    * expressed as an id-ordered self-join so each unordered pair is
-    * scored once. This is the EXACT SEMANTIC BASELINE, O(n²) by
-    * construction — the scale formulation is [[bucketedNearDupPairs]]
-    * (same downstream plan, IVF-cell equi-join blocking).
-    *
-    * Because an accidental call on a real corpus would be a cluster
-    * killer, the plan aborts via `raise_error` when the input exceeds
-    * `maxInputRows` (same convention as the degenerate-LSH-geometry
-    * guard in [[Dedup]]): the guard count rides a broadcast 1-row
-    * aggregate and is checked before the cross join fans out.
-    */
   /** SRP binary-sketch shortlist search (the FAISS fast-scan pattern):
     * rank the whole index by HAMMING distance between 16-60-bit
     * sign-random-projection sketches (a bit_count over longs — ~100×
@@ -129,7 +118,11 @@ object Ann {
     * sketch pass — at 100 TB the hamming scan can run off a sketch-only
     * column (8 bytes/vector) with the vector column pruned away.
     *
-    * `query` must be one row (qe, qsketch). Returns
+    * `query` must be at most one row (qe, qsketch) — a 2-row frame
+    * would interleave two queries' hamming ranks into one corrupted
+    * shortlist, so the plan aborts via `raise_error` (the same guard
+    * convention as [[cosineNearDupPairs]]); an EMPTY query frame yields
+    * an empty result (nothing to search for). Returns
     * (idCol, hamming, score) — the exact cosine, ranked.
     */
   def srpShortlistKnn(index: DataFrame, query: DataFrame, idCol: String,
@@ -139,7 +132,19 @@ object Ann {
     val sketched = index.select(col(idCol), col(vecCol),
       Bridge.column(graft.expressions.CosineLshBits(
         Bridge.expression(col(vecCol)), bits)).as("sketch"))
-    val short = sketched.crossJoin(broadcast(query))
+    // one-row guard rides the (tiny, pre-broadcast) query side: the
+    // count-over-all window sees every query row, and the filter keeps
+    // the raise_error from being pruned away as an unused column
+    val qGuarded = query
+      .withColumn("_qn", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(when(col("_qn") === 1, lit(true))
+        .otherwise(raise_error(lit(
+          "srpShortlistKnn: query must have exactly one row"))
+          .cast("boolean")))
+      .drop("_qn")
+    val short = sketched.crossJoin(broadcast(qGuarded))
       .withColumn("hamming",
         bit_count(col("sketch").bitwiseXOR(col("qsketch"))).cast("long"))
       .orderBy(col("hamming"), col(idCol))
@@ -152,6 +157,18 @@ object Ann {
       .limit(k)
   }
 
+  /** Exact cosine near-duplicate pairs above `threshold`. All-pairs is
+    * expressed as an id-ordered self-join so each unordered pair is
+    * scored once. This is the EXACT SEMANTIC BASELINE, O(n²) by
+    * construction — the scale formulation is [[bucketedNearDupPairs]]
+    * (same downstream plan, IVF-cell equi-join blocking).
+    *
+    * Because an accidental call on a real corpus would be a cluster
+    * killer, the plan aborts via `raise_error` when the input exceeds
+    * `maxInputRows` (same convention as the degenerate-LSH-geometry
+    * guard in [[Dedup]]): the guard count rides a broadcast 1-row
+    * aggregate and is checked before the cross join fans out.
+    */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          threshold: Double,
                          maxInputRows: Long = 100000L): DataFrame = {

@@ -218,14 +218,14 @@ object Dedup {
                     textCol: String, n: Int): DataFrame = {
     val evalShingles = shingleHashSet(evalSet, idCol, textCol, n)
       .select("shingle").distinct()
-    val corpusShingles = shingleHashSet(corpus, idCol, textCol, n)
-    val sizes = corpusShingles.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shingles"))
-    val hits = corpusShingles
-      .join(broadcast(evalShingles), "shingle")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
-    sizes.join(hits, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_hits"))
+      .withColumn("hit", lit(1))
+    // single pass over the corpus: the broadcast left join tags hits,
+    // one aggregate counts both totals (count(hit) skips nulls) — the
+    // corpus shingle kernel runs ONCE and shuffles once
+    shingleHashSet(corpus, idCol, textCol, n)
+      .join(broadcast(evalShingles), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hits"))
   }
 
   /** SimHash fingerprint (bits ≤ 60) from precomputed 60-bit token

@@ -27,6 +27,12 @@ object Prefilter {
 
   /** Filter `big` down to rows whose `bigKey` (a long) might be present
     * in `dim`'s `dimKey` column. Guaranteed to keep every true match.
+    *
+    * Lifecycle: the broadcast sketch is reclaimed by Spark's
+    * ContextCleaner once the returned plan (whose UDF closure holds the
+    * only reference) becomes unreachable — the same GC-driven cleanup
+    * Spark applies to its own runtime-filter broadcasts, so repeated
+    * calls do not accumulate live broadcasts.
     */
   def bloomSemiFilter(big: DataFrame, dim: DataFrame, bigKey: String,
                       dimKey: String, expectedKeys: Long,

@@ -19,11 +19,29 @@ object IngestQueries {
     * copies accumulating) but unique PER SparkSession (applicationId), so
     * two JVMs running the same query concurrently (bench alongside
     * correctness, parallel CI on one host) never race write-vs-read on a
-    * shared path.
+    * shared path. Each dir is removed by a JVM shutdown hook — per-app
+    * paths must not leak table copies across runs on a long-lived host.
     */
-  private def roundtripDir(spark: SparkSession, name: String): String =
-    sys.props("java.io.tmpdir") +
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private lazy val cleanupHook: Unit = sys.addShutdownHook {
+    scratchDirs.forEach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(d))
+    }
+  }
+
+  private def roundtripDir(spark: SparkSession, name: String): String = {
+    cleanupHook
+    val dir = sys.props("java.io.tmpdir") +
       s"/${name}_${spark.sparkContext.applicationId}"
+    scratchDirs.add(dir)
+    dir
+  }
 
   /** The synthetic ingest batch used by i02/i03: every stored doc
     * re-submitted under a new id (must all dedup away) plus an " EXTRA"

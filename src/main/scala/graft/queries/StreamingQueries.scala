@@ -188,17 +188,23 @@ object StreamingQueries {
     "s07_stream_search" -> (streamSearch(_, _)))
 
   val oracles: Map[String, String] = Map(
-    // gap >= 1800, NOT > 1800: session_window bounds are [start,
-    // last+gap) — see streamSessionWindows
+    // gap >= 1800s, NOT > 1800s: session_window bounds are [start,
+    // last+gap). Gap measured in MICROSECONDS: session_window compares
+    // exact event-time timestamps, while date_diff('second') truncates
+    // — a 1799.3 s gap that straddles a second boundary would otherwise
+    // read as 1800 and split a session the operator merges (r11/s03 are
+    // immune: their Spark side uses unix_timestamp, which truncates the
+    // same way their oracle does).
     "s08_session_window" ->
       """WITH g AS (
         |  SELECT user_id,
-        |         date_diff('second',
+        |         date_diff('microsecond',
         |           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
         |           ts) AS gap
         |  FROM events)
         |SELECT user_id,
-        |       CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |       CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800000000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the batch v10 oracle verbatim — continuous search ≡ batch

@@ -126,6 +126,24 @@ class AnnSpec extends SparkSpec {
     assert(ham(3L) <= ham(2L) && ham(4L) <= ham(2L))
   }
 
+  test("srpShortlistKnn aborts on a multi-row query frame; empty is empty") {
+    import org.apache.spark.sql.graft.Bridge
+    val sketched = emb.select(col("vec_id"), col("embedding"),
+      Bridge.column(graft.expressions.CosineLshBits(
+        Bridge.expression(col("embedding")), 16)).as("sketch"))
+      .select(col("embedding").as("qe"), col("sketch").as("qsketch"),
+        col("vec_id"))
+    val twoRows = sketched.filter(col("vec_id") <= 2).drop("vec_id")
+    val err = intercept[Exception] {
+      Ann.srpShortlistKnn(emb, twoRows, "vec_id", "embedding", 16, 10, 3)
+        .count()
+    }
+    assert(err.getMessage.contains("exactly one row"))
+    val none = sketched.filter(col("vec_id") < 0).drop("vec_id")
+    assert(Ann.srpShortlistKnn(emb, none, "vec_id", "embedding",
+      16, 10, 3).count() == 0)
+  }
+
   test("cosineNearDupPairs aborts above its input-size guard") {
     val e = intercept[Exception] {
       Ann.cosineNearDupPairs(emb, "vec_id", "embedding", 0.95,
