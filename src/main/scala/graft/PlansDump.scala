@@ -91,6 +91,11 @@ object PlansDump {
           "nation hops are BroadcastHashJoins — numerator and " +
           "denominator of the share fall out of one conditional " +
           "aggregation pass."),
+      "v20_srp_shortlist" ->
+        ("SRP fast-scan: a narrow sketch projection feeds TWO chained " +
+          "TakeOrderedAndProject heaps (hamming shortlist, then exact " +
+          "rerank) — the scored set is never shuffled, and the exact " +
+          "cosine kernel only ever sees the 50-row shortlist."),
       "t19_surprisal" ->
         ("Corpus-LM surprisal: vocabulary aggregate + token join " +
           "(AQE splits stop-word skew) + per-doc aggregate; the corpus " +

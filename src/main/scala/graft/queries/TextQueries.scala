@@ -320,7 +320,29 @@ object TextQueries {
         sum("n_chars").as("sum_chars"))
       .orderBy("lang")
 
+  /** Deterministic train/val/test split assignment (90/5/5): the split
+    * is a pure function of the doc id's md5 bucket — reproducible
+    * across engines/reruns, stable under repartition, and consistent
+    * for any table sharing the key (t23's sampling rationale, extended
+    * to the standard dataset-split shape). Emitted as per-(lang, split)
+    * stratification stats so the oracle pins every assignment via the
+    * id sums.
+    */
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket", graft.functions.HashFunctions
+        .md5Long(concat(lit("split:"), col("doc_id").cast("string"))) % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("lang", "split")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_split_assign" -> (splitAssign(_, _)),
     "t21_line_dedup" -> (lineDedup(_, _)),
     "t22_decontaminate" -> (decontaminate(_, _)),
     "t23_hash_sample" -> (hashSample(_, _)),
@@ -461,6 +483,17 @@ object TextQueries {
          |                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
          |FROM corpus c JOIN hits h USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "t24_split_assign" ->
+      s"""SELECT lang,
+         |       CASE WHEN ${hash60("concat('split:', doc_id)")} % 100 < 90
+         |            THEN 'train'
+         |            WHEN ${hash60("concat('split:', doc_id)")} % 100 < 95
+         |            THEN 'val' ELSE 'test' END AS split,
+         |       count(*) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "t23_hash_sample" ->
       s"""SELECT lang, count(*) AS n_docs,
          |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,

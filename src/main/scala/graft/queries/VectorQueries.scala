@@ -198,6 +198,40 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** Batched SRP shortlist search — v20's fast-scan pattern at v05's
+    * batch shape: 8 query vectors, per-query hamming shortlist (50) on
+    * 16-bit sketches, exact cosine rerank to top-5. ONE shuffle keyed
+    * by query id serves both ranking windows (the second window reuses
+    * the first's partitioning — no extra exchange); the hamming cut
+    * means the exact kernel touches 50 rows per query instead of the
+    * whole index.
+    */
+  def srpBatchShortlist(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val sketched = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        Bridge.column(graft.expressions.CosineLshBits(
+          Bridge.expression(col("embedding")), 16)).as("sketch"))
+    val queries = sketched.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("sketch").as("qsketch"))
+    val candidates = sketched.filter(col("vec_id") >= 8)
+      .join(broadcast(queries))
+      .withColumn("hamming",
+        bit_count(col("sketch").bitwiseXOR(col("qsketch"))).cast("long"))
+    val wHam = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("vec_id"))
+    val short = candidates
+      .withColumn("hrank", row_number().over(wHam))
+      .filter(col("hrank") <= 50)
+      .select(col("query_id"), col("vec_id"), col("hamming"),
+        cosineSim(col("embedding"), col("qe")).as("score"))
+    Search.topKPerQuery(short, "query_id", "vec_id", 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("hamming"), round(col("score"), 6).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     * ranking and the cosine vector ranking (documents and embeddings
     * share the id space). Rank-based fusion is score-scale-free, and
@@ -627,6 +661,40 @@ object VectorQueries {
         |  ORDER BY qscore DESC, c.vec_id LIMIT 10)
         |SELECT vec_id, round(qscore, 6) AS qscore FROM top
         |ORDER BY vec_id""".stripMargin,
+    "v21_srp_batch" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |  CAST(list_sum(list_transform(range(0, 16), j ->
+        |    CASE WHEN list_sum(list_transform(range(0, len(e)), i ->
+        |        e[CAST(i + 1 AS INT)] *
+        |        (CASE WHEN CAST(concat('0x', substring(
+        |               md5(concat('srp:', j, ':', i)), 1, 15)) AS BIGINT)
+        |              % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+        |    THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS sketch
+        |  FROM v),
+        |q AS (SELECT vec_id AS query_id, e AS qe, sketch AS qsketch
+        |      FROM s WHERE vec_id < 8),
+        |cand AS (
+        |  SELECT q.query_id, s.vec_id, s.e, q.qe,
+        |         CAST(bit_count(xor(s.sketch, q.qsketch)) AS BIGINT)
+        |           AS hamming
+        |  FROM s, q WHERE s.vec_id >= 8),
+        |short AS (
+        |  SELECT * FROM (
+        |    SELECT cand.*, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, vec_id) AS hrank FROM cand)
+        |  WHERE hrank <= 50),
+        |top AS (
+        |  SELECT query_id, vec_id, hamming,
+        |         list_cosine_similarity(e, qe) AS score,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY list_cosine_similarity(e, qe) DESC, vec_id)
+        |           AS rank
+        |  FROM short)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, hamming,
+        |       round(score, 6) AS score
+        |FROM top WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "v20_srp_shortlist" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |           FROM embeddings),
@@ -711,6 +779,7 @@ object VectorQueries {
     "v11_bucketed_near_dup" -> (bucketedNearDup(_, _)),
     "v12_srp_sketch" -> (srpSketch(_, _)),
     "v20_srp_shortlist" -> (srpShortlistKnn(_, _)),
+    "v21_srp_batch" -> (srpBatchShortlist(_, _)),
     "v13_hybrid_rrf" -> (hybridRrf(_, _)),
     "v14_ivf_recall" -> (ivfRecall(_, _)),
     "v15_quantized_knn" -> (quantizedKnn(_, _)),
