@@ -22,6 +22,34 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(q == Seq(127f, -63f), q)
   }
 
+  test("hash kernels are callable from SQL text and match the column API") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT size(hash_embed('hello world', 16)) AS dim,
+        |       md5_long_array(array('a', 'b'))[0] AS h0,
+        |       size(shingle_hashes(array('a','b','c','d'), 3)) AS nsh,
+        |       size(minhash_signature(
+        |         shingle_hashes(array('a','b','c','d'), 3), 8)) AS sig,
+        |       simhash_bits(md5_long_array(array('a','b')), 16) AS sh,
+        |       cosine_lsh_bits(array(1.0D, 0.0D), 16) AS lsh""".stripMargin)
+      .as[(Int, Long, Int, Int, Long, Long)].head()
+    assert(row._1 == 16 && row._3 == 2 && row._4 == 8)
+    // md5_long_array must equal the column-API md5Long on the same input
+    val h = Seq("a").toDF("s")
+      .select(graft.functions.HashFunctions.md5Long(col("s")))
+      .as[Long].head()
+    assert(row._2 == h)
+    assert(row._5 >= 0L && row._6 >= 0L)
+    // the literal-int contract is enforced (a foldable expression like
+    // size(array(1,2)) is fine — it folds to a constant; a genuinely
+    // per-row argument is not)
+    val err = intercept[Exception] {
+      spark.sql("SELECT hash_embed('x', CAST(rand() * 10 AS INT))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("literal")))
+  }
+
   test("GraftExtensions injects the functions at session build time") {
     // getOrCreate would return the shared session (ignoring extensions);
     // clear it so a genuinely new session is built, then restore
