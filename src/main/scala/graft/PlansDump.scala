@@ -91,6 +91,11 @@ object PlansDump {
           "nation hops are BroadcastHashJoins — numerator and " +
           "denominator of the share fall out of one conditional " +
           "aggregation pass."),
+      "t22_decontaminate" ->
+        ("Decontamination: the EVAL side (distinct shingles) is the only " +
+          "thing broadcast; the corpus pays one narrow shingle-kernel " +
+          "pass and one doc-keyed aggregate — the 100 TB side is never " +
+          "shuffled for the probe join."),
       "v20_srp_shortlist" ->
         ("SRP fast-scan: a narrow sketch projection feeds TWO chained " +
           "TakeOrderedAndProject heaps (hamming shortlist, then exact " +

@@ -341,7 +341,30 @@ object TextQueries {
         sum("n_chars").as("sum_chars"))
       .orderBy("lang", "split")
 
+  /** Deterministic WEIGHTED sampling (DSIR-style importance sampling):
+    * each doc kept with probability proportional to a per-row weight
+    * (here length-based, capped at 1) — decided by comparing the doc's
+    * md5 fraction in [0,1) against its weight. Like t23/t24 the
+    * decision is a pure key function (reproducible, repartition-stable,
+    * engine-portable); unlike them the rate varies per row, which is
+    * how curation pipelines upsample high-quality strata without an
+    * RNG. Narrow codegen'd filter, no shuffle before the stats agg.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val two60 = 1152921504606846976.0 // 2^60: md5Long's range
+    val frac = graft.functions.HashFunctions
+      .md5Long(concat(lit("wsample:"), col("doc_id").cast("string"))) / two60
+    val weight = least(lit(1.0), col("n_chars") / 500.0)
+    Tables.documents(spark, sfDir)
+      .filter(frac < weight)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_weighted_sample" -> (weightedSample(_, _)),
     "t24_split_assign" -> (splitAssign(_, _)),
     "t21_line_dedup" -> (lineDedup(_, _)),
     "t22_decontaminate" -> (decontaminate(_, _)),
@@ -483,6 +506,14 @@ object TextQueries {
          |                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
          |FROM corpus c JOIN hits h USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "t25_weighted_sample" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |WHERE ${hash60("concat('wsample:', doc_id)")} / 1152921504606846976.0
+         |      < least(1.0, n_chars / 500.0)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "t24_split_assign" ->
       s"""SELECT lang,
          |       CASE WHEN ${hash60("concat('split:', doc_id)")} % 100 < 90
