@@ -30,11 +30,15 @@ object GraftFunctions {
   private def intArg(e: Expression, fn: String): Int = {
     require(e.foldable, s"$fn: the int argument must be a literal")
     e.eval() match {
-      case i: Int  => i
-      case l: Long => l.toInt
+      case i: Int if i >= 1 => i
+      case l: Long if l >= 1L && l <= Int.MaxValue => l.toInt
       case other =>
+        // negative/zero widths would NegativeArraySizeException per-row
+        // at execution, and an out-of-Int-range Long would silently
+        // wrap via toInt — both must die at analysis time instead
         throw new IllegalArgumentException(
-          s"$fn: expected an integer literal, got $other")
+          s"$fn: expected a positive integer literal (<= ${Int.MaxValue}), " +
+            s"got $other")
     }
   }
 

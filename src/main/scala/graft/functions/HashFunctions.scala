@@ -35,6 +35,16 @@ object HashFunctions {
       graft.expressions.ShingleHashes(
         org.apache.spark.sql.graft.Bridge.expression(tokens), n))
 
+  /** Sign-random-projection sketch (cosine LSH, ≤60 bits) over an
+    * array<float|double> column — the ONE wrapper for
+    * [[graft.expressions.CosineLshBits]] (query/operator/probe call
+    * sites must not re-bridge the expression individually).
+    */
+  def cosineLshBits(vec: Column, bits: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.CosineLshBits(
+        org.apache.spark.sql.graft.Bridge.expression(vec), bits))
+
   /** Salted variant — independent hash families for MinHash/SimHash. */
   def md5Long(s: Column, salt: Int): Column =
     md5Long(concat(lit(salt.toString), lit(":"), s))

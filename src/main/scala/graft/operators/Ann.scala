@@ -128,10 +128,9 @@ object Ann {
   def srpShortlistKnn(index: DataFrame, query: DataFrame, idCol: String,
                       vecCol: String, bits: Int, shortlist: Int,
                       k: Int): DataFrame = {
-    import org.apache.spark.sql.graft.Bridge
     val sketched = index.select(col(idCol), col(vecCol),
-      Bridge.column(graft.expressions.CosineLshBits(
-        Bridge.expression(col(vecCol)), bits)).as("sketch"))
+      graft.functions.HashFunctions.cosineLshBits(col(vecCol), bits)
+        .as("sketch"))
     // one-row guard rides the (tiny, pre-broadcast) query side: the
     // count-over-all window sees every query row, and the filter keeps
     // the raise_error from being pruned away as an unused column
@@ -155,6 +154,35 @@ object Ann {
           .cosineSim(col(vecCol), col("qe")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Batched [[srpShortlistKnn]]: many query vectors against one index
+    * in a single plan. Queries (small by contract) broadcast with their
+    * sketches; the per-query hamming shortlist and the exact-cosine
+    * rerank are BOTH row_number windows keyed by `queryIdCol`, so ONE
+    * shuffle serves the whole pipeline (the second window reuses the
+    * first's partitioning) and Spark's rank-limit pushdown
+    * (WindowGroupLimit) keeps per-partition state at shortlist/k rows.
+    * Returns (queryIdCol, idCol, hamming, score, rank), rank ≤ k.
+    */
+  def srpShortlistKnnBatch(index: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String,
+                           queryIdCol: String, bits: Int, shortlist: Int,
+                           k: Int): DataFrame = {
+    val sketched = index.select(col(idCol), col(vecCol),
+      graft.functions.HashFunctions.cosineLshBits(col(vecCol), bits)
+        .as("sketch"))
+    val candidates = sketched.join(broadcast(queries))
+      .withColumn("hamming",
+        bit_count(col("sketch").bitwiseXOR(col("qsketch"))).cast("long"))
+    val wHam = Window.partitionBy(queryIdCol)
+      .orderBy(col("hamming"), col(idCol))
+    val short = candidates
+      .withColumn("hrank", row_number().over(wHam))
+      .filter(col("hrank") <= shortlist)
+      .select(col(queryIdCol), col(idCol), col("hamming"),
+        cosineSim(col(vecCol), col("qe")).as("score"))
+    Search.topKPerQuery(short, queryIdCol, idCol, k)
   }
 
   /** Exact cosine near-duplicate pairs above `threshold`. All-pairs is

@@ -168,14 +168,12 @@ object VectorQueries {
     * near-dup blocking O(n) — hamming distance ≈ angular distance.
     * Oracle rebuilds the identical md5-derived hyperplanes.
     */
-  def srpSketch(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.graft.Bridge
-    val emb = Tables.embeddings(spark, sfDir)
-    emb.select(col("vec_id"),
-        Bridge.column(graft.expressions.CosineLshBits(
-          Bridge.expression(col("embedding")), 16)).as("sketch"))
+  def srpSketch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        graft.functions.HashFunctions.cosineLshBits(col("embedding"), 16)
+          .as("sketch"))
       .orderBy("vec_id")
-  }
 
   /** SRP-shortlist search ([[Ann.srpShortlistKnn]]): hamming-distance
     * prefilter on 16-bit sketches down to a 50-candidate shortlist,
@@ -184,13 +182,11 @@ object VectorQueries {
     * the pipeline exactly — approximation pinned, not hidden.
     */
   def srpShortlistKnn(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.graft.Bridge
     val emb = Tables.embeddings(spark, sfDir)
-    val sketched = emb.select(col("vec_id"), col("embedding"),
-      Bridge.column(graft.expressions.CosineLshBits(
-        Bridge.expression(col("embedding")), 16)).as("sketch"))
-    val q = sketched.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"), col("sketch").as("qsketch"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"),
+        graft.functions.HashFunctions.cosineLshBits(col("embedding"), 16)
+          .as("qsketch"))
     Ann.srpShortlistKnn(emb.filter(col("vec_id") =!= 0), q,
         "vec_id", "embedding", bits = 16, shortlist = 50, k = 10)
       .select(col("vec_id"), col("hamming"),
@@ -207,26 +203,13 @@ object VectorQueries {
     * whole index.
     */
   def srpBatchShortlist(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.graft.Bridge
-    val sketched = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        Bridge.column(graft.expressions.CosineLshBits(
-          Bridge.expression(col("embedding")), 16)).as("sketch"))
-    val queries = sketched.filter(col("vec_id") < 8)
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("sketch").as("qsketch"))
-    val candidates = sketched.filter(col("vec_id") >= 8)
-      .join(broadcast(queries))
-      .withColumn("hamming",
-        bit_count(col("sketch").bitwiseXOR(col("qsketch"))).cast("long"))
-    val wHam = Window.partitionBy("query_id")
-      .orderBy(col("hamming"), col("vec_id"))
-    val short = candidates
-      .withColumn("hrank", row_number().over(wHam))
-      .filter(col("hrank") <= 50)
-      .select(col("query_id"), col("vec_id"), col("hamming"),
-        cosineSim(col("embedding"), col("qe")).as("score"))
-    Search.topKPerQuery(short, "query_id", "vec_id", 5)
+        graft.functions.HashFunctions.cosineLshBits(col("embedding"), 16)
+          .as("qsketch"))
+    Ann.srpShortlistKnnBatch(emb.filter(col("vec_id") >= 8), queries,
+        "vec_id", "embedding", "query_id", bits = 16, shortlist = 50, k = 5)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("hamming"), round(col("score"), 6).as("score"))
       .orderBy("query_id", "rank")

@@ -94,11 +94,10 @@ class AnnSpec extends SparkSpec {
   }
 
   test("srpShortlistKnn with a full-size shortlist equals exact search") {
-    import org.apache.spark.sql.graft.Bridge
     val index = emb.filter(col("vec_id") =!= 1)
     val sketched = emb.select(col("vec_id"), col("embedding"),
-      Bridge.column(graft.expressions.CosineLshBits(
-        Bridge.expression(col("embedding")), 16)).as("sketch"))
+      graft.functions.HashFunctions.cosineLshBits(col("embedding"), 16)
+        .as("sketch"))
     val q = sketched.filter(col("vec_id") === 1)
       .select(col("embedding").as("qe"), col("sketch").as("qsketch"))
     val approx = Ann.srpShortlistKnn(index, q, "vec_id", "embedding",
@@ -112,10 +111,9 @@ class AnnSpec extends SparkSpec {
   }
 
   test("srpShortlistKnn hamming distances are consistent with clusters") {
-    import org.apache.spark.sql.graft.Bridge
     val sketched = emb.select(col("vec_id"), col("embedding"),
-      Bridge.column(graft.expressions.CosineLshBits(
-        Bridge.expression(col("embedding")), 16)).as("sketch"))
+      graft.functions.HashFunctions.cosineLshBits(col("embedding"), 16)
+        .as("sketch"))
     val q = sketched.filter(col("vec_id") === 1)
       .select(col("embedding").as("qe"), col("sketch").as("qsketch"))
     val ham = Ann.srpShortlistKnn(emb.filter(col("vec_id") =!= 1), q,
@@ -127,10 +125,9 @@ class AnnSpec extends SparkSpec {
   }
 
   test("srpShortlistKnn aborts on a multi-row query frame; empty is empty") {
-    import org.apache.spark.sql.graft.Bridge
     val sketched = emb.select(col("vec_id"), col("embedding"),
-      Bridge.column(graft.expressions.CosineLshBits(
-        Bridge.expression(col("embedding")), 16)).as("sketch"))
+      graft.functions.HashFunctions.cosineLshBits(col("embedding"), 16)
+        .as("sketch"))
       .select(col("embedding").as("qe"), col("sketch").as("qsketch"),
         col("vec_id"))
     val twoRows = sketched.filter(col("vec_id") <= 2).drop("vec_id")

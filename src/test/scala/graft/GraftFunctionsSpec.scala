@@ -34,12 +34,21 @@ class GraftFunctionsSpec extends SparkSpec {
         |       cosine_lsh_bits(array(1.0D, 0.0D), 16) AS lsh""".stripMargin)
       .as[(Int, Long, Int, Int, Long, Long)].head()
     assert(row._1 == 16 && row._3 == 2 && row._4 == 8)
-    // md5_long_array must equal the column-API md5Long on the same input
+    // every SQL result must equal the column-API twin on the same input
     val h = Seq("a").toDF("s")
       .select(graft.functions.HashFunctions.md5Long(col("s")))
       .as[Long].head()
     assert(row._2 == h)
-    assert(row._5 >= 0L && row._6 >= 0L)
+    val sh = Seq(Seq("a", "b")).toDF("toks")
+      .select(graft.operators.Dedup
+        .simHashFromHashes(graft.functions.HashFunctions
+          .md5LongArray(col("toks")), 16))
+      .as[Long].head()
+    assert(row._5 == sh, s"simhash sql=${row._5} column=$sh")
+    val lsh = Seq(Seq(1.0, 0.0)).toDF("v")
+      .select(graft.functions.HashFunctions.cosineLshBits(col("v"), 16))
+      .as[Long].head()
+    assert(row._6 == lsh, s"lsh sql=${row._6} column=$lsh")
     // the literal-int contract is enforced (a foldable expression like
     // size(array(1,2)) is fine — it folds to a constant; a genuinely
     // per-row argument is not)
