@@ -111,6 +111,26 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(rows(0)._6 != rows(2)._6)
   }
 
+  test("multimodal features flow into vector search end-to-end") {
+    // the composition a media pipeline runs: binary payloads →
+    // per-partition decode+feature-extract → ANN over the features.
+    // Searching with doc 1's own feature vector must return doc 1
+    // first (self-similarity 1.0) through the SRP shortlist path.
+    val media = Multimodal.asBinaryPayload(
+      docsDf((1L, "aa"), (2L, "bb"), (3L, "cc")), "doc_id", "text")
+    val feats = Multimodal.decodeBatch(media, dim = 8)
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+    val q = feats.filter(col("vec_id") === 1)
+      .select(col("embedding").as("qe"),
+        graft.functions.HashFunctions.cosineLshBits(col("embedding"), 16)
+          .as("qsketch"))
+    val top = graft.operators.Ann
+      .srpShortlistKnn(feats, q, "vec_id", "embedding",
+        bits = 16, shortlist = 10, k = 1)
+      .select("vec_id").as[Long].head()
+    assert(top == 1L)
+  }
+
   test("multimodal featureStub: fixed-dim float features in [0,1)") {
     val f = Multimodal.featureStub(
         Multimodal.asBinaryPayload(docsDf((1L, "abc")), "doc_id", "text"), 8)
