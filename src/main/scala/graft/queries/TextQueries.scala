@@ -4,6 +4,7 @@ import graft.Tables
 import graft.operators.{Chunker, Dedup, Multimodal, TextAnalysis}
 import graft.functions.TextFunctions.words
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-pipeline surface: chunking (the reference's embed.js:183-207),
@@ -363,7 +364,33 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Sequence packing (the training-data final stage: concatenate docs
+    * into fixed-token-budget sequences): contiguous id-ordered packing
+    * via a running token prefix-sum, sequence id = floor(cumsum /
+    * budget). Packing is inherently order-dependent, so the global sort
+    * is sharded into independent per-LANG streams — each stream's
+    * prefix sum is one window partition, parallel across streams (the
+    * 100 TB form shards by source/date bucket; a single global stream
+    * would be a one-task window). Emits per-sequence stats; the oracle
+    * replays the identical cumsum, pinning every boundary.
+    */
+  def sequencePack(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 512 // whitespace tokens per packed sequence
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("seq_id",
+        floor((sum("n_tokens").over(w) - col("n_tokens")) / budget))
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
+        sum("doc_id").as("sum_ids"))
+      .orderBy("lang", "seq_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_sequence_pack" -> (sequencePack(_, _)),
     "t25_weighted_sample" -> (weightedSample(_, _)),
     "t24_split_assign" -> (splitAssign(_, _)),
     "t21_line_dedup" -> (lineDedup(_, _)),
@@ -506,6 +533,20 @@ object TextQueries {
          |                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
          |FROM corpus c JOIN hits h USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "t26_sequence_pack" ->
+      s"""WITH t AS (
+         |  SELECT lang, doc_id, len($wsExpr) AS n_tokens FROM documents),
+         |c AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+         |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |           AND CURRENT ROW) - n_tokens) / 512.0) AS BIGINT)
+         |      AS seq_id
+         |  FROM t)
+         |SELECT lang, seq_id, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM c GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
     "t25_weighted_sample" ->
       s"""SELECT lang, count(*) AS n_docs,
          |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
