@@ -169,10 +169,26 @@ object Ann {
                            idCol: String, vecCol: String,
                            queryIdCol: String, bits: Int, shortlist: Int,
                            k: Int): DataFrame = {
+    require(Seq(queryIdCol, "qe", "qsketch")
+        .forall(queries.columns.contains),
+      s"srpShortlistKnnBatch: queries must carry ($queryIdCol, qe, " +
+        s"qsketch), got ${queries.columns.mkString(", ")}")
     val sketched = index.select(col(idCol), col(vecCol),
       graft.functions.HashFunctions.cosineLshBits(col(vecCol), bits)
         .as("sketch"))
-    val candidates = sketched.join(broadcast(queries))
+    // unique-id guard on the (tiny, pre-broadcast) query side — the
+    // batch twin of srpShortlistKnn's one-row guard: two query rows
+    // sharing an id would silently interleave their hamming ranks into
+    // one corrupted shortlist
+    val qGuarded = queries
+      .withColumn("_qn",
+        count(lit(1)).over(Window.partitionBy(col(queryIdCol))))
+      .filter(when(col("_qn") === 1, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"srpShortlistKnnBatch: duplicate $queryIdCol "),
+          col(queryIdCol).cast("string"))).cast("boolean")))
+      .drop("_qn")
+    val candidates = sketched.join(broadcast(qGuarded))
       .withColumn("hamming",
         bit_count(col("sketch").bitwiseXOR(col("qsketch"))).cast("long"))
     val wHam = Window.partitionBy(queryIdCol)

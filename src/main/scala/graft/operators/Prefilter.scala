@@ -1,7 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{BinaryType, LongType}
 
 /** Bloom-filter semi-join prefilter — the "runtime filter" pattern for
   * joins where the dimension side is too large to broadcast as a hash
@@ -18,28 +22,47 @@ import org.apache.spark.sql.functions._
   * Spark's own AQE runtime filter (spark.sql.optimizer.runtime
   * .bloomFilter.enabled) injects the same construct automatically when
   * its size thresholds are met; this operator makes the pattern
-  * explicit and tunable. The membership probe is a UDF because Spark
-  * exposes no public might_contain column function — the sketch itself
-  * is built distributed (one aggregate job) and shipped to executors as
-  * a broadcast variable, so the probe is a narrow, shuffle-free filter.
+  * explicit and tunable — and it probes with the SAME codegen'd
+  * expression the optimizer uses (`BloomFilterMightContain`), not a
+  * Scala UDF: the sketch is built by one distributed
+  * `BloomFilterAggregate` job, carried to the probe side as a binary
+  * literal (KB-scale — the transport a broadcast would use), and the
+  * membership test participates in whole-stage codegen, so the
+  * prefilter adds no interpreted hop to the big side's hot scan path.
   */
 object Prefilter {
 
-  /** Filter `big` down to rows whose `bigKey` (a long) might be present
-    * in `dim`'s `dimKey` column. Guaranteed to keep every true match.
+  /** Filter `big` down to rows whose `bigKey` might be present in
+    * `dim`'s `dimKey` column. Guaranteed to keep every true match; an
+    * EMPTY dim yields an empty result (no keys → no matches).
     *
-    * Lifecycle: the broadcast sketch is reclaimed by Spark's
-    * ContextCleaner once the returned plan (whose UDF closure holds the
-    * only reference) becomes unreachable — the same GC-driven cleanup
-    * Spark applies to its own runtime-filter broadcasts, so repeated
-    * calls do not accumulate live broadcasts.
+    * Both key columns must already be BIGINT: an implicit cast inserted
+    * for a mistyped column would fail mid-job under ANSI mode (Spark
+    * 4's default) or, with ANSI off, null-drop rows and silently break
+    * the no-false-negative guarantee — so the shape is validated up
+    * front and fails fast instead.
     */
   def bloomSemiFilter(big: DataFrame, dim: DataFrame, bigKey: String,
                       dimKey: String, expectedKeys: Long,
                       fpp: Double): DataFrame = {
-    val bf = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
-    val bfB = big.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
-    big.filter(mightContain(col(bigKey)))
+    def requireLong(df: DataFrame, key: String, side: String): Unit = {
+      val dt = df.schema(key).dataType
+      require(dt == LongType,
+        s"bloomSemiFilter: $side key '$key' must be BIGINT, got ${dt.sql}")
+    }
+    requireLong(big, bigKey, "big")
+    requireLong(dim, dimKey, "dim")
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedKeys, fpp)
+    val sketch = Bridge.column(
+      new BloomFilterAggregate(Bridge.expression(col(dimKey)),
+        Literal(expectedKeys), Literal(numBits)).toAggregateExpression())
+    // one KB-scale driver fetch — the same data movement the previous
+    // broadcast-variable formulation paid, now feeding a literal the
+    // codegen'd probe folds into the scan stage
+    val bfBytes = dim.select(sketch.as("bf")).head().getAs[Array[Byte]](0)
+    if (bfBytes == null) big.filter(lit(false)) // empty dim: no matches
+    else big.filter(Bridge.column(BloomFilterMightContain(
+      Literal(bfBytes, BinaryType), Bridge.expression(col(bigKey)))))
   }
 }

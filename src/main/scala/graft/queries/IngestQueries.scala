@@ -37,8 +37,12 @@ object IngestQueries {
 
   private def roundtripDir(spark: SparkSession, name: String): String = {
     cleanupHook
-    val dir = sys.props("java.io.tmpdir") +
-      s"/${name}_${spark.sparkContext.applicationId}"
+    // Paths.get, not string concat: java.io.tmpdir may or may not end
+    // with a separator depending on platform/JVM settings
+    val dir = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"),
+        s"${name}_${spark.sparkContext.applicationId}")
+      .toString
     scratchDirs.add(dir)
     dir
   }

@@ -32,4 +32,33 @@ class PrefilterSpec extends SparkSpec {
     // 10x the nominal 1% rate before calling the sketch broken
     assert(kept <= 200, s"kept $kept of 2000 disjoint keys")
   }
+
+  test("probe is the codegen'd built-in expression, not a ScalaUDF") {
+    // spark.range, not a local Seq: a Filter over a LocalRelation is
+    // constant-folded away and the probe would vanish from the plan
+    val big = spark.range(100).select(col("id").as("k"))
+    val dim = keyed(0 until 10, "dim").withColumnRenamed("k", "dk")
+    val plan = Prefilter
+      .bloomSemiFilter(big, dim, "k", "dk", expectedKeys = 100L, fpp = 0.05)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"built-in probe missing:\n$plan")
+    assert(!plan.contains("UDF"), s"ScalaUDF still in the probe path:\n$plan")
+  }
+
+  test("bloomSemiFilter fails fast on a non-bigint key") {
+    val big = keyed(0 until 10, "big").withColumn("ki", col("k").cast("int"))
+    val dim = keyed(0 until 5, "dim").withColumnRenamed("k", "dk")
+    val e = intercept[IllegalArgumentException] {
+      Prefilter.bloomSemiFilter(big, dim, "ki", "dk", 100L, 0.05)
+    }
+    assert(e.getMessage.contains("must be BIGINT"))
+  }
+
+  test("bloomSemiFilter with an empty dim keeps nothing") {
+    val big = keyed(0 until 10, "big")
+    val dim = keyed(0 until 5, "dim").withColumnRenamed("k", "dk")
+      .filter(col("dk") < 0)
+    assert(Prefilter.bloomSemiFilter(big, dim, "k", "dk", 100L, 0.05)
+      .count() == 0)
+  }
 }
