@@ -28,6 +28,14 @@ for t in TABLES:
     con.sql(f"CREATE OR REPLACE VIEW {t} AS FROM read_parquet('{SF}/{t}.parquet')")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# honor the same dev-loop subset filter Verify/Bench use, so a
+# SPARK_GRAFT_ONLY run compares only the queries it actually dumped
+import os
+only = os.environ.get("SPARK_GRAFT_ONLY")
+if only is not None:
+    prefixes = only.split(",")
+    oracle = {n: s for n, s in oracle.items()
+              if any(n.startswith(p) for p in prefixes)}
 fails, passes = [], []
 for name, sql in sorted(oracle.items()):
     try:

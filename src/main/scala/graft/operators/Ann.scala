@@ -201,6 +201,51 @@ object Ann {
     Search.topKPerQuery(short, queryIdCol, idCol, k)
   }
 
+  /** Route every index vector to exactly ONE bucket — the low
+    * `bucketBits` bits of its SRP sketch — yielding
+    * (idCol, vecCol, bucket). The bucket is an EQUI-JOIN key, which is
+    * what makes SRP search legal where ranking is not: a streaming plan
+    * may not sort/window a per-query hamming shortlist
+    * ([[srpShortlistKnn]]'s shape), but it may equi-join a query's
+    * probe buckets against a static bucketed index and aggregate with
+    * the bounded-heap top-k UDAF. At 100 TB the index side of that
+    * join is this frame persisted bucketed/partitioned BY `bucket`, so
+    * the per-micro-batch join is bucket-pruned — and never broadcast.
+    */
+  def srpBucketIndex(index: DataFrame, idCol: String, vecCol: String,
+                     bits: Int, bucketBits: Int): DataFrame = {
+    require(bucketBits > 0 && bucketBits <= bits,
+      s"srpBucketIndex: bucketBits=$bucketBits must be in [1, bits=$bits]")
+    index.select(col(idCol), col(vecCol),
+      graft.functions.HashFunctions.cosineLshBits(col(vecCol), bits)
+        .bitwiseAND(lit((1L << bucketBits) - 1)).as("bucket"))
+  }
+
+  /** Multi-probe expansion for [[srpBucketIndex]]'s bucket space: each
+    * query row fans out to its own bucket plus every bucket at hamming
+    * distance 1 within the `bucketBits` prefix (bucketBits + 1 rows) —
+    * the multi-probe LSH trick that recovers the recall a single-bucket
+    * probe loses to boundary flips. The probe buckets of one query are
+    * DISTINCT by construction (xor with distinct single bits), and an
+    * index vector lives in exactly one bucket, so the downstream
+    * equi-join emits each (query, candidate) pair at most once — no
+    * stateful dedup needed before the top-k aggregation (a second
+    * stateful operator a streaming plan could not legally chain).
+    */
+  def srpProbeBuckets(queries: DataFrame, queryVecCol: String,
+                      bits: Int, bucketBits: Int): DataFrame = {
+    require(bucketBits > 0 && bucketBits <= bits,
+      s"srpProbeBuckets: bucketBits=$bucketBits must be in [1, bits=$bits]")
+    val qb = graft.functions.HashFunctions
+      .cosineLshBits(col(queryVecCol), bits)
+      .bitwiseAND(lit((1L << bucketBits) - 1))
+    val probes = col("_qb") +:
+      (0 until bucketBits).map(b => col("_qb").bitwiseXOR(lit(1L << b)))
+    queries.withColumn("_qb", qb)
+      .withColumn("bucket", explode(array(probes: _*)))
+      .drop("_qb")
+  }
+
   /** Exact cosine near-duplicate pairs above `threshold`. All-pairs is
     * expressed as an id-ordered self-join so each unordered pair is
     * scored once. This is the EXACT SEMANTIC BASELINE, O(n²) by

@@ -128,37 +128,65 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
-  /** Continuous vector search: a STREAM of query vectors scored against
-    * the STATIC index — the serving shape of the reference's /search at
-    * fleet scale (queries arrive continuously, the index is a table).
-    * The static side joins per micro-batch without shuffling the
-    * stream; per-query top-5 runs as the bounded-heap UDAF inside the
-    * streaming aggregation (≤k rows of state per query — the only
-    * top-k formulation legal in a stream, where sort+limit is not).
-    * Batch-parity oracle = v10's SQL on the same split.
+  /** SRP sketch width / bucket prefix for s07 — 16-bit sketches routed
+    * by their low 4 bits into 16 buckets, queries multi-probing their
+    * own bucket plus the 4 at hamming distance 1 (5 of 16 buckets →
+    * the exact kernel touches ~5/16 of the index per query). Shared
+    * with the oracle SQL below, which replays the identical routing.
     */
-  def streamSearch(spark: SparkSession, sfDir: String): DataFrame = {
+  private val SrpBits = 16
+  private val SrpBucketBits = 4
+
+  /** Continuous vector search: a STREAM of query vectors against the
+    * STATIC index — the serving shape of the reference's /search at
+    * fleet scale (queries arrive continuously, the index is a table).
+    *
+    * The index is NEVER broadcast and never crossed: both sides carry
+    * an SRP prefix-bucket ([[graft.operators.Ann.srpBucketIndex]] /
+    * [[Ann.srpProbeBuckets]]) and meet in a stream-static EQUI-JOIN on
+    * `bucket` — at 100 TB the static side is the bucket-partitioned
+    * sketch index on disk and each micro-batch joins against only the
+    * probed buckets, which no broadcast-the-corpus plan survives.
+    * Per-query top-5 runs as the bounded-heap UDAF inside the streaming
+    * aggregation (≤k rows of state per query — the only top-k
+    * formulation legal in a stream, where sort+limit is not); bucket
+    * routing guarantees each (query, candidate) pair arrives at most
+    * once, so no stateful dedup precedes the aggregation. The oracle
+    * replays the identical sketch/probe/rerank pipeline in SQL — the
+    * approximation is pinned, not hidden (v20/v21's convention).
+    */
+  def streamSearch(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.TopKAggregator
+      .explodeHits(
+        Streaming.runAvailableNow(spark, streamSearchAgg(spark, sfDir),
+          "graft_s07"),
+        "query_id")
+      .orderBy("query_id", "rank")
+
+  /** The streaming aggregation s07 drains — exposed so PlanSpec can
+    * start it under `autoBroadcastJoinThreshold=-1` and assert the
+    * executed plan keeps the index un-broadcast and cartesian-free.
+    */
+  def streamSearchAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ann
     val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
     val qStream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
       .filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    // broadcast pinned (like s04's dim): without the hint a production
-    // autoBroadcastJoinThreshold=-1 would plan a per-batch cartesian
-    val index = broadcast(graft.Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") >= 8)
-      .select(col("vec_id"), col("embedding")))
-    val scored = qStream.crossJoin(index)
+    val probes = Ann.srpProbeBuckets(qStream, "qe", SrpBits, SrpBucketBits)
+    val index = Ann.srpBucketIndex(
+      graft.Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") >= 8)
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", SrpBits, SrpBucketBits)
+    val scored = probes.join(index, Seq("bucket"))
       .select(col("query_id"), col("vec_id"),
         graft.functions.VectorFunctions
           .cosineSim(col("embedding"), col("qe")).as("score"))
     val topk = graft.operators.TopKAggregator.topKUdaf(5)
-    val agg = scored.groupBy("query_id")
+    scored.groupBy("query_id")
       .agg(topk(col("vec_id"), col("score")).as("hits"))
-    graft.operators.TopKAggregator
-      .explodeHits(Streaming.runAvailableNow(spark, agg, "graft_s07"),
-        "query_id")
-      .orderBy("query_id", "rank")
   }
 
   /** Sessionization through the BUILT-IN session_window operator
@@ -207,8 +235,45 @@ object StreamingQueries {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
-    // the batch v10 oracle verbatim — continuous search ≡ batch
-    "s07_stream_search" -> VectorQueries.batchHeapTopKOracle,
+    // batch replay of the SRP bucket-routed pipeline (v20/v21's sketch
+    // CTE): sketch → low-4-bit bucket → multi-probe (own bucket + the 4
+    // at hamming distance 1) → equi-join → exact cosine top-5. The
+    // parity statement: continuous bucket-join search ≡ the same
+    // approximate pipeline run as batch SQL.
+    "s07_stream_search" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings),
+         |s AS (SELECT vec_id, e,
+         |  CAST(list_sum(list_transform(range(0, $SrpBits), j ->
+         |    CASE WHEN list_sum(list_transform(range(0, len(e)), i ->
+         |        e[CAST(i + 1 AS INT)] *
+         |        (CASE WHEN CAST(concat('0x', substring(
+         |               md5(concat('srp:', j, ':', i)), 1, 15)) AS BIGINT)
+         |              % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+         |    THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS sketch
+         |  FROM v),
+         |q AS (SELECT vec_id AS query_id, e AS qe,
+         |             sketch % ${1 << SrpBucketBits} AS qb
+         |      FROM s WHERE vec_id < 8),
+         |probes AS (
+         |  SELECT query_id, qe,
+         |         unnest([qb${(0 until SrpBucketBits)
+                     .map(b => s", xor(qb, ${1L << b})").mkString}]) AS bucket
+         |  FROM q),
+         |idx AS (SELECT vec_id, e, sketch % ${1 << SrpBucketBits} AS bucket
+         |        FROM s WHERE vec_id >= 8),
+         |cand AS (
+         |  SELECT p.query_id, i.vec_id,
+         |         list_cosine_similarity(i.e, p.qe) AS score
+         |  FROM idx i JOIN probes p USING (bucket)),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, vec_id) AS rank
+         |  FROM cand)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+         |       round(score, 6) AS score
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // identical to the batch r12 oracle — THE parity statement
     "s01_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,

@@ -124,6 +124,35 @@ class PlanSpec extends SparkSpec {
       s"label predicate did not reach PushedFilters:\n$p")
   }
 
+  test("s07 keeps the index un-broadcast: equi-join survives " +
+      "autoBroadcastJoinThreshold=-1 without a cartesian") {
+    // the contract that makes s07 runnable at 100 TB: disable size-based
+    // broadcasting (production corpora exceed any threshold) and assert
+    // the executed streaming plan is still a bucket equi-join — no
+    // BroadcastExchange of the index, no per-batch cartesian
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val agg = graft.queries.StreamingQueries.streamSearchAgg(spark, sf)
+      val q = agg.writeStream.format("memory")
+        .queryName("graft_s07_planprobe")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+      val p = buf.toString
+      assert(p.contains("Join"), s"no join in streaming plan:\n$p")
+      assert(!p.contains("BroadcastExchange") &&
+        !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"index broadcast/cartesian crept back into s07:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.catalog.dropTempView("graft_s07_planprobe")
+    }
+  }
+
   test("exchange reuse: self-joined aggregates reuse one shuffle") {
     // same aggregate on both sides → ReusedExchange in the plan
     val agg = Tables.orders(spark, sf).groupBy("o_custkey")
