@@ -97,6 +97,59 @@ object Ingest {
       .drop("_max_existing")
   }
 
+  /** Distributed id assignment — the scale path the AUTOINCREMENT-parity
+    * [[assignIds]] window trades away. Same contract (ids dense and
+    * contiguous after the store max, ordered by `contentCol`), but no
+    * single task ever sees the whole batch:
+    *
+    *   1. range-repartition by content, so partition p holds a
+    *      contiguous slice of the content ordering (persisted — BOTH
+    *      downstream jobs must observe the one materialized layout, not
+    *      re-sample their own range boundaries);
+    *   2. count rows per partition and collect the counts — a
+    *      partition-count-sized driver aggregate (the same KB-scale
+    *      traffic Pq training accepts), folded into exclusive prefix
+    *      offsets;
+    *   3. doc_id = per-partition row_number (window partitioned by the
+    *      REAL partition id — never a single-partition window) + the
+    *      partition's offset + the store max.
+    *
+    * `contentCol` values must be unique — they are post-dedup, where
+    * content IS the dedup key. Range-partitioner sampling means the
+    * partition boundaries can vary run to run; the final mapping cannot,
+    * because it is a pure function of the global content ordering.
+    *
+    * The returned frame keeps the range-partitioned input persisted;
+    * callers that loop should `spark.catalog.clearCache()` between
+    * batches (Verify already does).
+    */
+  def assignIdsDistributed(novel: DataFrame, contentCol: String,
+                           store: DataFrame, storeIdCol: String)
+      : DataFrame = {
+    val spark = novel.sparkSession
+    val maxExisting = store
+      .agg(coalesce(max(col(storeIdCol)), lit(0L))).head().getLong(0)
+    val parted = novel
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col(contentCol))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .orderBy("_pid").collect()
+    var acc = 0L
+    val offsets = counts.map { r =>
+      val row = (r.getInt(0), acc); acc += r.getLong(1); row
+    }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("_pid", "_off")
+    parted
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_pid")).orderBy(col(contentCol))))
+      .join(broadcast(offDf), Seq("_pid"))
+      .withColumn("doc_id", col("_rn") + col("_off") + lit(maxExisting))
+      .drop("_pid", "_rn", "_off")
+  }
+
   /** Index build = columnar store scan of (id, vector) + cache — the
     * Spark analog of synchronizeFAISS (reference server.js:65-94).
     */

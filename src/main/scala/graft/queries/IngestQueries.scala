@@ -217,7 +217,24 @@ object IngestQueries {
       .orderBy("doc_id")
   }
 
+  /** i03's twin through the DISTRIBUTED assignment path
+    * ([[Ingest.assignIdsDistributed]]): identical oracle — the full
+    * (doc_id, batch_id) mapping, which pins uniqueness, density,
+    * min/max and ordering in one statement — but the plan contains no
+    * single-partition window: range-repartition + per-partition
+    * row_number + prefix offsets (PlanSpec asserts the shape).
+    */
+  def assignedIdsDistributed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val novel = Ingest.dedupIngest(syntheticBatch(docs), docs, "text", "doc_id")
+      .withColumnRenamed("doc_id", "batch_id")
+    Ingest.assignIdsDistributed(novel, "text", docs, "doc_id")
+      .select(col("doc_id"), col("batch_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i10_assign_ids_dist" -> (assignedIdsDistributed(_, _)),
     "i01_hash_embed" -> (hashEmbedBuckets(_, _)),
     "i02_dedup_ingest" -> (dedupIngestCount(_, _)),
     "i03_assign_ids" -> (assignedIds(_, _)),
@@ -304,6 +321,19 @@ object IngestQueries {
          |  SELECT min(doc_id) AS keeper FROM batch
          |  WHERE text NOT IN (SELECT text FROM documents)
          |  GROUP BY text)""".stripMargin,
+    // the i03 oracle verbatim — THE parity statement: the distributed
+    // assignment must produce the identical full id mapping
+    "i10_assign_ids_dist" ->
+      s"""WITH batch AS ($batchSql),
+         |novel AS (
+         |  SELECT text, min(doc_id) AS batch_id FROM batch
+         |  WHERE text NOT IN (SELECT text FROM documents)
+         |  GROUP BY text),
+         |mx AS (SELECT max(doc_id) AS m FROM documents)
+         |SELECT CAST(row_number() OVER (ORDER BY text) + m AS BIGINT) AS doc_id,
+         |       batch_id
+         |FROM novel, mx
+         |ORDER BY doc_id""".stripMargin,
     "i03_assign_ids" ->
       s"""WITH batch AS ($batchSql),
          |novel AS (

@@ -49,6 +49,29 @@ class IngestSpec extends SparkSpec {
     assert(got == Seq((101L, "aa"), (102L, "bb"), (103L, "cc")))
   }
 
+  test("assignIdsDistributed matches the serial window's mapping exactly") {
+    val texts = (0 until 97).map(i => f"content $i%03d with salt ${i * 7}")
+    val novel = texts.zipWithIndex
+      .map { case (t, i) => (1000L + i, t) }.toDF("batch_id", "text")
+      .repartition(8) // many input splits — no task sees the whole batch
+    val store = docsDf((1L, "existing a"), (41L, "existing b"))
+    val serial = Ingest
+      .assignIds(novel.withColumnRenamed("batch_id", "doc_id"), "text", 41L)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    val dist = Ingest.assignIdsDistributed(novel, "text", store, "doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(dist == serial)
+    // dense, unique, contiguous after the store max
+    val ids = dist.map(_._1).toSeq.sorted
+    assert(ids == (42L until 42L + texts.length).toSeq)
+    // deterministic across invocations (fresh plan, fresh sampling)
+    spark.catalog.clearCache()
+    val again = Ingest.assignIdsDistributed(novel, "text", store, "doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(again == dist)
+    spark.catalog.clearCache()
+  }
+
   test("compactStore merges append-accumulated small files losslessly") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_compact").toString + "/store"

@@ -124,6 +124,23 @@ class PlanSpec extends SparkSpec {
       s"label predicate did not reach PushedFilters:\n$p")
   }
 
+  test("distributed id assignment never plans a single-partition window") {
+    // a WindowExec with an empty partition spec renders as
+    // `Window [funcs], [order]` (two bracket groups); a partitioned one
+    // as `Window [funcs], [partition], [order]` (three). i03's serial
+    // AUTOINCREMENT-parity window is deliberately global; i10's
+    // distributed path must not be.
+    val p = plan(graft.queries.IngestQueries
+      .assignedIdsDistributed(spark, sf))
+    val windows = p.split("\n").filter(_.contains("Window ["))
+    assert(windows.nonEmpty, s"expected a per-partition window in:\n$p")
+    windows.foreach { w =>
+      assert(w.matches(""".*Window \[.*\], \[.*\], \[.*\].*"""),
+        s"single-partition window in the distributed id plan:\n$w")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("s07 keeps the index un-broadcast: equi-join survives " +
       "autoBroadcastJoinThreshold=-1 without a cartesian") {
     // the contract that makes s07 runnable at 100 TB: disable size-based
