@@ -9,13 +9,20 @@ import org.apache.spark.sql.functions._
   * the layout used by large-scale multimodal training pipelines (and by
   * Spark's own `binaryFile` source).
   *
-  * The actual media decode is STUBBED (this container ships no image/
-  * audio codecs): [[decodeStub]] derives deterministic fake metadata from
-  * the bytes. Everything around the stub — schema, batch shape,
-  * partition-friendly narrow projection, feature extraction signature —
-  * is the real plumbing a codec UDF would drop into.
+  * Header DECODE is real: [[HeaderCodec]] parses PNG (IHDR), JPEG
+  * (marker walk to SOFn), GIF (logical screen descriptor) and WAV
+  * (RIFF `fmt ` chunk) with plain JVM byte inspection — no native
+  * codec libraries. Full-pixel/sample decode and feature extraction
+  * (resize, frame-sample, mel-spectrogram) remain deterministic STUBS
+  * ([[StubCodec]] — this container ships no media codecs); a real
+  * kernel drops into [[HeaderCodec.features]] without touching the
+  * plumbing. Unknown or MALFORMED payloads never throw: they fall back
+  * to the stub's hash-derived metadata under format "bin" — at 100 TB
+  * a corrupt shard must skip, not kill the job.
   */
 object Multimodal {
+
+  case class MediaMeta(width: Int, height: Int, format: String)
 
   /** Wrap a text table as a fake media table: payload = utf-8 bytes.
     * In production this column comes from `spark.read.format("binaryFile")`
@@ -28,10 +35,10 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       lit("application/octet-stream").as("mime"))
 
-  /** STUB decoder: a real implementation would parse the container
-    * header (JPEG/PNG/WAV...) here. The fake is a pure function of the
-    * payload so tests and oracles stay deterministic: dimensions and
-    * sample rate are carved out of the md5 of the bytes.
+  /** Columnar STUB decoder (kept as the no-codec baseline and the
+    * fallback-parity reference): deterministic fake metadata carved out
+    * of the md5 of the bytes — a pure function of the payload, so tests
+    * and oracles stay deterministic.
     */
   def decodeStub(df: DataFrame): DataFrame = {
     val h = md5Long(col("payload").cast("string"))
@@ -67,17 +74,18 @@ object Multimodal {
     * decoders — libjpeg, ffmpeg contexts — are expensive to init and not
     * serializable, so they must be constructed inside mapPartitions, not
     * per row and not on the driver), then a streaming iterator over the
-    * partition's rows. The stub codec derives deterministic metadata +
-    * features from the bytes; a real decoder drops into `Codec` without
-    * touching the plumbing.
+    * partition's rows. Header metadata is REAL ([[HeaderCodec]]);
+    * features remain the deterministic stub — pass `featureDim = 0` to
+    * skip feature extraction entirely (metadata-only scans must not pay
+    * a per-row hash cascade for a column they drop).
     */
-  def decodeBatch(df: DataFrame, dim: Int): DataFrame = {
+  def decodeBatch(df: DataFrame, featureDim: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions { rows =>
-        // per-partition "codec" init happens HERE, once
-        val codec = new StubCodec(dim)
+        // per-partition codec init happens HERE, once
+        val codec = new HeaderCodec(featureDim)
         rows.map { r =>
           val m = codec.decode(r.payload)
           DecodedRow(r.doc_id, r.payload.length, m.width, m.height,
@@ -87,14 +95,107 @@ object Multimodal {
       .toDF()
   }
 
+  /** Pure-JVM container-header parser. Only HEADERS are decoded (the
+    * metadata a curation pipeline filters on — dimensions, sample rate,
+    * channel count); pixel/sample payloads are untouched. Every parse
+    * path bounds-checks and falls back to [[StubCodec]] metadata under
+    * format "bin" on any malformed structure.
+    *
+    * Field mapping for audio: WAV reports width = sample rate (Hz) and
+    * height = channel count — the two gate-relevant numbers — keeping
+    * one metadata struct across modalities.
+    */
+  final class HeaderCodec(featureDim: Int) {
+    private val stub = new StubCodec(featureDim)
+
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+      i + s.length <= b.length &&
+        s.indices.forall(k => (b(i + k) & 0xff) == s.charAt(k))
+
+    private val PngMagic =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def png(b: Array[Byte]): Option[MediaMeta] =
+      if (b.length >= 24 && b.take(8).sameElements(PngMagic) &&
+          ascii(b, 12, "IHDR"))
+        Some(MediaMeta(be32(b, 16), be32(b, 20), "png"))
+      else None
+
+    /** SOI, then segment walk (APPn/COM/DQT/... are length-prefixed) to
+      * the first SOFn frame header, whose payload is
+      * precision(1) height(2) width(2). */
+    private def jpeg(b: Array[Byte]): Option[MediaMeta] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      var i = 2
+      while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          return if (i + 9 <= b.length)
+            Some(MediaMeta(be16(b, i + 7), be16(b, i + 5), "jpeg"))
+          else None
+        }
+        if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS: no SOF seen
+        i += 2 + be16(b, i + 2) // marker + its length-prefixed payload
+      }
+      None
+    }
+
+    private def gif(b: Array[Byte]): Option[MediaMeta] =
+      if (b.length >= 10 && (ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")))
+        Some(MediaMeta(le16(b, 6), le16(b, 8), "gif"))
+      else None
+
+    /** RIFF....WAVE, then chunk walk (id(4) size(4le) data) to `fmt `:
+      * channels at data+2, sample rate at data+4. */
+    private def wav(b: Array[Byte]): Option[MediaMeta] = {
+      if (!(b.length >= 12 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")))
+        return None
+      var i = 12
+      while (i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        if (size < 0) return None
+        if (ascii(b, i, "fmt ")) {
+          return if (size >= 8 && i + 8 + 8 <= b.length)
+            Some(MediaMeta(le32(b, i + 12), le16(b, i + 10), "wav"))
+          else None
+        }
+        i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      None
+    }
+
+    def decode(payload: Array[Byte]): MediaMeta =
+      try png(payload).orElse(jpeg(payload)).orElse(gif(payload))
+        .orElse(wav(payload))
+        .getOrElse(stub.decode(payload).copy(format = "bin"))
+      catch { // malformed sizes/offsets must skip, never kill the job
+        case _: IndexOutOfBoundsException =>
+          stub.decode(payload).copy(format = "bin")
+      }
+
+    def features(payload: Array[Byte]): Array[Float] =
+      stub.features(payload) // the one remaining declared stand-in
+  }
+
   /** Deterministic stand-in for a native media codec. Holds the mutable
     * scratch state a real decoder would (buffers, contexts) — hence one
     * instance per partition.
     */
   final class StubCodec(dim: Int) {
     private val digest = java.security.MessageDigest.getInstance("MD5")
-
-    case class Meta(width: Int, height: Int, format: String)
 
     private def h60(bytes: Array[Byte], salt: String): Long = {
       digest.reset()
@@ -109,14 +210,62 @@ object Multimodal {
 
     private val formats = Array("jpeg", "png", "webp", "wav")
 
-    def decode(payload: Array[Byte]): Meta = {
+    def decode(payload: Array[Byte]): MediaMeta = {
       val h = h60(payload, "")
-      Meta((h % 1280 + 1).toInt, ((h >> 16) % 720 + 1).toInt,
+      MediaMeta((h % 1280 + 1).toInt, ((h >> 16) % 720 + 1).toInt,
         formats(((h >> 32) % 4).toInt))
     }
 
     def features(payload: Array[Byte]): Array[Float] =
-      Array.tabulate(dim)(i =>
+      if (dim == 0) Array.empty
+      else Array.tabulate(dim)(i =>
         (h60(payload, s":$i") % 1000).toFloat / 1000.0f)
+  }
+
+  /** Deterministic minimal-but-REAL container headers, synthesized from
+    * plain metadata — the fixture generator for [[HeaderCodec]]: every
+    * byte layout here is the real format's (PNG signature+IHDR, JPEG
+    * SOI+APP0+SOF0+EOI, WAV RIFF/fmt/data), so decoding them exercises
+    * the same parse paths real shards hit.
+    */
+  object SynthMedia {
+    def pngBytes(width: Int, height: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(33)
+      buf.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      buf.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      buf.putInt(width).putInt(height)
+      buf.put(8.toByte).put(6.toByte) // bit depth, color type RGBA
+      buf.put(0.toByte).put(0.toByte).put(0.toByte) // comp/filter/interlace
+      buf.putInt(0) // CRC placeholder (header parse does not check it)
+      buf.array()
+    }
+
+    def jpegBytes(width: Int, height: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(35)
+      buf.putShort(0xffd8.toShort) // SOI
+      buf.putShort(0xffe0.toShort).putShort(16) // APP0 ahead of SOF —
+      buf.put("JFIF".getBytes("US-ASCII")).put(0.toByte) // the walk is real
+      buf.put(Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0))
+      buf.putShort(0xffc0.toShort).putShort(11) // SOF0, 1 component
+      buf.put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+      buf.put(1.toByte).put(Array[Byte](1, 0x11, 0))
+      buf.putShort(0xffd9.toShort) // EOI
+      buf.array()
+    }
+
+    def wavBytes(sampleRate: Int, channels: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer
+        .allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      buf.putShort(1) // PCM
+      buf.putShort(channels.toShort).putInt(sampleRate)
+      buf.putInt(sampleRate * channels * 2) // byte rate
+      buf.putShort((channels * 2).toShort).putShort(16) // align, bits
+      buf.put("data".getBytes("US-ASCII")).putInt(0)
+      buf.array()
+    }
   }
 }

@@ -163,14 +163,38 @@ object TextQueries {
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
-  def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
-    Multimodal.decodeStub(
-        Multimodal.asBinaryPayload(Tables.documents(spark, sfDir),
-          "doc_id", "text"))
+  /** Multimodal metadata extraction with the REAL header codec
+    * ([[Multimodal.HeaderCodec]]): docs are packed into genuine
+    * container bytes (doc_id % 4 routes to PNG / JPEG-with-APP0 / WAV
+    * via [[Multimodal.SynthMedia]], with dimensions derived from
+    * doc_id; the remainder stays raw utf-8 = an UNKNOWN payload), then
+    * decoded back through the per-partition batch codec. The oracle
+    * recomputes what the headers must parse to — so PNG IHDR, the JPEG
+    * SOF segment walk, the WAV fmt chunk AND the stub fallback path
+    * (md5-derived dims, format "bin") are all pinned per row.
+    */
+  def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import Multimodal.SynthMedia
+    val media = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = (id % 4) match {
+          case 0 => SynthMedia.pngBytes(
+            (id * 37 % 1280).toInt + 1, (id * 53 % 720).toInt + 1)
+          case 1 => SynthMedia.jpegBytes(
+            (id * 11 % 640).toInt + 1, (id * 13 % 480).toInt + 1)
+          case 2 => SynthMedia.wavBytes(
+            8000 + 1000 * (id % 5).toInt, (id % 2).toInt + 1)
+          case _ => text.getBytes("UTF-8")
+        }
+        Multimodal.MediaRow(id, payload)
+      }.toDF()
+    Multimodal.decodeBatch(media, featureDim = 0)
       .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"),
-        col("meta.width").as("width"), col("meta.height").as("height"),
-        col("meta.format").as("format"))
+        col("width"), col("height"), col("format"))
       .orderBy("doc_id")
+  }
 
   /** O18 tokenizeContent (reference embed.js:29-40): HTML-strip →
     * whitespace tokenize → truncate (reference caps at 3000; 50 here so
@@ -858,13 +882,30 @@ object TextQueries {
          |  FROM f)
          |SELECT doc_id, rank, token, tf
          |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    // replays what each synthesized header must parse back to: fixed
+    // container sizes (33-byte PNG sig+IHDR, 35-byte JPEG
+    // SOI+APP0+SOF0+EOI, 44-byte canonical WAV) and the id-derived
+    // dims; doc_id % 4 = 3 rows are raw utf-8 → the stub fallback's
+    // md5 math under format 'bin'
     "t11_multimodal_meta" ->
-      s"""WITH p AS (SELECT doc_id, text AS payload FROM documents),
-         |h AS (SELECT doc_id, payload, ${hash60("payload")} AS hv FROM p)
-         |SELECT doc_id, octet_length(encode(payload)) AS byte_len,
-         |  CAST(hv % 1280 + 1 AS INT) AS width,
-         |  CAST((hv >> 16) % 720 + 1 AS INT) AS height,
-         |  (['jpeg','png','webp','wav'])[CAST((hv >> 32) % 4 + 1 AS INT)] AS format
+      s"""WITH h AS (SELECT doc_id, text, ${hash60("text")} AS hv
+         |           FROM documents)
+         |SELECT doc_id,
+         |  CAST(CASE doc_id % 4
+         |       WHEN 0 THEN 33 WHEN 1 THEN 35 WHEN 2 THEN 44
+         |       ELSE octet_length(encode(text)) END AS BIGINT) AS byte_len,
+         |  CAST(CASE doc_id % 4
+         |       WHEN 0 THEN (doc_id * 37) % 1280 + 1
+         |       WHEN 1 THEN (doc_id * 11) % 640 + 1
+         |       WHEN 2 THEN 8000 + 1000 * (doc_id % 5)
+         |       ELSE hv % 1280 + 1 END AS INT) AS width,
+         |  CAST(CASE doc_id % 4
+         |       WHEN 0 THEN (doc_id * 53) % 720 + 1
+         |       WHEN 1 THEN (doc_id * 13) % 480 + 1
+         |       WHEN 2 THEN doc_id % 2 + 1
+         |       ELSE (hv >> 16) % 720 + 1 END AS INT) AS height,
+         |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+         |       WHEN 2 THEN 'wav' ELSE 'bin' END AS format
          |FROM h ORDER BY doc_id""".stripMargin)
 
   private lazy val langIdOracle: String = {

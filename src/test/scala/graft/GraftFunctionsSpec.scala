@@ -100,7 +100,7 @@ class GraftFunctionsSpec extends SparkSpec {
     val media = Multimodal.asBinaryPayload(
       docsDf((1L, "abc"), (2L, "abc"), (3L, "different")), "doc_id", "text")
       .repartition(2) // exercise >1 partition → >1 codec instance
-    val got = Multimodal.decodeBatch(media, dim = 4)
+    val got = Multimodal.decodeBatch(media, featureDim = 4)
     assert(got.columns.toSeq ==
       Seq("doc_id", "byte_len", "width", "height", "format", "features"))
     val rows = got.orderBy("doc_id")
@@ -118,7 +118,7 @@ class GraftFunctionsSpec extends SparkSpec {
     // first (self-similarity 1.0) through the SRP shortlist path.
     val media = Multimodal.asBinaryPayload(
       docsDf((1L, "aa"), (2L, "bb"), (3L, "cc")), "doc_id", "text")
-    val feats = Multimodal.decodeBatch(media, dim = 8)
+    val feats = Multimodal.decodeBatch(media, featureDim = 8)
       .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
     val q = feats.filter(col("vec_id") === 1)
       .select(col("embedding").as("qe"),

@@ -141,7 +141,7 @@ class SqliteSourceSpec extends SparkSpec {
       .withColumn("doc_id",
         row_number().over(Window.partitionBy(lit(0)).orderBy("source"))
           .cast("long"))
-    val decoded = Multimodal.decodeBatch(media, dim = 8)
+    val decoded = Multimodal.decodeBatch(media, featureDim = 8)
     val rows = decoded.select("doc_id", "byte_len", "format")
       .as[(Long, Int, String)].collect().toSeq.sortBy(_._1)
     assert(rows.map(_._2).sorted ==
