@@ -71,9 +71,13 @@ case class PqEncode(child: Expression, dsub: Int,
 }
 
 /** PQ codes → approximate squared L2 distance to the (implicit) query:
-  * sum over subspaces of lut(j)(codes(j)).
+  * sum over subspaces of lut(j)(codes(j)). The LUT is double-precision
+  * end-to-end (subtraction, squaring, accumulation) so a SQL oracle
+  * replaying the same arithmetic on the persisted codebooks is
+  * bit-comparable — a float32 LUT would interpose a rounding step no
+  * portable SQL can reproduce.
   */
-case class PqAdcDistance(child: Expression, lut: Array[Array[Float]])
+case class PqAdcDistance(child: Expression, lut: Array[Array[Double]])
     extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "pq_adc_distance"
   override def dataType: DataType = DoubleType

@@ -129,15 +129,18 @@ object Pq {
                   model: PqModel): Column = {
     require(query.length == model.m * model.dsub,
       s"query dim ${query.length} != ${model.m}×${model.dsub}")
+    // double end-to-end (see PqAdcDistance): widen BEFORE subtracting,
+    // exactly as a SQL replay over the persisted float codebooks would
     val lut = Array.tabulate(model.m, model.k) { (j, c) =>
       var acc = 0.0
       var i = 0
       while (i < model.dsub) {
-        val d = query(j * model.dsub + i) - model.codebooks(j)(c)(i)
+        val d = query(j * model.dsub + i).toDouble -
+          model.codebooks(j)(c)(i).toDouble
         acc += d * d
         i += 1
       }
-      acc.toFloat
+      acc
     }
     Bridge.column(PqAdcDistance(Bridge.expression(codesCol), lut))
   }

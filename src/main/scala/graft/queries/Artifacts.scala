@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Run-scoped parquet ARTIFACTS that bridge a Spark query and its SQL
+  * oracle — the mechanism that makes non-SQL-expressible TRAINING
+  * hash-checkable: the query persists what it learned (k-means
+  * centroids, PQ codebooks) to a deterministic path, and the DuckDB
+  * oracle `read_parquet`s the same files to replay every DOWNSTREAM
+  * step (assignment, probe ranking, ADC, recall) in SQL. Training
+  * stays outside SQL; the *claim* (recall at these exact centroids)
+  * becomes hash-verifiable — the i04-i09 round-trip pattern applied to
+  * models instead of tables.
+  *
+  * Paths are keyed by (artifact name, corpus dir hash): stable across
+  * JVMs — the oracle runs in a separate process AFTER Verify exits, so
+  * these dirs deliberately outlive the session (one small dir per
+  * name×corpus, overwritten each run, never accumulating) — and
+  * disjoint between scale factors, so a Bench run at sf0.1 can never
+  * clobber the artifact a Verify run at sf0.01 just dumped for its
+  * oracle. Contents are deterministic (seeded, layout-pinned
+  * training), so even a concurrent same-corpus rewrite re-writes
+  * identical bytes.
+  *
+  * [[oracleDir]] resolves against the LAST corpus a query registered
+  * in this JVM: Verify runs every query before dumping `oracleSql`, so
+  * at dump time the registration matches the run's sfDir.
+  */
+object Artifacts {
+
+  private val lastSfDir =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "/root/testdata/sf0.01")
+
+  private def hash8(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+
+  private def path(name: String, sfDir: String): String =
+    java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft_artifacts",
+        s"${name}_${hash8(sfDir)}")
+      .toString
+
+  /** Persist `df` as the artifact `name` for corpus `sfDir`; returns
+    * the directory (also registering sfDir for [[oracleDir]]).
+    * Coalesced to one file — artifacts are model-sized (KBs).
+    */
+  def write(df: DataFrame, name: String, sfDir: String): String = {
+    lastSfDir.set(sfDir)
+    val dir = path(name, sfDir)
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+    dir
+  }
+
+  /** The glob a DuckDB oracle reads the artifact back from. */
+  def oracleGlob(name: String): String =
+    path(name, lastSfDir.get) + "/*.parquet"
+}

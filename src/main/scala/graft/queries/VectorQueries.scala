@@ -249,15 +249,22 @@ object VectorQueries {
 
   /** Recall@10 of learned-centroid IVF search against the exact
     * brute-force answer — the measurement that makes the ANN claim
-    * checkable: (k, n_probe, recall_at_10) as one row. Probing 4 of 16
-    * k-means cells reads ~1/4 of the corpus; recall says what that
+    * checkable: (n_probe, recall_at_10) per probe width. Probing 4 of
+    * 16 k-means cells reads ~1/4 of the corpus; recall says what that
     * saving costs for THIS data.
     *
-    * Deliberately absent from [[oracles]]: k-means is not
-    * SQL-expressible, so the driver records the rows-only check here;
-    * the recall value itself is pinned by AnnSpec on a fixture whose
-    * exact answer is known, and every IVF building block (v07/v08/v11)
-    * keeps its full hash-checked oracle via seeded centroids.
+    * k-means TRAINING is not SQL-expressible, so the trained centroids
+    * are persisted as a run-scoped [[Artifacts]] parquet and the query
+    * consumes the PERSISTED frame; the DuckDB oracle reads the same
+    * files and replays assignment, probe ranking and recall in SQL —
+    * the i04-i09 round-trip pattern applied to a model, upgrading this
+    * query from rows-only to fully hash-checked.
+    *
+    * Recall must rise monotonically in n_probe and reach exactly 1.0
+    * at 16/16 (all cells probed ≡ exact scan) — a built-in self-check.
+    * NOTE: the fixture embeddings are near-uniform random, so partial
+    * probes measure close to n_probe/16 — IVF's saving is honest only
+    * when the data has density structure; this query states the cost.
     */
   def ivfRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
@@ -265,13 +272,11 @@ object VectorQueries {
     val exact = Search.topK(corpus, queryVec(emb),
       "vec_id", "embedding", "qe", 10)
       .select(col("vec_id"), lit(1L).as("hit"))
-    val centroids = Ann.kmeansCentroids(corpus, "vec_id", "embedding", 16)
+    val dir = Artifacts.write(
+      Ann.kmeansCentroids(corpus, "vec_id", "embedding", 16),
+      "v14_centroids", sfDir)
+    val centroids = spark.read.parquet(dir)
     val assigned = Ann.ivfAssign(corpus, centroids, "vec_id", "embedding")
-    // recall must rise monotonically in n_probe and reach exactly 1.0 at
-    // 16/16 (all cells probed ≡ exact scan) — a built-in self-check.
-    // NOTE: the fixture embeddings are near-uniform random, so partial
-    // probes measure close to n_probe/16 — IVF's saving is honest only
-    // when the data has density structure; this query states the cost.
     Seq(1L, 4L, 8L, 16L)
       .map { p =>
         Ann.ivfSearch(assigned, centroids, queryVec(emb),
@@ -281,7 +286,7 @@ object VectorQueries {
       .reduce(_ unionByName _)
       .join(exact, Seq("vec_id"), "left")
       .groupBy("n_probe")
-      .agg((sum(coalesce(col("hit"), lit(0L))) / lit(10.0))
+      .agg(round(sum(coalesce(col("hit"), lit(0L))) / lit(10.0), 6)
         .as("recall_at_10"))
       .orderBy("n_probe")
   }
@@ -311,13 +316,16 @@ object VectorQueries {
 
   /** Recall@10 of product-quantization ADC search
     * ([[graft.operators.Pq]]) against the exact L2 scan: one row
-    * (m, k_codes, recall_at_10). PQ codes at m=8 are a ~30× memory cut
-    * over raw float32 vectors; this query prices that compression in
-    * recall on THIS corpus. Like v14, k-means training is not
-    * SQL-expressible → rows-only oracle; PqSpec pins exact behavior on
-    * fixtures (centroid self-recovery, clustered recall = 1.0). The
-    * single-row query-vector collect is endpoint semantics (one query
-    * per request, reference server.js:218).
+    * (m, k_codes, recall_adc_at_10, recall_rerank100_at_10). PQ codes
+    * at m=8 are a ~30× memory cut over raw float32 vectors; this query
+    * prices that compression in recall on THIS corpus. Codebook
+    * TRAINING is not SQL-expressible, so the trained codebooks are
+    * persisted as a run-scoped [[Artifacts]] parquet, the query
+    * rebuilds its model FROM the persisted floats, and the DuckDB
+    * oracle reads the same files to replay encode, double-precision
+    * ADC, shortlist and rerank in SQL — fully hash-checked (v14's
+    * pattern). The single-row query-vector collect is endpoint
+    * semantics (one query per request, reference server.js:218).
     */
   def pqRecall(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorFunctions.l2Dist
@@ -329,9 +337,23 @@ object VectorQueries {
     // codebooks are trained on a deterministic half-sample (standard
     // PQ practice: a few hundred vectors per centroid suffice) and
     // encode the FULL corpus
-    val model = Pq.trainCodebooks(
+    val trained = Pq.trainCodebooks(
       corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
       "vec_id", "embedding", m = 8, k = 16, maxIter = 4)
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Artifacts.write(
+      (for (j <- 0 until trained.m; c <- 0 until trained.k)
+        yield (j, c, trained.codebooks(j)(c).toSeq))
+        .toDF("j", "c", "center"),
+      "v16_codebooks", sfDir)
+    // consume the PERSISTED artifact — the model in use is bit-for-bit
+    // what the oracle reads back
+    val persisted = spark.read.parquet(dir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
+      .toMap
+    val model = Pq.PqModel(trained.dsub,
+      Array.tabulate(trained.m, trained.k)((j, c) => persisted((j, c))))
     val encoded = Pq.encode(corpus, "vec_id", "embedding", model)
     val exact = corpus.crossJoin(broadcast(queryVec(emb)))
       .select(col("vec_id"), l2Dist(col("embedding"), col("qe")).as("d"))
@@ -340,7 +362,7 @@ object VectorQueries {
       .select(col("vec_id"), lit(1L).as("hit"))
     def recallOf(hits: DataFrame): DataFrame = hits
       .join(exact, Seq("vec_id"), "left")
-      .agg((sum(coalesce(col("hit"), lit(0L))) / lit(10.0)).as("r"))
+      .agg(round(sum(coalesce(col("hit"), lit(0L))) / lit(10.0), 6).as("r"))
     val adc = recallOf(Pq.search(encoded, "vec_id", q, model, 10)
       .select("vec_id"))
     // the production shape: ADC shortlist of 100 from codes, exact
@@ -428,8 +450,111 @@ object VectorQueries {
         |SELECT query_id, rank, vec_id, round(score, 6) AS score
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** DuckDB oracles. `embeddings`/`documents` resolve to the same parquet. */
-  val oracles: Map[String, String] = Map(
+  /** DuckDB oracles. `embeddings`/`documents` resolve to the same
+    * parquet. A `def`, not a `val`: the v14/v16 entries interpolate
+    * [[Artifacts.oracleGlob]], which resolves to the corpus the queries
+    * actually ran against — Verify dumps `oracleSql` AFTER running the
+    * queries, so the glob matches the run.
+    */
+  def oracles: Map[String, String] = Map(
+    // replays IVF on the PERSISTED k-means centroids: nearest-centroid
+    // assignment, probe ranking by centroid distance, per-probe-width
+    // top-10, recall vs the exact scan — training stayed in Spark, the
+    // claim is hash-checked
+    "v14_ivf_recall" ->
+      s"""WITH cent AS (SELECT centroid_id, CAST(centroid AS DOUBLE[]) AS c
+         |              FROM read_parquet('${Artifacts.oracleGlob("v14_centroids")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM embeddings),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |corpus AS (SELECT vec_id, e FROM v WHERE vec_id <> 0),
+         |assigned AS (
+         |  SELECT vec_id, e, centroid_id FROM (
+         |    SELECT co.vec_id, co.e, cent.centroid_id,
+         |           row_number() OVER (PARTITION BY co.vec_id
+         |             ORDER BY list_distance(co.e, cent.c),
+         |                      cent.centroid_id) AS rn
+         |    FROM corpus co, cent) WHERE rn = 1),
+         |cranks AS (
+         |  SELECT centroid_id,
+         |         row_number() OVER (ORDER BY list_distance(c, qe),
+         |                            centroid_id) AS crank
+         |  FROM cent, q),
+         |probes AS (SELECT CAST(unnest([1, 4, 8, 16]) AS BIGINT) AS n_probe),
+         |exact AS (
+         |  SELECT vec_id FROM (
+         |    SELECT co.vec_id, list_cosine_similarity(co.e, q.qe) AS s
+         |    FROM corpus co, q ORDER BY s DESC, co.vec_id LIMIT 10)),
+         |sel AS (
+         |  SELECT n_probe, vec_id FROM (
+         |    SELECT p.n_probe, a.vec_id,
+         |           row_number() OVER (PARTITION BY p.n_probe
+         |             ORDER BY list_cosine_similarity(a.e, q.qe) DESC,
+         |                      a.vec_id) AS rk
+         |    FROM assigned a JOIN cranks cr USING (centroid_id),
+         |         probes p, q
+         |    WHERE cr.crank <= p.n_probe)
+         |  WHERE rk <= 10)
+         |SELECT n_probe,
+         |       round(sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+         |                      THEN 1 ELSE 0 END) / 10.0, 6) AS recall_at_10
+         |FROM sel GROUP BY n_probe ORDER BY n_probe""".stripMargin,
+    // replays PQ on the PERSISTED codebooks: per-subspace argmin encode,
+    // double-precision ADC via the per-query LUT (summed in subspace
+    // order — the kernel's accumulation order), top-10 / shortlist-100 /
+    // exact rerank, recall vs the exact L2 scan
+    "v16_pq_recall" ->
+      s"""WITH cb AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |            FROM read_parquet('${Artifacts.oracleGlob("v16_codebooks")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM embeddings),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |corpus AS (SELECT vec_id, e FROM v WHERE vec_id <> 0),
+         |sub AS (
+         |  SELECT co.vec_id, cb.j, cb.c,
+         |         list_sum(list_transform(range(0, 8), i ->
+         |           (co.e[CAST(cb.j * 8 + i + 1 AS INT)]
+         |              - cb.ctr[CAST(i + 1 AS INT)]) *
+         |           (co.e[CAST(cb.j * 8 + i + 1 AS INT)]
+         |              - cb.ctr[CAST(i + 1 AS INT)]))) AS dist
+         |  FROM corpus co, cb),
+         |codes AS (
+         |  SELECT vec_id, j, c FROM (
+         |    SELECT vec_id, j, c,
+         |           row_number() OVER (PARTITION BY vec_id, j
+         |                              ORDER BY dist, c) AS rn
+         |    FROM sub) WHERE rn = 1),
+         |lut AS (
+         |  SELECT cb.j, cb.c,
+         |         list_sum(list_transform(range(0, 8), i ->
+         |           (q.qe[CAST(cb.j * 8 + i + 1 AS INT)]
+         |              - cb.ctr[CAST(i + 1 AS INT)]) *
+         |           (q.qe[CAST(cb.j * 8 + i + 1 AS INT)]
+         |              - cb.ctr[CAST(i + 1 AS INT)]))) AS d
+         |  FROM cb, q),
+         |adc AS (
+         |  SELECT codes.vec_id, list_sum(list(lut.d ORDER BY lut.j))
+         |           AS adc_dist
+         |  FROM codes JOIN lut ON codes.j = lut.j AND codes.c = lut.c
+         |  GROUP BY codes.vec_id),
+         |exact AS (
+         |  SELECT vec_id FROM (
+         |    SELECT co.vec_id, list_distance(co.e, q.qe) AS d
+         |    FROM corpus co, q ORDER BY d, co.vec_id LIMIT 10)),
+         |adc10 AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 10),
+         |short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 100),
+         |rr10 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT co.vec_id, list_distance(co.e, q.qe) AS d
+         |    FROM corpus co JOIN short USING (vec_id), q
+         |    ORDER BY d, co.vec_id LIMIT 10))
+         |SELECT CAST(8 AS BIGINT) AS m, CAST(16 AS BIGINT) AS k_codes,
+         |  round((SELECT sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+         |                         THEN 1 ELSE 0 END) FROM adc10) / 10.0, 6)
+         |    AS recall_adc_at_10,
+         |  round((SELECT sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+         |                         THEN 1 ELSE 0 END) FROM rr10) / 10.0, 6)
+         |    AS recall_rerank100_at_10""".stripMargin,
     "v19_filtered_knn" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |top AS (
