@@ -120,8 +120,17 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
 
   /** Chunk → embed → dedup → assign ids → append. Returns the number of
     * newly stored chunks (the reference reports per-chunk add results).
+    *
+    * Runs under [[Ingest.withStoreLock]]: the anti-join's novelty check
+    * is only sound against a store no other writer is appending to —
+    * a second concurrent ingest fails loudly instead of racing past
+    * the dedup and duplicating content (the single-writer contract
+    * SQLite gave the reference for free).
     */
-  private def ingest(docs: DataFrame): Long = {
+  private def ingest(docs: DataFrame): Long =
+    Ingest.withStoreLock(spark, storePath) { ingestLocked(docs) }
+
+  private def ingestLocked(docs: DataFrame): Long = {
     val store = documents()
     val chunked = Chunker.chunk(docs, "text", chunkSize, overlap)
       .select(col("source"), col("chunk_ix"), col("chunk").as("content"))
@@ -183,22 +192,29 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
     * broadcast anti-join — the store side is never shuffled. Returns the
     * number of rows removed; ids are never reused afterwards (max-id
     * assignment keeps AUTOINCREMENT parity, like un-vacuumed SQLite).
+    *
+    * The victim count and the rewrite run under ONE
+    * [[Ingest.withStoreLock]] section, so the returned count is exactly
+    * the number of rows the rewrite removed — no writer can interleave
+    * between the two jobs.
     */
   def deleteDocuments(ids: Seq[Long]): Long = {
     import spark.implicits._
     if (ids.isEmpty || !storeExists) return 0L
-    val victims = ids.distinct.toDF("doc_id")
-    val n = documents()
-      .join(broadcast(victims), Seq("doc_id"), "left_semi").count()
-    if (n > 0) {
-      val tmp = storePath + ".delete.tmp"
-      documents().join(broadcast(victims), Seq("doc_id"), "left_anti")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .option("compression", "zstd").parquet(tmp)
-      Ingest.replaceStoreDir(spark, tmp, storePath)
-      invalidateIndex()
+    Ingest.withStoreLock(spark, storePath) {
+      val victims = ids.distinct.toDF("doc_id")
+      val n = documents()
+        .join(broadcast(victims), Seq("doc_id"), "left_semi").count()
+      if (n > 0) {
+        val tmp = storePath + ".delete.tmp"
+        documents().join(broadcast(victims), Seq("doc_id"), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(tmp)
+        Ingest.replaceStoreDir(spark, tmp, storePath)
+        invalidateIndex()
+      }
+      n
     }
-    n
   }
 
   /** POST /search — embed the query, cosine top-k over the index,

@@ -163,6 +163,45 @@ object Ingest {
     df.write.mode(SaveMode.Append).option("compression", "zstd")
       .parquet(path)
 
+  /** Exclusive WRITER lock for a plain-parquet store — the stated
+    * single-writer contract, enforced. The reference's SQLite gives
+    * per-row atomic INSERT OR IGNORE for free; plain parquet does not:
+    * two concurrent dedup-ingests could both pass the anti-join and
+    * both append the same content, and a delete's dir swap could race
+    * an append. So every mutation runs inside `withStoreLock`: a lock
+    * file is created NEXT to the store (`<path>.lock`) with
+    * overwrite=false — atomic on HDFS; a narrow check-then-act window
+    * on the local FS; object stores without atomic create need a real
+    * table format's commit protocol instead (the documented deployment
+    * boundary) — and a second concurrent writer FAILS LOUDLY instead of
+    * silently duplicating.
+    *
+    * The lock holds the writer's JVM name for diagnosis and is removed
+    * in `finally`; a crashed writer leaves it behind deliberately
+    * (better a stuck-but-correct store than a corrupt one) — the error
+    * message says what to delete after verifying the writer is gone.
+    */
+  def withStoreLock[T](spark: SparkSession, path: String)(body: => T): T = {
+    val lockPath = new org.apache.hadoop.fs.Path(path + ".lock")
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out =
+      try fs.create(lockPath, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"store $path is locked by another writer ($lockPath exists); " +
+              "the plain-parquet store is single-writer. If the previous " +
+              "writer crashed, verify it is gone and delete the lock file.",
+            e)
+      }
+    try {
+      out.write(java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getName.getBytes("UTF-8"))
+      out.close()
+      body
+    } finally fs.delete(lockPath, false): Unit
+  }
+
   /** Store partitioned on low-cardinality columns (e.g. source, lang) —
     * per-partition reads become directory pruning, not data scans.
     */
@@ -179,20 +218,22 @@ object Ingest {
     * small-file problem). Rewrites the store into `numFiles` balanced
     * files via round-robin repartition, then swaps directories.
     *
-    * The swap (write temp → delete old → rename) is NOT transactional —
-    * run it when no writer is active; production deployments layer a
-    * table format with commit protocols on top, this is the maintenance
-    * utility for the plain-parquet store.
+    * The swap (write temp → delete old → rename) is NOT transactional
+    * for READERS (production deployments layer a table format with
+    * commit protocols on top); concurrent WRITERS are excluded by
+    * [[withStoreLock]], like every other store mutation.
     */
   def compactStore(spark: SparkSession, path: String,
                    numFiles: Int): Unit = {
     require(numFiles > 0, "numFiles must be positive")
-    val tmp = path + ".compact.tmp"
-    spark.read.parquet(path)
-      .repartition(numFiles)
-      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
-      .parquet(tmp)
-    replaceStoreDir(spark, tmp, path)
+    withStoreLock(spark, path) {
+      val tmp = path + ".compact.tmp"
+      spark.read.parquet(path)
+        .repartition(numFiles)
+        .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+        .parquet(tmp)
+      replaceStoreDir(spark, tmp, path)
+    }
   }
 
   /** The write-temp → delete-old → rename swap shared by

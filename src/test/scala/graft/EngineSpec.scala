@@ -175,4 +175,29 @@ class EngineSpec extends SparkSpec {
       .select("content").collect()(0).getString(0)
     assert(hit.contains("anchor"))
   }
+
+  test("single-writer lock: a concurrent second writer fails loudly") {
+    val store = Files.createTempDirectory("graft_lock").toString + "/store"
+    val e = new Engine(spark, store, dim = 64, chunkSize = 40, overlap = 10)
+    assert(e.addDocument("first document body", "a") > 0)
+    // simulate another live writer: its lock file sits next to the store
+    val lock = new org.apache.hadoop.fs.Path(store + ".lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lock, false); out.close()
+    try {
+      val ex = intercept[IllegalStateException] {
+        e.addDocument("second document body", "b")
+      }
+      assert(ex.getMessage.contains("locked by another writer"))
+      val ex2 = intercept[IllegalStateException] { e.deleteDocuments(Seq(1L)) }
+      assert(ex2.getMessage.contains("locked by another writer"))
+      // nothing was silently appended or removed while locked
+      assert(e.countDocuments() == 1)
+    } finally fs.delete(lock, false)
+    // lock released -> writes flow again, and the engine's own locking
+    // cleans up after itself (a full cycle leaves no lock file behind)
+    assert(e.addDocument("second document body", "b") > 0)
+    assert(e.countDocuments() == 2)
+    assert(!fs.exists(lock))
+  }
 }
