@@ -340,20 +340,7 @@ object VectorQueries {
     val trained = Pq.trainCodebooks(
       corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
       "vec_id", "embedding", m = 8, k = 16, maxIter = 4)
-    val spark2 = spark
-    import spark2.implicits._
-    val dir = Artifacts.write(
-      (for (j <- 0 until trained.m; c <- 0 until trained.k)
-        yield (j, c, trained.codebooks(j)(c).toSeq))
-        .toDF("j", "c", "center"),
-      "v16_codebooks", sfDir)
-    // consume the PERSISTED artifact — the model in use is bit-for-bit
-    // what the oracle reads back
-    val persisted = spark.read.parquet(dir).collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
-      .toMap
-    val model = Pq.PqModel(trained.dsub,
-      Array.tabulate(trained.m, trained.k)((j, c) => persisted((j, c))))
+    val model = persistCodebooks(spark, trained, "v16_codebooks", sfDir)
     val encoded = Pq.encode(corpus, "vec_id", "embedding", model)
     val exact = corpus.crossJoin(broadcast(queryVec(emb)))
       .select(col("vec_id"), l2Dist(col("embedding"), col("qe")).as("d"))
@@ -372,6 +359,58 @@ object VectorQueries {
     adc.select(lit(8L).as("m"), lit(16L).as("k_codes"),
         col("r").as("recall_adc_at_10"))
       .crossJoin(rerank.select(col("r").as("recall_rerank100_at_10")))
+  }
+
+  /** Persist trained PQ codebooks as the named [[Artifacts]] parquet
+    * and rebuild the model FROM the persisted floats — so the model a
+    * query searches with is bit-for-bit what its oracle reads back.
+    */
+  private def persistCodebooks(spark: SparkSession, trained: graft.operators.Pq.PqModel,
+                               name: String, sfDir: String)
+      : graft.operators.Pq.PqModel = {
+    import graft.operators.Pq
+    import spark.implicits._
+    val dir = Artifacts.write(
+      (for (j <- 0 until trained.m; c <- 0 until trained.k)
+        yield (j, c, trained.codebooks(j)(c).toSeq))
+        .toDF("j", "c", "center"),
+      name, sfDir)
+    val persisted = spark.read.parquet(dir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
+      .toMap
+    Pq.PqModel(trained.dsub,
+      Array.tabulate(trained.m, trained.k)((j, c) => persisted((j, c))))
+  }
+
+  /** The full IVF-PQ composition end-to-end ([[graft.operators.Pq
+    * .buildIvfPqIndex]] / [[graft.operators.Pq.ivfPqSearch]]) as an
+    * oracle-gated query: seeded Voronoi cells route the corpus
+    * (v07/v08's SQL-expressible centroids), PQ codes compress it
+    * (codebooks persisted via [[Artifacts]], v16's pattern), a query
+    * probes 4 of 16 cells, ADC-scans only those cells' CODES to a
+    * 50-candidate shortlist, and exact-reranks the shortlist to L2
+    * top-10 — three multiplicative prunings, every step replayed by
+    * the oracle in SQL. This is the index layout that serves vector
+    * search at 100 TB: cells partition-prune the scan, codes cut bytes
+    * per row ~30×, and full vectors are touched for 50 rows only.
+    */
+  def ivfPqSearchQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") >= 16)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 16)
+    val trained = Pq.trainCodebooks(
+      corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding", m = 8, k = 16, maxIter = 4)
+    val model = persistCodebooks(spark, trained, "v22_codebooks", sfDir)
+    val index = Pq.buildIvfPqIndex(corpus, centroids,
+      "vec_id", "embedding", model)
+    Pq.ivfPqSearch(index, centroids, corpus, "vec_id", "embedding",
+        q, model, nProbe = 4, shortlist = 50, k = 10)
+      .select(col("vec_id"), round(col("dist"), 6).as("l2_dist"))
+      .orderBy("vec_id")
   }
 
   /** Range search (FAISS's `range_search` surface — the reference's
@@ -450,8 +489,44 @@ object VectorQueries {
         |SELECT query_id, rank, vec_id, round(score, 6) AS score
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The PQ replay pipeline as CTEs over a candidate set `candCte`
+    * (columns vec_id, e) and the codebook CTE `cb` (j, c, ctr):
+    * per-subspace argmin encode → per-query LUT → ADC summed in
+    * subspace order (the kernel's accumulation order). Shared by the
+    * v16 (flat PQ) and v22 (IVF-PQ) oracles — ONE definition of the
+    * encode/ADC replay both must satisfy.
+    */
+  private def pqAdcCtes(candCte: String): String =
+    s"""sub AS (
+       |  SELECT ca.vec_id, cb.j, cb.c,
+       |         list_sum(list_transform(range(0, 8), i ->
+       |           (ca.e[CAST(cb.j * 8 + i + 1 AS INT)]
+       |              - cb.ctr[CAST(i + 1 AS INT)]) *
+       |           (ca.e[CAST(cb.j * 8 + i + 1 AS INT)]
+       |              - cb.ctr[CAST(i + 1 AS INT)]))) AS dist
+       |  FROM $candCte ca, cb),
+       |codes AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c,
+       |           row_number() OVER (PARTITION BY vec_id, j
+       |                              ORDER BY dist, c) AS rn
+       |    FROM sub) WHERE rn = 1),
+       |lut AS (
+       |  SELECT cb.j, cb.c,
+       |         list_sum(list_transform(range(0, 8), i ->
+       |           (q.qe[CAST(cb.j * 8 + i + 1 AS INT)]
+       |              - cb.ctr[CAST(i + 1 AS INT)]) *
+       |           (q.qe[CAST(cb.j * 8 + i + 1 AS INT)]
+       |              - cb.ctr[CAST(i + 1 AS INT)]))) AS d
+       |  FROM cb, q),
+       |adc AS (
+       |  SELECT codes.vec_id, list_sum(list(lut.d ORDER BY lut.j))
+       |           AS adc_dist
+       |  FROM codes JOIN lut ON codes.j = lut.j AND codes.c = lut.c
+       |  GROUP BY codes.vec_id)""".stripMargin
+
   /** DuckDB oracles. `embeddings`/`documents` resolve to the same
-    * parquet. A `def`, not a `val`: the v14/v16 entries interpolate
+    * parquet. A `def`, not a `val`: the v14/v16/v22 entries interpolate
     * [[Artifacts.oracleGlob]], which resolves to the corpus the queries
     * actually ran against — Verify dumps `oracleSql` AFTER running the
     * queries, so the glob matches the run.
@@ -510,33 +585,7 @@ object VectorQueries {
          |      FROM embeddings),
          |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
          |corpus AS (SELECT vec_id, e FROM v WHERE vec_id <> 0),
-         |sub AS (
-         |  SELECT co.vec_id, cb.j, cb.c,
-         |         list_sum(list_transform(range(0, 8), i ->
-         |           (co.e[CAST(cb.j * 8 + i + 1 AS INT)]
-         |              - cb.ctr[CAST(i + 1 AS INT)]) *
-         |           (co.e[CAST(cb.j * 8 + i + 1 AS INT)]
-         |              - cb.ctr[CAST(i + 1 AS INT)]))) AS dist
-         |  FROM corpus co, cb),
-         |codes AS (
-         |  SELECT vec_id, j, c FROM (
-         |    SELECT vec_id, j, c,
-         |           row_number() OVER (PARTITION BY vec_id, j
-         |                              ORDER BY dist, c) AS rn
-         |    FROM sub) WHERE rn = 1),
-         |lut AS (
-         |  SELECT cb.j, cb.c,
-         |         list_sum(list_transform(range(0, 8), i ->
-         |           (q.qe[CAST(cb.j * 8 + i + 1 AS INT)]
-         |              - cb.ctr[CAST(i + 1 AS INT)]) *
-         |           (q.qe[CAST(cb.j * 8 + i + 1 AS INT)]
-         |              - cb.ctr[CAST(i + 1 AS INT)]))) AS d
-         |  FROM cb, q),
-         |adc AS (
-         |  SELECT codes.vec_id, list_sum(list(lut.d ORDER BY lut.j))
-         |           AS adc_dist
-         |  FROM codes JOIN lut ON codes.j = lut.j AND codes.c = lut.c
-         |  GROUP BY codes.vec_id),
+         |${pqAdcCtes("corpus")},
          |exact AS (
          |  SELECT vec_id FROM (
          |    SELECT co.vec_id, list_distance(co.e, q.qe) AS d
@@ -555,6 +604,39 @@ object VectorQueries {
          |  round((SELECT sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
          |                         THEN 1 ELSE 0 END) FROM rr10) / 10.0, 6)
          |    AS recall_rerank100_at_10""".stripMargin,
+    // replays the full IVF-PQ composition on the persisted codebooks:
+    // seeded cells (v07's CTE), probe-4 routing, code-only ADC within
+    // the probed cells, shortlist-50, exact L2 rerank to top-10
+    "v22_ivfpq_search" ->
+      s"""WITH cb AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |            FROM read_parquet('${Artifacts.oracleGlob("v22_codebooks")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM embeddings),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |cent AS (SELECT vec_id AS centroid_id, e AS ctr0 FROM v
+         |         ORDER BY vec_id LIMIT 16),
+         |corpus AS (SELECT vec_id, e FROM v WHERE vec_id >= 16),
+         |assigned AS (
+         |  SELECT vec_id, e, centroid_id FROM (
+         |    SELECT co.vec_id, co.e, cent.centroid_id,
+         |           row_number() OVER (PARTITION BY co.vec_id
+         |             ORDER BY list_distance(co.e, cent.ctr0),
+         |                      cent.centroid_id) AS rn
+         |    FROM corpus co, cent) WHERE rn = 1),
+         |probed AS (
+         |  SELECT centroid_id FROM cent, q
+         |  ORDER BY list_distance(ctr0, qe), centroid_id LIMIT 4),
+         |cand AS (
+         |  SELECT a.vec_id, a.e FROM assigned a JOIN probed
+         |  USING (centroid_id)),
+         |${pqAdcCtes("cand")},
+         |short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 50),
+         |res AS (
+         |  SELECT ca.vec_id, list_distance(ca.e, q.qe) AS d
+         |  FROM cand ca JOIN short USING (vec_id), q
+         |  ORDER BY d, ca.vec_id LIMIT 10)
+         |SELECT vec_id, round(d, 6) AS l2_dist FROM res
+         |ORDER BY vec_id""".stripMargin,
     "v19_filtered_knn" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |top AS (
@@ -892,6 +974,7 @@ object VectorQueries {
     "v14_ivf_recall" -> (ivfRecall(_, _)),
     "v15_quantized_knn" -> (quantizedKnn(_, _)),
     "v16_pq_recall" -> (pqRecall(_, _)),
+    "v22_ivfpq_search" -> (ivfPqSearchQuery(_, _)),
     "v17_range_search" -> (rangeSearch(_, _)),
     "v18_mmr_rerank" -> (mmrRerank(_, _)),
     "v19_filtered_knn" -> (filteredKnn(_, _)))
