@@ -105,7 +105,20 @@ object PlansDump {
         ("Corpus-LM surprisal: vocabulary aggregate + token join " +
           "(AQE splits stop-word skew) + per-doc aggregate; the corpus " +
           "total comes from the count that materializes the persisted " +
-          "token frame, folded in as a literal."))
+          "token frame, folded in as a literal."),
+      "i10_assign_ids_dist" ->
+        ("Distributed id assignment: range-repartition by content " +
+          "(persisted — one materialized layout for both jobs), " +
+          "per-partition row_number (Window keyed by the REAL partition " +
+          "id, never a global window), broadcast prefix-offset join — " +
+          "no task ever holds the whole batch."),
+      "v22_ivfpq_search" ->
+        ("IVF-PQ serving layout: probed cells arrive as a broadcast " +
+          "semi-join (partition pruning once the index is written " +
+          "partitioned by cell), the ADC scan reads CODES only " +
+          "(narrow kernel over array<int>), and full vectors are " +
+          "fetched by broadcast semi-join for the 50-row shortlist " +
+          "alone — three multiplicative prunings in one plan."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")
