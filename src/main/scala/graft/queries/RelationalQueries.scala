@@ -585,7 +585,35 @@ object RelationalQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE, executed as UnionLoop):
+    * every customer walks its decimal-truncation ancestry chain
+    * (c → c/10 → ... → 0 — an acyclic, strictly-decreasing hierarchy,
+    * the org-chart/BOM traversal shape), aggregated per depth. Pure
+    * SQL text on BOTH engines — Spark's recursive execution is pinned
+    * against DuckDB's. Spark's recursion supports UNION ALL only
+    * (UNION-distinct termination on cyclic graphs raises
+    * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE as of 4.1), so cyclic
+    * closures stay on the iterative join+min-agg operator
+    * ([[graft.operators.Graph.connectedComponents]], t16) — this query
+    * covers the tree-walk half of the recursion story. Scale shape:
+    * each iteration is one distributed self-transform; total rows =
+    * |customers| × ~6 digits, linear.
+    */
+  def recursiveAncestors(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    spark.sql("""
+      WITH RECURSIVE anc(custkey, anc_key, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM graft_customer
+        UNION ALL
+        SELECT custkey, anc_key DIV 10, depth + 1 FROM anc
+        WHERE anc_key > 0)
+      SELECT depth, count(*) AS n, sum(custkey) AS sum_keys,
+             sum(anc_key) AS sum_ancs
+      FROM anc GROUP BY depth ORDER BY depth""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r35_recursive_tree" -> (recursiveAncestors(_, _)),
     "r01_pricing_summary" -> (pricingSummary(_, _)),
     "r02_revenue_by_segment" -> (revenueBySegment(_, _)),
     "r03_supplier_by_region" -> (supplierByRegion(_, _)),
@@ -622,6 +650,17 @@ object RelationalQueries {
     "r34_locf_gapfill" -> (locfGapFill(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // the identical recursion in DuckDB ('//' = integer division)
+    "r35_recursive_tree" ->
+      """WITH RECURSIVE anc(custkey, anc_key, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT custkey, anc_key // 10, depth + 1 FROM anc
+        |  WHERE anc_key > 0)
+        |SELECT depth, count(*) AS n,
+        |       CAST(sum(custkey) AS BIGINT) AS sum_keys,
+        |       CAST(sum(anc_key) AS BIGINT) AS sum_ancs
+        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin,
     "r34_locf_gapfill" ->
       """SELECT user_id, event_id,
         |  last_value(CASE WHEN event_type = 'purchase'

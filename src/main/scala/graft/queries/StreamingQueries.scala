@@ -189,6 +189,31 @@ object StreamingQueries {
       .agg(topk(col("vec_id"), col("score")).as("hits"))
   }
 
+  /** Continuous benchmark decontamination — t22's streaming twin, the
+    * shape a continuous-ingest training pipeline needs: documents
+    * STREAM in, the held-out eval set is a static table whose distinct
+    * shingle hashes broadcast into a stream-static LEFT join, and one
+    * streaming aggregate counts per-doc totals and hits
+    * ([[graft.operators.Dedup.decontaminate]] is already
+    * streaming-legal: a narrow shingle kernel, one broadcast join, ONE
+    * stateful aggregate). At 100 TB the corpus side never shuffles for
+    * the probe and per-doc state is two counters. Oracle = t22's SQL
+    * verbatim — continuous decontamination ≡ batch.
+    */
+  def streamDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val corpusStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(col("doc_id") >= 5)
+      .select("doc_id", "text")
+    val eval = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 5)
+    val counts = graft.operators.Dedup
+      .decontaminate(corpusStream, eval, "doc_id", "text", n = 3)
+    TextQueries.decontaminateSelect(
+      Streaming.runAvailableNow(spark, counts, "graft_s09"))
+  }
+
   /** Sessionization through the BUILT-IN session_window operator
     * ([[Streaming.sessionWindowCounts]]) — s03's twin without custom
     * state. The oracle's session rule is `gap >= 1800` (window bound
@@ -213,9 +238,12 @@ object StreamingQueries {
     "s04_stream_enrich" -> (streamEnriched(_, _)),
     "s05_stream_upsert" -> (streamUpsert(_, _)),
     "s06_stream_join" -> (streamStreamJoin(_, _)),
-    "s07_stream_search" -> (streamSearch(_, _)))
+    "s07_stream_search" -> (streamSearch(_, _)),
+    "s09_stream_decontaminate" -> (streamDecontaminate(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // t22's oracle verbatim — continuous decontamination ≡ batch
+    "s09_stream_decontaminate" -> TextQueries.decontaminateOracle,
     // gap >= 1800s, NOT > 1800s: session_window bounds are [start,
     // last+gap). Gap measured in MICROSECONDS: session_window compares
     // exact event-time timestamps, while date_diff('second') truncates

@@ -326,9 +326,22 @@ object TextQueries {
         "doc_id", "text", LineWords)
       .orderBy("doc_id")
 
-  /** Eval-set n-gram overlap threshold for t22: flag a doc when ≥5% of
-    * its shingles appear in the benchmark. */
-  private val ContamFrac = 0.05
+  /** Eval-set n-gram overlap threshold for t22 (and its streaming twin
+    * s09): flag a doc when ≥5% of its shingles appear in the benchmark.
+    */
+  private[queries] val ContamFrac = 0.05
+
+  /** The t22 result shaping, shared verbatim with s09 — ONE definition
+    * of the overlap/flag contract the batch and streaming twins must
+    * both satisfy. */
+  private[queries] def decontaminateSelect(counts: DataFrame): DataFrame =
+    counts
+      .filter(col("n_hits") >= 1)
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        round(col("n_hits") / col("n_shingles"), 6).as("hit_frac"),
+        (col("n_hits") / col("n_shingles") >= ContamFrac)
+          .cast("long").as("contaminated"))
+      .orderBy("doc_id")
 
   /** Benchmark decontamination
     * ([[graft.operators.Dedup.decontaminate]]): docs 0-4 play the held-
@@ -337,15 +350,9 @@ object TextQueries {
     */
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    Dedup.decontaminate(
-        spread(docs.filter(col("doc_id") >= 5), "doc_id"),
-        docs.filter(col("doc_id") < 5), "doc_id", "text", n = 3)
-      .filter(col("n_hits") >= 1)
-      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
-        round(col("n_hits") / col("n_shingles"), 6).as("hit_frac"),
-        (col("n_hits") / col("n_shingles") >= ContamFrac)
-          .cast("long").as("contaminated"))
-      .orderBy("doc_id")
+    decontaminateSelect(Dedup.decontaminate(
+      spread(docs.filter(col("doc_id") >= 5), "doc_id"),
+      docs.filter(col("doc_id") < 5), "doc_id", "text", n = 3))
   }
 
   /** Deterministic hash-bucket sampling: md5(doc_id) mod 100 < 20 — the
@@ -541,6 +548,27 @@ object TextQueries {
        |              / len(text) END AS alnum_ratio
        |  FROM t)""".stripMargin.replace("\n", " ")
 
+  /** The t22 oracle, shared verbatim with s09 — continuous
+    * decontamination must converge to the batch answer. */
+  private[queries] lazy val decontaminateOracle: String =
+    s"""WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+       |sg AS (SELECT doc_id, unnest(list_transform($shinglesExpr,
+       |         sh -> ${hash60("sh")})) AS shingle
+       |       FROM w),
+       |ev AS (SELECT DISTINCT shingle FROM sg WHERE doc_id < 5),
+       |corpus AS (SELECT doc_id, count(*) AS n_shingles FROM sg
+       |           WHERE doc_id >= 5 GROUP BY doc_id),
+       |hits AS (SELECT sg.doc_id, count(*) AS n_hits
+       |         FROM sg JOIN ev USING (shingle)
+       |         WHERE sg.doc_id >= 5 GROUP BY sg.doc_id)
+       |SELECT c.doc_id, c.n_shingles, h.n_hits,
+       |       round(CAST(h.n_hits AS DOUBLE) / c.n_shingles, 6) AS hit_frac,
+       |       CAST(CASE WHEN CAST(h.n_hits AS DOUBLE) / c.n_shingles
+       |                      >= $ContamFrac
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+       |FROM corpus c JOIN hits h USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t21_line_dedup" ->
       s"""WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents),
@@ -560,24 +588,7 @@ object TextQueries {
          |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_kept
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "t22_decontaminate" ->
-      s"""WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents),
-         |sg AS (SELECT doc_id, unnest(list_transform($shinglesExpr,
-         |         sh -> ${hash60("sh")})) AS shingle
-         |       FROM w),
-         |ev AS (SELECT DISTINCT shingle FROM sg WHERE doc_id < 5),
-         |corpus AS (SELECT doc_id, count(*) AS n_shingles FROM sg
-         |           WHERE doc_id >= 5 GROUP BY doc_id),
-         |hits AS (SELECT sg.doc_id, count(*) AS n_hits
-         |         FROM sg JOIN ev USING (shingle)
-         |         WHERE sg.doc_id >= 5 GROUP BY sg.doc_id)
-         |SELECT c.doc_id, c.n_shingles, h.n_hits,
-         |       round(CAST(h.n_hits AS DOUBLE) / c.n_shingles, 6) AS hit_frac,
-         |       CAST(CASE WHEN CAST(h.n_hits AS DOUBLE) / c.n_shingles
-         |                      >= $ContamFrac
-         |                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
-         |FROM corpus c JOIN hits h USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "t22_decontaminate" -> decontaminateOracle,
     "t26_sequence_pack" ->
       s"""WITH t AS (
          |  SELECT lang, doc_id, len($wsExpr) AS n_tokens FROM documents),
