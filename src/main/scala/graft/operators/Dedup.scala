@@ -203,6 +203,34 @@ object Dedup {
         sum((col("rn") === 1).cast("long")).as("n_kept"))
   }
 
+  /** [[lineDedupKeepFirst]] with RECONSTRUCTION — the transform C4
+    * actually applies: globally-duplicate lines are REMOVED and each
+    * doc's surviving lines are re-joined in original order, yielding
+    * (idCol, n_kept, kept_text). Docs whose every line lost drop out
+    * entirely (nothing survives to emit). Same plan shape as the
+    * counting variant — one shuffle keyed by the 8-byte line hash for
+    * keep-first, one doc-keyed aggregate to rebuild — plus the line
+    * TEXT riding alongside its hash (at 100 TB that column is the
+    * payload you must move anyway to produce output).
+    */
+  def lineDedupRebuild(df: DataFrame, idCol: String, textCol: String,
+                       lineWords: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = Chunker
+      .chunk(df.select(col(idCol), col(textCol)), textCol, lineWords, 0)
+      .select(col(idCol), col("chunk_ix").as("pos"), col("chunk"),
+        graft.functions.HashFunctions.md5Long(col("chunk")).as("line_key"))
+    lines
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("line_key").orderBy(col(idCol), col("pos"))))
+      .filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          array_sort(collect_list(struct(col("pos"), col("chunk"))))
+            .getField("chunk")).as("kept_text"))
+  }
+
   /** Benchmark decontamination (the GPT-3/PaLM eval-leak gate): for
     * every corpus document, count how many of its distinct n-gram
     * shingles also occur in the (small) eval set. Returns

@@ -326,6 +326,19 @@ object TextQueries {
         "doc_id", "text", LineWords)
       .orderBy("doc_id")
 
+  /** C4 line dedup with reconstruction
+    * ([[graft.operators.Dedup.lineDedupRebuild]]): duplicate lines
+    * REMOVED, survivors re-joined in order — t21 counts what would
+    * happen, t27 emits the cleaned corpus (md5'd here to keep the
+    * oracle row compact; the full text is what a pipeline writes).
+    */
+  def lineDedupRebuild(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.lineDedupRebuild(spread(Tables.documents(spark, sfDir), "doc_id"),
+        "doc_id", "text", LineWords)
+      .select(col("doc_id"), col("n_kept"),
+        md5(col("kept_text")).as("kept_md5"))
+      .orderBy("doc_id")
+
   /** Eval-set n-gram overlap threshold for t22 (and its streaming twin
     * s09): flag a doc when ≥5% of its shingles appear in the benchmark.
     */
@@ -446,6 +459,7 @@ object TextQueries {
     "t25_weighted_sample" -> (weightedSample(_, _)),
     "t24_split_assign" -> (splitAssign(_, _)),
     "t21_line_dedup" -> (lineDedup(_, _)),
+    "t27_line_dedup_rebuild" -> (lineDedupRebuild(_, _)),
     "t22_decontaminate" -> (decontaminate(_, _)),
     "t23_hash_sample" -> (hashSample(_, _)),
     "t01_chunk_docs" -> (chunkDocs(_, _)),
@@ -589,6 +603,25 @@ object TextQueries {
          |         AS n_kept
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t22_decontaminate" -> decontaminateOracle,
+    // t21's machinery carrying the line TEXT: survivors (rn=1 on the
+    // same 60-bit line-hash partition) re-joined in position order
+    "t27_line_dedup_rebuild" ->
+      s"""WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |c AS (SELECT doc_id, ws,
+         |        unnest(range(0, 1 + CAST(ceil(greatest(len(ws) - $LineWords, 0)
+         |          / $LineWords.0) AS INT))) AS pos
+         |      FROM w),
+         |l AS (SELECT doc_id, pos,
+         |        array_to_string(ws[(pos*$LineWords+1):(pos*$LineWords+$LineWords)], ' ')
+         |          AS line
+         |      FROM c),
+         |k AS (SELECT doc_id, pos, line,
+         |        row_number() OVER (PARTITION BY ${hash60("line")}
+         |                           ORDER BY doc_id, pos) AS rn
+         |      FROM l)
+         |SELECT doc_id, count(*) AS n_kept,
+         |       md5(string_agg(line, ' ' ORDER BY pos)) AS kept_md5
+         |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t26_sequence_pack" ->
       s"""WITH t AS (
          |  SELECT lang, doc_id, len($wsExpr) AS n_tokens FROM documents),

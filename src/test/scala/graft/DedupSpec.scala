@@ -64,6 +64,15 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1L)))
   }
 
+  test("lineDedupRebuild emits surviving lines re-joined in order") {
+    // doc 1 keeps everything; doc 2 loses its duplicate "c d" middle
+    // line but keeps order around it; doc 3 loses EVERY line → absent
+    val df = docsDf((1L, "a b c d"), (2L, "e f c d g h"), (3L, "a b c d"))
+    val got = Dedup.lineDedupRebuild(df, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 2L, "a b c d"), (2L, 2L, "e f g h")))
+  }
+
   test("decontaminate counts eval-set shingle overlap per corpus doc") {
     val evalSet = docsDf((100L, "w x y z"))
     // doc 1 shares shingles ("w x y", "x y z"); doc 2 shares none

@@ -124,6 +124,16 @@ class PlanSpec extends SparkSpec {
       s"label predicate did not reach PushedFilters:\n$p")
   }
 
+  test("batched SRP rank filters push down as WindowGroupLimit heaps") {
+    // rank <= k over a window must become per-partition bounded heaps
+    // (Partial+Final WindowGroupLimit), not a full sort of the scored
+    // set inside each group — the property that keeps v21's one
+    // shuffle carrying shortlist-bounded state at any corpus size
+    val p = plan(VectorQueries.srpBatchShortlist(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing from the batched SRP plan:\n$p")
+  }
+
   test("distributed id assignment never plans a single-partition window") {
     // a WindowExec with an empty partition spec renders as
     // `Window [funcs], [order]` (two bracket groups); a partitioned one
