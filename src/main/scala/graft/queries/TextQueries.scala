@@ -429,6 +429,30 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Deterministic per-stratum QUOTA sampling: each language keeps
+    * exactly its budget (min(quota, |stratum|) docs) — the data-MIXING
+    * primitive (fixed per-language/per-source token budgets), where
+    * t23/t25 set per-row RATES. Selection = the quota smallest md5
+    * ranks within the stratum: reproducible across engines/reruns,
+    * repartition-stable, and the rank<=quota filter plans as
+    * WindowGroupLimit bounded heaps per stratum — no global sort, no
+    * RNG, state bounded by quota per stratum at any corpus size.
+    */
+  def stratifiedQuota(spark: SparkSession, sfDir: String): DataFrame = {
+    val quota = 50
+    Tables.documents(spark, sfDir)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(
+          graft.functions.HashFunctions.md5Long(
+            concat(lit("strat:"), col("doc_id").cast("string"))),
+          col("doc_id"))))
+      .filter(col("rk") <= quota)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** Sequence packing (the training-data final stage: concatenate docs
     * into fixed-token-budget sequences): contiguous id-ordered packing
     * via a running token prefix-sum, sequence id = floor(cumsum /
@@ -462,6 +486,7 @@ object TextQueries {
     "t27_line_dedup_rebuild" -> (lineDedupRebuild(_, _)),
     "t22_decontaminate" -> (decontaminate(_, _)),
     "t23_hash_sample" -> (hashSample(_, _)),
+    "t28_stratified_quota" -> (stratifiedQuota(_, _)),
     "t01_chunk_docs" -> (chunkDocs(_, _)),
     "t02_dedup_exact" -> (dedupExact(_, _)),
     "t03_ngram_jaccard" -> (ngramJaccard(_, _)),
@@ -655,6 +680,18 @@ object TextQueries {
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents
          |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "t28_stratified_quota" ->
+      s"""WITH r AS (
+         |  SELECT lang, doc_id, n_chars,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY ${hash60("concat('strat:', doc_id)")}, doc_id)
+         |           AS rk
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM r WHERE rk <= 50
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "t23_hash_sample" ->
       s"""SELECT lang, count(*) AS n_docs,
          |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
