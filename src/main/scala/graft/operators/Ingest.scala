@@ -103,9 +103,13 @@ object Ingest {
     * single task ever sees the whole batch:
     *
     *   1. range-repartition by content, so partition p holds a
-    *      contiguous slice of the content ordering (persisted — BOTH
-    *      downstream jobs must observe the one materialized layout, not
-    *      re-sample their own range boundaries);
+    *      contiguous slice of the content ordering (LOCAL-CHECKPOINTED,
+    *      not merely persisted: both the counts job and every later
+    *      caller action must observe the ONE materialized layout —
+    *      a dropped cache (`clearCache` hygiene) would let the final
+    *      action re-sample fresh range boundaries against the already-
+    *      collected offsets and silently duplicate ids; checkpointing
+    *      truncates the lineage so re-planning is impossible);
     *   2. count rows per partition and collect the counts — a
     *      partition-count-sized driver aggregate (the same KB-scale
     *      traffic Pq training accepts), folded into exclusive prefix
@@ -118,10 +122,6 @@ object Ingest {
     * content IS the dedup key. Range-partitioner sampling means the
     * partition boundaries can vary run to run; the final mapping cannot,
     * because it is a pure function of the global content ordering.
-    *
-    * The returned frame keeps the range-partitioned input persisted;
-    * callers that loop should `spark.catalog.clearCache()` between
-    * batches (Verify already does).
     */
   def assignIdsDistributed(novel: DataFrame, contentCol: String,
                            store: DataFrame, storeIdCol: String)
@@ -133,7 +133,7 @@ object Ingest {
       .repartitionByRange(spark.sparkContext.defaultParallelism,
         col(contentCol))
       .withColumn("_pid", spark_partition_id())
-      .persist()
+      .localCheckpoint() // eager: pins the layout (see scaladoc step 1)
     val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_n"))
       .orderBy("_pid").collect()
     var acc = 0L
@@ -187,12 +187,21 @@ object Ingest {
     val out =
       try fs.create(lockPath, false)
       catch {
+        // only an actually-present lock is "another writer" — a
+        // permission/quota/transient-FS failure must surface as itself,
+        // not as advice to delete a lock file that does not exist
         case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"store $path is locked by another writer ($lockPath exists); " +
-              "the plain-parquet store is single-writer. If the previous " +
-              "writer crashed, verify it is gone and delete the lock file.",
-            e)
+          val lockExists =
+            try fs.exists(lockPath)
+            catch { case _: java.io.IOException => false }
+          if (lockExists)
+            throw new IllegalStateException(
+              s"store $path is locked by another writer ($lockPath " +
+                "exists); the plain-parquet store is single-writer. If " +
+                "the previous writer crashed, verify it is gone and " +
+                "delete the lock file.",
+              e)
+          else throw e
       }
     try {
       out.write(java.lang.management.ManagementFactory

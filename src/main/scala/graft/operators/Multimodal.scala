@@ -131,14 +131,18 @@ object Multimodal {
         Some(MediaMeta(be32(b, 16), be32(b, 20), "png"))
       else None
 
-    /** SOI, then segment walk (APPn/COM/DQT/... are length-prefixed) to
-      * the first SOFn frame header, whose payload is
-      * precision(1) height(2) width(2). */
+    /** SOI, then segment walk to the first SOFn frame header, whose
+      * payload is precision(1) height(2) width(2). The walk honors the
+      * two JPEG quirks that desync naive scanners: optional 0xFF FILL
+      * bytes may pad ahead of any marker (advance one byte, not a
+      * fabricated length), and TEM (0x01) / RSTn (0xD0-0xD7) markers
+      * are LENGTHLESS (advance past the marker only). Everything else
+      * (APPn/COM/DQT/DHT/...) is length-prefixed. */
     private def jpeg(b: Array[Byte]): Option[MediaMeta] = {
       if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
         return None
       var i = 2
-      while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
+      while (i + 1 < b.length && (b(i) & 0xff) == 0xff) {
         val marker = b(i + 1) & 0xff
         val isSof = marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc
@@ -147,8 +151,13 @@ object Multimodal {
             Some(MediaMeta(be16(b, i + 7), be16(b, i + 5), "jpeg"))
           else None
         }
-        if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS: no SOF seen
-        i += 2 + be16(b, i + 2) // marker + its length-prefixed payload
+        if (marker == 0xff) i += 1 // fill byte: next 0xFF starts the marker
+        else if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7))
+          i += 2 // TEM/RSTn carry no length field
+        else if (i + 3 < b.length)
+          i += 2 + be16(b, i + 2) // marker + length-prefixed payload
+        else return None
       }
       None
     }

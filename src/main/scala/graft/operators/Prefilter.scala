@@ -54,6 +54,22 @@ object Prefilter {
     requireLong(dim, dimKey, "dim")
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedKeys, fpp)
+    // BloomFilterAggregate SILENTLY clamps to the runtime-filter conf
+    // caps — a clamped sketch would keep the call "working" while the
+    // real fpp degrades toward 1, so oversize requests fail fast with
+    // the knob to turn instead
+    val conf = big.sparkSession.conf
+    val maxItems = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    require(expectedKeys <= maxItems && numBits <= maxBits,
+      s"bloomSemiFilter: expectedKeys=$expectedKeys (numBits=$numBits for " +
+        s"fpp=$fpp) exceeds the runtime bloom-filter caps " +
+        s"(maxNumItems=$maxItems, maxNumBits=$maxBits) — the aggregate " +
+        "would silently clamp and break the fpp contract; raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
+        "to build a sketch this large")
     val sketch = Bridge.column(
       new BloomFilterAggregate(Bridge.expression(col(dimKey)),
         Literal(expectedKeys), Literal(numBits)).toAggregateExpression())

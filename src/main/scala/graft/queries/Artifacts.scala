@@ -22,15 +22,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * training), so even a concurrent same-corpus rewrite re-writes
   * identical bytes.
   *
-  * [[oracleDir]] resolves against the LAST corpus a query registered
-  * in this JVM: Verify runs every query before dumping `oracleSql`, so
-  * at dump time the registration matches the run's sfDir.
+  * [[oracleGlob]] resolves against the corpus EACH ARTIFACT last ran
+  * for in this JVM (per-name, so one query's run can never redirect
+  * another's oracle), falling back to the driver's sf0.01 gate corpus
+  * for artifacts that did not run — Verify runs every query before
+  * dumping `oracleSql`, so at dump time registrations match the run.
   */
 object Artifacts {
 
+  private val DefaultSfDir = "/root/testdata/sf0.01"
+
   private val lastSfDir =
-    new java.util.concurrent.atomic.AtomicReference[String](
-      "/root/testdata/sf0.01")
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def hash8(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -48,7 +51,7 @@ object Artifacts {
     * Coalesced to one file — artifacts are model-sized (KBs).
     */
   def write(df: DataFrame, name: String, sfDir: String): String = {
-    lastSfDir.set(sfDir)
+    lastSfDir.put(name, sfDir)
     val dir = path(name, sfDir)
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
     dir
@@ -56,5 +59,5 @@ object Artifacts {
 
   /** The glob a DuckDB oracle reads the artifact back from. */
   def oracleGlob(name: String): String =
-    path(name, lastSfDir.get) + "/*.parquet"
+    path(name, lastSfDir.getOrDefault(name, DefaultSfDir)) + "/*.parquet"
 }

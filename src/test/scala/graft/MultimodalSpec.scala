@@ -31,6 +31,21 @@ class MultimodalSpec extends SparkSpec {
       MediaMeta(639, 478, "jpeg"))
   }
 
+  test("JPEG: fill bytes and lengthless markers do not desync the walk") {
+    // spec-valid quirks: 0xFF fill padding ahead of markers, and a
+    // lengthless TEM marker, before the SOF0 that carries dimensions
+    val sof = Array[Byte](0xff.toByte, 0xc0.toByte, 0, 11, 8,
+      0, 120, 0, 80, 1, 1, 0x11, 0) // height 120, width 80
+    val quirky = Array[Byte](0xff.toByte, 0xd8.toByte, // SOI
+      0xff.toByte, // fill byte
+      0xff.toByte, 0x01, // TEM (no length)
+      0xff.toByte, 0xd3.toByte, // RST3 (no length)
+      0xff.toByte, 0xfe.toByte, 0, 4, 'h', 'i') ++ // COM, len 4
+      Array[Byte](0xff.toByte) ++ // another fill byte
+      sof ++ Array[Byte](0xff.toByte, 0xd9.toByte)
+    assert(codec.decode(quirky) == MediaMeta(80, 120, "jpeg"))
+  }
+
   test("GIF: logical screen descriptor, little-endian") {
     val gif = "GIF89a".getBytes("US-ASCII") ++
       Array[Byte](0x21, 0x01, 0x0f, 0x00) // 289 x 15

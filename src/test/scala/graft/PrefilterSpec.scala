@@ -54,6 +54,18 @@ class PrefilterSpec extends SparkSpec {
     assert(e.getMessage.contains("must be BIGINT"))
   }
 
+  test("bloomSemiFilter fails fast instead of letting the aggregate " +
+      "silently clamp an oversize sketch") {
+    val big = keyed(0 until 10, "big")
+    val dim = keyed(0 until 5, "dim").withColumnRenamed("k", "dk")
+    val e = intercept[IllegalArgumentException] {
+      // default runtime-filter cap is 4M items — 50M would be clamped
+      Prefilter.bloomSemiFilter(big, dim, "k", "dk",
+        expectedKeys = 50_000_000L, fpp = 0.01)
+    }
+    assert(e.getMessage.contains("maxNumItems"))
+  }
+
   test("bloomSemiFilter with an empty dim keeps nothing") {
     val big = keyed(0 until 10, "big")
     val dim = keyed(0 until 5, "dim").withColumnRenamed("k", "dk")
