@@ -53,4 +53,12 @@ object TextFunctions {
     regexp_replace(
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       NumberPattern, "<NUM>")
+
+  /** Unicode NFC normalization ([[graft.expressions.NfcNormalize]]) —
+    * run it BEFORE any md5-keyed dedup/fingerprint step, or visually
+    * identical text splits into distinct hash keys. */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.NfcNormalize(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
 }

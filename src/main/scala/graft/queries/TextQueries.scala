@@ -453,6 +453,33 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Unicode NFC normalization
+    * ([[graft.functions.TextFunctions.nfcNormalize]]): the fixture
+    * corpus is ASCII, so each doc gets a DECOMPOSED suffix grafted on
+    * (combining acute U+0301, combining ring U+030A — the sequences
+    * editors and OCR emit) and the normalizer must compose them back.
+    * Both engines implement the same Unicode algorithm (JDK Normalizer
+    * vs DuckDB nfc_normalize), so codepoint lengths before/after and
+    * the md5 of the normalized BYTES are pinned per row — exactly the
+    * property the md5-keyed dedup family needs upstream.
+    */
+  def unicodeNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    // the literal RENDERS precomposed but is the decomposed sequence
+    // ("cafe" + U+0301, "A" + U+030A, "o" + U+0308) — there must be
+    // something to normalize
+    val raw = concat(substring(col("text"), 1, 20),
+      lit(" café Ångström"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(graft.functions.TextFunctions.nfcNormalize(col("raw")))
+          .cast("long").as("len_nfc"),
+        md5(graft.functions.TextFunctions.nfcNormalize(col("raw")))
+          .as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing (the training-data final stage: concatenate docs
     * into fixed-token-budget sequences): contiguous id-ordered packing
     * via a running token prefix-sum, sequence id = floor(cumsum /
@@ -487,6 +514,7 @@ object TextQueries {
     "t22_decontaminate" -> (decontaminate(_, _)),
     "t23_hash_sample" -> (hashSample(_, _)),
     "t28_stratified_quota" -> (stratifiedQuota(_, _)),
+    "t29_unicode_normalize" -> (unicodeNormalize(_, _)),
     "t01_chunk_docs" -> (chunkDocs(_, _)),
     "t02_dedup_exact" -> (dedupExact(_, _)),
     "t03_ngram_jaccard" -> (ngramJaccard(_, _)),
@@ -680,6 +708,20 @@ object TextQueries {
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents
          |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    // chr(769)=U+0301 combining acute, chr(778)=U+030A combining ring,
+    // chr(776)=U+0308 combining diaeresis — the same decomposed suffix
+    // the Spark side grafts on
+    "t29_unicode_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         substring(text, 1, 20) || ' cafe' || chr(769) ||
+        |         ' A' || chr(778) || 'ngstro' || chr(776) || 'm' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(raw) AS BIGINT) AS len_raw,
+        |       CAST(len(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+        |       md5(nfc_normalize(raw)) AS nfc_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     "t28_stratified_quota" ->
       s"""WITH r AS (
          |  SELECT lang, doc_id, n_chars,

@@ -129,4 +129,21 @@ class TextAnalysisSpec extends SparkSpec {
       "card <NUM> <NUM>, pin <NUM>",
       "no secrets here"))
   }
+
+  test("nfcNormalize composes decomposed sequences; ASCII is identity") {
+    import graft.functions.TextFunctions.nfcNormalize
+    val rows = Seq("cafe\u0301", "A\u030a", "plain ascii", "")
+      .toDF("s")
+      .select(col("s"), nfcNormalize(col("s")).as("n"),
+        length(col("s")).as("lr"), length(col("n")).as("ln"))
+      .collect()
+    assert(rows(0).getString(1) == "caf\u00e9" && rows(0).getInt(3) == 4)
+    assert(rows(1).getString(1) == "\u00c5")
+    assert(rows(2).getString(1) == "plain ascii") // identity, fast path
+    assert(rows(3).getString(1) == "")
+    // idempotent: normalizing twice changes nothing
+    val twice = Seq("o\u0308").toDF("s")
+      .select(nfcNormalize(nfcNormalize(col("s")))).head.getString(0)
+    assert(twice == "\u00f6")
+  }
 }
