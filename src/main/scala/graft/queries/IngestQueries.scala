@@ -217,6 +217,34 @@ object IngestQueries {
       .orderBy("doc_id")
   }
 
+  /** Bucketed-store co-located join as an oracle query: documents and
+    * embeddings are written as tables BUCKETED (8 buckets) and sorted
+    * on their join key ([[Ingest.writeStoreBucketed]] layout), then
+    * joined and aggregated per label. The join plans with NO exchange
+    * on the join key (PlanSpec asserts it) — the pre-shuffle is paid
+    * once at write time, which at 100 TB converts the pipeline's
+    * biggest recurring shuffle (doc↔embedding) into a bucket-local
+    * sort-merge. The oracle joins the ORIGINAL parquet, so the
+    * bucketed write/read path must be lossless to hash-match.
+    */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val (docsTable, embTable) = (s"graft_i11_docs_$tag", s"graft_i11_emb_$tag")
+    val base = roundtripDir(spark, "graft_i11_bucketed")
+    Ingest.writeStoreBucketed(
+      Tables.documents(spark, sfDir).select("doc_id", "n_chars"),
+      docsTable, s"$base/docs", "doc_id", buckets = 8)
+    Ingest.writeStoreBucketed(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("doc_id"), col("label")),
+      embTable, s"$base/emb", "doc_id", buckets = 8)
+    spark.table(docsTable).join(spark.table(embTable), "doc_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("label")
+  }
+
   /** i03's twin through the DISTRIBUTED assignment path
     * ([[Ingest.assignIdsDistributed]]): identical oracle — the full
     * (doc_id, batch_id) mapping, which pins uniqueness, density,
@@ -234,6 +262,7 @@ object IngestQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i11_bucketed_join" -> (bucketedJoin(_, _)),
     "i10_assign_ids_dist" -> (assignedIdsDistributed(_, _)),
     "i01_hash_embed" -> (hashEmbedBuckets(_, _)),
     "i02_dedup_ingest" -> (dedupIngestCount(_, _)),
@@ -259,6 +288,12 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "i11_bucketed_join" ->
+      """SELECT label, count(*) AS n,
+        |       CAST(sum(d.doc_id) AS BIGINT) AS sum_ids,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY label ORDER BY label""".stripMargin,
     "i09_merge_schema" ->
       """SELECT lang, count(*) AS n,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,

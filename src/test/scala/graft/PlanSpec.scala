@@ -124,6 +124,18 @@ class PlanSpec extends SparkSpec {
       s"label predicate did not reach PushedFilters:\n$p")
   }
 
+  test("i11's bucketed join never exchanges on the join key") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = finalPlan(graft.queries.IngestQueries.bucketedJoin(spark, sf))
+      assert(p.contains("SortMergeJoin"), s"no SMJ in:\n$p")
+      // the only exchange allowed is the aggregate's (keyed by label);
+      // bucketing must have paid the join's shuffle at write time
+      assert(!p.contains("Exchange hashpartitioning(doc_id"),
+        s"bucketed join still shuffles its key:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("batched SRP rank filters push down as WindowGroupLimit heaps") {
     // rank <= k over a window must become per-partition bounded heaps
     // (Partial+Final WindowGroupLimit), not a full sort of the scored
