@@ -464,11 +464,11 @@ object TextQueries {
     * property the md5-keyed dedup family needs upstream.
     */
   def unicodeNormalize(spark: SparkSession, sfDir: String): DataFrame = {
-    // the literal RENDERS precomposed but is the decomposed sequence
-    // ("cafe" + U+0301, "A" + U+030A, "o" + U+0308) — there must be
-    // something to normalize
+    // escape-built decomposed sequence ("cafe" + U+0301, "A" + U+030A,
+    // "o" + U+0308) — raw combining characters would be invisible in
+    // review and silently precomposed by NFC-normalizing tooling
     val raw = concat(substring(col("text"), 1, 20),
-      lit(" café Ångström"))
+      lit(" cafe\u0301 A\u030angstro\u0308m"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), raw.as("raw"))
       .select(col("doc_id"),

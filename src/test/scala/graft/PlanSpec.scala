@@ -124,16 +124,29 @@ class PlanSpec extends SparkSpec {
       s"label predicate did not reach PushedFilters:\n$p")
   }
 
+  /** Pin autoBroadcastJoinThreshold=-1 for `body`, restoring whatever
+    * value (or absence) was there before — set/unset would discard a
+    * value another suite had installed on the shared session. */
+  private def withBroadcastDisabled[T](body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("i11's bucketed join never exchanges on the join key") {
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    withBroadcastDisabled {
       val p = finalPlan(graft.queries.IngestQueries.bucketedJoin(spark, sf))
       assert(p.contains("SortMergeJoin"), s"no SMJ in:\n$p")
       // the only exchange allowed is the aggregate's (keyed by label);
       // bucketing must have paid the join's shuffle at write time
       assert(!p.contains("Exchange hashpartitioning(doc_id"),
         s"bucketed join still shuffles its key:\n$p")
-    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("batched SRP rank filters push down as WindowGroupLimit heaps") {
@@ -169,26 +182,24 @@ class PlanSpec extends SparkSpec {
     // broadcasting (production corpora exceed any threshold) and assert
     // the executed streaming plan is still a bucket equi-join — no
     // BroadcastExchange of the index, no per-batch cartesian
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val agg = graft.queries.StreamingQueries.streamSearchAgg(spark, sf)
-      val q = agg.writeStream.format("memory")
-        .queryName("graft_s07_planprobe")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val buf = new java.io.ByteArrayOutputStream()
-      Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
-      val p = buf.toString
-      assert(p.contains("Join"), s"no join in streaming plan:\n$p")
-      assert(!p.contains("BroadcastExchange") &&
-        !p.contains("BroadcastNestedLoopJoin") &&
-        !p.contains("CartesianProduct"),
-        s"index broadcast/cartesian crept back into s07:\n$p")
-    } finally {
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.catalog.dropTempView("graft_s07_planprobe")
+    withBroadcastDisabled {
+      try {
+        val agg = graft.queries.StreamingQueries.streamSearchAgg(spark, sf)
+        val q = agg.writeStream.format("memory")
+          .queryName("graft_s07_planprobe")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val buf = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+        val p = buf.toString
+        assert(p.contains("Join"), s"no join in streaming plan:\n$p")
+        assert(!p.contains("BroadcastExchange") &&
+          !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"),
+          s"index broadcast/cartesian crept back into s07:\n$p")
+      } finally spark.catalog.dropTempView("graft_s07_planprobe")
     }
   }
 
