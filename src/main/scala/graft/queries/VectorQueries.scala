@@ -413,6 +413,36 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** k-NN GRAPH construction — EVERY vector finds its top-3 neighbors
+    * in one plan (the primitive under graph-ANN index builds, embedding
+    * dedup and cluster seeding). All-pairs would be n²·d; instead both
+    * sides of a SELF-join carry the SRP prefix bucket (s07's routing:
+    * [[Ann.srpBucketIndex]] / [[Ann.srpProbeBuckets]]) so each vector
+    * scores only its own probed buckets (~5/16 of the corpus here,
+    * |corpus|/2^bucketBits-ish per probe at scale), and per-vector
+    * top-3 is one ranking-window shuffle keyed by query id with
+    * WindowGroupLimit heaps. Output restricted to query_id < 30 AFTER
+    * ranking (a result cap, not a search cap); the oracle replays
+    * sketch → probe → join → rank in SQL — approximation pinned.
+    */
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = Ann.srpProbeBuckets(
+      emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      "qe", bits = 16, bucketBits = 4)
+    val index = Ann.srpBucketIndex(emb, "vec_id", "embedding",
+      bits = 16, bucketBits = 4)
+    val scored = probes.join(index, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("embedding"), col("qe")).as("score"))
+    Search.topKPerQuery(scored, "query_id", "vec_id", 3)
+      .filter(col("query_id") < 30)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Range search (FAISS's `range_search` surface — the reference's
     * index exposes only top-k, server.js:45-61): EVERY vector whose
     * cosine to the query clears a threshold, no k. The plan is
@@ -851,6 +881,39 @@ object VectorQueries {
         |  ORDER BY qscore DESC, c.vec_id LIMIT 10)
         |SELECT vec_id, round(qscore, 6) AS qscore FROM top
         |ORDER BY vec_id""".stripMargin,
+    // the kNN-graph replay: same sketch CTE, every vector probes its
+    // own + hamming-1 buckets, self-pairs excluded, per-vector top-3
+    "v23_knn_graph" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |  CAST(list_sum(list_transform(range(0, 16), j ->
+        |    CASE WHEN list_sum(list_transform(range(0, len(e)), i ->
+        |        e[CAST(i + 1 AS INT)] *
+        |        (CASE WHEN CAST(concat('0x', substring(
+        |               md5(concat('srp:', j, ':', i)), 1, 15)) AS BIGINT)
+        |              % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+        |    THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS sketch
+        |  FROM v),
+        |p AS (SELECT query_id, qe,
+        |        unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
+        |                xor(qb, 8)]) AS bucket
+        |      FROM (SELECT vec_id AS query_id, e AS qe,
+        |                   sketch % 16 AS qb FROM s)),
+        |i AS (SELECT vec_id, e, sketch % 16 AS bucket FROM s),
+        |cand AS (
+        |  SELECT p.query_id, i.vec_id,
+        |         list_cosine_similarity(i.e, p.qe) AS score
+        |  FROM i JOIN p USING (bucket) WHERE p.query_id <> i.vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, vec_id) AS rank
+        |  FROM cand)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+        |       round(score, 6) AS score
+        |FROM ranked WHERE rank <= 3 AND query_id < 30
+        |ORDER BY query_id, rank""".stripMargin,
     "v21_srp_batch" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |           FROM embeddings),
@@ -975,6 +1038,7 @@ object VectorQueries {
     "v15_quantized_knn" -> (quantizedKnn(_, _)),
     "v16_pq_recall" -> (pqRecall(_, _)),
     "v22_ivfpq_search" -> (ivfPqSearchQuery(_, _)),
+    "v23_knn_graph" -> (knnGraph(_, _)),
     "v17_range_search" -> (rangeSearch(_, _)),
     "v18_mmr_rerank" -> (mmrRerank(_, _)),
     "v19_filtered_knn" -> (filteredKnn(_, _)))
