@@ -245,6 +245,46 @@ object IngestQueries {
       .orderBy("label")
   }
 
+  /** binaryFile-source media scan, oracle-gated: real container FILES
+    * on disk (one PNG/JPEG/WAV per doc, [[graft.operators.Multimodal
+    * .SynthMedia]] bytes — the write half of the round-trip; the
+    * binaryFile source has no DataFrame writer, so fixture files are
+    * materialized directly) → [[graft.sources.Sources.binaryDir]] →
+    * per-partition header decode. The oracle recomputes what every
+    * header must parse to from the id formulas, so the whole
+    * files-on-disk → distributed binary scan → codec pipeline is in
+    * the hash gate — the ingestion shape of an image/audio shard
+    * crawl.
+    */
+  def binaryMediaScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.SynthMedia
+    val dir = roundtripDir(spark, "graft_i12_media")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    Tables.documents(spark, sfDir).select("doc_id")
+      .filter(col("doc_id") < 60)
+      .collect().map(_.getLong(0))
+      .foreach { id =>
+        val (bytes, ext) = (id % 3) match {
+          case 0 => (SynthMedia.pngBytes(
+            (id * 37 % 1280).toInt + 1, (id * 53 % 720).toInt + 1), "png")
+          case 1 => (SynthMedia.jpegBytes(
+            (id * 11 % 640).toInt + 1, (id * 13 % 480).toInt + 1), "jpg")
+          case _ => (SynthMedia.wavBytes(
+            8000 + 1000 * (id % 5).toInt, (id % 2).toInt + 1), "wav")
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"doc_$id%05d.$ext"), bytes): Unit
+      }
+    val media = graft.sources.Sources.binaryDir(spark, dir)
+      .select(regexp_extract(col("source"), "doc_(\\d+)", 1)
+        .cast("long").as("doc_id"), col("payload"))
+    Multimodal.decodeBatch(media, featureDim = 0)
+      .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"),
+        col("width"), col("height"), col("format"))
+      .orderBy("doc_id")
+  }
+
   /** i03's twin through the DISTRIBUTED assignment path
     * ([[Ingest.assignIdsDistributed]]): identical oracle — the full
     * (doc_id, batch_id) mapping, which pins uniqueness, density,
@@ -262,6 +302,7 @@ object IngestQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i12_binary_media" -> (binaryMediaScan(_, _)),
     "i11_bucketed_join" -> (bucketedJoin(_, _)),
     "i10_assign_ids_dist" -> (assignedIdsDistributed(_, _)),
     "i01_hash_embed" -> (hashEmbedBuckets(_, _)),
@@ -288,6 +329,23 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // what every synthesized container header must parse back to
+    // (fixed container sizes + the id-derived dims; t11's convention)
+    "i12_binary_media" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 35
+        |       ELSE 44 END AS BIGINT) AS byte_len,
+        |  CAST(CASE doc_id % 3
+        |       WHEN 0 THEN (doc_id * 37) % 1280 + 1
+        |       WHEN 1 THEN (doc_id * 11) % 640 + 1
+        |       ELSE 8000 + 1000 * (doc_id % 5) END AS INT) AS width,
+        |  CAST(CASE doc_id % 3
+        |       WHEN 0 THEN (doc_id * 53) % 720 + 1
+        |       WHEN 1 THEN (doc_id * 13) % 480 + 1
+        |       ELSE doc_id % 2 + 1 END AS INT) AS height,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       ELSE 'wav' END AS format
+        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
     "i11_bucketed_join" ->
       """SELECT label, count(*) AS n,
         |       CAST(sum(d.doc_id) AS BIGINT) AS sum_ids,
