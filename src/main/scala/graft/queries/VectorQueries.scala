@@ -443,6 +443,31 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The multimodal→retrieval COMPOSITION end-to-end: binary payloads
+    * → per-partition batch decode + feature extraction
+    * ([[graft.operators.Multimodal.decodeBatch]]) → exact cosine top-10
+    * over the features — a media pipeline's search path in one plan.
+    * Features are the declared deterministic stand-in (md5-derived,
+    * float32), which is precisely what makes the WHOLE composition
+    * hash-checkable: the oracle rebuilds each 8-dim feature vector with
+    * the same md5 math, float32-rounds it (CAST AS REAL — matching the
+    * kernel's Float), and replays the search. A real feature kernel
+    * drops into the codec without touching this plan.
+    */
+  def mediaSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.asBinaryPayload(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    val feats = Multimodal.decodeBatch(media, featureDim = 8)
+      .select(col("doc_id"), col("features"))
+    val q = feats.filter(col("doc_id") === 0)
+      .select(col("features").as("qe"))
+    Search.topK(feats.filter(col("doc_id") =!= 0), q,
+        "doc_id", "features", "qe", 10)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
   /** Range search (FAISS's `range_search` surface — the reference's
     * index exposes only top-k, server.js:45-61): EVERY vector whose
     * cosine to the query clears a threshold, no k. The plan is
@@ -881,6 +906,25 @@ object VectorQueries {
         |  ORDER BY qscore DESC, c.vec_id LIMIT 10)
         |SELECT vec_id, round(qscore, 6) AS qscore FROM top
         |ORDER BY vec_id""".stripMargin,
+    // rebuilds the stub feature vectors (md5 thousandths, float32 via
+    // CAST AS REAL — the kernel emits Float) and replays the search
+    "v24_media_search" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(list_transform(range(0, 8), i ->
+        |      CAST(CAST(concat('0x', substring(md5(concat(text, ':', i)),
+        |                                       1, 15)) AS BIGINT) % 1000
+        |           AS DOUBLE) / 1000.0) AS REAL[]) AS feat
+        |  FROM documents),
+        |q AS (SELECT CAST(feat AS DOUBLE[]) AS qe FROM f WHERE doc_id = 0),
+        |top AS (
+        |  SELECT f.doc_id,
+        |         list_cosine_similarity(CAST(f.feat AS DOUBLE[]), q.qe)
+        |           AS score
+        |  FROM f, q WHERE f.doc_id <> 0
+        |  ORDER BY score DESC, f.doc_id LIMIT 10)
+        |SELECT doc_id, round(score, 6) AS score FROM top
+        |ORDER BY doc_id""".stripMargin,
     // the kNN-graph replay: same sketch CTE, every vector probes its
     // own + hamming-1 buckets, self-pairs excluded, per-vector top-3
     "v23_knn_graph" ->
@@ -1039,6 +1083,7 @@ object VectorQueries {
     "v16_pq_recall" -> (pqRecall(_, _)),
     "v22_ivfpq_search" -> (ivfPqSearchQuery(_, _)),
     "v23_knn_graph" -> (knnGraph(_, _)),
+    "v24_media_search" -> (mediaSearch(_, _)),
     "v17_range_search" -> (rangeSearch(_, _)),
     "v18_mmr_rerank" -> (mmrRerank(_, _)),
     "v19_filtered_knn" -> (filteredKnn(_, _)))
