@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
   * Header DECODE is real: [[HeaderCodec]] parses PNG (IHDR), JPEG
   * (marker walk to SOFn), GIF (logical screen descriptor) and WAV
   * (RIFF `fmt ` chunk) with plain JVM byte inspection — no native
-  * codec libraries. Full-pixel/sample decode and feature extraction
-  * (resize, frame-sample, mel-spectrogram) remain deterministic STUBS
-  * ([[StubCodec]] — this container ships no media codecs); a real
-  * kernel drops into [[HeaderCodec.features]] without touching the
-  * plumbing. Unknown or MALFORMED payloads never throw: they fall back
-  * to the stub's hash-derived metadata under format "bin" — at 100 TB
-  * a corrupt shard must skip, not kill the job.
+  * codec libraries. Feature extraction is real too, at the level a
+  * codec-free container permits: the L2-normalized byte histogram
+  * ([[HeaderCodec.features]]) — a learned image/audio embedding would
+  * replace that one method without touching shape or plumbing.
+  * Full-pixel/sample decode (resize, frame-sample, mel-spectrogram)
+  * remains out of reach here and is the documented boundary. Unknown
+  * or MALFORMED payloads never throw: they fall back to [[StubCodec]]
+  * hash-derived metadata under format "bin" — at 100 TB a corrupt
+  * shard must skip, not kill the job.
   */
 object Multimodal {
 
@@ -195,8 +197,29 @@ object Multimodal {
           stub.decode(payload).copy(format = "bin")
       }
 
-    def features(payload: Array[Byte]): Array[Float] =
-      stub.features(payload) // the one remaining declared stand-in
+    /** REAL content feature: the L2-normalized byte-value histogram
+      * (`dim` bins by byte % dim) — the classic cheap content signature
+      * (file-type detection, corruption screens, near-dup blocking for
+      * byte-identical-ish payloads). Deliberately modest: a learned
+      * image/audio embedding needs codecs this container lacks, and
+      * would REPLACE this body without touching shape or plumbing.
+      * Empty payloads yield the zero vector (no NaN).
+      */
+    def features(payload: Array[Byte]): Array[Float] = {
+      if (featureDim == 0) return Array.empty
+      val counts = new Array[Double](featureDim)
+      var i = 0
+      while (i < payload.length) {
+        counts((payload(i) & 0xff) % featureDim) += 1.0
+        i += 1
+      }
+      var sq = 0.0
+      var b = 0
+      while (b < featureDim) { sq += counts(b) * counts(b); b += 1 }
+      val norm = math.sqrt(sq)
+      if (norm == 0.0) new Array[Float](featureDim)
+      else Array.tabulate(featureDim)(b => (counts(b) / norm).toFloat)
+    }
   }
 
   /** Deterministic stand-in for a native media codec. Holds the mutable

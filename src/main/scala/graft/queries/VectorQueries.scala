@@ -447,12 +447,12 @@ object VectorQueries {
     * → per-partition batch decode + feature extraction
     * ([[graft.operators.Multimodal.decodeBatch]]) → exact cosine top-10
     * over the features — a media pipeline's search path in one plan.
-    * Features are the declared deterministic stand-in (md5-derived,
-    * float32), which is precisely what makes the WHOLE composition
-    * hash-checkable: the oracle rebuilds each 8-dim feature vector with
-    * the same md5 math, float32-rounds it (CAST AS REAL — matching the
-    * kernel's Float), and replays the search. A real feature kernel
-    * drops into the codec without touching this plan.
+    * Features are the codec's REAL byte-histogram signature (8 bins,
+    * L2-normalized, float32), and the whole composition is
+    * hash-checked: the oracle rebuilds each histogram from the same
+    * bytes, float32-rounds it (CAST AS REAL — matching the kernel's
+    * Float) and replays the search. A learned embedding kernel drops
+    * into the codec without touching this plan.
     */
   def mediaSearch(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Multimodal
@@ -906,16 +906,27 @@ object VectorQueries {
         |  ORDER BY qscore DESC, c.vec_id LIMIT 10)
         |SELECT vec_id, round(qscore, 6) AS qscore FROM top
         |ORDER BY vec_id""".stripMargin,
-    // rebuilds the stub feature vectors (md5 thousandths, float32 via
-    // CAST AS REAL — the kernel emits Float) and replays the search
+    // rebuilds the byte-histogram features (8 bins by byte % 8, L2
+    // normalized, float32 via CAST AS REAL — the kernel emits Float)
+    // from the SAME bytes (ASCII fixtures: chars ≡ utf-8 bytes) and
+    // replays the search
     "v24_media_search" ->
-      """WITH f AS (
+      """WITH c AS (
         |  SELECT doc_id,
-        |    CAST(list_transform(range(0, 8), i ->
-        |      CAST(CAST(concat('0x', substring(md5(concat(text, ':', i)),
-        |                                       1, 15)) AS BIGINT) % 1000
-        |           AS DOUBLE) / 1000.0) AS REAL[]) AS feat
+        |    list_transform(range(0, 8), b ->
+        |      CAST(len(list_filter(range(0, len(text)), i ->
+        |        ascii(substring(text, CAST(i + 1 AS INT), 1)) % 8 = b))
+        |        AS DOUBLE)) AS cnts
         |  FROM documents),
+        |n AS (SELECT doc_id, cnts,
+        |        sqrt(list_sum(list_transform(cnts, x -> x * x))) AS norm
+        |      FROM c),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(list_transform(cnts, x ->
+        |      CASE WHEN norm = 0 THEN 0.0 ELSE x / norm END) AS REAL[])
+        |      AS feat
+        |  FROM n),
         |q AS (SELECT CAST(feat AS DOUBLE[]) AS qe FROM f WHERE doc_id = 0),
         |top AS (
         |  SELECT f.doc_id,
