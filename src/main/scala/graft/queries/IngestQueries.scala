@@ -285,6 +285,37 @@ object IngestQueries {
       .orderBy("doc_id")
   }
 
+  /** Store-compaction round-trip: the documents table written as FOUR
+    * separate appends (the small-file accumulation a micro-batch-fed
+    * store suffers), compacted to 2 balanced files
+    * ([[Ingest.compactStore]] — temp rewrite + dir swap, under the
+    * store lock), then read back and aggregated. The oracle aggregates
+    * the ORIGINAL parquet, so the maintenance pass must be LOSSLESS to
+    * hash-match; the file-count contract itself is IngestSpec's. This
+    * puts the store's maintenance path — not just its write path — in
+    * the driver's gate.
+    */
+  def compactRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = java.nio.file.Paths
+      .get(roundtripDir(spark, "graft_i13_compact"), "store").toString
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars")
+    // fresh store per invocation: delete, then 4 appends, then compact
+    val hPath = new org.apache.hadoop.fs.Path(store)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    (0 until 4).foreach { part =>
+      Ingest.writeStore(docs.filter(pmod(col("doc_id"), lit(4)) === part),
+        store)
+    }
+    Ingest.compactStore(spark, store, numFiles = 2)
+    Ingest.readStore(spark, store)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** i03's twin through the DISTRIBUTED assignment path
     * ([[Ingest.assignIdsDistributed]]): identical oracle — the full
     * (doc_id, batch_id) mapping, which pins uniqueness, density,
@@ -303,6 +334,7 @@ object IngestQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i12_binary_media" -> (binaryMediaScan(_, _)),
+    "i13_compact_roundtrip" -> (compactRoundtrip(_, _)),
     "i11_bucketed_join" -> (bucketedJoin(_, _)),
     "i10_assign_ids_dist" -> (assignedIdsDistributed(_, _)),
     "i01_hash_embed" -> (hashEmbedBuckets(_, _)),
@@ -329,6 +361,12 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the maintenance pass must be lossless: aggregate of the ORIGINALS
+    "i13_compact_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // what every synthesized container header must parse back to
     // (fixed container sizes + the id-derived dims; t11's convention)
     "i12_binary_media" ->
