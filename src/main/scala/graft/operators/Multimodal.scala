@@ -76,10 +76,10 @@ object Multimodal {
     * decoders — libjpeg, ffmpeg contexts — are expensive to init and not
     * serializable, so they must be constructed inside mapPartitions, not
     * per row and not on the driver), then a streaming iterator over the
-    * partition's rows. Header metadata is REAL ([[HeaderCodec]]);
-    * features remain the deterministic stub — pass `featureDim = 0` to
-    * skip feature extraction entirely (metadata-only scans must not pay
-    * a per-row hash cascade for a column they drop).
+    * partition's rows. Header metadata AND the byte-histogram content
+    * features are real ([[HeaderCodec]]); pass `featureDim = 0` to
+    * skip feature extraction entirely (metadata-only scans must not
+    * pay a per-row histogram pass for a column they drop).
     */
   def decodeBatch(df: DataFrame, featureDim: Int): DataFrame = {
     val spark = df.sparkSession
@@ -261,6 +261,16 @@ object Multimodal {
     * the same parse paths real shards hit.
     */
   object SynthMedia {
+
+    /** The id-derived fixture dims shared by t11 and i12 — ONE Scala
+      * definition of the formulas their oracles replicate in SQL. */
+    def pngForId(id: Long): Array[Byte] =
+      pngBytes((id * 37 % 1280).toInt + 1, (id * 53 % 720).toInt + 1)
+    def jpegForId(id: Long): Array[Byte] =
+      jpegBytes((id * 11 % 640).toInt + 1, (id * 13 % 480).toInt + 1)
+    def wavForId(id: Long): Array[Byte] =
+      wavBytes(8000 + 1000 * (id % 5).toInt, (id % 2).toInt + 1)
+
     def pngBytes(width: Int, height: Int): Array[Byte] = {
       val buf = java.nio.ByteBuffer.allocate(33)
       buf.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)

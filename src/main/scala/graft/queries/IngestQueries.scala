@@ -266,12 +266,9 @@ object IngestQueries {
       .collect().map(_.getLong(0))
       .foreach { id =>
         val (bytes, ext) = (id % 3) match {
-          case 0 => (SynthMedia.pngBytes(
-            (id * 37 % 1280).toInt + 1, (id * 53 % 720).toInt + 1), "png")
-          case 1 => (SynthMedia.jpegBytes(
-            (id * 11 % 640).toInt + 1, (id * 13 % 480).toInt + 1), "jpg")
-          case _ => (SynthMedia.wavBytes(
-            8000 + 1000 * (id % 5).toInt, (id % 2).toInt + 1), "wav")
+          case 0 => (SynthMedia.pngForId(id), "png")
+          case 1 => (SynthMedia.jpegForId(id), "jpg")
+          case _ => (SynthMedia.wavForId(id), "wav")
         }
         java.nio.file.Files.write(
           java.nio.file.Paths.get(dir, f"doc_$id%05d.$ext"), bytes): Unit

@@ -180,12 +180,9 @@ object TextQueries {
       .as[(Long, String)]
       .map { case (id, text) =>
         val payload = (id % 4) match {
-          case 0 => SynthMedia.pngBytes(
-            (id * 37 % 1280).toInt + 1, (id * 53 % 720).toInt + 1)
-          case 1 => SynthMedia.jpegBytes(
-            (id * 11 % 640).toInt + 1, (id * 13 % 480).toInt + 1)
-          case 2 => SynthMedia.wavBytes(
-            8000 + 1000 * (id % 5).toInt, (id % 2).toInt + 1)
+          case 0 => SynthMedia.pngForId(id)
+          case 1 => SynthMedia.jpegForId(id)
+          case 2 => SynthMedia.wavForId(id)
           case _ => text.getBytes("UTF-8")
         }
         Multimodal.MediaRow(id, payload)

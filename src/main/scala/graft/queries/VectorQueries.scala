@@ -460,7 +460,11 @@ object VectorQueries {
       Tables.documents(spark, sfDir), "doc_id", "text")
     val feats = Multimodal.decodeBatch(media, featureDim = 8)
       .select(col("doc_id"), col("features"))
-    val q = feats.filter(col("doc_id") === 0)
+    // filter BEFORE decodeBatch on the query side: a filter cannot push
+    // below the typed mapPartitions, so filtering its output would
+    // re-decode the whole corpus to keep one row
+    val q = Multimodal
+      .decodeBatch(media.filter(col("doc_id") === 0), featureDim = 8)
       .select(col("features").as("qe"))
     Search.topK(feats.filter(col("doc_id") =!= 0), q,
         "doc_id", "features", "qe", 10)
