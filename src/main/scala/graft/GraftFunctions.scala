@@ -61,7 +61,9 @@ object GraftFunctions {
     "simhash_bits" ->
       (args => SimHashBits(args(0), intArg(args(1), "simhash_bits"))),
     "cosine_lsh_bits" ->
-      (args => CosineLshBits(args(0), intArg(args(1), "cosine_lsh_bits"))))
+      (args => CosineLshBits(args(0), intArg(args(1), "cosine_lsh_bits"))),
+    "nfc_normalize" ->
+      (args => graft.expressions.NfcNormalize(args(0))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, b) => Bridge.registerFunction(spark, name, b) }

@@ -31,9 +31,11 @@ class GraftFunctionsSpec extends SparkSpec {
         |       size(minhash_signature(
         |         shingle_hashes(array('a','b','c','d'), 3), 8)) AS sig,
         |       simhash_bits(md5_long_array(array('a','b')), 16) AS sh,
-        |       cosine_lsh_bits(array(1.0D, 0.0D), 16) AS lsh""".stripMargin)
-      .as[(Int, Long, Int, Int, Long, Long)].head()
+        |       cosine_lsh_bits(array(1.0D, 0.0D), 16) AS lsh,
+        |       nfc_normalize('cafe\u0301') AS nfc""".stripMargin)
+      .as[(Int, Long, Int, Int, Long, Long, String)].head()
     assert(row._1 == 16 && row._3 == 2 && row._4 == 8)
+    assert(row._7 == "caf\u00e9")
     // every SQL result must equal the column-API twin on the same input
     val h = Seq("a").toDF("s")
       .select(graft.functions.HashFunctions.md5Long(col("s")))
