@@ -30,8 +30,17 @@ import org.apache.spark.sql.functions._
   * (top-1 content) — the two intentional stand-ins for the reference's
   * network LLM calls (SURVEY.md §7.4).
   */
+/** @param distributedIds id-assignment strategy for ingest: `false`
+  *   (default) keeps strict AUTOINCREMENT parity through the serial
+  *   ranking window — right for request-sized adds; `true` routes
+  *   through [[Ingest.assignIdsDistributed]] (range partition +
+  *   per-partition row_number + prefix offsets), producing the
+  *   IDENTICAL mapping (IngestSpec pins dist ≡ serial) without any
+  *   task ever holding the whole batch — right for bulk loads.
+  */
 class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
-             chunkSize: Int = 1000, overlap: Int = 50) {
+             chunkSize: Int = 1000, overlap: Int = 50,
+             distributedIds: Boolean = false) {
 
   @volatile private var cachedIndex: Option[DataFrame] = None
   @volatile private var cachedLexical
@@ -142,8 +151,10 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
           concat_ws(":", col("source"), col("chunk_ix"))))
     val novel = Ingest.dedupIngest(embedded,
       store.select("content"), "content", "batch_order")
-    val assigned = Ingest
-      .assignIdsAfter(novel.drop("batch_order"), "content", store, "doc_id")
+      .drop("batch_order")
+    val assigned = (if (distributedIds)
+        Ingest.assignIdsDistributed(novel, "content", store, "doc_id")
+      else Ingest.assignIdsAfter(novel, "content", store, "doc_id"))
       .select("doc_id", "source", "chunk_ix", "content", "embedding")
       // count() + write would otherwise run the whole chunk→embed→
       // anti-join→window pipeline twice

@@ -200,4 +200,46 @@ class EngineSpec extends SparkSpec {
     assert(e.countDocuments() == 2)
     assert(!fs.exists(lock))
   }
+
+  test("distributedIds engine assigns the same ids as the serial one") {
+    import spark.implicits._
+    def run(dist: Boolean): Map[Long, String] = {
+      val store = Files.createTempDirectory("graft_distids").toString + "/store"
+      val e = new Engine(spark, store, dim = 64, chunkSize = 40,
+        overlap = 10, distributedIds = dist)
+      e.loadDocuments(corpusDir)
+      e.addDocument("an extra pasted document body", "inline")
+      e.documents().select("doc_id", "content")
+        .as[(Long, String)].collect().toMap
+    }
+    assert(run(dist = false) == run(dist = true))
+  }
+
+  test("two concurrent writers never corrupt the store") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_race").toString + "/store"
+    val e = new Engine(spark, store, dim = 64, chunkSize = 40, overlap = 10)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val results = Seq("alpha body text", "beta body text").map { t =>
+        pool.submit(new java.util.concurrent.Callable[scala.util.Try[Long]] {
+          def call(): scala.util.Try[Long] =
+            scala.util.Try(e.addDocument(t, t.take(5)))
+        })
+      }.map(_.get())
+      // every outcome is either a clean write or the LOUD lock failure
+      results.foreach {
+        case scala.util.Success(n) => assert(n == 1L)
+        case scala.util.Failure(ex) =>
+          assert(ex.isInstanceOf[IllegalStateException] &&
+            ex.getMessage.contains("locked by another writer"), ex)
+      }
+      val oks = results.count(_.isSuccess)
+      assert(oks >= 1) // at least one writer must have won
+      // store is consistent: one row per successful add, ids unique
+      assert(e.countDocuments() == oks)
+      val ids = e.documents().select("doc_id").as[Long].collect()
+      assert(ids.distinct.length == ids.length)
+    } finally pool.shutdown()
+  }
 }
