@@ -118,7 +118,13 @@ object PlansDump {
           "partitioned by cell), the ADC scan reads CODES only " +
           "(narrow kernel over array<int>), and full vectors are " +
           "fetched by broadcast semi-join for the 50-row shortlist " +
-          "alone — three multiplicative prunings in one plan."))
+          "alone — three multiplicative prunings in one plan."),
+      "v23_knn_graph" ->
+        ("k-NN graph: the SRP bucket SELF-join — both sides are narrow " +
+          "sketch projections meeting in an equi-join on the bucket " +
+          "key, so each vector scores only its probed fraction of the " +
+          "corpus (never n²·d), and per-vector top-k runs as " +
+          "WindowGroupLimit heaps inside one query-keyed shuffle."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")
