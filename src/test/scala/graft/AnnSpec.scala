@@ -158,4 +158,37 @@ class AnnSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
     assert(bucketed == exact)
   }
+
+  test("srpBucketIndex/srpProbeBuckets: one bucket per vector, " +
+      "bucketBits+1 distinct probes within hamming 1") {
+    import org.apache.spark.sql.functions._
+    val emb = vecsDf((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(-1f, 0.2f)))
+    val idx = graft.operators.Ann
+      .srpBucketIndex(emb, "vec_id", "embedding", bits = 16, bucketBits = 4)
+    // exactly one row (one bucket) per vector, bucket in [0, 16)
+    assert(idx.count() == 3)
+    assert(idx.filter(col("bucket") < 0 || col("bucket") >= 16).count() == 0)
+    val probes = graft.operators.Ann.srpProbeBuckets(
+      emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      "qe", bits = 16, bucketBits = 4)
+    val perQuery = probes.groupBy("query_id")
+      .agg(countDistinct("bucket").as("n"))
+      .select("n").as[Long].collect()
+    assert(perQuery.forall(_ == 5)) // own bucket + 4 at hamming distance 1
+    // every probe differs from the own bucket in at most one prefix bit
+    val own = idx.select(col("vec_id").as("query_id"), col("bucket").as("ob"))
+    val ham = probes.join(own, "query_id")
+      .select(bit_count(col("bucket").bitwiseXOR(col("ob"))).as("h"))
+      .as[Int].collect()
+    assert(ham.forall(_ <= 1))
+    // guard: bucketBits outside [1, bits] aborts
+    intercept[IllegalArgumentException] {
+      graft.operators.Ann.srpBucketIndex(emb, "vec_id", "embedding", 16, 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Ann.srpProbeBuckets(
+        emb.select(col("embedding").as("qe")), "qe", 16, 17)
+    }
+  }
 }
