@@ -175,11 +175,17 @@ object StreamingQueries {
       .filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val probes = Ann.srpProbeBuckets(qStream, "qe", SrpBits, SrpBucketBits)
+    // persisted: the static side of a stream-static join re-evaluates
+    // per micro-batch, and a long-running service must not re-sketch
+    // the corpus every trigger — this is the in-memory stand-in for
+    // the bucket-partitioned sketch index a 100 TB deployment keeps on
+    // disk (srpBucketIndex doc)
     val index = Ann.srpBucketIndex(
       graft.Tables.embeddings(spark, sfDir)
         .filter(col("vec_id") >= 8)
         .select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", SrpBits, SrpBucketBits)
+      .persist()
     val scored = probes.join(index, Seq("bucket"))
       .select(col("query_id"), col("vec_id"),
         graft.functions.VectorFunctions
