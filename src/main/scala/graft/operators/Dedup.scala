@@ -58,6 +58,33 @@ object Dedup {
     * Bench/Verify do between queries. Same contract as
     * [[lshCandidatePairs]].
     */
+  /** All ordered in-list pairs (ids[i], ids[j>i]) from a (.., ids)
+    * postings frame — the pair-generation kernel shared by the one-shot
+    * and incremental Jaccard paths. */
+  private def pairsFromLists(lists: DataFrame): DataFrame =
+    lists.select(explode(flatten(
+      transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, greatest(size(col("ids")), lit(1))),
+          y => struct(x.as("id_a"), y.as("id_b"))))))
+      .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .filter(col("id_a") < col("id_b")) // drop same-doc dup-hash pairs
+
+  /** jaccard = inter / (sz_a + sz_b − inter), thresholded — the scoring
+    * tail shared by the one-shot and incremental paths. `inter` columns:
+    * (id_a, id_b, inter); `sizes`: (idCol, sz). */
+  private def jaccardFromCounts(inter: DataFrame, sizes: DataFrame,
+                                idCol: String,
+                                threshold: Double): DataFrame =
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxDf: Long = 1000L): DataFrame = {
@@ -75,23 +102,109 @@ object Dedup {
     val sizes = postings
       .select(explode(col("ids")).as(idCol))
       .groupBy(col(idCol)).agg(count("*").as("sz"))
-    // all ordered pairs (ids[i], ids[j>i]) from each postings list
-    val pairs = postings.select(explode(flatten(
-      transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, greatest(size(col("ids")), lit(1))),
-          y => struct(x.as("id_a"), y.as("id_b"))))))
-      .as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .filter(col("id_a") < col("id_b")) // drop same-doc dup-hash pairs
-    val inter = pairs.groupBy("id_a", "id_b").agg(count("*").as("inter"))
-    inter
-      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .select(
-        col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val inter = pairsFromLists(postings)
+      .groupBy("id_a", "id_b").agg(count("*").as("inter"))
+    jaccardFromCounts(inter, sizes, idCol, threshold)
+  }
+
+  /** The maintained near-dup INDEX: unfiltered shingle postings (full
+    * lists — overflow detection needs true lengths), per-doc kept-
+    * shingle sizes, and the thresholded pair set. The artifact a real
+    * pipeline persists per corpus snapshot and updates per ingest
+    * batch ([[updateJaccardIndex]]) instead of rebuilding O(corpus).
+    */
+  case class JaccardIndex(postings: DataFrame, sizes: DataFrame,
+                          pairs: DataFrame)
+
+  /** One-shot build of [[JaccardIndex]] — same semantics as
+    * [[ngramJaccardPairs]] (which stays the artifact-free query path),
+    * but keeping postings UNFILTERED so later deltas can detect maxDf
+    * crossings. */
+  def buildJaccardIndex(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double,
+                        maxDf: Long = 1000L): JaccardIndex = {
+    val postings = shingleHashSet(df, idCol, textCol, n)
+      .groupBy("shingle")
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .persist()
+    postings.count() // eager pin, same rationale as ngramJaccardPairs
+    val kept = postings.filter(size(col("ids")) <= maxDf)
+    val sizes = kept
+      .select(explode(col("ids")).as(idCol))
+      .groupBy(col(idCol)).agg(count("*").as("sz"))
+    val inter = pairsFromLists(kept)
+      .groupBy("id_a", "id_b").agg(count("*").as("inter"))
+    JaccardIndex(postings, sizes,
+      jaccardFromCounts(inter, sizes, idCol, threshold))
+  }
+
+  /** INCREMENTAL near-dup maintenance — the operation that makes daily
+    * ingest affordable at 100 TB: fold a `delta` batch into an existing
+    * [[JaccardIndex]] touching only delta-proportional state, never
+    * rescanning the base corpus.
+    *
+    * Work done: the delta's shingles are grouped once; postings merge
+    * is a delta-keyed outer join; NEW pairs can only arise in lists
+    * containing a delta doc, and every such list's shingle occurs in
+    * the delta — so pair generation runs over `kept ⋉ deltaShingles`
+    * only, keeps pairs with a delta member (old-old pairs are already
+    * in the base artifact), and scores them against base sizes ∪ delta
+    * sizes.
+    *
+    * Contracts: delta ids must be NEW (disjoint from the base — the
+    * ingest path guarantees it). Returns the updated index plus the
+    * OVERFLOWED shingles (lists that crossed maxDf in this update):
+    * when non-empty, previously-valid pairs may have lost a
+    * contribution and exactness requires a rebuild — the operator
+    * reports the condition instead of silently approximating; when
+    * empty, the updated pair set is IDENTICAL to a full rebuild (t31
+    * pins this equivalence against the full-corpus oracle).
+    */
+  def updateJaccardIndex(ix: JaccardIndex, delta: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         threshold: Double, maxDf: Long = 1000L)
+      : (JaccardIndex, DataFrame) = {
+    val deltaSh = shingleHashSet(delta, idCol, textCol, n)
+      .groupBy("shingle")
+      .agg(array_sort(collect_list(col(idCol))).as("dids"))
+      .persist()
+    deltaSh.count() // eager pin (read by merge, touched and sizes)
+    val merged = ix.postings.withColumnRenamed("ids", "bids")
+      .join(deltaSh, Seq("shingle"), "full_outer")
+      .select(col("shingle"),
+        array_sort(concat(
+          coalesce(col("bids"), array().cast("array<long>")),
+          coalesce(col("dids"), array().cast("array<long>")))).as("ids"),
+        coalesce(size(col("bids")), lit(0)).as("_old_len"))
+      .persist()
+    merged.count()
+    val overflowed = merged
+      .filter(size(col("ids")) > maxDf && col("_old_len") <= maxDf)
+      .select("shingle")
+    val kept = merged.filter(size(col("ids")) <= maxDf)
+    // a list can yield a NEW pair iff it contains a delta doc, and
+    // every such list's shingle appears in the delta by construction
+    val touched = kept.join(deltaSh.select("shingle"), Seq("shingle"),
+      "left_semi")
+    val deltaIds = delta.select(col(idCol)).distinct()
+      .withColumn("_d", lit(1))
+    val newPairs = pairsFromLists(touched)
+      .join(broadcast(deltaIds.select(col(idCol).as("id_a"), col("_d").as("_da"))),
+        Seq("id_a"), "left")
+      .join(broadcast(deltaIds.select(col(idCol).as("id_b"), col("_d").as("_db"))),
+        Seq("id_b"), "left")
+      .filter(col("_da") === 1 || col("_db") === 1)
+      .select("id_a", "id_b")
+    val inter = newPairs.groupBy("id_a", "id_b").agg(count("*").as("inter"))
+    // delta docs' kept-shingle counts all live in touched lists
+    val deltaSizes = touched
+      .select(explode(col("ids")).as(idCol))
+      .join(broadcast(deltaIds.select(idCol)), Seq(idCol), "left_semi")
+      .groupBy(col(idCol)).agg(count("*").as("sz"))
+    val allSizes = ix.sizes.unionByName(deltaSizes)
+    val scored = jaccardFromCounts(inter, allSizes, idCol, threshold)
+    (JaccardIndex(merged.select("shingle", "ids"), allSizes,
+      ix.pairs.unionByName(scored)), overflowed)
   }
 
   /** MinHash signature (array<bigint>, length numHashes) from a column of

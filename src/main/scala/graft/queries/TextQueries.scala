@@ -81,6 +81,30 @@ object TextQueries {
         .persist()
     })
 
+  /** INCREMENTAL near-dup maintenance
+    * ([[graft.operators.Dedup.updateJaccardIndex]]): 80% of the corpus
+    * plays the existing indexed base, the interleaved other 20% arrives
+    * as an ingest delta, and the updated index's pair set must equal a
+    * FULL REBUILD — the oracle is t03's full-corpus SQL verbatim. The
+    * update touches only delta-proportional state (delta shingles, the
+    * postings lists they land in, pairs with a delta member); a maxDf
+    * crossing would be reported by the operator AND break this hash
+    * match, so the exactness condition is itself gated.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spread(Tables.documents(spark, sfDir), "doc_id")
+    val base = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val delta = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val ix = Dedup.buildJaccardIndex(base, "doc_id", "text",
+      n = 3, threshold = 0.1, maxDf = 1000L)
+    val (updated, _) = Dedup.updateJaccardIndex(ix, delta,
+      "doc_id", "text", n = 3, threshold = 0.1, maxDf = 1000L)
+    updated.pairs
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Near-duplicate GROUPS: connected components over the t03 pair
     * graph ([[graft.operators.Graph.connectedComponents]]) — the
     * transitive closure that turns pairwise evidence into "keep one per
@@ -515,6 +539,7 @@ object TextQueries {
     "t01_chunk_docs" -> (chunkDocs(_, _)),
     "t02_dedup_exact" -> (dedupExact(_, _)),
     "t03_ngram_jaccard" -> (ngramJaccard(_, _)),
+    "t31_incremental_dedup" -> (incrementalDedup(_, _)),
     "t04_minhash_sig" -> (minhashSig(_, _)),
     "t05_minhash_lsh" -> (minhashLsh(_, _)),
     "t06_simhash" -> (simhash(_, _)),
@@ -611,6 +636,15 @@ object TextQueries {
        |         ELSE len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
        |              / len(text) END AS alnum_ratio
        |  FROM t)""".stripMargin.replace("\n", " ")
+
+  /** The full-corpus pair oracle, shared by t03 (one-shot build) and
+    * t31 (incremental update) — one definition of the pair set both
+    * construction paths must produce. */
+  private lazy val fullPairsOracle: String =
+    s"""WITH $jaccardPairCtes
+       |SELECT id_a, id_b, round(jac, 6) AS jaccard
+       |FROM jpairs WHERE jac >= 0.1
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** The t22 oracle, shared verbatim with s09 — continuous
     * decontamination must converge to the batch answer. */
@@ -805,11 +839,10 @@ object TextQueries {
         |  SELECT min(doc_id) AS k
         |  FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |  GROUP BY text)""".stripMargin,
-    "t03_ngram_jaccard" ->
-      s"""WITH $jaccardPairCtes
-         |SELECT id_a, id_b, round(jac, 6) AS jaccard
-         |FROM jpairs WHERE jac >= 0.1
-         |ORDER BY id_a, id_b""".stripMargin,
+    "t03_ngram_jaccard" -> fullPairsOracle,
+    // the full-rebuild oracle VERBATIM: the incremental update must
+    // produce the identical pair set — THE equivalence t31 states
+    "t31_incremental_dedup" -> fullPairsOracle,
     "t17_repetition" ->
       s"""WITH tok AS (
          |  SELECT doc_id, w, pos FROM (

@@ -139,4 +139,40 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.hammingDist(col("a"), col("b"))).as[Long].collect()
     assert(hd(0) == 0L)
   }
+
+  test("updateJaccardIndex: incremental == full rebuild (new-new and " +
+      "new-old pairs)") {
+    // base: docs 1-2 share shingles; delta: 10 near-dups 1, 11 near-dups
+    // 10 (new-new), 12 is novel
+    val base = docsDf((1L, "w x y z q a"), (2L, "w x y z r b"))
+    val delta = docsDf((10L, "w x y z q c"), (11L, "w x y z q d"),
+      (12L, "completely different words here"))
+    val full = Dedup.ngramJaccardPairs(base.unionByName(delta),
+        "doc_id", "text", 3, 0.1, 1000L)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val ix = Dedup.buildJaccardIndex(base, "doc_id", "text", 3, 0.1, 1000L)
+    val (updated, overflowed) = Dedup.updateJaccardIndex(ix, delta,
+      "doc_id", "text", 3, 0.1, 1000L)
+    assert(overflowed.count() == 0)
+    val inc = updated.pairs.select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full)
+    // the incremental pair set includes new-old (1,10) and new-new (10,11)
+    assert(inc.exists(p => p._1 == 1L && p._2 == 10L))
+    assert(inc.exists(p => p._1 == 10L && p._2 == 11L))
+    spark.catalog.clearCache()
+  }
+
+  test("updateJaccardIndex reports shingles that crossed maxDf") {
+    // maxDf = 2: the shared shingle's list holds 2 base docs; a delta
+    // doc pushes it to 3 -> overflow reported (rebuild required)
+    val base = docsDf((1L, "a b c"), (2L, "a b c"))
+    val delta = docsDf((10L, "a b c"))
+    val ix = Dedup.buildJaccardIndex(base, "doc_id", "text", 3, 0.5, 2L)
+    val (_, overflowed) = Dedup.updateJaccardIndex(ix, delta,
+      "doc_id", "text", 3, 0.5, 2L)
+    assert(overflowed.count() >= 1)
+    spark.catalog.clearCache()
+  }
 }
