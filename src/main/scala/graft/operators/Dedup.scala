@@ -119,23 +119,28 @@ object Dedup {
   /** One-shot build of [[JaccardIndex]] — same semantics as
     * [[ngramJaccardPairs]] (which stays the artifact-free query path),
     * but keeping postings UNFILTERED so later deltas can detect maxDf
-    * crossings. */
+    * crossings. All three frames are LOCAL-CHECKPOINTED (eager,
+    * lineage-truncated — the in-session stand-in for the parquet
+    * artifact a pipeline persists per corpus snapshot): an index that
+    * silently recomputed its corpus-sized build on every consumer
+    * would defeat the entire incremental contract.
+    */
   def buildJaccardIndex(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxDf: Long = 1000L): JaccardIndex = {
     val postings = shingleHashSet(df, idCol, textCol, n)
       .groupBy("shingle")
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
-      .persist()
-    postings.count() // eager pin, same rationale as ngramJaccardPairs
+      .localCheckpoint()
     val kept = postings.filter(size(col("ids")) <= maxDf)
     val sizes = kept
       .select(explode(col("ids")).as(idCol))
       .groupBy(col(idCol)).agg(count("*").as("sz"))
+      .localCheckpoint()
     val inter = pairsFromLists(kept)
       .groupBy("id_a", "id_b").agg(count("*").as("inter"))
     JaccardIndex(postings, sizes,
-      jaccardFromCounts(inter, sizes, idCol, threshold))
+      jaccardFromCounts(inter, sizes, idCol, threshold).localCheckpoint())
   }
 
   /** INCREMENTAL near-dup maintenance — the operation that makes daily
