@@ -220,6 +220,55 @@ object StreamingQueries {
       Streaming.runAvailableNow(spark, counts, "graft_s09"))
   }
 
+  /** CONTINUOUS near-dup index maintenance — t31's streaming form and
+    * the shape a live ingest pipeline runs: the base corpus (80%) is
+    * indexed once ([[graft.operators.Dedup.buildJaccardIndex]], the
+    * persisted artifact), then the remaining docs arrive as TWO
+    * micro-batches (maxFilesPerTrigger=1 over two staged files) and
+    * `foreachBatch` folds each into the index with
+    * [[graft.operators.Dedup.updateJaccardIndex]] — delta-proportional
+    * work per trigger, never an O(corpus) rescan. The oracle is t03's
+    * full-corpus SQL verbatim: TWO sequential incremental updates must
+    * compose to exactly the full rebuild (the equivalence holds
+    * per-update, so it holds by induction — and the hash gate checks
+    * the composition, not the claim).
+    */
+  def streamIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_s10").toString
+    // stage the delta as two files → two AvailableNow micro-batches
+    Seq(8, 9).foreach { m =>
+      docs.filter(pmod(col("doc_id"), lit(10)) === m)
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$base/delta")
+    }
+    var ix = Dedup.buildJaccardIndex(
+      docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text", n = 3, threshold = 0.1, maxDf = 1000L)
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/delta")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // driver-side fold: each micro-batch advances the index artifact
+        ix = Dedup.updateJaccardIndex(ix, batch, "doc_id", "text",
+          n = 3, threshold = 0.1, maxDf = 1000L)._1
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ix.pairs
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Sessionization through the BUILT-IN session_window operator
     * ([[Streaming.sessionWindowCounts]]) — s03's twin without custom
     * state. The oracle's session rule is `gap >= 1800` (window bound
@@ -245,11 +294,15 @@ object StreamingQueries {
     "s05_stream_upsert" -> (streamUpsert(_, _)),
     "s06_stream_join" -> (streamStreamJoin(_, _)),
     "s07_stream_search" -> (streamSearch(_, _)),
-    "s09_stream_decontaminate" -> (streamDecontaminate(_, _)))
+    "s09_stream_decontaminate" -> (streamDecontaminate(_, _)),
+    "s10_stream_dedup_index" -> (streamIncrementalDedup(_, _)))
 
   val oracles: Map[String, String] = Map(
     // t22's oracle verbatim — continuous decontamination ≡ batch
     "s09_stream_decontaminate" -> TextQueries.decontaminateOracle,
+    // t03's full-corpus oracle verbatim — two sequential incremental
+    // index updates must compose to exactly the full rebuild
+    "s10_stream_dedup_index" -> TextQueries.fullPairsOracle,
     // gap >= 1800s, NOT > 1800s: session_window bounds are [start,
     // last+gap). Gap measured in MICROSECONDS: session_window compares
     // exact event-time timestamps, while date_diff('second') truncates

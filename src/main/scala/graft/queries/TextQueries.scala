@@ -81,6 +81,13 @@ object TextQueries {
         .persist()
     })
 
+  /** The t31 BASE index, built once per corpus like [[dupComponents]]
+    * — the artifact contract: a pipeline pays index construction at
+    * snapshot time, and what each ingest batch pays is the UPDATE
+    * (which is what repeated t31 timings then measure). */
+  private val jaccardIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, Dedup.JaccardIndex]
+
   /** INCREMENTAL near-dup maintenance
     * ([[graft.operators.Dedup.updateJaccardIndex]]): 80% of the corpus
     * plays the existing indexed base, the interleaved other 20% arrives
@@ -91,13 +98,6 @@ object TextQueries {
     * crossing would be reported by the operator AND break this hash
     * match, so the exactness condition is itself gated.
     */
-  /** The t31 BASE index, built once per corpus like [[dupComponents]]
-    * — the artifact contract: a pipeline pays index construction at
-    * snapshot time, and what each ingest batch pays is the UPDATE
-    * (which is what repeated t31 timings then measure). */
-  private val jaccardIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, Dedup.JaccardIndex]
-
   def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = spread(Tables.documents(spark, sfDir), "doc_id")
     val delta = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
@@ -647,7 +647,7 @@ object TextQueries {
   /** The full-corpus pair oracle, shared by t03 (one-shot build) and
     * t31 (incremental update) — one definition of the pair set both
     * construction paths must produce. */
-  private lazy val fullPairsOracle: String =
+  private[queries] lazy val fullPairsOracle: String =
     s"""WITH $jaccardPairCtes
        |SELECT id_a, id_b, round(jac, 6) AS jaccard
        |FROM jpairs WHERE jac >= 0.1
