@@ -88,6 +88,17 @@ object TextQueries {
   private val jaccardIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, Dedup.JaccardIndex]
 
+  /** The cached base index, shared by t31 (batch update) and s10
+    * (streaming update) — one artifact per corpus, as deployed. */
+  private[queries] def baseJaccardIndex(spark: SparkSession,
+                                        sfDir: String): Dedup.JaccardIndex =
+    jaccardIndexCache.getOrElseUpdate(sfDir,
+      Dedup.buildJaccardIndex(
+        spread(Tables.documents(spark, sfDir), "doc_id")
+          .filter(pmod(col("doc_id"), lit(10)) < 8)
+          .select("doc_id", "text"),
+        "doc_id", "text", n = 3, threshold = 0.1, maxDf = 1000L))
+
   /** INCREMENTAL near-dup maintenance
     * ([[graft.operators.Dedup.updateJaccardIndex]]): 80% of the corpus
     * plays the existing indexed base, the interleaved other 20% arrives
@@ -101,9 +112,7 @@ object TextQueries {
   def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = spread(Tables.documents(spark, sfDir), "doc_id")
     val delta = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
-    val ix = jaccardIndexCache.getOrElseUpdate(sfDir,
-      Dedup.buildJaccardIndex(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
-        "doc_id", "text", n = 3, threshold = 0.1, maxDf = 1000L))
+    val ix = baseJaccardIndex(spark, sfDir)
     val (updated, _) = Dedup.updateJaccardIndex(ix, delta,
       "doc_id", "text", n = 3, threshold = 0.1, maxDf = 1000L)
     updated.pairs
