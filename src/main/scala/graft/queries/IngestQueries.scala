@@ -57,7 +57,12 @@ object IngestQueries {
   private[queries] def stagedDir(spark: SparkSession, name: String)
                                 (fill: String => Unit): String = {
     val dir = roundtripDir(spark, name)
-    if (stagedNames.add(name)) fill(dir)
+    if (stagedNames.add(name)) {
+      // a failed fill must not leave the name memoized: later calls
+      // would silently consume a half-staged fixture
+      try fill(dir)
+      catch { case t: Throwable => stagedNames.remove(name); throw t }
+    }
     dir
   }
 

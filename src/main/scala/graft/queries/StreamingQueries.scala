@@ -266,10 +266,7 @@ object StreamingQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    ix.pairs
-      .select(col("id_a"), col("id_b"),
-        round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("id_a", "id_b")
+    TextQueries.pairsSelect(ix.pairs)
   }
 
   /** Sessionization through the BUILT-IN session_window operator

@@ -49,10 +49,9 @@ object TextQueries {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.ngramJaccardPairs(spread(Tables.documents(spark, sfDir), "doc_id"),
-        "doc_id", "text", n = 3, threshold = 0.1, maxDf = 1000L)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("id_a", "id_b")
+    pairsSelect(Dedup.ngramJaccardPairs(
+      spread(Tables.documents(spark, sfDir), "doc_id"),
+      "doc_id", "text", n = 3, threshold = 0.1, maxDf = 1000L))
 
   /** BUILD-ONCE near-dup artifact: the t03 pair machinery (inverted-
     * index n-gram-Jaccard pairs) closed into connected components,
@@ -88,6 +87,15 @@ object TextQueries {
   private val jaccardIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, Dedup.JaccardIndex]
 
+  /** The pair-result shaping shared by t03, t31 and s10 — ONE
+    * definition of the rounding/ordering contract [[fullPairsOracle]]
+    * pins (s09/decontaminateSelect's convention). */
+  private[queries] def pairsSelect(pairs: DataFrame): DataFrame =
+    pairs
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
   /** The cached base index, shared by t31 (batch update) and s10
     * (streaming update) — one artifact per corpus, as deployed. */
   private[queries] def baseJaccardIndex(spark: SparkSession,
@@ -115,10 +123,7 @@ object TextQueries {
     val ix = baseJaccardIndex(spark, sfDir)
     val (updated, _) = Dedup.updateJaccardIndex(ix, delta,
       "doc_id", "text", n = 3, threshold = 0.1, maxDf = 1000L)
-    updated.pairs
-      .select(col("id_a"), col("id_b"),
-        round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("id_a", "id_b")
+    pairsSelect(updated.pairs)
   }
 
   /** Near-duplicate GROUPS: connected components over the t03 pair
