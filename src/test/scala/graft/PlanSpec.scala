@@ -176,6 +176,29 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("incremental dedup update never re-shingles the base corpus") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val ix = Dedup.buildJaccardIndex(
+      docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text", 3, 0.1, 1000L)
+    val (upd, _) = Dedup.updateJaccardIndex(ix,
+      docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
+      "doc_id", "text", 3, 0.1, 1000L)
+    val p = plan(upd.pairs)
+    // the base artifact arrives MATERIALIZED (checkpointed scan) —
+    // never re-derived from text
+    assert(p.contains("ExistingRDD"),
+      s"base index not consumed from the materialized artifact:\n$p")
+    // every text scan in the update plan is the DELTA's (pmod >= 8);
+    // a base-side text scan would mean O(corpus) re-shingling
+    val textScans = p.split("\n")
+      .filter(l => l.contains("FileScan parquet") && l.contains("text"))
+    assert(textScans.nonEmpty && textScans.forall(_.contains(">= 8")),
+      s"update plan scans base text:\n${textScans.mkString("\n")}")
+    spark.catalog.clearCache()
+  }
+
   test("s07 keeps the index un-broadcast: equi-join survives " +
       "autoBroadcastJoinThreshold=-1 without a cartesian") {
     // the contract that makes s07 runnable at 100 TB: disable size-based
