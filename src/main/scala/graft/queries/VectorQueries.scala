@@ -443,6 +443,36 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The fully LEARNED IVF-PQ configuration — v22 with k-means cells
+    * instead of seeded ones: MLlib-trained centroids route the corpus,
+    * trained codebooks compress it, probe-4 → ADC shortlist-50 → exact
+    * L2 top-10. BOTH models persist as [[Artifacts]] parquet and the
+    * oracle replays assignment, probe ranking, encode, ADC and rerank
+    * from the persisted values — the production ANN serving config
+    * (learned everything) with every step hash-checked.
+    */
+  def learnedIvfPqSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val centDir = Artifacts.write(
+      Ann.kmeansCentroids(corpus, "vec_id", "embedding", 16),
+      "v25_centroids", sfDir)
+    val centroids = spark.read.parquet(centDir)
+    val trained = Pq.trainCodebooks(
+      corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding", m = 8, k = 16, maxIter = 4)
+    val model = persistCodebooks(spark, trained, "v25_codebooks", sfDir)
+    val index = Pq.buildIvfPqIndex(corpus, centroids,
+      "vec_id", "embedding", model)
+    Pq.ivfPqSearch(index, centroids, corpus, "vec_id", "embedding",
+        q, model, nProbe = 4, shortlist = 50, k = 10)
+      .select(col("vec_id"), round(col("dist"), 6).as("l2_dist"))
+      .orderBy("vec_id")
+  }
+
   /** The multimodal→retrieval COMPOSITION end-to-end: binary payloads
     * → per-partition batch decode + feature extraction
     * ([[graft.operators.Multimodal.decodeBatch]]) → exact cosine top-10
@@ -940,6 +970,39 @@ object VectorQueries {
         |  ORDER BY score DESC, f.doc_id LIMIT 10)
         |SELECT doc_id, round(score, 6) AS score FROM top
         |ORDER BY doc_id""".stripMargin,
+    // v22's replay with LEARNED cells: centroids read from the k-means
+    // artifact instead of the seeded CTE; corpus = everything but the
+    // query vector
+    "v25_learned_ivfpq" ->
+      s"""WITH cb AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |            FROM read_parquet('${Artifacts.oracleGlob("v25_codebooks")}')),
+         |cent AS (SELECT centroid_id, CAST(centroid AS DOUBLE[]) AS ctr0
+         |         FROM read_parquet('${Artifacts.oracleGlob("v25_centroids")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM embeddings),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |corpus AS (SELECT vec_id, e FROM v WHERE vec_id <> 0),
+         |assigned AS (
+         |  SELECT vec_id, e, centroid_id FROM (
+         |    SELECT co.vec_id, co.e, cent.centroid_id,
+         |           row_number() OVER (PARTITION BY co.vec_id
+         |             ORDER BY list_distance(co.e, cent.ctr0),
+         |                      cent.centroid_id) AS rn
+         |    FROM corpus co, cent) WHERE rn = 1),
+         |probed AS (
+         |  SELECT centroid_id FROM cent, q
+         |  ORDER BY list_distance(ctr0, qe), centroid_id LIMIT 4),
+         |cand AS (
+         |  SELECT a.vec_id, a.e FROM assigned a JOIN probed
+         |  USING (centroid_id)),
+         |${pqAdcCtes("cand")},
+         |short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 50),
+         |res AS (
+         |  SELECT ca.vec_id, list_distance(ca.e, q.qe) AS d
+         |  FROM cand ca JOIN short USING (vec_id), q
+         |  ORDER BY d, ca.vec_id LIMIT 10)
+         |SELECT vec_id, round(d, 6) AS l2_dist FROM res
+         |ORDER BY vec_id""".stripMargin,
     // the kNN-graph replay: same sketch CTE, every vector probes its
     // own + hamming-1 buckets, self-pairs excluded, per-vector top-3
     "v23_knn_graph" ->
@@ -1099,6 +1162,7 @@ object VectorQueries {
     "v22_ivfpq_search" -> (ivfPqSearchQuery(_, _)),
     "v23_knn_graph" -> (knnGraph(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
+    "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
     "v17_range_search" -> (rangeSearch(_, _)),
     "v18_mmr_rerank" -> (mmrRerank(_, _)),
     "v19_filtered_knn" -> (filteredKnn(_, _)))
