@@ -184,31 +184,50 @@ object Ingest {
   def withStoreLock[T](spark: SparkSession, path: String)(body: => T): T = {
     val lockPath = new org.apache.hadoop.fs.Path(path + ".lock")
     val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out =
-      try fs.create(lockPath, false)
+    def locked(cause: Throwable): Nothing =
+      throw new IllegalStateException(
+        s"store $path is locked by another writer ($lockPath exists); " +
+          "the plain-parquet store is single-writer. If the previous " +
+          "writer crashed, verify it is gone and delete the lock file.",
+        cause)
+    val writerTag = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName.getBytes("UTF-8")
+    if (fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]) {
+      // Hadoop's local create(overwrite=false) is CHECK-then-act — two
+      // same-host writers can both pass it (observed in the EngineSpec
+      // race test as a _temporary staging collision). O_EXCL via nio is
+      // genuinely atomic on a local filesystem.
+      val nioLock = java.nio.file.Paths
+        .get(new java.io.File(path + ".lock").getAbsolutePath)
+      try java.nio.file.Files.write(nioLock, writerTag,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
       catch {
-        // only an actually-present lock is "another writer" — a
-        // permission/quota/transient-FS failure must surface as itself,
-        // not as advice to delete a lock file that does not exist
-        case e: java.io.IOException =>
-          val lockExists =
-            try fs.exists(lockPath)
-            catch { case _: java.io.IOException => false }
-          if (lockExists)
-            throw new IllegalStateException(
-              s"store $path is locked by another writer ($lockPath " +
-                "exists); the plain-parquet store is single-writer. If " +
-                "the previous writer crashed, verify it is gone and " +
-                "delete the lock file.",
-              e)
-          else throw e
+        case e: java.nio.file.FileAlreadyExistsException => locked(e)
       }
-    try {
-      out.write(java.lang.management.ManagementFactory
-        .getRuntimeMXBean.getName.getBytes("UTF-8"))
-      out.close()
-      body
-    } finally fs.delete(lockPath, false): Unit
+      try body
+      finally java.nio.file.Files.deleteIfExists(nioLock): Unit
+    } else {
+      // HDFS: create(overwrite=false) IS atomic. Object stores without
+      // atomic create need a table-format commit protocol instead (the
+      // documented deployment boundary).
+      val out =
+        try fs.create(lockPath, false)
+        catch {
+          // only an actually-present lock is "another writer" — a
+          // permission/quota/transient-FS failure must surface as
+          // itself, not as advice to delete a missing lock file
+          case e: java.io.IOException =>
+            val lockExists =
+              try fs.exists(lockPath)
+              catch { case _: java.io.IOException => false }
+            if (lockExists) locked(e) else throw e
+        }
+      try {
+        out.write(writerTag)
+        out.close()
+        body
+      } finally fs.delete(lockPath, false): Unit
+    }
   }
 
   /** Store partitioned on low-cardinality columns (e.g. source, lang) —
