@@ -171,4 +171,31 @@ class KernelPropertySpec extends AnyFunSuite {
     }
     assert(eval(Seq(0.0, 0.0)) == Seq(0f, 0f))
   }
+
+  test("NfcNormalize: idempotent, NFC-equivalent, safe on random unicode") {
+    def nfc(in: String): String =
+      NfcNormalize(Literal(UTF8String.fromString(in), StringType))
+        .eval(null).asInstanceOf[UTF8String].toString
+    val combining = Array('\u0301', '\u0308', '\u030a', '\u0327')
+    (1 to 200).foreach { _ =>
+      val sb = new StringBuilder
+      (1 to rng.nextInt(20) + 1).foreach { _ =>
+        rng.nextInt(4) match {
+          case 0 => sb.append(('a' + rng.nextInt(26)).toChar)
+          case 1 => sb.append(combining(rng.nextInt(combining.length)))
+          case 2 => sb.append("é日ß".charAt(rng.nextInt(3)))
+          case _ => sb.append(' ')
+        }
+      }
+      val in = sb.toString
+      val out = nfc(in)
+      // the JDK reference is the ground truth the expression wraps
+      assert(out == java.text.Normalizer
+        .normalize(in, java.text.Normalizer.Form.NFC))
+      assert(nfc(out) == out) // idempotent
+      assert(java.text.Normalizer
+        .isNormalized(out, java.text.Normalizer.Form.NFC))
+    }
+    assert(nfc("") == "")
+  }
 }
