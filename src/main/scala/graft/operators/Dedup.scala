@@ -112,9 +112,29 @@ object Dedup {
     * shingle sizes, and the thresholded pair set. The artifact a real
     * pipeline persists per corpus snapshot and updates per ingest
     * batch ([[updateJaccardIndex]]) instead of rebuilding O(corpus).
+    *
+    * LSM-shaped: `postings` is the immutable BASE artifact; each
+    * incremental update appends one delta-sized postings frame to
+    * `deltas` (the sidecar) instead of rewriting the base. Readers
+    * that need full lists use [[mergedPostings]] (base ∪ sidecars,
+    * folded on read); [[compactJaccardIndex]] folds the sidecars into
+    * a new base at whatever cadence the pipeline chooses — so the
+    * O(base) merge is a scheduled compaction, never a per-trigger tax.
     */
   case class JaccardIndex(postings: DataFrame, sizes: DataFrame,
-                          pairs: DataFrame)
+                          pairs: DataFrame,
+                          deltas: Seq[DataFrame] = Nil) {
+    /** The full logical postings relation: base lists ∪ sidecar lists,
+      * re-grouped per shingle. Equals what a from-scratch build would
+      * produce (DedupSpec pins it). Delta-sized sidecars make this one
+      * skinny union + re-group, not a rebuild.
+      */
+    def mergedPostings: DataFrame =
+      if (deltas.isEmpty) postings
+      else (postings +: deltas).reduce(_ unionByName _)
+        .groupBy("shingle")
+        .agg(array_sort(flatten(collect_list(col("ids")))).as("ids"))
+  }
 
   /** One-shot build of [[JaccardIndex]] — same semantics as
     * [[ngramJaccardPairs]] (which stays the artifact-free query path),
@@ -145,16 +165,30 @@ object Dedup {
 
   /** INCREMENTAL near-dup maintenance — the operation that makes daily
     * ingest affordable at 100 TB: fold a `delta` batch into an existing
-    * [[JaccardIndex]] touching only delta-proportional state, never
-    * rescanning the base corpus.
+    * [[JaccardIndex]] touching only delta-proportional state. The base
+    * postings artifact is NEVER rewritten (it returns in the updated
+    * index by reference); the delta's lists land in a sidecar frame
+    * appended to `ix.deltas`, and the only base access is a READ pruned
+    * to the delta's shingles (a semi-join on the broadcast delta keys —
+    * on a deployed shingle-bucketed postings table, bucket-local point
+    * lookups). Per-trigger cost is therefore O(delta + lists the delta
+    * hits), with the O(base) fold deferred to [[compactJaccardIndex]].
     *
-    * Work done: the delta's shingles are grouped once; postings merge
-    * is a delta-keyed outer join; NEW pairs can only arise in lists
-    * containing a delta doc, and every such list's shingle occurs in
-    * the delta — so pair generation runs over `kept ⋉ deltaShingles`
-    * only, keeps pairs with a delta member (old-old pairs are already
-    * in the base artifact), and scores them against base sizes ∪ delta
-    * sizes.
+    * Work done: the delta's shingles are grouped once; the lists they
+    * land in are assembled from base ∪ sidecars ∪ delta for exactly
+    * those shingles. NEW pairs can only arise in lists containing a
+    * delta doc, and every such list's shingle occurs in the delta — so
+    * pair generation runs over those touched lists only, keeps pairs
+    * with a delta member (old-old pairs are already in the base
+    * artifact), and scores them against base sizes ∪ delta sizes.
+    *
+    * Every frame materialized per update (delta postings, touched
+    * lists, delta sizes, new scored pairs) is delta-sized and
+    * localCheckpointed — eager, lineage-truncated — so a long-running
+    * stream (s10's foreachBatch) accumulates bounded, delta-sized
+    * state per trigger instead of base-sized caches and ever-deeper
+    * union plans; the union fan-in (one leg per update) is bounded by
+    * the caller's compaction cadence.
     *
     * Contracts: delta ids must be NEW (disjoint from the base — the
     * ingest path guarantees it). Returns the updated index plus the
@@ -171,29 +205,36 @@ object Dedup {
       : (JaccardIndex, DataFrame) = {
     val deltaSh = shingleHashSet(delta, idCol, textCol, n)
       .groupBy("shingle")
-      .agg(array_sort(collect_list(col(idCol))).as("dids"))
-      .persist()
-    deltaSh.count() // eager pin (read by merge, touched and sizes)
-    val merged = ix.postings.withColumnRenamed("ids", "bids")
-      .join(deltaSh, Seq("shingle"), "full_outer")
-      .select(col("shingle"),
-        array_sort(concat(
-          coalesce(col("bids"), array().cast("array<long>")),
-          coalesce(col("dids"), array().cast("array<long>")))).as("ids"),
-        coalesce(size(col("bids")), lit(0)).as("_old_len"))
-      .persist()
-    merged.count()
-    val overflowed = merged
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .localCheckpoint() // eager + truncated: read by 3 branches below
+    val deltaKeys = deltaSh.select("shingle")
+    // prior lists the delta touches: a PRUNED READ of base ∪ sidecars
+    // (semi-join on the broadcast delta keys) — output is delta-keyed,
+    // the base is never rewritten
+    val priorLists = (ix.postings +: ix.deltas)
+      .map(_.join(broadcast(deltaKeys), Seq("shingle"), "left_semi")
+        .select(col("shingle"), col("ids"), lit(true).as("_old")))
+      .reduce(_ unionByName _)
+    // full current list per touched shingle, plus the PRIOR length
+    // (base + earlier sidecars) so a maxDf crossing in THIS update is
+    // detectable
+    val touched = priorLists
+      .unionByName(deltaSh.select(col("shingle"), col("ids"),
+        lit(false).as("_old")))
+      .groupBy("shingle")
+      .agg(array_sort(flatten(collect_list(col("ids")))).as("ids"),
+        sum(when(col("_old"), size(col("ids"))).otherwise(0))
+          .as("_old_len"))
+      .localCheckpoint() // delta-sized; feeds overflow, pairs and sizes
+    val overflowed = touched
       .filter(size(col("ids")) > maxDf && col("_old_len") <= maxDf)
       .select("shingle")
-    val kept = merged.filter(size(col("ids")) <= maxDf)
     // a list can yield a NEW pair iff it contains a delta doc, and
     // every such list's shingle appears in the delta by construction
-    val touched = kept.join(deltaSh.select("shingle"), Seq("shingle"),
-      "left_semi")
+    val kept = touched.filter(size(col("ids")) <= maxDf)
     val deltaIds = delta.select(col(idCol)).distinct()
       .withColumn("_d", lit(1))
-    val newPairs = pairsFromLists(touched)
+    val newPairs = pairsFromLists(kept)
       .join(broadcast(deltaIds.select(col(idCol).as("id_a"), col("_d").as("_da"))),
         Seq("id_a"), "left")
       .join(broadcast(deltaIds.select(col(idCol).as("id_b"), col("_d").as("_db"))),
@@ -202,15 +243,30 @@ object Dedup {
       .select("id_a", "id_b")
     val inter = newPairs.groupBy("id_a", "id_b").agg(count("*").as("inter"))
     // delta docs' kept-shingle counts all live in touched lists
-    val deltaSizes = touched
+    val deltaSizes = touched.filter(size(col("ids")) <= maxDf)
       .select(explode(col("ids")).as(idCol))
       .join(broadcast(deltaIds.select(idCol)), Seq(idCol), "left_semi")
       .groupBy(col(idCol)).agg(count("*").as("sz"))
-    val allSizes = ix.sizes.unionByName(deltaSizes)
+    val allSizes = ix.sizes.unionByName(deltaSizes.localCheckpoint())
     val scored = jaccardFromCounts(inter, allSizes, idCol, threshold)
-    (JaccardIndex(merged.select("shingle", "ids"), allSizes,
-      ix.pairs.unionByName(scored)), overflowed)
+    (JaccardIndex(ix.postings, allSizes,
+      ix.pairs.unionByName(scored.localCheckpoint()),
+      ix.deltas :+ deltaSh), overflowed)
   }
+
+  /** Fold an index's sidecar deltas into a new base — the scheduled
+    * COMPACTION leg of the LSM split ([[updateJaccardIndex]] is the
+    * per-trigger leg). O(base + deltas): runs at whatever cadence the
+    * pipeline chooses (nightly, every N triggers), never inside the
+    * ingest hot path. Also flattens the per-update union chains in
+    * sizes/pairs into single checkpointed frames, resetting plan depth
+    * for the next epoch of updates. Pure repackaging: pairs, sizes and
+    * the merged postings relation are unchanged (DedupSpec pins it).
+    */
+  def compactJaccardIndex(ix: JaccardIndex): JaccardIndex =
+    if (ix.deltas.isEmpty) ix
+    else JaccardIndex(ix.mergedPostings.localCheckpoint(),
+      ix.sizes.localCheckpoint(), ix.pairs.localCheckpoint(), Nil)
 
   /** MinHash signature (array<bigint>, length numHashes) from a column of
     * precomputed 60-bit shingle hashes: component j is the min over the

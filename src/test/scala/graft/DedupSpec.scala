@@ -175,4 +175,97 @@ class DedupSpec extends SparkSpec {
     assert(overflowed.count() >= 1)
     spark.catalog.clearCache()
   }
+
+  test("updateJaccardIndex sidecars the delta: base untouched, " +
+      "mergedPostings == from-scratch build") {
+    val base = docsDf((1L, "w x y z q a"), (2L, "w x y z r b"))
+    val delta = docsDf((10L, "w x y z q c"), (12L, "novel words here"))
+    val ix = Dedup.buildJaccardIndex(base, "doc_id", "text", 3, 0.1, 1000L)
+    val (upd, _) = Dedup.updateJaccardIndex(ix, delta,
+      "doc_id", "text", 3, 0.1, 1000L)
+    // LSM contract: the base artifact is returned by reference, the
+    // delta rides a sidecar — per-update work cannot be O(base rewrite)
+    assert(upd.postings eq ix.postings)
+    assert(upd.deltas.size == 1)
+    val merged = upd.mergedPostings
+      .as[(Long, Seq[Long])].collect().toSet
+    val scratch = Dedup
+      .buildJaccardIndex(base.unionByName(delta), "doc_id", "text",
+        3, 0.1, 1000L)
+      .postings.as[(Long, Seq[Long])].collect().toSet
+    assert(merged == scratch)
+    spark.catalog.clearCache()
+  }
+
+  test("compactJaccardIndex folds sidecars without changing " +
+      "postings, sizes or pairs") {
+    val base = docsDf((1L, "w x y z q a"), (2L, "w x y z r b"))
+    val delta = docsDf((10L, "w x y z q c"), (11L, "w x y z q d"))
+    val ix = Dedup.buildJaccardIndex(base, "doc_id", "text", 3, 0.1, 1000L)
+    val (upd, _) = Dedup.updateJaccardIndex(ix, delta,
+      "doc_id", "text", 3, 0.1, 1000L)
+    val compacted = Dedup.compactJaccardIndex(upd)
+    assert(compacted.deltas.isEmpty)
+    assert(compacted.postings.as[(Long, Seq[Long])].collect().toSet ==
+      upd.mergedPostings.as[(Long, Seq[Long])].collect().toSet)
+    assert(compacted.sizes.as[(Long, Long)].collect().toSet ==
+      upd.sizes.as[(Long, Long)].collect().toSet)
+    assert(compacted.pairs.select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet ==
+      upd.pairs.select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet)
+    // compacting a delta-free index is the identity
+    assert(Dedup.compactJaccardIndex(compacted) eq compacted)
+    spark.catalog.clearCache()
+  }
+
+  test("two sequential updates compose to the full rebuild " +
+      "(the s10 induction, unit-sized)") {
+    val base = docsDf((1L, "w x y z q a"), (2L, "w x y z r b"))
+    val d1 = docsDf((10L, "w x y z q c"))
+    val d2 = docsDf((11L, "w x y z q d"), (12L, "all novel text"))
+    val full = Dedup.ngramJaccardPairs(base.unionByName(d1).unionByName(d2),
+        "doc_id", "text", 3, 0.1, 1000L)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val ix0 = Dedup.buildJaccardIndex(base, "doc_id", "text", 3, 0.1, 1000L)
+    val (ix1, o1) = Dedup.updateJaccardIndex(ix0, d1,
+      "doc_id", "text", 3, 0.1, 1000L)
+    val (ix2, o2) = Dedup.updateJaccardIndex(ix1, d2,
+      "doc_id", "text", 3, 0.1, 1000L)
+    assert(o1.count() == 0 && o2.count() == 0)
+    assert(ix2.deltas.size == 2) // one sidecar per update, base shared
+    assert(ix2.postings eq ix0.postings)
+    assert(ix2.pairs.select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet == full)
+    spark.catalog.clearCache()
+  }
+
+  test("maxDf overflow -> rebuild: the reported condition drives a " +
+      "rebuild that matches the full-corpus result") {
+    // maxDf=2: base list for the shared shingle holds docs 1,2 (kept,
+    // pair (1,2) scored); the delta pushes it to 3 — overflow. The
+    // stale incremental pairs STILL contain (1,2), but a full rebuild
+    // drops the now-stop shingle and the pair with it. The operator's
+    // report is the rebuild trigger; this pins the whole path.
+    val base = docsDf((1L, "a b c"), (2L, "a b c"))
+    val delta = docsDf((10L, "a b c"))
+    val ix = Dedup.buildJaccardIndex(base, "doc_id", "text", 3, 0.5, 2L)
+    val (updated, overflowed) = Dedup.updateJaccardIndex(ix, delta,
+      "doc_id", "text", 3, 0.5, 2L)
+    assert(overflowed.count() >= 1) // the rebuild signal
+    // the un-rebuilt index is stale: it keeps the pre-overflow pair
+    assert(updated.pairs.count() == 1)
+    // caller reacts by rebuilding over base ∪ delta: exactness restored
+    val rebuilt = Dedup.buildJaccardIndex(base.unionByName(delta),
+      "doc_id", "text", 3, 0.5, 2L)
+    val oracle = Dedup.ngramJaccardPairs(base.unionByName(delta),
+        "doc_id", "text", 3, 0.5, 2L)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rebuilt.pairs.select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet == oracle)
+    assert(oracle.isEmpty) // the shared shingle is now a stop-shingle
+    spark.catalog.clearCache()
+  }
 }

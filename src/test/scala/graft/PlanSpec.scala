@@ -185,17 +185,24 @@ class PlanSpec extends SparkSpec {
     val (upd, _) = Dedup.updateJaccardIndex(ix,
       docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
       "doc_id", "text", 3, 0.1, 1000L)
-    val p = plan(upd.pairs)
-    // the base artifact arrives MATERIALIZED (checkpointed scan) —
-    // never re-derived from text
-    assert(p.contains("ExistingRDD"),
-      s"base index not consumed from the materialized artifact:\n$p")
-    // every text scan in the update plan is the DELTA's (pmod >= 8);
-    // a base-side text scan would mean O(corpus) re-shingling
-    val textScans = p.split("\n")
-      .filter(l => l.contains("FileScan parquet") && l.contains("text"))
-    assert(textScans.nonEmpty && textScans.forall(_.contains(">= 8")),
-      s"update plan scans base text:\n${textScans.mkString("\n")}")
+    // the base postings artifact returns BY REFERENCE: an update never
+    // rewrites (or even re-plans) the base — the LSM contract
+    assert(upd.postings eq ix.postings,
+      "update rewrote the base postings artifact")
+    assert(upd.deltas.size == 1, "update did not sidecar its delta")
+    // consumer plans read only MATERIALIZED state (checkpointed scans):
+    // no text FileScan anywhere — base or delta — because every
+    // per-update frame was materialized delta-sized inside the update
+    Seq("pairs" -> upd.pairs, "sizes" -> upd.sizes,
+        "mergedPostings" -> upd.mergedPostings).foreach { case (tag, df) =>
+      val p = plan(df)
+      assert(p.contains("ExistingRDD"),
+        s"$tag not consumed from the materialized artifact:\n$p")
+      val textScans = p.split("\n")
+        .filter(l => l.contains("FileScan parquet") && l.contains("text"))
+      assert(textScans.isEmpty,
+        s"$tag plan rescans document text:\n${textScans.mkString("\n")}")
+    }
     spark.catalog.clearCache()
   }
 
