@@ -192,7 +192,13 @@ object Ingest {
         cause)
     val writerTag = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getName.getBytes("UTF-8")
-    if (fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]) {
+    // keyed on the SCHEME, not the concrete class: RawLocalFileSystem
+    // (fs.file.impl overrides, getRawFileSystem handles) is not a
+    // LocalFileSystem but is the same local disk — two same-host
+    // writers through different wrappers must still take the one
+    // genuinely-atomic O_EXCL path
+    val scheme = Option(lockPath.toUri.getScheme).getOrElse(fs.getScheme)
+    if (scheme == "file") {
       // Hadoop's local create(overwrite=false) is CHECK-then-act — two
       // same-host writers can both pass it (observed in the EngineSpec
       // race test as a _temporary staging collision). O_EXCL via nio is
@@ -256,12 +262,63 @@ object Ingest {
     require(numFiles > 0, "numFiles must be positive")
     withStoreLock(spark, path) {
       val tmp = path + ".compact.tmp"
-      spark.read.parquet(path)
-        .repartition(numFiles)
-        .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      // LAYOUT-PRESERVING: a store written via writeStorePartitioned
+      // must come out of compaction still hive-partitioned — a plain
+      // repartition+write would keep the partition columns as data but
+      // flatten the directory layout, silently destroying partition
+      // pruning for every later reader. Detect the layout from the
+      // directory tree and rewrite with the same partitionBy.
+      // (Bucketed stores are saveAsTable territory — writeStoreBucketed
+      // owns their lifecycle; this path is for directory stores.)
+      val partCols = detectPartitionCols(spark, path)
+      val df = spark.read.parquet(path)
+      val writer =
+        (if (partCols.isEmpty) df.repartition(numFiles)
+         // keyed repartition: each partition value lands in one task,
+         // so each directory gets one compacted file (≤ numFiles tasks)
+         else df.repartition(numFiles, partCols.map(col): _*))
+          .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
         .parquet(tmp)
       replaceStoreDir(spark, tmp, path)
     }
+  }
+
+  /** Hive partition columns of a directory store, read off the
+    * directory tree (`k=v` levels under the root). Returns Nil for a
+    * flat store. Hidden/metadata entries (`_SUCCESS`, `.…`) are
+    * skipped at each level.
+    */
+  def detectPartitionCols(spark: SparkSession, path: String)
+      : Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = new org.apache.hadoop.fs.Path(path)
+    var descend = true
+    while (descend) {
+      descend = false
+      val children = fs.listStatus(cur)
+        .filterNot { st =>
+          val n = st.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+      val dirCols = children.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.contains("="))
+        .map(_.split("=", 2)(0))
+        .distinct
+      // one consistent `k=v` level → k is a partition column; recurse
+      // into any child (levels are uniform in a hive layout)
+      if (dirCols.length == 1 &&
+          children.forall(c => c.isDirectory &&
+            c.getPath.getName.contains("="))) {
+        cols += dirCols.head
+        cur = children.head.getPath
+        descend = true
+      }
+    }
+    cols.toSeq
   }
 
   /** The write-temp → delete-old → rename swap shared by
@@ -295,4 +352,122 @@ object Ingest {
 
   def readStore(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  // --------------------------------------------------------------------
+  // Manifest-committed store: the minimal table-format commit protocol.
+  //
+  // The plain store above swaps directories in place (replaceStoreDir),
+  // which is safe for WRITERS (withStoreLock) but not for concurrent
+  // READERS — a scan started before a compaction can hit deleted files.
+  // The manifested variant never mutates data in place: each commit
+  // writes a fresh snapshot directory under the store root and then
+  // atomically replaces ONE small pointer file (`manifest`) naming the
+  // live snapshot. Readers resolve the root through the manifest once
+  // and then read an immutable directory — a reader that resolved
+  // before a commit finishes its scan on the old snapshot, consistent
+  // to the end. Old snapshots are reclaimed by [[vacuumStore]] once no
+  // reader can still hold them (retention is the deployment's call).
+  //
+  // Atomicity boundary, stated precisely: the data files themselves
+  // are immutable, so the ONLY operation that needs atomicity is the
+  // pointer swap — nio ATOMIC_MOVE on local disks, FileContext rename
+  // with OVERWRITE on HDFS. An S3-class object store needs exactly
+  // this one atomic-rename primitive (or a conditional PUT) — the
+  // documented deployment boundary, shrunk from "the whole store" to
+  // "one rename".
+  // --------------------------------------------------------------------
+
+  private val ManifestName = "manifest"
+
+  private def manifestPath(root: String) =
+    new org.apache.hadoop.fs.Path(root, ManifestName)
+
+  /** Commit a new snapshot: `write` produces the snapshot's data at
+    * the directory it is handed (a fresh `snap-<n>` under the root),
+    * then the manifest pointer swaps to it atomically. Runs under the
+    * store writer lock like every other mutation.
+    */
+  def commitStoreSnapshot(spark: SparkSession, root: String)
+                         (write: String => Unit): Unit =
+    withStoreLock(spark, root) {
+      val hRoot = new org.apache.hadoop.fs.Path(root)
+      val fs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(hRoot): Unit
+      val snap = f"snap-${System.nanoTime()}%016x"
+      write(new org.apache.hadoop.fs.Path(hRoot, snap).toString)
+      val tmp = new org.apache.hadoop.fs.Path(root, s".$ManifestName.tmp")
+      val out = fs.create(tmp, true)
+      out.write(snap.getBytes("UTF-8"))
+      out.close()
+      val scheme = Option(hRoot.toUri.getScheme).getOrElse(fs.getScheme)
+      if (scheme == "file") {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(new java.io.File(tmp.toString)
+            .getAbsolutePath),
+          java.nio.file.Paths.get(new java.io.File(
+            manifestPath(root).toString).getAbsolutePath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      } else {
+        // HDFS: FileContext.rename(OVERWRITE) is the atomic-replace
+        // primitive (FileSystem.rename refuses existing destinations)
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(hRoot.toUri,
+            spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, manifestPath(root),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    }
+
+  /** The live snapshot directory the manifest names (readable without
+    * the lock — the manifest swap is atomic). */
+  def currentSnapshotDir(spark: SparkSession, root: String): String = {
+    val mp = manifestPath(root)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(mp)
+    val snap =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    new org.apache.hadoop.fs.Path(root, snap).toString
+  }
+
+  /** Read the store through the manifest: resolve once, then scan an
+    * immutable snapshot directory — consistent even if a commit lands
+    * mid-scan. */
+  def readStoreManifested(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(currentSnapshotDir(spark, root))
+
+  /** Compaction through the commit protocol: rewrite the live snapshot
+    * into `numFiles` balanced files as a NEW snapshot, swap the
+    * pointer. In-flight readers of the old snapshot are undisturbed
+    * (its files are never touched); [[vacuumStore]] reclaims it later.
+    */
+  def compactStoreManifested(spark: SparkSession, root: String,
+                             numFiles: Int): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    commitStoreSnapshot(spark, root) { dir =>
+      // resolve the live snapshot INSIDE the lock: resolving before it
+      // could compact a snapshot a racing commit just superseded
+      readStoreManifested(spark, root).repartition(numFiles)
+        .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+        .parquet(dir)
+    }
+  }
+
+  /** Delete every snapshot the manifest no longer names. Run this at a
+    * cadence that exceeds the longest scan a reader may hold (the
+    * retention contract every snapshot store has).
+    */
+  def vacuumStore(spark: SparkSession, root: String): Unit =
+    withStoreLock(spark, root) {
+      val hRoot = new org.apache.hadoop.fs.Path(root)
+      val fs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val live = new org.apache.hadoop.fs.Path(
+        currentSnapshotDir(spark, root)).getName
+      fs.listStatus(hRoot)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("snap-") &&
+          st.getPath.getName != live)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
 }

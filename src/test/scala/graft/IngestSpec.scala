@@ -90,6 +90,73 @@ class IngestSpec extends SparkSpec {
     assert(after == before, "compaction must not change the data")
   }
 
+  test("compactStore preserves a hive-partitioned layout (pruning " +
+      "survives compaction)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact_part").toString + "/store"
+    import org.apache.spark.sql.functions.{col, lit, when}
+    for (i <- 1 to 4)
+      Ingest.writeStorePartitioned(
+        docsDf((i.toLong, s"doc $i"), (i + 100L, s"other $i"))
+          .withColumn("source",
+            when(col("doc_id") < 100, lit("web")).otherwise(lit("books"))),
+        dir, Seq("source"))
+    assert(Ingest.detectPartitionCols(spark, dir) == Seq("source"))
+    val before = spark.read.parquet(dir)
+      .orderBy("doc_id").collect().toSeq
+    Ingest.compactStore(spark, dir, numFiles = 2)
+    // the directory layout survived ...
+    val subdirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(subdirs == Seq("source=books", "source=web"),
+      s"partition layout flattened: $subdirs")
+    // ... the data is untouched ...
+    val after = spark.read.parquet(dir)
+      .orderBy("doc_id").collect().toSeq
+    assert(after == before, "compaction must not change the data")
+    // ... each partition dir holds ONE compacted file ...
+    subdirs.foreach { d =>
+      val n = new java.io.File(s"$dir/$d").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"$d has $n files after compaction")
+    }
+    // ... and a per-source read still PRUNES instead of scanning
+    val p = spark.read.parquet(dir).filter(col("source") === "web")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") &&
+      p.replaceAll("\\s+", " ").contains("source#") &&
+      !p.contains("PartitionFilters: []"),
+      s"post-compaction scan does not partition-prune:\n$p")
+  }
+
+  test("manifest-committed store: readers mid-compaction see a " +
+      "consistent snapshot") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_manifest").toString + "/store"
+    Ingest.commitStoreSnapshot(spark, root) { dir =>
+      Ingest.writeStore(docsDf((1L, "a"), (2L, "b"), (3L, "c")), dir)
+    }
+    val snap1 = Ingest.currentSnapshotDir(spark, root)
+    // a reader resolves the store BEFORE the next commit...
+    val reader = Ingest.readStoreManifested(spark, root)
+    // ...a compaction commits a new snapshot under it...
+    Ingest.compactStoreManifested(spark, root, numFiles = 1)
+    val snap2 = Ingest.currentSnapshotDir(spark, root)
+    assert(snap1 != snap2, "compaction must commit a NEW snapshot")
+    // ...and the in-flight reader still scans its original, untouched
+    // snapshot to completion (the old files were never deleted)
+    assert(reader.orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // new readers resolve to the compacted snapshot, same data
+    assert(Ingest.readStoreManifested(spark, root)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // vacuum reclaims the superseded snapshot, keeps the live one
+    Ingest.vacuumStore(spark, root)
+    assert(!new java.io.File(snap1).exists())
+    assert(new java.io.File(snap2).exists())
+  }
+
   test("store write/read round-trip preserves vectors") {
     val dir = Files.createTempDirectory("graft_store").toString + "/docs"
     val df = Ingest.hashEmbed(docsDf((1L, "x y z"), (2L, "p q r")), "text", 16)
