@@ -225,6 +225,35 @@ object Pq {
     rerankExact(raw, cands, idCol, vecCol, qLit, k)
   }
 
+  /** [[ivfPqSearch]] with the probe resolved DRIVER-SIDE to a static
+    * IN-list: the nProbe winning cell ids are collected (nProbe longs —
+    * centroid-sized traffic, the same budget Pq training accepts) and
+    * applied as a `centroid_id IN (...)` filter. On an index stored
+    * partitioned by centroid_id ([[Ingest.writeStorePartitioned]])
+    * that filter is STATIC partition pruning — the scan's
+    * PartitionFilters, visible in the plan, and only the probed
+    * directories are ever opened (PlanSpec asserts it on v26). The
+    * join-shaped [[ivfPqSearch]] stays for probes computed inside a
+    * larger plan; this is the serving shape for one query against a
+    * partitioned store.
+    */
+  def ivfPqSearchPruned(cellCodes: DataFrame, centroids: DataFrame,
+                        raw: DataFrame, idCol: String, vecCol: String,
+                        query: Array[Float], model: PqModel,
+                        nProbe: Int, shortlist: Int, k: Int): DataFrame = {
+    val qLit = queryLit(query)
+    val probed = probeCells(centroids, qLit, nProbe)
+      .collect().map(_.getLong(0))
+    val cands = cellCodes
+      .filter(col("centroid_id").isin(probed: _*))
+      .select(col(idCol),
+        adcDistance(col("codes"), query, model).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol))
+      .limit(shortlist)
+      .select(idCol)
+    rerankExact(raw, cands, idCol, vecCol, qLit, k)
+  }
+
   /** Build the IVF-PQ index frame: (idCol, centroid_id, codes) — one
     * cell-assignment pass, codes projected in the same narrow stage.
     * Write it partitioned by centroid_id

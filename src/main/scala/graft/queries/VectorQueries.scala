@@ -276,7 +276,14 @@ object VectorQueries {
       Ann.kmeansCentroids(corpus, "vec_id", "embedding", 16),
       "v14_centroids", sfDir)
     val centroids = spark.read.parquet(dir)
+    // ONE assignment pass feeds all four probe widths: without the
+    // eager persist each union branch re-evaluates ivfAssign over the
+    // corpus (4x the dominant scan); eager, because the branches also
+    // race inside concurrent broadcast futures (ngramJaccardPairs
+    // precedent)
     val assigned = Ann.ivfAssign(corpus, centroids, "vec_id", "embedding")
+      .persist()
+    assigned.count()
     Seq(1L, 4L, 8L, 16L)
       .map { p =>
         Ann.ivfSearch(assigned, centroids, queryVec(emb),
@@ -481,6 +488,189 @@ object VectorQueries {
         q, model, nProbe = 4, shortlist = 50, k = 10)
       .select(col("vec_id"), round(col("dist"), 6).as("l2_dist"))
       .orderBy("vec_id")
+  }
+
+  /** v26's partitioned index + models, once per corpus (v25's artifact
+    * contract): the index is an on-disk store a pipeline builds at
+    * snapshot time, so repeated v26 timings measure the SERVING path —
+    * the probe against the partitioned store.
+    */
+  private val prunedIndexCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame, graft.operators.Pq.PqModel)]
+
+  /** The partition-pruned IVF-PQ SERVING shape — v22's math with the
+    * index LANDED AS A STORE: (vec_id, codes) written hive-partitioned
+    * by centroid_id ([[graft.operators.Ingest.writeStorePartitioned]],
+    * the i08 pattern applied to the ANN index), the probe resolved
+    * driver-side to a static `centroid_id IN (...)` filter
+    * ([[graft.operators.Pq.ivfPqSearchPruned]]). The plan's probe scan
+    * carries real PartitionFilters — only the 4 probed directories are
+    * opened, which at 100 TB is the difference between reading 1/4 of
+    * the corpus and listing 4 directories (PlanSpec asserts it). Same
+    * oracle replay as v22, over this query's own persisted codebooks.
+    */
+  def ivfPqPrunedSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Ingest, Pq}
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") >= 16)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val (store, centroids, model) =
+      prunedIndexCache.getOrElseUpdate(sfDir, {
+        val cents = Ann.seedCentroids(emb, "vec_id", "embedding", 16)
+          .localCheckpoint()
+        val trained = Pq.trainCodebooks(
+          corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", m = 8, k = 16, maxIter = 4)
+        val m = persistCodebooks(spark, trained, "v26_codebooks", sfDir)
+        val base = IngestQueries.stagedDir(spark,
+          s"graft_v26_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}") { d =>
+          Ingest.writeStorePartitioned(
+            Pq.buildIvfPqIndex(corpus, cents, "vec_id", "embedding", m),
+            s"$d/index", Seq("centroid_id"))
+        }
+        (spark.read.parquet(s"$base/index"), cents, m)
+      })
+    Pq.ivfPqSearchPruned(store, centroids, corpus, "vec_id", "embedding",
+        q, model, nProbe = 4, shortlist = 50, k = 10)
+      .select(col("vec_id"), round(col("dist"), 6).as("l2_dist"))
+      .orderBy("vec_id")
+  }
+
+  /** Reference-dimension PARITY: the flagship search at the
+    * reference's TRUE geometry — its own `vectors.db` store (7 docs,
+    * 1536-dim float32 blobs; reference server.js:26-32, 6144-byte
+    * BLOBs), not the 64-dim fixture. The SQLite file is parsed by
+    * [[graft.sources.SqliteReader]], the RAW blobs are persisted as an
+    * [[Artifacts]] parquet, the Spark side decodes them with the
+    * FloatVectorFromBinary kernel (O3, reference server.js:86) and
+    * runs cosine top-5 (README.md:10's k); the oracle re-implements
+    * IEEE754 float32 little-endian decoding from the SAME bytes in SQL
+    * (hex → u32 → sign/exponent/mantissa, exact in double arithmetic
+    * including denormals) and replays the search — pinning the blob
+    * codec AND the d=1536 cosine kernel against an independent
+    * implementation.
+    */
+  def refDimSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.floatVectorFromBinary
+    import graft.sources.SqliteReader
+    import spark.implicits._
+    val raw = spark.read.format("binaryFile").load(RefDb)
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        SqliteReader.readTable(bytes, "documents").map { r =>
+          (r.values(0).asInstanceOf[Long],
+            r.values(2).asInstanceOf[Array[Byte]])
+        }
+      }
+      .toDF("doc_id", "vector_blob")
+    val dir = Artifacts.write(raw, "v27_refblobs", sfDir)
+    val vecs = spark.read.parquet(dir)
+      .select(col("doc_id"),
+        floatVectorFromBinary(col("vector_blob")).as("v"))
+    val q = vecs.filter(col("doc_id") === 1).select(col("v").as("qe"))
+    vecs.filter(col("doc_id") =!= 1)
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), cosineSim(col("v"), col("qe")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(5)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
+  private val RefDb = "/root/reference/vectors.db"
+
+  /** IVF recall on a CLUSTERED corpus — the evidence that cell pruning
+    * pays on structured data. The fixture embeddings are near-uniform,
+    * so v14's partial-probe recall sits near the n_probe/16 floor (its
+    * scaladoc says so); real embedding corpora are clustered, which is
+    * the actual 100 TB pruning claim. Corpus: 2000 points in 8
+    * deterministic clusters, built from the engine's own HashEmbed
+    * kernel — center(c) = hashEmbed("center c"), point(i) =
+    * l2-normalize(center(i % 8) + 0.75 · hashEmbed("pt i")) — persisted
+    * as an [[Artifacts]] parquet together with the k-means centroids,
+    * so the oracle replays assignment, probe ranking, scan accounting
+    * and recall in SQL over the same floats.
+    *
+    * Output per probe width, AVERAGED over 8 held-out queries:
+    * `frac_scanned` (candidate rows the probe actually touches, over
+    * corpus size) next to `recall_at_10` — the pruning-vs-recall trade
+    * stated in one row. On this clustered corpus partial probes sit
+    * far above the uniform recall ≈ frac_scanned line (v14's fixture
+    * behavior): the query's cluster concentrates in few cells, so
+    * reading ~1/16 of the rows recovers nearly all true neighbors —
+    * that measured gap IS the value of IVF on structured data.
+    */
+  def clusteredRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ingest
+    val n = 2000
+    val nQueries = 8
+    val gen0 = spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("ctext", concat(lit("center "), pmod(col("vec_id"), lit(8))))
+      .withColumn("ptext", concat(lit("pt "), col("vec_id")))
+    val gen = Ingest.hashEmbedRaw(
+        Ingest.hashEmbedRaw(gen0, "ctext", 64)
+          .withColumnRenamed("embedding", "cvec"), "ptext", 64)
+      .withColumnRenamed("embedding", "nvec")
+      .withColumn("mix",
+        zip_with(col("cvec"), col("nvec"), (a, b) => a + lit(0.75) * b))
+      .withColumn("nrm",
+        sqrt(aggregate(col("mix"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("vec_id"),
+        transform(col("mix"), x => (x / col("nrm")).cast("float"))
+          .as("embedding"))
+    val corpusDir = Artifacts.write(gen, "v28_corpus", sfDir)
+    val all = spark.read.parquet(corpusDir)
+    val corpus = all.filter(col("vec_id") >= nQueries)
+    val nCorpus = (n - nQueries).toDouble
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val exact = Search
+      .topKPerQuery(Search.scoreAll(corpus, queries,
+        "vec_id", "embedding", "query_id", "qe"), "query_id", "vec_id", 10)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    val centDir = Artifacts.write(
+      Ann.kmeansCentroids(corpus, "vec_id", "embedding", 16),
+      "v28_centroids", sfDir)
+    val centroids = spark.read.parquet(centDir)
+    val assigned = Ann.ivfAssign(corpus, centroids, "vec_id", "embedding")
+      .persist()
+    assigned.count() // one assignment pass feeds all probe widths (v14)
+    import graft.functions.VectorFunctions.l2Dist
+    val cranks = centroids.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("centroid_id"),
+        l2Dist(col("centroid"), col("qe")).as("qd"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("qd"), col("centroid_id"))))
+      .select("query_id", "centroid_id", "crank")
+    import spark.implicits._
+    val probesDf = Seq(1L, 2L, 4L, 16L).toDF("n_probe")
+    // every candidate row a probe touches, per (n_probe, query):
+    // corpus ⋈ per-query cell ranks, widened by the probe set — the
+    // relation BOTH metrics aggregate, so frac_scanned counts exactly
+    // what recall ranked
+    val scanned = assigned.join(broadcast(cranks), Seq("centroid_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("crank"),
+        cosineSim(col("embedding"), col("qe")).as("score"))
+      .crossJoin(broadcast(probesDf))
+      .filter(col("crank") <= col("n_probe"))
+    val frac = scanned.groupBy("n_probe")
+      .agg(round(count(lit(1)) / lit(nCorpus * nQueries), 6)
+        .as("frac_scanned"))
+    val rec = scanned
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("n_probe", "query_id")
+          .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .join(exact, Seq("query_id", "vec_id"), "left")
+      .groupBy("n_probe")
+      .agg(round(sum(coalesce(col("hit"), lit(0L))) /
+        lit(10.0 * nQueries), 6).as("recall_at_10"))
+    frac.join(rec, Seq("n_probe"))
+      .select("n_probe", "frac_scanned", "recall_at_10")
+      .orderBy("n_probe")
   }
 
   /** The multimodal→retrieval COMPOSITION end-to-end: binary payloads
@@ -736,6 +926,132 @@ object VectorQueries {
          |  ORDER BY d, ca.vec_id LIMIT 10)
          |SELECT vec_id, round(d, 6) AS l2_dist FROM res
          |ORDER BY vec_id""".stripMargin,
+    // v22's replay verbatim over v26's own persisted codebooks: the
+    // Spark side differs only in WHERE the index lives (a store
+    // partitioned by centroid_id, probed via static pruning) — the
+    // answer must not
+    "v26_ivfpq_pruned" ->
+      s"""WITH cb AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |            FROM read_parquet('${Artifacts.oracleGlob("v26_codebooks")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM embeddings),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |cent AS (SELECT vec_id AS centroid_id, e AS ctr0 FROM v
+         |         ORDER BY vec_id LIMIT 16),
+         |corpus AS (SELECT vec_id, e FROM v WHERE vec_id >= 16),
+         |assigned AS (
+         |  SELECT vec_id, e, centroid_id FROM (
+         |    SELECT co.vec_id, co.e, cent.centroid_id,
+         |           row_number() OVER (PARTITION BY co.vec_id
+         |             ORDER BY list_distance(co.e, cent.ctr0),
+         |                      cent.centroid_id) AS rn
+         |    FROM corpus co, cent) WHERE rn = 1),
+         |probed AS (
+         |  SELECT centroid_id FROM cent, q
+         |  ORDER BY list_distance(ctr0, qe), centroid_id LIMIT 4),
+         |cand AS (
+         |  SELECT a.vec_id, a.e FROM assigned a JOIN probed
+         |  USING (centroid_id)),
+         |${pqAdcCtes("cand")},
+         |short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 50),
+         |res AS (
+         |  SELECT ca.vec_id, list_distance(ca.e, q.qe) AS d
+         |  FROM cand ca JOIN short USING (vec_id), q
+         |  ORDER BY d, ca.vec_id LIMIT 10)
+         |SELECT vec_id, round(d, 6) AS l2_dist FROM res
+         |ORDER BY vec_id""".stripMargin,
+    // the reference's OWN 1536-dim float32 blobs, decoded from raw
+    // bytes by an independent IEEE754 implementation (hex → u32 →
+    // sign/exponent/mantissa, exact in double arithmetic incl.
+    // denormals), then the same cosine top-5 — blob codec AND
+    // full-dimension kernel pinned against the Spark side
+    "v27_ref_dim_search" ->
+      s"""WITH h AS (SELECT doc_id, hex(vector_blob) AS hx
+         |           FROM read_parquet('${Artifacts.oracleGlob("v27_refblobs")}')),
+         |bytes AS (
+         |  SELECT doc_id, i,
+         |    CAST(concat('0x', substr(hx, CAST(8*i+1 AS INT), 2)) AS BIGINT)
+         |    + 256 * CAST(concat('0x', substr(hx, CAST(8*i+3 AS INT), 2)) AS BIGINT)
+         |    + 65536 * CAST(concat('0x', substr(hx, CAST(8*i+5 AS INT), 2)) AS BIGINT)
+         |    + 16777216 * CAST(concat('0x', substr(hx, CAST(8*i+7 AS INT), 2)) AS BIGINT)
+         |      AS u
+         |  FROM h, range(0, 1536) r(i)),
+         |floats AS (
+         |  SELECT doc_id, i,
+         |    (CASE WHEN u >= 2147483648 THEN -1.0 ELSE 1.0 END) *
+         |    (CASE WHEN ((u // 8388608) % 256) = 0
+         |          THEN (u % 8388608) * power(2.0, -149)
+         |          ELSE (8388608 + (u % 8388608)) *
+         |               power(2.0, ((u // 8388608) % 256) - 150) END) AS x
+         |  FROM bytes),
+         |v AS (SELECT doc_id, list(x ORDER BY i) AS e
+         |      FROM floats GROUP BY doc_id),
+         |q AS (SELECT e AS qe FROM v WHERE doc_id = 1),
+         |top AS (
+         |  SELECT v.doc_id, list_cosine_similarity(v.e, q.qe) AS score
+         |  FROM v, q WHERE v.doc_id <> 1
+         |  ORDER BY score DESC, v.doc_id LIMIT 5)
+         |SELECT doc_id, round(score, 6) AS score FROM top
+         |ORDER BY doc_id""".stripMargin,
+    // v14's replay shape over the ARTIFACT corpus + centroids, batched
+    // over 8 queries: per-query cell ranks, one `scanned` relation
+    // feeding BOTH the frac_scanned accounting and the per-query
+    // top-10 recall — the clustered-data pruning claim, all in SQL
+    "v28_clustered_recall" ->
+      s"""WITH cent AS (SELECT centroid_id, CAST(centroid AS DOUBLE[]) AS c
+         |              FROM read_parquet('${Artifacts.oracleGlob("v28_centroids")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("v28_corpus")}')),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8),
+         |corpus AS (SELECT vec_id, e FROM v WHERE vec_id >= 8),
+         |assigned AS (
+         |  SELECT vec_id, e, centroid_id FROM (
+         |    SELECT co.vec_id, co.e, cent.centroid_id,
+         |           row_number() OVER (PARTITION BY co.vec_id
+         |             ORDER BY list_distance(co.e, cent.c),
+         |                      cent.centroid_id) AS rn
+         |    FROM corpus co, cent) WHERE rn = 1),
+         |cranks AS (
+         |  SELECT query_id, centroid_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY list_distance(c, qe), centroid_id) AS crank
+         |  FROM cent, q),
+         |probes AS (SELECT CAST(unnest([1, 2, 4, 16]) AS BIGINT) AS n_probe),
+         |exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, co.vec_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY list_cosine_similarity(co.e, q.qe) DESC,
+         |                      co.vec_id) AS rk
+         |    FROM corpus co, q) WHERE rk <= 10),
+         |scanned AS (
+         |  SELECT p.n_probe, cr.query_id, a.vec_id,
+         |         list_cosine_similarity(a.e, q.qe) AS s
+         |  FROM assigned a
+         |  JOIN cranks cr USING (centroid_id)
+         |  JOIN q USING (query_id)
+         |  CROSS JOIN probes p
+         |  WHERE cr.crank <= p.n_probe),
+         |frac AS (
+         |  SELECT n_probe,
+         |         round(count(*) / (1992.0 * 8), 6) AS frac_scanned
+         |  FROM scanned GROUP BY n_probe),
+         |sel AS (
+         |  SELECT n_probe, query_id, vec_id FROM (
+         |    SELECT n_probe, query_id, vec_id,
+         |           row_number() OVER (PARTITION BY n_probe, query_id
+         |                              ORDER BY s DESC, vec_id) AS rk
+         |    FROM scanned) WHERE rk <= 10),
+         |rec AS (
+         |  SELECT s.n_probe,
+         |         round(sum(CASE WHEN e.vec_id IS NOT NULL
+         |                        THEN 1 ELSE 0 END) / 80.0, 6)
+         |           AS recall_at_10
+         |  FROM sel s LEFT JOIN exact e USING (query_id, vec_id)
+         |  GROUP BY s.n_probe)
+         |SELECT n_probe, frac_scanned, recall_at_10
+         |FROM frac JOIN rec USING (n_probe)
+         |ORDER BY n_probe""".stripMargin,
     "v19_filtered_knn" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |top AS (
@@ -1173,6 +1489,9 @@ object VectorQueries {
     "v23_knn_graph" -> (knnGraph(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
+    "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
+    "v27_ref_dim_search" -> (refDimSearch(_, _)),
+    "v28_clustered_recall" -> (clusteredRecall(_, _)),
     "v17_range_search" -> (rangeSearch(_, _)),
     "v18_mmr_rerank" -> (mmrRerank(_, _)),
     "v19_filtered_knn" -> (filteredKnn(_, _)))

@@ -73,6 +73,25 @@ class PlanSpec extends SparkSpec {
       s"no partition pruning in:\n$p")
   }
 
+  test("v26: the IVF-PQ probe is static partition pruning on the " +
+      "stored index") {
+    // the serving claim: against the centroid_id-partitioned index
+    // store, a probe opens only its nProbe directories — the scan
+    // carries a real centroid_id partition filter, not a data filter
+    val df = VectorQueries.ivfPqPrunedSearch(spark, sf)
+    val p = plan(df)
+    val probeScans = p.split("\n")
+      .filter(l => l.contains("FileScan parquet") && l.contains("codes"))
+    assert(probeScans.nonEmpty, s"no code-table scan in:\n$p")
+    probeScans.foreach { l =>
+      assert(l.contains("PartitionFilters:") && l.contains("centroid_id"),
+        s"probe scan does not partition-prune:\n$l")
+      assert(!l.contains("PartitionFilters: []"),
+        s"probe scan has EMPTY partition filters:\n$l")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("bucketed tables join without any exchange (co-located join)") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
