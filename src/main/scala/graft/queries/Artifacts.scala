@@ -40,17 +40,48 @@ object Artifacts {
       .digest(s.getBytes("UTF-8"))
       .take(4).map(b => f"${b & 0xff}%02x").mkString
 
+  /** Root scoped PER USER (java.io.tmpdir is host-shared on multi-user
+    * hosts: an unscoped fixed path could be pre-created or clobbered by
+    * another account, redirecting what the oracle later reads).
+    * Overridable via -Dgraft.artifacts.dir for deployments that mount
+    * a run-scoped scratch volume.
+    */
+  private val Root: String = sys.props.getOrElse("graft.artifacts.dir",
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_artifacts_" + sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")).toString)
+
   private def path(name: String, sfDir: String): String =
-    java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), "graft_artifacts",
-        s"${name}_${hash8(sfDir)}")
-      .toString
+    java.nio.file.Paths.get(Root, s"${name}_${hash8(sfDir)}").toString
+
+  /** The root exists and WE own it — verified once per JVM before the
+    * first overwrite, so a squatter directory owned by another local
+    * user fails loudly instead of silently hosting our oracle inputs.
+    * (Non-POSIX filesystems skip the owner check; the per-user name
+    * already de-conflicts there.)
+    */
+  private lazy val verifiedRoot: String = {
+    val p = java.nio.file.Paths.get(Root)
+    java.nio.file.Files.createDirectories(p)
+    val me = sys.props.getOrElse("user.name", "anon")
+    val owner =
+      try Some(java.nio.file.Files.getOwner(p).getName)
+      catch { case _: UnsupportedOperationException => None }
+    owner.foreach { o =>
+      require(o == me,
+        s"artifact root $Root is owned by '$o', not '$me' — refusing " +
+          "to write oracle inputs into a directory another user " +
+          "controls; set -Dgraft.artifacts.dir to a private location")
+    }
+    Root
+  }
 
   /** Persist `df` as the artifact `name` for corpus `sfDir`; returns
     * the directory (also registering sfDir for [[oracleDir]]).
     * Coalesced to one file — artifacts are model-sized (KBs).
     */
   def write(df: DataFrame, name: String, sfDir: String): String = {
+    verifiedRoot: Unit
     lastSfDir.put(name, sfDir)
     val dir = path(name, sfDir)
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
