@@ -481,4 +481,60 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with k-means, then drop every vector
+    * that has an EARLIER (lower-id) cluster-mate within cosine `tau` —
+    * the keep-first curation rule, deterministic end-to-end. This is
+    * the embedding-space complement of the token-level near-dup family
+    * above: paraphrases and re-renderings that share no shingles still
+    * collide in embedding space.
+    *
+    * Plan shape: assignment is a broadcast of the tiny centroid set
+    * ([[Ann.ivfAssign]]); the pairwise scan is a SELF-join keyed on
+    * `centroid_id` — one shuffle co-locating each cluster, then
+    * cluster-local pairs only, never the n² corpus. Cost is
+    * Σ|cluster|², which is the SemDeDup contract: k grows with n
+    * (n/k roughly constant, paper §3 uses ~50k points/cluster at
+    * LAION scale), so per-cluster work is bounded and the whole pass
+    * is one co-partitioned join away from embarrassingly parallel.
+    * `maxClusterSize` enforces that contract mechanically — a skewed
+    * clustering that would quadratically blow up a task raises before
+    * the fan-out rather than hanging it (v06's guard convention).
+    *
+    * Returns (idCol, centroid_id, kept): `kept` = no earlier mate
+    * within tau. Threshold semantics: cos >= tau drops (the paper
+    * sweeps epsilon = 1 - tau).
+    */
+  def semanticDedup(emb: DataFrame, centroids: DataFrame, idCol: String,
+                    vecCol: String, tau: Double,
+                    maxClusterSize: Long = 1000000L): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSim
+    val assigned = Ann.ivfAssign(emb, centroids, idCol, vecCol)
+    // the guard is one tiny aggregate broadcast against the corpus
+    // (cosineNearDupPairs' convention): a degenerate clustering fails
+    // fast instead of hanging a quadratic task
+    val guard = assigned.groupBy("centroid_id").count()
+      .agg(max(col("count")).as("_mx"))
+    val g = assigned.crossJoin(broadcast(guard))
+      .filter(when(col("_mx") > maxClusterSize,
+          raise_error(concat(lit("semanticDedup: largest cluster "),
+            col("_mx"),
+            lit(s" rows exceeds maxClusterSize=$maxClusterSize; raise " +
+              "k (SemDeDup scales k with n to bound cluster size)")))
+            .cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("_mx")
+    val earlier = g.select(col("centroid_id").as("_ecid"),
+      col(idCol).as("_eid"), col(vecCol).as("_evec"))
+    val dropped = g
+      .join(earlier, col("centroid_id") === col("_ecid") &&
+        col("_eid") < col(idCol) &&
+        cosineSim(col(vecCol), col("_evec")) >= tau, "left_semi")
+      .select(col(idCol), lit(false).as("kept"))
+    g.select(col(idCol), col("centroid_id"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"),
+        coalesce(col("kept"), lit(true)).as("kept"))
+  }
 }

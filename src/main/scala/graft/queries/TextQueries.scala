@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Chunker, Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Ann, Chunker, Dedup, Ingest, Multimodal, TextAnalysis}
 import graft.functions.TextFunctions.words
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -547,7 +547,56 @@ object TextQueries {
       .orderBy("lang", "seq_id")
   }
 
+  /** SEMANTIC dedup ([[graft.operators.Dedup.semanticDedup]], SemDeDup)
+    * as an oracle-gated query. The token-level family (t03–t06, t14)
+    * can't see paraphrases; this leg dedups in EMBEDDING space: k-means
+    * clusters (persisted via [[Artifacts]], v28's convention), then the
+    * keep-first rule drops any vector with an earlier cluster-mate at
+    * cosine ≥ 0.95.
+    *
+    * The fixture embeddings are near-uniform (no true semantic dups),
+    * so the corpus is generated (v28's mixture recipe) with GRADED
+    * noise — amp = 0.2 + 0.15·(id mod 5) around 12 centers: measured
+    * intra-center cosine runs ~0.99 for low-noise pairs down to ~0.71
+    * for high-noise ones, so the 0.95 threshold separates a real
+    * keep/drop population instead of a degenerate all-keep. Corpus and
+    * centroids persist as artifacts; the oracle replays assignment,
+    * cluster-local pairs and the keep-first rule in SQL.
+    */
+  def semanticDedupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = 1500
+    val gen0 = spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("ctext", concat(lit("sd center "),
+        pmod(col("vec_id"), lit(12))))
+      .withColumn("ptext", concat(lit("sd pt "), col("vec_id")))
+    val amp = lit(0.2) +
+      lit(0.15) * pmod(col("vec_id"), lit(5)).cast("double")
+    val gen = Ingest.hashEmbedRaw(
+        Ingest.hashEmbedRaw(gen0, "ctext", 64)
+          .withColumnRenamed("embedding", "cvec"), "ptext", 64)
+      .withColumnRenamed("embedding", "nvec")
+      .withColumn("mix",
+        zip_with(col("cvec"), col("nvec"), (a, b) => a + amp * b))
+      .withColumn("nrm",
+        sqrt(aggregate(col("mix"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("vec_id"),
+        transform(col("mix"), x => (x / col("nrm")).cast("float"))
+          .as("embedding"))
+    val corpus = spark.read.parquet(
+      Artifacts.write(gen, "t32_corpus", sfDir))
+    val centroids = spark.read.parquet(Artifacts.write(
+      Ann.kmeansCentroids(corpus, "vec_id", "embedding", 12),
+      "t32_centroids", sfDir))
+    Dedup.semanticDedup(corpus, centroids, "vec_id", "embedding",
+        tau = 0.95)
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("centroid_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t32_semantic_dedup" -> (semanticDedupQuery(_, _)),
     "t26_sequence_pack" -> (sequencePack(_, _)),
     "t25_weighted_sample" -> (weightedSample(_, _)),
     "t24_split_assign" -> (splitAssign(_, _)),
@@ -688,7 +737,33 @@ object TextQueries {
        |FROM corpus c JOIN hits h USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // `def`, not `val`: t32's entries interpolate Artifacts.oracleGlob,
+  // which resolves to the path the query REGISTERED at write time —
+  // Verify dumps oracleSql after the queries run (VectorQueries'
+  // convention).
+  def oracles: Map[String, String] = Map(
+    "t32_semantic_dedup" ->
+      s"""WITH cent AS (SELECT centroid_id, CAST(centroid AS DOUBLE[]) AS c
+         |              FROM read_parquet('${Artifacts.oracleGlob("t32_centroids")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("t32_corpus")}')),
+         |assigned AS (
+         |  SELECT vec_id, e, centroid_id FROM (
+         |    SELECT v.vec_id, v.e, cent.centroid_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY list_distance(v.e, cent.c),
+         |                      cent.centroid_id) AS rn
+         |    FROM v, cent) WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+         |   AND list_cosine_similarity(a.e, b.e) >= 0.95)
+         |SELECT a.centroid_id, count(*) AS n,
+         |       CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_kept
+         |FROM assigned a LEFT JOIN dropped d USING (vec_id)
+         |GROUP BY a.centroid_id ORDER BY a.centroid_id""".stripMargin,
     "t21_line_dedup" ->
       s"""WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents),
          |c AS (SELECT doc_id, ws,

@@ -268,4 +268,40 @@ class DedupSpec extends SparkSpec {
     assert(oracle.isEmpty) // the shared shingle is now a stop-shingle
     spark.catalog.clearCache()
   }
+
+  test("semanticDedup: keep-first within a cluster, clusters isolated, " +
+      "below-threshold mates survive") {
+    import graft.operators.Ann
+    // two well-separated clusters on axes 0/1; within cluster A, ids
+    // 1 and 2 are near-identical (cos ≈ 1) and 5 is orthogonal-ish
+    def v(x: Double, y: Double, z: Double) = Seq(x, y, z).map(_.toFloat)
+    val emb = Seq(
+      (1L, v(1.0, 0.0, 0.0)),   // cluster A, kept (first)
+      (2L, v(0.999, 0.001, 0.0)), // dup of 1 -> dropped
+      (5L, v(0.6, 0.0, 0.8)),   // cluster A but cos(1,5)=0.6 -> kept
+      (7L, v(0.0, 1.0, 0.0)),   // cluster B, kept (first)
+      (9L, v(0.0, 0.999, 0.001))) // dup of 7 -> dropped
+      .toDF("vec_id", "embedding")
+    val centroids = Seq((0L, v(1.0, 0.0, 0.0)), (1L, v(0.0, 1.0, 0.0)))
+      .toDF("centroid_id", "centroid")
+    val got = Dedup.semanticDedup(emb, centroids, "vec_id", "embedding",
+        tau = 0.9)
+      .orderBy("vec_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 0L, true), (2L, 0L, false), (5L, 0L, true),
+      (7L, 1L, true), (9L, 1L, false)))
+  }
+
+  test("semanticDedup: oversized cluster trips the guard instead of " +
+      "fanning out quadratically") {
+    def v(x: Double) = Seq(x.toFloat, 0.0f)
+    val emb = (1L to 10L).map(i => (i, v(1.0))).toDF("vec_id", "embedding")
+    val centroids = Seq((0L, v(1.0))).toDF("centroid_id", "centroid")
+    val e = intercept[Exception] {
+      Dedup.semanticDedup(emb, centroids, "vec_id", "embedding",
+        tau = 0.9, maxClusterSize = 5L).collect()
+    }
+    assert(e.getMessage.contains("maxClusterSize") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("maxClusterSize"))
+  }
 }
