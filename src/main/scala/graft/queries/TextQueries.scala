@@ -595,7 +595,61 @@ object TextQueries {
       .orderBy("centroid_id")
   }
 
+  /** Classifier-based curation ([[graft.operators.Classify]]): train a
+    * nearest-class-mean model on a labeled slice, score a held-out
+    * split, report per-class accuracy — the embedding-space filter
+    * stage (quality/domain/topic) that sits between embedding and
+    * search in a production pipeline. The fixture embeddings carry no
+    * label signal (measured: intra-label cosine ≈ cross-label), so the
+    * corpus is generated with 10 class centers and GRADED noise
+    * (amp = 0.5 + 0.5·(id mod 3)): the high-noise third supplies the
+    * honest error mass. Train split = id mod 7 ≠ 0 (7 is coprime with
+    * the class and amp moduli, so the held-out set covers every class
+    * at every noise level); the class means
+    * persist as an [[Artifacts]] parquet and the oracle replays the
+    * held-out argmax scoring from the persisted model — training in
+    * Spark, verification independent (v14's convention).
+    */
+  def classifierFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = 2000
+    val gen0 = spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("ctext", concat(lit("cf center "),
+        pmod(col("vec_id"), lit(10))))
+      .withColumn("ptext", concat(lit("cf pt "), col("vec_id")))
+    val amp = lit(0.5) +
+      lit(0.5) * pmod(col("vec_id"), lit(3)).cast("double")
+    val gen = Ingest.hashEmbedRaw(
+        Ingest.hashEmbedRaw(gen0, "ctext", 64)
+          .withColumnRenamed("embedding", "cvec"), "ptext", 64)
+      .withColumnRenamed("embedding", "nvec")
+      .withColumn("mix",
+        zip_with(col("cvec"), col("nvec"), (a, b) => a + amp * b))
+      .withColumn("nrm",
+        sqrt(aggregate(col("mix"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("vec_id"),
+        transform(col("mix"), x => (x / col("nrm")).cast("float"))
+          .as("embedding"))
+    val corpus = spark.read.parquet(
+      Artifacts.write(gen, "t33_corpus", sfDir))
+      .withColumn("cls", pmod(col("vec_id"), lit(10)))
+    val train = corpus.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+    val means = spark.read.parquet(Artifacts.write(
+      graft.operators.Classify.classMeans(train, "cls", "embedding"),
+      "t33_classmeans", sfDir))
+    val eval = corpus.filter(pmod(col("vec_id"), lit(7)) === 0)
+      .select("vec_id", "embedding")
+    graft.operators.Classify
+      .nearestClassAssign(eval, means, "vec_id", "embedding", "cls")
+      .withColumn("actual", pmod(col("vec_id"), lit(10)))
+      .groupBy(col("actual").as("cls"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("pred") === col("actual"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .orderBy("cls")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t33_classifier_filter" -> (classifierFilter(_, _)),
     "t32_semantic_dedup" -> (semanticDedupQuery(_, _)),
     "t26_sequence_pack" -> (sequencePack(_, _)),
     "t25_weighted_sample" -> (weightedSample(_, _)),
@@ -742,6 +796,24 @@ object TextQueries {
   // Verify dumps oracleSql after the queries run (VectorQueries'
   // convention).
   def oracles: Map[String, String] = Map(
+    "t33_classifier_filter" ->
+      s"""WITH m AS (SELECT cls, CAST(centroid AS DOUBLE[]) AS c
+         |           FROM read_parquet('${Artifacts.oracleGlob("t33_classmeans")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("t33_corpus")}')),
+         |ev AS (SELECT vec_id, vec_id % 10 AS actual, e FROM v
+         |       WHERE vec_id % 7 = 0),
+         |pred AS (
+         |  SELECT vec_id, actual, cls AS pred FROM (
+         |    SELECT ev.vec_id, ev.actual, m.cls,
+         |           row_number() OVER (PARTITION BY ev.vec_id
+         |             ORDER BY list_cosine_similarity(ev.e, m.c) DESC,
+         |                      m.cls) AS rn
+         |    FROM ev, m) WHERE rn = 1)
+         |SELECT actual AS cls, count(*) AS n_eval,
+         |       CAST(sum(CASE WHEN pred = actual THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_correct
+         |FROM pred GROUP BY actual ORDER BY cls""".stripMargin,
     "t32_semantic_dedup" ->
       s"""WITH cent AS (SELECT centroid_id, CAST(centroid AS DOUBLE[]) AS c
          |              FROM read_parquet('${Artifacts.oracleGlob("t32_centroids")}')),
