@@ -393,7 +393,14 @@ object Ingest {
       val hRoot = new org.apache.hadoop.fs.Path(root)
       val fs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.mkdirs(hRoot): Unit
-      val snap = f"snap-${System.nanoTime()}%016x"
+      // sequence-numbered, assigned INSIDE the lock: snapshot names
+      // order commits totally, across writers and JVM restarts (a
+      // nanoTime-based name would not — its origin is arbitrary per
+      // JVM). The ordering is what makes [[listSnapshots]] a history.
+      val next = snapshotNames(fs, hRoot)
+        .map(_.stripPrefix("snap-").toLong)
+        .foldLeft(0L)(math.max) + 1L
+      val snap = f"snap-$next%016d"
       write(new org.apache.hadoop.fs.Path(hRoot, snap).toString)
       val tmp = new org.apache.hadoop.fs.Path(root, s".$ManifestName.tmp")
       val out = fs.create(tmp, true)
@@ -418,6 +425,42 @@ object Ingest {
             org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       }
     }
+
+  private def snapshotNames(fs: org.apache.hadoop.fs.FileSystem,
+                            hRoot: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(hRoot)) Seq.empty
+    else fs.listStatus(hRoot).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap-"))
+      .map(_.getPath.getName)
+      .sorted
+
+  /** The store's retained snapshot history, oldest first, with the
+    * live flag — everything [[readStoreSnapshot]] can still time-travel
+    * to. History depth is exactly the [[vacuumStore]] cadence: vacuum
+    * is the retention knob, not a correctness requirement.
+    */
+  def listSnapshots(spark: SparkSession, root: String)
+      : Seq[(String, Boolean)] = {
+    val hRoot = new org.apache.hadoop.fs.Path(root)
+    val fs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(
+      currentSnapshotDir(spark, root)).getName
+    snapshotNames(fs, hRoot).map(n => (n, n == live))
+  }
+
+  /** TIME-TRAVEL read: scan a named snapshot from [[listSnapshots]] —
+    * any commit vacuum has not yet reclaimed. Snapshot dirs are
+    * immutable, so this is exactly as consistent as the live read.
+    */
+  def readStoreSnapshot(spark: SparkSession, root: String,
+                        snapshot: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(root, snapshot)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir),
+      s"snapshot $snapshot does not exist under $root (vacuumed? " +
+        "see listSnapshots for the retained history)")
+    spark.read.parquet(dir.toString)
+  }
 
   /** The live snapshot directory the manifest names (readable without
     * the lock — the manifest swap is atomic). */

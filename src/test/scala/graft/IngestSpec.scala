@@ -157,6 +157,37 @@ class IngestSpec extends SparkSpec {
     assert(new java.io.File(snap2).exists())
   }
 
+  test("manifest-committed store: snapshots are an ordered history " +
+      "and time-travel reads an old commit until vacuum") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_timetravel").toString + "/store"
+    Ingest.commitStoreSnapshot(spark, root) { dir =>
+      Ingest.writeStore(docsDf((1L, "a")), dir)
+    }
+    Ingest.commitStoreSnapshot(spark, root) { dir =>
+      Ingest.writeStore(docsDf((1L, "a"), (2L, "b")), dir)
+    }
+    val snaps = Ingest.listSnapshots(spark, root)
+    assert(snaps.map(_._1) == snaps.map(_._1).sorted &&
+      snaps.size == 2, s"history not ordered: $snaps")
+    assert(snaps == Seq((snaps.head._1, false), (snaps.last._1, true)),
+      "live flag must mark exactly the latest commit")
+    // time-travel: the superseded commit reads back exactly
+    assert(Ingest.readStoreSnapshot(spark, root, snaps.head._1)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a")))
+    assert(Ingest.readStoreManifested(spark, root)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // vacuum bounds the history; a vacuumed snapshot fails loudly
+    Ingest.vacuumStore(spark, root)
+    assert(Ingest.listSnapshots(spark, root).map(_._2) == Seq(true))
+    val e = intercept[IllegalArgumentException] {
+      Ingest.readStoreSnapshot(spark, root, snaps.head._1)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("store write/read round-trip preserves vectors") {
     val dir = Files.createTempDirectory("graft_store").toString + "/docs"
     val df = Ingest.hashEmbed(docsDf((1L, "x y z"), (2L, "p q r")), "text", 16)
