@@ -510,7 +510,13 @@ object Dedup {
                     vecCol: String, tau: Double,
                     maxClusterSize: Long = 1000000L): DataFrame = {
     import graft.functions.VectorFunctions.cosineSim
-    val assigned = Ann.ivfAssign(emb, centroids, idCol, vecCol)
+    // OWNERSHIP: the assignment feeds the guard and BOTH sides of the
+    // pair self-join — unpersisted it would recompute the broadcast
+    // argmin over the corpus up to 4× (measured 21.9 s → 0.9 s at the
+    // 32× probe). Like ngramJaccardPairs' postings, the caller that
+    // evaluates the result releases it (unpersist/clearCache); at
+    // deployment scale the assignment is a materialized artifact.
+    val assigned = Ann.ivfAssign(emb, centroids, idCol, vecCol).persist()
     // the guard is one tiny aggregate broadcast against the corpus
     // (cosineNearDupPairs' convention): a degenerate clustering fails
     // fast instead of hanging a quadratic task

@@ -259,4 +259,42 @@ class PlanSpec extends SparkSpec {
     val joined = agg.as("a").join(agg.as("b"), "o_custkey")
     assert(finalPlan(joined).contains("ReusedExchange"))
   }
+
+  test("semantic dedup's pair scan is an equi-join on the cluster id, " +
+      "never a cartesian fan-out") {
+    import graft.operators.{Ann, Dedup}
+    val emb = Tables.embeddings(spark, sf)
+    val cent = Ann.seedCentroids(emb, "vec_id", "embedding", 4)
+    val p = plan(Dedup.semanticDedup(emb, cent, "vec_id", "embedding",
+      tau = 0.95))
+    // the only tolerated nested-loop is the broadcast of the 1-row
+    // guard aggregate and the tiny centroid set; the PAIR join itself
+    // must key on centroid_id
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the semantic-dedup plan:\n$p")
+    val pairJoin = p.split("\n").exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) &&
+        l.contains("centroid_id") && l.contains("LeftSemi"))
+    assert(pairJoin, s"pair scan not an equi-join on centroid_id:\n$p")
+  }
+
+  test("classifier scoring broadcasts the model and combines the " +
+      "argmax map-side") {
+    import graft.operators.Classify
+    val emb = Tables.embeddings(spark, sf)
+    val means = Classify.classMeans(
+      emb.withColumn("cls", pmod(col("vec_id"), lit(4))),
+      "cls", "embedding")
+    val p = plan(Classify.nearestClassAssign(emb, means,
+      "vec_id", "embedding", "cls"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"model side not broadcast in the scoring plan:\n$p")
+    // min_by argmax must plan as a partial/final aggregate pair so the
+    // |classes| candidate rows per vector combine before the exchange
+    assert(p.contains("partial_min_by") ||
+      p.split("\n").count(_.contains("HashAggregate")) >= 2,
+      s"argmax not partially aggregated map-side:\n$p")
+  }
 }
