@@ -41,6 +41,25 @@ object Classify {
     * moves one row per vector ([[Ann.ivfAssign]]'s shape with cosine
     * in place of L2).
     */
+  /** Argmax with the model carried AS A LITERAL (the [[Pq]] kernel
+    * convention: a KB-scale trained model rides in the serialized
+    * expression, the moral equivalent of a broadcast). A pure narrow
+    * projection — no join, no aggregate, no state — which makes it
+    * STREAMING-LEGAL: continuous scoring of an embedding stream is
+    * this exact column over `readStream`. Ties break to the lower
+    * class id (array_min orders the (−cos, cls) struct
+    * lexicographically), matching [[nearestClassAssign]].
+    */
+  def nearestClassLit(vec: org.apache.spark.sql.Column,
+                      means: Seq[(Long, Array[Float])])
+      : org.apache.spark.sql.Column = {
+    require(means.nonEmpty, "nearestClassLit needs a non-empty model")
+    array_min(array(means.map { case (c, m) =>
+      struct(negate(cosineSim(vec, lit(m))).as("negcos"),
+        lit(c).as("cls"))
+    }: _*)).getField("cls")
+  }
+
   def nearestClassAssign(emb: DataFrame, means: DataFrame,
                          idCol: String, vecCol: String,
                          classCol: String): DataFrame =

@@ -293,6 +293,37 @@ object StreamingQueries {
     TextQueries.pairsSelect(ixRef.get().pairs)
   }
 
+  /** CONTINUOUS classifier scoring — t33's streaming twin and the
+    * serving shape of the curation filter: embeddings stream in, the
+    * trained class-means model (10 × 64 floats, an [[Artifacts]]
+    * parquet) is collected once and rides in the projection AS A
+    * LITERAL ([[graft.operators.Classify.nearestClassLit]], the Pq
+    * kernel convention) — so per-row scoring is a pure narrow map
+    * with ZERO streaming state, no join and no watermark. The
+    * accuracy aggregate runs batch-side on the drained rows; the
+    * oracle is t33's SQL verbatim: continuous scoring ≡ batch.
+    */
+  def streamClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val (corpusDir, _, meansDf) =
+      TextQueries.classifierArtifacts(spark, sfDir)
+    val model = meansDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_._1)
+    val schema = spark.read.parquet(corpusDir).schema
+    val scored = spark.readStream.schema(schema).parquet(corpusDir)
+      .filter(pmod(col("vec_id"), lit(7)) === 0)
+      .select(col("vec_id"),
+        graft.operators.Classify
+          .nearestClassLit(col("embedding"), model).as("pred"))
+    Streaming.runAvailableNowAppend(spark, scored, "graft_s11")
+      .withColumn("actual", pmod(col("vec_id"), lit(10)))
+      .groupBy(col("actual").as("cls"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("pred") === col("actual"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .orderBy("cls")
+  }
+
   /** Sessionization through the BUILT-IN session_window operator
     * ([[Streaming.sessionWindowCounts]]) — s03's twin without custom
     * state. The oracle's session rule is `gap >= 1800` (window bound
@@ -319,9 +350,14 @@ object StreamingQueries {
     "s06_stream_join" -> (streamStreamJoin(_, _)),
     "s07_stream_search" -> (streamSearch(_, _)),
     "s09_stream_decontaminate" -> (streamDecontaminate(_, _)),
-    "s10_stream_dedup_index" -> (streamIncrementalDedup(_, _)))
+    "s10_stream_dedup_index" -> (streamIncrementalDedup(_, _)),
+    "s11_stream_classify" -> (streamClassify(_, _)))
 
-  val oracles: Map[String, String] = Map(
+  // `def`: s11's entry (t33's oracle verbatim) interpolates artifact
+  // globs, which must resolve at dump time, after the queries ran.
+  def oracles: Map[String, String] = Map(
+    // t33's oracle verbatim — continuous classifier scoring ≡ batch
+    "s11_stream_classify" -> TextQueries.classifierOracle,
     // t22's oracle verbatim — continuous decontamination ≡ batch
     "s09_stream_decontaminate" -> TextQueries.decontaminateOracle,
     // t03's full-corpus oracle verbatim — two sequential incremental

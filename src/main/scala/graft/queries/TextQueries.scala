@@ -623,12 +623,20 @@ object TextQueries {
   /** t33's corpus + trained class means, once per (JVM, corpus) —
     * same contract as [[semDedupCache]]: repeated invocations measure
     * the SCORING pass (the filter a pipeline actually runs per-row).
+    * The corpus DIRECTORY rides along for s11, whose streaming source
+    * reads the same persisted corpus the batch query scores.
     */
   private val classifierCache = scala.collection.concurrent.TrieMap
-    .empty[String, (DataFrame, DataFrame)]
+    .empty[String, (String, DataFrame, DataFrame)]
 
-  def classifierFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val (corpus, means) = classifierCache.getOrElseUpdate(sfDir, {
+  /** (corpus dir, corpus, trained class means) for the classifier
+    * fixture — shared by t33 (batch) and s11 (streaming twin), so both
+    * score the SAME persisted corpus with the SAME persisted model.
+    */
+  private[queries] def classifierArtifacts(spark: SparkSession,
+                                           sfDir: String)
+      : (String, DataFrame, DataFrame) =
+    classifierCache.getOrElseUpdate(sfDir, {
       val n = 2000
       val gen0 = spark.range(n).select(col("id").as("vec_id"))
         .withColumn("ctext", concat(lit("cf center "),
@@ -647,14 +655,17 @@ object TextQueries {
         .select(col("vec_id"),
           transform(col("mix"), x => (x / col("nrm")).cast("float"))
             .as("embedding"))
-      val corpusDf = spark.read.parquet(
-        Artifacts.write(gen, "t33_corpus", sfDir))
+      val corpusDir = Artifacts.write(gen, "t33_corpus", sfDir)
+      val corpusDf = spark.read.parquet(corpusDir)
         .withColumn("cls", pmod(col("vec_id"), lit(10)))
       val train = corpusDf.filter(pmod(col("vec_id"), lit(7)) =!= 0)
-      (corpusDf, spark.read.parquet(Artifacts.write(
+      (corpusDir, corpusDf, spark.read.parquet(Artifacts.write(
         graft.operators.Classify.classMeans(train, "cls", "embedding"),
         "t33_classmeans", sfDir)))
     })
+
+  def classifierFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, corpus, means) = classifierArtifacts(spark, sfDir)
     val eval = corpus.filter(pmod(col("vec_id"), lit(7)) === 0)
       .select("vec_id", "embedding")
     graft.operators.Classify
@@ -814,9 +825,11 @@ object TextQueries {
   // which resolves to the path the query REGISTERED at write time —
   // Verify dumps oracleSql after the queries run (VectorQueries'
   // convention).
-  def oracles: Map[String, String] = Map(
-    "t33_classifier_filter" ->
-      s"""WITH m AS (SELECT cls, CAST(centroid AS DOUBLE[]) AS c
+  /** t33's oracle — also s11's verbatim (continuous scoring ≡ batch).
+    * A `def`: the artifact globs resolve at dump time.
+    */
+  private[queries] def classifierOracle: String =
+    s"""WITH m AS (SELECT cls, CAST(centroid AS DOUBLE[]) AS c
          |           FROM read_parquet('${Artifacts.oracleGlob("t33_classmeans")}')),
          |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |      FROM read_parquet('${Artifacts.oracleGlob("t33_corpus")}')),
@@ -832,7 +845,10 @@ object TextQueries {
          |SELECT actual AS cls, count(*) AS n_eval,
          |       CAST(sum(CASE WHEN pred = actual THEN 1 ELSE 0 END)
          |            AS BIGINT) AS n_correct
-         |FROM pred GROUP BY actual ORDER BY cls""".stripMargin,
+         |FROM pred GROUP BY actual ORDER BY cls""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "t33_classifier_filter" -> classifierOracle,
     "t32_semantic_dedup" ->
       s"""WITH cent AS (SELECT centroid_id, CAST(centroid AS DOUBLE[]) AS c
          |              FROM read_parquet('${Artifacts.oracleGlob("t32_centroids")}')),

@@ -34,4 +34,26 @@ class ClassifySpec extends SparkSpec {
       .orderBy("vec_id").as[(Long, Long)].collect().toSeq
     assert(got == Seq((10L, 0L), (11L, 1L), (12L, 0L)))
   }
+
+  test("nearestClassLit matches nearestClassAssign (model-as-literal " +
+      "twin, incl. the tie)") {
+    val means = Seq((0L, v(1.0, 0.0)), (1L, v(0.0, 1.0)))
+      .toDF("cls", "centroid")
+    val emb = Seq(
+      (10L, v(0.9, 0.1)), (11L, v(0.1, 0.9)), (12L, v(0.5, 0.5)))
+      .toDF("vec_id", "embedding")
+    val model = means.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_._1)
+    val viaLit = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+        Classify.nearestClassLit(
+          org.apache.spark.sql.functions.col("embedding"), model)
+          .as("pred"))
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    val viaJoin = Classify
+      .nearestClassAssign(emb, means, "vec_id", "embedding", "cls")
+      .select("vec_id", "pred")
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(viaLit == viaJoin)
+  }
 }
