@@ -269,6 +269,37 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("substringSpans: maximal shared runs merge consecutive shingle " +
+      "matches at one alignment") {
+    // docs 1 and 2 share the 6-token run "p q r s t u" (and nothing
+    // longer); with w=3, minRun=5 that is 4 consecutive shingle
+    // matches -> one maximal run of 6 tokens at a single alignment
+    val df = docsDf(
+      (1L, "a b p q r s t u c d"),
+      (2L, "x p q r s t u y z"),
+      (3L, "completely different words here"))
+    val got = Dedup.substringSpans(df, "doc_id", "text", w = 3,
+        maxDf = 10L, minRunTokens = 5)
+      .orderBy("id_a", "id_b", "pos_a")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // "p" is token 2 (0-based) in doc 1, token 1 in doc 2
+    assert(got == Seq((1L, 2L, 2L, 1L, 6L)))
+  }
+
+  test("substringSpans: two alignments yield two separate runs; " +
+      "short sub-runs filtered") {
+    // doc 2 repeats doc 1's run twice at different offsets: each is
+    // its own alignment group, reported separately
+    val df = docsDf(
+      (1L, "m n o p q"),
+      (2L, "m n o p q z z m n o p q"))
+    val got = Dedup.substringSpans(df, "doc_id", "text", w = 3,
+        maxDf = 10L, minRunTokens = 5)
+      .orderBy("id_a", "id_b", "pos_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L, 0L, 5L), (1L, 2L, 0L, 7L, 5L)))
+  }
+
   test("semanticDedup: keep-first within a cluster, clusters isolated, " +
       "below-threshold mates survive") {
     import graft.operators.Ann
