@@ -124,7 +124,25 @@ object PlansDump {
           "sketch projections meeting in an equi-join on the bucket " +
           "key, so each vector scores only its probed fraction of the " +
           "corpus (never n²·d), and per-vector top-k runs as " +
-          "WindowGroupLimit heaps inside one query-keyed shuffle."))
+          "WindowGroupLimit heaps inside one query-keyed shuffle."),
+      "t32_semantic_dedup" ->
+        ("Semantic dedup: broadcast centroid argmin (map-side-combining " +
+          "min_by) assigns clusters; the pair scan is ONE self-join " +
+          "equi-keyed on centroid_id (cluster-local, Σ|cluster|² with " +
+          "k ∝ n), and the keep-first rule is a LeftSemi with the " +
+          "cosine threshold as join condition — no cartesian anywhere."),
+      "t33_classifier_filter" ->
+        ("Classifier filter: the class means broadcast; per-row argmax " +
+          "is min_by over (−cos, cls) — partial-aggregated map-side so " +
+          "the exchange moves one row per vector. Scoring 100 TB is " +
+          "this narrow map; s11 runs the same column over readStream " +
+          "with the model as a literal."),
+      "t34_substring_spans" ->
+        ("Exact-substring spans: the positional-shingle index meets " +
+          "itself in an equi-join on the 60-bit hash (postings-bounded " +
+          "by the df cap — Σ df², never all-pairs); run merging is a " +
+          "gaps-and-islands window partitioned by (pair, alignment) — " +
+          "pair-local, no global sort over the corpus."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")

@@ -601,26 +601,40 @@ object VectorQueries {
     * reading ~1/16 of the rows recovers nearly all true neighbors —
     * that measured gap IS the value of IVF on structured data.
     */
+  /** v28's generated corpus + trained centroids, once per (JVM,
+    * corpus) — training and fixture generation are per-snapshot costs
+    * (the t32/t33 contract); repeated invocations measure the probe +
+    * recall accounting, which is the claim under test.
+    */
+  private val clusteredRecallCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame)]
+
   def clusteredRecall(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Ingest
     val n = 2000
     val nQueries = 8
-    val gen0 = spark.range(n).select(col("id").as("vec_id"))
-      .withColumn("ctext", concat(lit("center "), pmod(col("vec_id"), lit(8))))
-      .withColumn("ptext", concat(lit("pt "), col("vec_id")))
-    val gen = Ingest.hashEmbedRaw(
-        Ingest.hashEmbedRaw(gen0, "ctext", 64)
-          .withColumnRenamed("embedding", "cvec"), "ptext", 64)
-      .withColumnRenamed("embedding", "nvec")
-      .withColumn("mix",
-        zip_with(col("cvec"), col("nvec"), (a, b) => a + lit(0.75) * b))
-      .withColumn("nrm",
-        sqrt(aggregate(col("mix"), lit(0.0), (acc, x) => acc + x * x)))
-      .select(col("vec_id"),
-        transform(col("mix"), x => (x / col("nrm")).cast("float"))
-          .as("embedding"))
-    val corpusDir = Artifacts.write(gen, "v28_corpus", sfDir)
-    val all = spark.read.parquet(corpusDir)
+    val (all, centroids) = clusteredRecallCache.getOrElseUpdate(sfDir, {
+      val gen0 = spark.range(n).select(col("id").as("vec_id"))
+        .withColumn("ctext", concat(lit("center "), pmod(col("vec_id"), lit(8))))
+        .withColumn("ptext", concat(lit("pt "), col("vec_id")))
+      val gen = Ingest.hashEmbedRaw(
+          Ingest.hashEmbedRaw(gen0, "ctext", 64)
+            .withColumnRenamed("embedding", "cvec"), "ptext", 64)
+        .withColumnRenamed("embedding", "nvec")
+        .withColumn("mix",
+          zip_with(col("cvec"), col("nvec"), (a, b) => a + lit(0.75) * b))
+        .withColumn("nrm",
+          sqrt(aggregate(col("mix"), lit(0.0), (acc, x) => acc + x * x)))
+        .select(col("vec_id"),
+          transform(col("mix"), x => (x / col("nrm")).cast("float"))
+            .as("embedding"))
+      val corpusDir = Artifacts.write(gen, "v28_corpus", sfDir)
+      val allDf = spark.read.parquet(corpusDir)
+      (allDf, spark.read.parquet(Artifacts.write(
+        Ann.kmeansCentroids(allDf.filter(col("vec_id") >= nQueries),
+          "vec_id", "embedding", 16),
+        "v28_centroids", sfDir)))
+    })
     val corpus = all.filter(col("vec_id") >= nQueries)
     val nCorpus = (n - nQueries).toDouble
     val queries = all.filter(col("vec_id") < nQueries)
@@ -629,10 +643,6 @@ object VectorQueries {
       .topKPerQuery(Search.scoreAll(corpus, queries,
         "vec_id", "embedding", "query_id", "qe"), "query_id", "vec_id", 10)
       .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
-    val centDir = Artifacts.write(
-      Ann.kmeansCentroids(corpus, "vec_id", "embedding", 16),
-      "v28_centroids", sfDir)
-    val centroids = spark.read.parquet(centDir)
     val assigned = Ann.ivfAssign(corpus, centroids, "vec_id", "embedding")
       .persist()
     assigned.count() // one assignment pass feeds all probe widths (v14)
