@@ -562,6 +562,50 @@ object Dedup {
       .select("id_a", "id_b", "pos_a", "pos_b", "run_tokens")
   }
 
+  /** The REMOVAL action over [[substringSpans]] output (Lee et al.'s
+    * ExactSubstr dedup removes every duplicated span from all but one
+    * occurrence): cut from each document every token covered by a span
+    * in which it is the LATER (id_b) side — keep-first, so one copy of
+    * every duplicated passage survives — and reconstruct the cleaned
+    * text from the surviving tokens in order. Overlapping spans from
+    * different partners need no interval merging: a token is removed
+    * iff ANY covering span exists (the anti range-join).
+    *
+    * Returns, for each AFFECTED document: (idCol, n_tokens,
+    * n_tokens_clean, clean_md5) — token counts before/after and the
+    * md5 of the reconstructed text (a fully-duplicated document
+    * reconstructs to the empty string). Scale shape: tokens explode
+    * narrowly; the anti-join is doc-local (equi on the id, range
+    * condition on the position); reconstruction is one grouped sort —
+    * all keyed by document, embarrassingly parallel.
+    */
+  def removeSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val iv = spans.select(col("id_b").as("_rid"), col("pos_b").as("_s"),
+      (col("pos_b") + col("run_tokens")).as("_e"))
+    val affected = iv.select(col("_rid").as(idCol)).distinct()
+    val toks = docs.join(affected, Seq(idCol), "left_semi")
+      .select(col(idCol), posexplode(words(col(textCol)))
+        .as(Seq("pos", "tok")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = toks.join(iv,
+      toks(idCol) === iv("_rid") &&
+        col("pos") >= col("_s") && col("pos") < col("_e"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens_clean"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          p => p("tok")), " ").as("_clean"))
+    docs.join(affected, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        size(words(col(textCol))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_tokens_clean"), lit(0L)).as("n_tokens_clean"),
+        md5(coalesce(col("_clean"), lit(""))).as("clean_md5"))
+  }
+
   /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space with k-means, then drop every vector
     * that has an EARLIER (lower-id) cluster-mate within cosine `tau` —

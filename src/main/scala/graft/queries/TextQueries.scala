@@ -704,7 +704,34 @@ object TextQueries {
       .orderBy("id_a", "id_b", "pos_a")
   }
 
+  /** The removal action over t34's spans ([[graft.operators.Dedup
+    * .removeSpans]]): every duplicated passage is cut from the later
+    * document (keep-first) and the cleaned text reconstructed — token
+    * counts before/after plus the md5 of the rebuilt string, all
+    * replayed by the oracle from the same span pipeline.
+    */
+  /** t34's span relation as a build-once artifact (t16/t20's pair-graph
+    * convention): detection cost stays represented in t34 itself; t35
+    * measures the REMOVAL pass, its own operator.
+    */
+  private val spansCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+
+  def substringRemovalQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val spans = spansCache.getOrElseUpdate(sfDir, {
+      val sh = posShingleCache.getOrElseUpdate(sfDir,
+        Dedup.positionalShingleHashes(docs, "doc_id", "text", w = 8)
+          .localCheckpoint())
+      Dedup.substringSpansFrom(sh, "doc_id", w = 8,
+        maxDf = 50L, minRunTokens = 16).localCheckpoint()
+    })
+    Dedup.removeSpans(docs, spans, "doc_id", "text").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t35_substring_removal" -> (substringRemovalQuery(_, _)),
     "t34_substring_spans" -> (substringSpansQuery(_, _)),
     "t33_classifier_filter" -> (classifierFilter(_, _)),
     "t32_semantic_dedup" -> (semanticDedupQuery(_, _)),
@@ -874,33 +901,65 @@ object TextQueries {
          |            AS BIGINT) AS n_correct
          |FROM pred GROUP BY actual ORDER BY cls""".stripMargin
 
+  /** The t34 span-detection pipeline as reusable CTEs ending in
+    * `spans(id_a, id_b, pos_a, pos_b, run_tokens)` — t35's removal
+    * oracle builds on the identical detection replay.
+    */
+  private def substringSpanCtes: String =
+    s"""d AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |         ${hash60("coalesce(list_aggregate(ws[i:i+7], " +
+           "'string_agg', ' '), '')")} AS sh
+       |  FROM d, unnest(range(1, greatest(len(ws) - 7, 1) + 1))
+       |       AS t(i)),
+       |kept AS (
+       |  SELECT * FROM sh0 WHERE sh IN (
+       |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 50)),
+       |m AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS al
+       |  FROM kept a JOIN kept b USING (sh)
+       |  WHERE a.doc_id < b.doc_id),
+       |r AS (
+       |  SELECT id_a, id_b, al, pos_a, pos_b,
+       |         pos_a - row_number() OVER (
+       |           PARTITION BY id_a, id_b, al ORDER BY pos_a) AS grp
+       |  FROM m),
+       |spans AS (
+       |  SELECT id_a, id_b, min(pos_a) AS pos_a, min(pos_b) AS pos_b,
+       |         CAST(count(*) + 7 AS BIGINT) AS run_tokens
+       |  FROM r GROUP BY id_a, id_b, al, grp
+       |  HAVING count(*) + 7 >= 16)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "t34_substring_spans" ->
-      s"""WITH d AS (SELECT doc_id, $wsExpr AS ws FROM documents),
-         |sh0 AS (
-         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-         |         ${hash60("coalesce(list_aggregate(ws[i:i+7], " +
-             "'string_agg', ' '), '')")} AS sh
-         |  FROM d, unnest(range(1, greatest(len(ws) - 7, 1) + 1))
-         |       AS t(i)),
-         |kept AS (
-         |  SELECT * FROM sh0 WHERE sh IN (
-         |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 50)),
-         |m AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |         a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS al
-         |  FROM kept a JOIN kept b USING (sh)
-         |  WHERE a.doc_id < b.doc_id),
-         |r AS (
-         |  SELECT id_a, id_b, al, pos_a, pos_b,
-         |         pos_a - row_number() OVER (
-         |           PARTITION BY id_a, id_b, al ORDER BY pos_a) AS grp
-         |  FROM m)
-         |SELECT id_a, id_b, min(pos_a) AS pos_a, min(pos_b) AS pos_b,
-         |       CAST(count(*) + 7 AS BIGINT) AS run_tokens
-         |FROM r GROUP BY id_a, id_b, al, grp
-         |HAVING count(*) + 7 >= 16
+      s"""WITH $substringSpanCtes
+         |SELECT id_a, id_b, pos_a, pos_b, run_tokens FROM spans
          |ORDER BY id_a, id_b, pos_a""".stripMargin,
+    "t35_substring_removal" ->
+      s"""WITH $substringSpanCtes,
+         |iv AS (SELECT id_b AS doc_id, pos_b AS s,
+         |              pos_b + run_tokens AS e FROM spans),
+         |aff AS (SELECT DISTINCT doc_id FROM iv),
+         |toks AS (
+         |  SELECT d.doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS tok
+         |  FROM d JOIN aff USING (doc_id),
+         |       unnest(range(1, len(ws) + 1)) AS t(i)),
+         |keptt AS (
+         |  SELECT tk.doc_id, tk.pos, tk.tok FROM toks tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM iv
+         |    WHERE iv.doc_id = tk.doc_id
+         |      AND tk.pos >= iv.s AND tk.pos < iv.e)),
+         |reb AS (
+         |  SELECT doc_id, count(*) AS n_tokens_clean,
+         |         string_agg(tok, ' ' ORDER BY pos) AS clean
+         |  FROM keptt GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tokens,
+         |       coalesce(reb.n_tokens_clean, 0) AS n_tokens_clean,
+         |       md5(coalesce(reb.clean, '')) AS clean_md5
+         |FROM d JOIN aff USING (doc_id) LEFT JOIN reb USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "t33_classifier_filter" -> classifierOracle,
     "t32_semantic_dedup" ->
       s"""WITH cent AS (SELECT centroid_id, CAST(centroid AS DOUBLE[]) AS c

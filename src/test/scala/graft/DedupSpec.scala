@@ -300,6 +300,31 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 0L, 0L, 5L), (1L, 2L, 0L, 7L, 5L)))
   }
 
+  test("removeSpans: later doc loses the shared run, overlapping spans " +
+      "need no merge, full dup reconstructs to empty") {
+    val docs = docsDf(
+      (1L, "a b c d e"),
+      (2L, "x a b c d e y"), // loses the middle 5 tokens
+      (3L, "a b c d e"))     // full dup of 1 -> empty after removal
+    val spans = Seq(
+      (1L, 2L, 0L, 1L, 5L),
+      // overlapping second span over doc 2 (from another partner):
+      // covered set is the union, tokens removed once
+      (1L, 2L, 0L, 2L, 4L),
+      (1L, 3L, 0L, 0L, 5L))
+      .toDF("id_a", "id_b", "pos_a", "pos_b", "run_tokens")
+    val got = Dedup.removeSpans(docs, spans, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // doc 1 is never an id_b -> not affected, absent from the output;
+    // doc 2's spans cover positions 1-5 (union) -> "x" and "y" survive
+    assert(got == Seq(
+      (2L, 7L, 2L, m("x y")),
+      (3L, 5L, 0L, m(""))))
+  }
+
   test("semanticDedup: keep-first within a cluster, clusters isolated, " +
       "below-threshold mates survive") {
     import graft.operators.Ann
