@@ -300,6 +300,65 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 0L, 0L, 5L), (1L, 2L, 0L, 7L, 5L)))
   }
 
+  test("substringSpans equals a brute-force reference on random " +
+      "small-vocab corpora") {
+    // independent plain-Scala implementation of the ExactSubstr
+    // criterion: positional shingling, df cap, per-alignment
+    // consecutive-run merge
+    def refSpans(docs: Seq[(Long, String)], w: Int, maxDf: Int,
+                 minRun: Int): Set[(Long, Long, Long, Long, Long)] = {
+      def toks(s: String) =
+        if (s.trim.isEmpty) Seq.empty[String]
+        else s.trim.split("\\s+").toSeq
+      val sh = docs.map { case (id, t) =>
+        val ws = toks(t)
+        id -> (if (ws.length <= w) Seq(0 -> ws.mkString(" "))
+               else (0 to ws.length - w)
+                 .map(i => i -> ws.slice(i, i + w).mkString(" ")))
+      }
+      val df = sh.flatMap(_._2.map(_._2)).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val kept = sh.map { case (id, ss) =>
+        id -> ss.filter(p => df(p._2) <= maxDf)
+      }
+      (for {
+        (ia, sa) <- kept; (ib, sb) <- kept if ia < ib
+        matches = for { (pa, ga) <- sa; (pb, gb) <- sb if ga == gb }
+          yield (pa, pb)
+        ((_: Long), group) <- matches.groupBy { case (pa, pb) =>
+          (pa - pb).toLong }
+        runs = {
+          val sorted = group.map(_._1).sorted
+          // split consecutive position runs
+          sorted.foldLeft(List.empty[List[Int]]) {
+            case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+              (p :: acc.head) :: acc.tail
+            case (acc, p) => List(p) :: acc
+          }
+        }
+        run <- runs
+        len = run.size + w - 1 if len >= minRun
+        pa = run.min
+      } yield (ia, ib, pa.toLong,
+        (pa - (group.head._1 - group.head._2)).toLong, len.toLong))
+        .toSet
+    }
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val rng = new scala.util.Random(77)
+    for (_ <- 1 to 3) {
+      val docs = (1L to 8L).map { id =>
+        val n = 5 + rng.nextInt(26)
+        (id, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = Dedup.substringSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", w = 3, maxDf = 1000L, minRunTokens = 5)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == refSpans(docs, 3, 1000, 5),
+        s"mismatch on corpus: $docs")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("removeSpans: later doc loses the shared run, overlapping spans " +
       "need no merge, full dup reconstructs to empty") {
     val docs = docsDf(
