@@ -254,16 +254,25 @@ object Pq {
     rerankExact(raw, cands, idCol, vecCol, qLit, k)
   }
 
-  /** Build the IVF-PQ index frame: (idCol, centroid_id, codes) — one
-    * cell-assignment pass, codes projected in the same narrow stage.
-    * Write it partitioned by centroid_id
+  /** Build the IVF-PQ index frame: (idCol, centroid_id, codes [,
+    * carryCols…]) — one cell-assignment pass, codes projected in the
+    * same narrow stage. Write it partitioned by centroid_id
     * ([[Ingest.writeStorePartitioned]]) and the probe becomes directory
     * pruning.
+    *
+    * `carryCols` copies metadata columns (label, lang, source…) INTO
+    * the index rows — the attribute-carrying layout filtered vector
+    * search needs: a metadata predicate then applies directly on the
+    * index scan (pushed to parquet on a stored index) instead of a
+    * per-query join against the metadata table.
     */
   def buildIvfPqIndex(emb: DataFrame, centroids: DataFrame,
-                      idCol: String, vecCol: String,
-                      model: PqModel): DataFrame =
-    Ann.ivfAssign(emb, centroids, idCol, vecCol)
+                      idCol: String, vecCol: String, model: PqModel,
+                      carryCols: Seq[String] = Nil): DataFrame = {
+    val base = Ann.ivfAssign(emb, centroids, idCol, vecCol)
       .select(col(idCol), col("centroid_id"),
         encodeCol(vecCol, model).as("codes"))
+    if (carryCols.isEmpty) base
+    else base.join(emb.select(idCol, carryCols: _*), Seq(idCol))
+  }
 }

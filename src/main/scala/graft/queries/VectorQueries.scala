@@ -490,6 +490,45 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** v29's trained codebooks, once per corpus (v25's artifact
+    * contract). */
+  private val filteredIvfPqCache = scala.collection.concurrent.TrieMap
+    .empty[String, graft.operators.Pq.PqModel]
+
+  /** FILTERED vector search — the top user-facing feature the raw ANN
+    * layouts lack: top-k among only the vectors satisfying a metadata
+    * predicate (here label < 5), composed INTO the IVF-PQ serving path
+    * rather than post-filtering its output (which silently returns
+    * fewer than k when the predicate is selective). The index carries
+    * the label column ([[graft.operators.Pq.buildIvfPqIndex]]
+    * carryCols — the attribute-carrying layout), so the predicate
+    * applies on the index scan itself (pushed to parquet on a stored
+    * index) before any ADC work; probe → filter → ADC shortlist →
+    * exact rerank, every step replayed by the oracle with the same
+    * WHERE clause.
+    */
+  def filteredIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") >= 16)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val model = filteredIvfPqCache.getOrElseUpdate(sfDir, {
+      val trained = Pq.trainCodebooks(
+        corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", m = 8, k = 16, maxIter = 4)
+      persistCodebooks(spark, trained, "v29_codebooks", sfDir)
+    })
+    val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 16)
+    val index = Pq.buildIvfPqIndex(corpus, centroids,
+        "vec_id", "embedding", model, carryCols = Seq("label"))
+      .filter(col("label") < 5)
+    Pq.ivfPqSearch(index, centroids, corpus, "vec_id", "embedding",
+        q, model, nProbe = 4, shortlist = 50, k = 10)
+      .select(col("vec_id"), round(col("dist"), 6).as("l2_dist"))
+      .orderBy("vec_id")
+  }
+
   /** v26's partitioned index + models, once per corpus (v25's artifact
     * contract): the index is an on-disk store a pipeline builds at
     * snapshot time, so repeated v26 timings measure the SERVING path —
@@ -928,6 +967,40 @@ object VectorQueries {
          |cand AS (
          |  SELECT a.vec_id, a.e FROM assigned a JOIN probed
          |  USING (centroid_id)),
+         |${pqAdcCtes("cand")},
+         |short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 50),
+         |res AS (
+         |  SELECT ca.vec_id, list_distance(ca.e, q.qe) AS d
+         |  FROM cand ca JOIN short USING (vec_id), q
+         |  ORDER BY d, ca.vec_id LIMIT 10)
+         |SELECT vec_id, round(d, 6) AS l2_dist FROM res
+         |ORDER BY vec_id""".stripMargin,
+    // v22's replay with the metadata predicate composed in: corpus
+    // carries label, candidates filter label < 5 BEFORE the ADC CTEs —
+    // the same filter-during-search the Spark plan applies on the
+    // attribute-carrying index
+    "v29_filtered_ivfpq" ->
+      s"""WITH cb AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |            FROM read_parquet('${Artifacts.oracleGlob("v29_codebooks")}')),
+         |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM embeddings),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |cent AS (SELECT vec_id AS centroid_id, e AS ctr0 FROM v
+         |         ORDER BY vec_id LIMIT 16),
+         |corpus AS (SELECT vec_id, label, e FROM v WHERE vec_id >= 16),
+         |assigned AS (
+         |  SELECT vec_id, label, e, centroid_id FROM (
+         |    SELECT co.vec_id, co.label, co.e, cent.centroid_id,
+         |           row_number() OVER (PARTITION BY co.vec_id
+         |             ORDER BY list_distance(co.e, cent.ctr0),
+         |                      cent.centroid_id) AS rn
+         |    FROM corpus co, cent) WHERE rn = 1),
+         |probed AS (
+         |  SELECT centroid_id FROM cent, q
+         |  ORDER BY list_distance(ctr0, qe), centroid_id LIMIT 4),
+         |cand AS (
+         |  SELECT a.vec_id, a.e FROM assigned a JOIN probed
+         |  USING (centroid_id) WHERE a.label < 5),
          |${pqAdcCtes("cand")},
          |short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 50),
          |res AS (
@@ -1501,6 +1574,7 @@ object VectorQueries {
     "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
     "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
     "v27_ref_dim_search" -> (refDimSearch(_, _)),
+    "v29_filtered_ivfpq" -> (filteredIvfPq(_, _)),
     "v28_clustered_recall" -> (clusteredRecall(_, _)),
     "v17_range_search" -> (rangeSearch(_, _)),
     "v18_mmr_rerank" -> (mmrRerank(_, _)),
