@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.functions.HashFunctions.md5Long
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches (HyperLogLog, Flajolet et al. 2007)
+  * over the engine's portable md5 hashing — the profiling primitive a
+  * 100 TB pipeline runs where exact COUNT(DISTINCT) would shuffle the
+  * full key set: registers are a GROUP-BY-sized aggregate (m small
+  * ints per group), partial-aggregate map-side, and union across
+  * corpora/partitions is a per-register max — the sketch of a year of
+  * data folds in per-day register tables without touching rows again.
+  *
+  * Unlike the built-in approx_count_distinct (whose xxhash/HLL++
+  * internals no other engine reproduces), these registers are
+  * bit-reproducible anywhere md5 exists, so estimates are
+  * oracle-checkable and stable across engines and versions.
+  */
+object Sketch {
+
+  /** Standard HLL bias constant α_m. */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1 + 1.079 / m)
+  }
+
+  /** Per-group HLL registers over `value`: bucket = low `bucketBits`
+    * of md5-60(value), rho = leading-zero count of the remaining
+    * 60−bucketBits bits + 1 (via the engine-portable bin()-length
+    * trick), register = max rho. Output: groupCols :+ (bucket, reg) —
+    * one narrow projection and one partial-aggregating group-by.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], value: Column,
+                   bucketBits: Int): DataFrame =
+    hllRegistersFromHash(df, groupCols, md5Long(value), bucketBits)
+
+  /** [[hllRegisters]] over an ALREADY-HASHED 60-bit md5Long column —
+    * for pipelines whose relations carry graft hashes natively (the
+    * positional-shingle index, content keys): the sketch then costs no
+    * second hashing pass.
+    */
+  def hllRegistersFromHash(df: DataFrame, groupCols: Seq[String],
+                           hash: Column, bucketBits: Int): DataFrame = {
+    val m = 1 << bucketBits
+    val restBits = 60 - bucketBits
+    val rest = shiftright(hash, bucketBits)
+    val rho = when(rest === 0, lit(restBits + 1))
+      .otherwise(lit(restBits + 1) - length(bin(rest)))
+    df.select((groupCols.map(col) :+ pmod(hash, lit(m)).as("bucket")
+        :+ rho.as("rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Merge registers across the dropped dimension(s): per-bucket max —
+    * the HLL union. `keepCols` are the group columns that survive.
+    */
+  def hllMerge(regs: DataFrame, keepCols: Seq[String]): DataFrame =
+    regs.groupBy((keepCols :+ "bucket").map(col): _*)
+      .agg(max(col("reg")).as("reg"))
+
+  /** HLL estimate per group from a register table (absent buckets
+    * count as zero registers via the dense grid join): raw
+    * α_m · m² / Σ 2^(−reg), with Flajolet's SMALL-RANGE correction —
+    * when the raw estimate ≤ 2.5·m and zero registers remain, linear
+    * counting (m · ln(m/V)) is the accurate regime. Rounded to 4 dp.
+    */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String],
+                  bucketBits: Int): DataFrame = {
+    val m = 1 << bucketBits
+    val groups = regs.select(groupCols.map(col): _*).distinct()
+    val grid = groups.crossJoin(
+      regs.sparkSession.range(m).select(col("id").as("bucket")))
+    val raw = lit(hllAlpha(m)) * lit(m.toDouble * m) /
+      sum(pow(lit(2.0), negate(col("reg"))))
+    val zeros = sum(when(col("reg") === 0, 1L).otherwise(0L))
+    grid.join(regs, groupCols :+ "bucket", "left")
+      .select((groupCols.map(col)
+        :+ coalesce(col("reg"), lit(0)).as("reg")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(round(when(raw <= lit(2.5 * m) && zeros > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / zeros))
+        .otherwise(raw), 4).as("ndv_hll"))
+  }
+}

@@ -730,7 +730,48 @@ object TextQueries {
     Dedup.removeSpans(docs, spans, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** Distinct-token cardinality per language via the portable HLL
+    * sketch ([[graft.operators.Sketch]]), REPORTED NEXT TO the exact
+    * count so the estimate error is measured, not assumed — plus an
+    * `(all)` row whose registers are the per-language MERGE (per-bucket
+    * max), demonstrating the property that makes sketches the 100 TB
+    * profiling tool: cross-corpus union without re-touching rows. The
+    * oracle replays bucketing, the bin()-length rho, registers, the
+    * dense-grid estimate and the merge in SQL — an approximate
+    * algorithm, hash-checked exactly.
+    */
+  def hllNdvQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sketch
+    val docs = Tables.documents(spark, sfDir)
+    // the sketched universe: distinct 8-token shingles — the postings
+    // cardinality that sizes a dedup index; the relation already
+    // carries graft 60-bit hashes (t34's per-corpus artifact), so the
+    // sketch costs no second hashing pass
+    val sh = posShingleCache.getOrElseUpdate(sfDir,
+      Dedup.positionalShingleHashes(
+          docs.select("doc_id", "text"), "doc_id", "text", w = 8)
+        .localCheckpoint())
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val regs = Sketch
+      .hllRegistersFromHash(sh, Seq("lang"), col("sh"), 6)
+      .persist()
+    val perLang = Sketch.hllEstimate(regs, Seq("lang"), 6)
+      .join(sh.groupBy("lang")
+        .agg(countDistinct(col("sh")).as("ndv_exact")), Seq("lang"))
+    val merged = Sketch.hllEstimate(
+        Sketch.hllMerge(regs, Nil).withColumn("lang", lit("(all)")),
+        Seq("lang"), 6)
+      .join(sh.agg(countDistinct(col("sh")).as("ndv_exact"))
+        .withColumn("lang", lit("(all)")), Seq("lang"))
+    perLang.unionByName(merged)
+      .select(col("lang"), col("ndv_exact"), col("ndv_hll"),
+        round(abs(col("ndv_hll") - col("ndv_exact")) / col("ndv_exact"),
+          4).as("rel_err"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t36_hll_ndv" -> (hllNdvQuery(_, _)),
     "t35_substring_removal" -> (substringRemovalQuery(_, _)),
     "t34_substring_spans" -> (substringSpansQuery(_, _)),
     "t33_classifier_filter" -> (classifierFilter(_, _)),
@@ -933,6 +974,61 @@ object TextQueries {
        |  HAVING count(*) + 7 >= 16)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "t36_hll_ndv" ->
+      s"""WITH d AS (SELECT doc_id, lang, $wsExpr AS ws FROM documents),
+         |sh AS (
+         |  SELECT lang,
+         |         ${hash60("coalesce(list_aggregate(ws[i:i+7], " +
+             "'string_agg', ' '), '')")} AS h
+         |  FROM d, unnest(range(1, greatest(len(ws) - 7, 1) + 1))
+         |       AS t(i)),
+         |pre AS (SELECT lang, h % 64 AS bucket, h // 64 AS rest FROM sh),
+         |rr AS (SELECT lang, bucket,
+         |         CASE WHEN rest = 0 THEN 55
+         |              ELSE 55 - length(bin(rest)) END AS rho FROM pre),
+         |regs AS (SELECT lang, bucket, max(rho) AS reg
+         |         FROM rr GROUP BY lang, bucket),
+         |langs AS (SELECT DISTINCT lang FROM documents),
+         |grid AS (SELECT lang, b AS bucket
+         |         FROM langs, unnest(range(0, 64)) AS t(b)),
+         |dense AS (SELECT g.lang, coalesce(r.reg, 0) AS reg
+         |          FROM grid g LEFT JOIN regs r USING (lang, bucket)),
+         |est AS (SELECT lang,
+         |          round(CASE WHEN 0.709 * 4096 / sum(pow(2.0, -reg))
+         |                       <= 160.0
+         |                  AND sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) > 0
+         |                THEN 64.0 * ln(64.0 /
+         |                  sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END))
+         |                ELSE 0.709 * 4096 / sum(pow(2.0, -reg)) END, 4)
+         |            AS ndv_hll
+         |        FROM dense GROUP BY lang),
+         |ex AS (SELECT lang, count(DISTINCT h) AS ndv_exact
+         |       FROM sh GROUP BY lang),
+         |mregs AS (SELECT bucket, max(reg) AS reg FROM regs
+         |          GROUP BY bucket),
+         |mdense AS (SELECT coalesce(r.reg, 0) AS reg
+         |           FROM (SELECT unnest(range(0, 64)) AS bucket) g
+         |           LEFT JOIN mregs r USING (bucket)),
+         |mest AS (SELECT '(all)' AS lang,
+         |           round(CASE WHEN 0.709 * 4096 / sum(pow(2.0, -reg))
+         |                        <= 160.0
+         |                   AND sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) > 0
+         |                 THEN 64.0 * ln(64.0 /
+         |                   sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END))
+         |                 ELSE 0.709 * 4096 / sum(pow(2.0, -reg)) END, 4)
+         |             AS ndv_hll
+         |         FROM mdense),
+         |mex AS (SELECT '(all)' AS lang,
+         |          count(DISTINCT h) AS ndv_exact FROM sh),
+         |u AS (
+         |  SELECT e.lang, x.ndv_exact, e.ndv_hll
+         |  FROM est e JOIN ex x USING (lang)
+         |  UNION ALL
+         |  SELECT m.lang, mx.ndv_exact, m.ndv_hll FROM mest m, mex mx)
+         |SELECT lang, ndv_exact, ndv_hll,
+         |       round(abs(ndv_hll - ndv_exact) / ndv_exact, 4)
+         |         AS rel_err
+         |FROM u ORDER BY lang""".stripMargin,
     "t34_substring_spans" ->
       s"""WITH $substringSpanCtes
          |SELECT id_a, id_b, pos_a, pos_b, run_tokens FROM spans
