@@ -523,15 +523,17 @@ object Dedup {
     * shorter than w contribute their whole text at pos 0.
     */
   def positionalShingleHashes(df: DataFrame, idCol: String,
-                              textCol: String, w: Int): DataFrame = {
+                              textCol: String, w: Int,
+                              carryCols: Seq[String] = Nil): DataFrame = {
     import graft.functions.HashFunctions.md5Long
     val ws = words(col(textCol))
-    df.select(col(idCol),
-      posexplode(transform(
-        sequence(lit(0), greatest(size(ws) - lit(w), lit(0))),
-        i => md5Long(array_join(slice(ws, i + lit(1), lit(w)), " "))))
-        .as(Seq("pos", "sh")))
-      .select(col(idCol), col("pos").cast("long").as("pos"), col("sh"))
+    df.select((col(idCol) +: carryCols.map(col)) :+
+        posexplode(transform(
+          sequence(lit(0), greatest(size(ws) - lit(w), lit(0))),
+          i => md5Long(array_join(slice(ws, i + lit(1), lit(w)), " "))))
+          .as(Seq("pos", "sh")): _*)
+      .select((col(idCol) +: carryCols.map(col)) :+
+        col("pos").cast("long").as("pos") :+ col("sh"): _*)
   }
 
   /** The span-detection leg of [[substringSpans]] over a prebuilt

@@ -324,6 +324,50 @@ object StreamingQueries {
       .orderBy("cls")
   }
 
+  /** CONTINUOUS corpus profiling — t36's streaming twin: documents
+    * stream in, the per-language HLL registers are ONE streaming
+    * aggregate whose state is FIXED-SIZE (|langs| × 64 small ints)
+    * regardless of throughput or horizon — the profiling shape that
+    * runs forever at 100 TB/day where any exact-distinct state grows
+    * without bound. Estimates and the (all) merge are computed
+    * batch-side from the drained registers; the oracle is t36's SQL
+    * verbatim — continuous profiling ≡ batch.
+    */
+  def streamProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Dedup, Sketch}
+    val docs = graft.Tables.documents(spark, sfDir)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val sh = Dedup.positionalShingleHashes(
+      stream.select("doc_id", "lang", "text"),
+      "doc_id", "text", w = 8, carryCols = Seq("lang"))
+    // localCheckpoint: the estimate self-joins the register table
+    // (dense grid ← groups × buckets); the memory-sink relation's
+    // lineage must be cut or the self-join's attribute refs conflict.
+    // |langs| × 64 rows — register-sized, the whole point.
+    val regs = Streaming.runAvailableNow(spark,
+        Sketch.hllRegistersFromHash(sh, Seq("lang"), col("sh"), 6),
+        "graft_s12")
+      .localCheckpoint()
+    val batchSh = Dedup.positionalShingleHashes(
+      docs.select("doc_id", "text"), "doc_id", "text", w = 8)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val perLang = Sketch.hllEstimate(regs, Seq("lang"), 6)
+      .join(batchSh.groupBy("lang")
+        .agg(countDistinct(col("sh")).as("ndv_exact")), Seq("lang"))
+    val merged = Sketch.hllEstimate(
+        Sketch.hllMerge(regs, Nil).withColumn("lang", lit("(all)")),
+        Seq("lang"), 6)
+      .join(batchSh.agg(countDistinct(col("sh")).as("ndv_exact"))
+        .withColumn("lang", lit("(all)")), Seq("lang"))
+    perLang.unionByName(merged)
+      .select(col("lang"), col("ndv_exact"), col("ndv_hll"),
+        round(abs(col("ndv_hll") - col("ndv_exact")) / col("ndv_exact"),
+          4).as("rel_err"))
+      .orderBy("lang")
+  }
+
   /** Sessionization through the BUILT-IN session_window operator
     * ([[Streaming.sessionWindowCounts]]) — s03's twin without custom
     * state. The oracle's session rule is `gap >= 1800` (window bound
@@ -351,11 +395,14 @@ object StreamingQueries {
     "s07_stream_search" -> (streamSearch(_, _)),
     "s09_stream_decontaminate" -> (streamDecontaminate(_, _)),
     "s10_stream_dedup_index" -> (streamIncrementalDedup(_, _)),
-    "s11_stream_classify" -> (streamClassify(_, _)))
+    "s11_stream_classify" -> (streamClassify(_, _)),
+    "s12_stream_profile" -> (streamProfile(_, _)))
 
   // `def`: s11's entry (t33's oracle verbatim) interpolates artifact
   // globs, which must resolve at dump time, after the queries ran.
   def oracles: Map[String, String] = Map(
+    // t36's oracle verbatim — continuous HLL profiling ≡ batch
+    "s12_stream_profile" -> TextQueries.hllOracle,
     // t33's oracle verbatim — continuous classifier scoring ≡ batch
     "s11_stream_classify" -> TextQueries.classifierOracle,
     // t22's oracle verbatim — continuous decontamination ≡ batch

@@ -973,8 +973,11 @@ object TextQueries {
        |  FROM r GROUP BY id_a, id_b, al, grp
        |  HAVING count(*) + 7 >= 16)""".stripMargin
 
-  def oracles: Map[String, String] = Map(
-    "t36_hll_ndv" ->
+  /** t36's oracle — also s12's verbatim (continuous profiling ≡
+    * batch). A `def` per the artifact-glob convention (none used here,
+    * but the sibling oracles resolve at dump time).
+    */
+  private[queries] def hllOracle: String =
       s"""WITH d AS (SELECT doc_id, lang, $wsExpr AS ws FROM documents),
          |sh AS (
          |  SELECT lang,
@@ -1028,7 +1031,10 @@ object TextQueries {
          |SELECT lang, ndv_exact, ndv_hll,
          |       round(abs(ndv_hll - ndv_exact) / ndv_exact, 4)
          |         AS rel_err
-         |FROM u ORDER BY lang""".stripMargin,
+         |FROM u ORDER BY lang""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "t36_hll_ndv" -> hllOracle,
     "t34_substring_spans" ->
       s"""WITH $substringSpanCtes
          |SELECT id_a, id_b, pos_a, pos_b, run_tokens FROM spans
