@@ -388,11 +388,16 @@ object Ingest {
     * store writer lock like every other mutation.
     */
   def commitStoreSnapshot(spark: SparkSession, root: String)
-                         (write: String => Unit): Unit =
+                         (write: String => Unit): Unit = {
+    // the root must exist BEFORE the lock: the lock FILE lives beside
+    // it, and O_EXCL creation fails with a confusing ENOENT when the
+    // parent directory is missing (first commit on a fresh root)
+    val hRoot0 = new org.apache.hadoop.fs.Path(root)
+    hRoot0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(hRoot0): Unit
     withStoreLock(spark, root) {
       val hRoot = new org.apache.hadoop.fs.Path(root)
       val fs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.mkdirs(hRoot): Unit
       // sequence-numbered, assigned INSIDE the lock: snapshot names
       // order commits totally, across writers and JVM restarts (a
       // nanoTime-based name would not — its origin is arbitrary per
@@ -425,6 +430,7 @@ object Ingest {
             org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       }
     }
+  }
 
   private def snapshotNames(fs: org.apache.hadoop.fs.FileSystem,
                             hRoot: org.apache.hadoop.fs.Path): Seq[String] =

@@ -348,7 +348,48 @@ object IngestQueries {
       .orderBy("doc_id")
   }
 
+  /** SNAPSHOT HISTORY through the manifest-commit store: two commits
+    * (first 60% of the corpus, then all of it), then a TIME-TRAVEL
+    * read of the superseded snapshot next to the live one — each
+    * aggregated, the oracle recomputing both from the source table.
+    * This puts the commit protocol itself ([[graft.operators.Ingest
+    * .commitStoreSnapshot]] / [[Ingest.listSnapshots]] /
+    * [[Ingest.readStoreSnapshot]]) inside the hash-checked gate: a
+    * protocol bug that dropped, duplicated or mis-ordered a commit
+    * would flip the aggregates. Commits run once per (app, corpus)
+    * ([[stagedDir]]'s contract — the store is a durable artifact, not
+    * per-invocation scratch).
+    */
+  def snapshotHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ingest
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 6 / 10
+    val root = stagedDir(spark,
+      s"graft_i14_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}") { dir =>
+      val store = s"$dir/store"
+      Ingest.commitStoreSnapshot(spark, store) { snapDir =>
+        Ingest.writeStore(docs.filter(col("doc_id") <= cut), snapDir)
+      }
+      Ingest.commitStoreSnapshot(spark, store) { snapDir =>
+        Ingest.writeStore(docs, snapDir)
+      }
+    } + "/store"
+    val snaps = Ingest.listSnapshots(spark, root)
+    require(snaps.map(_._2) == Seq(false, true),
+      s"expected exactly [superseded, live], got $snaps")
+    def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          countDistinct(md5(col("text"))).as("n_texts"))
+        .select(lit(tag).as("snapshot"), col("n_docs"),
+          col("sum_ids"), col("n_texts"))
+    agg(Ingest.readStoreSnapshot(spark, root, snaps.head._1), "old")
+      .unionByName(agg(Ingest.readStoreManifested(spark, root), "live"))
+      .orderBy("snapshot")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i14_snapshot_history" -> (snapshotHistory(_, _)),
     "i12_binary_media" -> (binaryMediaScan(_, _)),
     "i13_compact_roundtrip" -> (compactRoundtrip(_, _)),
     "i11_bucketed_join" -> (bucketedJoin(_, _)),
@@ -377,6 +418,22 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the snapshot store's two commits, recomputed from the source
+    // table: 'old' = first 60% of ids, 'live' = everything — a commit
+    // protocol that dropped/duplicated/mis-ordered a snapshot flips
+    // these aggregates
+    "i14_snapshot_history" ->
+      """WITH cut AS (SELECT max(doc_id) * 6 // 10 AS c FROM documents),
+        |o AS (SELECT 'old' AS snapshot, count(*) AS n_docs,
+        |             CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |             count(DISTINCT md5(text)) AS n_texts
+        |      FROM documents, cut WHERE doc_id <= c),
+        |l AS (SELECT 'live' AS snapshot, count(*) AS n_docs,
+        |             CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |             count(DISTINCT md5(text)) AS n_texts
+        |      FROM documents)
+        |SELECT * FROM l UNION ALL SELECT * FROM o
+        |ORDER BY snapshot""".stripMargin,
     // the maintenance pass must be lossless: aggregate of the ORIGINALS
     "i13_compact_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
