@@ -334,14 +334,18 @@ object StreamingQueries {
     * verbatim — continuous profiling ≡ batch.
     */
   def streamProfile(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.operators.{Dedup, Sketch}
+    import graft.operators.Sketch
     val docs = graft.Tables.documents(spark, sfDir)
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
-    val sh = Dedup.positionalShingleHashes(
-      stream.select("doc_id", "lang", "text"),
-      "doc_id", "text", w = 8, carryCols = Seq("lang"))
+    // the single-pass ShingleHashes kernel (per-doc DISTINCT hashes):
+    // HLL registers are duplicate-insensitive, so per-doc dedup leaves
+    // them bit-identical to the all-positions enumeration the oracle
+    // replays — at a fraction of the per-trigger cost
+    val sh = stream.select(col("lang"),
+      explode(graft.functions.HashFunctions.shingleHashes(
+        graft.functions.TextFunctions.words(col("text")), 8)).as("sh"))
     // localCheckpoint: the estimate self-joins the register table
     // (dense grid ← groups × buckets); the memory-sink relation's
     // lineage must be cut or the self-join's attribute refs conflict.
@@ -350,8 +354,7 @@ object StreamingQueries {
         Sketch.hllRegistersFromHash(sh, Seq("lang"), col("sh"), 6),
         "graft_s12")
       .localCheckpoint()
-    val batchSh = Dedup.positionalShingleHashes(
-      docs.select("doc_id", "text"), "doc_id", "text", w = 8)
+    val batchSh = TextQueries.positionalShingleIndex(spark, sfDir)
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
     val perLang = Sketch.hllEstimate(regs, Seq("lang"), 6)
       .join(batchSh.groupBy("lang")

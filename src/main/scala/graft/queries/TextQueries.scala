@@ -687,6 +687,18 @@ object TextQueries {
   private val posShingleCache = scala.collection.concurrent.TrieMap
     .empty[String, DataFrame]
 
+  /** The per-corpus positional-shingle index (doc_id, pos, sh), built
+    * and localCheckpointed once — shared by t34/t35/t36 and s12's
+    * batch-exact leg.
+    */
+  private[queries] def positionalShingleIndex(spark: SparkSession,
+                                              sfDir: String): DataFrame =
+    posShingleCache.getOrElseUpdate(sfDir,
+      Dedup.positionalShingleHashes(
+          Tables.documents(spark, sfDir).select("doc_id", "text"),
+          "doc_id", "text", w = 8)
+        .localCheckpoint())
+
   /** Exact-substring spans ([[graft.operators.Dedup.substringSpans]])
     * over the documents table: 8-token positional shingles, df ≤ 50,
     * report every maximal shared run of ≥ 16 tokens with both start
@@ -694,11 +706,7 @@ object TextQueries {
     * catches the copied paragraph document-level near-dup misses.
     */
   def substringSpansQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = posShingleCache.getOrElseUpdate(sfDir,
-      Dedup.positionalShingleHashes(
-          Tables.documents(spark, sfDir).select("doc_id", "text"),
-          "doc_id", "text", w = 8)
-        .localCheckpoint())
+    val sh = positionalShingleIndex(spark, sfDir)
     Dedup.substringSpansFrom(sh, "doc_id", w = 8, maxDf = 50L,
         minRunTokens = 16)
       .orderBy("id_a", "id_b", "pos_a")
@@ -720,13 +728,10 @@ object TextQueries {
   def substringRemovalQuery(spark: SparkSession, sfDir: String)
       : DataFrame = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val spans = spansCache.getOrElseUpdate(sfDir, {
-      val sh = posShingleCache.getOrElseUpdate(sfDir,
-        Dedup.positionalShingleHashes(docs, "doc_id", "text", w = 8)
-          .localCheckpoint())
-      Dedup.substringSpansFrom(sh, "doc_id", w = 8,
-        maxDf = 50L, minRunTokens = 16).localCheckpoint()
-    })
+    val spans = spansCache.getOrElseUpdate(sfDir,
+      Dedup.substringSpansFrom(positionalShingleIndex(spark, sfDir),
+        "doc_id", w = 8, maxDf = 50L, minRunTokens = 16)
+        .localCheckpoint())
     Dedup.removeSpans(docs, spans, "doc_id", "text").orderBy("doc_id")
   }
 
@@ -747,10 +752,7 @@ object TextQueries {
     // cardinality that sizes a dedup index; the relation already
     // carries graft 60-bit hashes (t34's per-corpus artifact), so the
     // sketch costs no second hashing pass
-    val sh = posShingleCache.getOrElseUpdate(sfDir,
-      Dedup.positionalShingleHashes(
-          docs.select("doc_id", "text"), "doc_id", "text", w = 8)
-        .localCheckpoint())
+    val sh = positionalShingleIndex(spark, sfDir)
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
     val regs = Sketch
       .hllRegistersFromHash(sh, Seq("lang"), col("sh"), 6)
