@@ -142,7 +142,13 @@ object PlansDump {
           "itself in an equi-join on the 60-bit hash (postings-bounded " +
           "by the df cap — Σ df², never all-pairs); run merging is a " +
           "gaps-and-islands window partitioned by (pair, alignment) — " +
-          "pair-local, no global sort over the corpus."))
+          "pair-local, no global sort over the corpus."),
+      "t37_curation_v2" ->
+        ("Curation funnel: one plan chains broadcast-joined metadata " +
+          "filters, the cluster-local semantic-dedup semi-join, and " +
+          "the doc-local span-removal anti-join — each stage narrows " +
+          "the next stage's input, and the only shuffles are keyed on " +
+          "cluster id and document id."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")
