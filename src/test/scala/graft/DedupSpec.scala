@@ -359,6 +359,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("removeSpans equals a brute-force reference on a random " +
+      "small-vocab corpus (spans from the real detector)") {
+    val vocab = Vector("a", "b", "c", "d")
+    val rng = new scala.util.Random(31)
+    val docs = (1L to 6L).map { id =>
+      val n = 8 + rng.nextInt(18)
+      (id, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val spansDf = Dedup.substringSpans(df, "doc_id", "text", w = 3,
+      maxDf = 1000L, minRunTokens = 5)
+    val spans = spansDf
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val got = Dedup.removeSpans(df, spansDf, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // reference: for every doc that is an id_b, drop tokens covered by
+    // any of its spans, rebuild, md5
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val byDoc = docs.toMap
+    val expected = spans.map(_._2).distinct.sorted.map { id =>
+      val toks = byDoc(id).split(" ").toSeq
+      val covered = spans.collect {
+        case (_, `id`, _, pb, run) => (pb until pb + run)
+      }.flatten.toSet
+      val keptToks = toks.zipWithIndex
+        .collect { case (t, i) if !covered.contains(i.toLong) => t }
+      (id, toks.size.toLong, keptToks.size.toLong,
+        m(keptToks.mkString(" ")))
+    }
+    assert(got == expected, s"docs=$docs spans=$spans")
+    spark.catalog.clearCache()
+  }
+
   test("removeSpans: later doc loses the shared run, overlapping spans " +
       "need no merge, full dup reconstructs to empty") {
     val docs = docsDf(
