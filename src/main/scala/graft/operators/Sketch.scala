@@ -85,4 +85,70 @@ object Sketch {
           lit(m.toDouble) * log(lit(m.toDouble) / zeros))
         .otherwise(raw), 4).as("ndv_hll"))
   }
+
+  // ---- Count-Min sketch (Cormode & Muthukrishnan 2005) ---------------
+  //
+  // The frequency sibling of the HLL registers above: a depth × width
+  // counter grid whose cell (j, h_j(x) mod width) accumulates every
+  // occurrence of x; the point estimate is min_j over the depth rows —
+  // an OVERESTIMATE by construction (collisions only add), within
+  // ε·N = (e/width)·N with probability 1 − e^(−depth). State is
+  // depth·width small ints per group regardless of corpus size, the
+  // partial aggregate combines map-side, and cross-corpus union is a
+  // per-cell SUM — the heavy-hitter monitor that folds a year of
+  // per-day tables without re-touching rows. Hash family: ONE portable
+  // md5 per item, row j derived via the Carter–Wegman affine family
+  // ([[graft.functions.HashFunctions.affineHash]]) — bit-reproducible
+  // in any engine, so the approximate counters are oracle-checkable.
+
+  /** The depth exploded (row_j, cell) pairs for one base-hash column —
+    * shared by the build and probe sides so both land in the same
+    * cells by construction. */
+  private def cmsCells(base: Column, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map { j =>
+      struct(lit(j).as("row_j"),
+        pmod(graft.functions.HashFunctions.affineHash(base, j),
+          lit(width.toLong)).as("cell"))
+    }: _*))
+
+  /** Per-group CMS counter table over `value`: one narrow projection
+    * (md5 once, depth affine derivations) and one fixed-size group-by
+    * — output rows ≤ groups × depth × width, `cnt` = weight of the
+    * cell. */
+  def cmsTable(df: DataFrame, groupCols: Seq[String], value: Column,
+               depth: Int, width: Int): DataFrame =
+    df.select((groupCols.map(col)
+        :+ cmsCells(md5Long(value), depth, width).as("rc")): _*)
+      .select((groupCols.map(col) :+ col("rc.row_j").as("row_j")
+        :+ col("rc.cell").as("cell")): _*)
+      .groupBy((groupCols :+ "row_j" :+ "cell").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge counter tables across the dropped dimension(s): per-cell
+    * sum — the CMS union. `keepCols` are the group columns that
+    * survive. */
+  def cmsMerge(cms: DataFrame, keepCols: Seq[String]): DataFrame =
+    cms.groupBy((keepCols :+ "row_j" :+ "cell").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates for `probes` (every column rides through) against
+    * a group-free counter table (exactly row_j/cell/cnt — merge first):
+    * min over the depth rows, absent cells count 0 (an item never
+    * inserted CAN estimate 0). Probe side is rows × depth — broadcast
+    * it; the sketch side is ≤ depth·width rows however large the
+    * corpus was. */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, key: Column,
+                  depth: Int, width: Int): DataFrame = {
+    val keep = probes.columns.toSeq
+    probes
+      .select((keep.map(col)
+        :+ cmsCells(md5Long(key), depth, width).as("rc")): _*)
+      .select((keep.map(col) :+ col("rc.row_j").as("row_j")
+        :+ col("rc.cell").as("cell")): _*)
+      .join(broadcast(cms), Seq("row_j", "cell"), "left")
+      .select((keep.map(col)
+        :+ coalesce(col("cnt"), lit(0L)).as("cnt")): _*)
+      .groupBy(keep.map(col): _*)
+      .agg(min(col("cnt")).as("cnt_cms"))
+  }
 }

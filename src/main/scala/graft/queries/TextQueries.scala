@@ -772,6 +772,36 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** MERGEABLE frequency sketch — Count-Min heavy hitters
+    * ([[graft.operators.Sketch.cmsTable]], Cormode & Muthukrishnan
+    * 2005), t36's frequency sibling: per-language counter tables over
+    * the token stream, merged cell-wise into the corpus sketch, then
+    * probed with the exact top-12 tokens so the overestimate is
+    * MEASURED next to the truth (CMS never underestimates — the
+    * `overest` column is the per-key collision noise at this
+    * depth × width). The sketch is 3 × 1024 cells however large the
+    * corpus: the vocabulary-frequency monitor a 100 TB pipeline keeps
+    * where an exact token count would carry the full vocabulary
+    * through every fold. The oracle replays md5 → affine family →
+    * cells → per-cell counts → min-over-rows in SQL — approximate
+    * counters, hash-checked exactly.
+    */
+  def cmsHeavyQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sketch
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("lang"),
+      explode(words(col("text"))).as("tok"))
+    val perLang = Sketch.cmsTable(toks, Seq("lang"), col("tok"),
+      depth = 3, width = 1024)
+    val merged = Sketch.cmsMerge(perLang, Nil)
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt_exact"))
+      .orderBy(col("cnt_exact").desc, col("tok").asc).limit(12)
+    Sketch.cmsEstimate(merged, top, col("tok"), depth = 3, width = 1024)
+      .select(col("tok"), col("cnt_exact"), col("cnt_cms"),
+        (col("cnt_cms") - col("cnt_exact")).as("overest"))
+      .orderBy(col("cnt_exact").desc, col("tok").asc)
+  }
+
   /** CURATION CAPSTONE v2 — the modern embedding-era funnel in ONE
     * oracle-checked plan (t20 is the text-only ancestor): documents
     * joined to their embeddings → language filter → length/quality
@@ -835,6 +865,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t37_curation_v2" -> (curationV2(_, _)),
     "t36_hll_ndv" -> (hllNdvQuery(_, _)),
+    "t38_cms_heavy" -> (cmsHeavyQuery(_, _)),
     "t35_substring_removal" -> (substringRemovalQuery(_, _)),
     "t34_substring_spans" -> (substringSpansQuery(_, _)),
     "t33_classifier_filter" -> (classifierFilter(_, _)),
@@ -1160,6 +1191,29 @@ object TextQueries {
          |UNION ALL SELECT * FROM s4
          |ORDER BY stage""".stripMargin,
     "t36_hll_ndv" -> hllOracle,
+    "t38_cms_heavy" ->
+      s"""WITH d AS (SELECT lang, $wsExpr AS ws FROM documents),
+         |toks AS (SELECT lang, unnest(ws) AS tok FROM d),
+         |b AS (SELECT tok, ${hash60("tok")} AS base FROM toks),
+         |cells AS (SELECT j, ${affineSqlJ("base")} % 1024 AS cell
+         |          FROM b, unnest(range(0, 3)) AS t(j)),
+         |cms AS (SELECT j AS row_j, cell, count(*) AS cnt
+         |        FROM cells GROUP BY 1, 2),
+         |top AS (SELECT tok, count(*) AS cnt_exact FROM toks
+         |        GROUP BY tok ORDER BY cnt_exact DESC, tok LIMIT 12),
+         |pb AS (SELECT tok, cnt_exact, ${hash60("tok")} AS base
+         |       FROM top),
+         |pc AS (SELECT tok, cnt_exact, j,
+         |         ${affineSqlJ("base")} % 1024 AS cell
+         |       FROM pb, unnest(range(0, 3)) AS t(j)),
+         |est AS (SELECT tok, cnt_exact,
+         |          min(coalesce(c.cnt, 0)) AS cnt_cms
+         |        FROM pc LEFT JOIN cms c
+         |          ON c.row_j = pc.j AND c.cell = pc.cell
+         |        GROUP BY tok, cnt_exact)
+         |SELECT tok, cnt_exact, cnt_cms,
+         |       cnt_cms - cnt_exact AS overest
+         |FROM est ORDER BY cnt_exact DESC, tok""".stripMargin,
     "t34_substring_spans" ->
       s"""WITH ${substringSpanCtes()}
          |SELECT id_a, id_b, pos_a, pos_b, run_tokens FROM spans

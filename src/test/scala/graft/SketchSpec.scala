@@ -49,4 +49,58 @@ class SketchSpec extends SparkSpec {
       .select("ndv_hll").head().getDouble(0)
     assert(est == estNoDups, "HLL must be insensitive to duplicates")
   }
+
+  test("CMS never underestimates, and is exact for every key when " +
+      "the grid is collision-checkably wide") {
+    val rng = new scala.util.Random(7)
+    // zipfy-ish: key k_i appears i times — 40 keys, 820 rows
+    val rows = (1 to 40).flatMap(i => Seq.fill(i)(("g", s"k_$i")))
+    val df = rng.shuffle(rows).toDF("g", "v")
+    val exact = df.groupBy("v").agg(count(lit(1)).as("cnt_exact"))
+    val cms = Sketch.cmsMerge(
+      Sketch.cmsTable(df, Seq("g"), col("v"), depth = 3, width = 64),
+      Nil)
+    val got = Sketch
+      .cmsEstimate(cms, exact, col("v"), depth = 3, width = 64)
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 40)
+    got.foreach { case (k, ex, est) =>
+      assert(est >= ex, s"CMS underestimated $k: $est < $ex")
+    }
+    // 40 keys into 3 independent rows of 4096 cells: min-over-rows is
+    // exact unless a key collides in ALL rows — vanishingly unlikely,
+    // and the assertion would name the colliding key if it ever did
+    val wide = Sketch.cmsMerge(
+      Sketch.cmsTable(df, Seq("g"), col("v"), depth = 3, width = 4096),
+      Nil)
+    Sketch.cmsEstimate(wide, exact, col("v"), depth = 3, width = 4096)
+      .as[(String, Long, Long)].collect()
+      .foreach { case (k, ex, est) =>
+        assert(est == ex, s"wide CMS not exact for $k: $est != $ex")
+      }
+  }
+
+  test("cmsMerge(per-group tables) equals the table built over the " +
+      "union; an absent key estimates 0 on an empty-cell miss") {
+    val a = (1 to 200).map(i => ("a", s"x_${i % 17}")).toDF("g", "v")
+    val b = (1 to 150).map(i => ("b", s"x_${i % 23}")).toDF("g", "v")
+    val both = a.unionByName(b)
+    val merged = Sketch
+      .cmsMerge(Sketch.cmsTable(both, Seq("g"), col("v"), 3, 64), Nil)
+      .orderBy("row_j", "cell").as[(Int, Long, Long)].collect().toSeq
+    val direct = Sketch
+      .cmsTable(both.withColumn("g", lit("x")), Seq("g"), col("v"), 3, 64)
+      .select("row_j", "cell", "cnt")
+      .orderBy("row_j", "cell").as[(Int, Long, Long)].collect().toSeq
+    assert(merged == direct)
+    // a key no row ever hashed near: with an empty sketch every cell
+    // misses and the left-join coalesce floors the estimate at 0
+    val empty = Sketch.cmsMerge(
+      Sketch.cmsTable(both.limit(0), Seq("g"), col("v"), 3, 64), Nil)
+    val est = Sketch
+      .cmsEstimate(empty, Seq(("absent", 0L)).toDF("v", "cnt_exact"),
+        col("v"), 3, 64)
+      .select("cnt_cms").head().getLong(0)
+    assert(est == 0L)
+  }
 }
