@@ -85,4 +85,54 @@ object Graph {
     und.unpersist()
     labels
   }
+
+  /** PageRank (Page et al. 1999) over an UNDIRECTED edge list — the
+    * hub score of the dedup toolkit: on a near-dup pair graph the
+    * high-rank nodes are the template/boilerplate documents that many
+    * others partially copy, exactly what a curation run wants a human
+    * to look at (components say WHICH docs cluster; rank says which
+    * doc anchors the cluster).
+    *
+    * Fixed `iters` power iterations, deterministic by construction —
+    * a convergence test would make row content depend on fp tolerance;
+    * bounded iteration keeps the result oracle-checkable and the work
+    * predictable (each round: one equi-join shuffled on node id + one
+    * sum-aggregate, both combining map-side). The symmetric edge list
+    * has no dangling nodes, so the total-mass invariant Σrank = 1
+    * holds without a redistribution term. Lineage is localCheckpointed
+    * per round ([[connectedComponents]]'s rationale). Returns
+    * (node, deg, rank); isolated documents (no near-dup pair) are not
+    * graph nodes.
+    */
+  def pageRank(edges: DataFrame, aCol: String, bCol: String,
+               iters: Int, damping: Double = 0.85): DataFrame = {
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(
+        edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    // src → (dst, deg): the join payload every round re-reads
+    val outE = und
+      .join(und.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .persist()
+    val n = outE.select("src").distinct().count()
+    val teleport = (1.0 - damping) / n
+    var ranks = outE.select("src", "deg").distinct()
+      .select(col("src").as("node"), col("deg"),
+        lit(1.0 / n).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = outE
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+      ranks = contribs.groupBy("dst")
+        .agg((lit(teleport) + lit(damping) * sum(col("c")))
+          .as("rank"))
+        .join(outE.select("src", "deg").distinct()
+          .select(col("src").as("dst"), col("deg")), "dst")
+        .select(col("dst").as("node"), col("deg"), col("rank"))
+        .localCheckpoint()
+    }
+    outE.unpersist()
+    ranks
+  }
 }

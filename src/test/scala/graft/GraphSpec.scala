@@ -36,4 +36,51 @@ class GraphSpec extends SparkSpec {
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Graph.connectedComponents(edges, "a", "b").count() == 0)
   }
+
+  /** Scalar reference: the same fixed-iteration undirected PageRank
+    * on adjacency maps — what the distributed plan must reproduce. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          d: Double = 0.85): Map[Long, Double] = {
+    val und = (edges ++ edges.map(_.swap)).distinct
+    val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nodes = adj.keySet
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters)
+      r = nodes.map(v => v -> ((1.0 - d) / n +
+        d * adj(v).map(u => r(u) / adj(u).size).sum)).toMap
+    r
+  }
+
+  test("pageRank matches the scalar reference on a star + path graph " +
+      "and preserves total mass") {
+    // star 1-{2,3,4} plus path 10-11-12: the hub outranks leaves,
+    // the path midpoint outranks its ends
+    val edges =
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L), (11L, 12L))
+    val got = Graph.pageRank(edges.toDF("a", "b"), "a", "b", iters = 4)
+      .as[(Long, Long, Double)].collect()
+      .map { case (v, deg, r) => v -> (deg, r) }.toMap
+    val want = refPageRank(edges, iters = 4)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (v, r) =>
+      assert(math.abs(got(v)._2 - r) < 1e-12, s"node $v: ${got(v)._2} != $r")
+    }
+    assert(got(1L)._1 == 3 && got(11L)._1 == 2)
+    assert(got(1L)._2 > got(2L)._2, "star hub must outrank a leaf")
+    assert(got(11L)._2 > got(10L)._2, "path midpoint must outrank ends")
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9,
+      "no dangling nodes: rank mass must stay 1")
+  }
+
+  test("pageRank on a regular graph (triangle) is uniform at every " +
+      "iteration count") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val got = Graph.pageRank(tri, "a", "b", iters = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 3)
+    got.foreach { case (_, deg, r) =>
+      assert(deg == 2 && math.abs(r - 1.0 / 3) < 1e-12)
+    }
+  }
 }
