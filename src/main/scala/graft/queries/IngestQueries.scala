@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Ingest
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The ingest surface — the reference's write path (reference
@@ -264,6 +264,55 @@ object IngestQueries {
       .orderBy("label")
   }
 
+  /** Z-ORDER LAYOUT SCORECARD — [[graft.operators.Layout]]: lineitem
+    * rows land in 256 buckets under three writer layouts (insertion
+    * order, single-column sort, Morton/Z-order interleave of
+    * part × supp), and a two-dimensional box predicate is tested
+    * against each bucket's min/max bounding box — EXACTLY the
+    * statistics test a parquet reader runs per file/row-group. The
+    * output quantifies the claim behind `OPTIMIZE ZORDER BY`:
+    * insertion order skips nothing, a single-dim sort prunes only its
+    * own column, the z-layout bounds BOTH dimensions (buckets_touched
+    * and rows_scanned drop; rows_matched is identical by construction
+    * — layout changes what you SCAN, never what you GET). All integer
+    * arithmetic end-to-end (scale → interleave → prefix bucket), so
+    * the oracle replays every bucket id bit-exactly; at deployment
+    * scale the z column is the `repartitionByRange().sortWithin
+    * Partitions().write()` key and each bucket is a file.
+    */
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Layout
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val mm = li.agg(
+      min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+      min("l_suppkey").as("smin"), max("l_suppkey").as("smax"),
+      min("l_orderkey").as("omin"), max("l_orderkey").as("omax"))
+    val scaled = li.crossJoin(broadcast(mm))
+      .select(
+        Layout.scale16(col("l_partkey"), col("pmin"), col("pmax"))
+          .as("x"),
+        Layout.scale16(col("l_suppkey"), col("smin"), col("smax"))
+          .as("y"),
+        Layout.scale16(col("l_orderkey"), col("omin"), col("omax"))
+          .as("o"))
+      .withColumn("z", Layout.morton16(col("x"), col("y")))
+    // the probe: part in its 10–20% band AND supp in its 25–50% band
+    // (scaled-domain constants, so the same literals replay anywhere)
+    val (xLo, xHi, yLo, yHi) = (6554L, 13107L, 16384L, 32768L)
+    def stats(bucket: Column, layout: String) =
+      Layout.skipStats(scaled, bucket, col("x"), col("y"), layout,
+        xLo, xHi, yLo, yHi)
+    val matched = scaled
+      .filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
+      .agg(count(lit(1)).as("rows_matched"))
+    stats(shiftright(col("o"), 8), "1_natural")
+      .unionByName(stats(shiftright(col("x"), 8), "2_sort_x"))
+      .unionByName(stats(shiftright(col("z"), 24), "3_zorder"))
+      .crossJoin(broadcast(matched))
+      .orderBy("layout")
+  }
+
   /** binaryFile-source media scan, oracle-gated: real container FILES
     * on disk (one PNG/JPEG/WAV per doc, [[graft.operators.Multimodal
     * .SynthMedia]] bytes — the write half of the round-trip; the
@@ -394,6 +443,7 @@ object IngestQueries {
     "i13_compact_roundtrip" -> (compactRoundtrip(_, _)),
     "i11_bucketed_join" -> (bucketedJoin(_, _)),
     "i10_assign_ids_dist" -> (assignedIdsDistributed(_, _)),
+    "i15_zorder_layout" -> (zorderLayout(_, _)),
     "i01_hash_embed" -> (hashEmbedBuckets(_, _)),
     "i02_dedup_ingest" -> (dedupIngestCount(_, _)),
     "i03_assign_ids" -> (assignedIds(_, _)),
@@ -418,6 +468,57 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "i15_zorder_layout" ->
+      """WITH mm AS (
+        |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+        |         min(l_suppkey) AS smin, max(l_suppkey) AS smax,
+        |         min(l_orderkey) AS omin, max(l_orderkey) AS omax
+        |  FROM lineitem),
+        |sc AS (
+        |  SELECT
+        |    CASE WHEN pmax = pmin THEN 0
+        |         ELSE ((l_partkey - pmin) * 65535) // (pmax - pmin)
+        |    END AS x,
+        |    CASE WHEN smax = smin THEN 0
+        |         ELSE ((l_suppkey - smin) * 65535) // (smax - smin)
+        |    END AS y,
+        |    CASE WHEN omax = omin THEN 0
+        |         ELSE ((l_orderkey - omin) * 65535) // (omax - omin)
+        |    END AS o
+        |  FROM lineitem, mm),
+        |zz AS (
+        |  SELECT x, y, o,
+        |    CAST(list_sum(list_transform(range(0, 16), b ->
+        |      ((x >> b) & 1) * CAST(2 ** (2 * b) AS BIGINT)
+        |      + ((y >> b) & 1) * CAST(2 ** (2 * b + 1) AS BIGINT)))
+        |      AS BIGINT) AS z
+        |  FROM sc),
+        |st AS (
+        |  SELECT layout, bucket, count(*) AS cnt,
+        |         min(x) AS min_x, max(x) AS max_x,
+        |         min(y) AS min_y, max(y) AS max_y
+        |  FROM (
+        |    SELECT '1_natural' AS layout, o >> 8 AS bucket, x, y FROM zz
+        |    UNION ALL
+        |    SELECT '2_sort_x', x >> 8, x, y FROM zz
+        |    UNION ALL
+        |    SELECT '3_zorder', z >> 24, x, y FROM zz)
+        |  GROUP BY layout, bucket),
+        |agg AS (
+        |  SELECT layout, count(*) AS n_buckets,
+        |    CAST(sum(CASE WHEN min_x <= 13107 AND max_x >= 6554
+        |                   AND min_y <= 32768 AND max_y >= 16384
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched,
+        |    CAST(sum(CASE WHEN min_x <= 13107 AND max_x >= 6554
+        |                   AND min_y <= 32768 AND max_y >= 16384
+        |             THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned
+        |  FROM st GROUP BY layout),
+        |m AS (SELECT count(*) AS rows_matched FROM zz
+        |      WHERE x BETWEEN 6554 AND 13107
+        |        AND y BETWEEN 16384 AND 32768)
+        |SELECT layout, n_buckets, buckets_touched, rows_scanned,
+        |       rows_matched
+        |FROM agg, m ORDER BY layout""".stripMargin,
     // the snapshot store's two commits, recomputed from the source
     // table: 'old' = first 60% of ids, 'live' = everything — a commit
     // protocol that dropped/duplicated/mis-ordered a snapshot flips
