@@ -371,6 +371,40 @@ object StreamingQueries {
       .orderBy("lang")
   }
 
+  /** CONTINUOUS heavy hitters — t38's streaming twin: the token
+    * stream folds into ONE streaming aggregate whose state is the
+    * Count-Min counter grid (3 × 1024 small ints at any throughput or
+    * horizon — the frequency monitor that runs forever where an exact
+    * per-token count grows with the vocabulary). The drained grid is
+    * probed batch-side with the exact top-12; the oracle is t38's SQL
+    * verbatim: continuous counting ≡ batch (the streamed global grid
+    * IS the cell-wise merge of t38's per-language tables, counts
+    * partition by language).
+    */
+  def streamHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sketch
+    val docs = graft.Tables.documents(spark, sfDir)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val toks = stream.select(explode(
+      graft.functions.TextFunctions.words(col("text"))).as("tok"))
+    // localCheckpoint: grid-sized (3 × 1024); cuts the memory-sink
+    // lineage before the broadcast probe join (s12's convention)
+    val cms = Streaming.runAvailableNow(spark,
+        Sketch.cmsTable(toks, Nil, col("tok"), depth = 3, width = 1024),
+        "graft_s13")
+      .localCheckpoint()
+    val top = docs.select(explode(
+        graft.functions.TextFunctions.words(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt_exact"))
+      .orderBy(col("cnt_exact").desc, col("tok").asc).limit(12)
+    Sketch.cmsEstimate(cms, top, col("tok"), depth = 3, width = 1024)
+      .select(col("tok"), col("cnt_exact"), col("cnt_cms"),
+        (col("cnt_cms") - col("cnt_exact")).as("overest"))
+      .orderBy(col("cnt_exact").desc, col("tok").asc)
+  }
+
   /** Sessionization through the BUILT-IN session_window operator
     * ([[Streaming.sessionWindowCounts]]) — s03's twin without custom
     * state. The oracle's session rule is `gap >= 1800` (window bound
@@ -399,13 +433,16 @@ object StreamingQueries {
     "s09_stream_decontaminate" -> (streamDecontaminate(_, _)),
     "s10_stream_dedup_index" -> (streamIncrementalDedup(_, _)),
     "s11_stream_classify" -> (streamClassify(_, _)),
-    "s12_stream_profile" -> (streamProfile(_, _)))
+    "s12_stream_profile" -> (streamProfile(_, _)),
+    "s13_stream_heavy" -> (streamHeavyHitters(_, _)))
 
   // `def`: s11's entry (t33's oracle verbatim) interpolates artifact
   // globs, which must resolve at dump time, after the queries ran.
   def oracles: Map[String, String] = Map(
     // t36's oracle verbatim — continuous HLL profiling ≡ batch
     "s12_stream_profile" -> TextQueries.hllOracle,
+    // t38's oracle verbatim — continuous heavy hitters ≡ batch
+    "s13_stream_heavy" -> TextQueries.cmsOracle,
     // t33's oracle verbatim — continuous classifier scoring ≡ batch
     "s11_stream_classify" -> TextQueries.classifierOracle,
     // t22's oracle verbatim — continuous decontamination ≡ batch

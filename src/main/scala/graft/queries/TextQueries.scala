@@ -1104,6 +1104,32 @@ object TextQueries {
     * batch). A `def` per the artifact-glob convention (none used here,
     * but the sibling oracles resolve at dump time).
     */
+  /** The t38 CMS replay, shared verbatim with s13 — continuous
+    * heavy-hitter counting must converge to the batch answer. */
+  private[queries] lazy val cmsOracle: String =
+    s"""WITH d AS (SELECT lang, $wsExpr AS ws FROM documents),
+         |toks AS (SELECT lang, unnest(ws) AS tok FROM d),
+         |b AS (SELECT tok, ${hash60("tok")} AS base FROM toks),
+         |cells AS (SELECT j, ${affineSqlJ("base")} % 1024 AS cell
+         |          FROM b, unnest(range(0, 3)) AS t(j)),
+         |cms AS (SELECT j AS row_j, cell, count(*) AS cnt
+         |        FROM cells GROUP BY 1, 2),
+         |top AS (SELECT tok, count(*) AS cnt_exact FROM toks
+         |        GROUP BY tok ORDER BY cnt_exact DESC, tok LIMIT 12),
+         |pb AS (SELECT tok, cnt_exact, ${hash60("tok")} AS base
+         |       FROM top),
+         |pc AS (SELECT tok, cnt_exact, j,
+         |         ${affineSqlJ("base")} % 1024 AS cell
+         |       FROM pb, unnest(range(0, 3)) AS t(j)),
+         |est AS (SELECT tok, cnt_exact,
+         |          min(coalesce(c.cnt, 0)) AS cnt_cms
+         |        FROM pc LEFT JOIN cms c
+         |          ON c.row_j = pc.j AND c.cell = pc.cell
+         |        GROUP BY tok, cnt_exact)
+         |SELECT tok, cnt_exact, cnt_cms,
+         |       cnt_cms - cnt_exact AS overest
+         |FROM est ORDER BY cnt_exact DESC, tok""".stripMargin
+
   private[queries] def hllOracle: String =
       s"""WITH d AS (SELECT doc_id, lang, $wsExpr AS ws FROM documents),
          |sh AS (
@@ -1223,29 +1249,7 @@ object TextQueries {
          |UNION ALL SELECT * FROM s4
          |ORDER BY stage""".stripMargin,
     "t36_hll_ndv" -> hllOracle,
-    "t38_cms_heavy" ->
-      s"""WITH d AS (SELECT lang, $wsExpr AS ws FROM documents),
-         |toks AS (SELECT lang, unnest(ws) AS tok FROM d),
-         |b AS (SELECT tok, ${hash60("tok")} AS base FROM toks),
-         |cells AS (SELECT j, ${affineSqlJ("base")} % 1024 AS cell
-         |          FROM b, unnest(range(0, 3)) AS t(j)),
-         |cms AS (SELECT j AS row_j, cell, count(*) AS cnt
-         |        FROM cells GROUP BY 1, 2),
-         |top AS (SELECT tok, count(*) AS cnt_exact FROM toks
-         |        GROUP BY tok ORDER BY cnt_exact DESC, tok LIMIT 12),
-         |pb AS (SELECT tok, cnt_exact, ${hash60("tok")} AS base
-         |       FROM top),
-         |pc AS (SELECT tok, cnt_exact, j,
-         |         ${affineSqlJ("base")} % 1024 AS cell
-         |       FROM pb, unnest(range(0, 3)) AS t(j)),
-         |est AS (SELECT tok, cnt_exact,
-         |          min(coalesce(c.cnt, 0)) AS cnt_cms
-         |        FROM pc LEFT JOIN cms c
-         |          ON c.row_j = pc.j AND c.cell = pc.cell
-         |        GROUP BY tok, cnt_exact)
-         |SELECT tok, cnt_exact, cnt_cms,
-         |       cnt_cms - cnt_exact AS overest
-         |FROM est ORDER BY cnt_exact DESC, tok""".stripMargin,
+    "t38_cms_heavy" -> cmsOracle,
     "t34_substring_spans" ->
       s"""WITH ${substringSpanCtes()}
          |SELECT id_a, id_b, pos_a, pos_b, run_tokens FROM spans
