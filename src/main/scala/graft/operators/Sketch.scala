@@ -131,6 +131,67 @@ object Sketch {
     cms.groupBy((keepCols :+ "row_j" :+ "cell").map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
 
+  // ---- fixed-bin histogram / quantile sketch --------------------------
+  //
+  // The distribution member of the profiling suite (cardinality = HLL,
+  // frequency = CMS, distribution = this): a fixed-bin equi-width
+  // histogram over a bounded integer domain. State is `bins` counters
+  // per group at any corpus size, partial-aggregated map-side; union
+  // across corpora is a per-bin SUM; quantiles interpolate inside the
+  // covering bin. Binning is the exact integer arithmetic of
+  // [[graft.operators.Layout.scale16]], so bin ids (and therefore the
+  // estimates) are bit-reproducible in any engine.
+
+  /** Per-group histogram over a long `value` in [lo, hi]: bin =
+    * (v − lo) · bins div (hi − lo + 1) — exact-multiple division, no
+    * fp. Output: groupCols :+ (bin, cnt); empty bins are absent. */
+  def histogram(df: DataFrame, groupCols: Seq[String], value: Column,
+                lo: Column, hi: Column, bins: Int): DataFrame = {
+    val num = (value - lo) * lit(bins.toLong)
+    val den = hi - lo + lit(1L)
+    val bin = ((num - pmod(num, den)) / den).cast("long")
+    df.select((groupCols.map(col) :+ bin.as("bin")): _*)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histograms across the dropped dimension(s): per-bin sum. */
+  def histMerge(hist: DataFrame, keepCols: Seq[String]): DataFrame =
+    hist.groupBy((keepCols :+ "bin").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from a group-free histogram (exactly
+    * bin/cnt — merge first): for each q, the covering bin is the
+    * first whose cumulative count reaches q·n, and the estimate
+    * interpolates uniformly inside it. The cumulative is a self-join
+    * over the ≤`bins`-row sketch (never a corpus-sized window); the
+    * probe fan-out is |qs| × bins rows. `domain` is the SAME 1-row
+    * (lo, hi) frame the histogram was built with. Returns (q, est_q)
+    * with est_q unrounded — the caller owns the rounding contract. */
+  def histQuantiles(hist: DataFrame, qs: Seq[Double], domain: DataFrame,
+                    bins: Int): DataFrame = {
+    import hist.sparkSession.implicits._
+    val h = hist.select(col("bin"), col("cnt"))
+    val cum = h.alias("a")
+      .join(h.alias("b"), col("b.bin") <= col("a.bin"))
+      .groupBy(col("a.bin").as("bin"), col("a.cnt").as("cnt"))
+      .agg(sum(col("b.cnt")).as("cum"))
+    val probes = qs.toDF("q")
+      .crossJoin(h.agg(sum(col("cnt")).as("n")))
+      .select(col("q"), (col("q") * col("n")).as("t"))
+    probes
+      .join(cum, col("cum") >= col("t"))
+      .groupBy("q", "t")
+      .agg(min(struct(col("bin"), col("cnt"), col("cum"))).as("sel"))
+      .crossJoin(broadcast(domain))
+      .select(col("q"),
+        (col("lo") + ((col("sel.bin")
+          + (col("t") - (col("sel.cum") - col("sel.cnt")))
+            / col("sel.cnt"))
+          * (col("hi") - col("lo") + lit(1L))) / lit(bins))
+          .as("est_q"))
+  }
+
   /** Point estimates for `probes` (every column rides through) against
     * a group-free counter table (exactly row_j/cell/cnt — merge first):
     * min over the depth rows, absent cells count 0 (an item never

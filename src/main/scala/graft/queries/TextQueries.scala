@@ -815,6 +815,45 @@ object TextQueries {
       .orderBy(col("cnt_exact").desc, col("tok").asc)
   }
 
+  /** MERGEABLE distribution sketch — fixed-bin histogram quantiles
+    * ([[graft.operators.Sketch.histogram]]), completing the profiling
+    * suite (cardinality t36, frequency t38, distribution t40):
+    * per-language 64-bin histograms over document length, merged
+    * per-bin into the corpus sketch, quantiles interpolated inside
+    * the covering bin and laid NEXT TO the exact percentiles so the
+    * estimate error is measured, not assumed. Binning is exact
+    * integer arithmetic and the interpolation replays term-for-term
+    * in SQL, so an approximate quantile is hash-checked exactly —
+    * unlike approx_percentile, whose KLL internals no other engine
+    * reproduces. State is 64 counters per group at any corpus size;
+    * cross-corpus union is a per-bin sum.
+    */
+  def histQuantilesQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sketch
+    val docs = Tables.documents(spark, sfDir)
+    val domain = docs.agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+    val perLang = Sketch.histogram(
+      docs.select(col("lang"), col("n_chars"))
+        .crossJoin(broadcast(domain)),
+      Seq("lang"), col("n_chars"), col("lo"), col("hi"), bins = 64)
+    val est = Sketch.histQuantiles(
+      Sketch.histMerge(perLang, Nil), Seq(0.5, 0.9, 0.99), domain, 64)
+    val exact = docs
+      .agg(expr("percentile(n_chars, 0.5D)").as("e1"),
+        expr("percentile(n_chars, 0.9D)").as("e2"),
+        expr("percentile(n_chars, 0.99D)").as("e3"))
+      .select(explode(array(
+        struct(lit(0.5).as("q"), col("e1").as("exact_q")),
+        struct(lit(0.9).as("q"), col("e2").as("exact_q")),
+        struct(lit(0.99).as("q"), col("e3").as("exact_q")))).as("r"))
+      .select(col("r.q").as("q"), col("r.exact_q").as("exact_q"))
+    est.join(exact, Seq("q"))
+      .select(col("q"), round(col("exact_q"), 6).as("exact_q"),
+        round(col("est_q"), 6).as("est_q"),
+        round(abs(col("est_q") - col("exact_q")), 6).as("abs_err"))
+      .orderBy("q")
+  }
+
   /** TEMPLATE-HUB SCORING — PageRank over the near-dup pair graph
     * ([[graft.operators.Graph.pageRank]], 4 power iterations at
     * damping 0.85): t16 says WHICH documents cluster, rank says which
@@ -898,6 +937,7 @@ object TextQueries {
     "t36_hll_ndv" -> (hllNdvQuery(_, _)),
     "t38_cms_heavy" -> (cmsHeavyQuery(_, _)),
     "t39_pagerank" -> (pageRankQuery(_, _)),
+    "t40_hist_quantiles" -> (histQuantilesQuery(_, _)),
     "t35_substring_removal" -> (substringRemovalQuery(_, _)),
     "t34_substring_spans" -> (substringSpansQuery(_, _)),
     "t33_classifier_filter" -> (classifierFilter(_, _)),
@@ -1250,6 +1290,34 @@ object TextQueries {
          |ORDER BY stage""".stripMargin,
     "t36_hll_ndv" -> hllOracle,
     "t38_cms_heavy" -> cmsOracle,
+    "t40_hist_quantiles" ->
+      """WITH mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi
+        |            FROM documents),
+        |h AS (SELECT bin, count(*) AS cnt FROM (
+        |        SELECT ((n_chars - lo) * 64) // (hi - lo + 1) AS bin
+        |        FROM documents, mm)
+        |      GROUP BY bin),
+        |c AS (SELECT a.bin, a.cnt, CAST(sum(b.cnt) AS BIGINT) AS cum
+        |      FROM h a JOIN h b ON b.bin <= a.bin GROUP BY a.bin, a.cnt),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+        |p AS (SELECT q, q * n.n AS t
+        |      FROM (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[]))
+        |              AS q), n),
+        |sel AS (SELECT p.q, p.t, min(c.bin) AS bin
+        |        FROM p JOIN c ON c.cum >= p.t GROUP BY p.q, p.t),
+        |est AS (SELECT s.q,
+        |          lo + ((s.bin + (s.t - (c.cum - c.cnt)) / c.cnt)
+        |            * (hi - lo + 1)) / 64 AS est_q
+        |        FROM sel s JOIN c ON c.bin = s.bin, mm),
+        |ex AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q,
+        |              unnest([quantile_cont(n_chars, 0.5),
+        |                      quantile_cont(n_chars, 0.9),
+        |                      quantile_cont(n_chars, 0.99)]) AS exact_q
+        |       FROM documents)
+        |SELECT e.q, round(x.exact_q, 6) AS exact_q,
+        |       round(e.est_q, 6) AS est_q,
+        |       round(abs(e.est_q - x.exact_q), 6) AS abs_err
+        |FROM est e JOIN ex x ON x.q = e.q ORDER BY e.q""".stripMargin,
     "t34_substring_spans" ->
       s"""WITH ${substringSpanCtes()}
          |SELECT id_a, id_b, pos_a, pos_b, run_tokens FROM spans

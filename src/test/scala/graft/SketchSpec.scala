@@ -103,4 +103,53 @@ class SketchSpec extends SparkSpec {
       .select("cnt_cms").head().getLong(0)
     assert(est == 0L)
   }
+
+  test("histogram quantiles: exact on uniform data at full " +
+      "resolution, merge equals union-build, interpolation is " +
+      "monotone in q") {
+    // 0..6399 uniform: with 64 bins each bin holds exactly 100 values
+    val vals = spark.range(0, 6400)
+      .select((col("id") % 2).cast("string").as("g"), col("id").as("v"))
+    val domain = vals.agg(min("v").as("lo"), max("v").as("hi"))
+    val perG = Sketch.histogram(vals.crossJoin(domain), Seq("g"),
+      col("v"), col("lo"), col("hi"), bins = 64)
+    val merged = Sketch.histMerge(perG, Nil)
+      .orderBy("bin").as[(Long, Long)].collect().toSeq
+    val direct = Sketch.histogram(
+        vals.withColumn("g", lit("x")).crossJoin(domain), Seq("g"),
+        col("v"), col("lo"), col("hi"), bins = 64)
+      .select("bin", "cnt").orderBy("bin")
+      .as[(Long, Long)].collect().toSeq
+    assert(merged == direct && merged.size == 64 &&
+      merged.forall(_._2 == 100L))
+    val qs = Seq(0.25, 0.5, 0.9)
+    val est = Sketch.histQuantiles(Sketch.histMerge(perG, Nil), qs,
+        domain, 64)
+      .orderBy("q").as[(Double, Double)].collect().toSeq
+    // uniform ⇒ interpolated quantile ≈ q · 6400 (within one value)
+    est.foreach { case (q, e) =>
+      assert(math.abs(e - q * 6400) <= 1.0, s"q=$q est=$e")
+    }
+    assert(est.map(_._2) == est.map(_._2).sorted,
+      "quantile estimates must be monotone in q")
+  }
+
+  test("histogram quantiles land inside the covering bin on skewed " +
+      "data (never outside the value domain)") {
+    // 90% of mass at small values, a long tail
+    val vals = (1 to 900).map(i => ("g", (i % 10).toLong)) ++
+      (1 to 100).map(i => ("g", 1000L + i))
+    val df = vals.toDF("g", "v")
+    val domain = df.agg(min("v").as("lo"), max("v").as("hi"))
+    val h = Sketch.histMerge(Sketch.histogram(df.crossJoin(domain),
+      Seq("g"), col("v"), col("lo"), col("hi"), bins = 16), Nil)
+    val est = Sketch.histQuantiles(h, Seq(0.5, 0.99), domain, 16)
+      .orderBy("q").as[(Double, Double)].collect().toSeq
+    val (lo, hi) = (0.0, 1100.0)
+    est.foreach { case (q, e) =>
+      assert(e >= lo && e <= hi + 1, s"q=$q est=$e outside domain")
+    }
+    // the median must land in the low-mass region, p99 in the tail
+    assert(est.head._2 < 100.0 && est.last._2 > 1000.0)
+  }
 }
