@@ -148,7 +148,18 @@ object PlansDump {
           "filters, the cluster-local semantic-dedup semi-join, and " +
           "the doc-local span-removal anti-join — each stage narrows " +
           "the next stage's input, and the only shuffles are keyed on " +
-          "cluster id and document id."))
+          "cluster id and document id."),
+      "t38_cms_heavy" ->
+        ("Frequency sketch: the corpus-side pass is a narrow explode " +
+          "into a FIXED-size hash aggregate (3×1024 cells, map-side " +
+          "partials — the exchange carries cells, not tokens); the " +
+          "probe joins a BROADCAST of the sketch, so the corpus is " +
+          "never shuffled for the estimate."),
+      "i15_zorder_layout" ->
+        ("Layout scorecard: three narrow scans of the scaled coords " +
+          "feed three 256-row bbox rollups (two-level hash aggregates, " +
+          "map-side partials) — no sort, no window, no exchange wider " +
+          "than the bucket count: evaluating a layout costs a scan."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")

@@ -192,6 +192,31 @@ object Sketch {
           .as("est_q"))
   }
 
+  /** Distribution comparison between two cell-count tables (exactly
+    * (cell, cnt) each — the hashed token histograms of two corpus
+    * snapshots): normalizes both, meets them in one full-outer join
+    * on cell id, and returns ONE row (js_divergence, l1_distance) —
+    * JS in log2 so it is bounded [0, 1] regardless of scale. Absent
+    * cells are zero-probability; a side's zero terms contribute 0 by
+    * the usual 0·log convention. The comparison runs over ≤ cells
+    * rows however large either corpus was — the drift alarm costs a
+    * sketch, not a scan. */
+  def distCompare(a: DataFrame, b: DataFrame): DataFrame = {
+    def norm(df: DataFrame, p: String) = df
+      .crossJoin(broadcast(df.agg(sum(col("cnt")).as("n"))))
+      .select(col("cell"), (col("cnt") / col("n")).as(p))
+    val j = norm(a, "pb")
+      .join(norm(b, "pd"), Seq("cell"), "full_outer")
+      .na.fill(0.0, Seq("pb", "pd"))
+    val m = (col("pb") + col("pd")) / lit(2)
+    val js = lit(0.5) * sum(when(col("pb") > 0,
+        col("pb") * log2(col("pb") / m)).otherwise(0.0)) +
+      lit(0.5) * sum(when(col("pd") > 0,
+        col("pd") * log2(col("pd") / m)).otherwise(0.0))
+    j.agg(round(js, 6).as("js_divergence"),
+      round(sum(abs(col("pb") - col("pd"))), 6).as("l1_distance"))
+  }
+
   /** Point estimates for `probes` (every column rides through) against
     * a group-free counter table (exactly row_j/cell/cnt — merge first):
     * min over the depth rows, absent cells count 0 (an item never

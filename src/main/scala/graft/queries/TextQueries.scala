@@ -854,6 +854,40 @@ object TextQueries {
       .orderBy("q")
   }
 
+  /** CORPUS DRIFT MONITOR — Jensen–Shannon divergence between the
+    * base corpus and the incoming delta (t31's mod-10 split), over
+    * FIXED-SIZE hashed token histograms: each side folds its token
+    * stream into 1024 cells (portable md5 buckets — a vocabulary-
+    * independent footprint), the two distributions meet in one
+    * full-outer join on cell id, and the JS divergence (log2: bounded
+    * [0,1]) plus L1 distance come out of one aggregate. This is the
+    * drift alarm a continuously-ingesting pipeline runs per snapshot:
+    * state never grows with vocabulary, per-day sketches fold by
+    * cell-wise sum, and the alarm threshold is a bounded quantity.
+    * The oracle replays bucketing, both normalizations and the
+    * divergence term-for-term in SQL.
+    */
+  def tokenDriftQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sketch
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      .select(
+        when(pmod(col("doc_id"), lit(10)) < 8, "base").otherwise("delta")
+          .as("side"),
+        pmod(graft.functions.HashFunctions.md5Long(col("tok")),
+          lit(1024L)).as("cell"))
+    val cnt = toks.groupBy("side", "cell").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // sketch-sized; read by both sides + totals
+    def side(s: String) = cnt.filter(col("side") === s)
+      .select(col("cell"), col("cnt"))
+    val ns = cnt.groupBy()
+      .agg(sum(when(col("side") === "base", col("cnt"))).as("n_base"),
+        sum(when(col("side") === "delta", col("cnt"))).as("n_delta"))
+    Sketch.distCompare(side("base"), side("delta"))
+      .crossJoin(broadcast(ns))
+      .select("js_divergence", "l1_distance", "n_base", "n_delta")
+  }
+
   /** TEMPLATE-HUB SCORING — PageRank over the near-dup pair graph
     * ([[graft.operators.Graph.pageRank]], 4 power iterations at
     * damping 0.85): t16 says WHICH documents cluster, rank says which
@@ -938,6 +972,7 @@ object TextQueries {
     "t38_cms_heavy" -> (cmsHeavyQuery(_, _)),
     "t39_pagerank" -> (pageRankQuery(_, _)),
     "t40_hist_quantiles" -> (histQuantilesQuery(_, _)),
+    "t41_token_drift" -> (tokenDriftQuery(_, _)),
     "t35_substring_removal" -> (substringRemovalQuery(_, _)),
     "t34_substring_spans" -> (substringSpansQuery(_, _)),
     "t33_classifier_filter" -> (classifierFilter(_, _)),
@@ -1290,6 +1325,38 @@ object TextQueries {
          |ORDER BY stage""".stripMargin,
     "t36_hll_ndv" -> hllOracle,
     "t38_cms_heavy" -> cmsOracle,
+    "t41_token_drift" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(ws) AS tok
+         |  FROM (SELECT doc_id, $wsExpr AS ws FROM documents)),
+         |sided AS (
+         |  SELECT CASE WHEN doc_id % 10 < 8 THEN 'base' ELSE 'delta'
+         |         END AS side,
+         |         ${hash60("tok")} % 1024 AS cell
+         |  FROM toks),
+         |cnt AS (SELECT side, cell, count(*) AS cnt FROM sided
+         |        GROUP BY 1, 2),
+         |tot AS (SELECT side, CAST(sum(cnt) AS BIGINT) AS n FROM cnt
+         |        GROUP BY side),
+         |p AS (SELECT side, cell, cnt / n AS p
+         |      FROM cnt JOIN tot USING (side)),
+         |b AS (SELECT cell, p AS pb FROM p WHERE side = 'base'),
+         |d AS (SELECT cell, p AS pd FROM p WHERE side = 'delta'),
+         |j AS (SELECT coalesce(pb, 0) AS pb, coalesce(pd, 0) AS pd
+         |      FROM b FULL OUTER JOIN d USING (cell)),
+         |ns AS (SELECT max(CASE WHEN side = 'base' THEN n END) AS n_base,
+         |              max(CASE WHEN side = 'delta' THEN n END)
+         |                AS n_delta
+         |       FROM tot)
+         |SELECT
+         |  round(0.5 * sum(CASE WHEN pb > 0
+         |          THEN pb * log2(pb / ((pb + pd) / 2)) ELSE 0 END)
+         |      + 0.5 * sum(CASE WHEN pd > 0
+         |          THEN pd * log2(pd / ((pb + pd) / 2)) ELSE 0 END), 6)
+         |    AS js_divergence,
+         |  round(sum(abs(pb - pd)), 6) AS l1_distance,
+         |  n_base, n_delta
+         |FROM j, ns GROUP BY n_base, n_delta""".stripMargin,
     "t40_hist_quantiles" ->
       """WITH mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi
         |            FROM documents),

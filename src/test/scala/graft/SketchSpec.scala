@@ -104,6 +104,25 @@ class SketchSpec extends SparkSpec {
     assert(est == 0L)
   }
 
+  test("distCompare: identical distributions diverge 0, disjoint " +
+      "supports diverge 1 (log2 bound), hand value for the " +
+      "half-overlap case") {
+    val a = Seq((0L, 5L), (1L, 5L)).toDF("cell", "cnt")
+    val same = Sketch.distCompare(a, a).as[(Double, Double)].head()
+    assert(same == ((0.0, 0.0)))
+    val b = Seq((2L, 3L), (3L, 7L)).toDF("cell", "cnt")
+    val disj = Sketch.distCompare(a, b).as[(Double, Double)].head()
+    assert(disj == ((1.0, 2.0)), s"disjoint: $disj")
+    // a = {c0: 1}, b = {c0: ½, c1: ½}:
+    // JS = ½·log2(4/3) + ½·(½·log2(2/3) + ½·log2(2)) ≈ 0.311278
+    val oneCell = Seq((0L, 1L)).toDF("cell", "cnt")
+    val half = Seq((0L, 1L), (1L, 1L)).toDF("cell", "cnt")
+    val (js, l1) = Sketch.distCompare(oneCell, half)
+      .as[(Double, Double)].head()
+    assert(math.abs(js - 0.311278) < 1e-6 && l1 == 1.0,
+      s"half-overlap: ($js, $l1)")
+  }
+
   test("histogram quantiles: exact on uniform data at full " +
       "resolution, merge equals union-build, interpolation is " +
       "monotone in q") {
