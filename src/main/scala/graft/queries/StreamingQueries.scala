@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.streaming.Streaming
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured-Streaming surface, verified through batch/stream parity:
@@ -405,6 +405,41 @@ object StreamingQueries {
       .orderBy(col("cnt_exact").desc, col("tok").asc)
   }
 
+  /** CONTINUOUS drift monitoring — t41's streaming twin, completing
+    * the monitor suite (s12 cardinality, s13 frequency, s14 drift):
+    * the INCOMING side folds into its 1024-cell hashed histogram as
+    * one streaming aggregate (fixed-size state at any throughput);
+    * the base corpus's cells are the batch artifact; the drained
+    * sketch meets it in [[graft.operators.Sketch.distCompare]] —
+    * ≤ 1024 rows however long the stream ran. Oracle = t41's SQL
+    * verbatim: continuous drift ≡ batch.
+    */
+  def streamDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sketch
+    val docs = graft.Tables.documents(spark, sfDir)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    def cells(df: DataFrame, keep: Column => Column) = df
+      .filter(keep(pmod(col("doc_id"), lit(10))))
+      .select(explode(
+        graft.functions.TextFunctions.words(col("text"))).as("tok"))
+      .select(pmod(graft.functions.HashFunctions.md5Long(col("tok")),
+        lit(1024L)).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+    // the incoming-delta sketch, folded continuously; localCheckpoint
+    // cuts the memory-sink lineage before the comparison join
+    val deltaCells = Streaming.runAvailableNow(spark,
+        cells(stream, _ >= 8), "graft_s14")
+      .localCheckpoint()
+    val baseCells = cells(docs, _ < 8)
+    val ns = baseCells.agg(sum("cnt").as("n_base"))
+      .crossJoin(deltaCells.agg(sum("cnt").as("n_delta")))
+    Sketch.distCompare(baseCells, deltaCells)
+      .crossJoin(broadcast(ns))
+      .select("js_divergence", "l1_distance", "n_base", "n_delta")
+  }
+
   /** Sessionization through the BUILT-IN session_window operator
     * ([[Streaming.sessionWindowCounts]]) — s03's twin without custom
     * state. The oracle's session rule is `gap >= 1800` (window bound
@@ -434,7 +469,8 @@ object StreamingQueries {
     "s10_stream_dedup_index" -> (streamIncrementalDedup(_, _)),
     "s11_stream_classify" -> (streamClassify(_, _)),
     "s12_stream_profile" -> (streamProfile(_, _)),
-    "s13_stream_heavy" -> (streamHeavyHitters(_, _)))
+    "s13_stream_heavy" -> (streamHeavyHitters(_, _)),
+    "s14_stream_drift" -> (streamDrift(_, _)))
 
   // `def`: s11's entry (t33's oracle verbatim) interpolates artifact
   // globs, which must resolve at dump time, after the queries ran.
@@ -443,6 +479,8 @@ object StreamingQueries {
     "s12_stream_profile" -> TextQueries.hllOracle,
     // t38's oracle verbatim — continuous heavy hitters ≡ batch
     "s13_stream_heavy" -> TextQueries.cmsOracle,
+    // t41's oracle verbatim — continuous drift monitoring ≡ batch
+    "s14_stream_drift" -> TextQueries.driftOracle,
     // t33's oracle verbatim — continuous classifier scoring ≡ batch
     "s11_stream_classify" -> TextQueries.classifierOracle,
     // t22's oracle verbatim — continuous decontamination ≡ batch

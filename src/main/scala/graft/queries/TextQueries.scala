@@ -1179,6 +1179,41 @@ object TextQueries {
     * batch). A `def` per the artifact-glob convention (none used here,
     * but the sibling oracles resolve at dump time).
     */
+  /** The t41 drift replay, shared verbatim with s14 — continuous
+    * drift monitoring must converge to the batch answer. */
+  private[queries] lazy val driftOracle: String =
+    s"""WITH toks AS (
+         |  SELECT doc_id, unnest(ws) AS tok
+         |  FROM (SELECT doc_id, $wsExpr AS ws FROM documents)),
+         |sided AS (
+         |  SELECT CASE WHEN doc_id % 10 < 8 THEN 'base' ELSE 'delta'
+         |         END AS side,
+         |         ${hash60("tok")} % 1024 AS cell
+         |  FROM toks),
+         |cnt AS (SELECT side, cell, count(*) AS cnt FROM sided
+         |        GROUP BY 1, 2),
+         |tot AS (SELECT side, CAST(sum(cnt) AS BIGINT) AS n FROM cnt
+         |        GROUP BY side),
+         |p AS (SELECT side, cell, cnt / n AS p
+         |      FROM cnt JOIN tot USING (side)),
+         |b AS (SELECT cell, p AS pb FROM p WHERE side = 'base'),
+         |d AS (SELECT cell, p AS pd FROM p WHERE side = 'delta'),
+         |j AS (SELECT coalesce(pb, 0) AS pb, coalesce(pd, 0) AS pd
+         |      FROM b FULL OUTER JOIN d USING (cell)),
+         |ns AS (SELECT max(CASE WHEN side = 'base' THEN n END) AS n_base,
+         |              max(CASE WHEN side = 'delta' THEN n END)
+         |                AS n_delta
+         |       FROM tot)
+         |SELECT
+         |  round(0.5 * sum(CASE WHEN pb > 0
+         |          THEN pb * log2(pb / ((pb + pd) / 2)) ELSE 0 END)
+         |      + 0.5 * sum(CASE WHEN pd > 0
+         |          THEN pd * log2(pd / ((pb + pd) / 2)) ELSE 0 END), 6)
+         |    AS js_divergence,
+         |  round(sum(abs(pb - pd)), 6) AS l1_distance,
+         |  n_base, n_delta
+         |FROM j, ns GROUP BY n_base, n_delta""".stripMargin
+
   /** The t38 CMS replay, shared verbatim with s13 — continuous
     * heavy-hitter counting must converge to the batch answer. */
   private[queries] lazy val cmsOracle: String =
@@ -1325,38 +1360,7 @@ object TextQueries {
          |ORDER BY stage""".stripMargin,
     "t36_hll_ndv" -> hllOracle,
     "t38_cms_heavy" -> cmsOracle,
-    "t41_token_drift" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(ws) AS tok
-         |  FROM (SELECT doc_id, $wsExpr AS ws FROM documents)),
-         |sided AS (
-         |  SELECT CASE WHEN doc_id % 10 < 8 THEN 'base' ELSE 'delta'
-         |         END AS side,
-         |         ${hash60("tok")} % 1024 AS cell
-         |  FROM toks),
-         |cnt AS (SELECT side, cell, count(*) AS cnt FROM sided
-         |        GROUP BY 1, 2),
-         |tot AS (SELECT side, CAST(sum(cnt) AS BIGINT) AS n FROM cnt
-         |        GROUP BY side),
-         |p AS (SELECT side, cell, cnt / n AS p
-         |      FROM cnt JOIN tot USING (side)),
-         |b AS (SELECT cell, p AS pb FROM p WHERE side = 'base'),
-         |d AS (SELECT cell, p AS pd FROM p WHERE side = 'delta'),
-         |j AS (SELECT coalesce(pb, 0) AS pb, coalesce(pd, 0) AS pd
-         |      FROM b FULL OUTER JOIN d USING (cell)),
-         |ns AS (SELECT max(CASE WHEN side = 'base' THEN n END) AS n_base,
-         |              max(CASE WHEN side = 'delta' THEN n END)
-         |                AS n_delta
-         |       FROM tot)
-         |SELECT
-         |  round(0.5 * sum(CASE WHEN pb > 0
-         |          THEN pb * log2(pb / ((pb + pd) / 2)) ELSE 0 END)
-         |      + 0.5 * sum(CASE WHEN pd > 0
-         |          THEN pd * log2(pd / ((pb + pd) / 2)) ELSE 0 END), 6)
-         |    AS js_divergence,
-         |  round(sum(abs(pb - pd)), 6) AS l1_distance,
-         |  n_base, n_delta
-         |FROM j, ns GROUP BY n_base, n_delta""".stripMargin,
+    "t41_token_drift" -> driftOracle,
     "t40_hist_quantiles" ->
       """WITH mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi
         |            FROM documents),
