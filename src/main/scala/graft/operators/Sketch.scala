@@ -217,6 +217,101 @@ object Sketch {
       round(sum(abs(col("pb") - col("pd"))), 6).as("l1_distance"))
   }
 
+  // ---- Bloom filter (Bloom 1970) --------------------------------------
+  //
+  // The MEMBERSHIP member of the profiling suite (cardinality = HLL,
+  // frequency = CMS, distribution = histogram, membership = this): a
+  // fixed mBits-bit array, word-packed as ⌈mBits/32⌉ longs whose low 32
+  // bits each hold bits [32w, 32w+31]. Insert sets k bit positions
+  // derived from ONE portable md5 via the Carter–Wegman affine family
+  // ([[graft.functions.HashFunctions.affineHash]] — the CMS convention);
+  // the build is one narrow projection + one fixed-size group-by whose
+  // bit_or partial-aggregates map-side; union across corpora/partitions
+  // is a per-word OR — a year of per-day filters folds without
+  // re-touching rows. Probes can FALSE-POSITIVE (collisions only set
+  // bits) but never false-negative — the one-sided guarantee that makes
+  // it the scalable PROBE SIDE of decontamination: the corpus joins
+  // against ⌈mBits/32⌉ broadcast rows however large the eval set grows,
+  // where the exact probe ([[Dedup.decontaminate]]) broadcasts every
+  // eval shingle. Insertion is idempotent, so build sides need no
+  // distinct pass. Bit positions are bit-reproducible anywhere md5
+  // exists, so the approximate membership — including each false
+  // positive — is oracle-checkable.
+
+  /** Number of packed words for an mBits-bit filter. */
+  private def bloomWordCount(mBits: Int): Int = (mBits + 31) / 32
+
+  /** The k exploded (word, mask) single-bit updates for one base-hash
+    * column — shared by the build and probe sides so both land on the
+    * same bits by construction. pos_j = affine_j(base) mod mBits;
+    * word = pos div 32 (exact-multiple division, no fp), mask = 1 <<
+    * (pos mod 32) — computed as 2^bit in double, exact for bits 0-31
+    * (well under 2^53), so bit 31 is the highest ever set and the long
+    * stays non-negative and sign-free on every engine. */
+  private def bloomBits(base: Column, mBits: Int, kHashes: Int): Column =
+    explode(array((0 until kHashes).map { j =>
+      val pos = pmod(graft.functions.HashFunctions.affineHash(base, j),
+        lit(mBits.toLong))
+      val word = ((pos - pmod(pos, lit(32L))) / 32L).cast("long")
+      struct(word.as("word"),
+        pow(lit(2.0), pmod(pos, lit(32L))).cast("long").as("mask"))
+    }: _*))
+
+  /** Per-group Bloom word tables over an ALREADY-HASHED 60-bit md5Long
+    * column: groupCols :+ (word, bits) — words no insert touched are
+    * absent (zero). ≤ groups × ⌈mBits/32⌉ rows however large the
+    * corpus. */
+  def bloomWordsFromHash(df: DataFrame, groupCols: Seq[String],
+                         hash: Column, mBits: Int, kHashes: Int)
+      : DataFrame =
+    df.select((groupCols.map(col)
+        :+ bloomBits(hash, mBits, kHashes).as("wm")): _*)
+      .select((groupCols.map(col) :+ col("wm.word").as("word")
+        :+ col("wm.mask").as("mask")): _*)
+      .groupBy((groupCols :+ "word").map(col): _*)
+      .agg(bit_or(col("mask")).as("bits"))
+
+  /** [[bloomWordsFromHash]] over raw values (one md5 per row). */
+  def bloomWords(df: DataFrame, groupCols: Seq[String], value: Column,
+                 mBits: Int, kHashes: Int): DataFrame =
+    bloomWordsFromHash(df, groupCols, md5Long(value), mBits, kHashes)
+
+  /** Merge word tables across the dropped dimension(s): per-word OR —
+    * the Bloom union. `keepCols` are the group columns that survive. */
+  def bloomMerge(words: DataFrame, keepCols: Seq[String]): DataFrame =
+    words.groupBy((keepCols :+ "word").map(col): _*)
+      .agg(bit_or(col("bits")).as("bits"))
+
+  /** Membership probes against a group-free word table (exactly
+    * word/bits — merge first): every probe column rides through plus
+    * `is_member` (1 iff ALL k bits are set; a value never inserted can
+    * still report 1 — the measured false-positive rate — but an
+    * inserted value never reports 0). The filter side joins broadcast
+    * (≤ ⌈mBits/32⌉ rows); the probe side fans out ×k then folds back
+    * by min — never more than k rows per probe in flight. */
+  def bloomProbeFromHash(words: DataFrame, probes: DataFrame,
+                         hash: Column, mBits: Int, kHashes: Int)
+      : DataFrame = {
+    val keep = probes.columns.toSeq
+    probes
+      .select((keep.map(col)
+        :+ bloomBits(hash, mBits, kHashes).as("wm")): _*)
+      .select((keep.map(col) :+ col("wm.word").as("word")
+        :+ col("wm.mask").as("mask")): _*)
+      .join(broadcast(words), Seq("word"), "left")
+      .select((keep.map(col)
+        :+ when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask"))
+            =!= 0L, lit(1L)).otherwise(lit(0L)).as("hit")): _*)
+      .groupBy(keep.map(col): _*)
+      .agg(min(col("hit")).as("is_member"))
+  }
+
+  /** Total set bits of a word table — the fill ratio numerator (the
+    * false-positive-rate driver: p_fp ≈ (bits_set / mBits)^k). */
+  def bloomBitsSet(words: DataFrame): DataFrame =
+    words.agg(coalesce(sum(bit_count(col("bits"))), lit(0)).cast("long")
+      .as("bits_set"))
+
   /** Point estimates for `probes` (every column rides through) against
     * a group-free counter table (exactly row_j/cell/cnt — merge first):
     * min over the depth rows, absent cells count 0 (an item never

@@ -423,6 +423,62 @@ object TextQueries {
       docs.filter(col("doc_id") < 5), "doc_id", "text", n = 3))
   }
 
+  /** Bloom geometry for t42/s15: 8192 bits (256 packed words), 4
+    * hashes — sized so the sf-range eval sets land in the measurable-FP
+    * regime rather than saturating or never colliding. */
+  private[queries] val BloomBits = 8192
+  private[queries] val BloomK = 4
+
+  /** t22's probe made SCALABLE on the eval side: the held-out set is
+    * folded into a FIXED-SIZE Bloom filter
+    * ([[graft.operators.Sketch.bloomWordsFromHash]] — 8192 bits as 256
+    * packed words), built per eval shard and OR-merged (the union that
+    * folds whole benchmark suites without re-touching rows), and the
+    * corpus probes THAT: ≤256 broadcast rows however large the eval
+    * set grows, where t22 broadcasts every eval shingle. Bloom
+    * membership never false-negatives — no contaminated doc escapes —
+    * but can false-positive, so the per-doc Bloom hit counts are laid
+    * NEXT TO t22's exact counts: `fp_hits` is the measured overcount
+    * at this fill (`bits_set` of 8192 — the FP-rate driver, ~fill^k
+    * per probe). One corpus shingle pass serves both counts. Every bit
+    * position replays in SQL, so the approximate probe — including
+    * each false positive — is hash-checked exactly.
+    */
+  def bloomDecontaminateQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import graft.operators.Sketch
+    val docs = Tables.documents(spark, sfDir)
+    val evalSg = Dedup.shingleHashSet(
+      docs.filter(col("doc_id") < 5), "doc_id", "text", n = 3)
+    // per-shard builds, OR-merged; inserts are idempotent so the
+    // shards need no distinct pass
+    val bloom = Sketch.bloomMerge(
+      Sketch.bloomWordsFromHash(
+        evalSg.select(pmod(col("doc_id"), lit(2)).as("shard"),
+          col("shingle")),
+        Seq("shard"), col("shingle"), BloomBits, BloomK),
+      Nil)
+    val evalDistinct = evalSg.select("shingle").distinct()
+      .withColumn("hit", lit(1))
+    val corpusSg = Dedup.shingleHashSet(
+      spread(docs.filter(col("doc_id") >= 5), "doc_id"),
+      "doc_id", "text", n = 3)
+    Sketch.bloomProbeFromHash(bloom, corpusSg, col("shingle"),
+        BloomBits, BloomK)
+      .join(broadcast(evalDistinct), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("is_member")).as("bloom_hits"),
+        count(col("hit")).as("exact_hits"))
+      .filter(col("bloom_hits") >= 1)
+      .crossJoin(broadcast(Sketch.bloomBitsSet(bloom)))
+      .select(col("doc_id"), col("n_shingles"), col("bloom_hits"),
+        col("exact_hits"),
+        (col("bloom_hits") - col("exact_hits")).as("fp_hits"),
+        col("bits_set"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic hash-bucket sampling: md5(doc_id) mod 100 < 20 — the
     * reproducible ~20% sample every distributed pipeline needs. Unlike
     * seeded `sample()`, the decision is a pure function of the KEY:
@@ -970,6 +1026,7 @@ object TextQueries {
     "t37_curation_v2" -> (curationV2(_, _)),
     "t36_hll_ndv" -> (hllNdvQuery(_, _)),
     "t38_cms_heavy" -> (cmsHeavyQuery(_, _)),
+    "t42_bloom_decontaminate" -> (bloomDecontaminateQuery(_, _)),
     "t39_pagerank" -> (pageRankQuery(_, _)),
     "t40_hist_quantiles" -> (histQuantilesQuery(_, _)),
     "t41_token_drift" -> (tokenDriftQuery(_, _)),
@@ -1214,6 +1271,47 @@ object TextQueries {
          |  n_base, n_delta
          |FROM j, ns GROUP BY n_base, n_delta""".stripMargin
 
+  /** The t42 Bloom replay — every affine bit position, the word-packed
+    * bit_or build, the all-k-bits probe and each false positive,
+    * re-derived in SQL. Shared verbatim with s15 (continuous
+    * decontamination over the Bloom must converge to the batch
+    * answer). */
+  private[queries] lazy val bloomDecontaminateOracle: String =
+    s"""WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+       |sg AS (SELECT doc_id, unnest(list_transform($shinglesExpr,
+       |         sh -> ${hash60("sh")})) AS shingle
+       |       FROM w),
+       |epos AS (SELECT ${affineSqlJ("shingle")} % $BloomBits AS pos
+       |         FROM sg, unnest(range(0, $BloomK)) AS t(j)
+       |         WHERE doc_id < 5),
+       |bloom AS (SELECT pos // 32 AS word,
+       |            bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+       |              AS bits
+       |          FROM epos GROUP BY 1),
+       |fill AS (SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS bits_set
+       |         FROM bloom),
+       |cpos AS (SELECT doc_id, shingle,
+       |           ${affineSqlJ("shingle")} % $BloomBits AS pos
+       |         FROM sg, unnest(range(0, $BloomK)) AS t(j)
+       |         WHERE doc_id >= 5),
+       |memb AS (SELECT doc_id, shingle,
+       |           min(CASE WHEN (coalesce(bits, 0)
+       |                          >> CAST(pos % 32 AS INT)) & 1 = 1
+       |                    THEN 1 ELSE 0 END) AS is_member
+       |         FROM cpos LEFT JOIN bloom ON bloom.word = cpos.pos // 32
+       |         GROUP BY doc_id, shingle),
+       |ev AS (SELECT DISTINCT shingle FROM sg WHERE doc_id < 5),
+       |agg AS (SELECT m.doc_id, count(*) AS n_shingles,
+       |          CAST(sum(m.is_member) AS BIGINT) AS bloom_hits,
+       |          CAST(sum(CASE WHEN ev.shingle IS NOT NULL
+       |                        THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits
+       |        FROM memb m LEFT JOIN ev USING (shingle)
+       |        GROUP BY m.doc_id)
+       |SELECT doc_id, n_shingles, bloom_hits, exact_hits,
+       |       bloom_hits - exact_hits AS fp_hits, bits_set
+       |FROM agg, fill WHERE bloom_hits >= 1
+       |ORDER BY doc_id""".stripMargin
+
   /** The t38 CMS replay, shared verbatim with s13 — continuous
     * heavy-hitter counting must converge to the batch answer. */
   private[queries] lazy val cmsOracle: String =
@@ -1360,6 +1458,7 @@ object TextQueries {
          |ORDER BY stage""".stripMargin,
     "t36_hll_ndv" -> hllOracle,
     "t38_cms_heavy" -> cmsOracle,
+    "t42_bloom_decontaminate" -> bloomDecontaminateOracle,
     "t41_token_drift" -> driftOracle,
     "t40_hist_quantiles" ->
       """WITH mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi

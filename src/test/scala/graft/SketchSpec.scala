@@ -104,6 +104,53 @@ class SketchSpec extends SparkSpec {
     assert(est == 0L)
   }
 
+  test("Bloom: no false negatives ever; bloomMerge(per-group) equals " +
+      "the filter built over the union") {
+    val ins = (1 to 400).map(i => (if (i % 2 == 0) "a" else "b", s"in_$i"))
+      .toDF("g", "v")
+    val perG = Sketch.bloomWords(ins, Seq("g"), col("v"),
+      mBits = 4096, kHashes = 4)
+    val merged = Sketch.bloomMerge(perG, Nil)
+    val direct = Sketch.bloomWords(ins.withColumn("g", lit("x")),
+        Seq("g"), col("v"), mBits = 4096, kHashes = 4)
+      .select("word", "bits")
+    assert(merged.orderBy("word").as[(Long, Long)].collect().toSeq ==
+      direct.orderBy("word").as[(Long, Long)].collect().toSeq)
+    // every inserted value must probe back as a member — the one-sided
+    // guarantee decontamination relies on (no contaminated doc escapes)
+    val probed = Sketch.bloomProbeFromHash(merged,
+      ins.select("v"), graft.functions.HashFunctions.md5Long(col("v")),
+      mBits = 4096, kHashes = 4)
+    assert(probed.filter(col("is_member") === 0).count() == 0)
+  }
+
+  test("Bloom: duplicates don't move the filter; absent probes can " +
+      "false-positive but stay within the fill-rate bound") {
+    val ins = (1 to 300).map(i => ("g", s"in_$i")).toDF("g", "v")
+    val withDups = ins.unionByName(
+      (1 to 200).map(i => ("g", s"in_$i")).toDF("g", "v"))
+    def words(df: org.apache.spark.sql.DataFrame) =
+      Sketch.bloomMerge(
+        Sketch.bloomWords(df, Seq("g"), col("v"), 4096, 4), Nil)
+    assert(words(withDups).orderBy("word").as[(Long, Long)].collect()
+        .toSeq ==
+      words(ins).orderBy("word").as[(Long, Long)].collect().toSeq,
+      "Bloom insert must be idempotent")
+    val filter = words(ins)
+    val bitsSet = Sketch.bloomBitsSet(filter).head().getLong(0)
+    assert(bitsSet > 0 && bitsSet <= 4L * 300,
+      s"bits_set $bitsSet outside (0, k·n]")
+    // 2000 never-inserted probes: expected FP rate ≈ (bitsSet/4096)^4
+    // — deterministic here (fixed md5 positions), bound it loosely
+    val absent = (1 to 2000).map(i => s"out_$i").toDF("v")
+    val fp = Sketch.bloomProbeFromHash(filter, absent,
+        graft.functions.HashFunctions.md5Long(col("v")), 4096, 4)
+      .filter(col("is_member") === 1).count()
+    val pFill = bitsSet.toDouble / 4096
+    assert(fp <= math.max(10.0, 5 * 2000 * math.pow(pFill, 4)),
+      s"$fp false positives at fill $pFill — family not independent?")
+  }
+
   test("distCompare: identical distributions diverge 0, disjoint " +
       "supports diverge 1 (log2 bound), hand value for the " +
       "half-overlap case") {
