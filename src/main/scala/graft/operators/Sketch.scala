@@ -312,6 +312,32 @@ object Sketch {
     words.agg(coalesce(sum(bit_count(col("bits"))), lit(0)).cast("long")
       .as("bits_set"))
 
+  /** Membership as a PURE PROJECTION against a driver-collected word
+    * array — the model-as-literal serving shape (the ⌈mBits/32⌉ longs
+    * ride inside the plan like a PQ codebook): zero joins, zero extra
+    * aggregates, so a STREAM can probe the filter and still spend its
+    * one stateful operator on the per-doc rollup. `words(w)` = packed
+    * bits of word w, absent words 0 (use [[bloomWordArray]]). */
+  def bloomMemberLit(hash: Column, words: Array[Long], mBits: Int,
+                     kHashes: Int): Column =
+    (0 until kHashes).map { j =>
+      val pos = pmod(graft.functions.HashFunctions.affineHash(hash, j),
+        lit(mBits.toLong))
+      val word = get(typedlit(words.toSeq),
+        ((pos - pmod(pos, lit(32L))) / 32L).cast("int"))
+      val mask = pow(lit(2.0), pmod(pos, lit(32L))).cast("long")
+      when(word.bitwiseAND(mask) =!= 0L, lit(1L)).otherwise(lit(0L))
+    }.reduce(least(_, _))
+
+  /** Collect a group-free word table into the dense array
+    * [[bloomMemberLit]] serves from — ⌈mBits/32⌉ longs of driver
+    * traffic, the same budget a codebook collect pays. */
+  def bloomWordArray(words: DataFrame, mBits: Int): Array[Long] = {
+    val m = words.collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    Array.tabulate(bloomWordCount(mBits))(w => m.getOrElse(w, 0L))
+  }
+
   /** Point estimates for `probes` (every column rides through) against
     * a group-free counter table (exactly row_j/cell/cnt — merge first):
     * min over the depth rows, absent cells count 0 (an item never

@@ -440,6 +440,59 @@ object StreamingQueries {
       .select("js_divergence", "l1_distance", "n_base", "n_delta")
   }
 
+  /** CONTINUOUS Bloom decontamination — t42's streaming twin,
+    * completing the monitor suite's membership leg (s12 cardinality,
+    * s13 frequency, s14 drift): the eval-set Bloom is built batch-side
+    * and collected into ⌈mBits/32⌉ longs that ride the projection AS A
+    * LITERAL ([[graft.operators.Sketch.bloomMemberLit]] — s11's
+    * model-as-literal convention), so per-shingle membership is a pure
+    * narrow map with NO join, and the stream's single stateful
+    * operator stays the per-doc rollup. The exact side rides the same
+    * stream-static broadcast join s09 uses, so the FP overcount is
+    * measured continuously next to the truth. At 100 TB the filter is
+    * 1 KiB of plan literal however large the benchmark suite — the
+    * probe side never grows. Oracle = t42's SQL verbatim: continuous
+    * Bloom probing ≡ batch.
+    */
+  def streamBloomDecontaminate(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import graft.operators.{Dedup, Sketch}
+    val docs = graft.Tables.documents(spark, sfDir)
+    val evalSg = Dedup.shingleHashSet(
+      docs.filter(col("doc_id") < 5), "doc_id", "text", n = 3)
+    val words = Sketch.bloomWordArray(
+      Sketch.bloomMerge(
+        Sketch.bloomWordsFromHash(
+          evalSg.select(pmod(col("doc_id"), lit(2)).as("shard"),
+            col("shingle")),
+          Seq("shard"), col("shingle"),
+          TextQueries.BloomBits, TextQueries.BloomK),
+        Nil),
+      TextQueries.BloomBits)
+    val bitsSet = words.map(java.lang.Long.bitCount(_).toLong).sum
+    val evalDistinct = evalSg.select("shingle").distinct()
+      .withColumn("hit", lit(1))
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(col("doc_id") >= 5)
+    val counts = Dedup.shingleHashSet(stream, "doc_id", "text", n = 3)
+      .withColumn("is_member", Sketch.bloomMemberLit(col("shingle"),
+        words, TextQueries.BloomBits, TextQueries.BloomK))
+      .join(broadcast(evalDistinct), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("is_member")).as("bloom_hits"),
+        count(col("hit")).as("exact_hits"))
+    Streaming.runAvailableNow(spark, counts, "graft_s15")
+      .filter(col("bloom_hits") >= 1)
+      .select(col("doc_id"), col("n_shingles"), col("bloom_hits"),
+        col("exact_hits"),
+        (col("bloom_hits") - col("exact_hits")).as("fp_hits"),
+        lit(bitsSet).as("bits_set"))
+      .orderBy("doc_id")
+  }
+
   /** Sessionization through the BUILT-IN session_window operator
     * ([[Streaming.sessionWindowCounts]]) — s03's twin without custom
     * state. The oracle's session rule is `gap >= 1800` (window bound
@@ -470,7 +523,8 @@ object StreamingQueries {
     "s11_stream_classify" -> (streamClassify(_, _)),
     "s12_stream_profile" -> (streamProfile(_, _)),
     "s13_stream_heavy" -> (streamHeavyHitters(_, _)),
-    "s14_stream_drift" -> (streamDrift(_, _)))
+    "s14_stream_drift" -> (streamDrift(_, _)),
+    "s15_stream_bloom" -> (streamBloomDecontaminate(_, _)))
 
   // `def`: s11's entry (t33's oracle verbatim) interpolates artifact
   // globs, which must resolve at dump time, after the queries ran.
@@ -481,6 +535,7 @@ object StreamingQueries {
     "s13_stream_heavy" -> TextQueries.cmsOracle,
     // t41's oracle verbatim — continuous drift monitoring ≡ batch
     "s14_stream_drift" -> TextQueries.driftOracle,
+    "s15_stream_bloom" -> TextQueries.bloomDecontaminateOracle,
     // t33's oracle verbatim — continuous classifier scoring ≡ batch
     "s11_stream_classify" -> TextQueries.classifierOracle,
     // t22's oracle verbatim — continuous decontamination ≡ batch

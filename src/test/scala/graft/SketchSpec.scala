@@ -151,6 +151,27 @@ class SketchSpec extends SparkSpec {
       s"$fp false positives at fill $pFill — family not independent?")
   }
 
+  test("Bloom model-as-literal serving (bloomMemberLit) agrees with " +
+      "the join-shaped probe on every inserted and absent value") {
+    import graft.functions.HashFunctions.md5Long
+    val ins = (1 to 250).map(i => ("g", s"in_$i")).toDF("g", "v")
+    val filter = Sketch.bloomMerge(
+      Sketch.bloomWords(ins, Seq("g"), col("v"), 4096, 4), Nil)
+    val words = Sketch.bloomWordArray(filter, 4096)
+    assert(words.length == 128) // 4096 bits / 32 per word
+    val probes = ((1 to 250).map(i => s"in_$i") ++
+      (1 to 500).map(i => s"out_$i")).toDF("v")
+    val viaJoin = Sketch.bloomProbeFromHash(filter, probes,
+        md5Long(col("v")), 4096, 4)
+      .orderBy("v").as[(String, Long)].collect().toSeq
+    val viaLit = probes
+      .select(col("v"),
+        Sketch.bloomMemberLit(md5Long(col("v")), words, 4096, 4)
+          .as("is_member"))
+      .orderBy("v").as[(String, Long)].collect().toSeq
+    assert(viaJoin == viaLit)
+  }
+
   test("distCompare: identical distributions diverge 0, disjoint " +
       "supports diverge 1 (log2 bound), hand value for the " +
       "half-overlap case") {
