@@ -503,6 +503,32 @@ object Ingest {
     }
   }
 
+  /** CHANGE-DATA-CAPTURE between two snapshot reads keyed by `keyCol`:
+    * every key classified insert / delete / update / unchanged — the
+    * row-level delta an incremental consumer (index maintenance,
+    * re-embedding, downstream sync) folds instead of reprocessing the
+    * store. Values compare by md5 FINGERPRINT, so arbitrarily wide
+    * rows diff at hash width; the full-outer join shuffles both sides
+    * on the key — co-located when both snapshots share a bucketed
+    * layout, and at 100 TB the immutable-snapshot layout lets a
+    * file-level manifest diff prune files both snapshots share before
+    * this row-level pass runs (the reference rebuilds its whole index
+    * from the store on every restart instead — server.js:65-94).
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keyCol: String,
+                   valCol: String): DataFrame = {
+    val av = a.select(col(keyCol).as("k_a"),
+      md5(col(valCol).cast("string")).as("f_a"))
+    val bv = b.select(col(keyCol).as("k_b"),
+      md5(col(valCol).cast("string")).as("f_b"))
+    av.join(bv, col("k_a") === col("k_b"), "full_outer")
+      .select(coalesce(col("k_a"), col("k_b")).as(keyCol),
+        when(col("k_a").isNull, lit("insert"))
+          .when(col("k_b").isNull, lit("delete"))
+          .when(col("f_a") =!= col("f_b"), lit("update"))
+          .otherwise(lit("unchanged")).as("change_type"))
+  }
+
   /** Delete every snapshot the manifest no longer names. Run this at a
     * cadence that exceeds the longest scan a reader may hold (the
     * retention contract every snapshot store has).

@@ -437,7 +437,53 @@ object IngestQueries {
       .orderBy("snapshot")
   }
 
+  /** SNAPSHOT DIFF (CDC) through the manifest store: snapshot 1 is
+    * the corpus, snapshot 2 applies deletes (doc_id % 97 = 0),
+    * updates (% 13 = 0, text suffixed) and inserts (% 31 = 0, shifted
+    * ids), then [[graft.operators.Ingest.snapshotDiff]] classifies
+    * every key from the two TIME-TRAVEL reads and the query aggregates
+    * per change class. This is the delta an incremental consumer folds
+    * instead of reprocessing the store — and because both relations
+    * come off immutable committed snapshots, the diff is exactly
+    * reproducible later (the i14 history makes "what changed between
+    * Monday and Tuesday" a query, not a log hunt). The oracle rebuilds
+    * both versions from the source table and full-outer joins them in
+    * SQL, so a commit/diff bug that drops, duplicates or misclassifies
+    * a row flips the per-class aggregates.
+    */
+  def snapshotDiffQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ingest
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val root = stagedDir(spark,
+      s"graft_i16_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}") { dir =>
+      val store = s"$dir/store"
+      Ingest.commitStoreSnapshot(spark, store) { d =>
+        Ingest.writeStore(docs, d)
+      }
+      val v2 = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(31)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Ingest.commitStoreSnapshot(spark, store) { d =>
+        Ingest.writeStore(v2, d)
+      }
+    } + "/store"
+    val snaps = Ingest.listSnapshots(spark, root)
+    require(snaps.map(_._2) == Seq(false, true),
+      s"expected exactly [superseded, live], got $snaps")
+    Ingest.snapshotDiff(
+        Ingest.readStoreSnapshot(spark, root, snaps.head._1),
+        Ingest.readStoreManifested(spark, root), "doc_id", "text")
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy("change_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i16_snapshot_diff" -> (snapshotDiffQuery(_, _)),
     "i14_snapshot_history" -> (snapshotHistory(_, _)),
     "i12_binary_media" -> (binaryMediaScan(_, _)),
     "i13_compact_roundtrip" -> (compactRoundtrip(_, _)),
@@ -519,6 +565,27 @@ object IngestQueries {
         |SELECT layout, n_buckets, buckets_touched, rows_scanned,
         |       rows_matched
         |FROM agg, m ORDER BY layout""".stripMargin,
+    // both store versions rebuilt from the source table and diffed in
+    // SQL — the Spark side must classify every key off the committed
+    // snapshots identically
+    "i16_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+        |              ELSE text END AS text
+        |       FROM documents WHERE doc_id % 97 <> 0
+        |       UNION ALL
+        |       SELECT doc_id + 1000000, text FROM documents
+        |       WHERE doc_id % 31 = 0),
+        |d AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS id,
+        |             CASE WHEN v1.doc_id IS NULL THEN 'insert'
+        |                  WHEN v2.doc_id IS NULL THEN 'delete'
+        |                  WHEN md5(v1.text) <> md5(v2.text) THEN 'update'
+        |                  ELSE 'unchanged' END AS change_type
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT change_type, count(*) AS n_rows,
+        |       CAST(sum(id) AS BIGINT) AS sum_ids
+        |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin,
     // the snapshot store's two commits, recomputed from the source
     // table: 'old' = first 60% of ids, 'live' = everything — a commit
     // protocol that dropped/duplicated/mis-ordered a snapshot flips

@@ -188,6 +188,16 @@ class IngestSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("snapshotDiff classifies every key: insert, delete, update, " +
+      "unchanged — and the classes partition the key union") {
+    val a = docsDf((1L, "same"), (2L, "old"), (3L, "gone"))
+    val b = docsDf((1L, "same"), (2L, "new"), (4L, "fresh"))
+    val got = Ingest.snapshotDiff(a, b, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "unchanged"), (2L, "update"),
+      (3L, "delete"), (4L, "insert")))
+  }
+
   test("store write/read round-trip preserves vectors") {
     val dir = Files.createTempDirectory("graft_store").toString + "/docs"
     val df = Ingest.hashEmbed(docsDf((1L, "x y z"), (2L, "p q r")), "text", 16)
