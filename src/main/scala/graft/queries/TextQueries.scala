@@ -564,6 +564,39 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** TRAINING-SHARD EXPORT manifest — the terminal PLACEMENT step
+    * after the sampling family decides membership (t23/t25), budgets
+    * (t28) and packing (t26): the corpus is dealt into 16 shards by
+    * key hash and each shard is internally ordered by a SECOND,
+    * independently-salted hash — the deterministic global shuffle
+    * training ingestion needs, with no RNG or seed file: source/time
+    * neighbors land in different shards AND arrive far apart within
+    * one, reproducible on any engine. Per-shard order is a
+    * PARTITIONED row_number (parallel across shards — never a global
+    * sort; at 100 TB each shard sorts independently after one
+    * hash-partition exchange). The manifest pins balance (n_docs,
+    * n_tokens per shard), identity (sum_ids) and the exact order
+    * endpoints (first/last doc by shuffled position), so a re-export
+    * anywhere can be verified against it without moving bytes.
+    */
+  def shardExportQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashFunctions.md5Long
+    val shard = pmod(md5Long(
+      concat(lit("shard:"), col("doc_id").cast("string"))), lit(16L))
+    val ord = md5Long(concat(lit("order:"), col("doc_id").cast("string")))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shard.as("shard"), ord.as("ord"),
+        size(words(col("text"))).cast("long").as("n_toks"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("doc_id")).as("sum_ids"),
+        min_by(col("doc_id"), col("pos")).as("first_doc"),
+        max_by(col("doc_id"), col("pos")).as("last_doc"))
+      .orderBy("shard")
+  }
+
   /** Unicode NFC normalization
     * ([[graft.functions.TextFunctions.nfcNormalize]]): the fixture
     * corpus is ASCII, so each doc gets a DECOMPOSED suffix grafted on
@@ -1027,6 +1060,7 @@ object TextQueries {
     "t36_hll_ndv" -> (hllNdvQuery(_, _)),
     "t38_cms_heavy" -> (cmsHeavyQuery(_, _)),
     "t42_bloom_decontaminate" -> (bloomDecontaminateQuery(_, _)),
+    "t43_shard_export" -> (shardExportQuery(_, _)),
     "t39_pagerank" -> (pageRankQuery(_, _)),
     "t40_hist_quantiles" -> (histQuantilesQuery(_, _)),
     "t41_token_drift" -> (tokenDriftQuery(_, _)),
@@ -1459,6 +1493,22 @@ object TextQueries {
     "t36_hll_ndv" -> hllOracle,
     "t38_cms_heavy" -> cmsOracle,
     "t42_bloom_decontaminate" -> bloomDecontaminateOracle,
+    "t43_shard_export" ->
+      s"""WITH d AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |k AS (SELECT doc_id, len(ws) AS n_toks,
+         |        ${hash60("'shard:' || CAST(doc_id AS VARCHAR)")} % 16
+         |          AS shard,
+         |        ${hash60("'order:' || CAST(doc_id AS VARCHAR)")} AS ord
+         |      FROM d),
+         |p AS (SELECT *, row_number() OVER (
+         |        PARTITION BY shard ORDER BY ord, doc_id) AS pos
+         |      FROM k)
+         |SELECT shard, count(*) AS n_docs,
+         |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |       arg_min(doc_id, pos) AS first_doc,
+         |       arg_max(doc_id, pos) AS last_doc
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
     "t41_token_drift" -> driftOracle,
     "t40_hist_quantiles" ->
       """WITH mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi

@@ -195,6 +195,20 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("shard export orders within shards, never through a " +
+      "single-partition window") {
+    // the deterministic global shuffle must sort each shard
+    // independently after one hash-partition exchange (i10's window
+    // contract applied to the terminal export step)
+    val p = plan(graft.queries.TextQueries.shardExportQuery(spark, sf))
+    val windows = p.split("\n").filter(_.contains("Window ["))
+    assert(windows.nonEmpty, s"expected a per-shard window in:\n$p")
+    windows.foreach { w =>
+      assert(w.matches(""".*Window \[.*\], \[.*\], \[.*\].*"""),
+        s"single-partition window in the shard-export plan:\n$w")
+    }
+  }
+
   test("incremental dedup update never re-shingles the base corpus") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
