@@ -159,7 +159,21 @@ object PlansDump {
         ("Layout scorecard: three narrow scans of the scaled coords " +
           "feed three 256-row bbox rollups (two-level hash aggregates, " +
           "map-side partials) — no sort, no window, no exchange wider " +
-          "than the bucket count: evaluating a layout costs a scan."))
+          "than the bucket count: evaluating a layout costs a scan."),
+      "t42_bloom_decontaminate" ->
+        ("Bloom decontamination: the corpus pays ONE exchange (the " +
+          "doc_id spread) and BOTH later aggregates reuse it — the " +
+          "per-(doc,shingle) membership fold and the per-doc rollup " +
+          "run exchange-free, since doc_id partitioning satisfies any " +
+          "grouping containing it. Both probe structures broadcast " +
+          "(256 Bloom words; the exact eval set) — the corpus never " +
+          "shuffles for either membership test."),
+      "t43_shard_export" ->
+        ("Shard export: one hash exchange on the shard key, per-shard " +
+          "sort + row_number INSIDE each partition (Window with a " +
+          "partition spec — never a global sort), manifest rollup in " +
+          "place; the deterministic shuffle of a 100 TB corpus costs " +
+          "exactly one data movement."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")
