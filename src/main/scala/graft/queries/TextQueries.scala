@@ -597,6 +597,51 @@ object TextQueries {
       .orderBy("shard")
   }
 
+  /** TEMPERATURE-scaled mixture sampling — the multilingual rebalance
+    * step (α-sampling: keep probability ∝ p^α flattens the language
+    * distribution so low-resource strata survive): per-stratum quotas
+    * are DERIVED from corpus statistics — quota_g = ⌊T·√n_g/√N⌋ (α =
+    * ½, the temperature-2 point of the standard family) — then filled
+    * by the t28 hash-rank rule. Where t28 takes budgets as GIVEN, t44
+    * computes them from the distribution it measures; α = ½ keeps
+    * every arithmetic step (sqrt, ×, ÷) correctly-rounded IEEE
+    * double — bit-identical in any engine — where a pow(p, 0.7) would
+    * be libm-dependent at the last ulp and a floor boundary could
+    * flip. Output lays p_raw next to p_sampled so the flattening is
+    * measured per stratum. The stats pass is one tiny aggregate
+    * broadcast back; selection is the same WindowGroupLimit-friendly
+    * per-stratum rank — no RNG, no global sort, reproducible anywhere.
+    */
+  def temperatureMixQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val T = 200
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("nn"))))
+      .withColumn("quota",
+        floor(lit(T.toDouble) * sqrt(col("n_docs").cast("double"))
+          / sqrt(col("nn").cast("double"))).cast("long"))
+    val ranked = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(
+          graft.functions.HashFunctions.md5Long(
+            concat(lit("mix:"), col("doc_id").cast("string"))),
+          col("doc_id"))))
+    val sampled = ranked.join(broadcast(counts), Seq("lang"))
+      .filter(col("rk") <= col("quota"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_ids"))
+    sampled.join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(
+        sampled.agg(sum(col("n_sampled")).as("ns"))))
+      .select(col("lang"), col("n_docs"), col("quota"), col("n_sampled"),
+        col("sum_ids"),
+        round(col("n_docs").cast("double") / col("nn"), 6).as("p_raw"),
+        round(col("n_sampled").cast("double") / col("ns"), 6)
+          .as("p_sampled"))
+      .orderBy("lang")
+  }
+
   /** Unicode NFC normalization
     * ([[graft.functions.TextFunctions.nfcNormalize]]): the fixture
     * corpus is ASCII, so each doc gets a DECOMPOSED suffix grafted on
@@ -1061,6 +1106,7 @@ object TextQueries {
     "t38_cms_heavy" -> (cmsHeavyQuery(_, _)),
     "t42_bloom_decontaminate" -> (bloomDecontaminateQuery(_, _)),
     "t43_shard_export" -> (shardExportQuery(_, _)),
+    "t44_temperature_mix" -> (temperatureMixQuery(_, _)),
     "t39_pagerank" -> (pageRankQuery(_, _)),
     "t40_hist_quantiles" -> (histQuantilesQuery(_, _)),
     "t41_token_drift" -> (tokenDriftQuery(_, _)),
@@ -1509,6 +1555,30 @@ object TextQueries {
          |       arg_min(doc_id, pos) AS first_doc,
          |       arg_max(doc_id, pos) AS last_doc
          |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+    "t44_temperature_mix" ->
+      s"""WITH n AS (SELECT lang, count(*) AS n_docs FROM documents
+         |           GROUP BY lang),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+         |q AS (SELECT lang, n_docs,
+         |        CAST(floor(200.0 * sqrt(CAST(n_docs AS DOUBLE))
+         |             / sqrt(CAST(nn AS DOUBLE))) AS BIGINT) AS quota,
+         |        nn
+         |      FROM n, tot),
+         |r AS (SELECT doc_id, lang, row_number() OVER (
+         |        PARTITION BY lang ORDER BY
+         |          ${hash60("'mix:' || CAST(doc_id AS VARCHAR)")},
+         |          doc_id) AS rk
+         |      FROM documents),
+         |s AS (SELECT r.lang, count(*) AS n_sampled,
+         |             CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |      FROM r JOIN q USING (lang) WHERE rk <= quota
+         |      GROUP BY r.lang),
+         |st AS (SELECT CAST(sum(n_sampled) AS BIGINT) AS ns FROM s)
+         |SELECT q.lang, q.n_docs, q.quota, s.n_sampled, s.sum_ids,
+         |       round(CAST(q.n_docs AS DOUBLE) / nn, 6) AS p_raw,
+         |       round(CAST(s.n_sampled AS DOUBLE) / ns, 6) AS p_sampled
+         |FROM q JOIN s USING (lang), st
+         |ORDER BY lang""".stripMargin,
     "t41_token_drift" -> driftOracle,
     "t40_hist_quantiles" ->
       """WITH mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi
