@@ -183,6 +183,35 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** MinHash ESTIMATOR accuracy — the dedup family's measured-error
+    * member (the t36/t38/t40 "error measured, not assumed" discipline
+    * applied to t04's estimator): for every exact near-dup pair (the
+    * t03 build-once pair-graph artifact), the 16-hash signature
+    * agreement is laid NEXT TO the exact Jaccard it estimates,
+    * per-pair abs_err included — the distribution that justifies (or
+    * indicts) t05's banding thresholds on THIS corpus. Signatures are
+    * 16 longs per doc joined in by id; the pair set is the shared
+    * artifact — measuring the estimator costs no new corpus pass, and
+    * E[agreement] = J is the Broder (1997) identity being priced.
+    */
+  def minhashEstimateQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = Dedup.minHash(Tables.documents(spark, sfDir),
+      "doc_id", "text", n = 3, numHashes = 16)
+    val agree = size(filter(zip_with(col("sig_a"), col("sig_b"),
+      (x, y) => (x === y).cast("int")), v => v === 1)).cast("double") /
+      lit(16.0)
+    dupPairs(spark, sfDir)
+      .join(sigs.select(col("doc_id").as("id_a"),
+        col("signature").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"),
+        col("signature").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"),
+        round(agree, 6).as("est_16"),
+        round(abs(agree - col("jaccard")), 6).as("abs_err"))
+      .orderBy("id_a", "id_b")
+  }
+
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simHashDocs(Tables.documents(spark, sfDir), "doc_id", "text",
         bits = 16)
@@ -1129,6 +1158,7 @@ object TextQueries {
     "t31_incremental_dedup" -> (incrementalDedup(_, _)),
     "t04_minhash_sig" -> (minhashSig(_, _)),
     "t05_minhash_lsh" -> (minhashLsh(_, _)),
+    "t30_minhash_estimate" -> (minhashEstimateQuery(_, _)),
     "t06_simhash" -> (simhash(_, _)),
     "t07_lang_id" -> (langId(_, _)),
     "t08_quality" -> (quality(_, _)),
@@ -1935,6 +1965,30 @@ object TextQueries {
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
          |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "t30_minhash_estimate" ->
+      s"""WITH $jaccardPairCtes,
+         |shb AS (
+         |  SELECT doc_id, list_transform($shinglesExpr, s -> ${hash60("s")}) AS hb
+         |  FROM (SELECT doc_id, $wsExpr AS ws FROM documents)),
+         |sig AS (
+         |  SELECT doc_id,
+         |         list_transform(range(0, 16), j -> list_min(list_transform(hb,
+         |           b -> ${affineSqlJ("b")}))) AS signature
+         |  FROM shb),
+         |est AS (
+         |  SELECT id_a, id_b, jac,
+         |         list_sum(list_transform(range(0, 16),
+         |           j -> CASE WHEN sa.signature[CAST(j+1 AS INT)]
+         |                        = sb.signature[CAST(j+1 AS INT)]
+         |                     THEN 1 ELSE 0 END))::DOUBLE / 16.0 AS est
+         |  FROM jpairs
+         |  JOIN sig sa ON sa.doc_id = id_a
+         |  JOIN sig sb ON sb.doc_id = id_b
+         |  WHERE jac >= 0.1)
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard,
+         |       round(est, 6) AS est_16,
+         |       round(abs(est - jac), 6) AS abs_err
+         |FROM est ORDER BY id_a, id_b""".stripMargin,
     "t06_simhash" ->
       s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
          |votes AS (
