@@ -152,6 +152,48 @@ object TextQueries {
       .agg(count("*").as("n_docs"))
       .orderBy("component")
 
+  /** LEAKAGE-FREE split assignment — t24's deterministic split rule
+    * applied to the near-dup CLUSTER, not the document: every doc
+    * inherits the split of its component (the build-once t03/t16
+    * pair-graph artifact; unclustered docs are their own singleton
+    * component), so a near-dup pair can never straddle train/test —
+    * the eval-contamination failure mode group-keyed splitting exists
+    * to prevent (a test doc whose near-duplicate sits in train is
+    * leakage the doc-keyed t24 cannot rule out). `straddling_pairs`
+    * is computed IN the query — every pair joined against both
+    * endpoints' splits — and hash-pinned at 0: the leakage-freedom is
+    * part of the verified answer, not a claim. At 100 TB components
+    * are a once-per-snapshot artifact, the split is a pure key
+    * function of the component id, and the stats are one aggregate.
+    */
+  def groupSplitQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val comp = dupComponents(spark, sfDir)
+    val asg = docs
+      .join(comp.select(col("node").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("component"))
+    val bucket = graft.functions.HashFunctions.md5Long(
+      concat(lit("gsplit:"), col("component").cast("string"))) % 100
+    val spl = asg.withColumn("split",
+      when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test"))
+    val strad = dupPairs(spark, sfDir)
+      .join(spl.select(col("doc_id").as("id_a"),
+        col("split").as("split_a")), Seq("id_a"))
+      .join(spl.select(col("doc_id").as("id_b"),
+        col("split").as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .agg(count(lit(1)).as("straddling_pairs"))
+    spl.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_components"),
+        sum(col("doc_id")).as("sum_ids"))
+      .crossJoin(broadcast(strad))
+      .orderBy("split")
+  }
+
   /** Gopher repetition gates over every document
     * ([[graft.operators.TextAnalysis.repetitionSignals]]). */
   def repetition(spark: SparkSession, sfDir: String): DataFrame =
@@ -1159,6 +1201,7 @@ object TextQueries {
     "t04_minhash_sig" -> (minhashSig(_, _)),
     "t05_minhash_lsh" -> (minhashLsh(_, _)),
     "t30_minhash_estimate" -> (minhashEstimateQuery(_, _)),
+    "t45_group_split" -> (groupSplitQuery(_, _)),
     "t06_simhash" -> (simhash(_, _)),
     "t07_lang_id" -> (langId(_, _)),
     "t08_quality" -> (quality(_, _)),
@@ -1930,6 +1973,39 @@ object TextQueries {
          |SELECT component, count(*) AS n_docs FROM (
          |  SELECT node, min(label) AS component FROM walk GROUP BY node)
          |GROUP BY component ORDER BY component""".stripMargin,
+    "t45_group_split" ->
+      s"""WITH RECURSIVE $jaccardPairCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jac >= 0.1
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM jpairs WHERE jac >= 0.1),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+         |comp AS (SELECT node, min(label) AS component FROM walk
+         |         GROUP BY node),
+         |asg AS (SELECT d.doc_id,
+         |               coalesce(c.component, d.doc_id) AS component
+         |        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+         |spl AS (SELECT doc_id, component,
+         |          CASE WHEN ${hash60(
+               "'gsplit:' || CAST(component AS VARCHAR)")} % 100 < 90
+         |               THEN 'train'
+         |               WHEN ${hash60(
+               "'gsplit:' || CAST(component AS VARCHAR)")} % 100 < 95
+         |               THEN 'val' ELSE 'test' END AS split
+         |        FROM asg),
+         |strad AS (SELECT count(*) AS straddling_pairs
+         |          FROM jpairs p
+         |          JOIN spl a ON a.doc_id = p.id_a
+         |          JOIN spl b ON b.doc_id = p.id_b
+         |          WHERE p.jac >= 0.1 AND a.split <> b.split)
+         |SELECT split, count(*) AS n_docs,
+         |       count(DISTINCT component) AS n_components,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids, straddling_pairs
+         |FROM spl, strad GROUP BY split, straddling_pairs
+         |ORDER BY split""".stripMargin,
     "t04_minhash_sig" ->
       s"""WITH sh AS (
          |  SELECT doc_id, list_transform($shinglesExpr, s -> ${hash60("s")}) AS hb
