@@ -525,7 +525,10 @@ object Ingest {
       .select(coalesce(col("k_a"), col("k_b")).as(keyCol),
         when(col("k_a").isNull, lit("insert"))
           .when(col("k_b").isNull, lit("delete"))
-          .when(col("f_a") =!= col("f_b"), lit("update"))
+          // null-SAFE comparison: a value transitioning NULL ↔
+          // non-NULL is an update — plain =!= yields NULL there and
+          // would fall through to 'unchanged'
+          .when(!(col("f_a") <=> col("f_b")), lit("update"))
           .otherwise(lit("unchanged")).as("change_type"))
   }
 

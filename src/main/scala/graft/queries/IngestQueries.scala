@@ -451,6 +451,20 @@ object IngestQueries {
     * SQL, so a commit/diff bug that drops, duplicates or misclassifies
     * a row flips the per-class aggregates.
     */
+  /** The CDC mutation mix — ONE definition of the delete/update/insert
+    * rule shared by i16 and ScalingProbe's CDC table (the i16 oracle
+    * mirrors it in SQL): deletes doc_id % 97 = 0, updates % 13 = 0
+    * (text suffixed " v2"), inserts % 31 = 0 at `shift`-ed ids.
+    */
+  private[graft] def cdcMutation(docs: DataFrame, shift: Long): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(31)) === 0)
+        .select((col("doc_id") + shift).as("doc_id"), col("text")))
+
   def snapshotDiffQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Ingest
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
@@ -460,15 +474,8 @@ object IngestQueries {
       Ingest.commitStoreSnapshot(spark, store) { d =>
         Ingest.writeStore(docs, d)
       }
-      val v2 = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-        .select(col("doc_id"),
-          when(pmod(col("doc_id"), lit(13)) === 0,
-            concat(col("text"), lit(" v2")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(31)) === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Ingest.commitStoreSnapshot(spark, store) { d =>
-        Ingest.writeStore(v2, d)
+        Ingest.writeStore(cdcMutation(docs, shift = 1000000L), d)
       }
     } + "/store"
     val snaps = Ingest.listSnapshots(spark, root)
@@ -580,7 +587,8 @@ object IngestQueries {
         |d AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS id,
         |             CASE WHEN v1.doc_id IS NULL THEN 'insert'
         |                  WHEN v2.doc_id IS NULL THEN 'delete'
-        |                  WHEN md5(v1.text) <> md5(v2.text) THEN 'update'
+        |                  WHEN md5(v1.text) IS DISTINCT FROM md5(v2.text)
+        |                  THEN 'update'
         |                  ELSE 'unchanged' END AS change_type
         |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
         |SELECT change_type, count(*) AS n_rows,

@@ -237,12 +237,22 @@ object TextQueries {
     * E[agreement] = J is the Broder (1997) identity being priced.
     */
   def minhashEstimateQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = Dedup.minHash(Tables.documents(spark, sfDir),
+    val pairs = dupPairs(spark, sfDir)
+    // only docs appearing in a pair need signatures: a broadcast
+    // semi-join prunes the corpus BEFORE the minhash kernel, and the
+    // localCheckpoint (pair-id-sized frame) lets both join sides read
+    // one materialization instead of re-running the kernel each
+    val ids = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val sigs = Dedup.minHash(
+      Tables.documents(spark, sfDir)
+        .join(broadcast(ids), Seq("doc_id"), "left_semi"),
       "doc_id", "text", n = 3, numHashes = 16)
+      .localCheckpoint()
     val agree = size(filter(zip_with(col("sig_a"), col("sig_b"),
       (x, y) => (x === y).cast("int")), v => v === 1)).cast("double") /
       lit(16.0)
-    dupPairs(spark, sfDir)
+    pairs
       .join(sigs.select(col("doc_id").as("id_a"),
         col("signature").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("doc_id").as("id_b"),
@@ -698,10 +708,14 @@ object TextQueries {
           graft.functions.HashFunctions.md5Long(
             concat(lit("mix:"), col("doc_id").cast("string"))),
           col("doc_id"))))
+    // localCheckpoint: the ≤|langs|-row aggregate feeds the final join
+    // AND the ns total — uncheckpointed, the corpus-wide rank/filter
+    // pipeline would execute once per consumer
     val sampled = ranked.join(broadcast(counts), Seq("lang"))
       .filter(col("rk") <= col("quota"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_ids"))
+      .localCheckpoint()
     sampled.join(broadcast(counts), Seq("lang"))
       .crossJoin(broadcast(
         sampled.agg(sum(col("n_sampled")).as("ns"))))

@@ -198,6 +198,19 @@ class IngestSpec extends SparkSpec {
       (3L, "delete"), (4L, "insert")))
   }
 
+  test("snapshotDiff is null-safe: NULL ↔ non-NULL transitions are " +
+      "updates, NULL ↔ NULL is unchanged") {
+    val a = Seq((1L, Option("x")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("doc_id", "text")
+    val b = Seq((1L, Option.empty[String]), (2L, Option("y")),
+      (3L, Option.empty[String])).toDF("doc_id", "text")
+    val got = Ingest.snapshotDiff(a, b, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "update"), (2L, "update"),
+      (3L, "unchanged")),
+      s"null transitions must be visible to CDC consumers: $got")
+  }
+
   test("store write/read round-trip preserves vectors") {
     val dir = Files.createTempDirectory("graft_store").toString + "/docs"
     val df = Ingest.hashEmbed(docsDf((1L, "x y z"), (2L, "p q r")), "text", 16)
