@@ -151,6 +151,32 @@ class SketchSpec extends SparkSpec {
       s"$fp false positives at fill $pFill — family not independent?")
   }
 
+  test("Bloom cross-check vs brute-force membership on random " +
+      "corpora: never a false negative, FPs only outside the set") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rng = new scala.util.Random(seed)
+      val universe = (1 to 1200).map(_ =>
+        rng.alphanumeric.take(rng.nextInt(12) + 3).mkString).distinct
+      val (inSet, outSet) = universe.splitAt(universe.length / 3)
+      val truth = inSet.toSet
+      val filter = Sketch.bloomMerge(
+        Sketch.bloomWords(inSet.toDF("v"), Nil, col("v"), 4096, 4), Nil)
+      val got = Sketch.bloomProbeFromHash(filter,
+          (inSet ++ outSet).toDF("v"),
+          graft.functions.HashFunctions.md5Long(col("v")), 4096, 4)
+        .as[(String, Long)].collect()
+      got.foreach { case (v, m) =>
+        if (truth(v)) assert(m == 1L,
+          s"false NEGATIVE for inserted '$v' (seed $seed)")
+      }
+      val fps = got.count { case (v, m) => !truth(v) && m == 1L }
+      // fill ≤ 4·|inSet|/4096 ≈ 39%; FP rate ≤ fill^4 ≈ 2.3% — allow
+      // a loose 5× margin over the expectation on |outSet| probes
+      assert(fps <= math.max(10, outSet.length / 8),
+        s"$fps FPs over ${outSet.length} absent probes (seed $seed)")
+    }
+  }
+
   test("Bloom model-as-literal serving (bloomMemberLit) agrees with " +
       "the join-shaped probe on every inserted and absent value") {
     import graft.functions.HashFunctions.md5Long
