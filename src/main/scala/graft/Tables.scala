@@ -30,17 +30,26 @@ object Tables {
     table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a nanos Long (legacy flag) and convert
-    * to a microsecond TimestampType column. Integer `div`, NOT `/`:
-    * Spark's `/` is double division, and epoch nanos (~1.7e18) exceed
-    * a double's 2^53 integer range — the rounded quotient can land one
-    * microsecond off DuckDB's exact ns→µs conversion.
+  /** events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP_NTZ(MICROS) across driver testdata generations, so the
+    * reader adapts to what the file actually holds:
+    *  - NANOS: Spark's vectorized reader rejects it; read as a nanos
+    *    Long (legacy flag) and convert with integer `div`, NOT `/` —
+    *    Spark's `/` is double division and epoch nanos (~1.7e18)
+    *    exceed a double's 2^53 integer range, so the rounded quotient
+    *    can land one microsecond off DuckDB's exact ns→µs conversion.
+    *  - NTZ micros: cast to TimestampType; the session runs UTC so the
+    *    wall-clock is unchanged and matches DuckDB's read.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }

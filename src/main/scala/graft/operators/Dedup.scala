@@ -458,9 +458,26 @@ object Dedup {
     * agrees exactly on at least one block, so candidate generation is an
     * equi-join on (block index, block value) and only candidates pay the
     * hamming check. Same blocking-join shape as MinHash banding.
+    *
+    * The candidate count is Σ over (block, block_val) buckets of
+    * |bucket|² — linear only while buckets stay ~n/2^width. That
+    * assumption is precisely FALSE on template-heavy corpora (many
+    * identical fingerprints collapse into one hot bucket and the join
+    * goes quadratic), so the plan aborts via `raise_error` when the
+    * hottest bucket exceeds `maxBucketRows` (the cosineNearDupPairs /
+    * semanticDedup honesty contract: fail fast before the fan-out, with
+    * the remediation in the message). The right fix upstream is exact
+    * dedup first (identical docs ⇒ identical simhashes) or wider blocks.
+    *
+    * OWNERSHIP: `blocked` feeds the guard aggregate and BOTH join
+    * sides — unpersisted, the tokenize+md5+simhash kernel would run
+    * three times over the corpus. Persisted here; the caller that
+    * evaluates the result releases it (unpersist/clearCache), the
+    * semanticDedup convention.
     */
   def simHashNearDupPairs(fingerprints: DataFrame, idCol: String,
-                          bits: Int, maxHamming: Int): DataFrame = {
+                          bits: Int, maxHamming: Int,
+                          maxBucketRows: Long = 100000L): DataFrame = {
     val nBlocks = maxHamming + 1
     val width = bits / nBlocks
     require(width > 0, s"bits=$bits too small for maxHamming=$maxHamming")
@@ -469,9 +486,23 @@ object Dedup {
       posexplode(array((0 until nBlocks).map { b =>
         shiftright(col("simhash"), b * width)
           .bitwiseAND(lit((1L << width) - 1))
-      }: _*)).as(Seq("block", "block_val")))
+      }: _*)).as(Seq("block", "block_val"))).persist()
+    // one tiny aggregate broadcast against the candidate join: a hot
+    // bucket fails fast instead of hanging a quadratic task
+    val guard = blocked.groupBy("block", "block_val").count()
+      .agg(max(col("count")).as("_mx"))
     val a = blocked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
       col("block"), col("block_val"))
+      .crossJoin(broadcast(guard))
+      .filter(when(col("_mx") > maxBucketRows,
+          raise_error(concat(lit("simHashNearDupPairs: hottest (block, " +
+              "block_val) bucket "), col("_mx"),
+            lit(s" rows exceeds maxBucketRows=$maxBucketRows; " +
+              "template-heavy corpora collapse fingerprints into hot " +
+              "buckets (quadratic candidates) — run exact dedup (t02) " +
+              "first or raise bits/width"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("_mx")
     val b = blocked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
       col("block"), col("block_val"))
     a.join(b, Seq("block", "block_val"))
@@ -563,6 +594,124 @@ object Dedup {
       .filter(col("run_tokens") >= minRunTokens)
       .select("id_a", "id_b", "pos_a", "pos_b", "run_tokens")
   }
+
+  /** Per-snapshot ExactSubstr state, the [[JaccardIndex]] LSM split
+    * applied to the positional-shingle index: `base` is the build-once
+    * (id, pos, sh) index artifact (NEVER rewritten by updates),
+    * `spans` the scored span set so far, `deltas` the sidecar indexes
+    * appended by [[updateSubstrIndex]] — folded into a new base by
+    * [[compactSubstrIndex]] on the pipeline's schedule, never in the
+    * ingest hot path. */
+  case class SubstrIndex(base: DataFrame, spans: DataFrame,
+                         deltas: Seq[DataFrame]) {
+    /** base ∪ sidecars — the full current positional index. */
+    def mergedIndex: DataFrame = (base +: deltas).reduce(_ unionByName _)
+  }
+
+  /** Build the ExactSubstr snapshot artifact: positional index +
+    * full span detection, both eagerly checkpointed (the t31
+    * convention — construction is paid at snapshot time; what each
+    * ingest batch pays is [[updateSubstrIndex]]). */
+  def buildSubstrIndex(df: DataFrame, idCol: String, textCol: String,
+                       w: Int, maxDf: Long = 1000L,
+                       minRunTokens: Int = 16): SubstrIndex = {
+    val sh = positionalShingleHashes(df, idCol, textCol, w)
+      .localCheckpoint()
+    SubstrIndex(sh,
+      substringSpansFrom(sh, idCol, w, maxDf, minRunTokens)
+        .localCheckpoint(), Nil)
+  }
+
+  /** INCREMENTAL ExactSubstr maintenance — [[updateJaccardIndex]]'s
+    * contract for the positional index: fold a `delta` batch (NEW doc
+    * ids) into an existing [[SubstrIndex]] touching only
+    * delta-proportional state. The base index is never rewritten; the
+    * only base access is a READ pruned to the delta's shingles (a
+    * semi-join on the broadcast delta keys — bucket-local point
+    * lookups on a deployed shingle-bucketed index).
+    *
+    * Why delta-restricted detection is EXACT: a span row pairs
+    * positions from two documents, so every NEW match involves at
+    * least one delta row, and a run between an old doc and a delta doc
+    * consists entirely of such matches (the old-old span set cannot
+    * change — old docs gained no rows). The one exception is a shingle
+    * whose occurrence count crosses `maxDf` in THIS update: its
+    * existing matches retroactively lose validity (dropping a
+    * stop-shingle can only SPLIT a run, but the split must be
+    * recomputed). Those shingles come back in the second return value;
+    * when non-empty, exactness requires a rebuild — reported, not
+    * silently approximated; when EMPTY, the updated span set is
+    * IDENTICAL to a full rebuild (DedupSpec pins the equivalence, the
+    * t47 query pins it against t34's oracle verbatim).
+    */
+  def updateSubstrIndex(ix: SubstrIndex, delta: DataFrame,
+                        idCol: String, textCol: String, w: Int,
+                        maxDf: Long = 1000L, minRunTokens: Int = 16)
+      : (SubstrIndex, DataFrame) = {
+    val deltaSh = positionalShingleHashes(delta, idCol, textCol, w)
+      .localCheckpoint() // read by keys, df counts, and the join below
+    val deltaKeys = deltaSh.select("sh").distinct()
+    // prior rows the delta touches: a PRUNED READ of base ∪ sidecars
+    val prior = (ix.base +: ix.deltas)
+      .map(_.join(broadcast(deltaKeys), Seq("sh"), "left_semi")
+        .select(col("sh"), col(idCol), col("pos"),
+          lit(true).as("_old")))
+      .reduce(_ unionByName _)
+    val touched = prior.unionByName(
+        deltaSh.select(col("sh"), col(idCol), col("pos"),
+          lit(false).as("_old")))
+      .localCheckpoint() // delta-keyed; feeds df counts and both join sides
+    val dfCounts = touched.groupBy("sh")
+      .agg(count(lit(1)).as("_df"),
+        sum(when(col("_old"), 1L).otherwise(0L)).as("_old_df"))
+      .localCheckpoint()
+    // a crossing invalidates prior state only if prior MATCHES through
+    // the shingle were possible (≥ 2 prior rows): an all-new shingle
+    // over maxDf is dropped identically by update and rebuild
+    val overflowed = dfCounts
+      .filter(col("_df") > maxDf &&
+        col("_old_df") >= 2 && col("_old_df") <= maxDf)
+      .select("sh")
+    val kept = touched.join(
+      broadcast(dfCounts.filter(col("_df") <= maxDf).select("sh")),
+      Seq("sh"), "left_semi")
+    val deltaIds = delta.select(col(idCol)).distinct()
+      .withColumn("_d", lit(1))
+    val a = kept.select(col("sh"), col(idCol).as("id_a"),
+      col("pos").as("pos_a"))
+    val b = kept.select(col("sh"), col(idCol).as("id_b"),
+      col("pos").as("pos_b"))
+    val m = a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .join(broadcast(deltaIds.select(col(idCol).as("id_a"),
+        col("_d").as("_da"))), Seq("id_a"), "left")
+      .join(broadcast(deltaIds.select(col(idCol).as("id_b"),
+        col("_d").as("_db"))), Seq("id_b"), "left")
+      .filter(col("_da") === 1 || col("_db") === 1)
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"),
+        (col("pos_a") - col("pos_b")).as("_align"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "_align").orderBy("pos_a")
+    val newSpans = m
+      .withColumn("_grp", col("pos_a") - row_number().over(wRun))
+      .groupBy(col("id_a"), col("id_b"), col("_align"), col("_grp"))
+      .agg(min(col("pos_a")).as("pos_a"), min(col("pos_b")).as("pos_b"),
+        (count(lit(1)) + lit(w - 1)).as("run_tokens"))
+      .filter(col("run_tokens") >= minRunTokens)
+      .select("id_a", "id_b", "pos_a", "pos_b", "run_tokens")
+      .localCheckpoint()
+    (SubstrIndex(ix.base, ix.spans.unionByName(newSpans),
+      ix.deltas :+ deltaSh), overflowed)
+  }
+
+  /** Fold the sidecar deltas into a new base — the scheduled
+    * compaction leg ([[compactJaccardIndex]]'s contract): O(base +
+    * deltas), run on the pipeline's cadence, pure repackaging (the
+    * span set is unchanged; plan depth resets for the next epoch). */
+  def compactSubstrIndex(ix: SubstrIndex): SubstrIndex =
+    if (ix.deltas.isEmpty) ix
+    else SubstrIndex(ix.mergedIndex.localCheckpoint(),
+      ix.spans.localCheckpoint(), Nil)
 
   /** The REMOVAL action over [[substringSpans]] output (Lee et al.'s
     * ExactSubstr dedup removes every duplicated span from all but one

@@ -202,9 +202,13 @@ object Ingest {
       // Hadoop's local create(overwrite=false) is CHECK-then-act — two
       // same-host writers can both pass it (observed in the EngineSpec
       // race test as a _temporary staging collision). O_EXCL via nio is
-      // genuinely atomic on a local filesystem.
+      // genuinely atomic on a local filesystem. The nio path derives
+      // from the QUALIFIED Hadoop path's URI, not the raw string: a
+      // caller passing a URI-form root ("file:///tmp/store") would
+      // otherwise produce File("file:/tmp/store.lock") — a CWD-relative
+      // path, locking the wrong location.
       val nioLock = java.nio.file.Paths
-        .get(new java.io.File(path + ".lock").getAbsolutePath)
+        .get(fs.makeQualified(lockPath).toUri.getPath)
       try java.nio.file.Files.write(nioLock, writerTag,
         java.nio.file.StandardOpenOption.CREATE_NEW)
       catch {
@@ -353,6 +357,48 @@ object Ingest {
   def readStore(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Store Z-ORDERED on two columns — `OPTIMIZE ZORDER BY (x, y)` as a
+    * writer, completing [[graft.operators.Layout]]'s scorecard (i15
+    * MEASURES what a z-layout would skip; this writer APPLIES it).
+    * Rows are scaled to 16-bit coords, Morton-interleaved, and routed
+    * to a `zb=<prefix>` hive partition directory — `repartition(zb)`
+    * puts each bucket in exactly one task, so each directory holds
+    * EXACTLY ONE FILE whose min/max footer statistics cover one small
+    * box of the (x, y) space. The bucket id is the exact integer
+    * prefix of the z value (no RangePartitioner sampling), so the
+    * file ↔ row mapping is bit-reproducible and a SQL oracle can
+    * replay per-FILE statistics from the raw table — physical layout
+    * inside the hash gate, not asserted.
+    *
+    * Readers prune two ways: a z-prefix range predicate on `zb` is
+    * PARTITION pruning (directories never listed — PlanSpec asserts
+    * it), and x/y predicates hit tight per-file min/max stats. At
+    * deployment scale, swap the fixed-prefix bucket for
+    * `repartitionByRange(n, z).sortWithinPartitions(z)` — better
+    * balance under skew, same skipping power, at the price of
+    * sampled (engine-dependent) file boundaries.
+    */
+  def writeStoreZOrdered(df: DataFrame, path: String,
+                         xCol: String, yCol: String,
+                         bucketBits: Int = 4): Unit = {
+    require(bucketBits >= 1 && bucketBits <= 16,
+      s"bucketBits=$bucketBits outside [1,16]")
+    val mm = df.agg(
+      min(col(xCol)).as("_xmin"), max(col(xCol)).as("_xmax"),
+      min(col(yCol)).as("_ymin"), max(col(yCol)).as("_ymax"))
+    val z = Layout.morton16(
+      Layout.scale16(col(xCol), col("_xmin"), col("_xmax")),
+      Layout.scale16(col(yCol), col("_ymin"), col("_ymax")))
+    df.crossJoin(broadcast(mm))
+      .withColumn("zb", shiftright(z, 32 - bucketBits))
+      .drop("_xmin", "_xmax", "_ymin", "_ymax")
+      .repartition(col("zb"))
+      .sortWithinPartitions("zb")
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .partitionBy("zb")
+      .parquet(path)
+  }
+
   // --------------------------------------------------------------------
   // Manifest-committed store: the minimal table-format commit protocol.
   //
@@ -413,11 +459,13 @@ object Ingest {
       out.close()
       val scheme = Option(hRoot.toUri.getScheme).getOrElse(fs.getScheme)
       if (scheme == "file") {
+        // nio paths via the qualified Hadoop URIs (withStoreLock's
+        // convention): File("file:/...") from a URI-form root would
+        // resolve CWD-relative and move the wrong file
         java.nio.file.Files.move(
-          java.nio.file.Paths.get(new java.io.File(tmp.toString)
-            .getAbsolutePath),
-          java.nio.file.Paths.get(new java.io.File(
-            manifestPath(root).toString).getAbsolutePath),
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+          java.nio.file.Paths.get(
+            fs.makeQualified(manifestPath(root)).toUri.getPath),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
       } else {

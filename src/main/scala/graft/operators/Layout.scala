@@ -26,13 +26,20 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** `v` scaled into [0, 2^16) given per-dataset min/max columns —
-    * exact integer arithmetic: (v − min) · 65535 div (max − min).
-    * The division is exact-multiple double division (subtract the
-    * pmod remainder first), so no fp rounding can cross an integer.
+    * exact integer arithmetic: (v − min) · 65535 div (max − min),
+    * computed in DECIMAL(38,0) end-to-end. Long arithmetic would
+    * overflow the ·65535 product once the domain spans more than
+    * ~2^47, and exact-multiple DOUBLE division loses integer exactness
+    * past ~2^37 (the long→double conversion inside the division can
+    * round and shift a bucket id, breaking the bit-reproducibility
+    * this module promises) — decimal keeps every intermediate exact
+    * for the full long domain. The quotient is an integer ≤ 65535 by
+    * construction, so the final long cast is exact.
     * Degenerate domains (max = min) collapse to 0. */
   def scale16(v: Column, vMin: Column, vMax: Column): Column = {
-    val num = (v - vMin) * lit(65535L)
-    val den = vMax - vMin
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    val num = (dec(v) - dec(vMin)) * lit(65535L)
+    val den = dec(vMax) - dec(vMin)
     when(den === 0, lit(0L))
       .otherwise(((num - pmod(num, den)) / den).cast("long"))
   }

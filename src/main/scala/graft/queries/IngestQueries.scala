@@ -288,6 +288,10 @@ object IngestQueries {
       min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
       min("l_suppkey").as("smin"), max("l_suppkey").as("smax"),
       min("l_orderkey").as("omin"), max("l_orderkey").as("omax"))
+    // OWNERSHIP: `scaled` feeds three skipStats rollups plus the
+    // rows_matched aggregate — unpersisted, the lineitem scan + scaling
+    // projection recomputes 4× per invocation (v14/semanticDedup's
+    // shared-frame convention; the bench's clearCache releases it)
     val scaled = li.crossJoin(broadcast(mm))
       .select(
         Layout.scale16(col("l_partkey"), col("pmin"), col("pmax"))
@@ -297,6 +301,7 @@ object IngestQueries {
         Layout.scale16(col("l_orderkey"), col("omin"), col("omax"))
           .as("o"))
       .withColumn("z", Layout.morton16(col("x"), col("y")))
+      .persist()
     // the probe: part in its 10–20% band AND supp in its 25–50% band
     // (scaled-domain constants, so the same literals replay anywhere)
     val (xLo, xHi, yLo, yHi) = (6554L, 13107L, 16384L, 32768L)
@@ -311,6 +316,54 @@ object IngestQueries {
       .unionByName(stats(shiftright(col("z"), 24), "3_zorder"))
       .crossJoin(broadcast(matched))
       .orderBy("layout")
+  }
+
+  /** Z-ORDER STORE, APPLIED — i15 predicts what a z-layout would skip;
+    * this writes one with [[graft.operators.Ingest.writeStoreZOrdered]]
+    * (lineitem clustered on part × supp, one file per 4-bit z-prefix
+    * directory), reads the REAL files back, and emits each file's
+    * min/max bounding box + whether the i15 probe box touches it —
+    * exactly the footer-statistics test a parquet reader runs before
+    * opening a file. Grouping key = the `zb` hive-partition value;
+    * `n_files` counts DISTINCT actual files per bucket, so the oracle's
+    * literal 1 pins the one-file-per-bucket physical claim inside the
+    * hash gate. The oracle replays every box from the raw table with
+    * the same integer math — the written layout is correct iff the
+    * real files partition the z-space exactly as the math says.
+    */
+  def zorderStore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Ingest, Layout}
+    val dir = roundtripDir(spark, "graft_i17_zstore")
+    Ingest.writeStoreZOrdered(
+      Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_partkey", "l_suppkey"),
+      dir, "l_partkey", "l_suppkey", bucketBits = 4)
+    // _metadata.file_path, not input_file_name(): the latter is
+    // ambiguous (and rejected) once the min/max aggregate joins in a
+    // second source; the metadata column binds to ITS scan at resolution
+    val store = spark.read.parquet(dir)
+      .select(col("zb"), col("l_partkey"), col("l_suppkey"),
+        col("_metadata.file_path").as("f"))
+    val mm = store.agg(
+      min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+      min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+    val scaled = store.crossJoin(broadcast(mm))
+      .select(col("zb").cast("long").as("zb"),
+        col("f"),
+        Layout.scale16(col("l_partkey"), col("pmin"), col("pmax"))
+          .as("x"),
+        Layout.scale16(col("l_suppkey"), col("smin"), col("smax"))
+          .as("y"))
+    val (xLo, xHi, yLo, yHi) = (6554L, 13107L, 16384L, 32768L)
+    scaled.groupBy("zb")
+      .agg(countDistinct("f").as("n_files"),
+        count(lit(1)).as("n_rows"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .withColumn("touched",
+        (col("min_x") <= xHi && col("max_x") >= xLo &&
+          col("min_y") <= yHi && col("max_y") >= yLo).cast("long"))
+      .orderBy("zb")
   }
 
   /** binaryFile-source media scan, oracle-gated: real container FILES
@@ -497,6 +550,7 @@ object IngestQueries {
     "i11_bucketed_join" -> (bucketedJoin(_, _)),
     "i10_assign_ids_dist" -> (assignedIdsDistributed(_, _)),
     "i15_zorder_layout" -> (zorderLayout(_, _)),
+    "i17_zorder_store" -> (zorderStore(_, _)),
     "i01_hash_embed" -> (hashEmbedBuckets(_, _)),
     "i02_dedup_ingest" -> (dedupIngestCount(_, _)),
     "i03_assign_ids" -> (assignedIds(_, _)),
@@ -521,6 +575,35 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "i17_zorder_store" ->
+      """WITH mm AS (
+        |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+        |         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+        |  FROM lineitem),
+        |sc AS (
+        |  SELECT
+        |    CASE WHEN pmax = pmin THEN 0
+        |         ELSE ((l_partkey - pmin) * 65535) // (pmax - pmin)
+        |    END AS x,
+        |    CASE WHEN smax = smin THEN 0
+        |         ELSE ((l_suppkey - smin) * 65535) // (smax - smin)
+        |    END AS y
+        |  FROM lineitem, mm),
+        |zz AS (
+        |  SELECT x, y,
+        |    CAST(list_sum(list_transform(range(0, 16), b ->
+        |      ((x >> b) & 1) * CAST(2 ** (2 * b) AS BIGINT)
+        |      + ((y >> b) & 1) * CAST(2 ** (2 * b + 1) AS BIGINT)))
+        |      AS BIGINT) AS z
+        |  FROM sc)
+        |SELECT z >> 28 AS zb, CAST(1 AS BIGINT) AS n_files,
+        |       count(*) AS n_rows,
+        |       min(x) AS min_x, max(x) AS max_x,
+        |       min(y) AS min_y, max(y) AS max_y,
+        |       CAST(CASE WHEN min(x) <= 13107 AND max(x) >= 6554
+        |                  AND min(y) <= 32768 AND max(y) >= 16384
+        |            THEN 1 ELSE 0 END AS BIGINT) AS touched
+        |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin,
     "i15_zorder_layout" ->
       """WITH mm AS (
         |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,

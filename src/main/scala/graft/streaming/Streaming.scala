@@ -53,18 +53,25 @@ object Streaming {
     }
   }
 
-  /** File stream over the driver's events parquet (TIMESTAMP(NANOS) —
-    * read as nanos Long, converted like [[graft.Tables.events]]).
+  /** File stream over the driver's events parquet. `ts` has shipped as
+    * both TIMESTAMP(NANOS) and TIMESTAMP_NTZ(MICROS) across testdata
+    * generations — adapt to the inferred schema exactly like
+    * [[graft.Tables.events]].
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      // integer div, not `/`: epoch nanos exceed a double's exact range
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer div, not `/`: epoch nanos exceed a double's exact range
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Run a finite (available-now) streaming aggregation to a memory

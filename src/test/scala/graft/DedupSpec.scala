@@ -127,6 +127,24 @@ class DedupSpec extends SparkSpec {
     assert(blocked.contains((1L, 2L)))
   }
 
+  test("simHashNearDupPairs: hot (block, block_val) bucket trips the " +
+      "guard instead of fanning out quadratically") {
+    // template-heavy corpus: every doc identical → identical fingerprints
+    // → ONE bucket holds all rows per block
+    val docs = docsDf((1L to 8L).map(i => (i, "alpha beta gamma delta")): _*)
+    val fp = Dedup.simHashDocs(docs, "doc_id", "text", bits = 16)
+    val e = intercept[Exception] {
+      Dedup.simHashNearDupPairs(fp, "doc_id", 16, maxHamming = 3,
+        maxBucketRows = 4L).collect()
+    }
+    assert(e.getMessage.contains("maxBucketRows") ||
+      e.getCause != null && e.getCause.getMessage.contains("maxBucketRows"))
+    // same corpus passes under the default cap and still finds the pairs
+    val ok = Dedup.simHashNearDupPairs(fp, "doc_id", 16, maxHamming = 3)
+      .count()
+    assert(ok == 8L * 7 / 2)
+  }
+
   test("simHash: equal docs equal fingerprints, hamming 0; bounded bits") {
     val fp = Dedup.simHashDocs(
         docsDf((1L, "a b c"), (2L, "a b c"), (3L, "x y z w")),
@@ -439,6 +457,62 @@ class DedupSpec extends SparkSpec {
       .orderBy("vec_id").as[(Long, Long, Boolean)].collect().toSeq
     assert(got == Seq((1L, 0L, true), (2L, 0L, false), (5L, 0L, true),
       (7L, 1L, true), (9L, 1L, false)))
+  }
+
+  test("updateSubstrIndex: two-step incremental == full rebuild " +
+      "(new-old and new-new spans); base index untouched") {
+    val base = docsDf(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f zz yy xx ww"))
+    val d1 = docsDf((10L, "qq a b c d e f g h rr"))
+    val d2 = docsDf((11L, "qq a b c d e f g h rr ss"))
+    def spans(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "pos_a", "pos_b", "run_tokens")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val full = Dedup.buildSubstrIndex(
+      base.unionByName(d1).unionByName(d2),
+      "doc_id", "text", w = 3, maxDf = 1000L, minRunTokens = 5)
+    val ix0 = Dedup.buildSubstrIndex(base, "doc_id", "text",
+      w = 3, maxDf = 1000L, minRunTokens = 5)
+    val (ix1, o1) = Dedup.updateSubstrIndex(ix0, d1, "doc_id", "text",
+      w = 3, maxDf = 1000L, minRunTokens = 5)
+    val (ix2, o2) = Dedup.updateSubstrIndex(ix1, d2, "doc_id", "text",
+      w = 3, maxDf = 1000L, minRunTokens = 5)
+    assert(o1.count() == 0 && o2.count() == 0)
+    val inc = spans(ix2.spans)
+    assert(inc == spans(full.spans))
+    // LSM contract: base returned by reference, deltas ride sidecars
+    assert(ix2.base eq ix0.base)
+    assert(ix2.deltas.size == 2)
+    // new-old (1,10) and new-new (10,11) spans both present
+    assert(inc.exists(r => r._1 == 1L && r._2 == 10L))
+    assert(inc.exists(r => r._1 == 10L && r._2 == 11L))
+    // compaction folds sidecars without changing index rows or spans
+    val compacted = Dedup.compactSubstrIndex(ix2)
+    assert(compacted.deltas.isEmpty)
+    assert(spans(compacted.spans) == inc)
+    assert(compacted.mergedIndex.count() == ix2.mergedIndex.count())
+    spark.catalog.clearCache()
+  }
+
+  test("updateSubstrIndex reports a maxDf crossing that invalidates " +
+      "prior spans, and skips all-new over-cap shingles") {
+    val base = docsDf((1L, "a b c d e f"), (2L, "a b c d e g"))
+    val ix = Dedup.buildSubstrIndex(base, "doc_id", "text",
+      w = 3, maxDf = 2L, minRunTokens = 3)
+    // "a b c" has df=2 in the base (prior matches exist); the delta
+    // pushes it to 3 -> rebuild required, reported
+    val (_, over) = Dedup.updateSubstrIndex(ix,
+      docsDf((10L, "a b c h i j")), "doc_id", "text",
+      w = 3, maxDf = 2L, minRunTokens = 3)
+    assert(over.count() >= 1)
+    // an over-cap shingle seen ONLY in the delta is dropped identically
+    // by update and rebuild: no rebuild signal
+    val (_, over2) = Dedup.updateSubstrIndex(ix,
+      docsDf((20L, "p q r s"), (21L, "p q r t"), (22L, "p q r u")),
+      "doc_id", "text", w = 3, maxDf = 2L, minRunTokens = 3)
+    assert(over2.count() == 0)
+    spark.catalog.clearCache()
   }
 
   test("semanticDedup: oversized cluster trips the guard instead of " +

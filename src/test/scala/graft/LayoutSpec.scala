@@ -20,6 +20,35 @@ class LayoutSpec extends SparkSpec {
     assert(degen == 0L)
   }
 
+  test("scale16 stays exact on domains wider than 2^37 (where double " +
+      "division rounds) and at the extremes of the long range") {
+    // v = lo + k·(hi−lo)/65535 for exact-boundary k: the quotient must
+    // come back exactly k. A double-division implementation is off by
+    // one at some of these once (v−lo)·65535 exceeds 2^53.
+    val lo = Long.MinValue
+    val hi = Long.MaxValue - 1 // even width, so /2 boundaries are exact
+    val width = java.math.BigInteger.valueOf(hi)
+      .subtract(java.math.BigInteger.valueOf(lo))
+    val cases = Seq(0L, 1L, 32767L, 32768L, 65534L, 65535L).map { k =>
+      java.math.BigInteger.valueOf(lo).add(
+        width.multiply(java.math.BigInteger.valueOf(k))
+          .divide(java.math.BigInteger.valueOf(65535L)))
+        .longValueExact()
+    }
+    // expected bucket via BigInteger: (v − lo)·65535 div (hi − lo)
+    cases.foreach { v =>
+      val want = java.math.BigInteger.valueOf(v)
+        .subtract(java.math.BigInteger.valueOf(lo))
+        .multiply(java.math.BigInteger.valueOf(65535L))
+        .divide(width).longValueExact()
+      val got = Seq(v).toDF("v")
+        .select(Layout.scale16(col("v"), lit(lo), lit(hi)))
+        .as[Long].head()
+      assert(got == want, s"scale16($v) = $got, want $want")
+      assert(got >= 0L && got <= 65535L)
+    }
+  }
+
   test("morton16 interleaves bits: known codes, and x/y recoverable " +
       "ranges stay disjoint across prefix buckets") {
     // x=0b11, y=0b01: x0→bit0, y0→bit1, x1→bit2 ⇒ 0b0111 = 7

@@ -73,6 +73,35 @@ class PlanSpec extends SparkSpec {
       s"no partition pruning in:\n$p")
   }
 
+  test("z-ordered store: a z-prefix range probe is partition pruning — " +
+      "directories outside the range are never opened") {
+    val dir = Files.createTempDirectory("graft_zstore").toString + "/store"
+    Ingest.writeStoreZOrdered(
+      Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_partkey", "l_suppkey"),
+      dir, "l_partkey", "l_suppkey", bucketBits = 4)
+    // one file per zb directory: the writer's physical contract
+    val perDir = spark.read.parquet(dir)
+      .select(col("zb"), col("_metadata.file_path").as("f"))
+      .groupBy("zb").agg(countDistinct(col("f")).as("nf"))
+      .select(max("nf")).head().getLong(0)
+    assert(perDir == 1L, s"a zb directory holds $perDir files, want 1")
+    val read = spark.read.parquet(dir)
+      .filter(col("zb") >= 2 && col("zb") <= 3)
+    val p = plan(read)
+    assert(p.contains("PartitionFilters:") && p.contains("(zb"),
+      s"no zb partition pruning in:\n$p")
+    // the pruned scan must touch at most the 2 in-range directories
+    read.collect()
+    val scan = read.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    assert(scan.nonEmpty, s"no file scan in:\n$p")
+    assert(scan.get.metrics("numFiles").value <= 2L,
+      s"pruned scan read ${scan.get.metrics("numFiles").value} files")
+  }
+
   test("v26: the IVF-PQ probe is static partition pruning on the " +
       "stored index") {
     // the serving claim: against the centroid_id-partitioned index
