@@ -213,8 +213,29 @@ object Sketch {
         col("pb") * log2(col("pb") / m)).otherwise(0.0)) +
       lit(0.5) * sum(when(col("pd") > 0,
         col("pd") * log2(col("pd") / m)).otherwise(0.0))
+    // an EMPTY side must fail loudly, not normalize away: an empty
+    // side makes its normalized column all-null (sum(cnt) over zero
+    // rows is null), the join keys collapse, and the "drift" value is
+    // null or a degenerate 0.5 — a silently wrong alarm if a stream
+    // side drains empty. The guard rides the always-one-row totals
+    // frame joined to the always-one-row result, so it fires even
+    // when BOTH sides are empty (a guard inside norm() never would:
+    // empty × 1-row crossJoin is empty, the filter never evaluates).
+    val totals = a.agg(sum(col("cnt")).as("_na"))
+      .crossJoin(b.agg(sum(col("cnt")).as("_nb")))
     j.agg(round(js, 6).as("js_divergence"),
-      round(sum(abs(col("pb") - col("pd"))), 6).as("l1_distance"))
+        round(sum(abs(col("pb") - col("pd"))), 6).as("l1_distance"))
+      .crossJoin(broadcast(totals))
+      .filter(when(col("_na").isNull || col("_na") === 0 ||
+          col("_nb").isNull || col("_nb") === 0,
+          raise_error(concat(lit("distCompare: empty side (sum(cnt) a="),
+            coalesce(col("_na").cast("string"), lit("null")),
+            lit(", b="),
+            coalesce(col("_nb").cast("string"), lit("null")),
+            lit(") — drift against an empty distribution is undefined")))
+            .cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("_na", "_nb")
   }
 
   // ---- Bloom filter (Bloom 1970) --------------------------------------

@@ -542,7 +542,70 @@ object IngestQueries {
       .orderBy("change_type")
   }
 
+  /** SCHEMA EVOLUTION through the manifest store: snapshot 1 commits
+    * (doc_id, text); snapshot 2 commits a WIDER schema — `lang` added —
+    * together with row churn (every 13th text revised, every 31st doc
+    * re-inserted under a shifted id). Because each snapshot is an
+    * immutable directory named by the manifest, the old narrow schema
+    * stays time-travel readable next to the live wide one (no
+    * mergeSchema needed — each read resolves ONE snapshot's footer),
+    * and [[graft.operators.Ingest.snapshotDiff]] classifies rows
+    * ACROSS the schema change by projecting the shared columns. The
+    * column counts ride the result (n_cols 2 vs 3, oracle-pinned
+    * literals), so a writer that silently merged or dropped the new
+    * column breaks the hash. This is the add-a-column migration every
+    * long-lived store eventually runs, done without rewriting v1.
+    */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ingest
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang")
+    val root = stagedDir(spark,
+      s"graft_i18_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}") { dir =>
+      val store = s"$dir/store"
+      Ingest.commitStoreSnapshot(spark, store) { d =>
+        Ingest.writeStore(docs.select("doc_id", "text"), d)
+      }
+      Ingest.commitStoreSnapshot(spark, store) { d =>
+        Ingest.writeStore(
+          docs.select(col("doc_id"),
+              when(pmod(col("doc_id"), lit(13)) === 0,
+                concat(col("text"), lit(" v2")))
+                .otherwise(col("text")).as("text"),
+              col("lang"))
+            .unionByName(docs
+              .filter(pmod(col("doc_id"), lit(31)) === 0)
+              .select((col("doc_id") + 2000000L).as("doc_id"),
+                col("text"), col("lang"))), d)
+      }
+    } + "/store"
+    val snaps = Ingest.listSnapshots(spark, root)
+    require(snaps.map(_._2) == Seq(false, true),
+      s"expected exactly [superseded, live], got $snaps")
+    val v1 = Ingest.readStoreSnapshot(spark, root, snaps.head._1)
+    val v2 = Ingest.readStoreManifested(spark, root)
+    def snapAgg(df: DataFrame, tag: String, nLangs: Column) =
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"), nLangs.as("n_langs"))
+        .select(lit(tag).as("snapshot"), col("n_docs"),
+          lit(df.schema.size.toLong).as("n_cols"),
+          col("sum_ids"), col("n_langs"))
+    val diff = Ingest.snapshotDiff(
+        v1.select("doc_id", "text"), v2.select("doc_id", "text"),
+        "doc_id", "text")
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .select(concat(lit("diff_"), col("change_type")).as("snapshot"),
+        col("n_docs"), lit(0L).as("n_cols"), col("sum_ids"),
+        lit(0L).as("n_langs"))
+    snapAgg(v1, "v1", lit(0L))
+      .unionByName(snapAgg(v2, "v2", countDistinct(col("lang"))))
+      .unionByName(diff)
+      .orderBy("snapshot")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i18_schema_evolution" -> (schemaEvolution(_, _)),
     "i16_snapshot_diff" -> (snapshotDiffQuery(_, _)),
     "i14_snapshot_history" -> (snapshotHistory(_, _)),
     "i12_binary_media" -> (binaryMediaScan(_, _)),
@@ -575,6 +638,39 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "i18_schema_evolution" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+        |              ELSE text END AS text,
+        |         lang
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, lang FROM documents
+        |  WHERE doc_id % 31 = 0),
+        |diff AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |         CASE WHEN a.doc_id IS NULL THEN 'insert'
+        |              WHEN b.doc_id IS NULL THEN 'delete'
+        |              WHEN md5(a.text) <> md5(b.text) THEN 'update'
+        |              ELSE 'unchanged' END AS change_type
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT 'v1' AS snapshot, count(*) AS n_docs,
+        |       CAST(2 AS BIGINT) AS n_cols,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |       CAST(0 AS BIGINT) AS n_langs
+        |FROM v1
+        |UNION ALL
+        |SELECT 'v2', count(*), CAST(3 AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(count(DISTINCT lang) AS BIGINT)
+        |FROM v2
+        |UNION ALL
+        |SELECT 'diff_' || change_type, count(*), CAST(0 AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM diff GROUP BY change_type
+        |ORDER BY snapshot""".stripMargin,
     "i17_zorder_store" ->
       """WITH mm AS (
         |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,

@@ -1177,24 +1177,34 @@ object TextQueries {
   private val curationCache = scala.collection.concurrent.TrieMap
     .empty[String, (DataFrame, DataFrame)]
 
-  def curationV2(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The curation funnel's first three stages, ONE definition shared
+    * by t37 and t46 (and cheap: narrow filters over two scans). */
+  private def curationFunnel(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("doc_id"), col("embedding"))
     val base = docs.select("doc_id", "text", "lang").join(emb, Seq("doc_id"))
     val langF = base.filter(col("lang") === "en")
     val qual = langF.filter(size(words(col("text"))) >= 30)
-    val cent = Ann.seedCentroids(qual, "doc_id", "embedding", 8)
-    val keptIds = Dedup
-      .semanticDedup(qual, cent, "doc_id", "embedding", tau = 0.35)
-      .filter(col("kept")).select("doc_id")
-    // the dedup survivor set and its span relation are snapshot-time
-    // curation products (t16/t20's artifact contract) — and their
-    // detection costs are already represented by t32/t34's own timed
-    // bodies. Built once per (JVM, corpus); localCheckpoint both cuts
-    // the multi-consumer recompute (semantic dedup would re-run per
-    // consumer: measured 4.9 s) and survives clearCache.
-    val (kept, spans) = curationCache.getOrElseUpdate(sfDir, {
+    (base, langF, qual)
+  }
+
+  /** The dedup survivor set and its span relation — snapshot-time
+    * curation products (t16/t20's artifact contract), shared by t37
+    * and t46; their detection costs are already represented by
+    * t32/t34's own timed bodies. Built once per (JVM, corpus);
+    * localCheckpoint both cuts the multi-consumer recompute (semantic
+    * dedup would re-run per consumer: measured 4.9 s) and survives
+    * clearCache. */
+  private def curationKeptSpans(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) =
+    curationCache.getOrElseUpdate(sfDir, {
+      val (_, _, qual) = curationFunnel(spark, sfDir)
+      val cent = Ann.seedCentroids(qual, "doc_id", "embedding", 8)
+      val keptIds = Dedup
+        .semanticDedup(qual, cent, "doc_id", "embedding", tau = 0.35)
+        .filter(col("kept")).select("doc_id")
       val k = qual.join(keptIds, Seq("doc_id"), "left_semi")
         .localCheckpoint()
       (k, Dedup.substringSpansFrom(
@@ -1203,6 +1213,10 @@ object TextQueries {
         "doc_id", w = 8, maxDf = 50L, minRunTokens = 16)
         .localCheckpoint())
     })
+
+  def curationV2(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, langF, qual) = curationFunnel(spark, sfDir)
+    val (kept, spans) = curationKeptSpans(spark, sfDir)
     val removedTok = Dedup.removeSpans(kept, spans, "doc_id", "text")
       .agg(coalesce(sum(col("n_tokens") - col("n_tokens_clean")),
         lit(0L)).as("rm"))
@@ -1223,7 +1237,90 @@ object TextQueries {
       .orderBy("stage")
   }
 
+  /** RAW CORPUS IN, TRAINING SHARDS OUT — the end-to-end capstone that
+    * composes the verified pieces into the one pipeline a pretraining
+    * data run actually executes: t37's funnel (lang filter → quality
+    * gate → SemDeDup survivors) → ExactSubstr span REMOVAL with the
+    * cleaned text reconstructed per doc (t35's action, not just its
+    * accounting) → greedy sequence PACKING of the cleaned token counts
+    * (t26's rule, budget 512) → hash-SHARDED export manifest (t43's
+    * rule, 8 shards). One result relation carries the whole run:
+    * per-stage (docs, tokens, sum_ids) rows 0-5, then one manifest row
+    * per shard whose `fp` is the md5 over the shard's per-document
+    * CLEANED-text fingerprints — the training corpus CONTENT, not just
+    * its counts, inside the hash gate at every scale factor. Stage
+    * artifacts (survivor set + spans) come from the shared snapshot
+    * cache; the per-invocation work is removal, packing and manifest —
+    * the export legs. At 100 TB every leg is doc-keyed (removal,
+    * fingerprint) or fixed-state (per-shard manifest aggregates); the
+    * one per-lang packing window is the t26 boundary, documented
+    * there (per-lang sequential by construction, parallel across
+    * langs/shards).
+    */
+  def trainingExport(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashFunctions.md5Long
+    val (base, langF, qual) = curationFunnel(spark, sfDir)
+    val (kept, spans) = curationKeptSpans(spark, sfDir)
+    val removed = Dedup.removeSpans(kept, spans, "doc_id", "text")
+    // per-doc cleaned token count + content fingerprint: affected docs
+    // take the reconstructed text's md5, untouched docs their original
+    val cleanDocs = kept
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(words(col("text"))).cast("long").as("n_orig"))
+      .join(removed.select("doc_id", "n_tokens_clean", "clean_md5"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tokens_clean"), col("n_orig")).as("n_toks"),
+        coalesce(col("clean_md5"), md5(col("text"))).as("doc_fp"))
+      .localCheckpoint() // feeds stage 4/5 and the shard manifest
+    val wp = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = cleanDocs.withColumn("seq_id",
+      floor((sum("n_toks").over(wp) - col("n_toks")) / lit(512L))
+        .cast("long"))
+    def stage(tag: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(words(col("text"))).cast("long")), lit(0L))
+            .as("n_tokens"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_ids"))
+        .select(lit(tag).as("item"), col("n_docs"), col("n_tokens"),
+          col("sum_ids"), lit("").as("fp"))
+    val s4 = cleanDocs.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("doc_id")), lit(0L)).as("sum_ids"))
+      .select(lit("4_despan").as("item"), col("n_docs"),
+        col("n_tokens"), col("sum_ids"), lit("").as("fp"))
+    val s5 = packed.agg(
+        countDistinct(concat(col("lang"), lit(":"),
+          col("seq_id").cast("string"))).as("n_docs"),
+        coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("seq_id")), lit(0L)).as("sum_ids"))
+      .select(lit("5_pack").as("item"), col("n_docs"),
+        col("n_tokens"), col("sum_ids"), lit("").as("fp"))
+    val shards = cleanDocs
+      .withColumn("shard", pmod(md5Long(
+        concat(lit("shard:"), col("doc_id").cast("string"))), lit(8L)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("doc_id")).as("sum_ids"),
+        md5(array_join(array_sort(collect_list(col("doc_fp"))), ","))
+          .as("fp"))
+      .select(concat(lit("shard_"),
+          lpad(col("shard").cast("string"), 2, "0")).as("item"),
+        col("n_docs"), col("n_tokens"), col("sum_ids"), col("fp"))
+    stage("0_base", base)
+      .unionByName(stage("1_lang", langF))
+      .unionByName(stage("2_quality", qual))
+      .unionByName(stage("3_semdedup", kept))
+      .unionByName(s4)
+      .unionByName(s5)
+      .unionByName(shards)
+      .orderBy("item")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t46_training_export" -> (trainingExport(_, _)),
     "t37_curation_v2" -> (curationV2(_, _)),
     "t36_hll_ndv" -> (hllNdvQuery(_, _)),
     "t38_cms_heavy" -> (cmsHeavyQuery(_, _)),
@@ -1601,6 +1698,107 @@ object TextQueries {
          |FROM u ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the capstone replay: t37's funnel CTEs + t35's reconstruction,
+    // then packing/sharding in SQL — the whole export path re-derived
+    "t46_training_export" ->
+      s"""WITH e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[])
+         |             AS emb FROM embeddings),
+         |base AS (SELECT dd.doc_id, dd.text, dd.lang, e.emb
+         |         FROM documents dd JOIN e USING (doc_id)),
+         |langf AS (SELECT * FROM base WHERE lang = 'en'),
+         |qual AS (SELECT * FROM langf WHERE len($wsExpr) >= 30),
+         |cent AS (SELECT doc_id AS centroid_id, emb AS c FROM qual
+         |         ORDER BY doc_id LIMIT 8),
+         |assigned AS (
+         |  SELECT doc_id, emb, text, lang, centroid_id FROM (
+         |    SELECT q.doc_id, q.emb, q.text, q.lang, cent.centroid_id,
+         |           row_number() OVER (PARTITION BY q.doc_id
+         |             ORDER BY list_distance(q.emb, cent.c),
+         |                      cent.centroid_id) AS rn
+         |    FROM qual q, cent) WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT a.doc_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.centroid_id = b.centroid_id AND b.doc_id < a.doc_id
+         |   AND list_cosine_similarity(a.emb, b.emb) >= 0.35),
+         |keptd AS (
+         |  SELECT a.doc_id, a.text, a.lang FROM assigned a
+         |  LEFT JOIN dropped dr USING (doc_id)
+         |  WHERE dr.doc_id IS NULL),
+         |${substringSpanCtes("keptd")},
+         |iv AS (SELECT id_b AS doc_id, pos_b AS s,
+         |              pos_b + run_tokens AS e2 FROM spans),
+         |aff AS (SELECT DISTINCT doc_id FROM iv),
+         |toks AS (
+         |  SELECT d.doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS tok
+         |  FROM d JOIN aff USING (doc_id),
+         |       unnest(range(1, len(ws) + 1)) AS t(i)),
+         |keptt AS (
+         |  SELECT tk.doc_id, tk.pos, tk.tok FROM toks tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM iv
+         |    WHERE iv.doc_id = tk.doc_id
+         |      AND tk.pos >= iv.s AND tk.pos < iv.e2)),
+         |reb AS (
+         |  SELECT doc_id, count(*) AS n_tokens_clean,
+         |         string_agg(tok, ' ' ORDER BY pos) AS clean
+         |  FROM keptt GROUP BY doc_id),
+         |clean AS (
+         |  SELECT k.doc_id, k.lang,
+         |         CASE WHEN aff.doc_id IS NULL
+         |              THEN CAST(len(dd.ws) AS BIGINT)
+         |              ELSE CAST(coalesce(reb.n_tokens_clean, 0)
+         |                        AS BIGINT) END AS n_toks,
+         |         CASE WHEN aff.doc_id IS NULL THEN md5(k.text)
+         |              ELSE md5(coalesce(reb.clean, '')) END AS doc_fp
+         |  FROM keptd k JOIN d dd USING (doc_id)
+         |  LEFT JOIN aff USING (doc_id)
+         |  LEFT JOIN reb USING (doc_id)),
+         |packed AS (
+         |  SELECT doc_id, lang, n_toks,
+         |         CAST(floor((sum(n_toks) OVER (PARTITION BY lang
+         |               ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |             - n_toks) / 512) AS BIGINT) AS seq_id
+         |  FROM clean),
+         |sh AS (SELECT doc_id, n_toks, doc_fp,
+         |         ${hash60("'shard:' || CAST(doc_id AS VARCHAR)")} % 8
+         |           AS shard
+         |       FROM clean),
+         |s0 AS (SELECT '0_base' AS item, count(*) AS n_docs,
+         |         CAST(coalesce(sum(len($wsExpr)), 0) AS BIGINT)
+         |           AS n_tokens,
+         |         CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS sum_ids,
+         |         '' AS fp FROM base),
+         |s1 AS (SELECT '1_lang', count(*),
+         |         CAST(coalesce(sum(len($wsExpr)), 0) AS BIGINT),
+         |         CAST(coalesce(sum(doc_id), 0) AS BIGINT), ''
+         |       FROM langf),
+         |s2 AS (SELECT '2_quality', count(*),
+         |         CAST(coalesce(sum(len($wsExpr)), 0) AS BIGINT),
+         |         CAST(coalesce(sum(doc_id), 0) AS BIGINT), ''
+         |       FROM qual),
+         |s3 AS (SELECT '3_semdedup', count(*),
+         |         CAST(coalesce(sum(len($wsExpr)), 0) AS BIGINT),
+         |         CAST(coalesce(sum(doc_id), 0) AS BIGINT), ''
+         |       FROM keptd),
+         |s4 AS (SELECT '4_despan', count(*),
+         |         CAST(coalesce(sum(n_toks), 0) AS BIGINT),
+         |         CAST(coalesce(sum(doc_id), 0) AS BIGINT), ''
+         |       FROM clean),
+         |s5 AS (SELECT '5_pack',
+         |         count(DISTINCT lang || ':' || CAST(seq_id AS VARCHAR)),
+         |         CAST(coalesce(sum(n_toks), 0) AS BIGINT),
+         |         CAST(coalesce(sum(seq_id), 0) AS BIGINT), ''
+         |       FROM packed),
+         |shr AS (SELECT 'shard_' || lpad(CAST(shard AS VARCHAR), 2, '0'),
+         |          count(*), CAST(sum(n_toks) AS BIGINT),
+         |          CAST(sum(doc_id) AS BIGINT),
+         |          md5(string_agg(doc_fp, ',' ORDER BY doc_fp))
+         |        FROM sh GROUP BY shard)
+         |SELECT * FROM s0 UNION ALL SELECT * FROM s1
+         |UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+         |UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5
+         |UNION ALL SELECT * FROM shr
+         |ORDER BY item""".stripMargin,
     "t37_curation_v2" ->
       s"""WITH e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[])
          |             AS emb FROM embeddings),

@@ -619,6 +619,84 @@ object VectorQueries {
 
   private val RefDb = "/root/reference/vectors.db"
 
+  /** v30's corpus/centroids/codebooks, once per (JVM, corpus) — v25's
+    * artifact contract at reference geometry. */
+  private val refIvfPqCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame, graft.operators.Pq.PqModel)]
+
+  /** LEARNED IVF-PQ AT THE REFERENCE'S GEOMETRY (d = 1536, the
+    * text-embedding-3-small width v27 proves exact search on): the
+    * SqliteReader corpus is too small to train on, so it is replicated
+    * to trainable size with the engine's own deterministic kernel —
+    * point(seed, j) = l2-normalize(seed + 0.5 · hashEmbed("pt <id>"))
+    * (v28's clustered-corpus recipe) — and the whole pipeline then
+    * runs at width 1536: k-means coarse centroids, PQ codebooks with
+    * m = 8 → dsub = 192 (the subspace width untested anywhere else —
+    * v16/v22/v25 all train at dsub = 8), IVF-PQ index, probe → ADC
+    * shortlist → exact rerank. Corpus, centroids and codebooks persist
+    * as [[Artifacts]] parquet and the oracle replays assignment,
+    * encode, LUT, ADC and rerank in SQL at the full 1536 width — the
+    * dsub generalization is inside the hash gate, not asserted.
+    */
+  def refDimIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Ingest, Pq}
+    val (corpus, centroids, model) =
+      refIvfPqCache.getOrElseUpdate(sfDir, {
+        import graft.functions.VectorFunctions.floatVectorFromBinary
+        import graft.sources.SqliteReader
+        import spark.implicits._
+        val raw = spark.read.format("binaryFile").load(RefDb)
+          .select("content").as[Array[Byte]]
+          .flatMap { bytes =>
+            SqliteReader.readTable(bytes, "documents").map { r =>
+              (r.values(0).asInstanceOf[Long],
+                r.values(2).asInstanceOf[Array[Byte]])
+            }
+          }
+          .toDF("doc_id", "vector_blob")
+          .select(col("doc_id"),
+            floatVectorFromBinary(col("vector_blob")).as("seed"))
+        val copies = 40
+        val gen0 = raw
+          .crossJoin(spark.range(copies).select(col("id").as("k")))
+          .select((col("doc_id") * lit(1000L) + col("k")).as("vec_id"),
+            col("seed"))
+          .withColumn("ptext", concat(lit("pt "), col("vec_id")))
+        val gen = Ingest.hashEmbedRaw(gen0, "ptext", 1536)
+          .withColumnRenamed("embedding", "nvec")
+          .withColumn("mix",
+            zip_with(col("seed"), col("nvec"), (a, b) => a + lit(0.5) * b))
+          .withColumn("nrm",
+            sqrt(aggregate(col("mix"), lit(0.0), (acc, x) => acc + x * x)))
+          .select(col("vec_id"),
+            transform(col("mix"), x => (x / col("nrm")).cast("float"))
+              .as("embedding"))
+        val corpusDf = spark.read.parquet(
+          Artifacts.write(gen, "v30_corpus", sfDir))
+        val cents = spark.read.parquet(Artifacts.write(
+            Ann.kmeansCentroids(corpusDf.filter(col("vec_id") =!= 1000L),
+              "vec_id", "embedding", 8),
+            "v30_centroids", sfDir))
+          .localCheckpoint()
+        val trained = Pq.trainCodebooks(
+          corpusDf.filter(col("vec_id") =!= 1000L &&
+            pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", m = 8, k = 16, maxIter = 2)
+        (corpusDf, cents,
+          persistCodebooks(spark, trained, "v30_codebooks", sfDir))
+      })
+    import graft.operators.Pq
+    val serving = corpus.filter(col("vec_id") =!= 1000L)
+    val q = corpus.filter(col("vec_id") === 1000L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val index = Pq.buildIvfPqIndex(serving, centroids,
+      "vec_id", "embedding", model)
+    Pq.ivfPqSearch(index, centroids, serving, "vec_id", "embedding",
+        q, model, nProbe = 3, shortlist = 50, k = 10)
+      .select(col("vec_id"), round(col("dist"), 6).as("l2_dist"))
+      .orderBy("vec_id")
+  }
+
   /** IVF recall on a CLUSTERED corpus — the evidence that cell pruning
     * pays on structured data. The fixture embeddings are near-uniform,
     * so v14's partial-probe recall sits near the n_probe/16 floor (its
@@ -831,16 +909,16 @@ object VectorQueries {
     * (columns vec_id, e) and the codebook CTE `cb` (j, c, ctr):
     * per-subspace argmin encode → per-query LUT → ADC summed in
     * subspace order (the kernel's accumulation order). Shared by the
-    * v16 (flat PQ) and v22 (IVF-PQ) oracles — ONE definition of the
-    * encode/ADC replay both must satisfy.
+    * v16 (flat PQ), v22 (IVF-PQ) and v30 (1536-dim, dsub=192) oracles
+    * — ONE definition of the encode/ADC replay all must satisfy.
     */
-  private def pqAdcCtes(candCte: String): String =
+  private def pqAdcCtes(candCte: String, dsub: Int = 8): String =
     s"""sub AS (
        |  SELECT ca.vec_id, cb.j, cb.c,
-       |         list_sum(list_transform(range(0, 8), i ->
-       |           (ca.e[CAST(cb.j * 8 + i + 1 AS INT)]
+       |         list_sum(list_transform(range(0, $dsub), i ->
+       |           (ca.e[CAST(cb.j * $dsub + i + 1 AS INT)]
        |              - cb.ctr[CAST(i + 1 AS INT)]) *
-       |           (ca.e[CAST(cb.j * 8 + i + 1 AS INT)]
+       |           (ca.e[CAST(cb.j * $dsub + i + 1 AS INT)]
        |              - cb.ctr[CAST(i + 1 AS INT)]))) AS dist
        |  FROM $candCte ca, cb),
        |codes AS (
@@ -851,10 +929,10 @@ object VectorQueries {
        |    FROM sub) WHERE rn = 1),
        |lut AS (
        |  SELECT cb.j, cb.c,
-       |         list_sum(list_transform(range(0, 8), i ->
-       |           (q.qe[CAST(cb.j * 8 + i + 1 AS INT)]
+       |         list_sum(list_transform(range(0, $dsub), i ->
+       |           (q.qe[CAST(cb.j * $dsub + i + 1 AS INT)]
        |              - cb.ctr[CAST(i + 1 AS INT)]) *
-       |           (q.qe[CAST(cb.j * 8 + i + 1 AS INT)]
+       |           (q.qe[CAST(cb.j * $dsub + i + 1 AS INT)]
        |              - cb.ctr[CAST(i + 1 AS INT)]))) AS d
        |  FROM cb, q),
        |adc AS (
@@ -1412,6 +1490,39 @@ object VectorQueries {
          |  ORDER BY d, ca.vec_id LIMIT 10)
          |SELECT vec_id, round(d, 6) AS l2_dist FROM res
          |ORDER BY vec_id""".stripMargin,
+    // v25's replay at reference geometry: 1536-dim artifacts, 8 coarse
+    // cells probed 3 wide, dsub=192 ADC — the SAME CTE pipeline, only
+    // the widths change
+    "v30_ref_ivfpq" ->
+      s"""WITH cb AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |            FROM read_parquet('${Artifacts.oracleGlob("v30_codebooks")}')),
+         |cent AS (SELECT centroid_id, CAST(centroid AS DOUBLE[]) AS ctr0
+         |         FROM read_parquet('${Artifacts.oracleGlob("v30_centroids")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("v30_corpus")}')),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 1000),
+         |corpus AS (SELECT vec_id, e FROM v WHERE vec_id <> 1000),
+         |assigned AS (
+         |  SELECT vec_id, e, centroid_id FROM (
+         |    SELECT co.vec_id, co.e, cent.centroid_id,
+         |           row_number() OVER (PARTITION BY co.vec_id
+         |             ORDER BY list_distance(co.e, cent.ctr0),
+         |                      cent.centroid_id) AS rn
+         |    FROM corpus co, cent) WHERE rn = 1),
+         |probed AS (
+         |  SELECT centroid_id FROM cent, q
+         |  ORDER BY list_distance(ctr0, qe), centroid_id LIMIT 3),
+         |cand AS (
+         |  SELECT a.vec_id, a.e FROM assigned a JOIN probed
+         |  USING (centroid_id)),
+         |${pqAdcCtes("cand", dsub = 192)},
+         |short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 50),
+         |res AS (
+         |  SELECT ca.vec_id, list_distance(ca.e, q.qe) AS d
+         |  FROM cand ca JOIN short USING (vec_id), q
+         |  ORDER BY d, ca.vec_id LIMIT 10)
+         |SELECT vec_id, round(d, 6) AS l2_dist FROM res
+         |ORDER BY vec_id""".stripMargin,
     // the kNN-graph replay: same sketch CTE, every vector probes its
     // own + hamming-1 buckets, self-pairs excluded, per-vector top-3
     "v23_knn_graph" ->
@@ -1574,6 +1685,7 @@ object VectorQueries {
     "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
     "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
     "v27_ref_dim_search" -> (refDimSearch(_, _)),
+    "v30_ref_ivfpq" -> (refDimIvfPq(_, _)),
     "v29_filtered_ivfpq" -> (filteredIvfPq(_, _)),
     "v28_clustered_recall" -> (clusteredRecall(_, _)),
     "v17_range_search" -> (rangeSearch(_, _)),

@@ -188,6 +188,27 @@ class IngestSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("manifest store accepts URI-form file roots: lock and manifest " +
+      "land beside the store, not CWD-relative") {
+    val dir = Files.createTempDirectory("graft_uri").toString
+    val root = "file://" + dir + "/store"
+    Ingest.commitStoreSnapshot(spark, root) { d =>
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+        .write.parquet(d)
+    }
+    assert(Ingest.readStoreManifested(spark, root).count() == 2)
+    // the pre-fix failure mode: File("file:/...") resolves relative to
+    // the CWD and leaves a stray "file:" artifact there
+    assert(!new java.io.File("file:").exists(),
+      "URI-form root produced a CWD-relative 'file:' artifact")
+    // a second commit exercises the ATOMIC_MOVE manifest swap too
+    Ingest.commitStoreSnapshot(spark, root) { d =>
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+        .write.parquet(d)
+    }
+    assert(Ingest.readStoreManifested(spark, root).count() == 3)
+  }
+
   test("snapshotDiff classifies every key: insert, delete, update, " +
       "unchanged — and the classes partition the key union") {
     val a = docsDf((1L, "same"), (2L, "old"), (3L, "gone"))

@@ -217,6 +217,20 @@ class SketchSpec extends SparkSpec {
       s"half-overlap: ($js, $l1)")
   }
 
+  test("distCompare: an empty side raises instead of returning a " +
+      "silent null/degenerate drift value") {
+    val a = Seq((0L, 5L), (1L, 5L)).toDF("cell", "cnt")
+    val empty = Seq.empty[(Long, Long)].toDF("cell", "cnt")
+    for ((l, r) <- Seq((a, empty), (empty, a), (empty, empty))) {
+      val e = intercept[Exception] {
+        Sketch.distCompare(l, r).collect()
+      }
+      assert(e.getMessage.contains("empty side") ||
+        e.getCause != null && e.getCause.getMessage.contains("empty side"),
+        s"wrong error: ${e.getMessage}")
+    }
+  }
+
   test("histogram quantiles: exact on uniform data at full " +
       "resolution, merge equals union-build, interpolation is " +
       "monotone in q") {
