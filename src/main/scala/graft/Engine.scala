@@ -37,10 +37,16 @@ import org.apache.spark.sql.functions._
   *   per-partition row_number + prefix offsets), producing the
   *   IDENTICAL mapping (IngestSpec pins dist ≡ serial) without any
   *   task ever holding the whole batch — right for bulk loads.
+  * @param embedder the [[Embedder]] serving BOTH ingest and every
+  *   query path — the documented seam where a deployment drops in a
+  *   network embedding model (the reference's OpenAI flow) in place
+  *   of the verified deterministic default ([[HashEmbedder]]). See
+  *   the [[Embedder]] contract for batching and versioning notes.
   */
 class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
              chunkSize: Int = 1000, overlap: Int = 50,
-             distributedIds: Boolean = false) {
+             distributedIds: Boolean = false,
+             embedder: Embedder = HashEmbedder) {
 
   @volatile private var cachedIndex: Option[DataFrame] = None
   @volatile private var cachedLexical
@@ -143,7 +149,7 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
     val store = documents()
     val chunked = Chunker.chunk(docs, "text", chunkSize, overlap)
       .select(col("source"), col("chunk_ix"), col("chunk").as("content"))
-    val embedded = Ingest.hashEmbed(chunked, "content", dim)
+    val embedded = embedder.embed(chunked, "content", dim)
       // deterministic keeper when the same chunk text arrives from
       // several (source, chunk_ix) positions in one batch
       .withColumn("batch_order",
@@ -233,7 +239,7 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
     */
   def search(query: String, k: Int = 1): DataFrame = {
     import spark.implicits._
-    val qv = Ingest.hashEmbed(Seq(query).toDF("text"), "text", dim)
+    val qv = embedder.embed(Seq(query).toDF("text"), "text", dim)
       .select(col("embedding").as("qe"))
     val hits = Search.topK(index(), qv, "doc_id", "embedding", "qe", k)
     Search.enrich(hits, documents().select("doc_id", "content"), "doc_id")
@@ -247,7 +253,7 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
     */
   def searchAll(queryTexts: Seq[String], k: Int): DataFrame = {
     import spark.implicits._
-    val qs = Ingest.hashEmbed(
+    val qs = embedder.embed(
         queryTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
           .toDF("query_id", "text"), "text", dim)
       .select(col("query_id"), col("embedding").as("qe"))
@@ -271,7 +277,7 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
   def searchDiverse(query: String, k: Int, lambda: Double = 0.5,
                     shortlistSize: Int = 50): DataFrame = {
     import spark.implicits._
-    val qv = Ingest.hashEmbed(Seq(query).toDF("text"), "text", dim)
+    val qv = embedder.embed(Seq(query).toDF("text"), "text", dim)
       .select(col("embedding").as("qe"))
     val shortlist = Search.topKWithVec(index(), qv, "doc_id", "embedding",
       "qe", shortlistSize)
@@ -289,7 +295,7 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
   def hybridSearch(query: String, k: Int): DataFrame = {
     import spark.implicits._
     import graft.operators.TextSearch
-    val qv = Ingest.hashEmbed(Seq(query).toDF("text"), "text", dim)
+    val qv = embedder.embed(Seq(query).toDF("text"), "text", dim)
       .select(lit(0L).as("query_id"), col("embedding").as("qe"))
     val vector = Search
       .scoreAll(index(), qv, "doc_id", "embedding", "query_id", "qe")

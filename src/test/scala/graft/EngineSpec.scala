@@ -26,6 +26,41 @@ class EngineSpec extends SparkSpec {
     new Engine(spark, store, dim = 64, chunkSize = 40, overlap = 10)
   }
 
+  test("the Embedder seam: a custom embedder serves ingest AND query " +
+      "paths; the store carries its vectors") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    // mock of a network embedder: deterministic per text like a pinned
+    // model version, but nothing like HashEmbed — one-hot on text
+    // length so retrieval outcomes prove WHICH embedder ran
+    object LengthEmbedder extends Embedder {
+      override def embed(df: DataFrame, textCol: String,
+                         dim: Int): DataFrame =
+        df.withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => when(i === length(col(textCol)) % dim, lit(1.0f))
+              .otherwise(lit(0.0f))))
+    }
+    val store = Files.createTempDirectory("graft_mock").toString + "/store"
+    val e = new Engine(spark, store, dim = 64, chunkSize = 40,
+      overlap = 10, embedder = LengthEmbedder)
+    e.addDocument("exact", "a")         // length 5 -> one-hot at 5
+    e.addDocument("same!", "b")         // length 5 -> same vector
+    e.addDocument("different length", "c")
+    // stored vectors are the mock's, not HashEmbed's
+    val stored = e.documents()
+      .select(col("content"), col("embedding")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(stored("exact")(5) == 1.0f &&
+      stored("exact").count(_ != 0.0f) == 1)
+    // the query path embeds with the SAME seam: a 5-char query scores
+    // both 5-char docs at cosine 1 and the longer doc at 0
+    val hits = e.search("12345", k = 3).collect()
+      .map(r => r.getString(2) -> r.getDouble(1)).toMap
+    assert(hits("exact") == 1.0 && hits("same!") == 1.0)
+    assert(hits("different length") == 0.0)
+  }
+
   test("full lifecycle: load, add, dedupe, count, search, answer") {
     val e = freshEngine
     assert(e.countDocuments() == 0)
