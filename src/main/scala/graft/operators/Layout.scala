@@ -26,22 +26,36 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** `v` scaled into [0, 2^16) given per-dataset min/max columns —
-    * exact integer arithmetic: (v − min) · 65535 div (max − min),
-    * computed in DECIMAL(38,0) end-to-end. Long arithmetic would
-    * overflow the ·65535 product once the domain spans more than
-    * ~2^47, and exact-multiple DOUBLE division loses integer exactness
-    * past ~2^37 (the long→double conversion inside the division can
-    * round and shift a bucket id, breaking the bit-reproducibility
-    * this module promises) — decimal keeps every intermediate exact
-    * for the full long domain. The quotient is an integer ≤ 65535 by
-    * construction, so the final long cast is exact.
-    * Degenerate domains (max = min) collapse to 0. */
+    * exact integer arithmetic: (v − min) · 65535 div (max − min).
+    * Two branches, picked PER ROW on the domain width (codegen's If
+    * evaluates only the taken side, and the width is constant per
+    * dataset, so one branch predicts perfectly):
+    *  - width < 2^37: long product + exact-multiple double division
+    *    (subtract the pmod remainder first). Every operand stays under
+    *    2^53, so the long→double conversions are exact and no rounding
+    *    can cross an integer — the fast codegen path for real keys.
+    *  - wider: the same arithmetic in DECIMAL(38,0). Long arithmetic
+    *    would overflow the ·65535 product past ~2^47, and the double
+    *    division loses integer exactness past ~2^37 (a rounded
+    *    conversion can shift a bucket id, breaking the
+    *    bit-reproducibility this module promises); decimal keeps every
+    *    intermediate exact over the full long domain.
+    * The quotient is an integer ≤ 65535 by construction, so the final
+    * long cast is exact in both branches. Degenerate domains
+    * (max = min) collapse to 0. */
   def scale16(v: Column, vMin: Column, vMax: Column): Column = {
+    val numL = (v - vMin) * lit(65535L)
+    val denL = vMax - vMin
     val dec: Column => Column = _.cast("decimal(38,0)")
-    val num = (dec(v) - dec(vMin)) * lit(65535L)
-    val den = dec(vMax) - dec(vMin)
-    when(den === 0, lit(0L))
-      .otherwise(((num - pmod(num, den)) / den).cast("long"))
+    val numD = (dec(v) - dec(vMin)) * lit(65535L)
+    val denD = dec(vMax) - dec(vMin)
+    // the WIDTH test runs in decimal too: vMax - vMin itself overflows
+    // an ANSI long subtraction when the domain spans most of the long
+    // range — exactly the case the decimal branch exists for
+    when(denD === 0, lit(0L))
+      .when(denD < lit(1L << 37),
+        ((numL - pmod(numL, denL)) / denL).cast("long"))
+      .otherwise(((numD - pmod(numD, denD)) / denD).cast("long"))
   }
 
   /** 32-bit Morton code of two 16-bit coordinates: bit b of `x` lands
