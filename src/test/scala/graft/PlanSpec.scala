@@ -268,6 +268,33 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("incremental ExactSubstr update never re-shingles the base " +
+      "corpus (t47's LSM contract)") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val ix = Dedup.buildSubstrIndex(
+      docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text", w = 8, maxDf = 50L, minRunTokens = 16)
+    val (upd, _) = Dedup.updateSubstrIndex(ix,
+      docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
+      "doc_id", "text", w = 8, maxDf = 50L, minRunTokens = 16)
+    assert(upd.base eq ix.base,
+      "update rewrote the base positional index")
+    assert(upd.deltas.size == 1, "update did not sidecar its delta")
+    // consumers read only materialized state: no document-text rescans
+    Seq("spans" -> upd.spans, "mergedIndex" -> upd.mergedIndex)
+      .foreach { case (tag, df) =>
+        val p = plan(df)
+        assert(p.contains("ExistingRDD"),
+          s"$tag not consumed from the materialized artifact:\n$p")
+        val textScans = p.split("\n")
+          .filter(l => l.contains("FileScan parquet") && l.contains("text"))
+        assert(textScans.isEmpty,
+          s"$tag plan rescans document text:\n${textScans.mkString("\n")}")
+      }
+    spark.catalog.clearCache()
+  }
+
   test("s07 keeps the index un-broadcast: equi-join survives " +
       "autoBroadcastJoinThreshold=-1 without a cartesian") {
     // the contract that makes s07 runnable at 100 TB: disable size-based
