@@ -188,9 +188,48 @@ object Multimodal {
       None
     }
 
+    /** RIFF....AVI , then the chunk walk DESCENDS into the `LIST hdrl`
+      * container to the `avih` main header, whose payload carries
+      * dwTotalFrames at +16 and dwWidth/dwHeight at +32/+36 — the
+      * frame-count and dimensions a video curation gate filters on.
+      * Frame payloads (`movi`) are untouched, like every codec here.
+      * Field mapping: width/height are the real pixel dims; the frame
+      * count is recoverable as byte_len-independent metadata but the
+      * shared MediaMeta struct keeps the cross-modal (w, h, format)
+      * shape — [[decodeBatch]] rows carry byte_len for the rest.
+      */
+    private def avi(b: Array[Byte]): Option[MediaMeta] = {
+      if (!(b.length >= 12 && ascii(b, 0, "RIFF") && ascii(b, 8, "AVI ")))
+        return None
+      var i = 12
+      while (i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        if (size < 0) return None
+        if (ascii(b, i, "LIST") && ascii(b, i + 8, "hdrl")) {
+          // descend: subchunks start after the 4-byte list type
+          var j = i + 12
+          val end = math.min(b.length, i + 8 + size)
+          while (j + 8 <= end) {
+            val ssize = le32(b, j + 4)
+            if (ssize < 0) return None
+            if (ascii(b, j, "avih")) {
+              return if (ssize >= 40 && j + 8 + 40 <= b.length)
+                Some(MediaMeta(le32(b, j + 8 + 32), le32(b, j + 8 + 36),
+                  "avi"))
+              else None
+            }
+            j += 8 + ssize + (ssize & 1)
+          }
+          return None
+        }
+        i += 8 + size + (size & 1)
+      }
+      None
+    }
+
     def decode(payload: Array[Byte]): MediaMeta =
       try png(payload).orElse(jpeg(payload)).orElse(gif(payload))
-        .orElse(wav(payload))
+        .orElse(avi(payload)).orElse(wav(payload))
         .getOrElse(stub.decode(payload).copy(format = "bin"))
       catch { // malformed sizes/offsets must skip, never kill the job
         case _: IndexOutOfBoundsException =>
@@ -270,6 +309,9 @@ object Multimodal {
       jpegBytes((id * 11 % 640).toInt + 1, (id * 13 % 480).toInt + 1)
     def wavForId(id: Long): Array[Byte] =
       wavBytes(8000 + 1000 * (id % 5).toInt, (id % 2).toInt + 1)
+    def aviForId(id: Long): Array[Byte] =
+      aviBytes((id * 17 % 1920).toInt + 1, (id * 19 % 1080).toInt + 1,
+        (id * 7 % 300).toInt + 1)
 
     def pngBytes(width: Int, height: Int): Array[Byte] = {
       val buf = java.nio.ByteBuffer.allocate(33)
@@ -293,6 +335,27 @@ object Multimodal {
       buf.put(8.toByte).putShort(height.toShort).putShort(width.toShort)
       buf.put(1.toByte).put(Array[Byte](1, 0x11, 0))
       buf.putShort(0xffd9.toShort) // EOI
+      buf.array()
+    }
+
+    /** RIFF AVI with a real `LIST hdrl` → `avih` main header (56-byte
+      * payload: µs/frame, rates, dwTotalFrames at +16, dwWidth/dwHeight
+      * at +32/+36) — no frame data, exactly like the other fixtures.
+      */
+    def aviBytes(width: Int, height: Int, frames: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer
+        .allocate(88).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(80)
+      buf.put("AVI ".getBytes("US-ASCII"))
+      buf.put("LIST".getBytes("US-ASCII")).putInt(68)
+      buf.put("hdrl".getBytes("US-ASCII"))
+      buf.put("avih".getBytes("US-ASCII")).putInt(56)
+      buf.putInt(33333) // µs per frame (~30 fps)
+      buf.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+      buf.putInt(frames) // dwTotalFrames
+      buf.putInt(0).putInt(1).putInt(0) // initialFrames, streams, sugBuf
+      buf.putInt(width).putInt(height)
+      buf.putInt(0).putInt(0).putInt(0).putInt(0) // reserved
       buf.array()
     }
 

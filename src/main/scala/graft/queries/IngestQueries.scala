@@ -386,10 +386,11 @@ object IngestQueries {
       .filter(col("doc_id") < 60)
       .collect().map(_.getLong(0))
       .foreach { id =>
-        val (bytes, ext) = (id % 3) match {
+        val (bytes, ext) = (id % 4) match {
           case 0 => (SynthMedia.pngForId(id), "png")
           case 1 => (SynthMedia.jpegForId(id), "jpg")
-          case _ => (SynthMedia.wavForId(id), "wav")
+          case 2 => (SynthMedia.wavForId(id), "wav")
+          case _ => (SynthMedia.aviForId(id), "avi")
         }
         java.nio.file.Files.write(
           java.nio.file.Paths.get(dir, f"doc_$id%05d.$ext"), bytes): Unit
@@ -799,18 +800,20 @@ object IngestQueries {
     // (fixed container sizes + the id-derived dims; t11's convention)
     "i12_binary_media" ->
       """SELECT doc_id,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 35
-        |       ELSE 44 END AS BIGINT) AS byte_len,
-        |  CAST(CASE doc_id % 3
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 35
+        |       WHEN 2 THEN 44 ELSE 88 END AS BIGINT) AS byte_len,
+        |  CAST(CASE doc_id % 4
         |       WHEN 0 THEN (doc_id * 37) % 1280 + 1
         |       WHEN 1 THEN (doc_id * 11) % 640 + 1
-        |       ELSE 8000 + 1000 * (doc_id % 5) END AS INT) AS width,
-        |  CAST(CASE doc_id % 3
+        |       WHEN 2 THEN 8000 + 1000 * (doc_id % 5)
+        |       ELSE (doc_id * 17) % 1920 + 1 END AS INT) AS width,
+        |  CAST(CASE doc_id % 4
         |       WHEN 0 THEN (doc_id * 53) % 720 + 1
         |       WHEN 1 THEN (doc_id * 13) % 480 + 1
-        |       ELSE doc_id % 2 + 1 END AS INT) AS height,
-        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-        |       ELSE 'wav' END AS format
+        |       WHEN 2 THEN doc_id % 2 + 1
+        |       ELSE (doc_id * 19) % 1080 + 1 END AS INT) AS height,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       WHEN 2 THEN 'wav' ELSE 'avi' END AS format
         |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
     "i11_bucketed_join" ->
       """SELECT label, count(*) AS n,

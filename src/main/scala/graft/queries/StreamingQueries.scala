@@ -509,7 +509,67 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** s16's staged media directory, written once per (JVM, corpus) —
+    * the same id-derived REAL container fixtures as i12 (shared
+    * SynthMedia formulas, so the oracle replays from the documents
+    * table), laid out as files for the streaming binaryFile source. */
+  private val mediaStageDirs = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+
+  private def mediaStage(spark: SparkSession, sfDir: String): String =
+    mediaStageDirs.getOrElseUpdate(sfDir, {
+      import graft.operators.Multimodal.SynthMedia
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_s16_media").toString
+      graft.Tables.documents(spark, sfDir).select("doc_id")
+        .filter(col("doc_id") < 60)
+        .collect().map(_.getLong(0))
+        .foreach { id =>
+          val (bytes, ext) = (id % 4) match {
+            case 0 => (SynthMedia.pngForId(id), "png")
+            case 1 => (SynthMedia.jpegForId(id), "jpg")
+            case 2 => (SynthMedia.wavForId(id), "wav")
+            case _ => (SynthMedia.aviForId(id), "avi")
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, f"doc_$id%05d.$ext"), bytes): Unit
+        }
+      dir
+    })
+
+  /** CONTINUOUS MULTIMODAL INGEST — i12's binary scan as a stream, the
+    * shape an image/audio/video shard crawl actually runs: media files
+    * arrive through the streaming binaryFile source, each micro-batch
+    * decodes container headers with the per-partition codec
+    * ([[graft.operators.Multimodal.decodeBatch]] — the mapPartitions
+    * init-once contract holds per batch), and one streaming aggregate
+    * maintains per-format counts and dimension sums. The oracle
+    * recomputes every header field from the id formulas (i12's
+    * convention) and aggregates in SQL — continuous decode ≡ batch.
+    * At 100 TB the decode is a narrow map over the file stream and the
+    * state is 4 rows of counters; adding a real pixel decoder changes
+    * [[graft.operators.Multimodal.HeaderCodec]], not this plan.
+    */
+  def streamMedia(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val dir = mediaStage(spark, sfDir)
+    val schema = spark.read.format("binaryFile").load(dir).schema
+    val raw = spark.readStream.schema(schema)
+      .format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "doc_(\\d+)", 1)
+        .cast("long").as("doc_id"), col("content").as("payload"))
+    val agg = Multimodal.decodeBatch(raw, featureDim = 0)
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"),
+        sum(col("width").cast("long")).as("sum_w"),
+        sum(col("height").cast("long")).as("sum_h"),
+        sum(col("byte_len").cast("long")).as("sum_bytes"))
+    Streaming.runAvailableNow(spark, agg, "graft_s16")
+      .orderBy("format")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_stream_media" -> (streamMedia(_, _)),
     "s08_session_window" -> (streamSessionWindows(_, _)),
     "s01_stream_hourly" -> (streamHourly(_, _)),
     "s02_stream_dedup" -> (streamDedupUsers(_, _)),
@@ -529,6 +589,29 @@ object StreamingQueries {
   // `def`: s11's entry (t33's oracle verbatim) interpolates artifact
   // globs, which must resolve at dump time, after the queries ran.
   def oracles: Map[String, String] = Map(
+    // i12's id-formula replay, aggregated — continuous decode ≡ batch
+    "s16_stream_media" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 35
+        |       WHEN 2 THEN 44 ELSE 88 END AS byte_len,
+        |  CASE doc_id % 4
+        |       WHEN 0 THEN (doc_id * 37) % 1280 + 1
+        |       WHEN 1 THEN (doc_id * 11) % 640 + 1
+        |       WHEN 2 THEN 8000 + 1000 * (doc_id % 5)
+        |       ELSE (doc_id * 17) % 1920 + 1 END AS width,
+        |  CASE doc_id % 4
+        |       WHEN 0 THEN (doc_id * 53) % 720 + 1
+        |       WHEN 1 THEN (doc_id * 13) % 480 + 1
+        |       WHEN 2 THEN doc_id % 2 + 1
+        |       ELSE (doc_id * 19) % 1080 + 1 END AS height,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       WHEN 2 THEN 'wav' ELSE 'avi' END AS format
+        |FROM documents WHERE doc_id < 60)
+        |SELECT format, count(*) AS n,
+        |       CAST(sum(width) AS BIGINT) AS sum_w,
+        |       CAST(sum(height) AS BIGINT) AS sum_h,
+        |       CAST(sum(byte_len) AS BIGINT) AS sum_bytes
+        |FROM m GROUP BY format ORDER BY format""".stripMargin,
     // t36's oracle verbatim — continuous HLL profiling ≡ batch
     "s12_stream_profile" -> TextQueries.hllOracle,
     // t38's oracle verbatim — continuous heavy hitters ≡ batch

@@ -619,6 +619,47 @@ object VectorQueries {
 
   private val RefDb = "/root/reference/vectors.db"
 
+  /** THE REFERENCE'S PREFIX-SEARCH VARIANT (reference README.md:15 —
+    * "serverArray.js and embedArray.js uses only the first 5 elements
+    * of the embedding vector for selecting documents"; the files
+    * themselves are absent from the snapshot, so this re-expresses the
+    * DESCRIBED semantics): documents are SELECTED by distance over the
+    * 5-element embedding prefix — a crude learned-free dimensionality
+    * reduction — then the survivors are ranked by full-width cosine.
+    * Formulated as shortlist (per-query top-32 by prefix L2, bounded
+    * heaps via the ranking window) → exact rerank to top-5, so the
+    * cheap prefix pass does the candidate selection exactly as the
+    * variant intends and the full vectors are only touched for 32
+    * rows/query. At 100 TB the prefix is a stored 20-byte column: the
+    * selection scan reads 5 floats per row instead of d, the same
+    * narrow-scan-then-rerank shape as v15's int8 path. Oracle replays
+    * prefix slicing, both distances and both rank windows in SQL.
+    */
+  def prefixSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.l2Dist
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val shortlist = corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("qe"),
+        l2Dist(slice(col("embedding"), 1, 5), slice(col("qe"), 1, 5))
+          .as("pd"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("pd"), col("vec_id"))))
+      .filter(col("prank") <= 32)
+    shortlist
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("embedding"), col("qe")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** v30's corpus/centroids/codebooks, once per (JVM, corpus) — v25's
     * artifact contract at reference geometry. */
   private val refIvfPqCache = scala.collection.concurrent.TrieMap
@@ -1490,6 +1531,31 @@ object VectorQueries {
          |  ORDER BY d, ca.vec_id LIMIT 10)
          |SELECT vec_id, round(d, 6) AS l2_dist FROM res
          |ORDER BY vec_id""".stripMargin,
+    // the serverArray variant replay: prefix slice -> L2 shortlist ->
+    // full cosine rerank, both rank windows in SQL
+    "v31_prefix_search" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8),
+        |c AS (SELECT vec_id, e FROM v WHERE vec_id >= 8),
+        |pd AS (SELECT q.query_id, c.vec_id, c.e, q.qe,
+        |         list_distance(c.e[1:5], q.qe[1:5]) AS pd
+        |       FROM c, q),
+        |sl AS (SELECT * FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY query_id
+        |                  ORDER BY pd, vec_id) AS prank
+        |         FROM pd) WHERE prank <= 32),
+        |r AS (SELECT query_id, vec_id,
+        |        list_cosine_similarity(e, qe) AS score FROM sl),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, vec_id) AS rank
+        |  FROM r)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+        |       round(score, 6) AS score
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // v25's replay at reference geometry: 1536-dim artifacts, 8 coarse
     // cells probed 3 wide, dsub=192 ADC — the SAME CTE pipeline, only
     // the widths change
@@ -1686,6 +1752,7 @@ object VectorQueries {
     "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
     "v27_ref_dim_search" -> (refDimSearch(_, _)),
     "v30_ref_ivfpq" -> (refDimIvfPq(_, _)),
+    "v31_prefix_search" -> (prefixSearch(_, _)),
     "v29_filtered_ivfpq" -> (filteredIvfPq(_, _)),
     "v28_clustered_recall" -> (clusteredRecall(_, _)),
     "v17_range_search" -> (rangeSearch(_, _)),

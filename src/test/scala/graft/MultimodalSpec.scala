@@ -57,6 +57,22 @@ class MultimodalSpec extends SparkSpec {
       MediaMeta(44100, 2, "wav"))
   }
 
+  test("AVI: dimensions from the avih header inside LIST hdrl") {
+    assert(codec.decode(SynthMedia.aviBytes(1920, 1080, 240)) ==
+      MediaMeta(1920, 1080, "avi"))
+    // a leading non-hdrl LIST must be skipped, not descended into
+    val padded = {
+      val pad = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+      val base = SynthMedia.aviBytes(640, 480, 30)
+      base.take(12) ++ pad ++ base.drop(12)
+    }
+    assert(codec.decode(padded) == MediaMeta(640, 480, "avi"))
+    // truncated avih payload falls back instead of mis-parsing
+    assert(codec.decode(SynthMedia.aviBytes(640, 480, 30).take(40))
+      .format == "bin")
+  }
+
   test("unknown payloads fall back to deterministic stub metadata") {
     val m = codec.decode("just some text".getBytes("UTF-8"))
     assert(m.format == "bin")
