@@ -513,6 +513,60 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash near-dup at the GROUP level — the scale-correct answer to
+    * the template-heavy corpora that trip [[simHashNearDupPairs]]'s
+    * hot-bucket guard: identical fingerprints are first collapsed into
+    * (simhash, n, keeper) groups, so a million boilerplate copies
+    * become ONE row and their quadratic pair mass one SELF row
+    * (hamming 0, n > 1) instead of n²/2 join outputs. The pigeonhole
+    * block join then runs over DISTINCT fingerprints only — candidate
+    * fan-out is bounded by the distinct-fingerprint count, which is
+    * exactly what template-heavy corpora keep small. Downstream dedup
+    * wants groups anyway (keep `keeper`, drop the rest); pair-level
+    * output stays available from [[simHashNearDupPairs]] where the
+    * corpus is known diverse.
+    *
+    * Returns cross-group rows (sh_a < sh_b, hamming ≤ maxHamming,
+    * both groups' sizes and keeper ids) plus one self row per
+    * duplicated fingerprint (sh_a = sh_b, hamming 0) — together the
+    * complete near-dup structure at fingerprint granularity.
+    *
+    * OWNERSHIP: `groups` feeds the self rows and both join sides —
+    * persisted here, released by the evaluating caller (the
+    * simHashNearDupPairs convention).
+    */
+  def simHashNearDupGroups(fingerprints: DataFrame, idCol: String,
+                           bits: Int, maxHamming: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val width = bits / nBlocks
+    require(width > 0, s"bits=$bits too small for maxHamming=$maxHamming")
+    val groups = fingerprints.groupBy("simhash")
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
+      .persist()
+    val blocked = groups.select(
+      col("simhash"), col("n"), col("keeper"),
+      posexplode(array((0 until nBlocks).map { b =>
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("block", "block_val")))
+    val a = blocked.select(col("simhash").as("sh_a"), col("n").as("n_a"),
+      col("keeper").as("keeper_a"), col("block"), col("block_val"))
+    val b = blocked.select(col("simhash").as("sh_b"), col("n").as("n_b"),
+      col("keeper").as("keeper_b"), col("block"), col("block_val"))
+    val cross = a.join(b, Seq("block", "block_val"))
+      .filter(col("sh_a") < col("sh_b"))
+      .select(col("sh_a"), col("sh_b"),
+        hammingDist(col("sh_a"), col("sh_b")).as("hamming"),
+        col("n_a"), col("n_b"), col("keeper_a"), col("keeper_b"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val self = groups.filter(col("n") > 1)
+      .select(col("simhash").as("sh_a"), col("simhash").as("sh_b"),
+        lit(0L).as("hamming"), col("n").as("n_a"), col("n").as("n_b"),
+        col("keeper").as("keeper_a"), col("keeper").as("keeper_b"))
+    cross.unionByName(self)
+  }
+
   /** EXACT-SUBSTRING span detection (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", ACL 2022 — the
     * ExactSubstr criterion, re-expressed relationally instead of via

@@ -372,6 +372,26 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** SimHash near-dup at GROUP granularity
+    * ([[graft.operators.Dedup.simHashNearDupGroups]]) — identical
+    * fingerprints collapse to one row before the pigeonhole join, so
+    * the formulation stays linear on exactly the template-heavy
+    * corpora where the pair-level t14 aborts on its hot-bucket guard.
+    * Self rows (sh_a = sh_b, n > 1) carry the exact-fingerprint dup
+    * classes; cross rows the near-dup structure between DISTINCT
+    * fingerprints. The oracle replays fingerprints, grouping, the
+    * all-pairs hamming test and the self-row rule in SQL.
+    */
+  def simhashGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = Dedup.simHashDocs(Tables.documents(spark, sfDir),
+      "doc_id", "text", bits = 32)
+    Dedup.simHashNearDupGroups(fp, "doc_id", bits = 32, maxHamming = 3)
+      .select(col("sh_a"), col("sh_b"),
+        col("hamming").cast("long").as("hamming"),
+        col("n_a"), col("n_b"), col("keeper_a"), col("keeper_b"))
+      .orderBy("sh_a", "sh_b")
+  }
+
   /** BM25 lexical top-10 for a fixed 4-term query. Scores are rounded to
     * 6 digits BEFORE ranking on both engines — log/accumulation-order
     * noise is ~1e-15, far below the rounding grain (SURVEY.md §7.4).
@@ -1361,6 +1381,7 @@ object TextQueries {
     "t12_tokenize_html" -> (tokenizeHtml(_, _)),
     "t13_relevant_tokens" -> (relevantTokens(_, _)),
     "t14_simhash_near_dup" -> (simhashNearDup(_, _)),
+    "t48_simhash_groups" -> (simhashGroups(_, _)),
     "t15_bm25" -> (bm25(_, _)),
     "t16_dup_clusters" -> (dupClusters(_, _)),
     "t17_repetition" -> (repetition(_, _)),
@@ -2354,6 +2375,37 @@ object TextQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // t14's fingerprint CTEs + grouping: cross rows over distinct
+    // fingerprints, self rows for duplicated ones
+    "t48_simhash_groups" ->
+      s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |votes AS (
+         |  SELECT doc_id, bit,
+         |         sum(CASE WHEN (${hash60("w")} >> CAST(bit AS INT)) % 2 = 1
+         |                  THEN 1 ELSE -1 END) AS v
+         |  FROM (SELECT doc_id, unnest(ws) AS w FROM t),
+         |       (SELECT unnest(range(0, 32)) AS bit)
+         |  GROUP BY doc_id, bit),
+         |sh AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** bit AS BIGINT)
+         |                       ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc_id),
+         |g AS (SELECT simhash, count(*) AS n, min(doc_id) AS keeper
+         |      FROM sh GROUP BY simhash),
+         |pairs AS (
+         |  SELECT a.simhash AS sh_a, b.simhash AS sh_b,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+         |           AS hamming,
+         |         a.n AS n_a, b.n AS n_b,
+         |         a.keeper AS keeper_a, b.keeper AS keeper_b
+         |  FROM g a JOIN g b ON a.simhash < b.simhash
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |  UNION ALL
+         |  SELECT simhash, simhash, CAST(0 AS BIGINT), n, n, keeper, keeper
+         |  FROM g WHERE n > 1)
+         |SELECT sh_a, sh_b, hamming, n_a, n_b, keeper_a, keeper_b
+         |FROM pairs ORDER BY sh_a, sh_b""".stripMargin,
     "t15_bm25" ->
       s"""WITH lens AS (
          |  SELECT doc_id, CAST(len($wsExpr) AS DOUBLE) AS dl FROM documents),

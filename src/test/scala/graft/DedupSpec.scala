@@ -145,6 +145,34 @@ class DedupSpec extends SparkSpec {
     assert(ok == 8L * 7 / 2)
   }
 
+  test("simHashNearDupGroups: the template-heavy corpus that trips the " +
+      "pair guard collapses to one self row; cross rows match brute " +
+      "force over distinct fingerprints") {
+    // 8 identical docs + 1 near-dup + 1 far doc
+    val docs = docsDf(
+      ((1L to 8L).map(i => (i, "alpha beta gamma delta epsilon zeta")) ++
+        Seq((20L, "alpha beta gamma delta epsilon eta"),
+          (30L, "totally different words everywhere here now"))): _*)
+    val fp = Dedup.simHashDocs(docs, "doc_id", "text", bits = 16)
+    val got = Dedup.simHashNearDupGroups(fp, "doc_id", 16, maxHamming = 3)
+      .select("sh_a", "sh_b", "hamming", "n_a", "n_b", "keeper_a",
+        "keeper_b")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    // the 8-doc template is ONE self row (28 pair-level rows collapsed)
+    val selfRows = got.filter(r => r._1 == r._2)
+    assert(selfRows.size == 1 && selfRows.head._4 == 8L &&
+      selfRows.head._6 == 1L, s"self rows: $selfRows")
+    // cross rows = brute force over the distinct fingerprints
+    val hs = fp.as[(Long, Long)].collect().groupBy(_._2)
+      .map { case (sh, rows) => sh -> rows.map(_._1).min }
+    val exact = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      if java.lang.Long.bitCount(a ^ b) <= 3
+    } yield (a, b)).toSet
+    assert(got.filter(r => r._1 != r._2).map(r => (r._1, r._2)) == exact)
+    spark.catalog.clearCache()
+  }
+
   test("simHash: equal docs equal fingerprints, hamming 0; bounded bits") {
     val fp = Dedup.simHashDocs(
         docsDf((1L, "a b c"), (2L, "a b c"), (3L, "x y z w")),
