@@ -499,8 +499,8 @@ object Dedup {
               "block_val) bucket "), col("_mx"),
             lit(s" rows exceeds maxBucketRows=$maxBucketRows; " +
               "template-heavy corpora collapse fingerprints into hot " +
-              "buckets (quadratic candidates) — run exact dedup (t02) " +
-              "first or raise bits/width"))).cast("boolean"))
+              "buckets (quadratic candidates) — use simHashNearDupGroups " +
+              "(identical fingerprints collapse before the join) or raise bits"))).cast("boolean"))
         .otherwise(lit(true)))
       .drop("_mx")
     val b = blocked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
