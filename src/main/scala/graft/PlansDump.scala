@@ -173,7 +173,36 @@ object PlansDump {
           "sort + row_number INSIDE each partition (Window with a " +
           "partition spec — never a global sort), manifest rollup in " +
           "place; the deterministic shuffle of a 100 TB corpus costs " +
-          "exactly one data movement."))
+          "exactly one data movement."),
+      "i17_zorder_store" ->
+        ("Applied z-order: the store read back is a hive-partitioned " +
+          "scan whose per-file stats the query itself aggregates (one " +
+          "two-level hash aggregate keyed by the zb directory value); " +
+          "the write side routed each z-prefix bucket to exactly one " +
+          "task via repartition(zb) — deterministic file boundaries, " +
+          "no RangePartitioner sampling pass."),
+      "t47_incremental_substr" ->
+        ("Incremental ExactSubstr: both updates read the BASE index " +
+          "as ExistingRDD (localCheckpointed artifact — no re-shingle " +
+          "of the corpus); per-update work is the delta's shingles, a " +
+          "broadcast semi-join pruned read of touched rows, and a " +
+          "pair-local window — every frame delta-sized and " +
+          "materialized, so the plan depth stays bounded across " +
+          "updates."),
+      "t48_simhash_groups" ->
+        ("Group-level simhash: ONE hash aggregate collapses identical " +
+          "fingerprints before the pigeonhole self-join, so the join " +
+          "runs over distinct fingerprints (bounded fan-out even on " +
+          "template-heavy corpora) and the quadratic intra-group mass " +
+          "is a filter over the persisted group frame — no join at " +
+          "all."),
+      "v30_ref_ivfpq" ->
+        ("Reference-geometry IVF-PQ: the trained model rides the " +
+          "projection as literals (codebooks are KB-scale), the probe " +
+          "set broadcasts, ADC is a narrow codegen'd map over the " +
+          "probed cells only, and the exact rerank touches the " +
+          "shortlist — at d=1536 the full vectors are read once for " +
+          "50 rows, not the corpus."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")
