@@ -97,6 +97,38 @@ object Multimodal {
       .toDF()
   }
 
+  case class FrameRow(doc_id: Long, n_frames: Int, frame_ix: Int)
+
+  /** VIDEO FRAME SAMPLING at the metadata level — the plumbing half of
+    * the frame-sample stage a video training pipeline runs: for each
+    * AVI payload, read dwTotalFrames from the real header and emit one
+    * row per SAMPLED frame index under the deterministic stride rule
+    * `stride = max(1, n / target)` (≈`target` evenly spaced frames,
+    * exact for the SQL oracle — no RNG). The decode of the sampled
+    * frame's PIXELS is the documented stub boundary (a real pipeline
+    * drops an ffmpeg call into the mapPartitions body below, where the
+    * per-partition codec handle already lives); everything around it —
+    * schema, per-partition batching, the explode shape, the sampling
+    * rule — is real and oracle-gated. Non-AVI/malformed payloads yield
+    * no rows (a corrupt shard skips, never kills).
+    */
+  def frameSample(df: DataFrame, target: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(target >= 1, s"target=$target must be >= 1")
+    df.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        val codec = new HeaderCodec(0) // init-once per partition
+        rows.flatMap { r =>
+          codec.aviFrames(r.payload).toSeq.flatMap { n =>
+            val stride = math.max(1, n / target)
+            (0 until n by stride).map(ix => FrameRow(r.doc_id, n, ix))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Pure-JVM container-header parser. Only HEADERS are decoded (the
     * metadata a curation pipeline filters on — dimensions, sample rate,
     * channel count); pixel/sample payloads are untouched. Every parse
@@ -198,7 +230,13 @@ object Multimodal {
       * shared MediaMeta struct keeps the cross-modal (w, h, format)
       * shape — [[decodeBatch]] rows carry byte_len for the rest.
       */
-    private def avi(b: Array[Byte]): Option[MediaMeta] = {
+    private def avi(b: Array[Byte]): Option[MediaMeta] =
+      aviHeader(b).map { case (w, h, _) => MediaMeta(w, h, "avi") }
+
+    /** The full avih read: (dwWidth, dwHeight, dwTotalFrames) —
+      * [[avi]] keeps the cross-modal MediaMeta shape; frame-level
+      * consumers ([[aviFrames]], the t49 sampler) need the count. */
+    private def aviHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
       if (!(b.length >= 12 && ascii(b, 0, "RIFF") && ascii(b, 8, "AVI ")))
         return None
       var i = 12
@@ -214,8 +252,8 @@ object Multimodal {
             if (ssize < 0) return None
             if (ascii(b, j, "avih")) {
               return if (ssize >= 40 && j + 8 + 40 <= b.length)
-                Some(MediaMeta(le32(b, j + 8 + 32), le32(b, j + 8 + 36),
-                  "avi"))
+                Some((le32(b, j + 8 + 32), le32(b, j + 8 + 36),
+                  le32(b, j + 8 + 16)))
               else None
             }
             j += 8 + ssize + (ssize & 1)
@@ -226,6 +264,11 @@ object Multimodal {
       }
       None
     }
+
+    /** dwTotalFrames of an AVI payload; None for non-AVI/malformed. */
+    def aviFrames(payload: Array[Byte]): Option[Int] =
+      try aviHeader(payload).map(_._3)
+      catch { case _: IndexOutOfBoundsException => None }
 
     def decode(payload: Array[Byte]): MediaMeta =
       try png(payload).orElse(jpeg(payload)).orElse(gif(payload))

@@ -404,6 +404,47 @@ object IngestQueries {
       .orderBy("doc_id")
   }
 
+  /** VIDEO FRAME SAMPLING over real container files
+    * ([[graft.operators.Multimodal.frameSample]]): the i12 media mix
+    * (PNG/JPEG/WAV/AVI on disk) flows through the binary dir source,
+    * and each AVI's dwTotalFrames — parsed from the real avih header —
+    * drives the deterministic stride sampler (≈8 evenly spaced frame
+    * indices per video). Non-AVI payloads yield NO rows, which the
+    * oracle pins by reconstructing the exact (doc_id, n_frames,
+    * frame_ix) relation from the id formulas for the id%4=3 class
+    * only. Pixel decode of the sampled frames is the documented stub
+    * boundary; the schema, per-partition codec batching, explode
+    * shape and sampling rule — the plumbing a video pipeline needs —
+    * are real and hash-gated.
+    */
+  def frameSampleQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.SynthMedia
+    val dir = roundtripDir(spark, "graft_i19_frames")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    Tables.documents(spark, sfDir).select("doc_id")
+      .filter(col("doc_id") < 60)
+      .collect().map(_.getLong(0))
+      .foreach { id =>
+        val (bytes, ext) = (id % 4) match {
+          case 0 => (SynthMedia.pngForId(id), "png")
+          case 1 => (SynthMedia.jpegForId(id), "jpg")
+          case 2 => (SynthMedia.wavForId(id), "wav")
+          case _ => (SynthMedia.aviForId(id), "avi")
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"doc_$id%05d.$ext"), bytes): Unit
+      }
+    val media = graft.sources.Sources.binaryDir(spark, dir)
+      .select(regexp_extract(col("source"), "doc_(\\d+)", 1)
+        .cast("long").as("doc_id"), col("payload"))
+    Multimodal.frameSample(media, target = 8)
+      .select(col("doc_id"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("frame_ix").cast("long").as("frame_ix"))
+      .orderBy("doc_id", "frame_ix")
+  }
+
   /** Store-compaction round-trip: the documents table written as FOUR
     * separate appends (the small-file accumulation a micro-batch-fed
     * store suffers), compacted to 2 balanced files
@@ -607,6 +648,7 @@ object IngestQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i18_schema_evolution" -> (schemaEvolution(_, _)),
+    "i19_frame_sample" -> (frameSampleQuery(_, _)),
     "i16_snapshot_diff" -> (snapshotDiffQuery(_, _)),
     "i14_snapshot_history" -> (snapshotHistory(_, _)),
     "i12_binary_media" -> (binaryMediaScan(_, _)),
@@ -639,6 +681,17 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "i19_frame_sample" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         CAST((doc_id * 7) % 300 + 1 AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id < 60 AND doc_id % 4 = 3),
+        |s AS (SELECT doc_id, n_frames,
+        |             greatest(1, n_frames // 8) AS stride FROM a)
+        |SELECT doc_id, n_frames,
+        |       CAST(unnest(range(0, n_frames, stride)) AS BIGINT)
+        |         AS frame_ix
+        |FROM s ORDER BY doc_id, frame_ix""".stripMargin,
     "i18_schema_evolution" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),
         |v2 AS (

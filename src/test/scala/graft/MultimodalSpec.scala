@@ -73,6 +73,23 @@ class MultimodalSpec extends SparkSpec {
       .format == "bin")
   }
 
+  test("frameSample: stride rule over real avih frame counts; " +
+      "non-AVI payloads yield no rows") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, SynthMedia.aviBytes(320, 240, 20)),  // stride 2 -> 10 frames
+      (2L, SynthMedia.aviBytes(320, 240, 5)),   // n<target -> all 5
+      (3L, SynthMedia.pngBytes(4, 4)),          // not a video
+      (4L, "garbage".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.frameSample(rows, target = 8)
+      .as[(Long, Int, Int)].collect().toSet
+    val want =
+      (0 until 20 by 2).map(ix => (1L, 20, ix)).toSet ++
+        (0 until 5).map(ix => (2L, 5, ix)).toSet
+    assert(got == want, s"got $got")
+  }
+
   test("unknown payloads fall back to deterministic stub metadata") {
     val m = codec.decode("just some text".getBytes("UTF-8"))
     assert(m.format == "bin")
