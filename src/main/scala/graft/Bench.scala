@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // parity with Verify/ScalingProbe/PlansDump: outside sbt's forked
+      // -D flags, a non-UTC JVM would shift the TIMESTAMP_NTZ events
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // local profiling aid; the driver never sets this
       .config("spark.eventLog.enabled",
@@ -41,16 +44,26 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min, times)
     }.toMap
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // ALL N per-run times, not just the min: a degraded measurement
+    // window ("every run slow" = real regression) and a transient host
+    // spike ("one bad window" = noise) are indistinguishable from a
+    // min alone — the artifact must carry enough to adjudicate without
+    // a re-run. scripts/benchruns.py reads this field.
+    val runsJson = results.toSeq.sortBy(_._1)
+      .map { case (k, (_, ts)) =>
+        s"\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     // -1 failure markers must not subtract from (and so flatter) the
     // total: sum successful queries only
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.values.map(_._1).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""runs":$runsJson,"sf":"$sfDir"}"""
     println(line)
     // stdout gets tail-truncated by capture harnesses once the inventory
     // is large, losing most per-query timings — persist the full map to

@@ -717,14 +717,18 @@ object Dedup {
       .localCheckpoint() // delta-keyed; feeds df counts and both join sides
     val dfCounts = touched.groupBy("sh")
       .agg(count(lit(1)).as("_df"),
-        sum(when(col("_old"), 1L).otherwise(0L)).as("_old_df"))
+        sum(when(col("_old"), 1L).otherwise(0L)).as("_old_df"),
+        countDistinct(when(col("_old"), col(idCol))).as("_old_docs"))
       .localCheckpoint()
     // a crossing invalidates prior state only if prior MATCHES through
-    // the shingle were possible (≥ 2 prior rows): an all-new shingle
-    // over maxDf is dropped identically by update and rebuild
+    // the shingle were possible: ≥2 DISTINCT prior docs (the pair join
+    // requires id_a < id_b, so repeats inside a single prior doc can
+    // never have matched) AND the shingle wasn't already dropped
+    // (prior rows ≤ maxDf). An all-new shingle over maxDf is dropped
+    // identically by update and rebuild.
     val overflowed = dfCounts
       .filter(col("_df") > maxDf &&
-        col("_old_df") >= 2 && col("_old_df") <= maxDf)
+        col("_old_docs") >= 2 && col("_old_df") <= maxDf)
       .select("sh")
     val kept = touched.join(
       broadcast(dfCounts.filter(col("_df") <= maxDf).select("sh")),

@@ -395,6 +395,10 @@ object Ingest {
       .repartition(col("zb"))
       .sortWithinPartitions("zb")
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      // the one-file-per-bucket contract (oracle-pinned n_files=1)
+      // must not depend on ambient session config: a session-level
+      // spark.sql.files.maxRecordsPerFile would split buckets
+      .option("maxRecordsPerFile", 0)
       .partitionBy("zb")
       .parquet(path)
   }

@@ -103,8 +103,10 @@ object Multimodal {
     * the frame-sample stage a video training pipeline runs: for each
     * AVI payload, read dwTotalFrames from the real header and emit one
     * row per SAMPLED frame index under the deterministic stride rule
-    * `stride = max(1, n / target)` (≈`target` evenly spaced frames,
-    * exact for the SQL oracle — no RNG). The decode of the sampled
+    * `stride = max(1, ceil(n / target))` — ceil division bounds the
+    * output at `target` frames (floor division would emit up to
+    * 2*target-1 whenever target < n < 2*target), exact for the SQL
+    * oracle — no RNG. The decode of the sampled
     * frame's PIXELS is the documented stub boundary (a real pipeline
     * drops an ffmpeg call into the mapPartitions body below, where the
     * per-partition codec handle already lives); everything around it —
@@ -121,7 +123,7 @@ object Multimodal {
         val codec = new HeaderCodec(0) // init-once per partition
         rows.flatMap { r =>
           codec.aviFrames(r.payload).toSeq.flatMap { n =>
-            val stride = math.max(1, n / target)
+            val stride = math.max(1, (n + target - 1) / target)
             (0 until n by stride).map(ix => FrameRow(r.doc_id, n, ix))
           }
         }

@@ -687,7 +687,7 @@ object IngestQueries {
         |         CAST((doc_id * 7) % 300 + 1 AS BIGINT) AS n_frames
         |  FROM documents WHERE doc_id < 60 AND doc_id % 4 = 3),
         |s AS (SELECT doc_id, n_frames,
-        |             greatest(1, n_frames // 8) AS stride FROM a)
+        |             greatest(1, (n_frames + 7) // 8) AS stride FROM a)
         |SELECT doc_id, n_frames,
         |       CAST(unnest(range(0, n_frames, stride)) AS BIGINT)
         |         AS frame_ix

@@ -271,20 +271,28 @@ object StreamingQueries {
       .schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$base/delta")
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // driver-side fold: each micro-batch advances the index
-        // artifact — delta-proportional (the base postings ride along
-        // by reference; each update adds one delta-sized sidecar)
-        ixRef.updateAndGet(ix =>
-          Dedup.updateJaccardIndex(ix, batch, "doc_id", "text",
-            n = 3, threshold = 0.1, maxDf = 1000L)._1)
-        ()
-      }
-      .option("checkpointLocation", chk)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // shuffle partitions pinned for the whole start→drain window: the
+    // micro-batch session is cloned at .start(), so the delta-sized
+    // update joins inside foreachBatch would otherwise run at the
+    // CPU-derived session default (32 on the bench host) — measured
+    // 2.4× slower than the delta-proportional count for pure per-task
+    // overhead (the round-2 s03 lesson, applied to foreachBatch)
+    Streaming.withStatePartitions(spark) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // driver-side fold: each micro-batch advances the index
+          // artifact — delta-proportional (the base postings ride along
+          // by reference; each update adds one delta-sized sidecar)
+          ixRef.updateAndGet(ix =>
+            Dedup.updateJaccardIndex(ix, batch, "doc_id", "text",
+              n = 3, threshold = 0.1, maxDf = 1000L)._1)
+          ()
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // the checkpoint is per-run scratch (a reused one would consider
     // the staged files already processed): reclaim it now, not at exit
     val chkPath = new org.apache.hadoop.fs.Path(chk)

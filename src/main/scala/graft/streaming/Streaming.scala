@@ -41,8 +41,16 @@ object Streaming {
     * [[statePartitions]]. The value is captured by the query at start
     * and kept for the checkpoint's lifetime; batch queries around it
     * are unaffected because the previous value is restored on exit.
+    *
+    * Public because `foreachBatch` bodies need it too: the micro-batch
+    * runs on a clone of the session taken at `.start()`, so batch work
+    * inside the batch function (delta-sized index updates, store
+    * upserts) inherits whatever shuffle-partition count was live at
+    * start — 32 CPU-derived partitions over kilobyte deltas multiplies
+    * fixed per-task overhead for nothing (measured: s10 ran 2.4×
+    * SLOWER at local[32] than local[4] until pinned here).
     */
-  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+  def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, statePartitions(spark).toString)
@@ -179,6 +187,10 @@ object Streaming {
                     orderCol: String,
                     trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
+    // pinning only needs to bracket .start(): the micro-batch session
+    // clone captures the conf there, so the batch-side joins run at
+    // the delta-proportional count even though the caller drains later
+    withStatePartitions(rows.sparkSession) {
     rows.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
@@ -198,6 +210,7 @@ object Streaming {
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .start()
+    }
 
   /** Sessionization via Spark's NATIVE `session_window` — the built-in
     * twin of the custom-state [[sessionCounts]]: the aggregation

@@ -77,17 +77,23 @@ class MultimodalSpec extends SparkSpec {
       "non-AVI payloads yield no rows") {
     import spark.implicits._
     val rows = Seq(
-      (1L, SynthMedia.aviBytes(320, 240, 20)),  // stride 2 -> 10 frames
+      (1L, SynthMedia.aviBytes(320, 240, 20)),  // ceil(20/8)=3 -> 7 frames
       (2L, SynthMedia.aviBytes(320, 240, 5)),   // n<target -> all 5
       (3L, SynthMedia.pngBytes(4, 4)),          // not a video
-      (4L, "garbage".getBytes("UTF-8")))
+      (4L, "garbage".getBytes("UTF-8")),
+      // the floor-division overshoot band (target < n < 2*target):
+      // floor stride would emit all 12 frames; ceil bounds at 6
+      (5L, SynthMedia.aviBytes(320, 240, 12)))
       .toDF("doc_id", "payload")
     val got = Multimodal.frameSample(rows, target = 8)
       .as[(Long, Int, Int)].collect().toSet
     val want =
-      (0 until 20 by 2).map(ix => (1L, 20, ix)).toSet ++
-        (0 until 5).map(ix => (2L, 5, ix)).toSet
+      (0 until 20 by 3).map(ix => (1L, 20, ix)).toSet ++
+        (0 until 5).map(ix => (2L, 5, ix)).toSet ++
+        (0 until 12 by 2).map(ix => (5L, 12, ix)).toSet
     assert(got == want, s"got $got")
+    // output size is bounded by target under the ceil rule
+    assert(got.groupBy(_._1).values.forall(_.size <= 8))
   }
 
   test("unknown payloads fall back to deterministic stub metadata") {
