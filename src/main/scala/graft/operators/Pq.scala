@@ -254,6 +254,94 @@ object Pq {
     rerankExact(raw, cands, idCol, vecCol, qLit, k)
   }
 
+  /** BATCHED IVF-PQ serving — the production request shape the
+    * single-query paths above don't cover: Q queries arrive together
+    * and share ONE scan of the cell-coded index through one routing
+    * join, instead of Q sequential plans re-reading the index. The
+    * pieces:
+    *
+    *  - per-query LUTs ride in a Q-row broadcast frame as literal
+    *    `array<array<double>>` columns (Q·m·k doubles — request-batch
+    *    sized, the same driver budget the single-query LUT accepts),
+    *    and the ADC sum runs through builtin `zip_with`/`aggregate`
+    *    (codegen'd, no UDF): adc = Σ_j lut[j][codes[j]];
+    *  - the probe is an in-plan window over centroids × queries
+    *    (Q·nlist rows — a kilobyte exchange);
+    *  - the ONLY corpus-scale exchange is the per-query shortlist
+    *    window, hash-partitioned by query id and executed as a
+    *    WindowGroupLimit heap (rank ≤ shortlist pushes down);
+    *  - rerank fetches full vectors for the Q·shortlist survivors via
+    *    a broadcast join and the final top-k window moves Q·shortlist
+    *    rows.
+    *
+    * At 1000 executors the index scan cost is paid once per BATCH, not
+    * once per query — the throughput difference between serving and
+    * re-planning. PlanSpec pins the exchange structure; the oracle
+    * replays every step per query id (v22's CTEs parameterized).
+    */
+  def ivfPqSearchBatch(cellCodes: DataFrame, centroids: DataFrame,
+                       raw: DataFrame, idCol: String, vecCol: String,
+                       queries: Seq[(Long, Array[Float])], model: PqModel,
+                       nProbe: Int, shortlist: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.l2Dist
+    import org.apache.spark.sql.expressions.Window
+    val spark = cellCodes.sparkSession
+    import spark.implicits._
+    queries.foreach { case (qid, qv) =>
+      require(qv.length == model.m * model.dsub,
+        s"query $qid dim ${qv.length} != ${model.m}×${model.dsub}") }
+    // LUT(j)(c) = ||query_j − book_j_c||², widened to double BEFORE
+    // subtracting — bit-identical to the single-query adcDistance and
+    // to the oracle's replay over the persisted float codebooks
+    val qFrame = queries.map { case (qid, qv) =>
+      val lut: Seq[Seq[Double]] =
+        for (j <- 0 until model.m) yield
+          for (c <- 0 until model.k) yield {
+            var acc = 0.0
+            var i = 0
+            while (i < model.dsub) {
+              val d = qv(j * model.dsub + i).toDouble -
+                model.codebooks(j)(c)(i).toDouble
+              acc += d * d
+              i += 1
+            }
+            acc
+          }
+      (qid, qv.toSeq, lut)
+    }.toDF("query_id", "qe", "lut").localCheckpoint()
+    val probes = centroids
+      .crossJoin(broadcast(qFrame.select("query_id", "qe")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(l2Dist(col("centroid"), col("qe")).asc,
+            col("centroid_id"))))
+      .filter(col("_rn") <= nProbe)
+      .select("query_id", "centroid_id")
+    val scored = cellCodes
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(qFrame.select("query_id", "lut")), Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        aggregate(
+          zip_with(col("codes"), col("lut"),
+            (c, lutRow) => element_at(lutRow, c + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+    val short = scored
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_dist").asc, col(idCol))))
+      .filter(col("_rk") <= shortlist)
+      .select("query_id", idCol)
+    raw.join(broadcast(short), Seq(idCol))
+      .join(broadcast(qFrame.select("query_id", "qe")), Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        l2Dist(col(vecCol), col("qe")).as("dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("dist").asc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("dist"))
+  }
+
   /** Build the IVF-PQ index frame: (idCol, centroid_id, codes [,
     * carryCols…]) — one cell-assignment pass, codes projected in the
     * same narrow stage. Write it partitioned by centroid_id

@@ -392,6 +392,35 @@ object TextQueries {
       .orderBy("sh_a", "sh_b")
   }
 
+  /** REAL PIXEL DECODE + perceptual hashes — the round-8 closure of
+    * the engine's last declared stub: per doc_id a genuine PNG file
+    * (zlib IDAT, real CRCs — [[graft.operators.ImagePixels.SynthImages]])
+    * is encoded IN THE EXECUTORS, decoded back through `javax.imageio`
+    * ([[graft.operators.ImagePixels.decodeGray]]), block-mean resampled
+    * with exact integer math, and hashed to the two standard perceptual
+    * fingerprints (aHash 8×8, dHash 9×8). The oracle replays the PIXEL
+    * FORMULA itself (not a persisted engine artifact), so the
+    * encode→decode round-trip is gated end-to-end: any decoder
+    * deviation — wrong luma, wrong bucket map, off-by-one resample —
+    * breaks the hash match. One narrow mapPartitions pipeline, no
+    * shuffle; at 100 TB only the 16-byte hash rows leave the scan.
+    */
+  def imagePerceptualHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.ImagePixels
+    val media = Tables.documents(spark, sfDir).select("doc_id")
+      .filter(col("doc_id") < 60).as[Long]
+      .map(id =>
+        ImagePixels.MediaRow(id, ImagePixels.SynthImages.pngForId(id)))
+      .toDF()
+    ImagePixels.imageHashes(media)
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("ahash"), col("dhash"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 lexical top-10 for a fixed 4-term query. Scores are rounded to
     * 6 digits BEFORE ranking on both engines — log/accumulation-order
     * noise is ~1e-15, far below the rounding grain (SURVEY.md §7.4).
@@ -1382,6 +1411,7 @@ object TextQueries {
     "t13_relevant_tokens" -> (relevantTokens(_, _)),
     "t14_simhash_near_dup" -> (simhashNearDup(_, _)),
     "t48_simhash_groups" -> (simhashGroups(_, _)),
+    "t49_image_phash" -> (imagePerceptualHash(_, _)),
     "t15_bm25" -> (bm25(_, _)),
     "t16_dup_clusters" -> (dupClusters(_, _)),
     "t17_repetition" -> (repetition(_, _)),
@@ -1390,6 +1420,45 @@ object TextQueries {
     "t20_curation" -> (curation(_, _)))
 
   // ---- oracle SQL ----------------------------------------------------
+
+  /** Shared DuckDB CTE chain replaying
+    * [[graft.operators.ImagePixels]] from first principles — pixel
+    * formula → integer block means → aHash — over the t49/v32
+    * synthetic PNG corpus (ids < 60; formulas in the SynthImages doc).
+    * Ends with `ah(doc_id, ahash)`; t49 extends it with dims + dHash,
+    * v32 (VectorQueries) with the all-pairs hamming join. The range
+    * bounds 24/22 are the max dims (16 + 8, 16 + 6). Bit 63 is the
+    * long's sign bit: a BIGINT can't hold +2^63, so the replay adds
+    * the explicit two's-complement term instead of shifting.
+    */
+  private[queries] val imageAhashCtes: String =
+    """ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+      |d AS (SELECT doc_id,
+      |             CASE WHEN doc_id % 5 = 4 THEN doc_id - 1
+      |                  ELSE doc_id END AS src
+      |      FROM ids),
+      |dims AS (SELECT doc_id, src, 16 + src % 9 AS w, 16 + src % 7 AS h
+      |         FROM d),
+      |px AS (
+      |  SELECT doc_id, w, h, rx.range AS x, ry.range AS y,
+      |         least(255, (src * 31 + rx.range * 7 + ry.range * 13) % 256
+      |           + CASE WHEN doc_id % 5 = 4
+      |                   AND (rx.range + ry.range) % 9 = 0
+      |                  THEN 24 ELSE 0 END) AS v
+      |  FROM dims, range(0, 24) rx, range(0, 22) ry
+      |  WHERE rx.range < w AND ry.range < h),
+      |m8 AS (
+      |  SELECT doc_id, (y * 8) // h * 8 + (x * 8) // w AS i,
+      |         sum(v) // count(*) AS m
+      |  FROM px GROUP BY 1, 2),
+      |gm AS (SELECT doc_id, sum(m) // 64 AS gm FROM m8 GROUP BY 1),
+      |ah AS (
+      |  SELECT m8.doc_id,
+      |         CAST(sum(CASE WHEN m > gm THEN
+      |             CASE WHEN i = 63 THEN -9223372036854775807 - 1
+      |                  ELSE 1::BIGINT << CAST(i AS INT) END
+      |           ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM m8 JOIN gm USING (doc_id) GROUP BY 1)""".stripMargin
 
   /** Shared SQL fragments (DuckDB). */
   private val wsExpr =
@@ -2375,6 +2444,33 @@ object TextQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // full replay of the pixel pipeline from the closed-form image
+    // formulas (ImagePixels.SynthImages doc): because PNG is lossless
+    // and the fixtures are r=g=b (integer luma = identity), the
+    // formula IS the decoded grid — so this gates the real
+    // ImageIO decode end-to-end, not just the hash math
+    "t49_image_phash" ->
+      s"""WITH $imageAhashCtes,
+         |m9 AS (
+         |  SELECT doc_id, (x * 9) // w AS bx, (y * 8) // h AS by,
+         |         sum(v) // count(*) AS m
+         |  FROM px GROUP BY 1, 2, 3),
+         |dh AS (
+         |  SELECT a.doc_id,
+         |         CAST(sum(CASE WHEN b.m > a.m THEN
+         |             CASE WHEN a.by * 8 + a.bx = 63
+         |                  THEN -9223372036854775807 - 1
+         |                  ELSE 1::BIGINT << CAST(a.by * 8 + a.bx AS INT)
+         |             END
+         |           ELSE 0 END) AS BIGINT) AS dhash
+         |  FROM m9 a JOIN m9 b ON a.doc_id = b.doc_id AND a.by = b.by
+         |    AND b.bx = a.bx + 1
+         |  WHERE a.bx < 8 GROUP BY 1)
+         |SELECT dims.doc_id, CAST(w AS BIGINT) AS width,
+         |       CAST(h AS BIGINT) AS height, ahash, dhash
+         |FROM dims JOIN ah ON dims.doc_id = ah.doc_id
+         |JOIN dh ON dims.doc_id = dh.doc_id
+         |ORDER BY dims.doc_id""".stripMargin,
     // t14's fingerprint CTEs + grouping: cross rows over distinct
     // fingerprints, self rows for duplicated ones
     "t48_simhash_groups" ->

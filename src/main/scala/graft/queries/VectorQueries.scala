@@ -529,6 +529,46 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** v33's trained codebooks, once per corpus (v25's artifact
+    * contract): repeated v33 timings measure the BATCH SERVING path. */
+  private val batchedIvfPqCache = scala.collection.concurrent.TrieMap
+    .empty[String, graft.operators.Pq.PqModel]
+
+  /** BATCHED IVF-PQ serving ([[graft.operators.Pq.ivfPqSearchBatch]])
+    * — the production workload v22/v25/v26/v29/v30 don't cover: EIGHT
+    * queries share one scan of the cell-coded index through a single
+    * routing join (v21 proved the batched shape for SRP; this is the
+    * IVF-PQ flagship). Per-query LUTs broadcast as literal columns,
+    * ADC via builtin zip_with/aggregate, ONE corpus-scale exchange
+    * (the per-query shortlist window, WindowGroupLimit heaps), rerank
+    * on Q·50 rows. The oracle replays v22's CTE chain parameterized by
+    * query id — assignment, probe ranking, encode, per-query LUT, ADC,
+    * shortlist, exact rerank — so the whole batch is hash-gated.
+    */
+  def batchedIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") >= 16)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+    val model = batchedIvfPqCache.getOrElseUpdate(sfDir, {
+      val trained = Pq.trainCodebooks(
+        corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", m = 8, k = 16, maxIter = 4)
+      persistCodebooks(spark, trained, "v33_codebooks", sfDir)
+    })
+    val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 16)
+    val index = Pq.buildIvfPqIndex(corpus, centroids,
+      "vec_id", "embedding", model)
+    Pq.ivfPqSearchBatch(index, centroids, corpus, "vec_id", "embedding",
+        queries, model, nProbe = 4, shortlist = 50, k = 10)
+      .select(col("query_id"), col("vec_id"),
+        round(col("dist"), 6).as("l2_dist"))
+      .orderBy("query_id", "vec_id")
+  }
+
   /** v26's partitioned index + models, once per corpus (v25's artifact
     * contract): the index is an on-disk store a pipeline builds at
     * snapshot time, so repeated v26 timings measure the SERVING path —
@@ -870,6 +910,65 @@ object VectorQueries {
       .orderBy("doc_id")
   }
 
+  /** IMAGE NEAR-DUP via perceptual hash — the visual analog of t14's
+    * SimHash text dedup and a first-class training-data curation need:
+    * real PNGs (encoded in executors, [[graft.operators.ImagePixels
+    * .SynthImages]]) decode through `javax.imageio`, hash to 64-bit
+    * aHash fingerprints, and pair through the SAME pigeonhole block
+    * join as text SimHash ([[graft.operators.Dedup
+    * .simHashNearDupPairs]], 4×16-bit blocks — exact for radius 3,
+    * candidates bounded, hot-bucket guarded). The fixture plants a
+    * perturbed copy at every id % 5 == 4 (0-2 bits from its original),
+    * so the radius actually bites. The oracle replays pixels → aHash →
+    * all-pairs hamming in SQL from the closed-form image formulas.
+    * At 100 TB: decode+hash is a narrow scan; only (id, ahash) pairs
+    * shuffle into the block join.
+    */
+  def imageNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Dedup, ImagePixels}
+    val media = Tables.documents(spark, sfDir).select("doc_id")
+      .filter(col("doc_id") < 60).as[Long]
+      .map(id =>
+        ImagePixels.MediaRow(id, ImagePixels.SynthImages.pngForId(id)))
+      .toDF()
+    val fp = ImagePixels.imageHashes(media)
+      .select(col("doc_id"), col("ahash").as("simhash"))
+    Dedup.simHashNearDupPairs(fp, "doc_id", bits = 64, maxHamming = 3)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** v24's multimodal→retrieval composition upgraded to REAL PIXEL
+    * features: payloads are genuine PNGs, features the L2-normalized
+    * 4×4 block-mean vector ([[graft.operators.ImagePixels
+    * .pixelFeatures]] — the image itself, where v24's byte histogram
+    * saw only the compressed stream), search the same exact cosine
+    * top-10. Same narrow decode→feature→broadcast-search plan; the
+    * oracle rebuilds the features from the pixel formulas with the
+    * identical float32 rounding (CAST AS REAL) and replays the search.
+    */
+  def pixelSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.ImagePixels
+    val media = Tables.documents(spark, sfDir).select("doc_id")
+      .filter(col("doc_id") < 60).as[Long]
+      .map(id =>
+        ImagePixels.MediaRow(id, ImagePixels.SynthImages.pngForId(id)))
+      .toDF()
+    val feats = ImagePixels.pixelFeatures(media, 4, 4)
+    // filter BEFORE the typed mapPartitions on the query side (the
+    // v24 lesson: a filter cannot push below it)
+    val q = ImagePixels
+      .pixelFeatures(media.filter(col("doc_id") === 0), 4, 4)
+      .select(col("features").as("qe"))
+    Search.topK(feats.filter(col("doc_id") =!= 0), q,
+        "doc_id", "features", "qe", 10)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
   /** Range search (FAISS's `range_search` surface — the reference's
     * index exposes only top-k, server.js:45-61): EVERY vector whose
     * cosine to the query clears a threshold, no k. The plan is
@@ -1094,6 +1193,84 @@ object VectorQueries {
          |  ORDER BY d, ca.vec_id LIMIT 10)
          |SELECT vec_id, round(d, 6) AS l2_dist FROM res
          |ORDER BY vec_id""".stripMargin,
+    // v22's CTE chain parameterized by query id: probes, LUT, ADC,
+    // shortlist and rerank all PARTITION BY query_id — the whole
+    // 8-query batch replayed per query
+    "v33_batched_ivfpq" ->
+      s"""WITH cb AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |            FROM read_parquet('${Artifacts.oracleGlob("v33_codebooks")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8),
+         |cent AS (SELECT vec_id AS centroid_id, e AS ctr0 FROM v
+         |         ORDER BY vec_id LIMIT 16),
+         |corpus AS (SELECT vec_id, e FROM v WHERE vec_id >= 16),
+         |assigned AS (
+         |  SELECT vec_id, e, centroid_id FROM (
+         |    SELECT co.vec_id, co.e, cent.centroid_id,
+         |           row_number() OVER (PARTITION BY co.vec_id
+         |             ORDER BY list_distance(co.e, cent.ctr0),
+         |                      cent.centroid_id) AS rn
+         |    FROM corpus co, cent) WHERE rn = 1),
+         |probed AS (
+         |  SELECT query_id, centroid_id FROM (
+         |    SELECT q.query_id, cent.centroid_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY list_distance(cent.ctr0, q.qe),
+         |                      cent.centroid_id) AS rn
+         |    FROM cent, q) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id, a.e
+         |  FROM assigned a JOIN probed p USING (centroid_id)),
+         |cset AS (SELECT DISTINCT vec_id, e FROM cand),
+         |sub AS (
+         |  SELECT cs.vec_id, cb.j, cb.c,
+         |         list_sum(list_transform(range(0, 8), i ->
+         |           (cs.e[CAST(cb.j * 8 + i + 1 AS INT)]
+         |              - cb.ctr[CAST(i + 1 AS INT)]) *
+         |           (cs.e[CAST(cb.j * 8 + i + 1 AS INT)]
+         |              - cb.ctr[CAST(i + 1 AS INT)]))) AS dist
+         |  FROM cset cs, cb),
+         |codes AS (
+         |  SELECT vec_id, j, c FROM (
+         |    SELECT vec_id, j, c,
+         |           row_number() OVER (PARTITION BY vec_id, j
+         |                              ORDER BY dist, c) AS rn
+         |    FROM sub) WHERE rn = 1),
+         |lut AS (
+         |  SELECT q.query_id, cb.j, cb.c,
+         |         list_sum(list_transform(range(0, 8), i ->
+         |           (q.qe[CAST(cb.j * 8 + i + 1 AS INT)]
+         |              - cb.ctr[CAST(i + 1 AS INT)]) *
+         |           (q.qe[CAST(cb.j * 8 + i + 1 AS INT)]
+         |              - cb.ctr[CAST(i + 1 AS INT)]))) AS d
+         |  FROM cb, q),
+         |adc AS (
+         |  SELECT ca.query_id, ca.vec_id,
+         |         list_sum(list(lut.d ORDER BY lut.j)) AS adc_dist
+         |  FROM (SELECT query_id, vec_id FROM cand) ca
+         |  JOIN codes ON codes.vec_id = ca.vec_id
+         |  JOIN lut ON lut.query_id = ca.query_id
+         |    AND lut.j = codes.j AND lut.c = codes.c
+         |  GROUP BY ca.query_id, ca.vec_id),
+         |short AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY adc_dist, vec_id) AS rk
+         |    FROM adc) WHERE rk <= 50),
+         |res AS (
+         |  SELECT s.query_id, s.vec_id, list_distance(co.e, q.qe) AS d
+         |  FROM short s JOIN corpus co USING (vec_id)
+         |  JOIN q USING (query_id)),
+         |ranked AS (
+         |  SELECT query_id, vec_id, d,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY d, vec_id) AS rk
+         |  FROM res)
+         |SELECT query_id, vec_id, round(d, 6) AS l2_dist
+         |FROM ranked WHERE rk <= 10
+         |ORDER BY query_id, vec_id""".stripMargin,
     // v22's replay with the metadata predicate composed in: corpus
     // carries label, candidates filter label < 5 BEFORE the ADC CTEs —
     // the same filter-during-search the Spark plan applies on the
@@ -1498,6 +1675,42 @@ object VectorQueries {
         |  ORDER BY score DESC, f.doc_id LIMIT 10)
         |SELECT doc_id, round(score, 6) AS score FROM top
         |ORDER BY doc_id""".stripMargin,
+    // the t49 pixel→aHash replay (shared CTE chain) + the plain
+    // all-pairs hamming scan the pigeonhole join must exactly match
+    "v32_image_neardup" ->
+      s"""WITH ${TextQueries.imageAhashCtes}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT)
+         |         AS hamming
+         |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    // pixel formula → 4×4 integer block means → float32 L2-normalize
+    // (CAST AS REAL, the v24 convention) → cosine top-10 replay
+    "v34_pixel_search" ->
+      s"""WITH ${TextQueries.imageAhashCtes},
+         |m4 AS (
+         |  SELECT doc_id, (y * 4) // h * 4 + (x * 4) // w AS i,
+         |         CAST(sum(v) // count(*) AS DOUBLE) AS m
+         |  FROM px GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id, sqrt(sum(m * m)) AS norm
+         |        FROM m4 GROUP BY 1),
+         |f AS (
+         |  SELECT doc_id,
+         |         CAST(list_transform(list(m ORDER BY i), x ->
+         |           CASE WHEN norm = 0 THEN 0.0 ELSE x / norm END)
+         |           AS REAL[]) AS feat
+         |  FROM m4 JOIN nrm USING (doc_id) GROUP BY doc_id, norm),
+         |q AS (SELECT CAST(feat AS DOUBLE[]) AS qe FROM f
+         |      WHERE doc_id = 0),
+         |top AS (
+         |  SELECT f.doc_id,
+         |         list_cosine_similarity(CAST(f.feat AS DOUBLE[]), q.qe)
+         |           AS score
+         |  FROM f, q WHERE f.doc_id <> 0
+         |  ORDER BY score DESC, f.doc_id LIMIT 10)
+         |SELECT doc_id, round(score, 6) AS score FROM top
+         |ORDER BY doc_id""".stripMargin,
     // v22's replay with LEARNED cells: centroids read from the k-means
     // artifact instead of the seeded CTE; corpus = everything but the
     // query vector
@@ -1746,8 +1959,11 @@ object VectorQueries {
     "v15_quantized_knn" -> (quantizedKnn(_, _)),
     "v16_pq_recall" -> (pqRecall(_, _)),
     "v22_ivfpq_search" -> (ivfPqSearchQuery(_, _)),
+    "v33_batched_ivfpq" -> (batchedIvfPq(_, _)),
     "v23_knn_graph" -> (knnGraph(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
+    "v32_image_neardup" -> (imageNearDup(_, _)),
+    "v34_pixel_search" -> (pixelSearch(_, _)),
     "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
     "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
     "v27_ref_dim_search" -> (refDimSearch(_, _)),

@@ -157,6 +157,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("int8_quantize"), s"kernel missing from plan:\n$p")
   }
 
+  test("v33 batch serving: broadcast routing, heap-pushed per-query " +
+      "windows, no cartesian against the index") {
+    val p = finalPlan(VectorQueries.batchedIvfPq(spark, sf))
+    // Q queries share ONE index scan: probes/LUTs/shortlist reach the
+    // corpus-scale side only as broadcasts — a SortMergeJoin (or worse,
+    // a cartesian) against the coded index would mean the batch
+    // re-shuffled the corpus per stage
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast routing in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian against the index in:\n$p")
+    // rank <= shortlist / rank <= k push into WindowGroupLimit heaps,
+    // so the per-query windows never buffer a cell's full candidates
+    assert(p.contains("WindowGroupLimit"), s"no window heaps in:\n$p")
+  }
+
   test("correlated EXISTS + scalar subquery decorrelate to joins") {
     val p = finalPlan(RelationalQueries.existsSubquery(spark, sf))
     assert(p.contains("LeftSemi"),

@@ -102,6 +102,30 @@ class PqSpec extends SparkSpec {
     assert(probed1.contains(2L), "the exact match must be in its cell")
   }
 
+  test("batched serving ≡ the single-query path, per query") {
+    import graft.operators.Ann
+    val centroids = Ann.kmeansCentroids(emb, "vec_id", "embedding", 2)
+    val index = Pq.buildIvfPqIndex(emb, centroids, "vec_id", "embedding",
+      model)
+    val qs = Seq(
+      100L -> Array(10f, 0f, 10f, 0f),
+      101L -> Array(0f, 10f, 0f, 10f),
+      102L -> Array(9.8f, 0.2f, 0.1f, 9.9f))
+    val batched = Pq.ivfPqSearchBatch(index, centroids, emb, "vec_id",
+        "embedding", qs, model, nProbe = 1, shortlist = 4, k = 3)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3)).sortBy(_._1).toSeq).toMap
+    for ((qid, qv) <- qs) {
+      val single = Pq.ivfPqSearch(index, centroids, emb, "vec_id",
+          "embedding", qv, model, nProbe = 1, shortlist = 4, k = 3)
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+      assert(batched(qid) == single,
+        s"query $qid: batch ${batched(qid)} != single $single")
+    }
+    assert(batched.keySet == qs.map(_._1).toSet)
+  }
+
   test("dimension mismatch raises in encode and adc") {
     val bad = vecsDf((1L, Seq(1f, 2f, 3f)))
     val e = intercept[Exception] {
