@@ -432,12 +432,89 @@ object Ingest {
   private def manifestPath(root: String) =
     new org.apache.hadoop.fs.Path(root, ManifestName)
 
+  /** The manifested store's atomicity boundary, lifted to ONE method:
+    * a compare-and-swap publish of the pointer file. `publish` must
+    * install `next` as the content of `dest` iff the current content
+    * equals `expected` (None = dest must not exist yet), atomically
+    * for readers (old value or new, never a torn mixture), and return
+    * false when another writer got there first — the caller decides
+    * whether to retry or surface the conflict.
+    *
+    * Implementations:
+    *  - [[AtomicRenameCommit]] (default): local/HDFS — tmp file +
+    *    ATOMIC_MOVE / FileContext.rename(OVERWRITE). The CAS read is
+    *    non-atomic on its own; the store writer lock
+    *    ([[withStoreLock]], which [[commitStoreSnapshot]] always
+    *    holds) makes read+rename effectively atomic.
+    *  - An S3-class object store implements THE SAME method with one
+    *    conditional PUT (`If-Match: <etag observed for expected>`,
+    *    `If-None-Match: *` when None) and needs NO lock at all — the
+    *    PUT's precondition is the linearization point, and a 412
+    *    response maps to `false`. That deployment swap touches only
+    *    this trait; snapshot data files are immutable either way.
+    */
+  trait CommitProtocol extends Serializable {
+    def publish(spark: SparkSession, dest: org.apache.hadoop.fs.Path,
+                expected: Option[String], next: String): Boolean
+  }
+
+  /** Read a pointer file's content, None if absent. */
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+                          dest: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(dest)) None
+    else {
+      val in = fs.open(dest)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+
+  /** The local/HDFS [[CommitProtocol]]: today's tmp + atomic-rename,
+    * with the CAS check made explicit. */
+  object AtomicRenameCommit extends CommitProtocol {
+    override def publish(spark: SparkSession,
+                         dest: org.apache.hadoop.fs.Path,
+                         expected: Option[String], next: String): Boolean = {
+      val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (readPointer(fs, dest) != expected) return false // lost the race
+      val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
+        s".${dest.getName}.tmp")
+      val out = fs.create(tmp, true)
+      out.write(next.getBytes("UTF-8"))
+      out.close()
+      val scheme = Option(dest.toUri.getScheme).getOrElse(fs.getScheme)
+      if (scheme == "file") {
+        // nio paths via the qualified Hadoop URIs (withStoreLock's
+        // convention): File("file:/...") from a URI-form root would
+        // resolve CWD-relative and move the wrong file
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      } else {
+        // HDFS: FileContext.rename(OVERWRITE) is the atomic-replace
+        // primitive (FileSystem.rename refuses existing destinations)
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(dest.toUri,
+            spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, dest,
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+      true
+    }
+  }
+
   /** Commit a new snapshot: `write` produces the snapshot's data at
     * the directory it is handed (a fresh `snap-<n>` under the root),
-    * then the manifest pointer swaps to it atomically. Runs under the
-    * store writer lock like every other mutation.
+    * then the manifest pointer swaps to it through `protocol`'s CAS
+    * publish. Runs under the store writer lock like every other
+    * mutation; a lost CAS (possible when the protocol's backing store
+    * has writers outside this lock, the S3 deployment case) raises
+    * `ConcurrentModificationException` — the snapshot data directory
+    * is orphaned, not corrupting, and [[vacuumStore]] reclaims it.
     */
-  def commitStoreSnapshot(spark: SparkSession, root: String)
+  def commitStoreSnapshot(spark: SparkSession, root: String,
+                          protocol: CommitProtocol = AtomicRenameCommit)
                          (write: String => Unit): Unit = {
     // the root must exist BEFORE the lock: the lock FILE lives beside
     // it, and O_EXCL creation fails with a confusing ENOENT when the
@@ -448,6 +525,9 @@ object Ingest {
     withStoreLock(spark, root) {
       val hRoot = new org.apache.hadoop.fs.Path(root)
       val fs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the CAS witness: what this commit believes is live. Read
+      // INSIDE the lock so lock-respecting writers never conflict.
+      val expected = readPointer(fs, manifestPath(root))
       // sequence-numbered, assigned INSIDE the lock: snapshot names
       // order commits totally, across writers and JVM restarts (a
       // nanoTime-based name would not — its origin is arbitrary per
@@ -457,30 +537,12 @@ object Ingest {
         .foldLeft(0L)(math.max) + 1L
       val snap = f"snap-$next%016d"
       write(new org.apache.hadoop.fs.Path(hRoot, snap).toString)
-      val tmp = new org.apache.hadoop.fs.Path(root, s".$ManifestName.tmp")
-      val out = fs.create(tmp, true)
-      out.write(snap.getBytes("UTF-8"))
-      out.close()
-      val scheme = Option(hRoot.toUri.getScheme).getOrElse(fs.getScheme)
-      if (scheme == "file") {
-        // nio paths via the qualified Hadoop URIs (withStoreLock's
-        // convention): File("file:/...") from a URI-form root would
-        // resolve CWD-relative and move the wrong file
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
-          java.nio.file.Paths.get(
-            fs.makeQualified(manifestPath(root)).toUri.getPath),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-      } else {
-        // HDFS: FileContext.rename(OVERWRITE) is the atomic-replace
-        // primitive (FileSystem.rename refuses existing destinations)
-        org.apache.hadoop.fs.FileContext
-          .getFileContext(hRoot.toUri,
-            spark.sparkContext.hadoopConfiguration)
-          .rename(tmp, manifestPath(root),
-            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      }
+      if (!protocol.publish(spark, manifestPath(root), expected, snap))
+        throw new java.util.ConcurrentModificationException(
+          s"manifest commit for $root lost the publish race: another " +
+            s"writer superseded ${expected.getOrElse("<empty>")}; the " +
+            s"$snap data directory is orphaned (vacuum reclaims it) — " +
+            "re-run the commit against the new live snapshot")
     }
   }
 

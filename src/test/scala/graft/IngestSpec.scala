@@ -188,6 +188,55 @@ class IngestSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("CommitProtocol: a lost CAS publish fails the commit loudly, " +
+      "never tears the store; the next commit wins against the new live") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_race").toString + "/store"
+    Ingest.commitStoreSnapshot(spark, root) { dir =>
+      Ingest.writeStore(docsDf((1L, "a")), dir)
+    }
+    // a protocol whose backing store has a writer OUTSIDE our lock
+    // (the S3 deployment case): just before our publish lands, the
+    // other writer commits its own snapshot — our CAS witness is
+    // stale and the publish must report the lost race, not clobber
+    object RacingProtocol extends Ingest.CommitProtocol {
+      override def publish(spark: org.apache.spark.sql.SparkSession,
+                           dest: org.apache.hadoop.fs.Path,
+                           expected: Option[String],
+                           next: String): Boolean = {
+        val winner = "snap-0000000000000099"
+        docsDf((42L, "winner")).write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(
+            dest.getParent, winner).toString)
+        assert(Ingest.AtomicRenameCommit
+          .publish(spark, dest, expected, winner))
+        // now OUR publish runs with a stale witness — must lose
+        Ingest.AtomicRenameCommit.publish(spark, dest, expected, next)
+      }
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Ingest.commitStoreSnapshot(spark, root, RacingProtocol) { dir =>
+        Ingest.writeStore(docsDf((2L, "loser")), dir)
+      }
+    }
+    assert(e.getMessage.contains("lost the publish race"))
+    // the store points at the WINNER's commit, readable and whole —
+    // the loser's data directory is orphaned, not installed
+    assert(Ingest.readStoreManifested(spark, root)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((42L, "winner")))
+    // a retry against the new live snapshot succeeds via the default
+    // protocol and supersedes the winner in ordered history
+    Ingest.commitStoreSnapshot(spark, root) { dir =>
+      Ingest.writeStore(docsDf((3L, "retry")), dir)
+    }
+    assert(Ingest.readStoreManifested(spark, root)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((3L, "retry")))
+    assert(Ingest.listSnapshots(spark, root).map(_._1) ==
+      Ingest.listSnapshots(spark, root).map(_._1).sorted)
+  }
+
   test("manifest store accepts URI-form file roots: lock and manifest " +
       "land beside the store, not CWD-relative") {
     val dir = Files.createTempDirectory("graft_uri").toString
