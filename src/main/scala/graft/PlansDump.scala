@@ -202,7 +202,21 @@ object PlansDump {
           "set broadcasts, ADC is a narrow codegen'd map over the " +
           "probed cells only, and the exact rerank touches the " +
           "shortlist — at d=1536 the full vectors are read once for " +
-          "50 rows, not the corpus."))
+          "50 rows, not the corpus."),
+      "v33_batched_ivfpq" ->
+        ("Batched IVF-PQ serving: EIGHT queries share one scan of the " +
+          "cell-coded index — probes and per-query LUTs join in as " +
+          "BROADCASTS, ADC is a builtin zip_with/aggregate projection " +
+          "(codegen, no UDF), and the per-query shortlist/top-k " +
+          "windows execute as WindowGroupLimit heaps; the only " +
+          "corpus-scale exchange is the shortlist hash by query id — " +
+          "the scan is paid per batch, not per query."),
+      "t49_image_phash" ->
+        ("Pixel decode + perceptual hash: PNG encode, ImageIO decode, " +
+          "block-mean resample and both hashes all live in ONE narrow " +
+          "typed-mapPartitions stage over the document scan — no " +
+          "exchange until the final 60-row orderBy; at 100 TB only " +
+          "the 16-byte hash rows leave the media scan."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")
