@@ -16,11 +16,16 @@ import org.apache.spark.sql.functions._
   * codec-free container permits: the L2-normalized byte histogram
   * ([[HeaderCodec.features]]) — a learned image/audio embedding would
   * replace that one method without touching shape or plumbing.
-  * Full-pixel/sample decode (resize, frame-sample, mel-spectrogram)
-  * remains out of reach here and is the documented boundary. Unknown
-  * or MALFORMED payloads never throw: they fall back to [[StubCodec]]
-  * hash-derived metadata under format "bin" — at 100 TB a corrupt
-  * shard must skip, not kill the job.
+  * IMAGE pixel decode is now real as well — [[ImagePixels]] decodes
+  * PNG (and any other ImageIO-supported format) to pixel grids,
+  * extracts real pixel features and perceptual hashes (t49/v32/v34).
+  * The remaining boundary is audio SAMPLE and video FRAME decode
+  * (mel-spectrogram, frame pixels): those need codecs the JDK lacks;
+  * [[frameSample]]'s mapPartitions body is the documented seam an
+  * ffmpeg call drops into. Unknown or MALFORMED payloads never
+  * throw: they fall back to [[StubCodec]] hash-derived metadata
+  * under format "bin" — at 100 TB a corrupt shard must skip, not
+  * kill the job.
   */
 object Multimodal {
 
