@@ -421,6 +421,31 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL audio SAMPLE decode + integer-exact features — the audio
+    * half of the t49 closure ([[graft.operators.Audio]]): genuine WAV
+    * files with real int16 PCM streams (closed-form sawtooth, no
+    * transcendentals) encode in executors, decode back through the
+    * RIFF data-chunk walk, and reduce to the features an audio
+    * curation gate runs — energy, zero crossings, clip count — all
+    * integers, all replayed by the oracle from the formulas, so the
+    * decoder is hash-gated end-to-end. One narrow mapPartitions
+    * kernel; ~40 bytes per file leave the scan.
+    */
+  def audioPcmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Audio
+    val media = Tables.documents(spark, sfDir).select("doc_id")
+      .filter(col("doc_id") < 60).as[Long]
+      .map(id => Audio.AudioRow(id, Audio.SynthAudio.wavForId(id)))
+      .toDF()
+    Audio.pcmFeatures(media)
+      .select(col("doc_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"), col("energy"),
+        col("zero_crossings"), col("clip_count"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 lexical top-10 for a fixed 4-term query. Scores are rounded to
     * 6 digits BEFORE ranking on both engines — log/accumulation-order
     * noise is ~1e-15, far below the rounding grain (SURVEY.md §7.4).
@@ -1412,6 +1437,7 @@ object TextQueries {
     "t14_simhash_near_dup" -> (simhashNearDup(_, _)),
     "t48_simhash_groups" -> (simhashGroups(_, _)),
     "t49_image_phash" -> (imagePerceptualHash(_, _)),
+    "t50_audio_pcm" -> (audioPcmFeatures(_, _)),
     "t15_bm25" -> (bm25(_, _)),
     "t16_dup_clusters" -> (dupClusters(_, _)),
     "t17_repetition" -> (repetition(_, _)),
@@ -2471,6 +2497,36 @@ object TextQueries {
          |FROM dims JOIN ah ON dims.doc_id = ah.doc_id
          |JOIN dh ON dims.doc_id = dh.doc_id
          |ORDER BY dims.doc_id""".stripMargin,
+    // full replay of the PCM pipeline from the closed-form sample
+    // formulas (Audio.SynthAudio doc): WAV PCM is uncompressed, so
+    // the formula IS the decoded stream — the real RIFF data-chunk
+    // decode is gated end-to-end, all features integer-exact
+    "t50_audio_pcm" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |p AS (SELECT doc_id,
+        |             2000 + (doc_id % 7) * 500 AS n,
+        |             8000 + 1000 * (doc_id % 5) AS rate
+        |      FROM ids),
+        |s AS (SELECT doc_id, n, r.range AS i,
+        |             (((doc_id * 13 + r.range * 97) % 4001) - 2000) * 16
+        |               AS v
+        |      FROM p, range(0, 5000) r WHERE r.range < n),
+        |f AS (SELECT doc_id,
+        |             CAST(sum(v * v) AS BIGINT) AS energy,
+        |             CAST(sum(CASE WHEN abs(v) >= 30000 THEN 1 ELSE 0
+        |                      END) AS BIGINT) AS clip_count
+        |      FROM s GROUP BY 1),
+        |z AS (SELECT a.doc_id,
+        |             CAST(sum(CASE WHEN a.v * b.v < 0 THEN 1 ELSE 0
+        |                      END) AS BIGINT) AS zero_crossings
+        |      FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |      GROUP BY 1)
+        |SELECT p.doc_id, CAST(rate AS BIGINT) AS sample_rate,
+        |       CAST(n AS BIGINT) AS n_samples, energy, zero_crossings,
+        |       clip_count
+        |FROM p JOIN f ON p.doc_id = f.doc_id
+        |JOIN z ON p.doc_id = z.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
     // t14's fingerprint CTEs + grouping: cross rows over distinct
     // fingerprints, self rows for duplicated ones
     "t48_simhash_groups" ->

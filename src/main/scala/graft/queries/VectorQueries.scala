@@ -940,6 +940,34 @@ object VectorQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Image near-dup CLUSTERS — t16's transitive closure applied to
+    * the v32 perceptual-hash pair graph: pairwise hamming evidence
+    * becomes "keep one per cluster" dedup decisions through
+    * [[graft.operators.Graph.connectedComponents]] (label = min
+    * doc_id). The oracle replays pixels → aHash → all-pairs hamming →
+    * a recursive-CTE closure — the full image-dedup pipeline
+    * (decode, hash, pair, cluster) in one hash gate. At 100 TB the
+    * pair graph is the build-once artifact (t16's convention) and
+    * each closure round is one equi-join + min-aggregate on node id.
+    */
+  def imageDupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Dedup, ImagePixels}
+    val media = Tables.documents(spark, sfDir).select("doc_id")
+      .filter(col("doc_id") < 60).as[Long]
+      .map(id =>
+        ImagePixels.MediaRow(id, ImagePixels.SynthImages.pngForId(id)))
+      .toDF()
+    val fp = ImagePixels.imageHashes(media)
+      .select(col("doc_id"), col("ahash").as("simhash"))
+    val pairs = Dedup.simHashNearDupPairs(fp, "doc_id",
+      bits = 64, maxHamming = 3)
+    graft.operators.Graph.connectedComponents(pairs, "id_a", "id_b")
+      .groupBy(col("label").as("component"))
+      .agg(count("*").as("n_imgs"))
+      .orderBy("component")
+  }
+
   /** v24's multimodal→retrieval composition upgraded to REAL PIXEL
     * features: payloads are genuine PNGs, features the L2-normalized
     * 4×4 block-mean vector ([[graft.operators.ImagePixels
@@ -1675,6 +1703,28 @@ object VectorQueries {
         |  ORDER BY score DESC, f.doc_id LIMIT 10)
         |SELECT doc_id, round(score, 6) AS score FROM top
         |ORDER BY doc_id""".stripMargin,
+    // the t49 pixel→aHash replay + all-pairs hamming edges + t16's
+    // recursive-CTE transitive closure — decode, hash, pair and
+    // cluster all inside one hash gate
+    "v35_image_dup_groups" ->
+      s"""WITH RECURSIVE ${TextQueries.imageAhashCtes},
+         |hpairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM hpairs
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM hpairs),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e
+         |  ON e.src = w.node)
+         |SELECT component, count(*) AS n_imgs FROM (
+         |  SELECT node, min(label) AS component FROM walk
+         |  GROUP BY node)
+         |GROUP BY component ORDER BY component""".stripMargin,
     // the t49 pixel→aHash replay (shared CTE chain) + the plain
     // all-pairs hamming scan the pigeonhole join must exactly match
     "v32_image_neardup" ->
@@ -1964,6 +2014,7 @@ object VectorQueries {
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),
     "v34_pixel_search" -> (pixelSearch(_, _)),
+    "v35_image_dup_groups" -> (imageDupGroups(_, _)),
     "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
     "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
     "v27_ref_dim_search" -> (refDimSearch(_, _)),

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Audio
+import graft.operators.Audio.SynthAudio
+
+/** PCM decode contracts: golden samples through a hand-built WAV,
+  * the refuse-don't-guess policy for non-PCM16-mono payloads, the
+  * encode→decode round-trip on the fixtures, and the feature math.
+  */
+class AudioSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def wav(rate: Int, channels: Int, bits: Int,
+                  samples: Seq[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(channels.toShort).putInt(rate)
+    buf.putInt(rate * channels * bits / 8)
+    buf.putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(v => buf.putShort(v))
+    buf.array()
+  }
+
+  test("golden samples: a hand-built PCM16 mono WAV decodes exactly") {
+    val got = Audio.decodePcm16Mono(
+      wav(16000, 1, 16, Seq[Short](0, 100, -100, 32767, -32768)))
+    assert(got.isDefined)
+    val (rate, s) = got.get
+    assert(rate == 16000)
+    assert(s.toSeq == Seq[Short](0, 100, -100, 32767, -32768))
+  }
+
+  test("refuse-don't-guess: stereo, 8-bit, non-PCM and garbage all skip") {
+    assert(Audio.decodePcm16Mono(
+      wav(16000, 2, 16, Seq[Short](1, 2))).isEmpty) // stereo
+    assert(Audio.decodePcm16Mono("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Audio.decodePcm16Mono(Array.empty[Byte]).isEmpty)
+    // header-only (the t11 fixture shape: data size 0) decodes to
+    // ZERO samples — valid, just silent
+    val empty = Audio.decodePcm16Mono(
+      graft.operators.Multimodal.SynthMedia.wavBytes(8000, 1))
+    assert(empty.exists(_._2.isEmpty))
+  }
+
+  test("SynthAudio round-trip: decode(wavForId) == samplesForId, " +
+      "within int16 range") {
+    for (id <- Seq(0L, 6L, 33L, 59L)) {
+      val want = SynthAudio.samplesForId(id)
+      assert(want.forall(v => v >= -32768 && v <= 32767))
+      val Some((rate, got)) = Audio.decodePcm16Mono(SynthAudio.wavForId(id))
+      assert(rate == 8000 + 1000 * (id % 5).toInt)
+      assert(got.toSeq == want.toSeq, s"samples for id=$id")
+    }
+  }
+
+  test("pcmFeatures: integer-exact energy / crossings / clip count; " +
+      "undecodable rows drop") {
+    val rows = Seq(
+      Audio.AudioRow(1L, wav(8000, 1, 16,
+        Seq[Short](100, -200, 300, 0, -400, 31000))),
+      Audio.AudioRow(2L, "garbage".getBytes("UTF-8")))
+      .toDF()
+    val got = Audio.pcmFeatures(rows)
+      .as[(Long, Int, Long, Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (id, rate, n, energy, zc, clip) = got.head
+    assert((id, rate, n) == (1L, 8000, 6L))
+    assert(energy ==
+      100L*100 + 200L*200 + 300L*300 + 0L + 400L*400 + 31000L*31000)
+    // sign flips: 100→-200, -200→300; 300→0 and 0→-400 are NOT
+    // crossings (strict product < 0); -400→31000 is
+    assert(zc == 3L)
+    assert(clip == 1L)
+  }
+}
