@@ -576,7 +576,56 @@ object StreamingQueries {
       .orderBy("format")
   }
 
+  /** s17's staged PCM directory — the [[mediaStage]] convention over
+    * the t50 fixtures: real WAV files with real int16 sample streams. */
+  private val pcmStageDirs = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+
+  private def pcmStage(spark: SparkSession, sfDir: String): String =
+    pcmStageDirs.getOrElseUpdate(sfDir, {
+      import graft.operators.Audio.SynthAudio
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_s17_pcm").toString
+      graft.Tables.documents(spark, sfDir).select("doc_id")
+        .filter(col("doc_id") < 60)
+        .collect().map(_.getLong(0))
+        .foreach { id =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, f"doc_$id%05d.wav"),
+            SynthAudio.wavForId(id)): Unit
+        }
+      dir
+    })
+
+  /** CONTINUOUS AUDIO INGEST with REAL sample decode — s16 upgraded
+    * from headers to content: WAV files arrive through the streaming
+    * binaryFile source and each micro-batch runs the full PCM decode +
+    * integer feature kernel ([[graft.operators.Audio.pcmFeatures]] —
+    * stateless mapPartitions, streaming-legal as-is). Append output,
+    * ZERO streaming state: each file reduces to one 5-long feature row
+    * inside the scan, the property that makes a 100 TB shard crawl's
+    * state size independent of throughput. Oracle = t50's SQL
+    * VERBATIM — continuous decode ≡ batch, at sample granularity.
+    */
+  def streamAudioPcm(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Audio
+    val dir = pcmStage(spark, sfDir)
+    val schema = spark.read.format("binaryFile").load(dir).schema
+    val raw = spark.readStream.schema(schema)
+      .format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "doc_(\\d+)", 1)
+        .cast("long").as("doc_id"), col("content").as("payload"))
+    val feats = Audio.pcmFeatures(raw)
+      .select(col("doc_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"), col("energy"),
+        col("zero_crossings"), col("clip_count"))
+    Streaming.runAvailableNowAppend(spark, feats, "graft_s17")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_stream_audio" -> (streamAudioPcm(_, _)),
     "s16_stream_media" -> (streamMedia(_, _)),
     "s08_session_window" -> (streamSessionWindows(_, _)),
     "s01_stream_hourly" -> (streamHourly(_, _)),
@@ -597,6 +646,9 @@ object StreamingQueries {
   // `def`: s11's entry (t33's oracle verbatim) interpolates artifact
   // globs, which must resolve at dump time, after the queries ran.
   def oracles: Map[String, String] = Map(
+    // t50's sample-formula replay VERBATIM — continuous PCM decode ≡
+    // batch, at sample granularity
+    "s17_stream_audio" -> TextQueries.oracles("t50_audio_pcm"),
     // i12's id-formula replay, aggregated — continuous decode ≡ batch
     "s16_stream_media" ->
       """WITH m AS (SELECT doc_id,
