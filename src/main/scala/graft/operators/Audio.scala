@@ -112,6 +112,39 @@ object Audio {
       .toDF()
   }
 
+  case class FrameRow(doc_id: Long, frame_ix: Long, n: Long,
+                      energy: Long, peak: Long)
+
+  /** FRAME-level PCM features — the framing stage every audio model
+    * pipeline runs before anything spectral (and the basis of
+    * VAD-style silence gating): samples split into consecutive
+    * `frameLen`-sample frames (last frame partial), each reduced to
+    * (count, energy, peak |s|) — all integers, SQL-replayable. A
+    * downstream silence gate is `energy == 0` (digital silence) or an
+    * energy/`n` threshold; frame selection then mirrors
+    * [[Multimodal.frameSample]]'s stride rule.
+    */
+  def frameFeatures(df: DataFrame, frameLen: Int = 500): DataFrame = {
+    require(frameLen >= 1, s"frameLen=$frameLen must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[AudioRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodePcm16Mono(r.payload).toSeq.flatMap { case (_, s) =>
+            s.iterator.zipWithIndex
+              .map { case (v, i) => (i / frameLen, v.toLong) }
+              .toSeq.groupBy(_._1).toSeq.map { case (fix, vs) =>
+                FrameRow(r.doc_id, fix.toLong, vs.size.toLong,
+                  vs.map(t => t._2 * t._2).sum,
+                  vs.map(t => math.abs(t._2)).max)
+              }
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Deterministic REAL-PCM fixture generator (the
     * [[ImagePixels.SynthImages]] convention): full WAV files with a
     * genuine fmt chunk and an int16 sample stream following a
@@ -126,6 +159,10 @@ object Audio {
     * The ·16 scaling pushes peaks past the default clip rail (30000)
     * so clip_count is exercised, and the %4001 sawtooth crosses zero
     * constantly so zero_crossings is non-trivial.
+    *
+    * The FRAMED variant (t51) zeroes every third 500-sample block —
+    * `s(i) = 0 when (i / 500) % 3 == 2` — planting digital-silence
+    * frames so the silence gate has something to catch.
     */
   object SynthAudio {
 
@@ -135,9 +172,19 @@ object Audio {
         ((((id * 13 + i.toLong * 97) % 4001) - 2000) * 16).toShort)
     }
 
-    def wavForId(id: Long): Array[Byte] = {
-      val rate = 8000 + 1000 * (id % 5).toInt
-      val s = samplesForId(id)
+    def samplesFramedForId(id: Long): Array[Short] = {
+      val base = samplesForId(id)
+      Array.tabulate(base.length)(i =>
+        if ((i / 500) % 3 == 2) 0.toShort else base(i))
+    }
+
+    def wavFramedForId(id: Long): Array[Byte] =
+      wavFromSamples(8000 + 1000 * (id % 5).toInt, samplesFramedForId(id))
+
+    def wavForId(id: Long): Array[Byte] =
+      wavFromSamples(8000 + 1000 * (id % 5).toInt, samplesForId(id))
+
+    private def wavFromSamples(rate: Int, s: Array[Short]): Array[Byte] = {
       val dataLen = s.length * 2
       val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -446,6 +446,29 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** FRAME-level audio features + silence gating
+    * ([[graft.operators.Audio.frameFeatures]]) — the framing stage
+    * every audio model pipeline runs before anything spectral: the
+    * t50 decode path re-fixtured with planted digital-silence blocks
+    * (every third 500-sample block zeroed), split into 500-sample
+    * frames, each reduced to integer (count, energy, peak) plus the
+    * silence flag a VAD-style gate keys on. Oracle replays samples →
+    * frames → aggregates from the closed-form formulas.
+    */
+  def audioFrameFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Audio
+    val media = Tables.documents(spark, sfDir).select("doc_id")
+      .filter(col("doc_id") < 60).as[Long]
+      .map(id => Audio.AudioRow(id, Audio.SynthAudio.wavFramedForId(id)))
+      .toDF()
+    Audio.frameFeatures(media, frameLen = 500)
+      .select(col("doc_id"), col("frame_ix"), col("n"),
+        col("energy"), col("peak"),
+        (col("energy") === 0L).as("silent"))
+      .orderBy("doc_id", "frame_ix")
+  }
+
   /** BM25 lexical top-10 for a fixed 4-term query. Scores are rounded to
     * 6 digits BEFORE ranking on both engines — log/accumulation-order
     * noise is ~1e-15, far below the rounding grain (SURVEY.md §7.4).
@@ -1438,6 +1461,7 @@ object TextQueries {
     "t48_simhash_groups" -> (simhashGroups(_, _)),
     "t49_image_phash" -> (imagePerceptualHash(_, _)),
     "t50_audio_pcm" -> (audioPcmFeatures(_, _)),
+    "t51_audio_frames" -> (audioFrameFeatures(_, _)),
     "t15_bm25" -> (bm25(_, _)),
     "t16_dup_clusters" -> (dupClusters(_, _)),
     "t17_repetition" -> (repetition(_, _)),
@@ -2527,6 +2551,24 @@ object TextQueries {
         |FROM p JOIN f ON p.doc_id = f.doc_id
         |JOIN z ON p.doc_id = z.doc_id
         |ORDER BY p.doc_id""".stripMargin,
+    // the t50 replay re-fixtured with zeroed blocks, grouped into
+    // 500-sample frames — framing + silence gate hash-checked
+    "t51_audio_frames" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |p AS (SELECT doc_id, 2000 + (doc_id % 7) * 500 AS n FROM ids),
+        |s AS (SELECT doc_id, r.range AS i,
+        |             CASE WHEN (r.range // 500) % 3 = 2 THEN 0
+        |                  ELSE (((doc_id * 13 + r.range * 97) % 4001)
+        |                        - 2000) * 16 END AS v
+        |      FROM p, range(0, 5000) r WHERE r.range < n),
+        |f AS (SELECT doc_id, i // 500 AS frame_ix,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(v * v) AS BIGINT) AS energy,
+        |             CAST(max(abs(v)) AS BIGINT) AS peak
+        |      FROM s GROUP BY 1, 2)
+        |SELECT doc_id, frame_ix, n, energy, peak,
+        |       energy = 0 AS silent
+        |FROM f ORDER BY doc_id, frame_ix""".stripMargin,
     // t14's fingerprint CTEs + grouping: cross rows over distinct
     // fingerprints, self rows for duplicated ones
     "t48_simhash_groups" ->

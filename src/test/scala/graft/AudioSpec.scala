@@ -58,6 +58,26 @@ class AudioSpec extends SparkSpec {
     }
   }
 
+  test("frameFeatures: consecutive frames, partial tail, exact " +
+      "aggregates; framed fixture plants true digital silence") {
+    val rows = Seq(Audio.AudioRow(1L,
+      wav(8000, 1, 16, Seq[Short](10, -20, 30, 0, 5)))).toDF()
+    val got = Audio.frameFeatures(rows, frameLen = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._2).toSeq
+    assert(got == Seq(
+      (1L, 0L, 2L, 10L * 10 + 20L * 20, 20L),
+      (1L, 1L, 2L, 30L * 30, 30L),
+      (1L, 2L, 1L, 25L, 5L))) // partial tail frame of one sample
+    // the t51 fixture: every third 500-block is digital silence
+    val framed = SynthAudio.samplesFramedForId(9L)
+    assert(framed.slice(1000, 1500).forall(_ == 0))
+    assert(framed.slice(0, 500).exists(_ != 0))
+    val Some((_, rt)) =
+      Audio.decodePcm16Mono(SynthAudio.wavFramedForId(9L))
+    assert(rt.toSeq == framed.toSeq)
+  }
+
   test("pcmFeatures: integer-exact energy / crossings / clip count; " +
       "undecodable rows drop") {
     val rows = Seq(
