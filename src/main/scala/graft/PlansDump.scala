@@ -216,7 +216,23 @@ object PlansDump {
           "block-mean resample and both hashes all live in ONE narrow " +
           "typed-mapPartitions stage over the document scan — no " +
           "exchange until the final 60-row orderBy; at 100 TB only " +
-          "the 16-byte hash rows leave the media scan."))
+          "the 16-byte hash rows leave the media scan."),
+      "t52_dsir_select" ->
+        ("DSIR importance resampling: the corpus is tokenized ONCE " +
+          "into a persisted per-(doc,bucket) count frame; the fitted " +
+          "model (≤1024 buckets) folds off that frame map-side and " +
+          "re-enters as a BROADCAST — the corpus never shuffles for " +
+          "scoring. Integer micro-unit weights keep the doc scores " +
+          "exact under any partial-agg order, and the final top-k is " +
+          "a TakeOrdered heap, not a sort."),
+      "t53_lm_perplexity" ->
+        ("Perplexity terciles: the bigram stream persists once and " +
+          "feeds three partial-agg count models plus the scoring " +
+          "re-join (sort-merge equi-joins, AQE-splittable skew); " +
+          "tercile ranks come from repartitionByRange + per-PARTITION " +
+          "row_number + a partition-count-sized offset broadcast (the " +
+          "i10 distributed-id pattern) — ntile semantics with no " +
+          "single-partition window anywhere in the plan."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")

@@ -212,4 +212,159 @@ object TextAnalysis {
     tf.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169, public): pick training documents whose hashed
+    * n-gram distribution looks like a TARGET domain. The pipeline:
+    *
+    *   1. featurize every doc into hashed {uni,bi}gram counts over
+    *      `buckets` buckets (md5-based so the SQL oracle replays it);
+    *   2. fit two Laplace-smoothed bag-of-buckets models — p from the
+    *      `targetFlag` subset, q from the whole corpus;
+    *   3. per-doc log importance weight log w(x) = Σ_b c_b·(ln p_b −
+    *      ln q_b);
+    *   4. Gumbel top-k: key = log w + G_i with G_i = −ln(−ln(u_i)),
+    *      u_i a deterministic per-doc hash uniform — equivalent to
+    *      sampling k docs without replacement ∝ w(x) (the paper's
+    *      resampling step, derandomized for testability).
+    *
+    * Determinism across engines: the per-BUCKET weight ln p_b − ln q_b
+    * is computed once (≤`buckets` evaluations) and immediately rounded
+    * to integer MICRO-units; every per-DOC sum is then exact Long
+    * arithmetic — order-independent, so the doc scores are bit-equal in
+    * Spark and DuckDB no matter how partial aggregation reorders the
+    * additions. (The only residual risk is a libm ulp landing exactly
+    * on a .5 micro-unit boundary — measure-zero in practice.)
+    *
+    * Scale shape (100 TB): one pass over the token stream into per-doc
+    * bucket counts (partial-agg shuffle keyed (doc, bucket) — ≤`buckets`
+    * rows per doc out of the map side). The model folds OFF that frame
+    * (second agg over ~docs×buckets rows, collapsing to `buckets`
+    * rows map-side), so the corpus is tokenized once; the frame is
+    * persisted because model and scoring both read it. The fitted
+    * model is KB-scale and broadcast; the final top-k is a TakeOrdered
+    * heap, never a global sort.
+    */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+                 targetFlag: Column, buckets: Int = 1024,
+                 k: Int = 100): DataFrame = {
+    val base = df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), targetFlag.as("_tgt"),
+        words(lower(col(textCol))).as("_ws"))
+    // unigrams ++ adjacent bigrams ("w1 w2"), hashed into buckets
+    val feats = base.select(col(idCol), col("_tgt"),
+      explode(concat(col("_ws"),
+        when(size(col("_ws")) >= 2,
+          expr("transform(sequence(0, size(_ws) - 2)," +
+            " i -> concat(_ws[i], ' ', _ws[i+1]))"))
+          .otherwise(array().cast("array<string>")))).as("f"))
+      .select(col(idCol), col("_tgt"),
+        (md5Long(col("f")) % buckets).as("b"))
+    val docBuckets = feats
+      .groupBy(col(idCol), col("_tgt"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val model = docBuckets.groupBy("b")
+      .agg(sum("c").as("q_cnt"),
+        sum(when(col("_tgt"), col("c")).otherwise(0L)).as("p_cnt"))
+    val tot = model.agg(sum("q_cnt").as("qt"), sum("p_cnt").as("pt"))
+    val lw = model.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(lit(1e6) *
+          (log((col("p_cnt") + lit(1.0)) / (col("pt") + lit(buckets.toDouble))) -
+           log((col("q_cnt") + lit(1.0)) / (col("qt") + lit(buckets.toDouble)))))
+          .cast("long").as("lwu"))
+    val gumbelUnits =
+      round(lit(-1e6) * log(-log(
+        ((md5Long(concat(lit("dsir:"), col(idCol).cast("string"))) % 1000000L)
+          .cast("double") + lit(0.5)) / lit(1e6)))).cast("long")
+    docBuckets.join(broadcast(lw), "b")
+      .groupBy(col(idCol))
+      .agg(sum(col("c") * col("lwu")).as("lw_units"))
+      .withColumn("key_units", col("lw_units") + gumbelUnits)
+      .orderBy(col("key_units").desc, col(idCol))
+      .limit(k)
+      .orderBy(col(idCol))
+  }
+
+  /** Bigram-interpolated LM perplexity with CCNet-style head/middle/
+    * tail bucketing (Wenzek et al. 2020, public — CCNet scores docs
+    * with a KenLM 5-gram model and keeps perplexity terciles; this is
+    * the same control loop with a corpus-fit interpolated bigram LM,
+    * the strongest LM buildable without shipping external weights).
+    *
+    *   p(w2 | w1) = λ·c(w1 w2)/c(w1·) + (1−λ)·c(w2)/T
+    *
+    * over all adjacent positions of docs with ≥2 tokens; per-doc score
+    * = mean −ln p (rounded to 6dp BEFORE ranking, the t15 convention,
+    * so tercile boundaries resolve identically in both engines); docs
+    * are then split into head/middle/tail terciles of the score order.
+    *
+    * Scale shape: counting models are three partial-agg shuffles over
+    * the bigram stream (bigram, context, unigram); scoring re-joins
+    * the stream to them — sort-merge equi-joins, AQE-splittable on
+    * stop-word skew. The bigram frame feeds four consumers, so it is
+    * persisted. The tercile assignment deliberately avoids a global
+    * single-partition window: ranks come from `repartitionByRange` +
+    * per-partition row_number + collected per-partition COUNTS folded
+    * into exclusive offsets (the i10 distributed-id pattern,
+    * Ingest.assignIdsDistributed) — a partition-count-sized driver
+    * aggregate, never a row-sized one; tercile of rank r (1-based,
+    * n rows) = ⌊(r−1)·3/n⌋, the exact ntile(3) partition.
+    */
+  def lmPerplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                          lambda: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val toks = df
+      .select(col(idCol), words(lower(col(textCol))).as("_ws"))
+      .filter(size(col("_ws")) >= 2)
+    val bg = toks.select(col(idCol), explode(
+        expr("transform(sequence(0, size(_ws) - 2)," +
+          " i -> struct(_ws[i] AS w1, _ws[i+1] AS w2))")).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist()
+    val uni = toks.select(col(idCol), explode(col("_ws")).as("w"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("uc"))
+    val total = uni.count()
+    val cc = bg.groupBy("w1").agg(count(lit(1)).as("cc"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val nll = -log(
+      lit(lambda) * (col("bc") / col("cc")) +
+        lit(1.0 - lambda) * (col("uc") / lit(total.toDouble)))
+    val perDoc = bg
+      .join(bc, Seq("w1", "w2"))
+      .join(cc, Seq("w1"))
+      .join(uc, col("w") === col("w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(nll), 6).as("nll"))
+    // distributed exact global rank over (nll, id) — see scaladoc
+    val parted = perDoc
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("nll"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // eager: pins the sampled range layout
+    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .orderBy("_pid").collect()
+    var acc = 0L
+    val offsets = counts.map { r =>
+      val row = (r.getInt(0), acc); acc += r.getLong(1); row
+    }.toSeq
+    val n = acc
+    import spark.implicits._
+    val offDf = offsets.toDF("_pid", "_off")
+    parted
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_pid")).orderBy(col("nll"), col(idCol))))
+      .join(broadcast(offDf), Seq("_pid"))
+      // exact integer tercile: Spark's `div`, not double `/` + cast
+      .withColumn("_tile", expr(s"((_rn + _off - 1L) * 3L) div ${math.max(n, 1L)}L"))
+      .groupBy(when(col("_tile") === 0L, "head")
+        .when(col("_tile") === 1L, "middle")
+        .otherwise("tail").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(idCol)).as("sum_ids"),
+        round(avg(col("nll")), 6).as("avg_nll"))
+      .orderBy("bucket")
+  }
 }

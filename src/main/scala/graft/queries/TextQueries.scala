@@ -519,6 +519,23 @@ object TextQueries {
       .unigramSurprisal(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** DSIR importance resampling
+    * ([[graft.operators.TextAnalysis.dsirSelect]]): the 100 documents
+    * Gumbel-top-k-selected toward the English subset as the target
+    * domain, from hashed-{uni,bi}gram importance weights. Integer
+    * micro-unit weights make the scores exactly engine-portable. */
+  def dsirSelect(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.dsirSelect(Tables.documents(spark, sfDir),
+      "doc_id", "text", targetFlag = col("lang") === "en")
+
+  /** CCNet-style perplexity terciles
+    * ([[graft.operators.TextAnalysis.lmPerplexityBuckets]]): per-doc
+    * interpolated-bigram-LM mean NLL, docs split head/middle/tail by
+    * exact distributed tercile rank (never a single-partition window). */
+  def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.lmPerplexityBuckets(Tables.documents(spark, sfDir),
+      "doc_id", "text")
+
   /** The capstone curation pipeline — the composition a real
     * training-data run executes, as ONE oracle-checked plan: keep a doc
     * iff (a) it is English, (b) it passes all four t08 quality gates,
@@ -1467,7 +1484,9 @@ object TextQueries {
     "t17_repetition" -> (repetition(_, _)),
     "t18_redact" -> (redactEvents(_, _)),
     "t19_surprisal" -> (surprisal(_, _)),
-    "t20_curation" -> (curation(_, _)))
+    "t20_curation" -> (curation(_, _)),
+    "t52_dsir_select" -> (dsirSelect(_, _)),
+    "t53_lm_perplexity" -> (lmPerplexity(_, _)))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -2242,6 +2261,83 @@ object TextQueries {
          |       round(avg(-ln(tf / t)), 6) AS avg_surprisal
          |FROM tok JOIN vocab USING (w), tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // hashed-{uni,bi}gram DSIR: per-bucket log-ratio rounded to integer
+    // micro-units FIRST, so every per-doc sum is exact BIGINT arithmetic
+    // (order-independent) — mirror of TextAnalysis.dsirSelect
+    "t52_dsir_select" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, $wsLowerExpr AS ws
+         |  FROM documents WHERE trim(text) <> ''),
+         |f AS (
+         |  SELECT doc_id, lang, unnest(list_concat(ws,
+         |    list_transform(range(0, greatest(len(ws) - 1, 0)),
+         |      i -> ws[i+1] || ' ' || ws[i+2]))) AS f
+         |  FROM w),
+         |b AS (SELECT doc_id, lang = 'en' AS tgt,
+         |             ${hash60("f")} % 1024 AS b FROM f),
+         |db AS (SELECT doc_id, tgt, b, count(*) AS c FROM b GROUP BY 1, 2, 3),
+         |model AS (
+         |  SELECT b, CAST(sum(c) AS BIGINT) AS q_cnt,
+         |         CAST(sum(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS p_cnt
+         |  FROM db GROUP BY b),
+         |tot AS (SELECT CAST(sum(q_cnt) AS BIGINT) AS qt,
+         |               CAST(sum(p_cnt) AS BIGINT) AS pt FROM model),
+         |lw AS (
+         |  -- CAST AS DOUBLE: bare 1.0/1024.0 literals are DECIMALs in
+         |  -- DuckDB and decimal division would diverge from Spark doubles
+         |  SELECT b, CAST(round(1e6 * (
+         |      ln(CAST(p_cnt + 1 AS DOUBLE) / CAST(pt + 1024 AS DOUBLE))
+         |    - ln(CAST(q_cnt + 1 AS DOUBLE) / CAST(qt + 1024 AS DOUBLE))))
+         |    AS BIGINT) AS lwu
+         |  FROM model, tot),
+         |docw AS (
+         |  SELECT doc_id, CAST(sum(c * lwu) AS BIGINT) AS lw_units
+         |  FROM db JOIN lw USING (b) GROUP BY doc_id),
+         |keyed AS (
+         |  SELECT doc_id, lw_units, lw_units + CAST(round(-1e6 * ln(-ln(
+         |    ((${hash60("concat('dsir:', doc_id)")} % 1000000) + 0.5) / 1e6)))
+         |    AS BIGINT) AS key_units
+         |  FROM docw)
+         |SELECT * FROM (
+         |  SELECT doc_id, lw_units, key_units FROM keyed
+         |  ORDER BY key_units DESC, doc_id LIMIT 100)
+         |ORDER BY doc_id""".stripMargin,
+    // interpolated bigram LM + exact ntile(3) closed form
+    // ⌊(rk−1)·3/n⌋ — mirror of TextAnalysis.lmPerplexityBuckets
+    "t53_lm_perplexity" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ws FROM
+         |    (SELECT doc_id, $wsLowerExpr AS ws FROM documents)
+         |  WHERE len(ws) >= 2),
+         |b2 AS (
+         |  SELECT doc_id, split_part(f, ' ', 1) AS w1,
+         |         split_part(f, ' ', 2) AS w2
+         |  FROM (SELECT doc_id, unnest(list_transform(range(0, len(ws) - 1),
+         |          i -> ws[i+1] || ' ' || ws[i+2])) AS f FROM d)),
+         |uni AS (SELECT unnest(ws) AS w FROM d),
+         |uc AS (SELECT w, count(*) AS uc FROM uni GROUP BY w),
+         |tot AS (SELECT count(*) AS t FROM uni),
+         |cc AS (SELECT w1, count(*) AS cc FROM b2 GROUP BY w1),
+         |bc AS (SELECT w1, w2, count(*) AS bc FROM b2 GROUP BY w1, w2),
+         |doc AS (
+         |  -- CAST(0.7 AS DOUBLE) + (1 - λ) computed IN double: matches
+         |  -- Spark's lit(0.7)/lit(1.0 - 0.7) bit-for-bit (≠ decimal 0.3)
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |         round(avg(-ln(CAST(0.7 AS DOUBLE) * (bc / cc)
+         |           + (1 - CAST(0.7 AS DOUBLE)) * (uc / t))), 6) AS nll
+         |  FROM b2 JOIN bc USING (w1, w2) JOIN cc USING (w1)
+         |       JOIN uc ON uc.w = b2.w2, tot
+         |  GROUP BY doc_id),
+         |r AS (
+         |  SELECT doc_id, nll,
+         |         row_number() OVER (ORDER BY nll, doc_id) AS rk,
+         |         count(*) OVER () AS n
+         |  FROM doc)
+         |SELECT CASE ((rk - 1) * 3) // n WHEN 0 THEN 'head'
+         |            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+         |       count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |       round(avg(nll), 6) AS avg_nll
+         |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
     "t20_curation" ->
       s"""WITH RECURSIVE $jaccardPairCtes,
          |edges AS (

@@ -146,4 +146,79 @@ class TextAnalysisSpec extends SparkSpec {
       .select(nfcNormalize(nfcNormalize(col("s")))).head.getString(0)
     assert(twice == "\u00f6")
   }
+
+  test("dsirSelect ranks target-vocabulary docs above disjoint ones") {
+    val docs = docsDf(
+      (1L, "alpha beta gamma alpha beta"), // target
+      (2L, "alpha beta delta"),            // target
+      (3L, "alpha beta gamma"),            // raw, shares target n-grams
+      (4L, "zebra quagga yak okapi"))      // raw, disjoint vocabulary
+    val got = TextAnalysis.dsirSelect(docs, "doc_id", "text",
+        targetFlag = col("doc_id") <= 2L, buckets = 64, k = 10)
+      .select("doc_id", "lw_units")
+      .as[(Long, Long)].collect()
+    // k=10 > 4 docs: all survive; output is doc_id-ordered
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val w = got.toMap
+    // doc 3 re-uses the target's {uni,bi}grams; doc 4 shares none \u2014
+    // its every bucket has p_cnt=0 so each feature contributes the
+    // pure smoothing penalty and its weight must land strictly below
+    assert(w(3L) > w(4L))
+    // target docs themselves score at least as high as the disjoint doc
+    assert(w(1L) > w(4L) && w(2L) > w(4L))
+  }
+
+  test("dsirSelect top-k keeps the k best Gumbel keys") {
+    val docs = docsDf((1L to 20L).map(i =>
+      (i, if (i <= 5) "alpha beta gamma" else "zebra quagga yak")): _*)
+    val all = TextAnalysis.dsirSelect(docs, "doc_id", "text",
+        targetFlag = col("doc_id") <= 5L, buckets = 64, k = 20)
+      .select("doc_id", "key_units").as[(Long, Long)].collect().toMap
+    val top = TextAnalysis.dsirSelect(docs, "doc_id", "text",
+        targetFlag = col("doc_id") <= 5L, buckets = 64, k = 6)
+      .select("doc_id", "key_units").as[(Long, Long)].collect().toMap
+    assert(top.size == 6)
+    val cutoff = top.values.min
+    // every excluded doc keys strictly below the kept minimum (ties
+    // impossible: integer keys + deterministic per-doc Gumbel hash)
+    assert(all.filterNot { case (id, _) => top.contains(id) }
+      .values.forall(_ < cutoff))
+  }
+
+  test("lmPerplexityBuckets: exact ntile terciles, monotone avg nll") {
+    // 7 scorable docs (\u22652 tokens) + 2 excluded degenerates
+    val docs = docsDf(
+      (1L, "a b a b a b a b"),
+      (2L, "a b c d"),
+      (3L, "c d c d"),
+      (4L, "x y z w"),
+      (5L, "a b a b"),
+      (6L, "p q r s t"),
+      (7L, "m n m n"),
+      (8L, "solo"), (9L, ""))
+    val got = TextAnalysis.lmPerplexityBuckets(docs, "doc_id", "text")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq("head", "middle", "tail"))
+    // ntile(3) of 7 rows = 3/2/2, extras to the first bucket
+    assert(got.map(_._2).toSeq == Seq(3L, 2L, 2L))
+    assert(got.map(_._3).sum == (1L to 7L).sum)
+    // buckets are rank segments of the nll order, so averages ascend
+    assert(got(0)._4 <= got(1)._4 && got(1)._4 <= got(2)._4)
+  }
+
+  test("lmPerplexityBuckets: repeated-bigram doc lands in head") {
+    // powers-of-ten ids make every bucket's sum_ids decode its members
+    val docs = docsDf(
+      (1L, "a b a b a b a b a b a b"),    // dominant bigram everywhere
+      (10L, "q w e r t y u i o p"),       // all-hapax bigrams
+      (100L, "a b a b c d e f"),
+      (1000L, "z z q q w w e e r r"))
+    val byBucket = TextAnalysis.lmPerplexityBuckets(docs, "doc_id", "text")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // 4 docs \u2192 terciles 2/1/1; doc 1's positions are all the modal
+    // "a b"/"b a" transitions, the lowest possible nll in this corpus
+    assert(byBucket("head") % 10 == 1L,
+      s"doc 1 must be a head member (head sum_ids=${byBucket("head")})")
+  }
 }
