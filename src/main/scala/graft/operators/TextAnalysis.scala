@@ -245,35 +245,53 @@ object TextAnalysis {
     * model is KB-scale and broadcast; the final top-k is a TakeOrdered
     * heap, never a global sort.
     */
-  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
-                 targetFlag: Column, buckets: Int = 1024,
-                 k: Int = 100): DataFrame = {
-    val base = df.filter(trim(col(textCol)) =!= "")
-      .select(col(idCol), targetFlag.as("_tgt"),
-        words(lower(col(textCol))).as("_ws"))
-    // unigrams ++ adjacent bigrams ("w1 w2"), hashed into buckets
-    val feats = base.select(col(idCol), col("_tgt"),
-      explode(concat(col("_ws"),
+  /** Hashed {uni,bi}gram feature stream: one output row per feature
+    * occurrence, all non-text columns carried through, `b` = the
+    * md5-hashed bucket. Works on batch AND streaming frames (narrow:
+    * filter + explode + hash, no state) — the shared featurizer of
+    * [[dsirSelect]] and its streaming scoring twin. */
+  def hashedNgramBuckets(df: DataFrame, textCol: String,
+                         buckets: Int): DataFrame = {
+    val others = df.columns.filterNot(_ == textCol).map(col)
+    df.filter(trim(col(textCol)) =!= "")
+      .withColumn("_ws", words(lower(col(textCol))))
+      // unigrams ++ adjacent bigrams ("w1 w2"), hashed into buckets
+      .select(others :+ explode(concat(col("_ws"),
         when(size(col("_ws")) >= 2,
           expr("transform(sequence(0, size(_ws) - 2)," +
             " i -> concat(_ws[i], ' ', _ws[i+1]))"))
-          .otherwise(array().cast("array<string>")))).as("f"))
-      .select(col(idCol), col("_tgt"),
-        (md5Long(col("f")) % buckets).as("b"))
-    val docBuckets = feats
-      .groupBy(col(idCol), col("_tgt"), col("b"))
-      .agg(count(lit(1)).as("c"))
-      .persist()
+          .otherwise(array().cast("array<string>")))).as("f"): _*)
+      .select(others :+ (md5Long(col("f")) % buckets).as("b"): _*)
+  }
+
+  /** Fit the DSIR bucket model from a per-(doc, target-flag, bucket)
+    * count frame: per-bucket integer micro-unit log importance ratio
+    * `lwu` = round(1e6·(ln p̂_b − ln q̂_b)), Laplace-smoothed. ≤`buckets`
+    * rows — a broadcastable artifact. */
+  def dsirModel(docBuckets: DataFrame, buckets: Int): DataFrame = {
     val model = docBuckets.groupBy("b")
       .agg(sum("c").as("q_cnt"),
         sum(when(col("_tgt"), col("c")).otherwise(0L)).as("p_cnt"))
     val tot = model.agg(sum("q_cnt").as("qt"), sum("p_cnt").as("pt"))
-    val lw = model.crossJoin(broadcast(tot))
+    model.crossJoin(broadcast(tot))
       .select(col("b"),
         round(lit(1e6) *
           (log((col("p_cnt") + lit(1.0)) / (col("pt") + lit(buckets.toDouble))) -
            log((col("q_cnt") + lit(1.0)) / (col("qt") + lit(buckets.toDouble)))))
           .cast("long").as("lwu"))
+  }
+
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+                 targetFlag: Column, buckets: Int = 1024,
+                 k: Int = 100): DataFrame = {
+    val feats = hashedNgramBuckets(
+      df.select(col(idCol), targetFlag.as("_tgt"), col(textCol)),
+      textCol, buckets)
+    val docBuckets = feats
+      .groupBy(col(idCol), col("_tgt"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val lw = dsirModel(docBuckets, buckets)
     val gumbelUnits =
       round(lit(-1e6) * log(-log(
         ((md5Long(concat(lit("dsir:"), col(idCol).cast("string"))) % 1000000L)

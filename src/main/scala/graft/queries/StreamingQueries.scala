@@ -501,6 +501,43 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** Streaming DSIR scoring — the deployment split of t52: the bucket
+    * model is fit OFFLINE over the full corpus (one batch job; the
+    * artifact is ≤1024 (bucket, micro-unit-weight) rows, collected
+    * driver-side like the PQ codebooks and re-broadcast), then arriving
+    * documents are scored CONTINUOUSLY: featurize (narrow, stateless),
+    * broadcast-join the model, per-doc integer sum. The only streaming
+    * state is the per-doc aggregate of the in-flight micro-batch.
+    * Integer micro-unit weights make stream ≡ batch EXACT, so the
+    * oracle is t52's scoring CTE verbatim over all docs — continuous
+    * scoring converges to the batch answer bit-for-bit.
+    */
+  def streamDsirScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = graft.Tables.documents(spark, sfDir)
+    val docBuckets = TextAnalysis.hashedNgramBuckets(
+        docs.select(col("doc_id"), (col("lang") === "en").as("_tgt"),
+          col("text")), "text", TextQueries.DsirBuckets)
+      .groupBy("doc_id", "_tgt", "b").agg(count(lit(1)).as("c"))
+    // artifact-sized collect (≤1024 rows): pins the fitted model so
+    // micro-batches re-read a local table, never re-fit the corpus
+    val model = TextAnalysis.dsirModel(docBuckets, TextQueries.DsirBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    import spark.implicits._
+    val modelDf = model.toDF("b", "lwu")
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val scored = TextAnalysis.hashedNgramBuckets(
+        stream.select(col("doc_id"), col("text")),
+        "text", TextQueries.DsirBuckets)
+      .join(broadcast(modelDf), "b")
+      .groupBy("doc_id")
+      .agg(sum("lwu").as("lw_units"))
+    Streaming.runAvailableNow(spark, scored, "graft_s18")
+      .orderBy("doc_id")
+  }
+
   /** Sessionization through the BUILT-IN session_window operator
     * ([[Streaming.sessionWindowCounts]]) — s03's twin without custom
     * state. The oracle's session rule is `gap >= 1800` (window bound
@@ -641,7 +678,8 @@ object StreamingQueries {
     "s12_stream_profile" -> (streamProfile(_, _)),
     "s13_stream_heavy" -> (streamHeavyHitters(_, _)),
     "s14_stream_drift" -> (streamDrift(_, _)),
-    "s15_stream_bloom" -> (streamBloomDecontaminate(_, _)))
+    "s15_stream_bloom" -> (streamBloomDecontaminate(_, _)),
+    "s18_stream_dsir" -> (streamDsirScore(_, _)))
 
   // `def`: s11's entry (t33's oracle verbatim) interpolates artifact
   // globs, which must resolve at dump time, after the queries ran.
@@ -649,6 +687,9 @@ object StreamingQueries {
     // t50's sample-formula replay VERBATIM — continuous PCM decode ≡
     // batch, at sample granularity
     "s17_stream_audio" -> TextQueries.oracles("t50_audio_pcm"),
+    // t52's scoring CTE verbatim over ALL docs — stream scoring against
+    // the offline-fit model ≡ batch, bit-for-bit (integer micro-units)
+    "s18_stream_dsir" -> TextQueries.dsirScoresOracle,
     // i12's id-formula replay, aggregated — continuous decode ≡ batch
     "s16_stream_media" ->
       """WITH m AS (SELECT doc_id,

@@ -526,7 +526,8 @@ object TextQueries {
     * micro-unit weights make the scores exactly engine-portable. */
   def dsirSelect(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.dsirSelect(Tables.documents(spark, sfDir),
-      "doc_id", "text", targetFlag = col("lang") === "en")
+      "doc_id", "text", targetFlag = col("lang") === "en",
+      buckets = DsirBuckets)
 
   /** CCNet-style perplexity terciles
     * ([[graft.operators.TextAnalysis.lmPerplexityBuckets]]): per-doc
@@ -1541,6 +1542,48 @@ object TextQueries {
   private def hash60(e: String): String =
     s"CAST(concat('0x', substring(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Hash buckets of the DSIR featurizer (t52/s18). */
+  val DsirBuckets = 1024
+
+  /** The DSIR pipeline as CTEs ending in `docw(doc_id, lw_units)` —
+    * shared by t52 (Gumbel top-k over it) and s18 (the streaming
+    * scoring twin emits docw verbatim). */
+  private lazy val dsirCtes =
+    s"""w AS (
+       |  SELECT doc_id, lang, $wsLowerExpr AS ws
+       |  FROM documents WHERE trim(text) <> ''),
+       |f AS (
+       |  SELECT doc_id, lang, unnest(list_concat(ws,
+       |    list_transform(range(0, greatest(len(ws) - 1, 0)),
+       |      i -> ws[i+1] || ' ' || ws[i+2]))) AS f
+       |  FROM w),
+       |b AS (SELECT doc_id, lang = 'en' AS tgt,
+       |             ${hash60("f")} % $DsirBuckets AS b FROM f),
+       |db AS (SELECT doc_id, tgt, b, count(*) AS c FROM b GROUP BY 1, 2, 3),
+       |model AS (
+       |  SELECT b, CAST(sum(c) AS BIGINT) AS q_cnt,
+       |         CAST(sum(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS p_cnt
+       |  FROM db GROUP BY b),
+       |tot AS (SELECT CAST(sum(q_cnt) AS BIGINT) AS qt,
+       |               CAST(sum(p_cnt) AS BIGINT) AS pt FROM model),
+       |lw AS (
+       |  -- CAST AS DOUBLE: bare 1.0/1024.0 literals are DECIMALs in
+       |  -- DuckDB and decimal division would diverge from Spark doubles
+       |  SELECT b, CAST(round(1e6 * (
+       |      ln(CAST(p_cnt + 1 AS DOUBLE) / CAST(pt + $DsirBuckets AS DOUBLE))
+       |    - ln(CAST(q_cnt + 1 AS DOUBLE) / CAST(qt + $DsirBuckets AS DOUBLE))))
+       |    AS BIGINT) AS lwu
+       |  FROM model, tot),
+       |docw AS (
+       |  SELECT doc_id, CAST(sum(c * lwu) AS BIGINT) AS lw_units
+       |  FROM db JOIN lw USING (b) GROUP BY doc_id)""".stripMargin
+
+  /** s18's oracle: the DSIR scores of EVERY document — continuous
+    * scoring against the offline-fit model ≡ batch, exactly. */
+  lazy val dsirScoresOracle: String =
+    s"""WITH $dsirCtes
+       |SELECT doc_id, lw_units FROM docw ORDER BY doc_id""".stripMargin
+
   /** Affine hash family member j over a base-hash SQL expr — mirrors
     * [[graft.functions.HashFunctions.affineHash]] (constants are Scala
     * Long arithmetic embedded as BIGINT literals). */
@@ -2265,34 +2308,7 @@ object TextQueries {
     // micro-units FIRST, so every per-doc sum is exact BIGINT arithmetic
     // (order-independent) — mirror of TextAnalysis.dsirSelect
     "t52_dsir_select" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, lang, $wsLowerExpr AS ws
-         |  FROM documents WHERE trim(text) <> ''),
-         |f AS (
-         |  SELECT doc_id, lang, unnest(list_concat(ws,
-         |    list_transform(range(0, greatest(len(ws) - 1, 0)),
-         |      i -> ws[i+1] || ' ' || ws[i+2]))) AS f
-         |  FROM w),
-         |b AS (SELECT doc_id, lang = 'en' AS tgt,
-         |             ${hash60("f")} % 1024 AS b FROM f),
-         |db AS (SELECT doc_id, tgt, b, count(*) AS c FROM b GROUP BY 1, 2, 3),
-         |model AS (
-         |  SELECT b, CAST(sum(c) AS BIGINT) AS q_cnt,
-         |         CAST(sum(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS p_cnt
-         |  FROM db GROUP BY b),
-         |tot AS (SELECT CAST(sum(q_cnt) AS BIGINT) AS qt,
-         |               CAST(sum(p_cnt) AS BIGINT) AS pt FROM model),
-         |lw AS (
-         |  -- CAST AS DOUBLE: bare 1.0/1024.0 literals are DECIMALs in
-         |  -- DuckDB and decimal division would diverge from Spark doubles
-         |  SELECT b, CAST(round(1e6 * (
-         |      ln(CAST(p_cnt + 1 AS DOUBLE) / CAST(pt + 1024 AS DOUBLE))
-         |    - ln(CAST(q_cnt + 1 AS DOUBLE) / CAST(qt + 1024 AS DOUBLE))))
-         |    AS BIGINT) AS lwu
-         |  FROM model, tot),
-         |docw AS (
-         |  SELECT doc_id, CAST(sum(c * lwu) AS BIGINT) AS lw_units
-         |  FROM db JOIN lw USING (b) GROUP BY doc_id),
+      s"""WITH $dsirCtes,
          |keyed AS (
          |  SELECT doc_id, lw_units, lw_units + CAST(round(-1e6 * ln(-ln(
          |    ((${hash60("concat('dsir:', doc_id)")} % 1000000) + 0.5) / 1e6)))
