@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * fixture formulas, gating the DECODER end-to-end (the t49
   * convention).
   *
-  * What stays out: compressed codecs (MP3/AAC/Opus) and FFT-domain
-  * features (mel-spectrogram) — those need libraries this container
-  * lacks; the mapPartitions body here is the seam they drop into,
-  * exactly like ffmpeg in [[Multimodal.frameSample]].
+  * What stays out: compressed codecs (MP3/AAC/Opus) — those need
+  * libraries this container lacks; the mapPartitions body here is the
+  * seam they drop into, exactly like ffmpeg in
+  * [[Multimodal.frameSample]]. FFT-domain features are IN:
+  * [[spectralFeatures]] computes the discrete Fourier spectrum with
+  * fixed-point twiddle tables, no library needed.
   *
   * Scale shape: decode+aggregate is one narrow mapPartitions kernel —
   * each payload reduces to a 5-long feature row inside the scan, so
@@ -139,6 +141,86 @@ object Audio {
                   vs.map(t => t._2 * t._2).sum,
                   vs.map(t => math.abs(t._2)).max)
               }
+          }
+        }
+      }
+      .toDF()
+  }
+
+  case class SpectralRow(doc_id: Long, frame_ix: Long, dom_bin: Long,
+                         dom_power: Long, total_power: Long,
+                         centroid: Double)
+
+  /** Frame-level DFT spectral features over the decoded PCM — the
+    * FFT-domain half of the audio seam, computed with NO external
+    * library: per `frameLen`-sample frame (partial tail dropped — a
+    * DFT needs the full window), the discrete Fourier magnitude
+    * spectrum over bins k = 1..N/2, reduced to the features a
+    * spectral curation gate keys on: dominant bin (argmax |X_k|²,
+    * ties → lowest k), its power, total power, and the spectral
+    * centroid Σk·P_k / ΣP_k (the classic brightness signal).
+    *
+    * Engine-portability is the design driver: the ONLY transcendental
+    * step is the twiddle table cos/sin(2πj/N), quantized to integer
+    * MILLI-units up front — after that every accumulation (re, im,
+    * P_k = re²+im², the Σk·P_k centroid numerator) is exact Long
+    * arithmetic, order-independent, so a SQL oracle replays the whole
+    * spectrum bit-for-bit from the fixture formulas. P_k is stored in
+    * trig-scale² units (// 10⁶) so the 32-bin total fits a Long at
+    * full-scale int16 input. The angle is reduced mod N BEFORE the
+    * trig ((k·i) mod N — cos is 2π-periodic), keeping libm arguments
+    * in [0, 2π) where both engines' cos/sin agree to the last ulp;
+    * the residual cross-engine risk is a twiddle landing exactly on a
+    * .5 milli-unit boundary, which only the four rational angles can
+    * do (0, ±1000, 0 — none end in .5).
+    *
+    * `frameLen` ≤ 64 keeps re²+im² within Long: |re| ≤ N·32768·1000,
+    * and 2·(64·32768·1000)² = 8.8e18 < 2⁶³.
+    *
+    * Scale shape: decode + spectrum + reduce is ONE narrow
+    * mapPartitions kernel (trig tables built once per partition);
+    * ~50 bytes per frame leave the scan, never samples.
+    */
+  def spectralFeatures(df: DataFrame, frameLen: Int = 64): DataFrame = {
+    require(frameLen >= 2 && frameLen <= 64,
+      s"frameLen=$frameLen outside [2, 64] (Long-exact power bound)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = frameLen
+    df.select(col("doc_id"), col("payload")).as[AudioRow]
+      .mapPartitions { rows =>
+        val cosT = Array.tabulate(n)(j =>
+          math.round(math.cos(2.0 * math.Pi * j / n) * 1000.0))
+        val sinT = Array.tabulate(n)(j =>
+          math.round(math.sin(2.0 * math.Pi * j / n) * 1000.0))
+        rows.flatMap { r =>
+          decodePcm16Mono(r.payload).toSeq.flatMap { case (_, s) =>
+            (0 until s.length / n).map { fix =>
+              val off = fix * n
+              var domBin = 0L; var domP = 0L; var totP = 0L; var wSum = 0L
+              var k = 1
+              while (k <= n / 2) {
+                var re = 0L; var im = 0L; var i = 0
+                while (i < n) {
+                  val v = s(off + i).toLong
+                  val j = (k * i) % n
+                  re += v * cosT(j)
+                  im += v * sinT(j)
+                  i += 1
+                }
+                val p = (re * re + im * im) / 1000000L
+                if (p > domP) { domP = p; domBin = k.toLong }
+                totP += p
+                wSum += k.toLong * p
+                k += 1
+              }
+              // centroid left UNROUNDED: query layers round(…, 6) on
+              // both engines (the t19 convention) — the division here
+              // is exact-int inputs, identical IEEE op either side
+              if (totP == 0L) SpectralRow(r.doc_id, fix.toLong, 0L, 0L, 0L, 0.0)
+              else SpectralRow(r.doc_id, fix.toLong, domBin, domP, totP,
+                wSum.toDouble / totP.toDouble)
+            }
           }
         }
       }

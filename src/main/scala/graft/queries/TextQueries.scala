@@ -469,6 +469,28 @@ object TextQueries {
       .orderBy("doc_id", "frame_ix")
   }
 
+  /** DFT spectral features over REAL decoded PCM
+    * ([[graft.operators.Audio.spectralFeatures]]) — the FFT-domain
+    * audio seam closed with fixed-point twiddle tables: dominant bin,
+    * powers and spectral centroid per 64-sample frame of the t51
+    * framed fixture (so silent frames exercise the zero-spectrum
+    * branch). Integer milli-unit trig makes the whole spectrum exact
+    * Long arithmetic; the oracle recomputes it from the sample
+    * formulas, gating decode → window → DFT → reduce end-to-end. */
+  def audioSpectral(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Audio
+    val media = Tables.documents(spark, sfDir).select("doc_id")
+      .filter(col("doc_id") < 60).as[Long]
+      .map(id => Audio.AudioRow(id, Audio.SynthAudio.wavFramedForId(id)))
+      .toDF()
+    Audio.spectralFeatures(media, frameLen = 64)
+      .select(col("doc_id"), col("frame_ix"), col("dom_bin"),
+        col("dom_power"), col("total_power"),
+        round(col("centroid"), 6).as("centroid"))
+      .orderBy("doc_id", "frame_ix")
+  }
+
   /** BM25 lexical top-10 for a fixed 4-term query. Scores are rounded to
     * 6 digits BEFORE ranking on both engines — log/accumulation-order
     * noise is ~1e-15, far below the rounding grain (SURVEY.md §7.4).
@@ -1480,6 +1502,7 @@ object TextQueries {
     "t49_image_phash" -> (imagePerceptualHash(_, _)),
     "t50_audio_pcm" -> (audioPcmFeatures(_, _)),
     "t51_audio_frames" -> (audioFrameFeatures(_, _)),
+    "t54_audio_spectral" -> (audioSpectral(_, _)),
     "t15_bm25" -> (bm25(_, _)),
     "t16_dup_clusters" -> (dupClusters(_, _)),
     "t17_repetition" -> (repetition(_, _)),
@@ -2681,6 +2704,47 @@ object TextQueries {
         |SELECT doc_id, frame_ix, n, energy, peak,
         |       energy = 0 AS silent
         |FROM f ORDER BY doc_id, frame_ix""".stripMargin,
+    // samples → 64-frames → fixed-point DFT → features, all from the
+    // closed-form fixture formulas: the milli-unit twiddle quantization
+    // makes re/im/P/centroid-numerator exact BIGINT on both engines,
+    // so the gate covers decode → window → spectrum → reduce exactly
+    "t54_audio_spectral" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |p AS (SELECT doc_id, 2000 + (doc_id % 7) * 500 AS n FROM ids),
+        |s AS (SELECT doc_id, r.range AS i,
+        |             CASE WHEN (r.range // 500) % 3 = 2 THEN 0
+        |                  ELSE (((doc_id * 13 + r.range * 97) % 4001)
+        |                        - 2000) * 16 END AS v
+        |      FROM p, range(0, 5000) r WHERE r.range < n),
+        |fr AS (SELECT s.doc_id, i // 64 AS frame_ix, i % 64 AS j, v
+        |       FROM s JOIN p USING (doc_id) WHERE i // 64 < n // 64),
+        |bins AS (
+        |  SELECT doc_id, frame_ix, k.range AS k,
+        |    CAST(sum(v * CAST(round(cos(2 * pi() * ((k.range * j) % 64)
+        |      / 64) * 1000) AS BIGINT)) AS BIGINT) AS re,
+        |    CAST(sum(v * CAST(round(sin(2 * pi() * ((k.range * j) % 64)
+        |      / 64) * 1000) AS BIGINT)) AS BIGINT) AS im
+        |  FROM fr, range(1, 33) k GROUP BY 1, 2, 3),
+        |pw AS (SELECT doc_id, frame_ix, k,
+        |              (re * re + im * im) // 1000000 AS pk FROM bins),
+        |agg AS (SELECT doc_id, frame_ix,
+        |          CAST(sum(pk) AS BIGINT) AS total_power,
+        |          CAST(sum(k * pk) AS BIGINT) AS wsum
+        |        FROM pw GROUP BY 1, 2),
+        |dom AS (SELECT doc_id, frame_ix, k, pk,
+        |          row_number() OVER (PARTITION BY doc_id, frame_ix
+        |                             ORDER BY pk DESC, k) AS rn
+        |        FROM pw)
+        |SELECT a.doc_id, a.frame_ix,
+        |       CASE WHEN a.total_power = 0 THEN 0 ELSE d.k END AS dom_bin,
+        |       CASE WHEN a.total_power = 0 THEN 0 ELSE d.pk END AS dom_power,
+        |       a.total_power,
+        |       CASE WHEN a.total_power = 0 THEN 0.0
+        |            ELSE round(CAST(a.wsum AS DOUBLE) / a.total_power, 6)
+        |       END AS centroid
+        |FROM agg a JOIN dom d ON d.doc_id = a.doc_id
+        |  AND d.frame_ix = a.frame_ix AND d.rn = 1
+        |ORDER BY a.doc_id, a.frame_ix""".stripMargin,
     // t14's fingerprint CTEs + grouping: cross rows over distinct
     // fingerprints, self rows for duplicated ones
     "t48_simhash_groups" ->

@@ -97,4 +97,44 @@ class AudioSpec extends SparkSpec {
     assert(zc == 3L)
     assert(clip == 1L)
   }
+
+  test("spectralFeatures: pure tone at bin 4 dominates; silence zeros") {
+    // 128 samples of cos(2π·4·i/64): two 64-frames of a bin-4 tone,
+    // then a 64-sample digital-silence frame
+    val tone = (0 until 128).map(i =>
+      math.round(1000.0 * math.cos(2.0 * math.Pi * 4 * i / 64)).toShort)
+    val rows = Seq(
+      Audio.AudioRow(1L, wav(8000, 1, 16, tone ++ Seq.fill(64)(0.toShort))),
+      // 65 samples: one full frame + a dropped partial tail
+      Audio.AudioRow(2L, wav(8000, 1, 16, tone.take(65))))
+      .toDF()
+    val got = Audio.spectralFeatures(rows, frameLen = 64)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got.size == 4) // doc1: 3 frames, doc2: 1 (partial dropped)
+    // both tone frames: dominant bin 4, centroid pulled to ~4
+    for (fix <- 0L to 1L) {
+      val (dom, domP, totP, cen) = got((1L, fix))
+      assert(dom == 4L, s"frame $fix dominant bin $dom")
+      assert(domP > 0L && totP >= domP)
+      // quantized twiddles leak tiny power into other bins; the
+      // centroid must still sit hard against the tone bin
+      assert(math.abs(cen - 4.0) < 0.01, s"centroid $cen")
+    }
+    // digital silence: all-zero spectrum, flagged via zeros
+    assert(got((1L, 2L)) == ((0L, 0L, 0L, 0.0)))
+    // doc 2's only frame is the same tone frame 0
+    assert(got((2L, 0L))._1 == 4L)
+  }
+
+  test("spectralFeatures: DC-only input has zero AC spectrum") {
+    // constant signal: every k>=1 bin of a full period sums to zero
+    // EXACTLY in milli-unit trig (Σcos/Σsin over a full cycle is 0)
+    val rows = Seq(Audio.AudioRow(7L,
+      wav(8000, 1, 16, Seq.fill(64)(500.toShort)))).toDF()
+    val got = Audio.spectralFeatures(rows, frameLen = 64)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    assert((got.head._3, got.head._4, got.head._5) == ((0L, 0L, 0L)))
+  }
 }
