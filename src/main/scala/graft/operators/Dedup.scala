@@ -876,4 +876,57 @@ object Dedup {
       .select(col(idCol), col("centroid_id"),
         coalesce(col("kept"), lit(true)).as("kept"))
   }
+
+  /** FastSS deletion-neighborhood fuzzy join (Bocek et al. 2007,
+    * "Fast Similarity Search in Large Dictionaries" — public): all
+    * DISTINCT-value pairs of `nameCol` within Levenshtein distance 1,
+    * with per-value row support counts. The entity-resolution /
+    * catalog-typo shape ("cold bolt" ↔ "old bolt") the n-gram dedup
+    * family can't express — shingle Jaccard is word-level, this is
+    * character-level and EXACT.
+    *
+    * Blocking: two strings are within edit distance 1 only if their
+    * del-1 neighborhoods intersect, where `D1(s) = {s} ∪ {s with one
+    * character deleted}` (substitution ⇒ both sides share the
+    * delete-at-that-position variant; insert/delete ⇒ one side IS a
+    * variant of the other; equality is excluded by the strict pair
+    * order). The converse does not hold ("ab"/"ba" share "a" at
+    * distance 2), so candidates are verified with the exact
+    * `levenshtein` builtin — the blocking is a sound candidate
+    * GENERATOR, the verify step makes the answer exact.
+    *
+    * Scale shape (100 TB): the t48 group-level convention — values
+    * collapse to DISTINCT names with counts BEFORE any pairing, so a
+    * million rows sharing one catalog name cost one row; the variant
+    * explode is ×(len+1) on the distinct-name frame only; pairing is
+    * an equi-join on the variant string (fan-out Σ|variant bucket|²,
+    * never n²) and the verify filter is codegen'd. No windows, no
+    * driver loops.
+    */
+  def fuzzyNameJoin(df: DataFrame, nameCol: String): DataFrame = {
+    val names = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n"))
+    // D1(name): the string itself + every single-deletion variant
+    // (array_distinct: duplicate adjacent chars collapse, so a name
+    // never meets itself twice through two equal variants)
+    val variants = names.select(col("name"), col("n"),
+      explode(array_distinct(concat(array(col("name")),
+        when(length(col("name")) >= 1,
+          expr("transform(sequence(1, length(name)), i -> " +
+            "concat(substring(name, 1, i - 1), substring(name, i + 1)))"))
+          .otherwise(array().cast("array<string>"))))).as("v"))
+    val a = variants.select(col("v"), col("name").as("name_a"),
+      col("n").as("n_a"))
+    val b = variants.select(col("v"), col("name").as("name_b"),
+      col("n").as("n_b"))
+    a.join(b, "v")
+      .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b", "n_a", "n_b")
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+        col("n_a"), col("n_b"))
+      .orderBy("name_a", "name_b")
+  }
 }

@@ -305,6 +305,104 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Classifier-based quality filtering (the GPT-3 / LLaMA recipe —
+    * Brown et al. 2020 App. A train a classifier against curated
+    * reference text and keep crawl docs it scores highly; Touvron et
+    * al. 2023 §2.1 do the same with a fastText model over
+    * wiki-referenced pages). The strongest classifier buildable
+    * without shipping external weights is multinomial Naive Bayes over
+    * the [[hashedNgramBuckets]] feature space — count-based, so the
+    * fit is closed-form (no SGD, no iteration order) and the whole
+    * train→score→evaluate loop is exactly engine-portable.
+    *
+    * Pipeline (one relation out):
+    *   1. label every non-empty doc with the t08 rule gate (all four
+    *      [[qualityFeatures]] bands pass) — the "curated-like" proxy a
+    *      real run replaces with reference-corpus membership;
+    *   2. split 80/20 train/held-out by a salted doc-id hash (RNG-free,
+    *      reproducible, independent of the label);
+    *   3. fit NB on TRAIN only: per-bucket weight
+    *      `wu = round(1e6·(ln p̂(b|pos) − ln p̂(b|neg)))` with Laplace
+    *      smoothing over ALL `buckets` cells (a bucket unseen in
+    *      training still carries the non-zero smoothed weight — the
+    *      model frame is `range(buckets)` left-joined with counts, so
+    *      held-out-only buckets score identically in both engines),
+    *      plus a class-prior offset in the same micro-units;
+    *   4. score the HELD-OUT docs: `lo_units = prior + Σ c_b·wu_b`,
+    *      predict keep iff positive — emitting (doc_id, label,
+    *      lo_units, pred), i.e. per-doc generalization evidence, not
+    *      just resubstitution fit.
+    *
+    * Determinism: the t52 convention — each per-bucket log ratio and
+    * the prior are rounded to integer MICRO-units immediately, so
+    * every per-doc sum is exact Long arithmetic, order-independent
+    * under partial aggregation.
+    *
+    * Scale shape (100 TB): the corpus is tokenized ONCE into the
+    * persisted per-(doc, bucket) count frame (the same frame t52's
+    * scoring reads); the model fold is a second aggregate collapsing
+    * map-side to ≤`buckets` rows; the fitted model (≤`buckets` rows +
+    * a 1-row prior) re-enters as a broadcast, so scoring never
+    * shuffles the corpus — the only corpus-scale exchange is the
+    * (doc, bucket) partial agg. Deployed, the label column comes from
+    * a curated-membership join and the same plan holds.
+    */
+  def nbQualityClassifier(df: DataFrame, idCol: String, textCol: String,
+                          buckets: Int = 1024,
+                          label: Option[Column] = None,
+                          train: Option[Column] = None): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), col(textCol))
+    // label/train default to the production rules; both are evaluated
+    // against the quality-feature frame (so a test can inject a
+    // separable class or a fixed split through the same plan)
+    val labelCol = label.getOrElse(
+      col("n_words").between(20, 1000) &&
+        col("mean_word_len").between(2.0, 12.0) &&
+        col("stopword_ratio").between(0.01, 0.6) &&
+        col("alnum_ratio") >= 0.6)
+    val trainCol = train.getOrElse(
+      md5Long(concat(lit("nbq:"), col(idCol).cast("string"))) % 5 =!= 0)
+    val labeled = qualityFeatures(base, idCol, textCol)
+      .select(col(idCol), labelCol.as("label"), trainCol.as("_train"))
+    val docBuckets = hashedNgramBuckets(base, textCol, buckets)
+      .groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(labeled, idCol :: Nil)
+      .persist()
+    val counts = docBuckets.filter(col("_train"))
+      .groupBy("b")
+      .agg(sum(when(col("label"), col("c")).otherwise(0L)).as("cp"),
+        sum(when(!col("label"), col("c")).otherwise(0L)).as("cn"))
+    val tots = counts.agg(
+      coalesce(sum("cp"), lit(0L)).as("pt"),
+      coalesce(sum("cn"), lit(0L)).as("nt"))
+    val model = spark.range(buckets).toDF("b")
+      .join(counts, Seq("b"), "left")
+      .na.fill(0L, Seq("cp", "cn"))
+      .crossJoin(broadcast(tots))
+      .select(col("b"),
+        round(lit(1e6) * (
+          log((col("cp") + lit(1.0)) / (col("pt") + lit(buckets.toDouble))) -
+            log((col("cn") + lit(1.0)) / (col("nt") + lit(buckets.toDouble)))))
+          .cast("long").as("wu"))
+    val prior = labeled.filter(col("_train"))
+      .agg(round(lit(1e6) * (
+        log(sum(when(col("label"), 1L).otherwise(0L)) + lit(1.0)) -
+          log(sum(when(!col("label"), 1L).otherwise(0L)) + lit(1.0))))
+        .cast("long").as("prior_units"))
+    docBuckets.filter(!col("_train"))
+      .join(broadcast(model), "b")
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("c") * col("wu")).as("_fw"))
+      .crossJoin(broadcast(prior))
+      .select(col(idCol), col("label"),
+        (col("_fw") + col("prior_units")).as("lo_units"),
+        ((col("_fw") + col("prior_units")) > 0).as("pred"))
+      .orderBy(col(idCol))
+  }
+
   /** Bigram-interpolated LM perplexity with CCNet-style head/middle/
     * tail bucketing (Wenzek et al. 2020, public — CCNet scores docs
     * with a KenLM 5-gram model and keeps perplexity terciles; this is

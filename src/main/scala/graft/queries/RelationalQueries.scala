@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -612,7 +613,15 @@ object RelationalQueries {
       FROM anc GROUP BY depth ORDER BY depth""")
   }
 
+  /** FastSS fuzzy entity resolution
+    * ([[graft.operators.Dedup.fuzzyNameJoin]]): every distinct
+    * part-name pair within Levenshtein distance 1, candidates blocked
+    * by shared single-deletion variants, verified exactly. */
+  def fuzzyPartNames(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.fuzzyNameJoin(Tables.part(spark, sfDir), "p_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r36_fuzzy_join" -> (fuzzyPartNames(_, _)),
     "r35_recursive_tree" -> (recursiveAncestors(_, _)),
     "r01_pricing_summary" -> (pricingSummary(_, _)),
     "r02_revenue_by_segment" -> (revenueBySegment(_, _)),
@@ -650,6 +659,30 @@ object RelationalQueries {
     "r34_locf_gapfill" -> (locfGapFill(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // FastSS del-1 blocking + exact levenshtein verify — mirror of
+    // Dedup.fuzzyNameJoin (candidates via shared deletion variants,
+    // so the oracle replays the SAME candidate generator, not an
+    // all-pairs scan)
+    "r36_fuzzy_join" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, count(*) AS n FROM part GROUP BY 1),
+        |var AS (
+        |  SELECT name, n, unnest(list_distinct(list_prepend(name,
+        |    CASE WHEN len(name) >= 1 THEN
+        |      list_transform(range(1, len(name) + 1),
+        |        i -> substring(name, 1, i - 1) || substring(name, i + 1))
+        |    ELSE CAST([] AS VARCHAR[]) END))) AS v
+        |  FROM names),
+        |cand AS (
+        |  SELECT DISTINCT a.name AS name_a, b.name AS name_b,
+        |         a.n AS n_a, b.n AS n_b
+        |  FROM var a JOIN var b ON a.v = b.v
+        |  WHERE a.name < b.name)
+        |SELECT name_a, name_b,
+        |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
+        |       n_a, n_b
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
     // the identical recursion in DuckDB ('//' = integer division)
     "r35_recursive_tree" ->
       """WITH RECURSIVE anc(custkey, anc_key, depth) AS (

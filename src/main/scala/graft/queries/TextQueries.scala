@@ -551,6 +551,15 @@ object TextQueries {
       "doc_id", "text", targetFlag = col("lang") === "en",
       buckets = DsirBuckets)
 
+  /** Classifier-based quality filtering
+    * ([[graft.operators.TextAnalysis.nbQualityClassifier]]): Naive
+    * Bayes fit on the 80% train split against the t08 rule-gate label,
+    * held-out 20% scored — per-doc integer micro-unit log-odds and the
+    * keep/drop prediction, exactly engine-portable. */
+  def nbQuality(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.nbQualityClassifier(Tables.documents(spark, sfDir),
+      "doc_id", "text", buckets = DsirBuckets)
+
   /** CCNet-style perplexity terciles
     * ([[graft.operators.TextAnalysis.lmPerplexityBuckets]]): per-doc
     * interpolated-bigram-LM mean NLL, docs split head/middle/tail by
@@ -1510,7 +1519,8 @@ object TextQueries {
     "t19_surprisal" -> (surprisal(_, _)),
     "t20_curation" -> (curation(_, _)),
     "t52_dsir_select" -> (dsirSelect(_, _)),
-    "t53_lm_perplexity" -> (lmPerplexity(_, _)))
+    "t53_lm_perplexity" -> (lmPerplexity(_, _)),
+    "t55_nb_quality" -> (nbQuality(_, _)))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -2341,6 +2351,76 @@ object TextQueries {
          |  SELECT doc_id, lw_units, key_units FROM keyed
          |  ORDER BY key_units DESC, doc_id LIMIT 100)
          |ORDER BY doc_id""".stripMargin,
+    // Naive-Bayes quality classifier: per-bucket class-conditional
+    // log-ratios + class prior, each rounded to integer micro-units
+    // FIRST so per-doc sums are exact BIGINT — mirror of
+    // TextAnalysis.nbQualityClassifier (fit on train, score held-out)
+    "t55_nb_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE trim(text) <> ''),
+         |t AS (SELECT doc_id, text, $wsExpr AS ws FROM base),
+         |feat AS (
+         |  SELECT doc_id,
+         |    len(ws) AS n_words,
+         |    CASE WHEN len(ws) = 0 THEN 0.0
+         |         ELSE list_sum(list_transform(ws, w -> len(w)))::DOUBLE
+         |              / len(ws) END AS mean_word_len,
+         |    CASE WHEN len(ws) = 0 THEN 0.0
+         |         ELSE len(list_filter(ws,
+         |                w -> lower(w) IN ('the','a','of','and','is')))::DOUBLE
+         |              / len(ws) END AS stopword_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |         ELSE len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+         |              / len(text) END AS alnum_ratio
+         |  FROM t),
+         |lab AS (
+         |  SELECT doc_id,
+         |    (n_words BETWEEN 20 AND 1000
+         |     AND mean_word_len BETWEEN 2.0 AND 12.0
+         |     AND stopword_ratio BETWEEN 0.01 AND 0.6
+         |     AND alnum_ratio >= 0.6) AS label,
+         |    ${hash60("concat('nbq:', doc_id)")} % 5 <> 0 AS train
+         |  FROM feat),
+         |w AS (SELECT doc_id, $wsLowerExpr AS ws FROM base),
+         |f AS (
+         |  SELECT doc_id, unnest(list_concat(ws,
+         |    list_transform(range(0, greatest(len(ws) - 1, 0)),
+         |      i -> ws[i+1] || ' ' || ws[i+2]))) AS f
+         |  FROM w),
+         |db AS (
+         |  SELECT doc_id, ${hash60("f")} % $DsirBuckets AS b, count(*) AS c
+         |  FROM f GROUP BY 1, 2),
+         |dbl AS (SELECT db.*, lab.label, lab.train
+         |        FROM db JOIN lab USING (doc_id)),
+         |cnt AS (
+         |  SELECT b, sum(CASE WHEN label THEN c ELSE 0 END) AS cp,
+         |         sum(CASE WHEN NOT label THEN c ELSE 0 END) AS cn
+         |  FROM dbl WHERE train GROUP BY b),
+         |tot AS (SELECT CAST(COALESCE(sum(cp), 0) AS BIGINT) AS pt,
+         |               CAST(COALESCE(sum(cn), 0) AS BIGINT) AS nt FROM cnt),
+         |model AS (
+         |  SELECT r.b, CAST(round(1e6 * (
+         |      ln(CAST(COALESCE(cp, 0) + 1 AS DOUBLE)
+         |         / CAST(pt + $DsirBuckets AS DOUBLE))
+         |    - ln(CAST(COALESCE(cn, 0) + 1 AS DOUBLE)
+         |         / CAST(nt + $DsirBuckets AS DOUBLE))))
+         |    AS BIGINT) AS wu
+         |  FROM (SELECT unnest(range(0, $DsirBuckets)) AS b) r
+         |  LEFT JOIN cnt ON cnt.b = r.b, tot),
+         |prior AS (
+         |  SELECT CAST(round(1e6 * (
+         |      ln(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+         |    - ln(CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS DOUBLE)
+         |         + 1.0)))
+         |    AS BIGINT) AS prior_units
+         |  FROM lab WHERE train)
+         |SELECT d.doc_id, d.label,
+         |       CAST(sum(d.c * m.wu) AS BIGINT) + p.prior_units AS lo_units,
+         |       (CAST(sum(d.c * m.wu) AS BIGINT) + p.prior_units) > 0 AS pred
+         |FROM dbl d JOIN model m USING (b), prior p
+         |WHERE NOT d.train
+         |GROUP BY d.doc_id, d.label, p.prior_units
+         |ORDER BY d.doc_id""".stripMargin,
     // interpolated bigram LM + exact ntile(3) closed form
     // ⌊(rk−1)·3/n⌋ — mirror of TextAnalysis.lmPerplexityBuckets
     "t53_lm_perplexity" ->

@@ -556,4 +556,28 @@ class DedupSpec extends SparkSpec {
       e.getCause != null &&
         e.getCause.getMessage.contains("maxClusterSize"))
   }
+
+  test("fuzzyNameJoin finds exactly the distance-1 pairs, with support") {
+    val df = Seq(
+      "old bolt", "old bolt", "cold bolt", // deletion pair, n=2 vs n=1
+      "red bolt",                          // dist 2 from "old bolt": absent
+      "gear", "bear",                      // substitution pair
+      "ring", "rings",                     // insertion pair
+      "widget").toDF("name")
+    val got = Dedup.fuzzyNameJoin(df, "name")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.toSet == Set(
+      ("bear", "gear", 1L, 1L, 1L),
+      ("cold bolt", "old bolt", 1L, 1L, 2L),
+      ("ring", "rings", 1L, 1L, 1L)))
+  }
+
+  test("fuzzyNameJoin: shared variant at distance 2 is verified away") {
+    // "ab" and "ba" share del-1 variants "a" and "b" but lev = 2 —
+    // the candidate must NOT survive the exact verify; identical
+    // values collapse (never a self pair)
+    val df = Seq("ab", "ba", "ab").toDF("name")
+    val got = Dedup.fuzzyNameJoin(df, "name").collect()
+    assert(got.isEmpty)
+  }
 }

@@ -185,6 +185,45 @@ class TextAnalysisSpec extends SparkSpec {
       .values.forall(_ < cutoff))
   }
 
+  test("nbQualityClassifier separates held-out docs by class vocabulary") {
+    // positive class (ids 1-15) speaks vocab A, negative (16-30) vocab B;
+    // held-out = multiples of 5, so 3 unseen docs per class
+    val docs = docsDf((1L to 30L).map(i =>
+      (i, if (i <= 15) "alpha beta gamma alpha delta beta"
+          else "zebra quagga yak okapi zebra yak")): _*)
+    val got = TextAnalysis.nbQualityClassifier(docs, "doc_id", "text",
+        buckets = 64,
+        label = Some(col("doc_id") <= 15L),
+        train = Some(col("doc_id") % 5 =!= 0))
+      .as[(Long, Boolean, Long, Boolean)].collect()
+    // exactly the held-out docs, one row each, doc_id-ordered
+    assert(got.map(_._1).toSeq == Seq(5L, 10L, 15L, 20L, 25L, 30L))
+    got.foreach { case (id, label, lo, pred) =>
+      assert(label == (id <= 15L))
+      assert(pred == (lo > 0), s"pred must be the sign of lo_units ($id)")
+      // generalization: vocab-A docs keep, vocab-B docs drop
+      assert(pred == label, s"doc $id misclassified (lo_units=$lo)")
+    }
+    // class separation is strict: every kept score above every dropped
+    val (pos, neg) = got.partition(_._2)
+    assert(pos.map(_._3).min > neg.map(_._3).max)
+  }
+
+  test("nbQualityClassifier production label/split run the same plan") {
+    // defaults: t08 gate label + hash split — just pin the contract
+    // (held-out rows only, pred = sign) on a small real-ish corpus
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = docsDf((1L to 30L).map(i =>
+      (i, s"the cat and a dog of $filler is here")): _*)
+    val got = TextAnalysis.nbQualityClassifier(docs, "doc_id", "text",
+        buckets = 64)
+      .as[(Long, Boolean, Long, Boolean)].collect()
+    // md5("nbq:22")/("nbq:26") % 5 == 0: ids 22 and 26 are the held-out
+    // slice of 1..30 under the production hash split
+    assert(got.map(_._1).toSeq == Seq(22L, 26L))
+    got.foreach { case (_, _, lo, pred) => assert(pred == (lo > 0)) }
+  }
+
   test("lmPerplexityBuckets: exact ntile terciles, monotone avg nll") {
     // 7 scorable docs (\u22652 tokens) + 2 excluded degenerates
     val docs = docsDf(
