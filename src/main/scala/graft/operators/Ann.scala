@@ -297,4 +297,48 @@ object Ann {
         cosineSim(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Contrastive triplet mining — the (anchor, positive, hard-negative)
+    * export an embedder fine-tune trains on (public recipe: DPR mines
+    * hard negatives from a retriever's top results, Karpukhin et al.
+    * 2020 §3.2; ANCE from the live ANN index, Xiong et al. 2021;
+    * Sentence-BERT consumes exactly this triplet shape). For each
+    * anchor vector:
+    *   - positive  = its most-similar neighbor with cosine ≥ `tau`
+    *     (the near-dup evidence the dedup family already trusts),
+    *   - hard negative = its most-similar neighbor with cosine < `tau`
+    *     — the closest vector the pair criterion REJECTS, i.e. the
+    *     most informative negative, not a random one;
+    * ties break to the smaller id, anchors lacking either side drop.
+    *
+    * Shape: ONE directed scored frame feeds a single partial-aggregable
+    * groupBy(anchor) — both argmaxes are conditional `max(struct(cos,
+    * -id))` aggregates (tie → min id by struct order), so there is no
+    * per-anchor window and no second pass. The n² scoring frame is the
+    * exact baseline (guarded upstream by the caller's corpus size, the
+    * v01/v06 convention); at deployment scale the same aggregate runs
+    * unchanged over the SRP/IVF shortlist frame (v20/v26) instead of
+    * all pairs — mining from a retriever shortlist is precisely the
+    * published recipe.
+    */
+  def contrastiveTriplets(emb: DataFrame, idCol: String, vecCol: String,
+                          tau: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("anchor_id"), col(vecCol).as("vec_a"))
+    val b = emb.select(col(idCol).as("cand"), col(vecCol).as("vec_b"))
+    val scored = a.crossJoin(b)
+      .filter(col("anchor_id") =!= col("cand"))
+      .select(col("anchor_id"), col("cand"),
+        cosineSim(col("vec_a"), col("vec_b")).as("cos"))
+    scored.groupBy("anchor_id")
+      .agg(
+        max(when(col("cos") >= tau,
+          struct(col("cos"), (-col("cand")).as("nid")))).as("p"),
+        max(when(col("cos") < tau,
+          struct(col("cos"), (-col("cand")).as("nid")))).as("h"))
+      .filter(col("p").isNotNull && col("h").isNotNull)
+      .select(col("anchor_id"),
+        (-col("p.nid")).as("pos_id"), round(col("p.cos"), 6).as("pos_cos"),
+        (-col("h.nid")).as("neg_id"), round(col("h.cos"), 6).as("neg_cos"))
+      .orderBy("anchor_id")
+  }
 }

@@ -90,6 +90,15 @@ object VectorQueries {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** Contrastive triplet export
+    * ([[graft.operators.Ann.contrastiveTriplets]]): per anchor, the
+    * best ≥τ neighbor as positive and the best <τ neighbor as the
+    * hard negative — the embedder-fine-tune training pairs, at v06's
+    * τ=0.4 so positives are exactly the near-dup evidence. */
+  def tripletMining(spark: SparkSession, sfDir: String): DataFrame =
+    Ann.contrastiveTriplets(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", 0.4)
+
   def ivfSearch(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 16)
@@ -1566,6 +1575,30 @@ object VectorQueries {
         |       string_agg(rank || '. ' || content, chr(10) ORDER BY rank) AS context
         |FROM ranked""".stripMargin,
     "v05_batch_search" -> batchHeapTopKOracle,
+    // per-anchor argmax on each side of the τ line over the directed
+    // scored frame — mirror of Ann.contrastiveTriplets (rn=1 with
+    // (cos DESC, cand) ties ≡ max(struct(cos, -cand)))
+    "v36_triplet_mining" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS anchor_id, b.vec_id AS cand,
+        |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+        |pos AS (
+        |  SELECT anchor_id, cand AS pos_id, cos AS pc,
+        |         row_number() OVER (PARTITION BY anchor_id
+        |           ORDER BY cos DESC, cand) AS rn
+        |  FROM scored WHERE cos >= 0.4),
+        |neg AS (
+        |  SELECT anchor_id, cand AS neg_id, cos AS ncos,
+        |         row_number() OVER (PARTITION BY anchor_id
+        |           ORDER BY cos DESC, cand) AS rn
+        |  FROM scored WHERE cos < 0.4)
+        |SELECT p.anchor_id, p.pos_id, round(p.pc, 6) AS pos_cos,
+        |       n.neg_id, round(n.ncos, 6) AS neg_cos
+        |FROM pos p JOIN neg n USING (anchor_id)
+        |WHERE p.rn = 1 AND n.rn = 1
+        |ORDER BY p.anchor_id""".stripMargin,
     "v06_near_dup_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -2015,6 +2048,7 @@ object VectorQueries {
     "v32_image_neardup" -> (imageNearDup(_, _)),
     "v34_pixel_search" -> (pixelSearch(_, _)),
     "v35_image_dup_groups" -> (imageDupGroups(_, _)),
+    "v36_triplet_mining" -> (tripletMining(_, _)),
     "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
     "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
     "v27_ref_dim_search" -> (refDimSearch(_, _)),

@@ -191,4 +191,36 @@ class AnnSpec extends SparkSpec {
         emb.select(col("embedding").as("qe")), "qe", 16, 17)
     }
   }
+
+  test("contrastiveTriplets: best >=tau positive, best <tau hard negative") {
+    // 2D fixture: anchors 1,2 nearly parallel (cos≈1); 3 at ~45°
+    // (cos≈0.707 < 0.8 — the hard negative); 4 orthogonal (easy
+    // negative, must NOT be chosen); 5 isolated negative-quadrant
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (1L, v(1, 0)), (2L, v(1, 0.01)),
+      (3L, v(1, 1)), (4L, v(0, 1)), (5L, v(-1, -0.5))
+    ).toDF("vec_id", "embedding")
+    val got = Ann.contrastiveTriplets(emb, "vec_id", "embedding", 0.8)
+      .as[(Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // anchors 1 and 2 pair with each other; hardest negative is 3
+    assert(got(1L)._2 == 2L && got(1L)._4 == 3L)
+    assert(got(2L)._2 == 1L && got(2L)._4 == 3L)
+    // 3/4/5 have no >=0.8 neighbor -> no triplet rows
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._3 > 0.99 && got(1L)._5 < 0.8)
+  }
+
+  test("contrastiveTriplets tie on cosine resolves to the smaller id") {
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    // 2 and 3 are IDENTICAL vectors: both cos=1 to anchor 1
+    val emb = Seq(
+      (1L, v(1, 0)), (3L, v(2, 0)), (2L, v(2, 0)), (4L, v(1, 5))
+    ).toDF("vec_id", "embedding")
+    val got = Ann.contrastiveTriplets(emb, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 2L, "tie must break to the smaller candidate id")
+  }
 }
