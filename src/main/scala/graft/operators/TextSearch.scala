@@ -139,4 +139,83 @@ object TextSearch {
       .orderBy(col("rrf_score").desc, col(idCol))
       .limit(k)
   }
+
+  /** FastText-style subword token embeddings (Bojanowski et al. 2017,
+    * public): each word embeds as the L2-normalized signed-hash bag of
+    * its character 3-grams over the `<w>`-padded form, into `dim`
+    * buckets — the i01 feature-hash kernel applied at SUBWORD
+    * granularity, so lexically close tokens ("streem"/"stream") share
+    * most n-grams and land close in cosine. Emits the sparse form
+    * `(w, bucket, v)` with zero cells dropped; a token whose gram
+    * signs fully cancel vanishes (cosine 0 to everything — consistent
+    * with the dropped-row semantics downstream). Pure builtin
+    * expressions, no UDF; the SQL oracle replays every step.
+    */
+  def subwordTokenEmbeddings(tokens: DataFrame, dim: Int): DataFrame = {
+    import graft.functions.HashFunctions.md5Long
+    val padded = "concat('<', w, '>')"
+    val grams = tokens.select(col("w"), explode(expr(
+      s"transform(sequence(1, length($padded) - 2), " +
+        s"i -> substring($padded, i, 3))")).as("g"))
+    val signed = grams.select(col("w"),
+      (md5Long(col("g")) % dim).as("bucket"),
+      when(md5Long(concat(lit("sign:"), col("g"))) % 2 === 1, 1.0)
+        .otherwise(-1.0).as("s"))
+    val sums = signed.groupBy("w", "bucket").agg(sum("s").as("v"))
+      .filter(col("v") =!= 0)
+    val norms = sums.groupBy("w")
+      .agg(sqrt(sum(col("v") * col("v"))).as("norm"))
+    sums.join(norms, "w")
+      .select(col("w"), col("bucket"), (col("v") / col("norm")).as("v"))
+  }
+
+  /** ColBERT-style late-interaction retrieval (Khattab & Zaharia 2020,
+    * public): `score(q, d) = Σ_{t∈q} max_{w∈d} cos(E(t), E(w))`,
+    * with [[subwordTokenEmbeddings]] as the deterministic stand-in for
+    * the learned token encoder. Because the embeddings are subword
+    * hashes, a typo'd query token still scores against its clean
+    * corpus form — the robustness BM25's exact term match (t15) lacks,
+    * and a DIFFERENT retrieval axis than the doc-level dense path
+    * (v01): token-level interaction, aggregated late.
+    *
+    * Per-query-token contributions are clamped at 0 (a token with no
+    * positive match adds nothing), which also makes the relational
+    * join form exact: (doc, qtoken) pairs with no shared bucket drop
+    * from the join and contribute the same 0 the clamp would give.
+    * Scores round to 6dp BEFORE the top-k rank (the t15 convention:
+    * double accumulation-order noise must not move the cutoff).
+    *
+    * Scale shape (100 TB): the vocabulary embeds ONCE (distinct words
+    * — Zipf makes this corpus-sublinear); the query-side frame is
+    * ≤|q|·dim rows and broadcasts through the bucket join; the only
+    * corpus-scale exchanges are the distinct-(doc, word) projection
+    * and the per-doc aggregate. The token-level index IS the ColBERT
+    * deployment shape; per-doc contribution maxes are
+    * partial-aggregable, never a window.
+    */
+  def maxSimSearch(docs: DataFrame, idCol: String, textCol: String,
+                   queryTokens: Seq[String], dim: Int = 64,
+                   k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(words(lower(col(textCol)))).as("w"))
+      .distinct()
+    val vemb = subwordTokenEmbeddings(toks.select("w").distinct(), dim)
+    val qemb = subwordTokenEmbeddings(
+      queryTokens.distinct.toDF("w"), dim)
+    val sim = broadcast(qemb.select(col("w").as("qw"), col("bucket"),
+        col("v").as("qv")))
+      .join(vemb, "bucket")
+      .groupBy(col("qw"), col("w"))
+      .agg(sum(col("qv") * col("v")).as("cos"))
+    val contrib = toks.join(broadcast(sim), "w")
+      .groupBy(col(idCol), col("qw"))
+      .agg(greatest(max(col("cos")), lit(0.0)).as("c"))
+    contrib.groupBy(col(idCol))
+      .agg(round(sum(col("c")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .orderBy(col(idCol))
+  }
 }

@@ -90,6 +90,17 @@ object VectorQueries {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** ColBERT-style late interaction
+    * ([[graft.operators.TextSearch.maxSimSearch]]): top-10 docs by
+    * Σ_q max_d cos over FastText-ish subword token embeddings — two
+    * of the three query tokens are TYPOS ("streem", "windw") that
+    * exact term match can't see but char-3-gram hashes can. */
+  def maxSimQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextSearch
+    TextSearch.maxSimSearch(Tables.documents(spark, sfDir), "doc_id",
+      "text", Seq("streem", "windw", "customer"), dim = 64, k = 10)
+  }
+
   /** Contrastive triplet export
     * ([[graft.operators.Ann.contrastiveTriplets]]): per anchor, the
     * best ≥τ neighbor as positive and the best <τ neighbor as the
@@ -1575,6 +1586,46 @@ object VectorQueries {
         |       string_agg(rank || '. ' || content, chr(10) ORDER BY rank) AS context
         |FROM ranked""".stripMargin,
     "v05_batch_search" -> batchHeapTopKOracle,
+    // subword-hash token embeddings + late-interaction MaxSim —
+    // mirror of TextSearch.maxSimSearch (round BEFORE the top-k rank)
+    "v37_maxsim_search" -> {
+      def h60(e: String) =
+        s"CAST(concat('0x', substring(md5($e), 1, 15)) AS BIGINT)"
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents WHERE trim(text) <> ''),
+         |vocab AS (SELECT DISTINCT w FROM toks),
+         |q AS (SELECT unnest(['streem', 'windw', 'customer']) AS w),
+         |allw AS (SELECT w FROM vocab UNION SELECT w FROM q),
+         |g AS (
+         |  SELECT w, unnest(list_transform(
+         |    range(1, len('<' || w || '>') - 1),
+         |    i -> substring('<' || w || '>', i, 3))) AS g
+         |  FROM allw),
+         |sgn AS (
+         |  SELECT w, ${h60("g")} % 64 AS bucket,
+         |         CASE WHEN ${h60("concat('sign:', g)")} % 2 = 1
+         |              THEN 1.0 ELSE -1.0 END AS s
+         |  FROM g),
+         |s AS (SELECT w, bucket, sum(s) AS v FROM sgn
+         |      GROUP BY 1, 2 HAVING sum(s) <> 0),
+         |n AS (SELECT w, sqrt(sum(v * v)) AS norm FROM s GROUP BY w),
+         |e AS (SELECT s.w, bucket, v / norm AS v FROM s JOIN n USING (w)),
+         |sim AS (
+         |  SELECT qe.w AS qw, ve.w AS w, sum(qe.v * ve.v) AS cos
+         |  FROM (SELECT e.* FROM e JOIN q USING (w)) qe
+         |  JOIN (SELECT e.* FROM e JOIN vocab USING (w)) ve USING (bucket)
+         |  GROUP BY 1, 2),
+         |contrib AS (
+         |  SELECT t.doc_id, si.qw, greatest(max(si.cos), 0.0) AS c
+         |  FROM toks t JOIN sim si USING (w) GROUP BY 1, 2),
+         |scored AS (SELECT doc_id, round(sum(c), 6) AS score
+         |           FROM contrib GROUP BY 1),
+         |top AS (SELECT doc_id, score FROM scored
+         |        ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT doc_id, score FROM top ORDER BY doc_id""".stripMargin
+    },
     // per-anchor argmax on each side of the τ line over the directed
     // scored frame — mirror of Ann.contrastiveTriplets (rn=1 with
     // (cos DESC, cand) ties ≡ max(struct(cos, -cand)))
@@ -2049,6 +2100,7 @@ object VectorQueries {
     "v34_pixel_search" -> (pixelSearch(_, _)),
     "v35_image_dup_groups" -> (imageDupGroups(_, _)),
     "v36_triplet_mining" -> (tripletMining(_, _)),
+    "v37_maxsim_search" -> (maxSimQuery(_, _)),
     "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
     "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
     "v27_ref_dim_search" -> (refDimSearch(_, _)),

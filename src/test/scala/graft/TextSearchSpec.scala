@@ -40,4 +40,38 @@ class TextSearchSpec extends SparkSpec {
     // (convexity); both beat single-ranking doc 1: 1/61 ≈ .01639
     assert(got == Seq(3L, 2L, 1L))
   }
+
+  test("subwordTokenEmbeddings: typo'd token lands near its clean form") {
+    val emb = TextSearch.subwordTokenEmbeddings(
+        Seq("stream", "streem", "customer").toDF("w"), 64)
+      .as[(String, Long, Double)].collect()
+    val m = emb.groupBy(_._1).map { case (w, rs) =>
+      w -> rs.map(r => r._2 -> r._3).toMap
+    }
+    def cos(a: Map[Long, Double], b: Map[Long, Double]) =
+      a.keySet.intersect(b.keySet).toSeq.map(k => a(k) * b(k)).sum
+    // unit norms (sparse cells square-sum to 1)
+    m.values.foreach(v =>
+      assert(math.abs(v.values.map(x => x * x).sum - 1.0) < 1e-9))
+    // shared char 3-grams dominate: streem ~ stream >> streem ~ customer
+    assert(cos(m("streem"), m("stream")) > 0.5)
+    assert(cos(m("streem"), m("stream")) >
+      cos(m("streem"), m("customer")) + 0.3)
+  }
+
+  test("maxSimSearch: typo'd query still ranks the matching doc first") {
+    val corpus = docsDf(
+      (1L, "stream window customer data"),
+      (2L, "join hash scan filter merge"),
+      (3L, "customer order value table"))
+    val got = TextSearch.maxSimSearch(corpus, "doc_id", "text",
+        Seq("streem", "windw", "customer"), dim = 64, k = 3)
+      .as[(Long, Double)].collect().toMap
+    // doc 1 matches all three query tokens (two via subword fuzz);
+    // doc 3 only "customer"; doc 2 none of them outright
+    assert(got(1L) > got(3L))
+    assert(got.getOrElse(2L, 0.0) < got(3L))
+    // every contribution is clamped at 0 -> scores are non-negative
+    got.values.foreach(s => assert(s >= 0.0))
+  }
 }
