@@ -579,7 +579,83 @@ object Ingest {
     require(fs.exists(dir),
       s"snapshot $snapshot does not exist under $root (vacuumed? " +
         "see listSnapshots for the retained history)")
-    spark.read.parquet(dir.toString)
+    morResolve(spark, root, dir)
+  }
+
+  /** Resolve a snapshot directory to its logical relation. A
+    * MATERIALIZED snapshot is a plain parquet scan; a MERGE-ON-READ
+    * delete snapshot ([[deleteStoreKeysMor]]) holds only a `_base`
+    * pointer + a `_deletes` key file, and resolves as base minus
+    * tombstones — recursively, so stacked un-compacted deletes fold
+    * into one anti-join chain. Depth = deletes since the last
+    * compaction; [[compactStoreManifested]] resets it to zero.
+    */
+  private def morResolve(spark: SparkSession, root: String,
+                         dir: org.apache.hadoop.fs.Path): DataFrame = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val basePtr = new org.apache.hadoop.fs.Path(dir, MorBaseName)
+    readPointer(fs, basePtr) match {
+      case None => spark.read.parquet(dir.toString)
+      case Some(base) =>
+        val deletes = spark.read.parquet(
+          new org.apache.hadoop.fs.Path(dir, MorDeletesName).toString)
+        // the tombstone file's single column IS the key column
+        val keyCol = deletes.schema.fields.head.name
+        morResolve(spark, root, new org.apache.hadoop.fs.Path(root, base))
+          .join(broadcast(deletes), Seq(keyCol), "left_anti")
+    }
+  }
+
+  private[graft] val MorBaseName = "_base"
+  private[graft] val MorDeletesName = "_deletes"
+
+  /** MERGE-ON-READ delete (the Iceberg "equality delete" / Hudi MOR
+    * shape, public): commit a snapshot that contains NO data files —
+    * only a `_base` pointer at the superseded live snapshot and a
+    * `_deletes` parquet of distinct deleted keys. The delete costs
+    * O(|tombstones|) regardless of store size (a 100 TB store deletes
+    * a million keys by writing a few MB), readers resolve it as
+    * base ANTI-JOIN tombstones (broadcast — tombstone batches are
+    * delete-sized, not store-sized), and the next
+    * [[compactStoreManifested]] materializes the subtraction and
+    * resets the chain. The copy-on-write alternative (filter +
+    * rewrite) is exactly [[compactStoreManifested]] after this, so
+    * the knob is WHEN to pay the rewrite, not whether semantics hold.
+    * Time-travel still works: the base snapshot is immutable and
+    * [[vacuumStore]] keeps every ancestor the live chain references.
+    */
+  def deleteStoreKeysMor(spark: SparkSession, root: String,
+                         keys: DataFrame): Unit = {
+    require(keys.schema.fields.length == 1,
+      "keys must be a single-column frame (the column name is the key)")
+    commitStoreSnapshot(spark, root) { dir =>
+      // resolved INSIDE the commit lock: the base is the snapshot this
+      // delete supersedes
+      val base = new org.apache.hadoop.fs.Path(
+        currentSnapshotDir(spark, root)).getName
+      val hDir = new org.apache.hadoop.fs.Path(dir)
+      val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      keys.distinct().coalesce(1).write
+        .parquet(new org.apache.hadoop.fs.Path(hDir, MorDeletesName)
+          .toString)
+      val out = fs.create(new org.apache.hadoop.fs.Path(hDir, MorBaseName),
+        true)
+      out.write(base.getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
+  /** The live snapshot plus every `_base` ancestor it references —
+    * the set [[vacuumStore]] must retain. */
+  private def liveChain(spark: SparkSession, root: String,
+                        fs: org.apache.hadoop.fs.FileSystem): Set[String] = {
+    val live = new org.apache.hadoop.fs.Path(
+      currentSnapshotDir(spark, root)).getName
+    Iterator.iterate(Option(live)) {
+      case Some(snap) => readPointer(fs, new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, snap), MorBaseName))
+      case None => None
+    }.takeWhile(_.isDefined).flatten.toSet
   }
 
   /** The live snapshot directory the manifest names (readable without
@@ -595,10 +671,12 @@ object Ingest {
   }
 
   /** Read the store through the manifest: resolve once, then scan an
-    * immutable snapshot directory — consistent even if a commit lands
-    * mid-scan. */
+    * immutable snapshot (chain) — consistent even if a commit lands
+    * mid-scan; merge-on-read delete snapshots resolve transparently
+    * ([[morResolve]]). */
   def readStoreManifested(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(currentSnapshotDir(spark, root))
+    morResolve(spark, root,
+      new org.apache.hadoop.fs.Path(currentSnapshotDir(spark, root)))
 
   /** Compaction through the commit protocol: rewrite the live snapshot
     * into `numFiles` balanced files as a NEW snapshot, swap the
@@ -654,12 +732,14 @@ object Ingest {
     withStoreLock(spark, root) {
       val hRoot = new org.apache.hadoop.fs.Path(root)
       val fs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val live = new org.apache.hadoop.fs.Path(
-        currentSnapshotDir(spark, root)).getName
+      // retain the whole live CHAIN: a merge-on-read delete snapshot
+      // serves its rows out of `_base` ancestors — reclaiming one
+      // would corrupt the live read, not just lose history
+      val keep = liveChain(spark, root, fs)
       fs.listStatus(hRoot)
         .filter(st => st.isDirectory &&
           st.getPath.getName.startsWith("snap-") &&
-          st.getPath.getName != live)
+          !keep.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))
     }
 }

@@ -646,9 +646,58 @@ object IngestQueries {
       .orderBy("snapshot")
   }
 
+  /** MERGE-ON-READ deletes through the manifest store
+    * ([[graft.operators.Ingest.deleteStoreKeysMor]]): snapshot 1 is
+    * the corpus; two stacked tombstone commits delete doc_id % 7 = 0
+    * then % 11 = 0 WITHOUT touching a data file (the `mor_data_files`
+    * column pins the physical claim: both MoR snapshot dirs hold zero
+    * data files); compaction then materializes the subtraction. The
+    * logical answer (count + id sum) must be identical through the
+    * anti-join chain and after the rewrite — delete semantics are
+    * independent of WHEN the rewrite is paid, which is the whole
+    * merge-on-read contract (Iceberg equality-deletes / Hudi MOR,
+    * public designs). At 100 TB: a delete costs O(tombstones), the
+    * rewrite is a scheduled compaction, vacuum keeps every `_base`
+    * ancestor the live chain references.
+    */
+  def morDeleteQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ingest
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val root = stagedDir(spark,
+      s"graft_i20_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}") { dir =>
+      val store = s"$dir/store"
+      Ingest.commitStoreSnapshot(spark, store) { d =>
+        Ingest.writeStore(docs, d)
+      }
+      Ingest.deleteStoreKeysMor(spark, store,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"))
+      Ingest.deleteStoreKeysMor(spark, store,
+        docs.filter(pmod(col("doc_id"), lit(11)) === 0).select("doc_id"))
+      Ingest.compactStoreManifested(spark, store, 4)
+    } + "/store"
+    val snaps = Ingest.listSnapshots(spark, root).map(_._1)
+    require(snaps.size == 4, s"expected base+2 MoR+compacted: $snaps")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val morFiles = snaps.slice(1, 3).map { s =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$s"))
+        .count(st => !st.getPath.getName.startsWith("_"))
+    }.sum.toLong
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum("doc_id")).as[(Long, Long)].head()
+    val (nBase, _) = stats(Ingest.readStoreSnapshot(spark, root, snaps.head))
+    val (nLive, sLive) = stats(Ingest.readStoreSnapshot(spark, root, snaps(2)))
+    val (nComp, sComp) = stats(Ingest.readStoreManifested(spark, root))
+    Seq((nBase, nLive, sLive, morFiles, nComp, sComp))
+      .toDF("n_base", "n_live", "sum_ids_live", "mor_data_files",
+        "n_compacted", "sum_ids_compacted")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i18_schema_evolution" -> (schemaEvolution(_, _)),
     "i19_frame_sample" -> (frameSampleQuery(_, _)),
+    "i20_mor_delete" -> (morDeleteQuery(_, _)),
     "i16_snapshot_diff" -> (snapshotDiffQuery(_, _)),
     "i14_snapshot_history" -> (snapshotHistory(_, _)),
     "i12_binary_media" -> (binaryMediaScan(_, _)),
@@ -681,6 +730,21 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // merge-on-read deletes ≡ eager filter, before AND after the
+    // compaction rewrite; mor_data_files = 0 pins "no data file was
+    // written by a delete" — mirror of Ingest.deleteStoreKeysMor
+    "i20_mor_delete" ->
+      """WITH live AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE NOT (doc_id % 7 = 0 OR doc_id % 11 = 0))
+        |SELECT (SELECT count(*) FROM documents) AS n_base,
+        |       (SELECT count(*) FROM live) AS n_live,
+        |       (SELECT CAST(sum(doc_id) AS BIGINT) FROM live)
+        |         AS sum_ids_live,
+        |       CAST(0 AS BIGINT) AS mor_data_files,
+        |       (SELECT count(*) FROM live) AS n_compacted,
+        |       (SELECT CAST(sum(doc_id) AS BIGINT) FROM live)
+        |         AS sum_ids_compacted""".stripMargin,
     "i19_frame_sample" ->
       """WITH a AS (
         |  SELECT doc_id,

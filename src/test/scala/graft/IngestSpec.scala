@@ -324,4 +324,52 @@ class IngestSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(got == Map("a.txt" -> "alpha doc\nwith lines", "b.txt" -> "beta doc"))
   }
+
+  test("merge-on-read delete: tombstone snapshot hides keys without " +
+      "touching data files; chained deletes stack; compact materializes") {
+    val root = Files.createTempDirectory("graft_mor").toString + "/store"
+    Ingest.commitStoreSnapshot(spark, root) { dir =>
+      Ingest.writeStore(docsDf((1L to 6L).map(i => (i, s"d$i")): _*), dir)
+    }
+    Ingest.deleteStoreKeysMor(spark, root, Seq(2L, 4L).toDF("doc_id"))
+    Ingest.deleteStoreKeysMor(spark, root, Seq(5L).toDF("doc_id"))
+    // logical view: base minus both tombstone batches
+    assert(Ingest.readStoreManifested(spark, root)
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 6L))
+    // physical: the MoR snapshots hold NO data files (underscore
+    // entries only), and the base snapshot still reads complete
+    val snaps = Ingest.listSnapshots(spark, root).map(_._1)
+    assert(snaps.size == 3)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    snaps.tail.foreach { s =>
+      val entries = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/$s"))
+        .map(_.getPath.getName).filterNot(_.startsWith("_"))
+      assert(entries.isEmpty, s"MoR snapshot $s has data files: " +
+        entries.mkString(","))
+    }
+    assert(Ingest.readStoreSnapshot(spark, root, snaps.head).count() == 6)
+    // time travel into the MIDDLE of the chain: only the first batch
+    assert(Ingest.readStoreSnapshot(spark, root, snaps(1))
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 5L, 6L))
+    // vacuum must keep the live chain's ancestors (snap1 serves rows!)
+    Ingest.vacuumStore(spark, root)
+    assert(Ingest.readStoreManifested(spark, root)
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 6L))
+    // compaction materializes: new live has data files, no _base, and
+    // a later vacuum reclaims the whole old chain
+    Ingest.compactStoreManifested(spark, root, 1)
+    val live = Ingest.listSnapshots(spark, root).filter(_._2).head._1
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/$live/${Ingest.MorBaseName}")))
+    Ingest.vacuumStore(spark, root)
+    assert(Ingest.listSnapshots(spark, root).map(_._1) == Seq(live))
+    assert(Ingest.readStoreManifested(spark, root)
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 6L))
+  }
 }
