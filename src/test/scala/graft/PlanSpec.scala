@@ -382,4 +382,51 @@ class PlanSpec extends SparkSpec {
       p.split("\n").count(_.contains("HashAggregate")) >= 2,
       s"argmax not partially aggregated map-side:\n$p")
   }
+
+  test("v36 triplet mining: both argmaxes are aggregates, never a " +
+      "per-anchor window") {
+    val p = finalPlan(VectorQueries.tripletMining(spark, sf))
+    // the conditional max(struct) form must partially aggregate
+    // map-side; a Window here would buffer every anchor's n-1
+    // candidates in one partition's sort
+    assert(!p.contains("Window"), s"per-anchor window in:\n$p")
+    // struct max is not hash-aggregable, so it plans as SortAggregate —
+    // what matters is the map-side combine before the exchange
+    assert(p.contains("partial_max"),
+      s"argmax not partially aggregated map-side:\n$p")
+  }
+
+  test("v37 MaxSim: query-side frames broadcast, no cartesian, and " +
+      "the top-k is heap-pushed") {
+    val p = finalPlan(VectorQueries.maxSimQuery(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"query/sim side not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k heap in:\n$p")
+    assert(!p.contains("Window"), s"window in MaxSim plan:\n$p")
+  }
+
+  test("i20 merge-on-read reads resolve tombstones as BROADCAST anti " +
+      "joins — the store side never shuffles for a delete") {
+    val root = Files.createTempDirectory("graft_plan_mor")
+      .toString + "/store"
+    import spark.implicits._
+    Ingest.commitStoreSnapshot(spark, root) { dir =>
+      Ingest.writeStore(
+        (1L to 50L).map(i => (i, s"d$i")).toDF("doc_id", "text"), dir)
+    }
+    Ingest.deleteStoreKeysMor(spark, root, Seq(3L, 7L).toDF("doc_id"))
+    val p = finalPlan(Ingest.readStoreManifested(spark, root))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"tombstones not a broadcast anti join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"store shuffled to apply a delete:\n$p")
+  }
+
+  test("r36 fuzzy join: variant-blocked equi-join, never a cartesian") {
+    val p = finalPlan(RelationalQueries.fuzzyPartNames(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degenerated to all-pairs:\n$p")
+  }
 }
