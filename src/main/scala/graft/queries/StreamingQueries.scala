@@ -661,7 +661,55 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** CONTINUOUS merge-on-read deletes — i20's streaming form and the
+    * GDPR/right-to-erasure pipeline shape: delete keys arrive as TWO
+    * micro-batches (staged files, maxFilesPerTrigger=1) and
+    * `foreachBatch` commits each as a tombstone snapshot through
+    * [[graft.operators.Ingest.deleteStoreKeysMor]] — O(batch) work per
+    * trigger against a store of ANY size, zero streaming state. The
+    * oracle is the batch filter: however the keys were chunked into
+    * triggers, the manifested read must equal deleting them all at
+    * once (tombstone commits compose; re-deleting a key is idempotent,
+    * so re-runs against the staged store converge to the same answer).
+    */
+  def streamMorDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ingest
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = IngestQueries.stagedDir(spark,
+      s"graft_s19_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}") { dir =>
+      Ingest.commitStoreSnapshot(spark, s"$dir/store") { d =>
+        Ingest.writeStore(docs, d)
+      }
+      Seq(7, 11).foreach { m =>
+        docs.filter(pmod(col("doc_id"), lit(m)) === 0).select("doc_id")
+          .coalesce(1).write
+          .mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$dir/deletes")
+      }
+    }
+    val store = s"$base/store"
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft_s19_chk").toString
+    val keys = spark.readStream
+      .schema(spark.read.parquet(s"$base/deletes").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/deletes")
+    val q = keys.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Ingest.deleteStoreKeysMor(batch.sparkSession, store,
+          batch.select("doc_id"))
+        ()
+      }
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Ingest.readStoreManifested(spark, store)
+      .agg(count(lit(1)).as("n_live"), sum("doc_id").as("sum_ids_live"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_stream_mor" -> (streamMorDelete(_, _)),
     "s17_stream_audio" -> (streamAudioPcm(_, _)),
     "s16_stream_media" -> (streamMedia(_, _)),
     "s08_session_window" -> (streamSessionWindows(_, _)),
@@ -684,6 +732,13 @@ object StreamingQueries {
   // `def`: s11's entry (t33's oracle verbatim) interpolates artifact
   // globs, which must resolve at dump time, after the queries ran.
   def oracles: Map[String, String] = Map(
+    // i20's live legs: however the delete keys were chunked into
+    // micro-batch tombstone commits, the read equals the batch filter
+    "s19_stream_mor" ->
+      """SELECT count(*) AS n_live, CAST(sum(doc_id) AS BIGINT)
+        |  AS sum_ids_live
+        |FROM documents
+        |WHERE NOT (doc_id % 7 = 0 OR doc_id % 11 = 0)""".stripMargin,
     // t50's sample-formula replay VERBATIM — continuous PCM decode ≡
     // batch, at sample granularity
     "s17_stream_audio" -> TextQueries.oracles("t50_audio_pcm"),
