@@ -403,6 +403,59 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** PMI collocation extraction (Church & Hanks 1990, public — the
+    * association-ratio statistic behind collocation dictionaries and
+    * phrase-vocabulary induction for tokenizers):
+    *
+    *   pmi(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) )
+    *
+    * over adjacent word pairs, with a `minCount` support gate (PMI is
+    * notoriously noisy on rare pairs — the gate is part of the
+    * published method, not a shortcut). Top-`k` pairs by PMI, rounded
+    * to 6dp BEFORE ranking (the t15 convention) with (w1, w2) ties, so
+    * the cutoff is engine-portable.
+    *
+    * Float parity: both engines evaluate the ratio with the IDENTICAL
+    * association — (bc/Tb) / ((uc1/Tu)·(uc2/Tu)), every operand cast
+    * to double first — so the doubles agree bit-for-bit (IEEE ops are
+    * deterministic given the same tree; only the SUM of such terms
+    * would be order-sensitive, and there is none).
+    *
+    * Scale shape (100 TB): two counting aggregates over the token/
+    * bigram streams (partial-agg shuffles on word keys, AQE-splittable
+    * on stop-word skew), two scalar totals broadcast back, the
+    * unigram-count joins are sort-merge on the word keys, and the
+    * top-k is a TakeOrdered heap — no windows, no n² anywhere.
+    */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+                      minCount: Int = 5, k: Int = 20): DataFrame = {
+    val toks = df
+      .select(col(idCol), words(lower(col(textCol))).as("_ws"))
+      .filter(size(col("_ws")) >= 2)
+    val uni = toks.select(explode(col("_ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("uc"))
+    val tu = uni.agg(sum("uc").as("tu"))
+    val bg = toks.select(explode(
+        expr("transform(sequence(0, size(_ws) - 2)," +
+          " i -> struct(_ws[i] AS w1, _ws[i+1] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val tb = bc.agg(sum("n_pair").as("tb"))
+    bc.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("uc").as("uc1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("uc").as("uc2")), "w2")
+      .crossJoin(broadcast(tu)).crossJoin(broadcast(tb))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(
+          (col("n_pair").cast("double") / col("tb").cast("double")) /
+            ((col("uc1").cast("double") / col("tu").cast("double")) *
+              (col("uc2").cast("double") / col("tu").cast("double")))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .orderBy("w1", "w2")
+  }
+
   /** Bigram-interpolated LM perplexity with CCNet-style head/middle/
     * tail bucketing (Wenzek et al. 2020, public — CCNet scores docs
     * with a KenLM 5-gram model and keeps perplexity terciles; this is

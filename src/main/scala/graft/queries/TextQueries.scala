@@ -568,6 +568,15 @@ object TextQueries {
     TextAnalysis.lmPerplexityBuckets(Tables.documents(spark, sfDir),
       "doc_id", "text")
 
+  /** PMI collocations
+    * ([[graft.operators.TextAnalysis.pmiCollocations]]): top-20
+    * adjacent word pairs by pointwise mutual information with a
+    * min-support gate — the phrase-induction statistic, rounded
+    * before ranking so the cutoff is engine-portable. */
+  def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.pmiCollocations(Tables.documents(spark, sfDir),
+      "doc_id", "text")
+
   /** The capstone curation pipeline — the composition a real
     * training-data run executes, as ONE oracle-checked plan: keep a doc
     * iff (a) it is English, (b) it passes all four t08 quality gates,
@@ -1520,7 +1529,8 @@ object TextQueries {
     "t20_curation" -> (curation(_, _)),
     "t52_dsir_select" -> (dsirSelect(_, _)),
     "t53_lm_perplexity" -> (lmPerplexity(_, _)),
-    "t55_nb_quality" -> (nbQuality(_, _)))
+    "t55_nb_quality" -> (nbQuality(_, _)),
+    "t57_pmi_collocations" -> (pmiCollocations(_, _)))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -2421,6 +2431,38 @@ object TextQueries {
          |WHERE NOT d.train
          |GROUP BY d.doc_id, d.label, p.prior_units
          |ORDER BY d.doc_id""".stripMargin,
+    // PMI over adjacent pairs with the IDENTICAL float association —
+    // (bc/Tb)/((uc1/Tu)*(uc2/Tu)), all operands cast double — rounded
+    // BEFORE ranking; mirror of TextAnalysis.pmiCollocations
+    "t57_pmi_collocations" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ws FROM
+         |    (SELECT doc_id, $wsLowerExpr AS ws FROM documents)
+         |  WHERE len(ws) >= 2),
+         |uni AS (
+         |  SELECT w, count(*) AS uc
+         |  FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
+         |tu AS (SELECT CAST(sum(uc) AS BIGINT) AS tu FROM uni),
+         |bg AS (
+         |  SELECT split_part(f, ' ', 1) AS w1, split_part(f, ' ', 2) AS w2
+         |  FROM (SELECT unnest(list_transform(range(0, len(ws) - 1),
+         |          i -> ws[i+1] || ' ' || ws[i+2])) AS f FROM d)),
+         |bc AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2),
+         |tb AS (SELECT CAST(sum(n_pair) AS BIGINT) AS tb FROM bc),
+         |scored AS (
+         |  SELECT w1, w2, n_pair,
+         |         round(ln(
+         |           (CAST(n_pair AS DOUBLE) / CAST(tb AS DOUBLE)) /
+         |           ((CAST(u1.uc AS DOUBLE) / CAST(tu AS DOUBLE)) *
+         |            (CAST(u2.uc AS DOUBLE) / CAST(tu AS DOUBLE)))), 6)
+         |           AS pmi
+         |  FROM bc
+         |  JOIN uni u1 ON u1.w = bc.w1
+         |  JOIN uni u2 ON u2.w = bc.w2, tu, tb
+         |  WHERE n_pair >= 5),
+         |top AS (SELECT * FROM scored
+         |        ORDER BY pmi DESC, w1, w2 LIMIT 20)
+         |SELECT w1, w2, n_pair, pmi FROM top ORDER BY w1, w2""".stripMargin,
     // interpolated bigram LM + exact ntile(3) closed form
     // ⌊(rk−1)·3/n⌋ — mirror of TextAnalysis.lmPerplexityBuckets
     "t53_lm_perplexity" ->

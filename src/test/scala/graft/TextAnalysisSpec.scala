@@ -224,6 +224,29 @@ class TextAnalysisSpec extends SparkSpec {
     got.foreach { case (_, _, lo, pred) => assert(pred == (lo > 0)) }
   }
 
+  test("pmiCollocations: exclusive pair tops the list, support gate holds") {
+    // "nova york" only ever co-occur (5 times, passes minCount=5);
+    // "rare pair" co-occurs 4 times (must be gated out); filler words
+    // combine freely so their pairs carry no association
+    val filler = "the cat the dog the bird the fish"
+    val docs = docsDf(
+      (1L, s"nova york $filler nova york"),
+      (2L, s"nova york $filler rare pair"),
+      (3L, s"rare pair $filler nova york"),
+      (4L, s"rare pair $filler nova york"),
+      (5L, s"rare pair $filler"))
+    val got = TextAnalysis.pmiCollocations(docs, "doc_id", "text",
+        minCount = 5, k = 3)
+      .as[(String, String, Long, Double)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains(("nova", "york")), s"missing exclusive pair: $got")
+    assert(!pairs.contains(("rare", "pair")), "minCount gate failed")
+    val ny = got.find(r => r._1 == "nova" && r._2 == "york").get
+    assert(ny._3 == 5L)
+    // exclusive adjacency maximizes the association: top PMI overall
+    assert(ny._4 == got.map(_._4).max)
+  }
+
   test("lmPerplexityBuckets: exact ntile terciles, monotone avg nll") {
     // 7 scorable docs (\u22652 tokens) + 2 excluded degenerates
     val docs = docsDf(
