@@ -90,6 +90,42 @@ object VectorQueries {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** Matryoshka truncation recall curve (Kusupati et al. 2022, public
+    * — MRL serves retrieval from prefix-truncated embeddings and pays
+    * full width only where needed; v31 runs the reference's fixed
+    * 5-element prefix, THIS measures the accuracy/width trade across
+    * widths, the "error measured, not assumed" discipline): recall@10
+    * of cosine search over the first {4, 8, 16, 64} dimensions
+    * against the full-width exact answer. On this corpus's RANDOM
+    * embeddings the curve sits at the floor until full width
+    * (0 / 0 / 0.1 / 1.0 at sf0.1) — exactly right: random vectors
+    * concentrate no information in prefixes, and an MRL-trained
+    * encoder is what moves the knee left. The measurement is the
+    * operator; the encoder is the deployment input. One union of four
+    * TakeOrdered searches over sliced columns — at scale the prefix
+    * is a stored column (v31's note) and each search scans w floats
+    * per row instead of d.
+    */
+  def matryoshkaRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val exact = Search.topK(corpus, queryVec(emb),
+        "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("hit"))
+    Seq(4, 8, 16, 64).map { w =>
+      val c = corpus.select(col("vec_id"),
+        slice(col("embedding"), 1, w).as("embedding"))
+      val q = queryVec(emb).select(slice(col("qe"), 1, w).as("qe"))
+      Search.topK(c, q, "vec_id", "embedding", "qe", 10)
+        .select(lit(w.toLong).as("width"), col("vec_id"))
+    }.reduce(_ unionByName _)
+      .join(exact, Seq("vec_id"), "left")
+      .groupBy("width")
+      .agg(round(sum(coalesce(col("hit"), lit(0L))) / lit(10.0), 6)
+        .as("recall_at_10"))
+      .orderBy("width")
+  }
+
   /** ColBERT-style late interaction
     * ([[graft.operators.TextSearch.maxSimSearch]]): top-10 docs by
     * Σ_q max_d cos over FastText-ish subword token embeddings — two
@@ -1586,6 +1622,34 @@ object VectorQueries {
         |       string_agg(rank || '. ' || content, chr(10) ORDER BY rank) AS context
         |FROM ranked""".stripMargin,
     "v05_batch_search" -> batchHeapTopKOracle,
+    // per-width truncated-cosine top-10 vs the full-width exact set —
+    // mirror of matryoshkaRecall (same slice, same tie order)
+    "v38_matryoshka_recall" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |exact AS (
+        |  SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+        |  ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                  CAST(q.qe AS DOUBLE[])) DESC,
+        |           e.vec_id
+        |  LIMIT 10),
+        |widths AS (SELECT CAST(unnest([4, 8, 16, 64]) AS BIGINT) AS width),
+        |trunc AS (
+        |  SELECT w.width, e.vec_id,
+        |         list_cosine_similarity(
+        |           CAST(e.embedding[1:w.width] AS DOUBLE[]),
+        |           CAST(q.qe[1:w.width] AS DOUBLE[])) AS s
+        |  FROM embeddings e, q, widths w WHERE e.vec_id <> 0),
+        |top AS (
+        |  SELECT width, vec_id FROM (
+        |    SELECT width, vec_id, row_number() OVER (
+        |      PARTITION BY width ORDER BY s DESC, vec_id) AS rn
+        |    FROM trunc)
+        |  WHERE rn <= 10)
+        |SELECT t.width,
+        |       round(sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |             / 10.0, 6) AS recall_at_10
+        |FROM top t LEFT JOIN exact x ON x.vec_id = t.vec_id
+        |GROUP BY t.width ORDER BY t.width""".stripMargin,
     // subword-hash token embeddings + late-interaction MaxSim —
     // mirror of TextSearch.maxSimSearch (round BEFORE the top-k rank)
     "v37_maxsim_search" -> {
@@ -2101,6 +2165,7 @@ object VectorQueries {
     "v35_image_dup_groups" -> (imageDupGroups(_, _)),
     "v36_triplet_mining" -> (tripletMining(_, _)),
     "v37_maxsim_search" -> (maxSimQuery(_, _)),
+    "v38_matryoshka_recall" -> (matryoshkaRecall(_, _)),
     "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
     "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
     "v27_ref_dim_search" -> (refDimSearch(_, _)),
