@@ -232,7 +232,25 @@ object PlansDump {
           "tercile ranks come from repartitionByRange + per-PARTITION " +
           "row_number + a partition-count-sized offset broadcast (the " +
           "i10 distributed-id pattern) — ntile semantics with no " +
-          "single-partition window anywhere in the plan."))
+          "single-partition window anywhere in the plan."),
+      "v36_triplet_mining" ->
+        ("Contrastive triplet mining: both per-anchor argmaxes " +
+          "(positive and hard negative) are conditional max(struct) " +
+          "aggregates in ONE groupBy — partial_max combines map-side " +
+          "before the only exchange; no per-anchor window ever " +
+          "buffers an anchor's full candidate list."),
+      "v37_maxsim_search" ->
+        ("Late-interaction MaxSim: the vocabulary embeds once " +
+          "(distinct words, Zipf-sublinear), the query-token frame " +
+          "and the qw×vocab similarity frame ride BROADCAST joins, " +
+          "per-(doc, qtoken) maxes partially aggregate, and the " +
+          "top-k is a TakeOrdered heap — corpus-scale work is the " +
+          "distinct-(doc,word) projection plus one per-doc sum."),
+      "i20_mor_delete" ->
+        ("Merge-on-read deletes: the tombstone snapshots resolve as " +
+          "BROADCAST anti joins stacked on the base scan — the store " +
+          "side never shuffles to apply a delete, and compaction " +
+          "collapses the chain back to a plain parquet scan."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")

@@ -481,10 +481,13 @@ object TextAnalysis {
     * aggregate, never a row-sized one; tercile of rank r (1-based,
     * n rows) = ⌊(r−1)·3/n⌋, the exact ntile(3) partition.
     */
-  def lmPerplexityBuckets(df: DataFrame, idCol: String, textCol: String,
-                          lambda: Double = 0.7): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
+  /** Per-doc mean NLL under the corpus-fit interpolated bigram LM —
+    * the scoring half of [[lmPerplexityBuckets]], factored out so
+    * other consumers ([[qualityEnsemble]]) rank the same signal.
+    * Emits `(idCol, n_bigrams, nll)` for every doc with ≥2 tokens;
+    * nll rounds to 6dp here (the t15 before-ranking convention). */
+  def lmDocNll(df: DataFrame, idCol: String, textCol: String,
+               lambda: Double = 0.7): DataFrame = {
     val toks = df
       .select(col(idCol), words(lower(col(textCol))).as("_ws"))
       .filter(size(col("_ws")) >= 2)
@@ -501,16 +504,29 @@ object TextAnalysis {
     val nll = -log(
       lit(lambda) * (col("bc") / col("cc")) +
         lit(1.0 - lambda) * (col("uc") / lit(total.toDouble)))
-    val perDoc = bg
+    bg
       .join(bc, Seq("w1", "w2"))
       .join(cc, Seq("w1"))
       .join(uc, col("w") === col("w2"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), round(avg(nll), 6).as("nll"))
-    // distributed exact global rank over (nll, id) — see scaladoc
-    val parted = perDoc
-      .repartitionByRange(spark.sparkContext.defaultParallelism,
-        col("nll"), col(idCol))
+  }
+
+  /** EXACT global 1-based rank by `order` without a single-partition
+    * window (the i10 distributed-id pattern): repartitionByRange on
+    * the order key, per-partition row_number, partition COUNTS folded
+    * into exclusive offsets on the driver (a partition-count-sized
+    * collect, never a row-sized one). Returns the ranked frame (input
+    * columns + `outCol`) and the total row count. The order must be a
+    * total order (tie-break on a unique key) or ranks are
+    * partition-layout-dependent.
+    */
+  private[graft] def distributedRank(df: DataFrame, order: Seq[Column],
+                                     outCol: String): (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val parted = df
+      .repartitionByRange(spark.sparkContext.defaultParallelism, order: _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint() // eager: pins the sampled range layout
     val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_n"))
@@ -519,15 +535,25 @@ object TextAnalysis {
     val offsets = counts.map { r =>
       val row = (r.getInt(0), acc); acc += r.getLong(1); row
     }.toSeq
-    val n = acc
     import spark.implicits._
     val offDf = offsets.toDF("_pid", "_off")
-    parted
+    val ranked = parted
       .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("_pid")).orderBy(col("nll"), col(idCol))))
+        Window.partitionBy(col("_pid")).orderBy(order: _*)))
       .join(broadcast(offDf), Seq("_pid"))
+      .withColumn(outCol, col("_rn").cast("long") + col("_off"))
+      .drop("_pid", "_rn", "_off")
+    (ranked, acc)
+  }
+
+  def lmPerplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                          lambda: Double = 0.7): DataFrame = {
+    val perDoc = lmDocNll(df, idCol, textCol, lambda)
+    val (ranked, n) = distributedRank(perDoc,
+      Seq(col("nll"), col(idCol)), "_rk")
+    ranked
       // exact integer tercile: Spark's `div`, not double `/` + cast
-      .withColumn("_tile", expr(s"((_rn + _off - 1L) * 3L) div ${math.max(n, 1L)}L"))
+      .withColumn("_tile", expr(s"((_rk - 1L) * 3L) div ${math.max(n, 1L)}L"))
       .groupBy(when(col("_tile") === 0L, "head")
         .when(col("_tile") === 1L, "middle")
         .otherwise("tail").as("bucket"))
@@ -535,5 +561,57 @@ object TextAnalysis {
         sum(col(idCol)).as("sum_ids"),
         round(avg(col("nll")), 6).as("avg_nll"))
       .orderBy("bucket")
+  }
+
+  /** Multi-signal quality ENSEMBLE (the published practice behind
+    * FineWeb / Dolma-style curation: no single quality signal is
+    * trusted alone — rule gates, repetition and LM perplexity are
+    * combined): per-doc global ranks under three independent signals
+    *   1. LM mean NLL ([[lmDocNll]], lower = more fluent),
+    *   2. duplicate-word fraction ([[repetitionSignals]], lower =
+    *      less degenerate),
+    *   3. the t08 rule-gate score ([[qualityFeatures]], higher =
+    *      cleaner surface),
+    * fused with reciprocal-rank fusion (Cormack et al. 2009, the v13
+    * statistic): `rrf = Σ 1/(60 + rank_i)`, top-`k` docs. Rank fusion
+    * deliberately ignores the signals' incomparable scales — exactly
+    * why RRF is the standard combiner.
+    *
+    * Engine-portability: every signal is rounded to 6dp BEFORE its
+    * rank, ranks are total orders (doc-id ties), and the 3-term RRF
+    * sum is evaluated with the identical left association in both
+    * engines, then rounded before the final cut.
+    *
+    * Scale shape: ranks come from [[distributedRank]] (range exchange
+    * + per-partition row_number + a partition-count-sized offset
+    * broadcast — never a single-partition window); the three rank
+    * frames are doc-keyed equi-joins; the final cut is a TakeOrdered
+    * heap. The signal frames are one LM pass + two narrow projections.
+    */
+  def qualityEnsemble(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 50, rrfK: Int = 60): DataFrame = {
+    val nll = lmDocNll(df, idCol, textCol).select(col(idCol), col("nll"))
+    val rep = repetitionSignals(df, idCol, textCol)
+      .select(col(idCol), round(col("dup_word_frac"), 6).as("dup"))
+    val qf = qualityFeatures(df, idCol, textCol)
+      .select(col(idCol), col("quality"))
+    val base = nll.join(rep, Seq(idCol)).join(qf, Seq(idCol)).persist()
+    def rankOf(c: String, ascending: Boolean, out: String) = {
+      val order =
+        if (ascending) Seq(col(c).asc, col(idCol).asc)
+        else Seq(col(c).desc, col(idCol).asc)
+      distributedRank(base.select(col(idCol), col(c)), order, out)
+        ._1.select(col(idCol), col(out))
+    }
+    rankOf("nll", ascending = true, "r_nll")
+      .join(rankOf("dup", ascending = true, "r_rep"), Seq(idCol))
+      .join(rankOf("quality", ascending = false, "r_quality"), Seq(idCol))
+      .withColumn("rrf", round(
+        lit(1.0) / (lit(rrfK) + col("r_nll")) +
+          lit(1.0) / (lit(rrfK) + col("r_rep")) +
+          lit(1.0) / (lit(rrfK) + col("r_quality")), 6))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+      .orderBy(col(idCol))
   }
 }

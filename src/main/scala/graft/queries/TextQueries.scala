@@ -577,6 +577,15 @@ object TextQueries {
     TextAnalysis.pmiCollocations(Tables.documents(spark, sfDir),
       "doc_id", "text")
 
+  /** Multi-signal quality ensemble
+    * ([[graft.operators.TextAnalysis.qualityEnsemble]]): per-doc
+    * global ranks under LM NLL, duplicate-word fraction and the rule
+    * gate, RRF-fused — the FineWeb/Dolma-style "no single signal is
+    * trusted alone" curation combiner, top 50. */
+  def qualityEnsemble(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityEnsemble(Tables.documents(spark, sfDir),
+      "doc_id", "text")
+
   /** The capstone curation pipeline — the composition a real
     * training-data run executes, as ONE oracle-checked plan: keep a doc
     * iff (a) it is English, (b) it passes all four t08 quality gates,
@@ -1530,7 +1539,8 @@ object TextQueries {
     "t52_dsir_select" -> (dsirSelect(_, _)),
     "t53_lm_perplexity" -> (lmPerplexity(_, _)),
     "t55_nb_quality" -> (nbQuality(_, _)),
-    "t57_pmi_collocations" -> (pmiCollocations(_, _)))
+    "t57_pmi_collocations" -> (pmiCollocations(_, _)),
+    "t58_quality_ensemble" -> (qualityEnsemble(_, _)))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -1587,6 +1597,35 @@ object TextQueries {
 
   /** Hash buckets of the DSIR featurizer (t52/s18). */
   val DsirBuckets = 1024
+
+  /** The interpolated-bigram-LM per-doc scoring chain as CTEs ending
+    * in `nlldoc(doc_id, n_bigrams, nll)` — shared by t53 (terciles
+    * over it) and t58 (one of the ensemble's rank signals); mirror of
+    * [[graft.operators.TextAnalysis.lmDocNll]]. */
+  private lazy val lmNllCtes =
+    s"""d AS (
+       |  SELECT doc_id, ws FROM
+       |    (SELECT doc_id, $wsLowerExpr AS ws FROM documents)
+       |  WHERE len(ws) >= 2),
+       |b2 AS (
+       |  SELECT doc_id, split_part(f, ' ', 1) AS w1,
+       |         split_part(f, ' ', 2) AS w2
+       |  FROM (SELECT doc_id, unnest(list_transform(range(0, len(ws) - 1),
+       |          i -> ws[i+1] || ' ' || ws[i+2])) AS f FROM d)),
+       |lmuni AS (SELECT unnest(ws) AS w FROM d),
+       |lmuc AS (SELECT w, count(*) AS uc FROM lmuni GROUP BY w),
+       |lmtot AS (SELECT count(*) AS t FROM lmuni),
+       |lmcc AS (SELECT w1, count(*) AS cc FROM b2 GROUP BY w1),
+       |lmbc AS (SELECT w1, w2, count(*) AS bc FROM b2 GROUP BY w1, w2),
+       |nlldoc AS (
+       |  -- CAST(0.7 AS DOUBLE) + (1 - λ) computed IN double: matches
+       |  -- Spark's lit(0.7)/lit(1.0 - 0.7) bit-for-bit (≠ decimal 0.3)
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |         round(avg(-ln(CAST(0.7 AS DOUBLE) * (bc / cc)
+       |           + (1 - CAST(0.7 AS DOUBLE)) * (uc / t))), 6) AS nll
+       |  FROM b2 JOIN lmbc USING (w1, w2) JOIN lmcc USING (w1)
+       |       JOIN lmuc ON lmuc.w = b2.w2, lmtot
+       |  GROUP BY doc_id)""".stripMargin
 
   /** The DSIR pipeline as CTEs ending in `docw(doc_id, lw_units)` —
     * shared by t52 (Gumbel top-k over it) and s18 (the streaming
@@ -2431,6 +2470,52 @@ object TextQueries {
          |WHERE NOT d.train
          |GROUP BY d.doc_id, d.label, p.prior_units
          |ORDER BY d.doc_id""".stripMargin,
+    // three independently-ranked signals (each rounded BEFORE its
+    // rank, doc-id ties) fused with left-associated RRF — mirror of
+    // TextAnalysis.qualityEnsemble; universe = LM-scorable docs
+    "t58_quality_ensemble" ->
+      s"""WITH $lmNllCtes,
+         |tok AS (
+         |  SELECT doc_id, unnest($wsLowerExpr) AS w FROM documents),
+         |wstats AS (
+         |  SELECT doc_id, count(*) AS n_words,
+         |         count(DISTINCT w) AS n_distinct
+         |  FROM tok GROUP BY doc_id),
+         |rep AS (
+         |  SELECT doc_id,
+         |         round(coalesce(1.0 - n_distinct / CAST(n_words AS DOUBLE),
+         |                        0.0), 6) AS dup
+         |  FROM wstats),
+         |$qualityFeatCtes,
+         |qs AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0
+         |            THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6
+         |            THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN alnum_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
+         |      AS quality
+         |  FROM feat),
+         |base AS (
+         |  SELECT n.doc_id, n.nll, r.dup, q.quality
+         |  FROM nlldoc n JOIN rep r USING (doc_id)
+         |       JOIN qs q USING (doc_id)),
+         |rk AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY nll, doc_id) AS r_nll,
+         |    row_number() OVER (ORDER BY dup, doc_id) AS r_rep,
+         |    row_number() OVER (ORDER BY quality DESC, doc_id) AS r_quality
+         |  FROM base),
+         |scored AS (
+         |  SELECT doc_id, r_nll, r_rep, r_quality,
+         |         round(CAST(1.0 AS DOUBLE) / (60 + r_nll)
+         |           + CAST(1.0 AS DOUBLE) / (60 + r_rep)
+         |           + CAST(1.0 AS DOUBLE) / (60 + r_quality), 6) AS rrf
+         |  FROM rk),
+         |top AS (SELECT * FROM scored ORDER BY rrf DESC, doc_id LIMIT 50)
+         |SELECT doc_id, r_nll, r_rep, r_quality, rrf FROM top
+         |ORDER BY doc_id""".stripMargin,
     // PMI over adjacent pairs with the IDENTICAL float association —
     // (bc/Tb)/((uc1/Tu)*(uc2/Tu)), all operands cast double — rounded
     // BEFORE ranking; mirror of TextAnalysis.pmiCollocations
@@ -2466,34 +2551,12 @@ object TextQueries {
     // interpolated bigram LM + exact ntile(3) closed form
     // ⌊(rk−1)·3/n⌋ — mirror of TextAnalysis.lmPerplexityBuckets
     "t53_lm_perplexity" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, ws FROM
-         |    (SELECT doc_id, $wsLowerExpr AS ws FROM documents)
-         |  WHERE len(ws) >= 2),
-         |b2 AS (
-         |  SELECT doc_id, split_part(f, ' ', 1) AS w1,
-         |         split_part(f, ' ', 2) AS w2
-         |  FROM (SELECT doc_id, unnest(list_transform(range(0, len(ws) - 1),
-         |          i -> ws[i+1] || ' ' || ws[i+2])) AS f FROM d)),
-         |uni AS (SELECT unnest(ws) AS w FROM d),
-         |uc AS (SELECT w, count(*) AS uc FROM uni GROUP BY w),
-         |tot AS (SELECT count(*) AS t FROM uni),
-         |cc AS (SELECT w1, count(*) AS cc FROM b2 GROUP BY w1),
-         |bc AS (SELECT w1, w2, count(*) AS bc FROM b2 GROUP BY w1, w2),
-         |doc AS (
-         |  -- CAST(0.7 AS DOUBLE) + (1 - λ) computed IN double: matches
-         |  -- Spark's lit(0.7)/lit(1.0 - 0.7) bit-for-bit (≠ decimal 0.3)
-         |  SELECT doc_id, count(*) AS n_bigrams,
-         |         round(avg(-ln(CAST(0.7 AS DOUBLE) * (bc / cc)
-         |           + (1 - CAST(0.7 AS DOUBLE)) * (uc / t))), 6) AS nll
-         |  FROM b2 JOIN bc USING (w1, w2) JOIN cc USING (w1)
-         |       JOIN uc ON uc.w = b2.w2, tot
-         |  GROUP BY doc_id),
+      s"""WITH $lmNllCtes,
          |r AS (
          |  SELECT doc_id, nll,
          |         row_number() OVER (ORDER BY nll, doc_id) AS rk,
          |         count(*) OVER () AS n
-         |  FROM doc)
+         |  FROM nlldoc)
          |SELECT CASE ((rk - 1) * 3) // n WHEN 0 THEN 'head'
          |            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
          |       count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,

@@ -247,6 +247,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ny._4 == got.map(_._4).max)
   }
 
+  test("qualityEnsemble: ranks are permutations, rrf follows the " +
+      "formula, repetition signal catches the degenerate doc") {
+    val docs = docsDf(
+      (1L, "the cat and a dog of value is here today"),
+      (2L, "spam spam spam spam spam spam"),
+      (3L, "a b a b a b a b"),
+      (4L, "fresh words only appear once here now"),
+      (5L, "x y z w q r s t u v"))
+    val got = TextAnalysis.qualityEnsemble(docs, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // each signal's ranks are a permutation of 1..n
+    Seq(got.map(_._2), got.map(_._3), got.map(_._4)).foreach { rs =>
+      assert(rs.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    }
+    got.foreach { case (_, a, b, c, rrf) =>
+      val want = BigDecimal(
+          1.0 / (60 + a) + 1.0 / (60 + b) + 1.0 / (60 + c))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rrf - want) < 1e-9)
+    }
+    // the single-token doc is the most repetitive: worst dup rank —
+    // even though its perfectly predictable bigrams give it a GOOD
+    // nll rank (exactly the disagreement the ensemble exists for)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(2L)._3 == 5L)
+  }
+
   test("lmPerplexityBuckets: exact ntile terciles, monotone avg nll") {
     // 7 scorable docs (\u22652 tokens) + 2 excluded degenerates
     val docs = docsDf(
