@@ -586,6 +586,45 @@ object TextQueries {
     TextAnalysis.qualityEnsemble(Tables.documents(spark, sfDir),
       "doc_id", "text")
 
+  /** LSH banding PRECISION/RECALL sweep — the candidate-set quality
+    * measurement that completes the MinHash family's evidence chain
+    * (t04 signatures, t05 candidates at one geometry, t30 estimator
+    * error per pair; THIS prices the banding geometry itself): for
+    * bands ∈ {2, 4, 8} over the same 16-hash signatures, every
+    * candidate set is compared against the exact ≥0.1-Jaccard pair
+    * set — n_cand / n_both / precision / recall per geometry, the
+    * measured S-curve trade (more bands = finer buckets = higher
+    * recall, lower precision) a deployment tunes against its
+    * threshold instead of trusting the formula. Signatures compute
+    * ONCE (lshCandidatePairs persists them); the truth set is the
+    * t03 pair machinery; each geometry adds only its band-bucket
+    * equi-join. Everything partial-aggregable; no n² anywhere.
+    */
+  def lshBandingPR(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spread(Tables.documents(spark, sfDir), "doc_id")
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.1, maxDf = 1000L)
+      .select(col("id_a"), col("id_b"), lit(1L).as("_t"))
+      .persist()
+    val tcount = truth.agg(count(lit(1)).as("n_true"))
+    val sigs = Dedup.minHash(docs, "doc_id", "text", n = 3, numHashes = 16)
+    Seq(2, 4, 8).map { b =>
+      Dedup.lshCandidatePairs(sigs, "doc_id", bands = b)
+        .select(lit(b.toLong).as("bands"), col("id_a"), col("id_b"))
+    }.reduce(_ unionByName _)
+      .join(truth, Seq("id_a", "id_b"), "left")
+      .groupBy("bands")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce(col("_t"), lit(0L))).as("n_both"))
+      .crossJoin(broadcast(tcount))
+      .select(col("bands"), col("n_cand"), col("n_true"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_cand"), 6)
+          .as("precision"),
+        round(col("n_both").cast("double") / col("n_true"), 6)
+          .as("recall"))
+      .orderBy("bands")
+  }
+
   /** The capstone curation pipeline — the composition a real
     * training-data run executes, as ONE oracle-checked plan: keep a doc
     * iff (a) it is English, (b) it passes all four t08 quality gates,
@@ -1540,7 +1579,8 @@ object TextQueries {
     "t53_lm_perplexity" -> (lmPerplexity(_, _)),
     "t55_nb_quality" -> (nbQuality(_, _)),
     "t57_pmi_collocations" -> (pmiCollocations(_, _)),
-    "t58_quality_ensemble" -> (qualityEnsemble(_, _)))
+    "t58_quality_ensemble" -> (qualityEnsemble(_, _)),
+    "t59_lsh_quality" -> (lshBandingPR(_, _)))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -2470,6 +2510,51 @@ object TextQueries {
          |WHERE NOT d.train
          |GROUP BY d.doc_id, d.label, p.prior_units
          |ORDER BY d.doc_id""".stripMargin,
+    // banding geometries {2,4,8} over the SAME 16-hash signatures vs
+    // the exact >=0.1 pair set — mirror of lshBandingPR (slice bounds
+    // generalize t05's bands=4 band-key formula)
+    "t59_lsh_quality" ->
+      s"""WITH $jaccardPairCtes,
+         |shb AS (
+         |  SELECT doc_id, list_transform($shinglesExpr, s -> ${hash60("s")}) AS hb
+         |  FROM (SELECT doc_id, $wsExpr AS ws FROM documents)),
+         |sig AS (
+         |  SELECT doc_id,
+         |         list_transform(range(0, 16), j -> list_min(list_transform(hb,
+         |           b -> ${affineSqlJ("b")}))) AS signature
+         |  FROM shb),
+         |cfg AS (SELECT unnest([2, 4, 8]) AS bands),
+         |banded AS (
+         |  SELECT s2.doc_id, s2.signature, c.bands,
+         |         unnest(range(0, c.bands)) AS band
+         |  FROM sig s2, cfg c),
+         |keyed AS (
+         |  SELECT doc_id, bands, band,
+         |         md5(array_to_string(
+         |           signature[(band * (16 // bands) + 1)
+         |                     :(band * (16 // bands) + (16 // bands))],
+         |           ':')) AS key
+         |  FROM banded),
+         |cand AS (
+         |  SELECT DISTINCT a.bands, a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM keyed a JOIN keyed b
+         |    ON a.bands = b.bands AND a.band = b.band AND a.key = b.key
+         |       AND a.doc_id < b.doc_id),
+         |truth AS (SELECT id_a, id_b FROM jpairs WHERE jac >= 0.1),
+         |tcount AS (SELECT count(*) AS n_true FROM truth),
+         |agg AS (
+         |  SELECT c.bands, count(*) AS n_cand,
+         |         sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+         |           AS n_both
+         |  FROM cand c LEFT JOIN truth t
+         |    ON t.id_a = c.id_a AND t.id_b = c.id_b
+         |  GROUP BY c.bands)
+         |SELECT CAST(bands AS BIGINT) AS bands,
+         |       CAST(n_cand AS BIGINT) AS n_cand, n_true,
+         |       CAST(n_both AS BIGINT) AS n_both,
+         |       round(CAST(n_both AS DOUBLE) / n_cand, 6) AS precision,
+         |       round(CAST(n_both AS DOUBLE) / n_true, 6) AS recall
+         |FROM agg, tcount ORDER BY bands""".stripMargin,
     // three independently-ranked signals (each rounded BEFORE its
     // rank, doc-id ties) fused with left-associated RRF — mirror of
     // TextAnalysis.qualityEnsemble; universe = LM-scorable docs
