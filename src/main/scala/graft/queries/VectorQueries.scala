@@ -90,6 +90,51 @@ object VectorQueries {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** SNAPSHOT-VERSIONED vector index: the store's commit history
+    * applied to the search path — the versioned-index/rollback
+    * capability real vector services need and the reference's
+    * rebuild-on-restart in-memory array cannot express (server.js:
+    * 65-94 rebuilds ONE mutable index from SQLite each boot). Three
+    * committed versions: v1 = the first 400 vectors, v2 = the full
+    * corpus (an ingest batch landed), live = v2 minus a merge-on-read
+    * delete (vec_id % 50 — FAISS remove_ids semantics, deferred). The
+    * SAME query runs against all three through time-travel reads —
+    * "what did this query return before yesterday's ingest/delete" is
+    * a query, not an archaeology project; results against a pinned
+    * snapshot are exactly reproducible because snapshot chains are
+    * immutable. Each leg is the v01 brute-force scan + TakeOrdered
+    * heap; the MoR leg adds one broadcast anti-join.
+    */
+  def snapshotSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ingest
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val root = IngestQueries.stagedDir(spark,
+      s"graft_v39_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}") { dir =>
+      val store = s"$dir/store"
+      Ingest.commitStoreSnapshot(spark, store) { d =>
+        Ingest.writeStore(corpus.filter(col("vec_id") < 400), d)
+      }
+      Ingest.commitStoreSnapshot(spark, store) { d =>
+        Ingest.writeStore(corpus, d)
+      }
+      Ingest.deleteStoreKeysMor(spark, store,
+        corpus.filter(pmod(col("vec_id"), lit(50)) === 0).select("vec_id"))
+    } + "/store"
+    val snaps = Ingest.listSnapshots(spark, root).map(_._1)
+    require(snaps.size == 3, s"expected v1/v2/live history: $snaps")
+    val q = queryVec(emb)
+    Seq(("v1", snaps(0)), ("v2", snaps(1)), ("live", snaps(2)))
+      .map { case (tag, s) =>
+        Search.topK(Ingest.readStoreSnapshot(spark, root, s), q,
+            "vec_id", "embedding", "qe", 10)
+          .select(lit(tag).as("version"), col("vec_id"),
+            round(col("score"), 6).as("score"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("version", "vec_id")
+  }
+
   /** Matryoshka truncation recall curve (Kusupati et al. 2022, public
     * — MRL serves retrieval from prefix-truncated embeddings and pays
     * full width only where needed; v31 runs the reference's fixed
@@ -1622,6 +1667,31 @@ object VectorQueries {
         |       string_agg(rank || '. ' || content, chr(10) ORDER BY rank) AS context
         |FROM ranked""".stripMargin,
     "v05_batch_search" -> batchHeapTopKOracle,
+    // the three index versions rebuilt from the source table with the
+    // same membership rules — mirror of snapshotSearch (time-travel
+    // reads ≡ filtered brute-force scans)
+    "v39_snapshot_search" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) AS s
+        |  FROM embeddings e, q WHERE e.vec_id <> 0),
+        |v1 AS (
+        |  SELECT 'v1' AS version, vec_id, round(s, 6) AS score
+        |  FROM (SELECT * FROM scored WHERE vec_id < 400
+        |        ORDER BY s DESC, vec_id LIMIT 10)),
+        |v2 AS (
+        |  SELECT 'v2' AS version, vec_id, round(s, 6) AS score
+        |  FROM (SELECT * FROM scored ORDER BY s DESC, vec_id LIMIT 10)),
+        |live AS (
+        |  SELECT 'live' AS version, vec_id, round(s, 6) AS score
+        |  FROM (SELECT * FROM scored WHERE vec_id % 50 <> 0
+        |        ORDER BY s DESC, vec_id LIMIT 10))
+        |SELECT * FROM (
+        |  SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |  UNION ALL SELECT * FROM live)
+        |ORDER BY version, vec_id""".stripMargin,
     // per-width truncated-cosine top-10 vs the full-width exact set —
     // mirror of matryoshkaRecall (same slice, same tie order)
     "v38_matryoshka_recall" ->
@@ -2166,6 +2236,7 @@ object VectorQueries {
     "v36_triplet_mining" -> (tripletMining(_, _)),
     "v37_maxsim_search" -> (maxSimQuery(_, _)),
     "v38_matryoshka_recall" -> (matryoshkaRecall(_, _)),
+    "v39_snapshot_search" -> (snapshotSearch(_, _)),
     "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
     "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
     "v27_ref_dim_search" -> (refDimSearch(_, _)),
