@@ -620,8 +620,72 @@ object RelationalQueries {
   def fuzzyPartNames(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.fuzzyNameJoin(Tables.part(spark, sfDir), "p_name")
 
+  /** Sequential CONVERSION FUNNEL — the product-analytics primitive
+    * (Amplitude/Mixpanel's core query): users reaching
+    * view → click → purchase in strict temporal order, each stage's
+    * first event strictly after the previous stage's. min-per-stage
+    * conditional aggregates chained by time-bound semi-join-shaped
+    * inner joins — one shuffle per stage keyed by user, no
+    * sessionization state, no window over the raw event stream. At
+    * 100 TB each stage frame is user-level (cardinality = users, not
+    * events) and the joins are sort-merge on user_id; sum_uids pins
+    * exact stage MEMBERSHIP, not just counts.
+    */
+  def conversionFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("tv"))
+      .groupBy("user_id").agg(min("ts").as("tc"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("tc"))
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    def leg(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("n_users"), sum("user_id").as("sum_uids"))
+        .select(lit(stage).as("stage"), col("n_users"), col("sum_uids"))
+    leg(v, "1_view").unionByName(leg(c, "2_click"))
+      .unionByName(leg(p, "3_purchase"))
+      .orderBy("stage")
+  }
+
+  /** COHORT RETENTION — the second product-analytics staple: users
+    * grouped by first-seen week (ISO Monday truncation, identical in
+    * both engines), per (cohort, week-offset) distinct-active counts
+    * and the retention fraction against the cohort's size. Day-diff
+    * div 7 (both week starts are Monday-aligned, so the difference is
+    * always a multiple of 7) keeps the offset arithmetic exact and
+    * engine-portable. Two user-level aggregates + one equi-join —
+    * event-scale data collapses to (user, week) distinct rows in the
+    * first pass.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("user_id"), col("ts"))
+    val cohort = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
+    val sizes = cohort.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    val active = ev
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .withColumn("week_offset",
+        expr("cast(datediff(week, cohort) as bigint) div 7"))
+      .groupBy("cohort", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, "cohort")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("week_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6)
+          .as("retention"))
+      .orderBy("cohort", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r36_fuzzy_join" -> (fuzzyPartNames(_, _)),
+    "r37_funnel" -> (conversionFunnel(_, _)),
+    "r38_cohort_retention" -> (cohortRetention(_, _)),
     "r35_recursive_tree" -> (recursiveAncestors(_, _)),
     "r01_pricing_summary" -> (pricingSummary(_, _)),
     "r02_revenue_by_segment" -> (revenueBySegment(_, _)),
@@ -659,6 +723,55 @@ object RelationalQueries {
     "r34_locf_gapfill" -> (locfGapFill(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // strict-order funnel: each stage's min-ts is bounded below by the
+    // previous stage's — mirror of conversionFunnel
+    "r37_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS tc
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS tp
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT '1_view' AS stage, count(*) AS n_users,
+        |         CAST(sum(user_id) AS BIGINT) AS sum_uids FROM v
+        |  UNION ALL
+        |  SELECT '2_click', count(*), CAST(sum(user_id) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT '3_purchase', count(*), CAST(sum(user_id) AS BIGINT)
+        |  FROM p)
+        |ORDER BY stage""".stripMargin,
+    // ISO-Monday week cohorts; day-diff // 7 is exact (both ends are
+    // week starts) — mirror of cohortRetention
+    "r38_cohort_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+        |    AS cohort
+        |  FROM events GROUP BY 1),
+        |sizes AS (SELECT cohort, count(*) AS n_cohort
+        |          FROM cohort GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+        |    AS week
+        |  FROM events),
+        |j AS (
+        |  SELECT a.user_id, c.cohort,
+        |         date_diff('day', c.cohort, a.week) // 7 AS week_offset
+        |  FROM active a JOIN cohort c USING (user_id)),
+        |agg AS (
+        |  SELECT cohort, week_offset, count(DISTINCT user_id) AS n_active
+        |  FROM j GROUP BY 1, 2)
+        |SELECT strftime(g.cohort, '%Y-%m-%d') AS cohort,
+        |       CAST(g.week_offset AS BIGINT) AS week_offset, g.n_active,
+        |       round(CAST(g.n_active AS DOUBLE) / s.n_cohort, 6)
+        |         AS retention
+        |FROM agg g JOIN sizes s USING (cohort)
+        |ORDER BY cohort, week_offset""".stripMargin,
     // FastSS del-1 blocking + exact levenshtein verify — mirror of
     // Dedup.fuzzyNameJoin (candidates via shared deletion variants,
     // so the oracle replays the SAME candidate generator, not an
