@@ -694,7 +694,54 @@ object IngestQueries {
         "n_compacted", "sum_ids_compacted")
   }
 
+  /** PARTITION-SPEC EVOLUTION through the manifest store (the Iceberg
+    * capability i18 covered for schemas, applied to LAYOUT): snapshot
+    * v1 is written flat, snapshot v2 hive-partitioned by `lang` — the
+    * layout migration lands as a NEW snapshot without rewriting or
+    * invalidating v1, both stay readable through the same
+    * time-travel API (partition discovery recovers `lang` as a
+    * column), and the physical claim is pinned: v1 has zero `lang=*`
+    * directories, v2 exactly one per language. At 100 TB this is how
+    * a store adopts partition pruning retroactively: commit the
+    * re-laid-out snapshot, flip the pointer, readers never see a
+    * half-migrated directory.
+    */
+  def partitionEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ingest
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text")
+    val root = stagedDir(spark,
+      s"graft_i21_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}") { dir =>
+      val store = s"$dir/store"
+      Ingest.commitStoreSnapshot(spark, store) { d =>
+        Ingest.writeStore(docs, d)
+      }
+      Ingest.commitStoreSnapshot(spark, store) { d =>
+        docs.write.partitionBy("lang")
+          .option("compression", "zstd").parquet(d)
+      }
+    } + "/store"
+    val snaps = Ingest.listSnapshots(spark, root).map(_._1)
+    require(snaps.size == 2, s"expected flat+partitioned history: $snaps")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def langDirs(s: String): Long =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$s"))
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("lang="))
+        .toLong
+    def leg(tag: String, snap: String) =
+      Ingest.readStoreSnapshot(spark, root, snap)
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          countDistinct(col("lang")).as("n_langs"))
+        .select(lit(tag).as("version"), col("n_docs"), col("sum_ids"),
+          col("n_langs"), lit(langDirs(snap)).as("n_part_dirs"))
+    leg("v1_flat", snaps.head)
+      .unionByName(leg("v2_partitioned", snaps.last))
+      .orderBy("version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i21_partition_evolution" -> (partitionEvolution(_, _)),
     "i18_schema_evolution" -> (schemaEvolution(_, _)),
     "i19_frame_sample" -> (frameSampleQuery(_, _)),
     "i20_mor_delete" -> (morDeleteQuery(_, _)),
@@ -730,6 +777,22 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // both layouts serve the identical relation; n_part_dirs pins the
+    // physical layout difference — mirror of partitionEvolution
+    "i21_partition_evolution" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT)
+        |    AS sum_ids, count(DISTINCT lang) AS n_langs
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'v1_flat' AS version, n_docs, sum_ids, n_langs,
+        |         CAST(0 AS BIGINT) AS n_part_dirs
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'v2_partitioned', n_docs, sum_ids, n_langs,
+        |         (SELECT count(DISTINCT lang) FROM documents)
+        |  FROM s)
+        |ORDER BY version""".stripMargin,
     // merge-on-read deletes ≡ eager filter, before AND after the
     // compaction rewrite; mor_data_files = 0 pins "no data file was
     // written by a delete" — mirror of Ingest.deleteStoreKeysMor
