@@ -90,6 +90,58 @@ object VectorQueries {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** Staged RETRIEVAL FUNNEL, measured end-to-end: the serving path a
+    * production vector tier actually runs — full index → cheap-sketch
+    * shortlist → exact rerank — with each stage's candidate count and
+    * recall@10 against the exact answer in ONE relation. v20 verifies
+    * the composition's RESULT; this prices its attrition: how many
+    * candidates each stage touches and how much recall each cut
+    * costs (the shortlist's hamming cut is where recall can leak; the
+    * rerank stage can only reorder the 50 survivors). On the corpus's
+    * RANDOM embeddings the 50-of-1999 hamming cut keeps recall 0.1
+    * (above the 2.5% random floor but low — the v38 honesty: random
+    * vectors give a 16-bit sketch little to work with; real embedding
+    * geometry and/or more bits move it, and v20's shortlist knob is
+    * the dial). At scale the sketch stage reads 8 bytes/row instead
+    * of the vector column — the funnel shape IS the cost model.
+    */
+  def retrievalFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashFunctions.cosineLshBits
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"),
+        cosineLshBits(col("embedding"), 16).as("qsketch"))
+    val exact = Search.topK(corpus, q.select("qe"),
+        "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("hit"))
+    val short = corpus
+      .select(col("vec_id"), col("embedding"),
+        cosineLshBits(col("embedding"), 16).as("sketch"))
+      .crossJoin(broadcast(q))
+      .withColumn("hamming",
+        bit_count(col("sketch").bitwiseXOR(col("qsketch"))).cast("long"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(50)
+      .persist()
+    val rerank = short
+      .select(col("vec_id"), cosineSim(col("embedding"), col("qe"))
+        .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+    def leg(df: DataFrame, stage: String) =
+      df.select("vec_id").join(exact, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(stage).as("stage"), col("n_candidates"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit(10.0), 6)
+            .as("recall_at_10"))
+    leg(corpus, "1_full_index")
+      .unionByName(leg(short, "2_srp_shortlist"))
+      .unionByName(leg(rerank, "3_exact_rerank"))
+      .orderBy("stage")
+  }
+
   /** SNAPSHOT-VERSIONED vector index: the store's commit history
     * applied to the search path — the versioned-index/rollback
     * capability real vector services need and the reference's
@@ -1667,6 +1719,46 @@ object VectorQueries {
         |       string_agg(rank || '. ' || content, chr(10) ORDER BY rank) AS context
         |FROM ranked""".stripMargin,
     "v05_batch_search" -> batchHeapTopKOracle,
+    // v20's sketch/shortlist/rerank chain with per-stage candidate
+    // counts and recall vs the exact top-10 — mirror of retrievalFunnel
+    "v40_retrieval_funnel" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |  CAST(list_sum(list_transform(range(0, 16), j ->
+        |    CASE WHEN list_sum(list_transform(range(0, len(e)), i ->
+        |        e[CAST(i + 1 AS INT)] *
+        |        (CASE WHEN CAST(concat('0x', substring(
+        |               md5(concat('srp:', j, ':', i)), 1, 15)) AS BIGINT)
+        |              % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+        |    THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS sketch
+        |  FROM v),
+        |q AS (SELECT e AS qe, sketch AS qsketch FROM s WHERE vec_id = 0),
+        |exact AS (
+        |  SELECT vec_id FROM (
+        |    SELECT s.vec_id FROM s, q WHERE s.vec_id <> 0
+        |    ORDER BY list_cosine_similarity(s.e, q.qe) DESC, s.vec_id
+        |    LIMIT 10)),
+        |short AS (
+        |  SELECT s.vec_id, s.e, q.qe,
+        |         CAST(bit_count(xor(s.sketch, q.qsketch)) AS BIGINT)
+        |           AS hamming
+        |  FROM s, q WHERE s.vec_id <> 0
+        |  ORDER BY hamming, s.vec_id LIMIT 50),
+        |rr AS (
+        |  SELECT vec_id FROM short
+        |  ORDER BY list_cosine_similarity(e, qe) DESC, vec_id LIMIT 10),
+        |legs AS (
+        |  SELECT '1_full_index' AS stage, vec_id FROM v WHERE vec_id <> 0
+        |  UNION ALL SELECT '2_srp_shortlist', vec_id FROM short
+        |  UNION ALL SELECT '3_exact_rerank', vec_id FROM rr)
+        |SELECT l.stage, count(*) AS n_candidates,
+        |       CAST(sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_hits,
+        |       round(sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |             / 10.0, 6) AS recall_at_10
+        |FROM legs l LEFT JOIN exact x ON x.vec_id = l.vec_id
+        |GROUP BY l.stage ORDER BY l.stage""".stripMargin,
     // the three index versions rebuilt from the source table with the
     // same membership rules — mirror of snapshotSearch (time-travel
     // reads ≡ filtered brute-force scans)
@@ -2237,6 +2329,7 @@ object VectorQueries {
     "v37_maxsim_search" -> (maxSimQuery(_, _)),
     "v38_matryoshka_recall" -> (matryoshkaRecall(_, _)),
     "v39_snapshot_search" -> (snapshotSearch(_, _)),
+    "v40_retrieval_funnel" -> (retrievalFunnel(_, _)),
     "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
     "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
     "v27_ref_dim_search" -> (refDimSearch(_, _)),
