@@ -645,6 +645,37 @@ object Ingest {
     }
   }
 
+  /** MERGE INTO — the SQL-standard three-way upsert (matched+delete →
+    * DELETE, matched → UPDATE, not-matched → INSERT; a delete flag on
+    * an unmatched key is a no-op, per the standard), executed
+    * copy-on-write as ONE new snapshot: base FULL-OUTER batch on the
+    * key, case projection, write, pointer flip. In-flight readers of
+    * the old snapshot are undisturbed; the deferred-delete alternative
+    * is [[deleteStoreKeysMor]] (pure deletes) — MERGE pays the rewrite
+    * now because updates and inserts need new data files anyway. At
+    * 100 TB the join shuffles on the key and is co-located when the
+    * store is bucketed (writeStoreBucketed); batch-sized inputs
+    * broadcast automatically.
+    *
+    * `batch` must carry (keyCol, textCol, deleteCol) with at most one
+    * row per key — the relational MERGE cardinality rule (SQL throws
+    * on duplicate matches; here a duplicate key would duplicate base
+    * rows through the join).
+    */
+  def mergeIntoStore(spark: SparkSession, root: String, batch: DataFrame,
+                     keyCol: String, textCol: String,
+                     deleteCol: String): Unit =
+    commitStoreSnapshot(spark, root) { dir =>
+      val base = readStoreManifested(spark, root)
+        .select(col(keyCol), col(textCol))
+      val b = batch.select(col(keyCol), col(textCol).as("_bt"),
+        col(deleteCol).as("_del"))
+      val out = base.join(b, Seq(keyCol), "full_outer")
+        .filter(!coalesce(col("_del"), lit(false)))
+        .select(col(keyCol), coalesce(col("_bt"), col(textCol)).as(textCol))
+      writeStore(out, dir)
+    }
+
   /** The live snapshot plus every `_base` ancestor it references —
     * the set [[vacuumStore]] must retain. */
   private def liveChain(spark: SparkSession, root: String,

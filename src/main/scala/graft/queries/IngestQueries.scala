@@ -740,7 +740,49 @@ object IngestQueries {
       .orderBy("version")
   }
 
+  /** MERGE INTO through the manifest store
+    * ([[graft.operators.Ingest.mergeIntoStore]]): one batch carrying
+    * deletes (doc_id % 97), updates (% 13, exclusive of the deletes —
+    * the MERGE cardinality rule wants one row per key) and inserts
+    * (% 31 at shifted ids) lands as ONE committed snapshot. The
+    * result is pinned by count + id sum + an order-insensitive
+    * content fingerprint (md5 over sorted per-doc fingerprints, the
+    * t43/t46 convention) — a misapplied case in the three-way
+    * projection flips the hash.
+    */
+  def mergeIntoQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ingest
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val root = stagedDir(spark,
+      s"graft_i22_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}") { dir =>
+      val store = s"$dir/store"
+      Ingest.commitStoreSnapshot(spark, store) { d =>
+        Ingest.writeStore(docs, d)
+      }
+      val batch = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id"), col("text"), lit(true).as("_delete"))
+        .unionByName(docs
+          .filter(pmod(col("doc_id"), lit(13)) === 0 &&
+            pmod(col("doc_id"), lit(97)) =!= 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" v2")).as("text"),
+            lit(false).as("_delete")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(31)) === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+            lit(false).as("_delete")))
+      Ingest.mergeIntoStore(spark, store, batch, "doc_id", "text",
+        "_delete")
+    } + "/store"
+    Ingest.readStoreManifested(spark, root)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id"), lit(":"), col("text"))).as("doc_fp"))
+      .agg(count(lit(1)).as("n_final"), sum("doc_id").as("sum_ids"),
+        md5(array_join(array_sort(collect_list(col("doc_fp"))), ","))
+          .as("fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i22_merge_into" -> (mergeIntoQuery(_, _)),
     "i21_partition_evolution" -> (partitionEvolution(_, _)),
     "i18_schema_evolution" -> (schemaEvolution(_, _)),
     "i19_frame_sample" -> (frameSampleQuery(_, _)),
@@ -777,6 +819,25 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the three MERGE cases replayed relationally: survivors carry the
+    // update where it applies, inserts append at shifted ids — mirror
+    // of mergeIntoQuery (order-insensitive content fingerprint)
+    "i22_merge_into" ->
+      """WITH merged AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0 AND doc_id % 97 <> 0
+        |              THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents
+        |  WHERE doc_id % 31 = 0),
+        |fps AS (
+        |  SELECT doc_id,
+        |         md5(CAST(doc_id AS VARCHAR) || ':' || text) AS doc_fp
+        |  FROM merged)
+        |SELECT count(*) AS n_final, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |       md5(string_agg(doc_fp, ',' ORDER BY doc_fp)) AS fp
+        |FROM fps""".stripMargin,
     // both layouts serve the identical relation; n_part_dirs pins the
     // physical layout difference — mirror of partitionEvolution
     "i21_partition_evolution" ->

@@ -325,6 +325,26 @@ class IngestSpec extends SparkSpec {
     assert(got == Map("a.txt" -> "alpha doc\nwith lines", "b.txt" -> "beta doc"))
   }
 
+  test("mergeIntoStore: update/delete/insert in one snapshot; " +
+      "delete of a missing key is a no-op") {
+    val root = Files.createTempDirectory("graft_merge").toString + "/store"
+    Ingest.commitStoreSnapshot(spark, root) { dir =>
+      Ingest.writeStore(docsDf((1L, "a"), (2L, "b"), (3L, "c")), dir)
+    }
+    val batch = Seq(
+      (2L, "b2", false),   // matched -> update
+      (3L, "c", true),     // matched + delete -> drop
+      (4L, "d", false),    // not matched -> insert
+      (9L, "x", true)      // not matched + delete -> no-op
+    ).toDF("doc_id", "text", "_delete")
+    Ingest.mergeIntoStore(spark, root, batch, "doc_id", "text", "_delete")
+    assert(Ingest.readStoreManifested(spark, root)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+    // the merge is one commit: history = base + merged
+    assert(Ingest.listSnapshots(spark, root).size == 2)
+  }
+
   test("merge-on-read delete: tombstone snapshot hides keys without " +
       "touching data files; chained deletes stack; compact materializes") {
     val root = Files.createTempDirectory("graft_mor").toString + "/store"
