@@ -708,7 +708,69 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_live"), sum("doc_id").as("sum_ids_live"))
   }
 
+  /** CONTINUOUS MERGE INTO — i22's streaming form: the merge batch
+    * arrives split into TWO micro-batches with DISJOINT keys (split by
+    * id parity, the shape a keyed CDC feed guarantees per partition),
+    * each trigger committing one [[graft.operators.Ingest
+    * .mergeIntoStore]] snapshot. Disjoint-key merges commute, so the
+    * oracle is i22's one-shot SQL VERBATIM — however the feed chunks,
+    * the store converges to the same relation, and each trigger's
+    * cost is one key-join against the live snapshot (co-located on a
+    * bucketed store), zero streaming state.
+    */
+  def streamMergeInto(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ingest
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = IngestQueries.stagedDir(spark,
+      s"graft_s20_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}") { dir =>
+      Ingest.commitStoreSnapshot(spark, s"$dir/store") { d =>
+        Ingest.writeStore(docs, d)
+      }
+      val batch = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id"), col("text"), lit(true).as("_delete"))
+        .unionByName(docs
+          .filter(pmod(col("doc_id"), lit(13)) === 0 &&
+            pmod(col("doc_id"), lit(97)) =!= 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" v2")).as("text"),
+            lit(false).as("_delete")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(31)) === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+            lit(false).as("_delete")))
+      Seq(0, 1).foreach { par =>
+        batch.filter(pmod(col("doc_id"), lit(2)) === par)
+          .coalesce(1).write
+          .mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$dir/merges")
+      }
+    }
+    val store = s"$base/store"
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft_s20_chk").toString
+    val feed = spark.readStream
+      .schema(spark.read.parquet(s"$base/merges").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/merges")
+    val q = feed.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        Ingest.mergeIntoStore(b.sparkSession, store, b,
+          "doc_id", "text", "_delete")
+        ()
+      }
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Ingest.readStoreManifested(spark, store)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id"), lit(":"), col("text"))).as("doc_fp"))
+      .agg(count(lit(1)).as("n_final"), sum("doc_id").as("sum_ids"),
+        md5(array_join(array_sort(collect_list(col("doc_fp"))), ","))
+          .as("fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_stream_merge" -> (streamMergeInto(_, _)),
     "s19_stream_mor" -> (streamMorDelete(_, _)),
     "s17_stream_audio" -> (streamAudioPcm(_, _)),
     "s16_stream_media" -> (streamMedia(_, _)),
@@ -732,6 +794,9 @@ object StreamingQueries {
   // `def`: s11's entry (t33's oracle verbatim) interpolates artifact
   // globs, which must resolve at dump time, after the queries ran.
   def oracles: Map[String, String] = Map(
+    // i22's one-shot MERGE oracle VERBATIM: disjoint-key merge chunks
+    // commute, so the chunked stream converges to the single batch
+    "s20_stream_merge" -> IngestQueries.oracles("i22_merge_into"),
     // i20's live legs: however the delete keys were chunked into
     // micro-batch tombstone commits, the read equals the batch filter
     "s19_stream_mor" ->

@@ -1522,7 +1522,41 @@ object TextQueries {
       .orderBy("item")
   }
 
+  /** Vocabulary-growth curve (Heaps' law, public) — cumulative
+    * distinct-word counts at corpus-prefix quartiles, the planning
+    * statistic behind tokenizer vocabulary sizing and dedup-memory
+    * budgets ("how fast does the type inventory grow as the crawl
+    * grows"). Prefixes cut by a closed-form doc-id threshold
+    * (((max_id+1)·k) div 4 — exact integer arithmetic both engines);
+    * every output cell is an exact integer except the rounded
+    * type-token ratio. On this synthetic corpus the vocabulary
+    * saturates in the first quartile (31 types) — honest: the
+    * generator's word inventory IS tiny; the curve's SHAPE is the
+    * operator. One token pass, four conditional aggregates.
+    */
+  def vocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val toks = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.words(lower(col("text"))))
+          .as("w"))
+    val mx = docs.agg(max("doc_id").as("_mx"))
+    Seq(1L, 2L, 3L, 4L).map { k =>
+      toks.crossJoin(broadcast(mx))
+        .filter(expr(s"doc_id < ((_mx + 1) * $k) div 4"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("w")).as("n_vocab"))
+        .select(lit(k).as("quartile"), col("n_docs"), col("n_tokens"),
+          col("n_vocab"),
+          round(col("n_vocab").cast("double") / col("n_tokens"), 6)
+            .as("ttr"))
+    }.reduce(_ unionByName _)
+      .orderBy("quartile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t60_vocab_growth" -> (vocabGrowth(_, _)),
     "t46_training_export" -> (trainingExport(_, _)),
     "t37_curation_v2" -> (curationV2(_, _)),
     "t36_hll_ndv" -> (hllNdvQuery(_, _)),
@@ -2510,6 +2544,24 @@ object TextQueries {
          |WHERE NOT d.train
          |GROUP BY d.doc_id, d.label, p.prior_units
          |ORDER BY d.doc_id""".stripMargin,
+    // exact-integer prefix cuts + distinct counts — mirror of
+    // vocabGrowth (docs with zero tokens drop from both sides)
+    "t60_vocab_growth" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest($wsLowerExpr) AS w FROM documents),
+         |ks AS (SELECT CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS quartile),
+         |per AS (
+         |  SELECT k.quartile,
+         |         count(DISTINCT t.doc_id) AS n_docs,
+         |         count(*) AS n_tokens,
+         |         count(DISTINCT t.w) AS n_vocab
+         |  FROM tok t, mx, ks k
+         |  WHERE t.doc_id < ((mx + 1) * k.quartile) // 4
+         |  GROUP BY k.quartile)
+         |SELECT quartile, n_docs, n_tokens, n_vocab,
+         |       round(CAST(n_vocab AS DOUBLE) / n_tokens, 6) AS ttr
+         |FROM per ORDER BY quartile""".stripMargin,
     // banding geometries {2,4,8} over the SAME 16-hash signatures vs
     // the exact >=0.1 pair set — mirror of lshBandingPR (slice bounds
     // generalize t05's bands=4 band-key formula)
