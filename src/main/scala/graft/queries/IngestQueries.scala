@@ -781,7 +781,47 @@ object IngestQueries {
           .as("fp"))
   }
 
+  /** PHYSICAL-ERASURE AUDIT — the compliance leg of the delete story:
+    * i20/s19 prove deletes are logically invisible; a
+    * right-to-erasure regime additionally requires the bytes GONE
+    * after compaction. This query deletes (merge-on-read), compacts,
+    * then reads the live snapshot's data files RAW — deliberately
+    * bypassing the manifest read path and its anti-joins — and pins
+    * that zero tombstoned keys survive in the physical files
+    * (`n_tombstoned_present` = 0 is part of the hash-checked answer,
+    * alongside the compaction file-count contract). Deployed, this is
+    * the audit job that runs after every compaction window closes out
+    * a batch of erasure requests.
+    */
+  def erasureAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ingest
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val root = stagedDir(spark,
+      s"graft_i23_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}") { dir =>
+      val store = s"$dir/store"
+      Ingest.commitStoreSnapshot(spark, store) { d =>
+        Ingest.writeStore(docs, d)
+      }
+      Ingest.deleteStoreKeysMor(spark, store,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"))
+      Ingest.compactStoreManifested(spark, store, 4)
+    } + "/store"
+    val liveDir = Ingest.currentSnapshotDir(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(liveDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(liveDir))
+      .map(_.getPath).filterNot(_.getName.startsWith("_"))
+      .map(_.toString).toSeq
+    spark.read.parquet(files: _*) // RAW file read: no manifest, no anti-join
+      .agg(count(lit(1)).as("n_live"), sum("doc_id").as("sum_ids"),
+        sum(when(pmod(col("doc_id"), lit(7)) === 0, 1L).otherwise(0L))
+          .as("n_tombstoned_present"))
+      .select(col("n_live"), col("sum_ids"), col("n_tombstoned_present"),
+        lit(files.size.toLong).as("n_files"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i23_erasure_audit" -> (erasureAudit(_, _)),
     "i22_merge_into" -> (mergeIntoQuery(_, _)),
     "i21_partition_evolution" -> (partitionEvolution(_, _)),
     "i18_schema_evolution" -> (schemaEvolution(_, _)),
@@ -819,6 +859,13 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // post-compaction RAW-file audit: zero tombstoned keys in the
+    // physical bytes, exactly numFiles files — mirror of erasureAudit
+    "i23_erasure_audit" ->
+      """SELECT count(*) AS n_live, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |       CAST(0 AS BIGINT) AS n_tombstoned_present,
+        |       CAST(4 AS BIGINT) AS n_files
+        |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
     // the three MERGE cases replayed relationally: survivors carry the
     // update where it applies, inserts append at shifted ids — mirror
     // of mergeIntoQuery (order-insensitive content fingerprint)

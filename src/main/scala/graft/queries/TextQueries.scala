@@ -1555,7 +1555,35 @@ object TextQueries {
       .orderBy("quartile")
   }
 
+  /** DEDUP SAVINGS REPORT — the accounting view a curation run ships
+    * with its artifacts: per near-dup-cluster-size bucket, how many
+    * clusters exist, how many docs they hold, how many are REDUNDANT
+    * (cluster size − 1 non-keepers) and how many characters dropping
+    * them saves. Reads the build-once t03/t16 component artifact and
+    * the documents' n_chars — pure aggregation, no new corpus pass;
+    * the keeper rule (min-id = component label) is t16/t20's. The
+    * size DISTRIBUTION is the decision input: a corpus whose savings
+    * sit in a few giant clusters dedups differently (template hubs,
+    * t48) than one with many pairs.
+    */
+  def dedupSavings(spark: SparkSession, sfDir: String): DataFrame = {
+    val comp = dupComponents(spark, sfDir)
+    val sized = comp.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    val chars = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+    comp.join(sized, "label")
+      .join(chars, comp("node") === chars("doc_id"))
+      .groupBy("cluster_size")
+      .agg(countDistinct(col("label")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("node") =!= col("label"), 1L).otherwise(0L))
+          .as("n_redundant"),
+        sum(when(col("node") =!= col("label"), col("n_chars"))
+          .otherwise(0L)).as("redundant_chars"))
+      .orderBy("cluster_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t61_dedup_savings" -> (dedupSavings(_, _)),
     "t60_vocab_growth" -> (vocabGrowth(_, _)),
     "t46_training_export" -> (trainingExport(_, _)),
     "t37_curation_v2" -> (curationV2(_, _)),
@@ -2544,6 +2572,31 @@ object TextQueries {
          |WHERE NOT d.train
          |GROUP BY d.doc_id, d.label, p.prior_units
          |ORDER BY d.doc_id""".stripMargin,
+    // t20's recursive component walk + per-size-bucket accounting —
+    // mirror of dedupSavings (keeper = min-id label)
+    "t61_dedup_savings" ->
+      s"""WITH RECURSIVE $jaccardPairCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jac >= 0.1
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM jpairs WHERE jac >= 0.1),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+         |comp AS (SELECT node, min(label) AS label FROM walk GROUP BY node),
+         |sized AS (SELECT label, count(*) AS cluster_size
+         |          FROM comp GROUP BY label)
+         |SELECT s.cluster_size,
+         |       count(DISTINCT c.label) AS n_clusters,
+         |       count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN c.node <> c.label THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_redundant,
+         |       CAST(sum(CASE WHEN c.node <> c.label THEN d.n_chars
+         |                     ELSE 0 END) AS BIGINT) AS redundant_chars
+         |FROM comp c JOIN sized s USING (label)
+         |JOIN documents d ON d.doc_id = c.node
+         |GROUP BY s.cluster_size ORDER BY s.cluster_size""".stripMargin,
     // exact-integer prefix cuts + distinct counts — mirror of
     // vocabGrowth (docs with zero tokens drop from both sides)
     "t60_vocab_growth" ->
