@@ -90,6 +90,57 @@ object VectorQueries {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** PQ DISTORTION vs compression, measured (the second PQ quality
+    * axis beside v16's recall: Jégou et al. 2011 report exactly this
+    * reconstruction-MSE/code-size trade): per geometry m ∈ {4, 16}
+    * (k=16 codes per subspace, codebooks trained on the deterministic
+    * half-sample and PERSISTED per the v16 artifact convention), the
+    * corpus-average squared reconstruction error of the encode
+    * kernel's codes and the index-memory compression factor. m=4
+    * compresses 64× and must distort MORE than m=16's 16× — the
+    * monotonicity is the sanity check, the magnitudes are the sizing
+    * input. The error computes relationally off the encoded codes +
+    * the codebook literal (narrow, no shuffle beyond the final agg);
+    * the oracle recomputes per-subspace minima from the persisted
+    * codebooks, which equals the kernel's chosen-code distance by the
+    * argmin definition.
+    */
+  def pqDistortion(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val dim = 64
+    Seq(4, 16).map { m =>
+      val trained = Pq.trainCodebooks(
+        corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", m = m, k = 16, maxIter = 4)
+      val model = persistCodebooks(spark, trained,
+        s"v41_codebooks_m$m", sfDir)
+      val dsub = model.dsub
+      val cenLit = typedlit(
+        model.codebooks.map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq)
+      Pq.encode(corpus, "vec_id", "embedding", model)
+        .join(corpus, "vec_id")
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("j", "c")),
+          col("embedding"))
+        .select(col("vec_id"),
+          expr(s"slice(embedding, j * $dsub + 1, $dsub)")
+            .cast("array<double>").as("sv"),
+          element_at(element_at(cenLit, col("j") + 1), col("c") + 1)
+            .as("ctr"))
+        .select(col("vec_id"),
+          aggregate(zip_with(col("sv"), col("ctr"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+            .as("e2"))
+        .agg((sum(col("e2")) / countDistinct(col("vec_id"))).as("_avg"))
+        .select(lit(m.toLong).as("m"),
+          round(col("_avg"), 6).as("avg_sq_error"),
+          lit(dim.toLong * 4L / m).as("compression_x"))
+    }.reduce(_ unionByName _)
+      .orderBy("m")
+  }
+
   /** Staged RETRIEVAL FUNNEL, measured end-to-end: the serving path a
     * production vector tier actually runs — full index → cheap-sketch
     * shortlist → exact rerank — with each stage's candidate count and
@@ -1719,6 +1770,43 @@ object VectorQueries {
         |       string_agg(rank || '. ' || content, chr(10) ORDER BY rank) AS context
         |FROM ranked""".stripMargin,
     "v05_batch_search" -> batchHeapTopKOracle,
+    // per-subspace minimum distance to the PERSISTED codebooks ≡ the
+    // encode kernel's chosen-code distance (argmin definition) —
+    // mirror of pqDistortion at both geometries
+    "v41_pq_distortion" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings WHERE vec_id <> 0),
+         |cb4 AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |  FROM read_parquet('${Artifacts.oracleGlob("v41_codebooks_m4")}')),
+         |b4 AS (
+         |  SELECT va.vec_id, cb.j,
+         |         min(list_sum(list_transform(range(0, 16), i ->
+         |           (va.e[CAST(cb.j * 16 + i + 1 AS INT)]
+         |              - cb.ctr[CAST(i + 1 AS INT)]) *
+         |           (va.e[CAST(cb.j * 16 + i + 1 AS INT)]
+         |              - cb.ctr[CAST(i + 1 AS INT)])))) AS d
+         |  FROM v va, cb4 cb GROUP BY 1, 2),
+         |cb16 AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |  FROM read_parquet('${Artifacts.oracleGlob("v41_codebooks_m16")}')),
+         |b16 AS (
+         |  SELECT va.vec_id, cb.j,
+         |         min(list_sum(list_transform(range(0, 4), i ->
+         |           (va.e[CAST(cb.j * 4 + i + 1 AS INT)]
+         |              - cb.ctr[CAST(i + 1 AS INT)]) *
+         |           (va.e[CAST(cb.j * 4 + i + 1 AS INT)]
+         |              - cb.ctr[CAST(i + 1 AS INT)])))) AS d
+         |  FROM v va, cb16 cb GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT CAST(4 AS BIGINT) AS m,
+         |         round(sum(d) / count(DISTINCT vec_id), 6) AS avg_sq_error,
+         |         CAST(64 AS BIGINT) AS compression_x
+         |  FROM b4
+         |  UNION ALL
+         |  SELECT CAST(16 AS BIGINT),
+         |         round(sum(d) / count(DISTINCT vec_id), 6),
+         |         CAST(16 AS BIGINT)
+         |  FROM b16)
+         |ORDER BY m""".stripMargin,
     // v20's sketch/shortlist/rerank chain with per-stage candidate
     // counts and recall vs the exact top-10 — mirror of retrievalFunnel
     "v40_retrieval_funnel" ->
@@ -2330,6 +2418,7 @@ object VectorQueries {
     "v38_matryoshka_recall" -> (matryoshkaRecall(_, _)),
     "v39_snapshot_search" -> (snapshotSearch(_, _)),
     "v40_retrieval_funnel" -> (retrievalFunnel(_, _)),
+    "v41_pq_distortion" -> (pqDistortion(_, _)),
     "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
     "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
     "v27_ref_dim_search" -> (refDimSearch(_, _)),
