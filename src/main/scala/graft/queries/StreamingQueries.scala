@@ -769,7 +769,78 @@ object StreamingQueries {
           .as("fp"))
   }
 
+  /** WATERMARK LATE-DATA accounting — the one streaming semantic the
+    * parity suite hadn't pinned: what the watermark actually DROPS.
+    * The event feed arrives inverted — the newer half (ts ≥ Jan 16)
+    * first, then the older half as a second micro-batch, by which
+    * time the 20-day watermark (max seen ts − 20d ≈ Jan 10/11) has
+    * passed: an old event survives iff its hourly window still ends
+    * AFTER the watermark (Spark's `window.end > watermark` rule —
+    * mirrored literally in the oracle), so days 1-10 drop and the
+    * tail survives. The oracle computes the same cutoff in SQL from
+    * the staged split — the drop POLICY itself is the hash-checked
+    * claim, not just the happy path. State stays bounded BY the same
+    * mechanism: this is the eviction contract that makes 100 TB
+    * streams finite-memory.
+    */
+  def streamLateData(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir).select("event_id", "ts")
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    // fresh dirs per invocation: the feed MUTATES between the two
+    // runs, so staging/memoizing it would hand re-runs both files in
+    // run 1 and erase the lateness being tested
+    val dir = java.nio.file.Files.createTempDirectory("graft_s21")
+      .toString
+    val feedDir = s"$dir/feed"
+    val chk = s"$dir/chk"
+    ev.filter(col("ts") >= cut).coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(feedDir)
+    // two .start() runs over ONE checkpoint: run 1 drains the on-time
+    // half and PERSISTS its watermark; the late half lands between
+    // runs, and run 2 restores watermark + window state from the
+    // checkpoint before processing it — deterministic late arrival
+    // with no reliance on file-listing order, and a restart-survival
+    // claim for free
+    // UPDATE mode, deliberately: complete mode never drops late rows
+    // (it must retain all state to re-emit it), so the drop policy is
+    // only observable where eviction is live. The sink is foreachBatch
+    // appending each trigger's emissions to parquet — the memory sink
+    // refuses checkpoint recovery, and recovery is the point here.
+    // The two halves' hourly windows are disjoint (the cut is
+    // midnight), so the appended emissions are exactly the surviving
+    // window set, each window once.
+    val outDir = s"$dir/out"
+    def drain(): Unit =
+      Streaming.withStatePartitions(spark) {
+        val q = spark.readStream
+          .schema(spark.read.parquet(feedDir).schema)
+          .parquet(feedDir)
+          .withWatermark("ts", "20 days")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream
+          .outputMode("update")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(outDir)
+            ()
+          }
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    drain()
+    ev.filter(col("ts") < cut).coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(feedDir)
+    drain()
+    spark.read.parquet(outDir)
+      .agg(count(lit(1)).as("n_windows"),
+        sum("n").as("n_events_kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_late_data" -> (streamLateData(_, _)),
     "s20_stream_merge" -> (streamMergeInto(_, _)),
     "s19_stream_mor" -> (streamMorDelete(_, _)),
     "s17_stream_audio" -> (streamAudioPcm(_, _)),
@@ -794,6 +865,27 @@ object StreamingQueries {
   // `def`: s11's entry (t33's oracle verbatim) interpolates artifact
   // globs, which must resolve at dump time, after the queries ran.
   def oracles: Map[String, String] = Map(
+    // the watermark drop policy replayed in SQL: the late (older) half
+    // survives iff its hourly window ends after max(on-time ts) − 20d
+    "s21_late_data" ->
+      """WITH a AS (
+        |  SELECT event_id, ts FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |wm AS (SELECT max(ts) - INTERVAL 20 DAY AS w FROM a),
+        |b AS (
+        |  SELECT event_id, ts FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |kept AS (
+        |  SELECT ts FROM a
+        |  UNION ALL
+        |  SELECT b.ts FROM b, wm
+        |  WHERE date_trunc('hour', b.ts) + INTERVAL 1 HOUR > wm.w),
+        |win AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM kept GROUP BY 1)
+        |SELECT count(*) AS n_windows, CAST(sum(n) AS BIGINT)
+        |  AS n_events_kept
+        |FROM win""".stripMargin,
     // i22's one-shot MERGE oracle VERBATIM: disjoint-key merge chunks
     // commute, so the chunked stream converges to the single batch
     "s20_stream_merge" -> IngestQueries.oracles("i22_merge_into"),
