@@ -135,4 +135,51 @@ object Graph {
     outE.unpersist()
     ranks
   }
+
+  /** Triangle count + global clustering coefficient over an
+    * undirected edge list, with DEGREE-ORDERED edge orientation
+    * (Suri & Vassilvitskii 2011; Schank & Wagner 2005 — public): each
+    * edge orients from its lower-(degree, id) endpoint to the higher,
+    * so every wedge is generated at its lowest-ranked vertex and the
+    * wedge join's fan-out is Σ d_out² with d_out = O(√m) — the bound
+    * that keeps the join finite on power-law graphs, where the naive
+    * formulation explodes at hub nodes (a boilerplate template with a
+    * million near-dups contributes its wedges at the SPOKES, not the
+    * hub). Each triangle is counted exactly once at its
+    * minimum-ranked vertex. Emits one row: nodes, edges, wedges
+    * (Σ C(deg,2) over undirected degrees), triangles, and the global
+    * clustering coefficient 3·triangles/wedges — the graph-shape
+    * diagnostic that distinguishes clique-ish near-dup neighborhoods
+    * (templates) from chain-ish ones (revisions).
+    */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val und = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), "v")
+      .filter(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
+      .select("u", "v")
+      .persist()
+    val wedges = oriented.select(col("u"), col("v").as("x"))
+      .join(oriented.select(col("u"), col("v").as("y")), "u")
+      .filter(col("x") < col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+    val canon = und.filter(col("u") < col("v"))
+      .select(col("u").as("a"), col("v").as("b"))
+    val tri = wedges.join(canon, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val edgeStats = canon.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(edgeStats).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering_coeff"))
+  }
 }

@@ -1582,7 +1582,17 @@ object TextQueries {
       .orderBy("cluster_size")
   }
 
+  /** Triangle census of the near-dup pair graph
+    * ([[graft.operators.Graph.triangleStats]]): triangles + global
+    * clustering coefficient via degree-ordered wedge joins — the
+    * graph-shape diagnostic separating template cliques from revision
+    * chains, off the build-once pair artifact. */
+  def triangleCensus(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Graph.triangleStats(dupPairs(spark, sfDir),
+      "id_a", "id_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t62_triangle_census" -> (triangleCensus(_, _)),
     "t61_dedup_savings" -> (dedupSavings(_, _)),
     "t60_vocab_growth" -> (vocabGrowth(_, _)),
     "t46_training_export" -> (trainingExport(_, _)),
@@ -2572,6 +2582,27 @@ object TextQueries {
          |WHERE NOT d.train
          |GROUP BY d.doc_id, d.label, p.prior_units
          |ORDER BY d.doc_id""".stripMargin,
+    // id-ordered triple join over the exact pair set + closed-form
+    // wedge count — mirror of Graph.triangleStats (the degree-ordered
+    // orientation changes the JOIN SHAPE, not the answer)
+    "t62_triangle_census" ->
+      s"""WITH $jaccardPairCtes,
+         |e AS (SELECT id_a AS a, id_b AS b FROM jpairs WHERE jac >= 0.1),
+         |und AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+         |deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+         |tri AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM e e1
+         |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         |       (SELECT count(*) FROM e) AS n_edges,
+         |       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+         |         AS n_wedges,
+         |       (SELECT n_triangles FROM tri) AS n_triangles,
+         |       round(CAST(3.0 AS DOUBLE) * (SELECT n_triangles FROM tri)
+         |             / (SELECT sum(d * (d - 1) // 2) FROM deg), 6)
+         |         AS clustering_coeff""".stripMargin,
     // t20's recursive component walk + per-size-bucket accounting —
     // mirror of dedupSavings (keeper = min-id label)
     "t61_dedup_savings" ->

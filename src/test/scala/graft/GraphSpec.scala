@@ -83,4 +83,29 @@ class GraphSpec extends SparkSpec {
       assert(deg == 2 && math.abs(r - 1.0 / 3) < 1e-12)
     }
   }
+
+  test("triangleStats: hand-counted census on triangle+pendant+square") {
+    // triangle 1-2-3, pendant 3-4, square 5-6-7-8 (no triangle):
+    // 8 nodes, 8 edges; wedges = C(2,2 appears)... degrees:
+    // 1:2 2:2 3:3 4:1 5..8:2 -> sum C(d,2) = 1+1+3+0+1+1+1+1 = 9;
+    // triangles = 1; clustering = 3/9
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L)
+    ).toDF("a", "b")
+    val got = Graph.triangleStats(edges, "a", "b")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got == ((8L, 8L, 9L, 1L, 0.333333)))
+  }
+
+  test("triangleStats counts each triangle once on a clique") {
+    // K4: 4 nodes, 6 edges, C(4,3)=4 triangles, wedges = 4*C(3,2)=12,
+    // clustering = 3*4/12 = 1.0
+    val k4 = (for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)).toDF("a", "b")
+    val got = Graph.triangleStats(k4, "a", "b")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got == ((4L, 6L, 12L, 4L, 1.0)))
+  }
 }
