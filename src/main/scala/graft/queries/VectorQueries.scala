@@ -90,6 +90,44 @@ object VectorQueries {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** k-NN MAJORITY-VOTE classification with a held-out split (Cover &
+    * Hart 1967 — the nonparametric baseline every labeled-embedding
+    * pipeline evaluates first, and the instance-based complement of
+    * t33's nearest-class-MEAN): every fifth vector is held out, its 5
+    * nearest train neighbors by cosine vote, ties to the smaller
+    * label, and the per-vector (label, pred, correct) triple is the
+    * output — generalization evidence at row grain. The vote argmax
+    * is a conditional max(struct) aggregate (v36's no-window trick)
+    * over the per-neighbor-label counts; the scored frame is the
+    * exact baseline, and the same vote runs unchanged over a
+    * retriever shortlist at scale.
+    */
+  def knnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val train = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      .select(col("vec_id").as("tid"), col("embedding").as("te"),
+        col("label").as("tl"))
+    val test = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val scored = test.crossJoin(broadcast(train))
+      .select(col("vec_id"), col("label"), col("tid"), col("tl"),
+        cosineSim(col("embedding"), col("te")).as("cos"))
+    val top = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("tid"))))
+      .filter(col("rn") <= 5)
+    top.groupBy(col("vec_id"), col("label"), col("tl"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("votes"),
+        (-col("tl")).cast("long").as("nl"))).as("best"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        (-col("best.nl")).as("pred"),
+        (col("label").cast("long") === -col("best.nl")).as("correct"))
+      .orderBy("vec_id")
+  }
+
   /** PQ DISTORTION vs compression, measured (the second PQ quality
     * axis beside v16's recall: Jégou et al. 2011 report exactly this
     * reconstruction-MSE/code-size trade): per geometry m ∈ {4, 16}
@@ -1770,6 +1808,36 @@ object VectorQueries {
         |       string_agg(rank || '. ' || content, chr(10) ORDER BY rank) AS context
         |FROM ranked""".stripMargin,
     "v05_batch_search" -> batchHeapTopKOracle,
+    // top-5 cosine vote with (votes DESC, label) ties ≡ the engine's
+    // max(struct(votes, -label)) — mirror of knnClassify
+    "v42_knn_classify" ->
+      """WITH tr AS (
+        |  SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS te,
+        |         label AS tl
+        |  FROM embeddings WHERE vec_id % 5 <> 0),
+        |te AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |sc AS (
+        |  SELECT te.vec_id, te.label, tr.tid, tr.tl,
+        |         list_cosine_similarity(te.e, tr.te) AS cos
+        |  FROM te, tr),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, tid) AS rn
+        |    FROM sc) WHERE rn <= 5),
+        |votes AS (
+        |  SELECT vec_id, label, tl, count(*) AS v
+        |  FROM top GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT vec_id, label, tl AS pred FROM (
+        |    SELECT vec_id, label, tl, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY v DESC, tl) AS rn
+        |    FROM votes) WHERE rn = 1)
+        |SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |       CAST(pred AS BIGINT) AS pred, label = pred AS correct
+        |FROM pred ORDER BY vec_id""".stripMargin,
     // per-subspace minimum distance to the PERSISTED codebooks ≡ the
     // encode kernel's chosen-code distance (argmin definition) —
     // mirror of pqDistortion at both geometries
@@ -2419,6 +2487,7 @@ object VectorQueries {
     "v39_snapshot_search" -> (snapshotSearch(_, _)),
     "v40_retrieval_funnel" -> (retrievalFunnel(_, _)),
     "v41_pq_distortion" -> (pqDistortion(_, _)),
+    "v42_knn_classify" -> (knnClassify(_, _)),
     "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
     "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
     "v27_ref_dim_search" -> (refDimSearch(_, _)),
