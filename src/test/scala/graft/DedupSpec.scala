@@ -572,6 +572,35 @@ class DedupSpec extends SparkSpec {
       ("ring", "rings", 1L, 1L, 1L)))
   }
 
+  test("fuzzyNameJoin equals brute-force lev<=1 pairs on random corpora") {
+    // small alphabet + short strings maximize near-miss density: the
+    // del-1 blocking must be a SOUND candidate generator (no missed
+    // pair) and the verify exact (no extra pair) — checked against an
+    // independent DP Levenshtein over all distinct pairs
+    val rng = new scala.util.Random(42)
+    def randName() =
+      (1 to rng.nextInt(5) + 1).map(_ => ('a' + rng.nextInt(3)).toChar)
+        .mkString
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (round <- 1 to 3) {
+      val names = Seq.fill(30)(randName())
+      val got = Dedup.fuzzyNameJoin(names.toDF("name"), "name")
+        .select("name_a", "name_b").as[(String, String)].collect().toSet
+      val distinct = names.distinct
+      val want = (for {
+        a <- distinct; b <- distinct if a < b && lev(a, b) <= 1
+      } yield (a, b)).toSet
+      assert(got == want, s"round $round: got=$got want=$want")
+    }
+  }
+
   test("fuzzyNameJoin: shared variant at distance 2 is verified away") {
     // "ab" and "ba" share del-1 variants "a" and "b" but lev = 2 —
     // the candidate must NOT survive the exact verify; identical
