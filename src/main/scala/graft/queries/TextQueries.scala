@@ -1591,7 +1591,36 @@ object TextQueries {
     graft.operators.Graph.triangleStats(dupPairs(spark, sfDir),
       "id_a", "id_b")
 
+  /** DEDUP THRESHOLD SWEEP — t59's geometry-pricing discipline applied
+    * to the Jaccard threshold itself: the pair graph is built ONCE at
+    * the permissive 0.1 floor (the cached t03 artifact), then each
+    * candidate threshold {0.1, 0.3, 0.5} keeps its edge subset and
+    * closes components — n_components / clustered docs / largest
+    * component per threshold, the over- vs under-merging evidence a
+    * deployment tunes against (a threshold whose largest component
+    * explodes is merging unrelated docs; one whose clustered-doc count
+    * collapses is missing real dups). Raising the threshold only
+    * FILTERS the persisted pair frame — no corpus re-pass, the 100 TB
+    * tuning loop stays artifact-local. (Jaccard values are single
+    * exact-integer divisions, so the >= compare is bit-portable.)
+    */
+  def thresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dupPairs(spark, sfDir)
+    Seq(0.1, 0.3, 0.5).map { th =>
+      val comp = graft.operators.Graph.connectedComponents(
+        pairs.filter(col("jaccard") >= th), "id_a", "id_b")
+      val sized = comp.groupBy("label").agg(count(lit(1)).as("sz"))
+      sized.agg(count(lit(1)).as("n_components"),
+          coalesce(sum("sz"), lit(0L)).as("n_clustered_docs"),
+          coalesce(max("sz"), lit(0L)).as("largest"))
+        .select(lit(th).as("threshold"), col("n_components"),
+          col("n_clustered_docs"), col("largest"))
+    }.reduce(_ unionByName _)
+      .orderBy("threshold")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t63_threshold_sweep" -> (thresholdSweep(_, _)),
     "t62_triangle_census" -> (triangleCensus(_, _)),
     "t61_dedup_savings" -> (dedupSavings(_, _)),
     "t60_vocab_growth" -> (vocabGrowth(_, _)),
@@ -2582,6 +2611,40 @@ object TextQueries {
          |WHERE NOT d.train
          |GROUP BY d.doc_id, d.label, p.prior_units
          |ORDER BY d.doc_id""".stripMargin,
+    // three recursive closures over the SAME pair set at rising
+    // thresholds — mirror of thresholdSweep (jac compares are single
+    // exact-integer divisions, bit-portable)
+    "t63_threshold_sweep" -> {
+      def leg(th: String, sfx: String) =
+        s"""edges$sfx AS (
+           |  SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jac >= $th
+           |  UNION ALL
+           |  SELECT id_b, id_a FROM jpairs WHERE jac >= $th),
+           |walk$sfx(node, label) AS (
+           |  SELECT src, src FROM (SELECT DISTINCT src FROM edges$sfx)
+           |  UNION
+           |  SELECT e.dst, w.label FROM walk$sfx w
+           |  JOIN edges$sfx e ON e.src = w.node),
+           |comp$sfx AS (SELECT node, min(label) AS label FROM walk$sfx
+           |             GROUP BY node),
+           |sz$sfx AS (SELECT label, count(*) AS sz FROM comp$sfx
+           |           GROUP BY label),
+           |agg$sfx AS (
+           |  SELECT CAST($th AS DOUBLE) AS threshold,
+           |         count(*) AS n_components,
+           |         CAST(coalesce(sum(sz), 0) AS BIGINT)
+           |           AS n_clustered_docs,
+           |         CAST(coalesce(max(sz), 0) AS BIGINT) AS largest
+           |  FROM sz$sfx)""".stripMargin
+      s"""WITH RECURSIVE $jaccardPairCtes,
+         |${leg("0.1", "1")},
+         |${leg("0.3", "3")},
+         |${leg("0.5", "5")}
+         |SELECT * FROM (
+         |  SELECT * FROM agg1 UNION ALL SELECT * FROM agg3
+         |  UNION ALL SELECT * FROM agg5)
+         |ORDER BY threshold""".stripMargin
+    },
     // id-ordered triple join over the exact pair set + closed-form
     // wedge count — mirror of Graph.triangleStats (the degree-ordered
     // orientation changes the JOIN SHAPE, not the answer)
