@@ -1619,7 +1619,45 @@ object TextQueries {
       .orderBy("threshold")
   }
 
+  /** DATA-MIXING PLAN — the published pre-training mixing table
+    * (LLaMA §2.1 / GPT-3 Table 2.2 report exactly this: per source,
+    * sampling proportion and effective EPOCHS at the token budget):
+    * per `source`, measured tokens and mean t08 quality; sampling
+    * weight ∝ tokens × quality (a quality-weighted share, the
+    * common heuristic), proportions normalized, and effective epochs
+    * at a 2×-corpus token budget — epochs > 2 means the plan
+    * up-samples that source past the corpus average (the repetition
+    * cost the mixing table exists to expose). Two aggregates (doc →
+    * source, source → totals) + one broadcast back; every double is
+    * either a single product/division of exact integers-and-quarters
+    * or rounded at 6dp before reuse.
+    */
+  def mixingPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val qf = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality"))
+    val per = docs
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.words(col("text")))
+          .cast("long").as("nt"))
+      .join(qf, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+        avg("quality").as("mq"))
+    val tot = per.agg(sum(col("n_tokens")).as("tt"),
+      sum(col("n_tokens").cast("double") * col("mq")).as("tw"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("p",
+        round(col("n_tokens").cast("double") * col("mq") / col("tw"), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("mq"), 6).as("mean_quality"), col("p"),
+        round(lit(2.0) * col("tt").cast("double") * col("p")
+          / col("n_tokens"), 6).as("epochs_at_2x"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t64_mixing_plan" -> (mixingPlan(_, _)),
     "t63_threshold_sweep" -> (thresholdSweep(_, _)),
     "t62_triangle_census" -> (triangleCensus(_, _)),
     "t61_dedup_savings" -> (dedupSavings(_, _)),
@@ -2611,6 +2649,39 @@ object TextQueries {
          |WHERE NOT d.train
          |GROUP BY d.doc_id, d.label, p.prior_units
          |ORDER BY d.doc_id""".stripMargin,
+    // quality-weighted shares + epochs at a 2x budget — mirror of
+    // mixingPlan (quality = gate-count × CAST(0.25 AS DOUBLE), the
+    // same exact quarter values Spark's when-sums produce; p rounds
+    // BEFORE feeding the epochs column)
+    "t64_mixing_plan" ->
+      s"""WITH $qualityFeatCtes,
+         |qs AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+         |     + CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0
+         |            THEN 1 ELSE 0 END
+         |     + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6
+         |            THEN 1 ELSE 0 END
+         |     + CASE WHEN alnum_ratio >= 0.6 THEN 1 ELSE 0 END)
+         |      * CAST(0.25 AS DOUBLE) AS quality
+         |  FROM feat),
+         |base AS (
+         |  SELECT d.source, len($wsExpr) AS nt, q.quality
+         |  FROM documents d JOIN qs q USING (doc_id)),
+         |per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |         avg(quality) AS mq
+         |  FROM base GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+         |               sum(CAST(n_tokens AS DOUBLE) * mq) AS tw
+         |        FROM per)
+         |SELECT source, n_docs, n_tokens, round(mq, 6) AS mean_quality,
+         |       round(CAST(n_tokens AS DOUBLE) * mq / tw, 6) AS p,
+         |       round(CAST(2.0 AS DOUBLE) * CAST(tt AS DOUBLE)
+         |             * round(CAST(n_tokens AS DOUBLE) * mq / tw, 6)
+         |             / n_tokens, 6) AS epochs_at_2x
+         |FROM per, tot ORDER BY source""".stripMargin,
     // three recursive closures over the SAME pair set at rising
     // thresholds — mirror of thresholdSweep (jac compares are single
     // exact-integer divisions, bit-portable)
