@@ -915,6 +915,11 @@ object Dedup {
           expr("transform(sequence(1, length(name)), i -> " +
             "concat(substring(name, 1, i - 1), substring(name, i + 1)))"))
           .otherwise(array().cast("array<string>"))))).as("v"))
+      // the self-join reads this twice; without the persist each side
+      // re-runs the distinct-name aggregate over the input
+      // (lshCandidatePairs' convention — callers clearCache between
+      // corpora)
+      .persist()
     val a = variants.select(col("v"), col("name").as("name_a"),
       col("n").as("n_a"))
     val b = variants.select(col("v"), col("name").as("name_b"),

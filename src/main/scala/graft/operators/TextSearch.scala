@@ -201,6 +201,10 @@ object TextSearch {
     val toks = docs.filter(trim(col(textCol)) =!= "")
       .select(col(idCol), explode(words(lower(col(textCol)))).as("w"))
       .distinct()
+      // read twice (vocabulary + the contribution join): persist, or
+      // the corpus tokenizes twice — the one pass the scale story
+      // promises (callers clearCache between corpora)
+      .persist()
     val vemb = subwordTokenEmbeddings(toks.select("w").distinct(), dim)
     val qemb = subwordTokenEmbeddings(
       queryTokens.distinct.toDF("w"), dim)

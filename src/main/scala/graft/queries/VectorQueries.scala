@@ -204,6 +204,9 @@ object VectorQueries {
     val exact = Search.topK(corpus, q.select("qe"),
         "vec_id", "embedding", "qe", 10)
       .select(col("vec_id"), lit(1L).as("hit"))
+      // three legs join against this 10-row frame; without the persist
+      // each leg re-runs the full exact scan
+      .persist()
     val short = corpus
       .select(col("vec_id"), col("embedding"),
         cosineLshBits(col("embedding"), 16).as("sketch"))
