@@ -839,7 +839,44 @@ object StreamingQueries {
         sum("n").as("n_events_kept"))
   }
 
+  /** LEFT OUTER stream-stream interval join — s06's inner join plus
+    * the half the battery was missing: the NULL row for a click with
+    * no purchase in its 30-minute window, which a stream can only
+    * emit once the watermark PROVES no match can still arrive
+    * (global watermark = min of both sides' = max event ts − 10 min;
+    * a click finalizes unmatched when click_ts + 30 min drops below
+    * it — clicks near the stream's end stay unemitted forever, and
+    * the oracle replays exactly that partial-result rule rather than
+    * pretending the batch answer). Also pins that AvailableNow runs
+    * the terminal no-data batch that flushes watermark-dependent
+    * outer results before terminating.
+    */
+  def streamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Streaming.eventsStream(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      expr("""user_id = p_user AND
+              p_ts >= click_ts AND
+              p_ts <= click_ts + interval 30 minutes"""),
+      "left_outer")
+    Streaming.runAvailableNowAppend(spark, joined, "graft_s22")
+      .groupBy("user_id")
+      .agg(sum(when(col("p_ts").isNotNull, 1L).otherwise(0L))
+        .as("n_matched"),
+        sum(when(col("p_ts").isNull, 1L).otherwise(0L))
+          .as("n_unmatched"),
+        round(sum(coalesce(col("value"), lit(0.0))), 4).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_outer_join" -> (streamOuterJoin(_, _)),
     "s21_late_data" -> (streamLateData(_, _)),
     "s20_stream_merge" -> (streamMergeInto(_, _)),
     "s19_stream_mor" -> (streamMorDelete(_, _)),
@@ -865,6 +902,39 @@ object StreamingQueries {
   // `def`: s11's entry (t33's oracle verbatim) interpolates artifact
   // globs, which must resolve at dump time, after the queries ran.
   def oracles: Map[String, String] = Map(
+    // inner matches are the batch interval join; NULL rows emit only
+    // for clicks finalized by the final global watermark (min of both
+    // sides' max ts − 10 min) — the stream's partial-result rule
+    // replayed, not the batch LEFT JOIN
+    "s22_outer_join" ->
+      """WITH c AS (
+        |  SELECT user_id, ts AS click_ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id AS p_user, ts AS p_ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT least((SELECT max(click_ts) FROM c),
+        |               (SELECT max(p_ts) FROM p))
+        |         - INTERVAL 10 MINUTE AS w),
+        |matched AS (
+        |  SELECT c.user_id, 1 AS m, p.value FROM c JOIN p
+        |    ON p.p_user = c.user_id AND p.p_ts >= c.click_ts
+        |   AND p.p_ts <= c.click_ts + INTERVAL 30 MINUTE),
+        |nulls AS (
+        |  SELECT c.user_id, 0 AS m, CAST(NULL AS DOUBLE) AS value
+        |  FROM c, wm
+        |  WHERE c.click_ts + INTERVAL 30 MINUTE < wm.w
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM p
+        |      WHERE p.p_user = c.user_id AND p.p_ts >= c.click_ts
+        |        AND p.p_ts <= c.click_ts + INTERVAL 30 MINUTE)),
+        |allrows AS (SELECT * FROM matched UNION ALL SELECT * FROM nulls)
+        |SELECT user_id,
+        |       CAST(sum(m) AS BIGINT) AS n_matched,
+        |       CAST(sum(1 - m) AS BIGINT) AS n_unmatched,
+        |       round(sum(coalesce(value, 0.0)), 4) AS sum_value
+        |FROM allrows GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the watermark drop policy replayed in SQL: the late (older) half
     // survives iff its hourly window ends after max(on-time ts) − 20d
     "s21_late_data" ->
