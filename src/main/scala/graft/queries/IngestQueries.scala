@@ -820,7 +820,41 @@ object IngestQueries {
         lit(files.size.toLong).as("n_files"))
   }
 
+  /** ANALYZE — per-column statistics of the live snapshot (min / max
+    * / exact NDV / null count), the artifact a cost-based optimizer
+    * and a file-skipping planner both feed on (ANALYZE TABLE ...
+    * COMPUTE STATISTICS FOR COLUMNS, the lakehouse staple). Computed
+    * through the manifest read so the stats describe a COMMITTED
+    * snapshot — at 100 TB this runs per-commit as a tiny artifact
+    * beside the snapshot, and min/max render as strings so one
+    * relation covers every column type. Completes the store
+    * management family: compaction, history, layout, CDC, evolution,
+    * mutation, audit — and now stats.
+    */
+  def analyzeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ingest
+    val root = stagedDir(spark,
+      s"graft_i24_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}") { dir =>
+      Ingest.commitStoreSnapshot(spark, s"$dir/store") { d =>
+        Ingest.writeStore(Tables.documents(spark, sfDir)
+          .select("doc_id", "lang", "n_chars"), d)
+      }
+    } + "/store"
+    val live = Ingest.readStoreManifested(spark, root)
+    def statsOf(c: String) =
+      live.agg(min(col(c)).cast("string").as("min_val"),
+          max(col(c)).cast("string").as("max_val"),
+          countDistinct(col(c)).as("n_distinct"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"))
+        .select(lit(c).as("column"), col("min_val"), col("max_val"),
+          col("n_distinct"), col("n_nulls"))
+    statsOf("doc_id").unionByName(statsOf("lang"))
+      .unionByName(statsOf("n_chars"))
+      .orderBy("column")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i24_analyze_stats" -> (analyzeStats(_, _)),
     "i23_erasure_audit" -> (erasureAudit(_, _)),
     "i22_merge_into" -> (mergeIntoQuery(_, _)),
     "i21_partition_evolution" -> (partitionEvolution(_, _)),
@@ -859,6 +893,30 @@ object IngestQueries {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exact per-column min/max/NDV/nulls, string-rendered — mirror of
+    // analyzeStats over the committed snapshot's columns
+    "i24_analyze_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS "column",
+        |         CAST(min(doc_id) AS VARCHAR) AS min_val,
+        |         CAST(max(doc_id) AS VARCHAR) AS max_val,
+        |         count(DISTINCT doc_id) AS n_distinct,
+        |         CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_nulls
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', CAST(min(lang) AS VARCHAR),
+        |         CAST(max(lang) AS VARCHAR), count(DISTINCT lang),
+        |         CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(min(n_chars) AS VARCHAR),
+        |         CAST(max(n_chars) AS VARCHAR), count(DISTINCT n_chars),
+        |         CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM documents)
+        |ORDER BY "column"""".stripMargin,
     // post-compaction RAW-file audit: zero tombstoned keys in the
     // physical bytes, exactly numFiles files — mirror of erasureAudit
     "i23_erasure_audit" ->
