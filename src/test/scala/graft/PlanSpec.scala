@@ -429,4 +429,21 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"fuzzy join degenerated to all-pairs:\n$p")
   }
+
+  test("t62 triangle census: wedge generation and closure stay " +
+      "equi-joins — no all-pairs fallback at any stage") {
+    val p = finalPlan(graft.queries.TextQueries.triangleCensus(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"triangle census degenerated to all-pairs:\n$p")
+    // the ONLY nested-loop joins allowed are the two 1-row scalar
+    // cross joins assembling the final stats row (final + AQE-initial
+    // plan render each twice); the wedge/closure joins themselves must
+    // stay hashed equi-joins
+    val bnlj = p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin")
+    assert(bnlj <= 4, s"unexpected nested-loop joins ($bnlj):\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"no hashed equi-join for the wedge stage:\n$p")
+  }
 }
