@@ -635,7 +635,10 @@ object Ingest {
         currentSnapshotDir(spark, root)).getName
       val hDir = new org.apache.hadoop.fs.Path(dir)
       val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      keys.distinct().coalesce(1).write
+      // no coalesce: a right-to-erasure batch can be large, and the
+      // layout contract keys on the `_deletes` DIRECTORY, not a file
+      // count — readers scan whatever parquet lands inside it
+      keys.distinct().write
         .parquet(new org.apache.hadoop.fs.Path(hDir, MorDeletesName)
           .toString)
       val out = fs.create(new org.apache.hadoop.fs.Path(hDir, MorBaseName),
