@@ -661,9 +661,11 @@ object Ingest {
     * broadcast automatically.
     *
     * `batch` must carry (keyCol, textCol, deleteCol) with at most one
-    * row per key — the relational MERGE cardinality rule (SQL throws
-    * on duplicate matches; here a duplicate key would duplicate base
-    * rows through the join).
+    * row per key — the relational MERGE cardinality rule. ENFORCED:
+    * SQL MERGE throws on duplicate matches, and so does this (a
+    * duplicate key would silently duplicate base rows through the
+    * join — the guard rides the batch side as a tiny windowed count,
+    * the t14/semanticDedup fail-fast convention).
     */
   def mergeIntoStore(spark: SparkSession, root: String, batch: DataFrame,
                      keyCol: String, textCol: String,
@@ -671,8 +673,19 @@ object Ingest {
     commitStoreSnapshot(spark, root) { dir =>
       val base = readStoreManifested(spark, root)
         .select(col(keyCol), col(textCol))
+      val dupGuard = batch.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("_kn"))
+        .agg(max(col("_kn")).as("_mx"))
       val b = batch.select(col(keyCol), col(textCol).as("_bt"),
         col(deleteCol).as("_del"))
+        .crossJoin(broadcast(dupGuard))
+        .filter(when(col("_mx") > 1L,
+          raise_error(concat(lit("mergeIntoStore: batch carries a key "),
+            lit("with "), col("_mx"),
+            lit(" rows; MERGE requires at most one row per key")))
+            .cast("boolean"))
+          .otherwise(lit(true)))
+        .drop("_mx")
       val out = base.join(b, Seq(keyCol), "full_outer")
         .filter(!coalesce(col("_del"), lit(false)))
         .select(col(keyCol), coalesce(col("_bt"), col(textCol)).as(textCol))

@@ -343,6 +343,19 @@ class IngestSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b2"), (4L, "d")))
     // the merge is one commit: history = base + merged
     assert(Ingest.listSnapshots(spark, root).size == 2)
+    // the MERGE cardinality rule is ENFORCED: a duplicate batch key
+    // fails loudly instead of silently duplicating base rows — and the
+    // failed commit never installs (live snapshot unchanged)
+    val e = intercept[Exception] {
+      Ingest.mergeIntoStore(spark, root,
+        Seq((2L, "x", false), (2L, "y", false)).toDF(
+          "doc_id", "text", "_delete"),
+        "doc_id", "text", "_delete")
+    }
+    assert(e.getMessage.contains("at most one row per key") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("at most one row per key"))
+    assert(Ingest.readStoreManifested(spark, root).count() == 3)
   }
 
   test("merge-on-read delete: tombstone snapshot hides keys without " +
