@@ -358,6 +358,24 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.readStoreManifested(spark, root).count() == 3)
   }
 
+  test("merge-on-read delete with an EMPTY key batch is a logical " +
+      "no-op that still commits (idempotent-pipeline shape)") {
+    val root = Files.createTempDirectory("graft_mor_empty")
+      .toString + "/store"
+    Ingest.commitStoreSnapshot(spark, root) { dir =>
+      Ingest.writeStore(docsDf((1L, "a"), (2L, "b")), dir)
+    }
+    Ingest.deleteStoreKeysMor(spark, root,
+      Seq.empty[Long].toDF("doc_id"))
+    // a scheduled erasure job with nothing to erase must neither fail
+    // nor change the logical relation — but its commit still lands
+    // (the audit trail records the empty batch)
+    assert(Ingest.readStoreManifested(spark, root)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(Ingest.listSnapshots(spark, root).size == 2)
+  }
+
   test("merge-on-read delete: tombstone snapshot hides keys without " +
       "touching data files; chained deletes stack; compact materializes") {
     val root = Files.createTempDirectory("graft_mor").toString + "/store"
