@@ -312,33 +312,144 @@ object Ann {
     * ties break to the smaller id, anchors lacking either side drop.
     *
     * Shape: ONE directed scored frame feeds a single partial-aggregable
-    * groupBy(anchor) — both argmaxes are conditional `max(struct(cos,
-    * -id))` aggregates (tie → min id by struct order), so there is no
-    * per-anchor window and no second pass. The n² scoring frame is the
-    * exact baseline (guarded upstream by the caller's corpus size, the
-    * v01/v06 convention); at deployment scale the same aggregate runs
-    * unchanged over the SRP/IVF shortlist frame (v20/v26) instead of
-    * all pairs — mining from a retriever shortlist is precisely the
-    * published recipe.
+    * groupBy(anchor) — both argmaxes live in [[tripletsFromScored]] as
+    * conditional `min(struct(-cos, id))` aggregates (min of the struct
+    * = max cos, tie → min id — an ordering that is correct for ANY
+    * orderable id type, numeric or string), so there is no per-anchor
+    * window and no second pass. The n² scoring frame here is the exact
+    * baseline, guarded by `maxInputRows` raise_error (the
+    * [[cosineNearDupPairs]] convention — an accidental call on a real
+    * corpus must abort, not fan out a cartesian); at deployment scale
+    * the SAME aggregate consumes a retriever-shortlist scored frame
+    * instead — [[srpTripletCandidates]] is the built-in producer
+    * (mining from a retriever shortlist is precisely the published
+    * ANCE recipe).
     */
   def contrastiveTriplets(emb: DataFrame, idCol: String, vecCol: String,
-                          tau: Double): DataFrame = {
+                          tau: Double,
+                          maxInputRows: Long = 100000L): DataFrame = {
+    val guard = emb.agg(count("*").as("_n"))
     val a = emb.select(col(idCol).as("anchor_id"), col(vecCol).as("vec_a"))
+      .crossJoin(broadcast(guard))
+      .filter(when(col("_n") > maxInputRows,
+          raise_error(concat(lit("contrastiveTriplets: all-pairs input "),
+            col("_n"),
+            lit(s" rows exceeds maxInputRows=$maxInputRows; score a " +
+              "shortlist frame (srpTripletCandidates) and aggregate " +
+              "with tripletsFromScored"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("_n")
     val b = emb.select(col(idCol).as("cand"), col(vecCol).as("vec_b"))
     val scored = a.crossJoin(b)
       .filter(col("anchor_id") =!= col("cand"))
       .select(col("anchor_id"), col("cand"),
         cosineSim(col("vec_a"), col("vec_b")).as("cos"))
+    tripletsFromScored(scored, tau)
+  }
+
+  /** The triplet two-argmax over an ALREADY-SCORED directed candidate
+    * frame `(anchor_id, cand, cos)` — the aggregate half of
+    * [[contrastiveTriplets]], factored out so any candidate producer
+    * (the guarded all-pairs baseline, [[srpTripletCandidates]]'s
+    * LSH-bucketed shortlist, an IVF-PQ retriever's top-k) feeds the
+    * identical mining step. One partial-aggregable groupBy; tie-breaks
+    * are `min(struct(-cos, cand))` so they hold for any orderable id
+    * type (a negated STRING id would silently null out — the reason
+    * this is not `max(struct(cos, -cand))`). Anchors lacking either a
+    * ≥τ positive or a <τ hard negative drop, matching the exact
+    * semantics on whatever candidate set was supplied.
+    */
+  def tripletsFromScored(scored: DataFrame, tau: Double): DataFrame =
     scored.groupBy("anchor_id")
       .agg(
-        max(when(col("cos") >= tau,
-          struct(col("cos"), (-col("cand")).as("nid")))).as("p"),
-        max(when(col("cos") < tau,
-          struct(col("cos"), (-col("cand")).as("nid")))).as("h"))
+        min(when(col("cos") >= tau,
+          struct((-col("cos")).as("ncos"), col("cand").as("cid"))))
+          .as("p"),
+        min(when(col("cos") < tau,
+          struct((-col("cos")).as("ncos"), col("cand").as("cid"))))
+          .as("h"))
       .filter(col("p").isNotNull && col("h").isNotNull)
       .select(col("anchor_id"),
-        (-col("p.nid")).as("pos_id"), round(col("p.cos"), 6).as("pos_cos"),
-        (-col("h.nid")).as("neg_id"), round(col("h.cos"), 6).as("neg_cos"))
+        col("p.cid").as("pos_id"), round(-col("p.ncos"), 6).as("pos_cos"),
+        col("h.cid").as("neg_id"), round(-col("h.ncos"), 6).as("neg_cos"))
       .orderBy("anchor_id")
+
+  /** The SCALE producer for [[tripletsFromScored]]: every vector
+    * anchors a multi-probe SRP-bucket candidate set (own bucket +
+    * hamming-1 flips, the v23 k-NN-graph routing) scored by exact
+    * cosine — sum-over-buckets |bucket|·(probes·|bucket|) work instead
+    * of n², every join an equi-join on the bucket key. A candidate
+    * lives in exactly one bucket and an anchor's probe buckets are
+    * distinct, so each directed pair is emitted at most once (no
+    * dedup pass). Hard negatives stay HARD: bucket blocking surfaces
+    * precisely the nearest vectors, which is where both the ≥τ
+    * positives and the most informative <τ negatives live.
+    */
+  def srpTripletCandidates(emb: DataFrame, idCol: String, vecCol: String,
+                           bits: Int, bucketBits: Int): DataFrame = {
+    val anchors = srpProbeBuckets(
+      emb.select(col(idCol).as("anchor_id"), col(vecCol).as("vec_a")),
+      "vec_a", bits, bucketBits)
+    val index = srpBucketIndex(emb, idCol, vecCol, bits, bucketBits)
+      .select(col("bucket"), col(idCol).as("cand"), col(vecCol).as("vec_b"))
+    anchors.join(index, Seq("bucket"))
+      .filter(col("anchor_id") =!= col("cand"))
+      .select(col("anchor_id"), col("cand"),
+        cosineSim(col("vec_a"), col("vec_b")).as("cos"))
+  }
+
+  /** Greedy BEAM search over a prebuilt k-NN graph — the graph-index
+    * ANN family (HNSW/NSG-class serving; Malkov & Yashunin 2018 is the
+    * published ancestor) the IVF/PQ/LSH operators don't cover. The
+    * walk is fully deterministic so an oracle can replay it in SQL:
+    * start from the fixed `entryIds`, score them against the (single-
+    * row) query, and for `rounds` iterations expand the current top-
+    * `beam` scored nodes through their out-edges, score every node
+    * seen so far, and re-select the beam (score DESC, id ties). After
+    * the last round the top-`k` of the visited set is the answer;
+    * `nodes_touched` (the visited-set size — the work metric graph-ANN
+    * trades against recall) rides every row as a constant column.
+    *
+    * Scale shape: the frontier is ≤ beam·degree ids per round — every
+    * round is a point-lookup equi-join of a TINY id frame against the
+    * id-partitioned graph and vector stores (bucket-pruned at rest, no
+    * corpus scan, no corpus shuffle), and `rounds` bounds total work.
+    * Per-round lineage is cut with localCheckpoint (the
+    * [[Graph.connectedComponents]] iterative idiom). Visited nodes are
+    * RE-scored each round instead of carrying running state — the
+    * visited set is beam·degree·rounds rows (hundreds), and
+    * re-scoring keeps every round a pure stateless plan.
+    */
+  def graphBeamSearch(graph: DataFrame, vectors: DataFrame,
+                      query: DataFrame, idCol: String, vecCol: String,
+                      entryIds: Seq[Long], beam: Int, rounds: Int,
+                      k: Int): DataFrame = {
+    require(entryIds.nonEmpty, "graphBeamSearch: entryIds must be non-empty")
+    val q = broadcast(query)
+    def score(ids: DataFrame): DataFrame =
+      ids.join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+        .crossJoin(q)
+        .select(col(idCol), cosineSim(col(vecCol), col("qe")).as("score"))
+    var scored = score(
+      vectors.select(col(idCol)).filter(col(idCol).isin(entryIds: _*)))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val beamIds = scored.orderBy(col("score").desc, col(idCol))
+        .limit(beam)
+        .select(col(idCol).as("src"))
+      val expanded = beamIds.join(graph, "src")
+        .select(col("dst").as(idCol))
+      val visited = scored.select(col(idCol))
+        .unionByName(expanded)
+        .distinct()
+      scored = score(visited).localCheckpoint()
+    }
+    val touched = scored.agg(count(lit(1)).as("nodes_touched"))
+    scored.orderBy(col("score").desc, col(idCol)).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+      .crossJoin(broadcast(touched))
+      .select(col("rank").cast("long").as("rank"), col(idCol),
+        col("score"), col("nodes_touched"))
   }
 }

@@ -597,14 +597,29 @@ object Ingest {
     readPointer(fs, basePtr) match {
       case None => spark.read.parquet(dir.toString)
       case Some(base) =>
-        val deletes = spark.read.parquet(
-          new org.apache.hadoop.fs.Path(dir, MorDeletesName).toString)
+        val delPath = new org.apache.hadoop.fs.Path(dir, MorDeletesName)
+        val deletes = spark.read.parquet(delPath.toString)
         // the tombstone file's single column IS the key column
         val keyCol = deletes.schema.fields.head.name
+        // broadcast only delete-sized tombstone batches; a GDPR-scale
+        // erasure file above the cap anti-joins as a shuffle (AQE may
+        // still elect to broadcast) instead of being collected to the
+        // driver on every read
+        val delBytes = fs.getContentSummary(delPath).getLength
+        val delSide =
+          if (delBytes <= MorBroadcastCapBytes) broadcast(deletes)
+          else deletes
         morResolve(spark, root, new org.apache.hadoop.fs.Path(root, base))
-          .join(broadcast(deletes), Seq(keyCol), "left_anti")
+          .join(delSide, Seq(keyCol), "left_anti")
     }
   }
+
+  /** Tombstone files at or under this size ride the read plan as an
+    * explicit broadcast (typical deletes are KBs); larger ones fall
+    * back to a shuffled anti-join so the driver never materializes an
+    * erasure batch that outgrew the broadcast budget. Aligned with
+    * Spark's default autoBroadcastJoinThreshold (10 MB). */
+  private val MorBroadcastCapBytes: Long = 10L << 20
 
   private[graft] val MorBaseName = "_base"
   private[graft] val MorDeletesName = "_deletes"
@@ -633,6 +648,15 @@ object Ingest {
       // delete supersedes
       val base = new org.apache.hadoop.fs.Path(
         currentSnapshotDir(spark, root)).getName
+      // fail BEFORE committing: a misnamed key column would commit a
+      // snapshot whose anti-join breaks at analysis time, poisoning
+      // every subsequent read/compact/merge until manual file surgery
+      val keyName = keys.schema.fields.head.name
+      val baseCols = readStoreManifested(spark, root).columns
+      require(baseCols.contains(keyName),
+        s"deleteStoreKeysMor: key column '$keyName' is not in the " +
+          s"store schema (${baseCols.mkString(", ")}) — refusing to " +
+          "commit an unreadable tombstone snapshot")
       val hDir = new org.apache.hadoop.fs.Path(dir)
       val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // no coalesce: a right-to-erasure batch can be large, and the
@@ -666,13 +690,24 @@ object Ingest {
     * duplicate key would silently duplicate base rows through the
     * join — the guard rides the batch side as a tiny windowed count,
     * the t14/semanticDedup fail-fast convention).
+    *
+    * The base's FULL schema survives the merge: columns beyond
+    * (keyCol, textCol) — the doc_id/lang/n_chars a curation store
+    * carries — pass through unchanged on matched rows and null-fill on
+    * inserts (standard MERGE semantics for columns the source doesn't
+    * supply). Projecting the base down to the merge columns here would
+    * silently drop them from the committed snapshot — permanent data
+    * loss with no error.
     */
   def mergeIntoStore(spark: SparkSession, root: String, batch: DataFrame,
                      keyCol: String, textCol: String,
                      deleteCol: String): Unit =
     commitStoreSnapshot(spark, root) { dir =>
       val base = readStoreManifested(spark, root)
-        .select(col(keyCol), col(textCol))
+      require(base.columns.contains(keyCol) &&
+          base.columns.contains(textCol),
+        s"mergeIntoStore: store schema (${base.columns.mkString(", ")}) " +
+          s"must contain key '$keyCol' and text '$textCol'")
       val dupGuard = batch.groupBy(col(keyCol))
         .agg(count(lit(1)).as("_kn"))
         .agg(max(col("_kn")).as("_mx"))
@@ -688,7 +723,11 @@ object Ingest {
         .drop("_mx")
       val out = base.join(b, Seq(keyCol), "full_outer")
         .filter(!coalesce(col("_del"), lit(false)))
-        .select(col(keyCol), coalesce(col("_bt"), col(textCol)).as(textCol))
+        .select(base.columns.map {
+          case c if c == textCol =>
+            coalesce(col("_bt"), col(textCol)).as(textCol)
+          case c => col(c)
+        }.toSeq: _*)
       writeStore(out, dir)
     }
 

@@ -597,15 +597,15 @@ object TextQueries {
     * recall, lower precision) a deployment tunes against its
     * threshold instead of trusting the formula. Signatures compute
     * ONCE (lshCandidatePairs persists them); the truth set is the
-    * t03 pair machinery; each geometry adds only its band-bucket
-    * equi-join. Everything partial-aggregable; no n² anywhere.
+    * build-once [[dupPairs]] artifact shared with t16/t39/t63 (same
+    * n/threshold/maxDf — NOT recomputed here); each geometry adds
+    * only its band-bucket equi-join. Everything partial-aggregable;
+    * no n² anywhere.
     */
   def lshBandingPR(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = spread(Tables.documents(spark, sfDir), "doc_id")
-    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
-        threshold = 0.1, maxDf = 1000L)
+    val truth = dupPairs(spark, sfDir)
       .select(col("id_a"), col("id_b"), lit(1L).as("_t"))
-      .persist()
     val tcount = truth.agg(count(lit(1)).as("n_true"))
     val sigs = Dedup.minHash(docs, "doc_id", "text", n = 3, numHashes = 16)
     Seq(2, 4, 8).map { b =>
@@ -1540,18 +1540,25 @@ object TextQueries {
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.words(lower(col("text"))))
           .as("w"))
-    val mx = docs.agg(max("doc_id").as("_mx"))
-    Seq(1L, 2L, 3L, 4L).map { k =>
-      toks.crossJoin(broadcast(mx))
-        .filter(expr(s"doc_id < ((_mx + 1) * $k) div 4"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_tokens"),
-          countDistinct(col("w")).as("n_vocab"))
-        .select(lit(k).as("quartile"), col("n_docs"), col("n_tokens"),
-          col("n_vocab"),
-          round(col("n_vocab").cast("double") / col("n_tokens"), 6)
-            .as("ttr"))
-    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(docs.agg(max("doc_id").as("_mx"))))
+    // literally one pass: all 12 quartile cells are conditional
+    // aggregates over the single tokenized frame (a union of four
+    // filtered aggregates would re-tokenize the corpus four times)
+    val cells = (1 to 4).flatMap { k =>
+      val in = expr(s"doc_id < ((_mx + 1) * $k) div 4")
+      Seq(countDistinct(when(in, col("doc_id"))).as(s"nd$k"),
+        count(when(in, lit(1))).as(s"nt$k"),
+        countDistinct(when(in, col("w"))).as(s"nv$k"))
+    }
+    toks.agg(cells.head, cells.tail: _*)
+      .select(explode(array((1 to 4).map(k =>
+        struct(lit(k.toLong).as("quartile"), col(s"nd$k").as("n_docs"),
+          col(s"nt$k").as("n_tokens"), col(s"nv$k").as("n_vocab"))): _*))
+        .as("q"))
+      .select(col("q.quartile").as("quartile"), col("q.n_docs").as("n_docs"),
+        col("q.n_tokens").as("n_tokens"), col("q.n_vocab").as("n_vocab"),
+        round(col("q.n_vocab").cast("double") / col("q.n_tokens"), 6)
+          .as("ttr"))
       .orderBy("quartile")
   }
 

@@ -117,14 +117,60 @@ object VectorQueries {
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cos").desc, col("tid"))))
       .filter(col("rn") <= 5)
+    // min(struct(-votes, tl)) = max votes, tie → min label — the
+    // any-orderable-type tie-break (a negated STRING label would
+    // silently null out under max(struct(votes, -tl)))
     top.groupBy(col("vec_id"), col("label"), col("tl"))
       .agg(count(lit(1)).as("votes"))
       .groupBy(col("vec_id"), col("label"))
-      .agg(max(struct(col("votes"),
-        (-col("tl")).cast("long").as("nl"))).as("best"))
+      .agg(min(struct((-col("votes")).as("nv"),
+        col("tl").cast("long").as("pl"))).as("best"))
       .select(col("vec_id"), col("label").cast("long").as("label"),
-        (-col("best.nl")).as("pred"),
-        (col("label").cast("long") === -col("best.nl")).as("correct"))
+        col("best.pl").as("pred"),
+        (col("label").cast("long") === col("best.pl")).as("correct"))
+      .orderBy("vec_id")
+  }
+
+  /** v42's vote re-expressed over a RETRIEVER SHORTLIST — the scale
+    * path the exact baseline's doc comment names: the train split is
+    * never broadcast (it grows with the corpus); instead it is routed
+    * once into SRP buckets ([[Ann.srpBucketIndex]], at rest an
+    * id-bucketed store) and each test vector multi-probes its own +
+    * hamming-1 buckets ([[Ann.srpProbeBuckets]]), so candidate scoring
+    * is a bucket EQUI-join over ~(bucketBits+1)/2^bucketBits of the
+    * train side instead of a test×train cross product. The 5-NN vote
+    * itself is unchanged (same window + conditional-min aggregate), so
+    * v42 is the exact accuracy baseline this approximation is measured
+    * against. Test vectors whose probed buckets hold no train vector
+    * drop (nothing to vote) — pinned by the oracle's inner join.
+    */
+  def knnClassifyShortlist(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val train = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      .select(col("vec_id").as("tid"), col("embedding").as("te"),
+        col("label").as("tl"),
+        graft.functions.HashFunctions.cosineLshBits(col("embedding"), 16)
+          .bitwiseAND(lit(15L)).as("bucket"))
+    val test = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val probes = Ann.srpProbeBuckets(test, "embedding",
+      bits = 16, bucketBits = 4)
+    val scored = probes.join(train, Seq("bucket"))
+      .select(col("vec_id"), col("label"), col("tid"), col("tl"),
+        cosineSim(col("embedding"), col("te")).as("cos"))
+    val top = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("tid"))))
+      .filter(col("rn") <= 5)
+    top.groupBy(col("vec_id"), col("label"), col("tl"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct((-col("votes")).as("nv"),
+        col("tl").cast("long").as("pl"))).as("best"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("best.pl").as("pred"),
+        (col("label").cast("long") === col("best.pl")).as("correct"))
       .orderBy("vec_id")
   }
 
@@ -334,6 +380,67 @@ object VectorQueries {
   def tripletMining(spark: SparkSession, sfDir: String): DataFrame =
     Ann.contrastiveTriplets(Tables.embeddings(spark, sfDir),
       "vec_id", "embedding", 0.4)
+
+  /** Shortlist-FED triplet mining — the scale plumbing v36's doc
+    * comment promises, as a real entry point: candidates come from the
+    * multi-probe SRP bucket join ([[Ann.srpTripletCandidates]],
+    * sum-|bucket|² work, every join an equi-join) and the SAME
+    * two-argmax aggregate ([[Ann.tripletsFromScored]]) mines them —
+    * the ANCE mine-from-the-retriever recipe. v36 is the exact
+    * baseline; anchors whose probed buckets lack a ≥τ or <τ candidate
+    * drop here, and the oracle replays sketch → probe → join → argmax
+    * so the approximation is pinned, not trusted.
+    */
+  def tripletMiningShortlist(spark: SparkSession, sfDir: String): DataFrame =
+    Ann.tripletsFromScored(
+      Ann.srpTripletCandidates(Tables.embeddings(spark, sfDir),
+        "vec_id", "embedding", bits = 16, bucketBits = 4),
+      tau = 0.4)
+
+  /** Graph-ANN SERVING over the k-NN graph v23 only BUILDS — the
+    * HNSW/NSG-class index family (greedy beam walk over neighbor
+    * lists) that completes the engine's FAISS coverage next to
+    * IVF/PQ/LSH. The graph (top-8 SRP-bucketed neighbors per corpus
+    * vector, the v23 routing) persists as a parquet [[Artifacts]]
+    * artifact; [[Ann.graphBeamSearch]] walks it from fixed entries
+    * (ids 1–4, beam 8, 3 rounds) and the result carries the two
+    * numbers graph-ANN trades: recall@10 vs the exact scan and
+    * nodes_touched (≪ corpus — the whole point). The oracle reads the
+    * SAME persisted graph and replays the deterministic walk in SQL.
+    */
+  def graphAnnSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val probes = Ann.srpProbeBuckets(
+      corpus.select(col("vec_id").as("src"), col("embedding").as("se")),
+      "se", bits = 16, bucketBits = 4)
+    val index = Ann.srpBucketIndex(corpus, "vec_id", "embedding",
+      bits = 16, bucketBits = 4)
+    val scoredPairs = probes.join(index, Seq("bucket"))
+      .filter(col("src") =!= col("vec_id"))
+      .select(col("src"), col("vec_id"),
+        cosineSim(col("embedding"), col("se")).as("score"))
+    val edges = Search.topKPerQuery(scoredPairs, "src", "vec_id", 8)
+      .select(col("src"), col("vec_id").as("dst"))
+    val graphDir = Artifacts.write(edges, "v43_graph", sfDir)
+    val graph = spark.read.parquet(graphDir)
+    val walked = Ann.graphBeamSearch(graph, corpus, queryVec(emb),
+      "vec_id", "embedding", entryIds = Seq(1L, 2L, 3L, 4L),
+      beam = 8, rounds = 3, k = 10)
+    val exact = Search.topK(corpus, queryVec(emb),
+        "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("_hit"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    walked.join(exact, Seq("vec_id"), "left")
+      .withColumn("hit", coalesce(col("_hit"), lit(0L)))
+      .withColumn("recall_at_10",
+        round(sum(col("hit")).over(wAll).cast("double") / 10.0, 6))
+      .select(col("rank"), col("vec_id"), round(col("score"), 6).as("score"),
+        col("hit"), col("nodes_touched"), col("recall_at_10"))
+      .orderBy("rank")
+  }
 
   def ivfSearch(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
@@ -1354,6 +1461,23 @@ object VectorQueries {
        |  FROM codes JOIN lut ON codes.j = lut.j AND codes.c = lut.c
        |  GROUP BY codes.vec_id)""".stripMargin
 
+  /** The v12/v20/v21/v23 16-bit SRP sketch replay, factored as the
+    * shared `v`/`s` CTE pair the newer bucket-routed oracles (v43-v45)
+    * build on — identical text to the inlined copies, one definition.
+    */
+  private val srpSketch16Ctes: String =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |           FROM embeddings),
+      |s AS (SELECT vec_id, e,
+      |  CAST(list_sum(list_transform(range(0, 16), j ->
+      |    CASE WHEN list_sum(list_transform(range(0, len(e)), i ->
+      |        e[CAST(i + 1 AS INT)] *
+      |        (CASE WHEN CAST(concat('0x', substring(
+      |               md5(concat('srp:', j, ':', i)), 1, 15)) AS BIGINT)
+      |              % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+      |    THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS sketch
+      |  FROM v)""".stripMargin
+
   /** DuckDB oracles. `embeddings`/`documents` resolve to the same
     * parquet. A `def`, not a `val`: the v14/v16/v22 entries interpolate
     * [[Artifacts.oracleGlob]], which resolves to the corpus the queries
@@ -1361,6 +1485,117 @@ object VectorQueries {
     * queries, so the glob matches the run.
     */
   def oracles: Map[String, String] = Map(
+    // the walk replay: read the SAME persisted graph, unroll the three
+    // beam rounds (score → top-8 beam → neighbor expansion → re-score),
+    // then top-10, hit-vs-exact and the visited-set size
+    "v43_graph_ann" ->
+      s"""WITH g AS (SELECT src, dst
+         |           FROM read_parquet('${Artifacts.oracleGlob("v43_graph")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM embeddings),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |c AS (SELECT vec_id, e FROM v WHERE vec_id <> 0),
+         |s0 AS (SELECT c.vec_id, list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM c, q WHERE c.vec_id IN (1, 2, 3, 4)),
+         |b0 AS (SELECT vec_id AS src FROM s0
+         |       ORDER BY score DESC, vec_id LIMIT 8),
+         |i1 AS (SELECT vec_id FROM s0
+         |       UNION SELECT dst AS vec_id FROM g JOIN b0 USING (src)),
+         |s1 AS (SELECT c.vec_id, list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM c JOIN i1 USING (vec_id), q),
+         |b1 AS (SELECT vec_id AS src FROM s1
+         |       ORDER BY score DESC, vec_id LIMIT 8),
+         |i2 AS (SELECT vec_id FROM s1
+         |       UNION SELECT dst AS vec_id FROM g JOIN b1 USING (src)),
+         |s2 AS (SELECT c.vec_id, list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM c JOIN i2 USING (vec_id), q),
+         |b2 AS (SELECT vec_id AS src FROM s2
+         |       ORDER BY score DESC, vec_id LIMIT 8),
+         |i3 AS (SELECT vec_id FROM s2
+         |       UNION SELECT dst AS vec_id FROM g JOIN b2 USING (src)),
+         |s3 AS (SELECT c.vec_id, list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM c JOIN i3 USING (vec_id), q),
+         |t AS (SELECT count(*) AS nodes_touched FROM s3),
+         |ex AS (SELECT c.vec_id FROM c, q
+         |       ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
+         |       LIMIT 10),
+         |top AS (SELECT vec_id, score,
+         |          row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+         |        FROM s3 ORDER BY score DESC, vec_id LIMIT 10),
+         |h AS (SELECT top.rank, top.vec_id, top.score,
+         |        CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |      FROM top LEFT JOIN ex USING (vec_id)),
+         |r AS (SELECT round(CAST(sum(hit) AS DOUBLE) / 10.0, 6)
+         |        AS recall_at_10 FROM h)
+         |SELECT CAST(h.rank AS BIGINT) AS rank, h.vec_id,
+         |       round(h.score, 6) AS score, CAST(h.hit AS BIGINT) AS hit,
+         |       t.nodes_touched, r.recall_at_10
+         |FROM h, t, r ORDER BY rank""".stripMargin,
+    // sketch → own + hamming-1 probe buckets → bucket equi-join →
+    // per-anchor argmax each side of τ — the v36 mirror over the
+    // bucketed candidate set instead of all pairs
+    "v44_triplet_shortlist" ->
+      s"""WITH $srpSketch16Ctes,
+         |p AS (SELECT anchor_id, qe,
+         |        unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
+         |                xor(qb, 8)]) AS bucket
+         |      FROM (SELECT vec_id AS anchor_id, e AS qe,
+         |                   sketch % 16 AS qb FROM s)),
+         |i AS (SELECT vec_id AS cand, e, sketch % 16 AS bucket FROM s),
+         |scored AS (
+         |  SELECT p.anchor_id, i.cand,
+         |         list_cosine_similarity(i.e, p.qe) AS cos
+         |  FROM i JOIN p USING (bucket) WHERE p.anchor_id <> i.cand),
+         |pos AS (
+         |  SELECT anchor_id, cand AS pos_id, cos AS pc,
+         |         row_number() OVER (PARTITION BY anchor_id
+         |           ORDER BY cos DESC, cand) AS rn
+         |  FROM scored WHERE cos >= 0.4),
+         |neg AS (
+         |  SELECT anchor_id, cand AS neg_id, cos AS ncos,
+         |         row_number() OVER (PARTITION BY anchor_id
+         |           ORDER BY cos DESC, cand) AS rn
+         |  FROM scored WHERE cos < 0.4)
+         |SELECT p.anchor_id, p.pos_id, round(p.pc, 6) AS pos_cos,
+         |       n.neg_id, round(n.ncos, 6) AS neg_cos
+         |FROM pos p JOIN neg n USING (anchor_id)
+         |WHERE p.rn = 1 AND n.rn = 1
+         |ORDER BY p.anchor_id""".stripMargin,
+    // v42's vote replayed over the bucket-routed candidate set: train
+    // rows keep their one sketch bucket, test rows fan out to their
+    // multi-probe buckets, candidates are the bucket equi-join
+    "v45_knn_classify_shortlist" ->
+      s"""WITH $srpSketch16Ctes,
+         |tr AS (SELECT s.vec_id AS tid, s.e AS te, emb.label AS tl,
+         |              s.sketch % 16 AS bucket
+         |       FROM s JOIN embeddings emb ON s.vec_id = emb.vec_id
+         |       WHERE s.vec_id % 5 <> 0),
+         |teq AS (SELECT s.vec_id, s.e, emb.label, s.sketch % 16 AS qb
+         |        FROM s JOIN embeddings emb ON s.vec_id = emb.vec_id
+         |        WHERE s.vec_id % 5 = 0),
+         |tep AS (SELECT vec_id, e, label,
+         |          unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
+         |                  xor(qb, 8)]) AS bucket
+         |        FROM teq),
+         |sc AS (SELECT tep.vec_id, tep.label, tr.tid, tr.tl,
+         |         list_cosine_similarity(tep.e, tr.te) AS cos
+         |       FROM tep JOIN tr USING (bucket)),
+         |top AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, tid) AS rn
+         |    FROM sc) WHERE rn <= 5),
+         |votes AS (
+         |  SELECT vec_id, label, tl, count(*) AS v
+         |  FROM top GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT vec_id, label, tl AS pred FROM (
+         |    SELECT vec_id, label, tl, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY v DESC, tl) AS rn
+         |    FROM votes) WHERE rn = 1)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |       CAST(pred AS BIGINT) AS pred, label = pred AS correct
+         |FROM pred ORDER BY vec_id""".stripMargin,
     // replays IVF on the PERSISTED k-means centroids: nearest-centroid
     // assignment, probe ranking by centroid distance, per-probe-width
     // top-10, recall vs the exact scan — training stayed in Spark, the
@@ -2491,6 +2726,9 @@ object VectorQueries {
     "v40_retrieval_funnel" -> (retrievalFunnel(_, _)),
     "v41_pq_distortion" -> (pqDistortion(_, _)),
     "v42_knn_classify" -> (knnClassify(_, _)),
+    "v43_graph_ann" -> (graphAnnSearch(_, _)),
+    "v44_triplet_shortlist" -> (tripletMiningShortlist(_, _)),
+    "v45_knn_classify_shortlist" -> (knnClassifyShortlist(_, _)),
     "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
     "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
     "v27_ref_dim_search" -> (refDimSearch(_, _)),

@@ -223,4 +223,73 @@ class AnnSpec extends SparkSpec {
       .map(r => r._1 -> r).toMap
     assert(got(1L)._2 == 2L, "tie must break to the smaller candidate id")
   }
+
+  test("contrastiveTriplets aborts above its input-size guard") {
+    val e = intercept[Exception] {
+      Ann.contrastiveTriplets(emb, "vec_id", "embedding", 0.8,
+        maxInputRows = 3).count()
+    }
+    assert(e.getMessage.contains("maxInputRows"), e.getMessage)
+  }
+
+  test("tripletsFromScored tie-breaks correctly for STRING ids") {
+    // a negated string id would null out under the old max(struct(cos,
+    // -id)) formulation; min(struct(-cos, id)) must order lexically
+    val scored = Seq(
+      ("a", "b", 0.95), ("a", "c", 0.95),   // tie at 0.95 -> "b"
+      ("a", "z", 0.30), ("a", "y", 0.30))   // tie at 0.30 -> "y"
+      .toDF("anchor_id", "cand", "cos")
+    val got = Ann.tripletsFromScored(scored, 0.8)
+      .as[(String, String, Double, String, Double)].collect()
+    assert(got.toSeq == Seq(("a", "b", 0.95, "y", 0.3)))
+  }
+
+  test("srpTripletCandidates emits each directed pair at most once, " +
+      "scores match exact cosine") {
+    val cands = Ann.srpTripletCandidates(emb, "vec_id", "embedding",
+      bits = 16, bucketBits = 4)
+    val rows = cands.collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.distinct.size == pairs.size, "duplicate directed pair")
+    assert(pairs.forall { case (a, c) => a != c })
+    // every surfaced score equals the exact all-pairs cosine
+    val exact = Ann.cosineNearDupPairs(emb, "vec_id", "embedding", -1.0)
+      .collect()
+      .flatMap(r => Seq(
+        (r.getLong(0), r.getLong(1)) -> r.getDouble(2),
+        (r.getLong(1), r.getLong(0)) -> r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(math.abs(exact(k) - r.getDouble(2)) < 1e-6, s"score at $k")
+    }
+  }
+
+  test("graphBeamSearch walks only reachable nodes and counts them") {
+    // hand graph over a 1-D line of vectors: 1 -> 3 -> 5; 2 is an
+    // island the walk must never reach despite a high score
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val vecs = Seq(
+      (1L, v(1, 1)), (3L, v(1, 0.5)), (5L, v(1, 0.1)),
+      (2L, v(1, 0))  // best possible score but unreachable
+    ).toDF("vec_id", "embedding")
+    val graph = Seq((1L, 3L), (3L, 5L)).toDF("src", "dst")
+    val q = Seq(Tuple1(Array(1f, 0f))).toDF("qe")
+    val got = Ann.graphBeamSearch(graph, vecs, q, "vec_id", "embedding",
+        entryIds = Seq(1L), beam = 2, rounds = 2, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+    // visited = {1} -> +3 -> +5 : three nodes, 2 excluded
+    assert(got.map(_._2).toSet == Set(1L, 3L, 5L))
+    assert(got.forall(_._4 == 3L), "nodes_touched must be 3")
+    // ranks follow score desc: 5 (closest to query) first
+    assert(got.sortBy(_._1).map(_._2).toSeq == Seq(5L, 3L, 1L))
+  }
+
+  test("graphBeamSearch with zero rounds scores only the entries") {
+    val graph = Seq((1L, 2L)).toDF("src", "dst")
+    val q = Seq(Tuple1(Array(10f, 0f))).toDF("qe")
+    val got = Ann.graphBeamSearch(graph, emb, q, "vec_id", "embedding",
+        entryIds = Seq(1L, 2L), beam = 2, rounds = 0, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.map(_._2).toSet == Set(1L, 2L) && got.forall(_._4 == 2L))
+  }
 }

@@ -358,6 +358,46 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.readStoreManifested(spark, root).count() == 3)
   }
 
+  test("mergeIntoStore preserves columns beyond the merge pair: " +
+      "matched rows keep them, inserts null-fill them") {
+    val root = Files.createTempDirectory("graft_merge_wide")
+      .toString + "/store"
+    Ingest.commitStoreSnapshot(spark, root) { dir =>
+      Ingest.writeStore(Seq(
+        (1L, "a", "en", 10L), (2L, "b", "fr", 20L), (3L, "c", "de", 30L))
+        .toDF("doc_id", "text", "lang", "n_chars"), dir)
+    }
+    Ingest.mergeIntoStore(spark, root, Seq(
+      (2L, "b2", false),  // update: lang/n_chars must survive
+      (3L, "c", true),    // delete
+      (4L, "d", false))   // insert: lang/n_chars null-fill
+      .toDF("doc_id", "text", "_delete"),
+      "doc_id", "text", "_delete")
+    val got = Ingest.readStoreManifested(spark, root)
+      .orderBy("doc_id")
+      .as[(Long, String, Option[String], Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", Some("en"), Some(10L)),
+      (2L, "b2", Some("fr"), Some(20L)),
+      (4L, "d", None, None)))
+  }
+
+  test("merge-on-read delete refuses a key column the store schema " +
+      "lacks — BEFORE committing the tombstone snapshot") {
+    val root = Files.createTempDirectory("graft_mor_badkey")
+      .toString + "/store"
+    Ingest.commitStoreSnapshot(spark, root) { dir =>
+      Ingest.writeStore(docsDf((1L, "a"), (2L, "b")), dir)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Ingest.deleteStoreKeysMor(spark, root, Seq(1L).toDF("wrong_key"))
+    }
+    assert(e.getMessage.contains("wrong_key"), e.getMessage)
+    // the store is NOT poisoned: still readable, history unchanged
+    assert(Ingest.readStoreManifested(spark, root).count() == 2)
+    assert(Ingest.listSnapshots(spark, root).size == 1)
+  }
+
   test("merge-on-read delete with an EMPTY key batch is a logical " +
       "no-op that still commits (idempotent-pipeline shape)") {
     val root = Files.createTempDirectory("graft_mor_empty")

@@ -172,6 +172,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"no window heaps in:\n$p")
   }
 
+  test("v44 shortlist triplet mining plans no cartesian anywhere") {
+    // the whole point of the shortlist entry point: candidate scoring
+    // is a bucket EQUI-join (sum-|bucket|² work), never the all-pairs
+    // cross product the guarded v36 baseline deliberately is
+    val p = finalPlan(VectorQueries.tripletMiningShortlist(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the shortlist path:\n$p")
+  }
+
+  test("v45 shortlist knn-classify joins on the bucket key, " +
+      "never broadcasting or crossing the train split") {
+    val p = finalPlan(VectorQueries.knnClassifyShortlist(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian against the train split:\n$p")
+    // per-test-vector rank <= 5 pushes into WindowGroupLimit heaps
+    assert(p.contains("WindowGroupLimit"), s"no window heaps in:\n$p")
+  }
+
   test("correlated EXISTS + scalar subquery decorrelate to joins") {
     val p = finalPlan(RelationalQueries.existsSubquery(spark, sf))
     assert(p.contains("LeftSemi"),
@@ -390,9 +408,9 @@ class PlanSpec extends SparkSpec {
     // map-side; a Window here would buffer every anchor's n-1
     // candidates in one partition's sort
     assert(!p.contains("Window"), s"per-anchor window in:\n$p")
-    // struct max is not hash-aggregable, so it plans as SortAggregate —
+    // struct min is not hash-aggregable, so it plans as SortAggregate —
     // what matters is the map-side combine before the exchange
-    assert(p.contains("partial_max"),
+    assert(p.contains("partial_min"),
       s"argmax not partially aggregated map-side:\n$p")
   }
 
