@@ -250,6 +250,29 @@ object ImagePixels {
       * values exactly). */
     def pngForId(id: Long): Array[Byte] = {
       val (w, h, g) = grayForId(id)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bufferedImage(w, h, g), "png", bos)
+      bos.toByteArray
+    }
+
+    /** The SAME grid encoded as a REAL baseline JPEG — the LOSSY half
+      * of the fixture family (web-crawl images are overwhelmingly
+      * JPEG). Decode does NOT return the formula values (DCT +
+      * quantization), so a closed-form oracle is impossible by
+      * construction; the verification story is (a) the decoded grid
+      * persisted as an artifact the oracle replays the hash math over,
+      * and (b) golden-pixel specs against the JDK decoder for a
+      * canonical tiny JPEG. Grayscale in RGB keeps chroma subsampling
+      * irrelevant (Cb=Cr=128 exactly). */
+    def jpegForId(id: Long): Array[Byte] = {
+      val (w, h, g) = grayForId(id)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bufferedImage(w, h, g), "jpg", bos)
+      bos.toByteArray
+    }
+
+    private def bufferedImage(w: Int, h: Int,
+                              g: Array[Int]): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var i = 0
@@ -258,9 +281,7 @@ object ImagePixels {
         img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
         i += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      img
     }
   }
 }

@@ -421,6 +421,48 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t49 extended to LOSSY codecs — the mixed PNG+JPEG corpus a real
+    * web crawl is (images are overwhelmingly JPEG): every id ≡ 2
+    * (mod 3) encodes as a REAL baseline JPEG
+    * ([[graft.operators.ImagePixels.SynthImages.jpegForId]]), the rest
+    * stay PNG, and ALL decode through the same `javax.imageio` kernel.
+    * DCT + quantization makes a closed-form JPEG oracle impossible
+    * (measured: up to ±42/pixel vs the source formula), so the
+    * verification splits: PNG ids replay from the pixel FORMULA
+    * (decode gated end-to-end, as t49); JPEG ids persist their decoded
+    * gray grids as a parquet [[Artifacts]] artifact and the oracle
+    * replays the ENTIRE resample + hash math over those true decoded
+    * pixels in SQL — the JPEG decode itself is pinned by
+    * golden-pixel specs (ImagePixelsSpec) since no SQL can re-derive
+    * it. Dims survive the lossy round-trip, so one formula dims CTE
+    * serves both halves. Same narrow scan shape as t49.
+    */
+  def imagePerceptualHashMixed(spark: SparkSession,
+                               sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.ImagePixels
+    val media = Tables.documents(spark, sfDir).select("doc_id")
+      .filter(col("doc_id") < 60).as[Long]
+      .map { id =>
+        val payload =
+          if (id % 3 == 2) ImagePixels.SynthImages.jpegForId(id)
+          else ImagePixels.SynthImages.pngForId(id)
+        ImagePixels.MediaRow(id, payload)
+      }
+      .toDF()
+    Artifacts.write(
+      ImagePixels.pixelGrid(media.filter(col("doc_id") % 3 === 2)),
+      "t65_jpeg_pixels", sfDir)
+    ImagePixels.imageHashes(media)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 2, lit("jpeg")).otherwise(lit("png"))
+          .as("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("ahash"), col("dhash"))
+      .orderBy("doc_id")
+  }
+
   /** REAL audio SAMPLE decode + integer-exact features — the audio
     * half of the t49 closure ([[graft.operators.Audio]]): genuine WAV
     * files with real int16 PCM streams (closed-form sawtooth, no
@@ -1712,6 +1754,7 @@ object TextQueries {
     "t14_simhash_near_dup" -> (simhashNearDup(_, _)),
     "t48_simhash_groups" -> (simhashGroups(_, _)),
     "t49_image_phash" -> (imagePerceptualHash(_, _)),
+    "t65_jpeg_phash" -> (imagePerceptualHashMixed(_, _)),
     "t50_audio_pcm" -> (audioPcmFeatures(_, _)),
     "t51_audio_frames" -> (audioFrameFeatures(_, _)),
     "t54_audio_spectral" -> (audioSpectral(_, _)),
@@ -1768,6 +1811,75 @@ object TextQueries {
       |                  ELSE 1::BIGINT << CAST(i AS INT) END
       |           ELSE 0 END) AS BIGINT) AS ahash
       |  FROM m8 JOIN gm USING (doc_id) GROUP BY 1)""".stripMargin
+
+  /** Mixed-codec pixel CTE chain for the JPEG-bearing image oracles
+    * (t65/v46): ids matching `jpegPred` (SQL over doc_id) read their
+    * TRUE decoded gray grids from the persisted artifact at `glob`
+    * (lossy decode has no closed form); all other ids replay the
+    * closed-form PNG pixel formula exactly as [[imageAhashCtes]].
+    * Yields `dims(doc_id, src, w, h)` and `px(doc_id, w, h, x, y, v)`
+    * — dims come from the formula for BOTH halves (lossy encode
+    * preserves dimensions; ImagePixelsSpec pins it).
+    */
+  private[queries] def imageMixedPxCtes(jpegPred: String,
+                                        glob: String): String =
+    s"""ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+       |d AS (SELECT doc_id,
+       |             CASE WHEN doc_id % 5 = 4 THEN doc_id - 1
+       |                  ELSE doc_id END AS src
+       |      FROM ids),
+       |dims AS (SELECT doc_id, src, 16 + src % 9 AS w, 16 + src % 7 AS h
+       |         FROM d),
+       |pxf AS (
+       |  SELECT doc_id, x, y, v FROM (
+       |    SELECT doc_id, rx.range AS x, ry.range AS y,
+       |           least(255, (src * 31 + rx.range * 7 + ry.range * 13)
+       |               % 256
+       |             + CASE WHEN doc_id % 5 = 4
+       |                     AND (rx.range + ry.range) % 9 = 0
+       |                    THEN 24 ELSE 0 END) AS v,
+       |           w, h
+       |    FROM dims, range(0, 24) rx, range(0, 22) ry
+       |    WHERE rx.range < w AND ry.range < h)
+       |  WHERE NOT ($jpegPred)),
+       |pxj AS (SELECT doc_id, x, y, v FROM read_parquet('$glob')),
+       |px AS (SELECT u.doc_id, dims.w, dims.h, u.x, u.y, u.v
+       |       FROM (SELECT * FROM pxf UNION ALL SELECT * FROM pxj) u
+       |       JOIN dims USING (doc_id))""".stripMargin
+
+  /** aHash (8×8) + dHash (9×8) replay over an existing
+    * `px(doc_id, w, h, x, y, v)` CTE — the hash math of
+    * [[imageAhashCtes]]/t49 factored so mixed-codec pixel sources
+    * reuse it verbatim. Yields `ah(doc_id, ahash)` and
+    * `dh(doc_id, dhash)`. */
+  private[queries] val imageHashFromPxCtes: String =
+    """m8 AS (
+      |  SELECT doc_id, (y * 8) // h * 8 + (x * 8) // w AS i,
+      |         sum(v) // count(*) AS m
+      |  FROM px GROUP BY 1, 2),
+      |gm AS (SELECT doc_id, sum(m) // 64 AS gm FROM m8 GROUP BY 1),
+      |ah AS (
+      |  SELECT m8.doc_id,
+      |         CAST(sum(CASE WHEN m > gm THEN
+      |             CASE WHEN i = 63 THEN -9223372036854775807 - 1
+      |                  ELSE 1::BIGINT << CAST(i AS INT) END
+      |           ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM m8 JOIN gm USING (doc_id) GROUP BY 1),
+      |m9 AS (
+      |  SELECT doc_id, (x * 9) // w AS bx, (y * 8) // h AS by,
+      |         sum(v) // count(*) AS m
+      |  FROM px GROUP BY 1, 2, 3),
+      |dh AS (
+      |  SELECT a.doc_id,
+      |         CAST(sum(CASE WHEN b.m > a.m THEN
+      |             CASE WHEN a.by * 8 + a.bx = 63
+      |                  THEN -9223372036854775807 - 1
+      |                  ELSE 1::BIGINT << CAST(a.by * 8 + a.bx AS INT)
+      |             END
+      |           ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM m9 a JOIN m9 b ON a.doc_id = b.doc_id AND a.by = b.by
+      |    AND b.bx = a.bx + 1
+      |  WHERE a.bx < 8 GROUP BY 1)""".stripMargin
 
   /** Shared SQL fragments (DuckDB). */
   private val wsExpr =
@@ -3176,6 +3288,22 @@ object TextQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // mixed-codec replay: PNG ids from the pixel formula (decode gated
+    // end-to-end), JPEG ids from their persisted true decoded grids
+    // (lossy — no closed form; the decode itself is golden-pixel
+    // spec'd), hash math replayed over BOTH in one SQL chain
+    "t65_jpeg_phash" ->
+      s"""WITH ${imageMixedPxCtes("doc_id % 3 = 2",
+             Artifacts.oracleGlob("t65_jpeg_pixels"))},
+         |$imageHashFromPxCtes
+         |SELECT dims.doc_id,
+         |       CASE WHEN dims.doc_id % 3 = 2 THEN 'jpeg'
+         |            ELSE 'png' END AS format,
+         |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |       ahash, dhash
+         |FROM dims JOIN ah ON dims.doc_id = ah.doc_id
+         |JOIN dh ON dims.doc_id = dh.doc_id
+         |ORDER BY dims.doc_id""".stripMargin,
     // full replay of the pixel pipeline from the closed-form image
     // formulas (ImagePixels.SynthImages doc): because PNG is lossless
     // and the fixtures are r=g=b (integer luma = identity), the

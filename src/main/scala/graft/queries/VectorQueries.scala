@@ -1320,6 +1320,42 @@ object VectorQueries {
       .orderBy("component")
   }
 
+  /** CROSS-FORMAT image near-dup — the deployment case perceptual
+    * hashing exists for: the SAME image re-encoded through a different
+    * codec must still pair. Every planted perturbed copy (id % 5 == 4)
+    * is JPEG-encoded while its original stays PNG, so each planted
+    * pair spans the lossy/lossless boundary; both decode through the
+    * one `javax.imageio` kernel, hash to aHash64, and pair via the
+    * identical pigeonhole block join as v32 (radius 3 — measured: all
+    * twelve planted cross-codec pairs land at hamming ≤ 3 despite up
+    * to ±42/pixel JPEG error, because 8×8 block means average it out).
+    * Oracle: formula pixels for the PNG ids, the persisted true
+    * decoded grids for the JPEG ids, hash + all-pairs hamming replayed
+    * in SQL over both ([[graft.queries.TextQueries.imageMixedPxCtes]]).
+    */
+  def crossFormatNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Dedup, ImagePixels}
+    val media = Tables.documents(spark, sfDir).select("doc_id")
+      .filter(col("doc_id") < 60).as[Long]
+      .map { id =>
+        val payload =
+          if (id % 5 == 4) ImagePixels.SynthImages.jpegForId(id)
+          else ImagePixels.SynthImages.pngForId(id)
+        ImagePixels.MediaRow(id, payload)
+      }
+      .toDF()
+    Artifacts.write(
+      ImagePixels.pixelGrid(media.filter(col("doc_id") % 5 === 4)),
+      "v46_jpeg_pixels", sfDir)
+    val fp = ImagePixels.imageHashes(media)
+      .select(col("doc_id"), col("ahash").as("simhash"))
+    Dedup.simHashNearDupPairs(fp, "doc_id", bits = 64, maxHamming = 3)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** v24's multimodal→retrieval composition upgraded to REAL PIXEL
     * features: payloads are genuine PNGs, features the L2-normalized
     * 4×4 block-mean vector ([[graft.operators.ImagePixels
@@ -2429,6 +2465,19 @@ object VectorQueries {
          |  SELECT node, min(label) AS component FROM walk
          |  GROUP BY node)
          |GROUP BY component ORDER BY component""".stripMargin,
+    // mixed-codec pair replay: formula pixels for PNG ids, persisted
+    // true decoded grids for the JPEG ids, then the same all-pairs
+    // hamming scan the pigeonhole join must match
+    "v46_crossformat_neardup" ->
+      s"""WITH ${TextQueries.imageMixedPxCtes("doc_id % 5 = 4",
+             Artifacts.oracleGlob("v46_jpeg_pixels"))},
+         |${TextQueries.imageHashFromPxCtes}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT)
+         |         AS hamming
+         |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     // the t49 pixel→aHash replay (shared CTE chain) + the plain
     // all-pairs hamming scan the pigeonhole join must exactly match
     "v32_image_neardup" ->
@@ -2729,6 +2778,7 @@ object VectorQueries {
     "v43_graph_ann" -> (graphAnnSearch(_, _)),
     "v44_triplet_shortlist" -> (tripletMiningShortlist(_, _)),
     "v45_knn_classify_shortlist" -> (knnClassifyShortlist(_, _)),
+    "v46_crossformat_neardup" -> (crossFormatNearDup(_, _)),
     "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
     "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
     "v27_ref_dim_search" -> (refDimSearch(_, _)),

@@ -118,6 +118,67 @@ class ImagePixelsSpec extends SparkSpec {
       ImagePixels.dHash64(ImagePixels.blockMeans(g, w, h, 9, 8)))))
   }
 
+  test("golden pixels: a canonical 4x4 gradient JPEG decodes to the " +
+      "exact JDK-decoder grid") {
+    // the JPEG analog of the 1×1-PNG convention: lossy decode has no
+    // closed form, so the pin IS the decoder's own output on a fixed
+    // tiny input — encode the 0,16,..,240 gray gradient, decode, and
+    // assert the exact grid (hand-captured from the JDK decoder; any
+    // decoder deviation — different IDCT, quant rounding — fails here
+    // rather than silently shifting every downstream hash)
+    val src = Array.tabulate(16)(i => 16 * i)
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (i <- 0 until 16) {
+      val v = src(i)
+      img.setRGB(i % 4, i / 4, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val Some((w, h, g)) = ImagePixels.decodeGray(bos.toByteArray)
+    assert((w, h) == (4, 4))
+    assert(g.toSeq == Seq(0, 14, 32, 45, 66, 80, 99, 111,
+      128, 142, 160, 173, 196, 210, 228, 241))
+  }
+
+  test("SynthImages JPEG: dims survive the lossy round-trip, decode " +
+      "is deterministic, and pixel error stays block-mean-small") {
+    for (id <- Seq(0L, 7L, 23L, 59L)) {
+      val (w, h, g) = SynthImages.grayForId(id)
+      val Some((dw, dh, dg)) =
+        ImagePixels.decodeGray(SynthImages.jpegForId(id))
+      assert((dw, dh) == (w, h), s"dims changed for id=$id")
+      // lossy but bounded: per-pixel DCT error must stay well inside
+      // the range block means average over (measured max 42 across
+      // the corpus; a decoder regression would blow past this)
+      val dev = g.zip(dg).map { case (a, b) => math.abs(a - b) }.max
+      assert(dev <= 64, s"pixel deviation $dev for id=$id")
+      val again = ImagePixels.decodeGray(SynthImages.jpegForId(id))
+      assert(again.get._3.toSeq == dg.toSeq, s"non-deterministic id=$id")
+    }
+  }
+
+  test("truncated JPEG refuses (None) — never a guessed partial grid") {
+    val full = SynthImages.jpegForId(7)
+    for (cut <- Seq(2, full.length / 4, full.length / 2))
+      assert(ImagePixels.decodeGray(full.take(cut)).isEmpty,
+        s"truncation at $cut bytes must not decode")
+  }
+
+  test("cross-codec planted pairs stay inside the v32/v46 pairing " +
+      "radius: PNG original vs JPEG perturbed copy, hamming <= 3") {
+    def ahash(bytes: Array[Byte]): Long = {
+      val Some((w, h, g)) = ImagePixels.decodeGray(bytes)
+      ImagePixels.aHash64(ImagePixels.blockMeans(g, w, h, 8, 8))
+    }
+    for (id <- Seq(4L, 19L, 34L, 59L)) {
+      val ham = java.lang.Long.bitCount(
+        ahash(SynthImages.pngForId(id - 1)) ^
+          ahash(SynthImages.jpegForId(id)))
+      assert(ham <= 3, s"cross-codec pair ($id) at hamming $ham")
+    }
+  }
+
   test("pixelFeatures: L2-normalized block means as float32") {
     val rows = Seq(ImagePixels.MediaRow(3L, SynthImages.pngForId(3L))).toDF()
     val feats = ImagePixels.pixelFeatures(rows, 4, 4)
