@@ -446,12 +446,15 @@ object Ingest {
     *    non-atomic on its own; the store writer lock
     *    ([[withStoreLock]], which [[commitStoreSnapshot]] always
     *    holds) makes read+rename effectively atomic.
-    *  - An S3-class object store implements THE SAME method with one
-    *    conditional PUT (`If-Match: <etag observed for expected>`,
-    *    `If-None-Match: *` when None) and needs NO lock at all — the
-    *    PUT's precondition is the linearization point, and a 412
-    *    response maps to `false`. That deployment swap touches only
-    *    this trait; snapshot data files are immutable either way.
+    *  - [[ConditionalPutCommit]]: the S3-class object-store protocol —
+    *    one conditional PUT (`If-Match: <etag observed for expected>`,
+    *    `If-None-Match: *` when None), NO lock needed — the PUT's
+    *    precondition is the linearization point, and a 412 response
+    *    maps to `false`. Exercised end-to-end against
+    *    [[FileBackedConditionalStore]] (the local If-Match mock); a
+    *    real deployment swaps in an S3 client behind
+    *    [[ConditionalStore]]'s two methods. Snapshot data files are
+    *    immutable either way.
     */
   trait CommitProtocol extends Serializable {
     def publish(spark: SparkSession, dest: org.apache.hadoop.fs.Path,
@@ -500,6 +503,100 @@ object Ingest {
           .rename(tmp, dest,
             org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       }
+      true
+    }
+  }
+
+  /** The minimal conditional-write object-store surface the commit
+    * needs — the subset of the S3 conditional-request API (public:
+    * `If-Match` / `If-None-Match: *` preconditions on PUT, RFC 7232
+    * semantics): `get` returns the current (etag, bytes); `put`
+    * succeeds iff the precondition still holds, atomically. A real S3
+    * client maps these 1:1 onto GetObject / PutObject-with-
+    * precondition; [[FileBackedConditionalStore]] is the local mock.
+    */
+  trait ConditionalStore extends Serializable {
+    def get(key: String): Option[(String, Array[Byte])]
+
+    /** `ifMatch = Some(etag)` → `If-Match: etag`;
+      * `None` → `If-None-Match: *` (create-only). Returns false on the
+      * 412 Precondition Failed case. */
+    def put(key: String, bytes: Array[Byte],
+            ifMatch: Option[String]): Boolean
+  }
+
+  /** The S3-class [[CommitProtocol]]: ONE conditional PUT is the
+    * linearization point — no lock, no rename. The pointer is read
+    * back through the store (etag witnessed), compared against the
+    * commit's expected snapshot, and the new pointer PUT with that
+    * etag as its `If-Match` precondition (`If-None-Match: *` for the
+    * first commit). Any interleaved writer changes the etag and the
+    * PUT fails as a 412 → `false` → the caller's lost-race path; the
+    * orphaned snapshot directory is reclaimed by vacuum, exactly as
+    * with [[AtomicRenameCommit]]. The protocol needs no store writer
+    * lock of its own, but running under [[withStoreLock]] (as
+    * [[commitStoreSnapshot]] always does) is harmless.
+    */
+  class ConditionalPutCommit(store: ConditionalStore)
+      extends CommitProtocol {
+    override def publish(spark: SparkSession,
+                         dest: org.apache.hadoop.fs.Path,
+                         expected: Option[String],
+                         next: String): Boolean = {
+      val key = dest.toString
+      val cur = store.get(key)
+      if (cur.map(c => new String(c._2, "UTF-8").trim) != expected)
+        return false // already superseded — don't even attempt the PUT
+      store.put(key, next.getBytes("UTF-8"), cur.map(_._1))
+    }
+  }
+
+  /** Local mock of a conditional-PUT object store over the REAL
+    * manifest file — so every reader (currentSnapshotDir, morResolve,
+    * time travel) keeps working unchanged while the COMMIT path runs
+    * the S3 semantics end-to-end. ETag = md5 of the bytes (what S3
+    * returns for simple puts); the precondition check + write is
+    * atomic within this JVM (synchronized — standing in for the
+    * server-side atomicity a real object store provides) and the file
+    * lands via tmp + atomic rename so readers never see a torn write.
+    */
+  class FileBackedConditionalStore extends ConditionalStore {
+    private def md5(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map(x => f"${x & 0xff}%02x").mkString
+
+    private def nioPath(key: String): java.nio.file.Path = {
+      val uri = new java.net.URI(key)
+      if (uri.getScheme == null) java.nio.file.Paths.get(key)
+      else java.nio.file.Paths.get(uri.getPath)
+    }
+
+    override def get(key: String): Option[(String, Array[Byte])] = {
+      val p = nioPath(key)
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val b = java.nio.file.Files.readAllBytes(p)
+        Some((md5(b), b))
+      }
+    }
+
+    override def put(key: String, bytes: Array[Byte],
+                     ifMatch: Option[String]): Boolean = synchronized {
+      val p = nioPath(key)
+      val current =
+        if (java.nio.file.Files.exists(p))
+          Some(md5(java.nio.file.Files.readAllBytes(p)))
+        else None
+      val ok = ifMatch match {
+        case Some(etag) => current.contains(etag) // If-Match
+        case None       => current.isEmpty        // If-None-Match: *
+      }
+      if (!ok) return false // 412 Precondition Failed
+      val tmp = p.resolveSibling("." + p.getFileName + ".cput.tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       true
     }
   }
@@ -700,9 +797,9 @@ object Ingest {
     * loss with no error.
     */
   def mergeIntoStore(spark: SparkSession, root: String, batch: DataFrame,
-                     keyCol: String, textCol: String,
-                     deleteCol: String): Unit =
-    commitStoreSnapshot(spark, root) { dir =>
+                     keyCol: String, textCol: String, deleteCol: String,
+                     protocol: CommitProtocol = AtomicRenameCommit): Unit =
+    commitStoreSnapshot(spark, root, protocol) { dir =>
       val base = readStoreManifested(spark, root)
       require(base.columns.contains(keyCol) &&
           base.columns.contains(textCol),

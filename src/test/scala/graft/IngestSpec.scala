@@ -237,6 +237,73 @@ class IngestSpec extends SparkSpec {
       Ingest.listSnapshots(spark, root).map(_._1).sorted)
   }
 
+  test("ConditionalPutCommit: a full store lifecycle commits through " +
+      "If-Match preconditions; readers are oblivious") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cput").toString + "/store"
+    val protocol =
+      new Ingest.ConditionalPutCommit(new Ingest.FileBackedConditionalStore)
+    // first commit: If-None-Match:* (no manifest yet)
+    Ingest.commitStoreSnapshot(spark, root, protocol) { dir =>
+      Ingest.writeStore(docsDf((1L, "a"), (2L, "b")), dir)
+    }
+    // subsequent commits: If-Match on the witnessed etag; the whole
+    // merge/delete machinery runs unchanged through the second impl
+    Ingest.mergeIntoStore(spark, root,
+      Seq((2L, "b2", false), (3L, "c", false))
+        .toDF("doc_id", "text", "_delete"),
+      "doc_id", "text", "_delete", protocol)
+    assert(Ingest.readStoreManifested(spark, root)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    assert(Ingest.listSnapshots(spark, root).size == 2)
+  }
+
+  test("ConditionalPutCommit: an interleaved writer flips the etag " +
+      "between witness and PUT — 412 maps to a loud lost race") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cput_race").toString + "/store"
+    Ingest.commitStoreSnapshot(spark, root) { dir =>
+      Ingest.writeStore(docsDf((1L, "a")), dir)
+    }
+    val inner = new Ingest.FileBackedConditionalStore
+    // a store whose GET is immediately followed by ANOTHER writer's
+    // successful conditional put (the S3 no-lock deployment: nothing
+    // serializes writers but the precondition itself)
+    val racing = new Ingest.ConditionalStore {
+      override def get(key: String): Option[(String, Array[Byte])] = {
+        val seen = inner.get(key)
+        val winner = "snap-0000000000000099"
+        docsDf((42L, "winner")).write.mode("overwrite")
+          .parquet(root + "/" + winner)
+        assert(inner.put(key, winner.getBytes("UTF-8"),
+          seen.map(_._1)), "the interleaved writer's own PUT must land")
+        seen // hand the commit its now-stale witness
+      }
+      override def put(key: String, bytes: Array[Byte],
+                       ifMatch: Option[String]): Boolean =
+        inner.put(key, bytes, ifMatch)
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Ingest.commitStoreSnapshot(spark, root,
+        new Ingest.ConditionalPutCommit(racing)) { dir =>
+        Ingest.writeStore(docsDf((2L, "loser")), dir)
+      }
+    }
+    assert(e.getMessage.contains("lost the publish race"))
+    // the winner's pointer survives — the losing PUT 412'd, nothing tore
+    assert(Ingest.readStoreManifested(spark, root)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((42L, "winner")))
+    // and a clean retry through the SAME protocol succeeds
+    Ingest.commitStoreSnapshot(spark, root,
+      new Ingest.ConditionalPutCommit(inner)) { dir =>
+      Ingest.writeStore(docsDf((3L, "retry")), dir)
+    }
+    assert(Ingest.readStoreManifested(spark, root)
+      .as[(Long, String)].collect().toSeq == Seq((3L, "retry")))
+  }
+
   test("manifest store accepts URI-form file roots: lock and manifest " +
       "land beside the store, not CWD-relative") {
     val dir = Files.createTempDirectory("graft_uri").toString
