@@ -52,6 +52,12 @@ object Pq {
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
+    // model-sized training data (train-split × m subvector rows): pin
+    // it to a few partitions before persisting — the k-means loop runs
+    // maxIter sequential collect jobs, and at default parallelism each
+    // would pay full-width task scheduling for KBs of data (the v41
+    // per-iteration overhead). Corpus-scale training would raise this;
+    // the loop's per-iteration state is model-sized either way.
     val subRows = emb.select(col(idCol),
         explode(array((0 until m).map { j =>
           struct(lit(j).as("j"),
@@ -59,6 +65,7 @@ object Pq {
               .as("sv"))
         }: _*)).as("e"))
       .select(col(idCol), col("e.j").as("j"), col("e.sv").as("sv"))
+      .repartition(4)
       .persist()
     try {
       // init: subvectors of the k lowest-id rows, one per code
