@@ -235,10 +235,24 @@ object PlansDump {
           "single-partition window anywhere in the plan."),
       "v36_triplet_mining" ->
         ("Contrastive triplet mining: both per-anchor argmaxes " +
-          "(positive and hard negative) are conditional max(struct) " +
-          "aggregates in ONE groupBy — partial_max combines map-side " +
+          "(positive and hard negative) are conditional min(struct) " +
+          "aggregates in ONE groupBy — partial_min combines map-side " +
           "before the only exchange; no per-anchor window ever " +
-          "buffers an anchor's full candidate list."),
+          "buffers an anchor's full candidate list. The all-pairs " +
+          "frame is the GUARDED exact baseline; v44 feeds the same " +
+          "aggregate from the SRP bucket equi-join."),
+      "v44_triplet_shortlist" ->
+        ("Shortlist-fed triplet mining: candidates come from the " +
+          "multi-probe SRP bucket SELF-join (sum-|bucket|-squared " +
+          "work, equi-join on the bucket key — no cartesian " +
+          "anywhere, PlanSpec-pinned), then the identical " +
+          "conditional-min argmax aggregate as v36."),
+      "v43_graph_ann" ->
+        ("Graph-ANN serving: each beam round is a point-lookup " +
+          "equi-join of a beam-sized id frame against the persisted " +
+          "graph and vector stores — no corpus scan, no corpus " +
+          "shuffle; rounds bound total work and the visited set " +
+          "stays beam*degree*rounds rows."),
       "v37_maxsim_search" ->
         ("Late-interaction MaxSim: the vocabulary embeds once " +
           "(distinct words, Zipf-sublinear), the query-token frame " +

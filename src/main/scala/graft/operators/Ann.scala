@@ -452,4 +452,123 @@ object Ann {
       .select(col("rank").cast("long").as("rank"), col(idCol),
         col("score"), col("nodes_touched"))
   }
+
+  /** Build the k-NN graph artifact (src, dst) every graph-ANN serving
+    * operator walks: each vector's top-`degree` neighbors by exact
+    * cosine among its multi-probe SRP bucket candidates (own bucket +
+    * hamming-1 flips — the v23 routing; sum-|bucket|² work, every join
+    * an equi-join). Snapshot-time cost, paid once per index version;
+    * [[graphBeamSearch]]/[[graphBeamSearchBatch]] then touch
+    * beam·degree·rounds nodes per query regardless of corpus size.
+    *
+    * GEOMETRY CONTRACT: `bucketBits` must scale with the corpus
+    * (bucketBits ≈ log2(n / targetBucketSize), the SemDeDup k ∝ n
+    * rule) — held fixed, |bucket| grows ∝ n and the blocked self-join
+    * goes quadratic. ScalingProbe measures the scaled geometry;
+    * the bench queries pin bucketBits=4 for their fixed corpora.
+    */
+  def buildKnnGraph(emb: DataFrame, idCol: String, vecCol: String,
+                    bits: Int, bucketBits: Int,
+                    degree: Int): DataFrame = {
+    val probes = srpProbeBuckets(
+      emb.select(col(idCol).as("src"), col(vecCol).as("_se")),
+      "_se", bits, bucketBits)
+    val index = srpBucketIndex(emb, idCol, vecCol, bits, bucketBits)
+    val scoredPairs = probes.join(index, Seq("bucket"))
+      .filter(col("src") =!= col(idCol))
+      .select(col("src"), col(idCol),
+        cosineSim(col(vecCol), col("_se")).as("score"))
+    Search.topKPerQuery(scoredPairs, "src", idCol, degree)
+      .select(col("src"), col(idCol).as("dst"))
+  }
+
+  /** INCREMENTAL k-NN graph maintenance — the LSM split the dedup
+    * indexes already follow (Dedup.updateJaccardIndex /
+    * updateSubstrIndex): a delta batch of new vectors gets its edges
+    * as a SIDECAR frame without rewriting (or even re-scoring) the
+    * base graph. Each delta node finds its top-`degree` neighbors
+    * among its probed buckets of the COMBINED (base ∪ delta) bucket
+    * index — so new nodes link both backward into the base and among
+    * themselves — and serving walks `base ∪ sidecar`.
+    *
+    * The deliberate LSM asymmetry, stated: BASE nodes gain no forward
+    * edges toward delta nodes until compaction (= [[buildKnnGraph]]
+    * over the full corpus, the deferred O(base) fold at the caller's
+    * cadence). Until then delta nodes are reachable exactly when a
+    * walk enters the delta's own linkage or starts from it — the
+    * freshness/recall trade every serving-time ANN index update makes
+    * (HNSW insertion repairs bidirectionally at write time; the LSM
+    * formulation defers the base-side repair to a batch fold, which
+    * is the Spark-native cadence). Update cost: the delta's sketches
+    * + one bucket equi-join against a bucket-pruned combined index —
+    * delta-proportional, never base-proportional.
+    */
+  def updateKnnGraph(baseEmb: DataFrame, delta: DataFrame, idCol: String,
+                     vecCol: String, bits: Int, bucketBits: Int,
+                     degree: Int): DataFrame = {
+    val combined = baseEmb.select(col(idCol), col(vecCol))
+      .unionByName(delta.select(col(idCol), col(vecCol)))
+    val probes = srpProbeBuckets(
+      delta.select(col(idCol).as("src"), col(vecCol).as("_se")),
+      "_se", bits, bucketBits)
+    val index = srpBucketIndex(combined, idCol, vecCol, bits, bucketBits)
+    val scoredPairs = probes.join(index, Seq("bucket"))
+      .filter(col("src") =!= col(idCol))
+      .select(col("src"), col(idCol),
+        cosineSim(col(vecCol), col("_se")).as("score"))
+    Search.topKPerQuery(scoredPairs, "src", idCol, degree)
+      .select(col("src"), col(idCol).as("dst"))
+  }
+
+  /** Batched [[graphBeamSearch]]: Q queries walk ONE shared graph in a
+    * single plan per round — the serving shape a production graph-ANN
+    * tier runs (the v33-batched-IVF-PQ economics applied to the graph
+    * index: the graph and vector stores are scanned per ROUND, not per
+    * query). `queries` is a small (queryIdCol, qe) frame and rides
+    * every join as a broadcast; per-query beams are rank windows keyed
+    * by `queryIdCol` (WindowGroupLimit heaps, the v21 shape), so each
+    * round is: beam window → frontier equi-join against the graph →
+    * visited-set union/distinct → point-lookup re-score. Per-round
+    * state is (query, visited-node) pairs — Q·beam·degree·rounds rows,
+    * never corpus-scale. Returns per-query ranked top-k with that
+    * query's visited-set size.
+    */
+  def graphBeamSearchBatch(graph: DataFrame, vectors: DataFrame,
+                           queries: DataFrame, idCol: String,
+                           vecCol: String, queryIdCol: String,
+                           entryIds: Seq[Long], beam: Int, rounds: Int,
+                           k: Int): DataFrame = {
+    require(entryIds.nonEmpty,
+      "graphBeamSearchBatch: entryIds must be non-empty")
+    val q = broadcast(queries.select(col(queryIdCol), col("qe")))
+    def score(pairs: DataFrame): DataFrame =
+      pairs.join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+        .join(q, Seq(queryIdCol))
+        .select(col(queryIdCol), col(idCol),
+          cosineSim(col(vecCol), col("qe")).as("score"))
+    val entries = vectors.select(col(idCol))
+      .filter(col(idCol).isin(entryIds: _*))
+      .join(q.select(col(queryIdCol)))  // every query starts at every entry
+    var scored = score(entries).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val wq = Window.partitionBy(queryIdCol)
+        .orderBy(col("score").desc, col(idCol))
+      val beamIds = scored
+        .withColumn("_r", row_number().over(wq))
+        .filter(col("_r") <= beam)
+        .select(col(queryIdCol), col(idCol).as("src"))
+      val expanded = beamIds.join(graph, "src")
+        .select(col(queryIdCol), col("dst").as(idCol))
+      val visited = scored.select(col(queryIdCol), col(idCol))
+        .unionByName(expanded)
+        .distinct()
+      scored = score(visited).localCheckpoint()
+    }
+    val touched = scored.groupBy(queryIdCol)
+      .agg(count(lit(1)).as("nodes_touched"))
+    Search.topKPerQuery(scored, queryIdCol, idCol, k)
+      .join(touched, Seq(queryIdCol))
+      .select(col(queryIdCol), col("rank").cast("long").as("rank"),
+        col(idCol), col("score"), col("nodes_touched"))
+  }
 }

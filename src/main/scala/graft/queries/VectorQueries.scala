@@ -411,17 +411,8 @@ object VectorQueries {
   def graphAnnSearch(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val corpus = emb.filter(col("vec_id") =!= 0)
-    val probes = Ann.srpProbeBuckets(
-      corpus.select(col("vec_id").as("src"), col("embedding").as("se")),
-      "se", bits = 16, bucketBits = 4)
-    val index = Ann.srpBucketIndex(corpus, "vec_id", "embedding",
-      bits = 16, bucketBits = 4)
-    val scoredPairs = probes.join(index, Seq("bucket"))
-      .filter(col("src") =!= col("vec_id"))
-      .select(col("src"), col("vec_id"),
-        cosineSim(col("embedding"), col("se")).as("score"))
-    val edges = Search.topKPerQuery(scoredPairs, "src", "vec_id", 8)
-      .select(col("src"), col("vec_id").as("dst"))
+    val edges = Ann.buildKnnGraph(corpus, "vec_id", "embedding",
+      bits = 16, bucketBits = 4, degree = 8)
     val graphDir = Artifacts.write(edges, "v43_graph", sfDir)
     val graph = spark.read.parquet(graphDir)
     val walked = Ann.graphBeamSearch(graph, corpus, queryVec(emb),
@@ -439,6 +430,90 @@ object VectorQueries {
         round(sum(col("hit")).over(wAll).cast("double") / 10.0, 6))
       .select(col("rank"), col("vec_id"), round(col("score"), 6).as("score"),
         col("hit"), col("nodes_touched"), col("recall_at_10"))
+      .orderBy("rank")
+  }
+
+  /** BATCHED graph-ANN serving ([[Ann.graphBeamSearchBatch]]) — v43's
+    * walk amortized the way v33 amortizes IVF-PQ: eight queries share
+    * one persisted graph and the per-round joins; per-query beams are
+    * rank windows, so the whole batch is rounds×3 equi-join stages
+    * regardless of Q. Query vectors are vec_id < 8, the corpus the
+    * rest; the graph (top-8 SRP-bucketed neighbors, corpus-only) is a
+    * persisted artifact and the oracle replays every round — entry
+    * scoring, per-query beam, frontier expansion, re-score — in SQL
+    * with PARTITION BY windows. Output: per-query ranked top-5 plus
+    * that query's visited-set size.
+    */
+  def graphAnnBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val edges = Ann.buildKnnGraph(corpus, "vec_id", "embedding",
+      bits = 16, bucketBits = 4, degree = 8)
+    val graphDir = Artifacts.write(edges, "v47_graph", sfDir)
+    val graph = spark.read.parquet(graphDir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    Ann.graphBeamSearchBatch(graph, corpus, queries,
+        "vec_id", "embedding", "query_id",
+        entryIds = Seq(8L, 9L, 10L, 11L), beam = 8, rounds = 2, k = 5)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"), col("nodes_touched"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Graph-ANN under INGEST — the LSM serving shape every mutable ANN
+    * tier runs (and the dedup indexes here already follow,
+    * t35/t47): the base graph is an immutable snapshot artifact; a
+    * 10% delta of newly-arrived vectors is NOT in it and must still be
+    * searchable immediately. Serving = beam-walk the base graph
+    * (touches beam·degree·rounds base nodes) MERGED with an exact scan
+    * of the memtable-sized delta; the output tags each hit's
+    * provenance (`graph`/`delta`) and carries both cost meters
+    * (nodes_touched, delta_scanned) plus recall@10 against the exact
+    * full-corpus answer — freshness is measured, not asserted.
+    * [[Ann.updateKnnGraph]] pre-computes the delta's adjacency for the
+    * deferred compaction fold (spec'd in AnnSpec); the walk itself
+    * never needs it. The oracle replays the walk over the persisted
+    * base graph, the delta scan, the merge and the recall in SQL.
+    */
+  def graphAnnIncrementalServe(spark: SparkSession,
+                               sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") =!= 0 &&
+      pmod(col("vec_id"), lit(10)) =!= 9)
+    val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val edges = Ann.buildKnnGraph(base, "vec_id", "embedding",
+      bits = 16, bucketBits = 4, degree = 8)
+    val graphDir = Artifacts.write(edges, "v48_base_graph", sfDir)
+    val graph = spark.read.parquet(graphDir)
+    val q = queryVec(emb)
+    val walked = Ann.graphBeamSearch(graph, base, q, "vec_id", "embedding",
+      entryIds = Seq(1L, 2L, 3L, 4L), beam = 8, rounds = 3, k = 10)
+    val touched = broadcast(walked.select("nodes_touched").limit(1))
+    val deltaN = broadcast(delta.agg(count(lit(1)).as("delta_scanned")))
+    val deltaTop = Search.topK(delta, q, "vec_id", "embedding", "qe", 10)
+    val cands = walked
+      .select(col("vec_id"), col("score"), lit("graph").as("src"))
+      .unionByName(deltaTop
+        .select(col("vec_id"), col("score"), lit("delta").as("src")))
+    val exact = Search.topK(emb.filter(col("vec_id") =!= 0), q,
+        "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("_hit"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    cands.orderBy(col("score").desc, col("vec_id")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("vec_id"))).cast("long"))
+      .join(exact, Seq("vec_id"), "left")
+      .withColumn("hit", coalesce(col("_hit"), lit(0L)))
+      .withColumn("recall_at_10",
+        round(sum(col("hit")).over(wAll).cast("double") / 10.0, 6))
+      .crossJoin(touched)
+      .crossJoin(deltaN)
+      .select(col("rank"), col("vec_id"), round(col("score"), 6).as("score"),
+        col("src"), col("hit"), col("nodes_touched"),
+        col("delta_scanned"), col("recall_at_10"))
       .orderBy("rank")
   }
 
@@ -1567,6 +1642,112 @@ object VectorQueries {
          |       round(h.score, 6) AS score, CAST(h.hit AS BIGINT) AS hit,
          |       t.nodes_touched, r.recall_at_10
          |FROM h, t, r ORDER BY rank""".stripMargin,
+    // LSM serving replay: the v43-style walk unrolled over the BASE
+    // graph artifact, the delta's exact scan, the provenance-tagged
+    // merge, and recall vs the exact full-corpus answer
+    "v48_graph_ann_lsm" ->
+      s"""WITH g AS (SELECT src, dst
+         |           FROM read_parquet('${Artifacts.oracleGlob("v48_base_graph")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM embeddings),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |c AS (SELECT vec_id, e FROM v
+         |      WHERE vec_id <> 0 AND vec_id % 10 <> 9),
+         |dl AS (SELECT vec_id, e FROM v WHERE vec_id % 10 = 9),
+         |s0 AS (SELECT c.vec_id, list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM c, q WHERE c.vec_id IN (1, 2, 3, 4)),
+         |b0 AS (SELECT vec_id AS src FROM s0
+         |       ORDER BY score DESC, vec_id LIMIT 8),
+         |i1 AS (SELECT vec_id FROM s0
+         |       UNION SELECT dst AS vec_id FROM g JOIN b0 USING (src)),
+         |s1 AS (SELECT c.vec_id, list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM c JOIN i1 USING (vec_id), q),
+         |b1 AS (SELECT vec_id AS src FROM s1
+         |       ORDER BY score DESC, vec_id LIMIT 8),
+         |i2 AS (SELECT vec_id FROM s1
+         |       UNION SELECT dst AS vec_id FROM g JOIN b1 USING (src)),
+         |s2 AS (SELECT c.vec_id, list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM c JOIN i2 USING (vec_id), q),
+         |b2 AS (SELECT vec_id AS src FROM s2
+         |       ORDER BY score DESC, vec_id LIMIT 8),
+         |i3 AS (SELECT vec_id FROM s2
+         |       UNION SELECT dst AS vec_id FROM g JOIN b2 USING (src)),
+         |s3 AS (SELECT c.vec_id, list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM c JOIN i3 USING (vec_id), q),
+         |wt AS (SELECT count(*) AS nodes_touched FROM s3),
+         |dn AS (SELECT count(*) AS delta_scanned FROM dl),
+         |wtop AS (SELECT vec_id, score FROM s3
+         |         ORDER BY score DESC, vec_id LIMIT 10),
+         |dtop AS (SELECT dl.vec_id,
+         |                list_cosine_similarity(dl.e, q.qe) AS score
+         |         FROM dl, q ORDER BY score DESC, vec_id LIMIT 10),
+         |cand AS (SELECT vec_id, score, 'graph' AS src FROM wtop
+         |         UNION ALL
+         |         SELECT vec_id, score, 'delta' AS src FROM dtop),
+         |m AS (SELECT vec_id, score, src,
+         |             row_number() OVER (ORDER BY score DESC, vec_id)
+         |               AS rank
+         |      FROM cand ORDER BY score DESC, vec_id LIMIT 10),
+         |ex AS (SELECT v2.vec_id
+         |       FROM (SELECT vec_id, e FROM v WHERE vec_id <> 0) v2, q
+         |       ORDER BY list_cosine_similarity(v2.e, q.qe) DESC,
+         |                v2.vec_id LIMIT 10),
+         |h AS (SELECT m.rank, m.vec_id, m.score, m.src,
+         |             CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |      FROM m LEFT JOIN ex USING (vec_id)),
+         |r AS (SELECT round(CAST(sum(hit) AS DOUBLE) / 10.0, 6)
+         |        AS recall_at_10 FROM h)
+         |SELECT CAST(h.rank AS BIGINT) AS rank, h.vec_id,
+         |       round(h.score, 6) AS score, h.src,
+         |       CAST(h.hit AS BIGINT) AS hit, wt.nodes_touched,
+         |       dn.delta_scanned, r.recall_at_10
+         |FROM h, wt, dn, r ORDER BY rank""".stripMargin,
+    // the batched walk replay: same persisted graph, two unrolled
+    // rounds with PARTITION BY query_id windows for the per-query
+    // beams, then per-query top-5 + visited-set size
+    "v47_graph_ann_batch" ->
+      s"""WITH g AS (SELECT src, dst
+         |           FROM read_parquet('${Artifacts.oracleGlob("v47_graph")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v
+         |      WHERE vec_id < 8),
+         |c AS (SELECT vec_id, e FROM v WHERE vec_id >= 8),
+         |s0 AS (SELECT q.query_id, c.vec_id,
+         |              list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM c, q WHERE c.vec_id IN (8, 9, 10, 11)),
+         |b0 AS (SELECT query_id, vec_id AS src FROM (
+         |         SELECT query_id, vec_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY score DESC, vec_id) AS r
+         |         FROM s0) WHERE r <= 8),
+         |i1 AS (SELECT query_id, vec_id FROM s0
+         |       UNION SELECT query_id, dst AS vec_id
+         |             FROM g JOIN b0 USING (src)),
+         |s1 AS (SELECT i1.query_id, i1.vec_id,
+         |              list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM i1 JOIN c USING (vec_id) JOIN q USING (query_id)),
+         |b1 AS (SELECT query_id, vec_id AS src FROM (
+         |         SELECT query_id, vec_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY score DESC, vec_id) AS r
+         |         FROM s1) WHERE r <= 8),
+         |i2 AS (SELECT query_id, vec_id FROM s1
+         |       UNION SELECT query_id, dst AS vec_id
+         |             FROM g JOIN b1 USING (src)),
+         |s2 AS (SELECT i2.query_id, i2.vec_id,
+         |              list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM i2 JOIN c USING (vec_id) JOIN q USING (query_id)),
+         |t AS (SELECT query_id, count(*) AS nodes_touched FROM s2
+         |      GROUP BY 1),
+         |top AS (SELECT query_id, vec_id, score,
+         |               row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY score DESC, vec_id) AS rank
+         |        FROM s2)
+         |SELECT top.query_id, CAST(rank AS BIGINT) AS rank, top.vec_id,
+         |       round(score, 6) AS score, t.nodes_touched
+         |FROM top JOIN t USING (query_id) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     // sketch → own + hamming-1 probe buckets → bucket equi-join →
     // per-anchor argmax each side of τ — the v36 mirror over the
     // bucketed candidate set instead of all pairs
@@ -2779,6 +2960,8 @@ object VectorQueries {
     "v44_triplet_shortlist" -> (tripletMiningShortlist(_, _)),
     "v45_knn_classify_shortlist" -> (knnClassifyShortlist(_, _)),
     "v46_crossformat_neardup" -> (crossFormatNearDup(_, _)),
+    "v47_graph_ann_batch" -> (graphAnnBatch(_, _)),
+    "v48_graph_ann_lsm" -> (graphAnnIncrementalServe(_, _)),
     "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
     "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
     "v27_ref_dim_search" -> (refDimSearch(_, _)),

@@ -284,6 +284,50 @@ class AnnSpec extends SparkSpec {
     assert(got.sortBy(_._1).map(_._2).toSeq == Seq(5L, 3L, 1L))
   }
 
+  test("graphBeamSearchBatch: each query walks its own beam over the " +
+      "shared graph; per-query nodes_touched diverge") {
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    // two chains from entry 1: toward (1,0) via 3→5 and toward (0,1)
+    // via 4→6 — query A should walk the first, query B the second
+    val vecs = Seq(
+      (1L, v(1, 1)),
+      (3L, v(1, 0.4)), (5L, v(1, 0.1)),
+      (4L, v(0.4, 1)), (6L, v(0.1, 1))
+    ).toDF("vec_id", "embedding")
+    val graph = Seq((1L, 3L), (1L, 4L), (3L, 5L), (4L, 6L))
+      .toDF("src", "dst")
+    val queries = Seq(
+      (100L, Array(1f, 0f)), (200L, Array(0f, 1f)))
+      .toDF("query_id", "qe")
+    val got = Ann.graphBeamSearchBatch(graph, vecs, queries,
+        "vec_id", "embedding", "query_id",
+        entryIds = Seq(1L), beam = 1, rounds = 2, k = 1)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // beam=1: A expands 1→{3,4}, picks 3, expands →5; B picks 4, →6
+    assert(got(100L)._3 == 5L, s"query A best: ${got(100L)}")
+    assert(got(200L)._3 == 6L, s"query B best: ${got(200L)}")
+    // A visited {1,3,4,5}; B visited {1,3,4,6} — both 4 nodes
+    assert(got(100L)._5 == 4L && got(200L)._5 == 4L)
+  }
+
+  test("updateKnnGraph: the delta sidecar IS the full rebuild's " +
+      "adjacency restricted to delta sources; base edges untouched") {
+    val base = emb // ids 1..6, two clusters
+    val delta = vecsDf((10L, Seq(10f, 0.5f)), (11L, Seq(0.5f, 10f)))
+    val sidecar = Ann.updateKnnGraph(base, delta, "vec_id", "embedding",
+        bits = 16, bucketBits = 4, degree = 2)
+      .as[(Long, Long)].collect().toSeq.sorted
+    // exact LSM contract: identical to rebuilding over base ∪ delta
+    // and keeping only delta-rooted edges — the part compaction will
+    // NOT have to recompute
+    val full = Ann.buildKnnGraph(base.unionByName(delta), "vec_id",
+        "embedding", bits = 16, bucketBits = 4, degree = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(sidecar == full.filter(e => e._1 >= 10L).sorted)
+    assert(sidecar.nonEmpty && sidecar.forall(_._1 >= 10L))
+  }
+
   test("graphBeamSearch with zero rounds scores only the entries") {
     val graph = Seq((1L, 2L)).toDF("src", "dst")
     val q = Seq(Tuple1(Array(10f, 0f))).toDF("qe")
