@@ -875,7 +875,44 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Continuous-ingest graph-ANN serving — v48's STREAMING twin, the
+    * LSM pair completed: delta vectors ARRIVE AS A STREAM (the
+    * memtable filling up) and must be searchable immediately without
+    * touching the immutable base graph. Per micro-batch the new
+    * vectors score against the query in a narrow stateless projection
+    * (the 1-row query frame broadcasts into a stream-static equi-join
+    * on a constant key) and fold into ONE bounded-heap top-10 UDAF
+    * (≤10 rows of state — the only top-k formulation legal in a
+    * stream); after the drain the heap's contents merge with the
+    * batch base-graph walk exactly as v48
+    * ([[VectorQueries.graphLsmMerge]] — shared code, shared oracle
+    * shape, different artifact). Same output, so the gate proves the
+    * incremental serving plan converges to the batch answer.
+    */
+  def streamGraphServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val qv = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding").as("qe"))
+    val deltaStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
+      .filter(pmod(col("vec_id"), lit(10)) === 9)
+      .withColumn("qid", lit(0L))
+    val scored = deltaStream.join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorFunctions
+          .cosineSim(col("embedding"), col("qe")).as("score"))
+    val topk = graft.operators.TopKAggregator.topKUdaf(10)
+    val agg = scored.groupBy("qid")
+      .agg(topk(col("vec_id"), col("score")).as("hits"))
+    val deltaTop = Streaming.runAvailableNow(spark, agg, "graft_s23")
+      .select(posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("hit._1").as("vec_id"), col("hit._2").as("score"))
+    VectorQueries.graphLsmMerge(spark, sfDir, "s23_base_graph", deltaTop)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_stream_graph_serve" -> (streamGraphServe(_, _)),
     "s22_outer_join" -> (streamOuterJoin(_, _)),
     "s21_late_data" -> (streamLateData(_, _)),
     "s20_stream_merge" -> (streamMergeInto(_, _)),
@@ -902,6 +939,8 @@ object StreamingQueries {
   // `def`: s11's entry (t33's oracle verbatim) interpolates artifact
   // globs, which must resolve at dump time, after the queries ran.
   def oracles: Map[String, String] = Map(
+    "s23_stream_graph_serve" ->
+      VectorQueries.graphLsmOracleSql("s23_base_graph"),
     // inner matches are the batch interval join; NULL rows emit only
     // for clicks finalized by the final global watermark (min of both
     // sides' max ts − 10 min) — the stream's partial-result rule

@@ -478,6 +478,23 @@ object VectorQueries {
     */
   def graphAnnIncrementalServe(spark: SparkSession,
                                sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val deltaTop = Search
+      .topK(delta, queryVec(emb), "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), col("score"))
+    graphLsmMerge(spark, sfDir, "v48_base_graph", deltaTop)
+  }
+
+  /** The shared serve-merge half of the LSM graph-serving pair (v48
+    * batch / s23 streaming): build + persist the base graph, walk it,
+    * merge the walk's top-10 with the supplied delta top-10 (RAW
+    * scores — rounding happens once, at output, so both twins and the
+    * oracle rank identically), tag provenance, meter cost and recall.
+    */
+  private[queries] def graphLsmMerge(spark: SparkSession, sfDir: String,
+                                     artifact: String,
+                                     deltaTop: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, sfDir)
     val base = emb.filter(col("vec_id") =!= 0 &&
@@ -485,14 +502,13 @@ object VectorQueries {
     val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
     val edges = Ann.buildKnnGraph(base, "vec_id", "embedding",
       bits = 16, bucketBits = 4, degree = 8)
-    val graphDir = Artifacts.write(edges, "v48_base_graph", sfDir)
+    val graphDir = Artifacts.write(edges, artifact, sfDir)
     val graph = spark.read.parquet(graphDir)
     val q = queryVec(emb)
     val walked = Ann.graphBeamSearch(graph, base, q, "vec_id", "embedding",
       entryIds = Seq(1L, 2L, 3L, 4L), beam = 8, rounds = 3, k = 10)
     val touched = broadcast(walked.select("nodes_touched").limit(1))
     val deltaN = broadcast(delta.agg(count(lit(1)).as("delta_scanned")))
-    val deltaTop = Search.topK(delta, q, "vec_id", "embedding", "qe", 10)
     val cands = walked
       .select(col("vec_id"), col("score"), lit("graph").as("src"))
       .unionByName(deltaTop
@@ -1589,6 +1605,70 @@ object VectorQueries {
       |    THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS sketch
       |  FROM v)""".stripMargin
 
+  /** The LSM graph-serving replay (v48 and its streaming twin s23 —
+    * identical semantics, different base-graph artifact): the
+    * v43-style walk unrolled over the persisted base graph, the
+    * delta's exact scan, the provenance-tagged merge, recall vs the
+    * exact full-corpus answer.
+    */
+  private[queries] def graphLsmOracleSql(artifact: String): String =
+    s"""WITH g AS (SELECT src, dst
+       |           FROM read_parquet('${Artifacts.oracleGlob(artifact)}')),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |      FROM embeddings),
+       |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+       |c AS (SELECT vec_id, e FROM v
+       |      WHERE vec_id <> 0 AND vec_id % 10 <> 9),
+       |dl AS (SELECT vec_id, e FROM v WHERE vec_id % 10 = 9),
+       |s0 AS (SELECT c.vec_id, list_cosine_similarity(c.e, q.qe) AS score
+       |       FROM c, q WHERE c.vec_id IN (1, 2, 3, 4)),
+       |b0 AS (SELECT vec_id AS src FROM s0
+       |       ORDER BY score DESC, vec_id LIMIT 8),
+       |i1 AS (SELECT vec_id FROM s0
+       |       UNION SELECT dst AS vec_id FROM g JOIN b0 USING (src)),
+       |s1 AS (SELECT c.vec_id, list_cosine_similarity(c.e, q.qe) AS score
+       |       FROM c JOIN i1 USING (vec_id), q),
+       |b1 AS (SELECT vec_id AS src FROM s1
+       |       ORDER BY score DESC, vec_id LIMIT 8),
+       |i2 AS (SELECT vec_id FROM s1
+       |       UNION SELECT dst AS vec_id FROM g JOIN b1 USING (src)),
+       |s2 AS (SELECT c.vec_id, list_cosine_similarity(c.e, q.qe) AS score
+       |       FROM c JOIN i2 USING (vec_id), q),
+       |b2 AS (SELECT vec_id AS src FROM s2
+       |       ORDER BY score DESC, vec_id LIMIT 8),
+       |i3 AS (SELECT vec_id FROM s2
+       |       UNION SELECT dst AS vec_id FROM g JOIN b2 USING (src)),
+       |s3 AS (SELECT c.vec_id, list_cosine_similarity(c.e, q.qe) AS score
+       |       FROM c JOIN i3 USING (vec_id), q),
+       |wt AS (SELECT count(*) AS nodes_touched FROM s3),
+       |dn AS (SELECT count(*) AS delta_scanned FROM dl),
+       |wtop AS (SELECT vec_id, score FROM s3
+       |         ORDER BY score DESC, vec_id LIMIT 10),
+       |dtop AS (SELECT dl.vec_id,
+       |                list_cosine_similarity(dl.e, q.qe) AS score
+       |         FROM dl, q ORDER BY score DESC, vec_id LIMIT 10),
+       |cand AS (SELECT vec_id, score, 'graph' AS src FROM wtop
+       |         UNION ALL
+       |         SELECT vec_id, score, 'delta' AS src FROM dtop),
+       |m AS (SELECT vec_id, score, src,
+       |             row_number() OVER (ORDER BY score DESC, vec_id)
+       |               AS rank
+       |      FROM cand ORDER BY score DESC, vec_id LIMIT 10),
+       |ex AS (SELECT v2.vec_id
+       |       FROM (SELECT vec_id, e FROM v WHERE vec_id <> 0) v2, q
+       |       ORDER BY list_cosine_similarity(v2.e, q.qe) DESC,
+       |                v2.vec_id LIMIT 10),
+       |h AS (SELECT m.rank, m.vec_id, m.score, m.src,
+       |             CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+       |      FROM m LEFT JOIN ex USING (vec_id)),
+       |r AS (SELECT round(CAST(sum(hit) AS DOUBLE) / 10.0, 6)
+       |        AS recall_at_10 FROM h)
+       |SELECT CAST(h.rank AS BIGINT) AS rank, h.vec_id,
+       |       round(h.score, 6) AS score, h.src,
+       |       CAST(h.hit AS BIGINT) AS hit, wt.nodes_touched,
+       |       dn.delta_scanned, r.recall_at_10
+       |FROM h, wt, dn, r ORDER BY rank""".stripMargin
+
   /** DuckDB oracles. `embeddings`/`documents` resolve to the same
     * parquet. A `def`, not a `val`: the v14/v16/v22 entries interpolate
     * [[Artifacts.oracleGlob]], which resolves to the corpus the queries
@@ -1645,63 +1725,7 @@ object VectorQueries {
     // LSM serving replay: the v43-style walk unrolled over the BASE
     // graph artifact, the delta's exact scan, the provenance-tagged
     // merge, and recall vs the exact full-corpus answer
-    "v48_graph_ann_lsm" ->
-      s"""WITH g AS (SELECT src, dst
-         |           FROM read_parquet('${Artifacts.oracleGlob("v48_base_graph")}')),
-         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-         |      FROM embeddings),
-         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
-         |c AS (SELECT vec_id, e FROM v
-         |      WHERE vec_id <> 0 AND vec_id % 10 <> 9),
-         |dl AS (SELECT vec_id, e FROM v WHERE vec_id % 10 = 9),
-         |s0 AS (SELECT c.vec_id, list_cosine_similarity(c.e, q.qe) AS score
-         |       FROM c, q WHERE c.vec_id IN (1, 2, 3, 4)),
-         |b0 AS (SELECT vec_id AS src FROM s0
-         |       ORDER BY score DESC, vec_id LIMIT 8),
-         |i1 AS (SELECT vec_id FROM s0
-         |       UNION SELECT dst AS vec_id FROM g JOIN b0 USING (src)),
-         |s1 AS (SELECT c.vec_id, list_cosine_similarity(c.e, q.qe) AS score
-         |       FROM c JOIN i1 USING (vec_id), q),
-         |b1 AS (SELECT vec_id AS src FROM s1
-         |       ORDER BY score DESC, vec_id LIMIT 8),
-         |i2 AS (SELECT vec_id FROM s1
-         |       UNION SELECT dst AS vec_id FROM g JOIN b1 USING (src)),
-         |s2 AS (SELECT c.vec_id, list_cosine_similarity(c.e, q.qe) AS score
-         |       FROM c JOIN i2 USING (vec_id), q),
-         |b2 AS (SELECT vec_id AS src FROM s2
-         |       ORDER BY score DESC, vec_id LIMIT 8),
-         |i3 AS (SELECT vec_id FROM s2
-         |       UNION SELECT dst AS vec_id FROM g JOIN b2 USING (src)),
-         |s3 AS (SELECT c.vec_id, list_cosine_similarity(c.e, q.qe) AS score
-         |       FROM c JOIN i3 USING (vec_id), q),
-         |wt AS (SELECT count(*) AS nodes_touched FROM s3),
-         |dn AS (SELECT count(*) AS delta_scanned FROM dl),
-         |wtop AS (SELECT vec_id, score FROM s3
-         |         ORDER BY score DESC, vec_id LIMIT 10),
-         |dtop AS (SELECT dl.vec_id,
-         |                list_cosine_similarity(dl.e, q.qe) AS score
-         |         FROM dl, q ORDER BY score DESC, vec_id LIMIT 10),
-         |cand AS (SELECT vec_id, score, 'graph' AS src FROM wtop
-         |         UNION ALL
-         |         SELECT vec_id, score, 'delta' AS src FROM dtop),
-         |m AS (SELECT vec_id, score, src,
-         |             row_number() OVER (ORDER BY score DESC, vec_id)
-         |               AS rank
-         |      FROM cand ORDER BY score DESC, vec_id LIMIT 10),
-         |ex AS (SELECT v2.vec_id
-         |       FROM (SELECT vec_id, e FROM v WHERE vec_id <> 0) v2, q
-         |       ORDER BY list_cosine_similarity(v2.e, q.qe) DESC,
-         |                v2.vec_id LIMIT 10),
-         |h AS (SELECT m.rank, m.vec_id, m.score, m.src,
-         |             CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit
-         |      FROM m LEFT JOIN ex USING (vec_id)),
-         |r AS (SELECT round(CAST(sum(hit) AS DOUBLE) / 10.0, 6)
-         |        AS recall_at_10 FROM h)
-         |SELECT CAST(h.rank AS BIGINT) AS rank, h.vec_id,
-         |       round(h.score, 6) AS score, h.src,
-         |       CAST(h.hit AS BIGINT) AS hit, wt.nodes_touched,
-         |       dn.delta_scanned, r.recall_at_10
-         |FROM h, wt, dn, r ORDER BY rank""".stripMargin,
+    "v48_graph_ann_lsm" -> graphLsmOracleSql("v48_base_graph"),
     // the batched walk replay: same persisted graph, two unrolled
     // rounds with PARTITION BY query_id windows for the per-query
     // beams, then per-query top-5 + visited-set size
