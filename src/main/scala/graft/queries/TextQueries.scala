@@ -463,6 +463,26 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BPE tokenizer-merge TRAINING ([[graft.operators.Bpe]]) — eight
+    * merge rounds learned from the corpus's word-frequency table, the
+    * Sennrich-2016 recipe behind every production BPE vocabulary. Each
+    * round is one pair-count aggregate + a one-row argmax collect +
+    * one merge pass over the Zipf-bounded distinct-word table; the
+    * per-round sequence tables persist as [[Artifacts]] so the oracle
+    * independently recomputes EVERY round's pair counts and argmax
+    * (count DESC, lexicographic ties) in SQL — the learned merge table
+    * is hash-gated round by round, with only the sequential
+    * merge-apply kernel pinned by specs instead (BpeSpec).
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Bpe.train(Tables.documents(spark, sfDir), "text",
+      rounds = 8,
+      persistRound = (r, df) => {
+        val dir = Artifacts.write(df, s"t66_seqs_r$r", sfDir)
+        spark.read.parquet(dir)
+      })
+      .orderBy("round")
+
   /** REAL audio SAMPLE decode + integer-exact features — the audio
     * half of the t49 closure ([[graft.operators.Audio]]): genuine WAV
     * files with real int16 PCM streams (closed-form sawtooth, no
@@ -1755,6 +1775,7 @@ object TextQueries {
     "t48_simhash_groups" -> (simhashGroups(_, _)),
     "t49_image_phash" -> (imagePerceptualHash(_, _)),
     "t65_jpeg_phash" -> (imagePerceptualHashMixed(_, _)),
+    "t66_bpe_merges" -> (bpeMerges(_, _)),
     "t50_audio_pcm" -> (audioPcmFeatures(_, _)),
     "t51_audio_frames" -> (audioFrameFeatures(_, _)),
     "t54_audio_spectral" -> (audioSpectral(_, _)),
@@ -3288,6 +3309,29 @@ object TextQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // every round's pair counts + argmax recomputed from the persisted
+    // round-(r-1) sequence artifact — the learned merge table verified
+    // round by round; ties break (count DESC, lhs, rhs) in both engines
+    "t66_bpe_merges" -> {
+      val blocks = (1 to 8).map { r =>
+        s"""m$r AS (
+           |  SELECT CAST($r AS BIGINT) AS round, lhs, rhs,
+           |         lhs || rhs AS merged, CAST(cnt AS BIGINT) AS pair_count
+           |  FROM (
+           |    SELECT p[1] AS lhs, p[2] AS rhs, sum(n) AS cnt
+           |    FROM (SELECT n, unnest(list_transform(range(1, len(syms)),
+           |                   i -> [syms[i], syms[i + 1]])) AS p
+           |          FROM read_parquet('${
+                        Artifacts.oracleGlob(s"t66_seqs_r${r - 1}")}')
+           |          WHERE len(syms) >= 2)
+           |    GROUP BY 1, 2)
+           |  ORDER BY cnt DESC, lhs, rhs LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to 8)
+        .map(r => s"SELECT round, lhs, rhs, merged, pair_count FROM m$r")
+        .mkString("\nUNION ALL ")
+      s"WITH $blocks\n$union\nORDER BY round"
+    },
     // mixed-codec replay: PNG ids from the pixel formula (decode gated
     // end-to-end), JPEG ids from their persisted true decoded grids
     // (lossy — no closed form; the decode itself is golden-pixel
