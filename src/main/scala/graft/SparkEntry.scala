@@ -27,4 +27,47 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     VectorQueries.oracles ++ RelationalQueries.oracles ++
       TextQueries.oracles ++ IngestQueries.oracles ++ StreamingQueries.oracles
+
+  /** OWNER queries of the build-once per-corpus artifacts (near-dup
+    * pair graph + components, Jaccard/substring indexes, SemDeDup and
+    * classifier fixtures, curation survivors, BPE model, the trained
+    * IVF-PQ codebooks/indexes). Running each once populates every
+    * shared artifact cache, so a timed sweep afterwards measures
+    * CONSUMPTION in every run of every query — artifact construction
+    * is owned by this named list, not by whichever consumer happens to
+    * run first (the run-order timing noise the round-9 bench showed as
+    * bimodal first-run spikes). Bench executes these as its setup
+    * phase and reports the one-time cost as `setup_sec`.
+    */
+  val artifactOwners: Seq[String] = Seq(
+    "t16_dup_clusters",     // near-dup pair graph + connected components
+    "t31_incremental_dedup",// base Jaccard index
+    "t32_semantic_dedup",   // SemDeDup fixture corpus + centroids
+    "t33_classifier_filter",// classifier fixture corpus + class means
+    "t34_substring_spans",  // positional shingles + substring spans
+    "t47_incremental_substr", // base substring LSM index
+    "t37_curation_v2",      // curation survivor set + span relation
+    "t66_bpe_merges",       // BPE merge table + per-round seq artifacts
+    "v25_learned_ivfpq",    // v25 codebooks + centroids
+    "v26_ivfpq_pruned",     // partitioned index + models
+    "v28_clustered_recall", // clustered fixture + centroids
+    "v29_filtered_ivfpq",   // v29 codebooks
+    "v30_ref_ivfpq",        // reference-geometry d=1536 codebooks
+    "v33_batched_ivfpq",    // v33 codebooks
+  )
+
+  /** Build every shared artifact by running its owner once (errors
+    * logged, not fatal — a broken owner surfaces in its own timed/
+    * verified run). Returns (owner, seconds) per owner. */
+  def warm(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
+    artifactOwners.flatMap { name =>
+      queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(): Unit }
+        catch { case e: Throwable =>
+          System.err.println(s"[warm] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
 }

@@ -51,14 +51,33 @@ object Bpe {
     out.toSeq
   }
 
+  /** Zero-width split pattern that cuts a string into CODEPOINTS, not
+    * UTF-16 code units: split at every inter-character position
+    * (`(?<=.)`, so never before the first char and never producing an
+    * empty trailing symbol) EXCEPT between a surrogate pair
+    * (`(?<!high-surrogate)`). A bare `split(word, "")` would cleave
+    * non-BMP characters (emoji, CJK extension B, math alphanumerics)
+    * into two lone surrogates — invalid strings that silently corrupt
+    * merge statistics the moment the corpus leaves ASCII (the t29 NFC
+    * path feeds exactly such text). Grapheme clusters (combining
+    * marks, ZWJ sequences) still split into their constituent
+    * codepoints — the standard BPE convention (byte- or
+    * codepoint-level base alphabets are both published; grapheme-level
+    * is not). The trailing `(?!$)` stops the zero-width pattern
+    * matching at the very end of the string — Spark's `split` keeps
+    * trailing empties (limit -1), so without it every word would grow
+    * a phantom "" symbol. */
+  private[graft] val CodepointSplit = "(?<=.)(?<![\\uD800-\\uDBFF])(?!$)"
+
   /** The word-frequency table as round-0 symbol sequences:
-    * (word, n, syms) with syms = the word's characters. */
+    * (word, n, syms) with syms = the word's codepoints. */
   def wordSeqs(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(graft.functions.TextFunctions
         .words(lower(col(textCol)))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
-      .select(col("word"), col("n"), split(col("word"), "").as("syms"))
+      .select(col("word"), col("n"),
+        split(col("word"), CodepointSplit).as("syms"))
 
   /** Adjacent-pair frequencies over a (word, n, syms) frame — the
     * per-round reduction. One narrow generator + one aggregate. */

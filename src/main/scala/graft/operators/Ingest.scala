@@ -556,10 +556,23 @@ object Ingest {
     * time travel) keeps working unchanged while the COMMIT path runs
     * the S3 semantics end-to-end. ETag = md5 of the bytes (what S3
     * returns for simple puts); the precondition check + write is
-    * atomic within this JVM (synchronized — standing in for the
-    * server-side atomicity a real object store provides) and the file
-    * lands via tmp + atomic rename so readers never see a torn write.
+    * atomic within this JVM across ALL store instances (the monitor is
+    * a JVM-global per-key lock, not `this` — two instances over the
+    * same manifest contend on the same monitor, so a racing pair gets
+    * exactly one success + one 412, standing in for the server-side
+    * atomicity a real object store provides) and the file lands via
+    * tmp + atomic rename so readers never see a torn write.
     */
+  object FileBackedConditionalStore {
+    // one monitor per normalized path, JVM-wide: CAS atomicity is a
+    // property of the KEY, not of whichever store instance touches it
+    private val keyLocks =
+      new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    private[Ingest] def lockFor(p: java.nio.file.Path): Object =
+      keyLocks.computeIfAbsent(
+        p.toAbsolutePath.normalize.toString, _ => new Object)
+  }
+
   class FileBackedConditionalStore extends ConditionalStore {
     private def md5(b: Array[Byte]): String =
       java.security.MessageDigest.getInstance("MD5").digest(b)
@@ -581,23 +594,27 @@ object Ingest {
     }
 
     override def put(key: String, bytes: Array[Byte],
-                     ifMatch: Option[String]): Boolean = synchronized {
+                     ifMatch: Option[String]): Boolean = {
       val p = nioPath(key)
-      val current =
-        if (java.nio.file.Files.exists(p))
-          Some(md5(java.nio.file.Files.readAllBytes(p)))
-        else None
-      val ok = ifMatch match {
-        case Some(etag) => current.contains(etag) // If-Match
-        case None       => current.isEmpty        // If-None-Match: *
+      FileBackedConditionalStore.lockFor(p).synchronized {
+        val current =
+          if (java.nio.file.Files.exists(p))
+            Some(md5(java.nio.file.Files.readAllBytes(p)))
+          else None
+        val ok = ifMatch match {
+          case Some(etag) => current.contains(etag) // If-Match
+          case None       => current.isEmpty        // If-None-Match: *
+        }
+        if (!ok) false // 412 Precondition Failed
+        else {
+          val tmp = p.resolveSibling("." + p.getFileName + ".cput.tmp")
+          java.nio.file.Files.write(tmp, bytes)
+          java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          true
+        }
       }
-      if (!ok) return false // 412 Precondition Failed
-      val tmp = p.resolveSibling("." + p.getFileName + ".cput.tmp")
-      java.nio.file.Files.write(tmp, bytes)
-      java.nio.file.Files.move(tmp, p,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      true
     }
   }
 

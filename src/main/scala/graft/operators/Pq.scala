@@ -48,16 +48,22 @@ object Pq {
     * center.
     */
   def trainCodebooks(emb: DataFrame, idCol: String, vecCol: String,
-                     m: Int, k: Int, maxIter: Int = 8): PqModel = {
+                     m: Int, k: Int, maxIter: Int = 8,
+                     trainPartitions: Int = 0): PqModel = {
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    // model-sized training data (train-split × m subvector rows): pin
-    // it to a few partitions before persisting — the k-means loop runs
-    // maxIter sequential collect jobs, and at default parallelism each
-    // would pay full-width task scheduling for KBs of data (the v41
-    // per-iteration overhead). Corpus-scale training would raise this;
-    // the loop's per-iteration state is model-sized either way.
+    // Partition count for the persisted training frame: the k-means
+    // loop runs maxIter sequential collect jobs, so at the sampled-
+    // train-split sizes the gated queries use (hundreds of vectors ×
+    // m subvector rows — KBs), full-width task scheduling dominates
+    // compute (the v41 per-iteration overhead) and a handful of
+    // partitions wins — the default. Corpus-scale training passes
+    // trainPartitions explicitly (≈ trainRows × m / 50k, capped at
+    // cluster parallelism) — parallelism is a knob, not a constant;
+    // deriving it here would cost a count job per call, the very
+    // fixed overhead the default exists to avoid.
+    val nParts = if (trainPartitions > 0) trainPartitions else 4
     val subRows = emb.select(col(idCol),
         explode(array((0 until m).map { j =>
           struct(lit(j).as("j"),
@@ -65,7 +71,7 @@ object Pq {
               .as("sv"))
         }: _*)).as("e"))
       .select(col(idCol), col("e.j").as("j"), col("e.sv").as("sv"))
-      .repartition(4)
+      .repartition(nParts)
       .persist()
     try {
       // init: subvectors of the k lowest-id rows, one per code

@@ -304,6 +304,38 @@ class IngestSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq == Seq((3L, "retry")))
   }
 
+  // CAS atomicity is a property of the KEY, not the store instance:
+  // two FileBackedConditionalStores over the same manifest must never
+  // both win an If-Match PUT from the same witnessed etag (the
+  // lost-update a per-instance monitor would allow — both pass the
+  // precondition read before either writes). The monitor is JVM-global
+  // per normalized path, so the pair serializes: one 200, one 412,
+  // every iteration.
+  test("FileBackedConditionalStore: same-etag PUTs from two instances " +
+      "over one key — exactly one wins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cput_2i")
+    val key = dir.resolve("manifest").toString
+    val a = new Ingest.FileBackedConditionalStore
+    val b = new Ingest.FileBackedConditionalStore
+    assert(a.put(key, "base".getBytes("UTF-8"), None))
+    for (i <- 1 to 20) {
+      val etag = a.get(key).get._1
+      assert(etag == b.get(key).get._1)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ts = Seq(a, b).zipWithIndex.map { case (s, j) =>
+        new Thread(() => {
+          gate.await()
+          if (s.put(key, s"round-$i-writer-$j".getBytes("UTF-8"),
+            Some(etag))) wins.incrementAndGet(): Unit
+        })
+      }
+      ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+      assert(wins.get() == 1,
+        s"round $i: ${wins.get()} writers won the same-etag CAS")
+    }
+  }
+
   test("manifest store accepts URI-form file roots: lock and manifest " +
       "land beside the store, not CWD-relative") {
     val dir = Files.createTempDirectory("graft_uri").toString
