@@ -54,6 +54,7 @@ object SparkEntry {
     "v29_filtered_ivfpq",   // v29 codebooks
     "v30_ref_ivfpq",        // reference-geometry d=1536 codebooks
     "v33_batched_ivfpq",    // v33 codebooks
+    "v49_graph_compact",    // compacted + shared LSM base k-NN graphs
   )
 
   /** Build every shared artifact by running its owner once (errors

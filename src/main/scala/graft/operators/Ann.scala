@@ -420,6 +420,18 @@ object Ann {
     * visited set is beam·degree·rounds rows (hundreds), and
     * re-scoring keeps every round a pure stateless plan.
     */
+  /** Entry points derived FROM THE GRAPH, not from id assignment: the
+    * `n` highest in-degree nodes (deterministic id tie-break) — the
+    * hub/medoid heuristic every graph-ANN paper's serving tier uses in
+    * some form (HNSW's top layer, NSG's navigating node). One
+    * aggregate over the model-sized edge artifact + an n-row collect,
+    * so serving keeps working under arbitrary re-keying of the corpus.
+    */
+  def topDegreeEntries(graph: DataFrame, n: Int): Seq[Long] =
+    graph.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("dst"))
+      .limit(n).collect().map(_.getLong(0)).toSeq
+
   def graphBeamSearch(graph: DataFrame, vectors: DataFrame,
                       query: DataFrame, idCol: String, vecCol: String,
                       entryIds: Seq[Long], beam: Int, rounds: Int,

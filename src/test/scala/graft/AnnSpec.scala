@@ -264,6 +264,17 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("topDegreeEntries picks the highest in-degree hubs, id tie-break") {
+    // in-degrees: 7 <- {1,2,3}, 5 <- {1,2}, 9 <- {1,2}, 4 <- {1}
+    val graph = Seq(
+      (1L, 7L), (2L, 7L), (3L, 7L),
+      (1L, 5L), (2L, 5L), (1L, 9L), (2L, 9L), (1L, 4L)
+    ).toDF("src", "dst")
+    // 7 (deg 3), then 5 and 9 (deg 2, lower id first), then 4
+    assert(Ann.topDegreeEntries(graph, 3) == Seq(7L, 5L, 9L))
+    assert(Ann.topDegreeEntries(graph, 10) == Seq(7L, 5L, 9L, 4L))
+  }
+
   test("graphBeamSearch walks only reachable nodes and counts them") {
     // hand graph over a 1-D line of vectors: 1 -> 3 -> 5; 2 is an
     // island the walk must never reach despite a high score
