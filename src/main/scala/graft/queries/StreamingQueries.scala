@@ -911,7 +911,29 @@ object StreamingQueries {
     VectorQueries.graphLsmMerge(spark, sfDir, "s23_base_graph", deltaTop)
   }
 
+  /** CONTINUOUS tokenization — t67's streaming twin, the shape a live
+    * ingest pipeline runs once a tokenizer is frozen: documents arrive
+    * as a stream and each micro-batch tokenizes by the SAME broadcast
+    * stream-static join against the trained model's (word → lengths)
+    * vocab ([[TextQueries.bpeTokenSums]] — shared code), folding into
+    * a per-doc running aggregation. The ratios project AFTER the
+    * drain (sort/division are post-aggregation, outside streaming
+    * state). Oracle = t67's SQL verbatim: the continuous plan must
+    * converge to exactly the batch tokenization.
+    */
+  def streamBpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docsStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .select("doc_id", "text")
+    val agg = TextQueries.bpeTokenSums(docsStream,
+      TextQueries.bpeVocab(spark, sfDir))
+    TextQueries.bpeRatiosSelect(
+      Streaming.runAvailableNow(spark, agg, "graft_s24"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_stream_bpe_tokenize" -> (streamBpeTokenize(_, _)),
     "s23_stream_graph_serve" -> (streamGraphServe(_, _)),
     "s22_outer_join" -> (streamOuterJoin(_, _)),
     "s21_late_data" -> (streamLateData(_, _)),
@@ -939,6 +961,8 @@ object StreamingQueries {
   // `def`: s11's entry (t33's oracle verbatim) interpolates artifact
   // globs, which must resolve at dump time, after the queries ran.
   def oracles: Map[String, String] = Map(
+    // t67's replay verbatim: stream ≡ batch tokenization, hash-gated
+    "s24_stream_bpe_tokenize" -> TextQueries.oracles("t67_bpe_apply"),
     "s23_stream_graph_serve" ->
       VectorQueries.graphLsmOracleSql("s23_base_graph"),
     // inner matches are the batch interval join; NULL rows emit only

@@ -534,29 +534,47 @@ object TextQueries {
     * merges segment this corpus into exactly these token counts" is
     * replayed end-to-end in SQL.
     */
-  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
-    val vocab = bpeModel(spark, sfDir)._2
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame =
+    bpeRatiosSelect(bpeTokenSums(
+      Tables.documents(spark, sfDir).select("doc_id", "text"),
+      bpeVocab(spark, sfDir)))
+
+  /** The trained model as a join-ready (word, n_bpe, n_chars) vocab —
+    * the final round's segmentation lengths. Shared by t67 and its
+    * streaming twin s24. */
+  private[queries] def bpeVocab(spark: SparkSession,
+                                sfDir: String): DataFrame =
+    bpeModel(spark, sfDir)._2
       .select(col("word"), size(col("syms")).cast("long").as("n_bpe"),
         length(col("word")).cast("long").as("n_chars"))
-    Tables.documents(spark, sfDir)
+
+  /** The tokenize-by-join aggregation over any (doc_id, text) frame —
+    * batch relation or stream, identically (s24 proves the
+    * convergence). Inner join is total: every corpus word is in the
+    * table by construction (same tokenizer, same corpus); broadcast —
+    * the distinct-word table is the small side at every scale the
+    * Zipf bound allows. */
+  private[queries] def bpeTokenSums(docs: DataFrame,
+                                    vocab: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(words(lower(col("text")))).as("word"))
-      // inner join is total: every corpus word is in the table by
-      // construction (same tokenizer, same corpus); broadcast — the
-      // distinct-word table is the small side at every scale the
-      // Zipf bound allows
       .join(broadcast(vocab), Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_bpe")).as("n_bpe_tokens"),
         sum(col("n_chars")).as("n_word_chars"))
+
+  /** Final projection: the two planning ratios a tokenizer evaluation
+    * reports, computed AFTER the (possibly streaming) aggregation. */
+  private[queries] def bpeRatiosSelect(sums: DataFrame): DataFrame =
+    sums
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
         round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
           .as("bpe_per_word"),
         round(col("n_word_chars").cast("double") / col("n_bpe_tokens"), 6)
           .as("chars_per_bpe"))
       .orderBy("doc_id")
-  }
 
   /** REAL audio SAMPLE decode + integer-exact features — the audio
     * half of the t49 closure ([[graft.operators.Audio]]): genuine WAV
