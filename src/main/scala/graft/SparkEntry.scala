@@ -48,6 +48,7 @@ object SparkEntry {
     "t47_incremental_substr", // base substring LSM index
     "t37_curation_v2",      // curation survivor set + span relation
     "t66_bpe_merges",       // BPE merge table + per-round seq artifacts
+    "t68_bpe_heldout",      // split-trained BPE model + OOV vocab
     "v25_learned_ivfpq",    // v25 codebooks + centroids
     "v26_ivfpq_pruned",     // partitioned index + models
     "v28_clustered_recall", // clustered fixture + centroids

@@ -583,4 +583,54 @@ object Ann {
       .select(col(queryIdCol), col("rank").cast("long").as("rank"),
         col(idCol), col("score"), col("nodes_touched"))
   }
+
+  /** [[graphBeamSearchBatch]] with a PER-QUERY beam width — the
+    * capacity-sweep shape (v50): N operating points walk the one
+    * shared graph in a single plan per round, each query's rank window
+    * cut at ITS `beamCol` value instead of a global constant. Same
+    * economics as the fixed-beam batch (graph and vector stores
+    * scanned per round, not per query, per-round state =
+    * Σ per-query visited rows); the only difference is the window
+    * filter comparing against the broadcast beam column.
+    */
+  def graphBeamSearchBatchVarBeam(graph: DataFrame, vectors: DataFrame,
+                                  queries: DataFrame, idCol: String,
+                                  vecCol: String, queryIdCol: String,
+                                  beamCol: String, entryIds: Seq[Long],
+                                  rounds: Int, k: Int): DataFrame = {
+    require(entryIds.nonEmpty,
+      "graphBeamSearchBatchVarBeam: entryIds must be non-empty")
+    val q = broadcast(
+      queries.select(col(queryIdCol), col("qe"), col(beamCol)))
+    def score(pairs: DataFrame): DataFrame =
+      pairs.join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+        .join(q.select(col(queryIdCol), col("qe")), Seq(queryIdCol))
+        .select(col(queryIdCol), col(idCol),
+          cosineSim(col(vecCol), col("qe")).as("score"))
+    val entries = vectors.select(col(idCol))
+      .filter(col(idCol).isin(entryIds: _*))
+      .join(q.select(col(queryIdCol)))
+    var scored = score(entries).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val wq = Window.partitionBy(queryIdCol)
+        .orderBy(col("score").desc, col(idCol))
+      val beamIds = scored
+        .withColumn("_r", row_number().over(wq))
+        .join(q.select(col(queryIdCol), col(beamCol)), Seq(queryIdCol))
+        .filter(col("_r") <= col(beamCol))
+        .select(col(queryIdCol), col(idCol).as("src"))
+      val expanded = beamIds.join(graph, "src")
+        .select(col(queryIdCol), col("dst").as(idCol))
+      val visited = scored.select(col(queryIdCol), col(idCol))
+        .unionByName(expanded)
+        .distinct()
+      scored = score(visited).localCheckpoint()
+    }
+    val touched = scored.groupBy(queryIdCol)
+      .agg(count(lit(1)).as("nodes_touched"))
+    Search.topKPerQuery(scored, queryIdCol, idCol, k)
+      .join(touched, Seq(queryIdCol))
+      .select(col(queryIdCol), col("rank").cast("long").as("rank"),
+        col(idCol), col("score"), col("nodes_touched"))
+  }
 }

@@ -51,6 +51,33 @@ object Bpe {
     out.toSeq
   }
 
+  /** A word as its codepoint symbols — the JVM-side twin of
+    * [[CodepointSplit]] (same contract: surrogate pairs stay whole),
+    * the round-0 state [[segmentWord]] starts from. */
+  def codepointSyms(word: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toSeq
+  }
+
+  /** Segment ONE word with a trained merge list — the true BPE apply:
+    * codepoint symbols, then every merge in training order, each a
+    * left-to-right greedy pass ([[mergeApply]]). This is how words the
+    * training corpus never saw (OOV under the vocab JOIN) tokenize at
+    * inference: they are never unsegmentable, they just stop merging
+    * wherever the learned pairs stop applying. Runs per DISTINCT word
+    * (Zipf-bounded), never per occurrence.
+    */
+  def segmentWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(codepointSyms(word)) {
+      case (syms, (a, b)) => mergeApply(syms, a, b)
+    }
+
   /** Zero-width split pattern that cuts a string into CODEPOINTS, not
     * UTF-16 code units: split at every inter-character position
     * (`(?<=.)`, so never before the first char and never producing an

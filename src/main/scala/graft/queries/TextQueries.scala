@@ -576,6 +576,94 @@ object TextQueries {
           .as("chars_per_bpe"))
       .orderBy("doc_id")
 
+  /** The HELD-OUT split's model, ONE per (JVM, corpus): merges trained
+    * on the 80% train split (doc_id % 5 ≠ 0) only, so the 20% held-out
+    * docs genuinely contain words the vocabulary never saw. Persists
+    * the final segmentation table as `t68_vocab` (only the final round
+    * matters here — the per-round replay is t66's claim) and returns
+    * (ordered merge list, final seqs frame). */
+  private val bpeSplitModelCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(String, String)], DataFrame)]
+
+  private def bpeSplitModel(spark: SparkSession, sfDir: String)
+      : (Seq[(String, String)], DataFrame) =
+    bpeSplitModelCache.getOrElseUpdate(sfDir, {
+      var lastSeqs: DataFrame = null
+      val merges = graft.operators.Bpe
+        .train(Tables.documents(spark, sfDir)
+            .filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          "text", rounds = BpeRounds,
+          persistRound = (r, df) =>
+            if (r == BpeRounds) {
+              val back = spark.read
+                .parquet(Artifacts.write(df, "t68_vocab", sfDir))
+              lastSeqs = back
+              back
+            } else df.localCheckpoint())
+        .orderBy("round").collect() // BpeRounds rows — model-sized
+      require(merges.length == BpeRounds,
+        s"t68 split training exhausted after ${merges.length} merges " +
+          s"(< $BpeRounds) on corpus $sfDir")
+      (merges.toSeq.map(m => (m.getString(1), m.getString(2))), lastSeqs)
+    })
+
+  /** GENERALIZATION of the trained tokenizer — the evaluation every
+    * production tokenizer ships with: train the merges on the 80%
+    * split, tokenize the HELD-OUT 20%, and report per-doc OOV exposure
+    * and fertility. The vocabulary is CAPPED the way every production
+    * tokenizer caps it — a vocab_size budget: only the top 75% of
+    * train words by (frequency, word) enter the lookup table, so the
+    * rare tail of the train distribution AND truly novel held-out
+    * words are both OOV (this corpus's synthetic vocabulary is closed
+    * across splits, so the cap is what makes the OOV path carry real
+    * rows at every scale factor — stated, not hidden). In-vocabulary
+    * words join the trained segmentation table; OOV words are
+    * segmented by REPLAYING the merge list over their codepoints
+    * ([[graft.operators.Bpe.segmentWord]] — true BPE apply, run once
+    * per distinct OOV word, Zipf-bounded), and that OOV segmentation
+    * persists as its own artifact so the oracle replays the whole
+    * corpus pass in SQL off the two tables (the t66 verification
+    * split: the sequential kernel is spec-gated, the corpus-scale
+    * claim is hash-gated). Output per held-out doc: words, OOV words,
+    * BPE tokens, OOV rate, tokens-per-word.
+    */
+  def bpeHeldout(spark: SparkSession, sfDir: String): DataFrame = {
+    val (mergeList, finalSeqs) = bpeSplitModel(spark, sfDir)
+    // vocab_size = ceil(0.75 × distinct train words); top-K by
+    // (n DESC, word) plans as TakeOrdered (per-partition heaps) on the
+    // Zipf-bounded distinct-word table — never a single-partition sort
+    val vocabSize = math.ceil(0.75 * finalSeqs.count()).toInt
+    val tv = finalSeqs
+      .orderBy(col("n").desc, col("word")).limit(vocabSize)
+      .select(col("word"), size(col("syms")).cast("long").as("n_bpe"),
+        lit(0L).as("oov"))
+    val held = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"),
+        explode(words(lower(col("text")))).as("word"))
+    val segUdf = udf((w: String) =>
+      graft.operators.Bpe.segmentWord(w, mergeList).size.toLong)
+    val oovDir = Artifacts.write(
+      held.select("word").distinct()
+        .join(tv.select("word"), Seq("word"), "left_anti")
+        .select(col("word"), segUdf(col("word")).as("n_bpe")),
+      "t68_oov_vocab", sfDir)
+    val ov = spark.read.parquet(oovDir).withColumn("oov", lit(1L))
+    val vocab = tv.unionByName(ov.select("word", "n_bpe", "oov"))
+    held.join(broadcast(vocab), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("oov")).as("n_oov_words"),
+        sum(col("n_bpe")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_oov_words"),
+        col("n_bpe_tokens"),
+        round(col("n_oov_words").cast("double") / col("n_words"), 6)
+          .as("oov_rate"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+          .as("bpe_per_word"))
+      .orderBy("doc_id")
+  }
+
   /** REAL audio SAMPLE decode + integer-exact features — the audio
     * half of the t49 closure ([[graft.operators.Audio]]): genuine WAV
     * files with real int16 PCM streams (closed-form sawtooth, no
@@ -1870,6 +1958,7 @@ object TextQueries {
     "t65_jpeg_phash" -> (imagePerceptualHashMixed(_, _)),
     "t66_bpe_merges" -> (bpeMerges(_, _)),
     "t67_bpe_apply" -> (bpeApply(_, _)),
+    "t68_bpe_heldout" -> (bpeHeldout(_, _)),
     "t50_audio_pcm" -> (audioPcmFeatures(_, _)),
     "t51_audio_frames" -> (audioFrameFeatures(_, _)),
     "t54_audio_spectral" -> (audioSpectral(_, _)),
@@ -3442,6 +3531,31 @@ object TextQueries {
          |       round(sum(v.n_chars) * 1.0 / sum(v.n_bpe), 6)
          |         AS chars_per_bpe
          |FROM tok t JOIN v ON t.word = v.word
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // held-out tokenization replayed off the TWO persisted tables (the
+    // train-split vocab + the kernel-segmented OOV vocab): the corpus
+    // pass — join, OOV exposure, fertility — entirely in SQL
+    "t68_bpe_heldout" ->
+      s"""WITH tv AS (
+         |  SELECT word, n_bpe, CAST(0 AS BIGINT) AS oov FROM (
+         |    SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe,
+         |           row_number() OVER (ORDER BY n DESC, word) AS rn,
+         |           count(*) OVER () AS nd
+         |    FROM read_parquet('${Artifacts.oracleGlob("t68_vocab")}'))
+         |  WHERE rn <= ceil(0.75 * nd)),
+         |ov AS (
+         |  SELECT word, n_bpe, CAST(1 AS BIGINT) AS oov
+         |  FROM read_parquet('${Artifacts.oracleGlob("t68_oov_vocab")}')),
+         |vv AS (SELECT * FROM tv UNION ALL SELECT * FROM ov),
+         |tok AS (
+         |  SELECT doc_id, unnest($wsLowerExpr) AS word FROM documents
+         |  WHERE doc_id % 5 = 0)
+         |SELECT t.doc_id, count(*) AS n_words,
+         |       CAST(sum(vv.oov) AS BIGINT) AS n_oov_words,
+         |       CAST(sum(vv.n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |       round(sum(vv.oov) * 1.0 / count(*), 6) AS oov_rate,
+         |       round(sum(vv.n_bpe) * 1.0 / count(*), 6) AS bpe_per_word
+         |FROM tok t JOIN vv ON t.word = vv.word
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     // mixed-codec replay: PNG ids from the pixel formula (decode gated
     // end-to-end), JPEG ids from their persisted true decoded grids

@@ -414,9 +414,8 @@ object VectorQueries {
   def graphAnnSearch(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val corpus = emb.filter(col("vec_id") =!= 0)
-    val edges = Ann.buildKnnGraph(corpus, "vec_id", "embedding",
-      bits = 16, bucketBits = 4, degree = 8)
-    val graphDir = Artifacts.write(edges, "v43_graph", sfDir)
+    val graphDir = Artifacts.write(fullKnnGraph(spark, sfDir),
+      "v43_graph", sfDir)
     val graph = spark.read.parquet(graphDir)
     val walked = Ann.graphBeamSearch(graph, corpus, queryVec(emb),
       "vec_id", "embedding",
@@ -490,6 +489,24 @@ object VectorQueries {
       .select(col("vec_id"), col("score"))
     graphLsmMerge(spark, sfDir, "v48_base_graph", deltaTop)
   }
+
+  /** The FULL-corpus k-NN graph (every vec_id ≠ 0, the v23 geometry:
+    * bits 16, bucketBits 4, degree 8), built ONCE per (JVM, corpus) —
+    * v43's serving graph, v49's compaction fold and v50's beam sweep
+    * are all THE SAME snapshot artifact, so they share one build the
+    * way the LSM consumers share [[lsmBaseGraph]]. Each consumer still
+    * writes it under its own artifact name for a self-contained oracle.
+    */
+  private val fullKnnGraphCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+
+  private def fullKnnGraph(spark: SparkSession, sfDir: String): DataFrame =
+    fullKnnGraphCache.getOrElseUpdate(sfDir, {
+      val emb = Tables.embeddings(spark, sfDir)
+      Ann.buildKnnGraph(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding",
+        bits = 16, bucketBits = 4, degree = 8).localCheckpoint()
+    })
 
   /** The LSM pair's BASE k-NN graph, built ONCE per (JVM, corpus) and
     * shared by its three consumers (v48 batch serving, s23 streaming
@@ -584,9 +601,8 @@ object VectorQueries {
     val base = emb.filter(col("vec_id") =!= 0 &&
       pmod(col("vec_id"), lit(10)) =!= 9)
     val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
-    val compactDir = Artifacts.write(
-      Ann.buildKnnGraph(full, "vec_id", "embedding",
-        bits = 16, bucketBits = 4, degree = 8), "v49_graph", sfDir)
+    val compactDir = Artifacts.write(fullKnnGraph(spark, sfDir),
+      "v49_graph", sfDir)
     val compacted = spark.read.parquet(compactDir)
     val baseDir = Artifacts.write(lsmBaseGraph(spark, sfDir),
       "v49_base_graph", sfDir)
@@ -624,6 +640,46 @@ object VectorQueries {
         col("in_lsm"), col("hit"), col("nodes_touched"),
         col("overlap_at_10"), col("recall_compact"), col("recall_lsm"))
       .orderBy("rank")
+  }
+
+  /** The SERVING CAPACITY CURVE every graph-ANN deployment plans
+    * against: one shared graph ([[fullKnnGraph]] — the same snapshot
+    * artifact v43 serves and v49 folds to), walked at beam widths
+    * 2/4/8/16, reporting recall@10 vs the exact answer and the visited
+    * -set size per width. The recall/cost trade is MEASURED as a
+    * monotone frontier (wider beam ⇒ ⊇ visited set ⇒ recall
+    * non-decreasing, nodes_touched increasing) instead of asserted —
+    * at 100 TB this table is how a serving tier picks its operating
+    * point. The four widths walk as ONE batched plan
+    * ([[Ann.graphBeamSearchBatchVarBeam]] — query_id = beam width, the
+    * rank window cut at each query's own width), so the sweep costs
+    * rounds-many join stages total, not widths × rounds. Oracle: the
+    * batched replay with `r <= query_id` as the per-beam window limit,
+    * reduced to (beam, recall, nodes) rows.
+    */
+  def graphBeamSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val graphDir = Artifacts.write(fullKnnGraph(spark, sfDir),
+      "v50_graph", sfDir)
+    val graph = spark.read.parquet(graphDir)
+    val queries = Seq(2L, 4L, 8L, 16L).toDF("beam")
+      .withColumn("query_id", col("beam"))
+      .crossJoin(broadcast(queryVec(emb)))
+    val walked = Ann.graphBeamSearchBatchVarBeam(graph, corpus, queries,
+      "vec_id", "embedding", "query_id", "beam",
+      entryIds = Ann.topDegreeEntries(graph, 4), rounds = 3, k = 10)
+    val exact = Search.topK(corpus, queryVec(emb),
+        "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("_hit"))
+    walked.join(exact, Seq("vec_id"), "left")
+      .groupBy(col("query_id").as("beam"))
+      .agg(
+        round(sum(coalesce(col("_hit"), lit(0L))).cast("double") / 10.0,
+          6).as("recall_at_10"),
+        max(col("nodes_touched")).as("nodes_touched"))
+      .orderBy("beam")
   }
 
   def ivfSearch(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1751,25 +1807,26 @@ object VectorQueries {
     * both the compacted and the base graph). Ends at `${p}s3`, the
     * final scored visited set.
     */
-  private def walkUnrollSql(p: String, g: String, c: String): String =
+  private def walkUnrollSql(p: String, g: String, c: String,
+                            beam: Int = 8): String =
     s"""${p}en AS (SELECT dst AS vec_id, count(*) AS deg FROM $g
        |       GROUP BY dst ORDER BY deg DESC, vec_id LIMIT 4),
        |${p}s0 AS (SELECT $c.vec_id, list_cosine_similarity($c.e, q.qe) AS score
        |       FROM $c JOIN ${p}en USING (vec_id), q),
        |${p}b0 AS (SELECT vec_id AS src FROM ${p}s0
-       |       ORDER BY score DESC, vec_id LIMIT 8),
+       |       ORDER BY score DESC, vec_id LIMIT $beam),
        |${p}i1 AS (SELECT vec_id FROM ${p}s0
        |       UNION SELECT dst AS vec_id FROM $g JOIN ${p}b0 USING (src)),
        |${p}s1 AS (SELECT $c.vec_id, list_cosine_similarity($c.e, q.qe) AS score
        |       FROM $c JOIN ${p}i1 USING (vec_id), q),
        |${p}b1 AS (SELECT vec_id AS src FROM ${p}s1
-       |       ORDER BY score DESC, vec_id LIMIT 8),
+       |       ORDER BY score DESC, vec_id LIMIT $beam),
        |${p}i2 AS (SELECT vec_id FROM ${p}s1
        |       UNION SELECT dst AS vec_id FROM $g JOIN ${p}b1 USING (src)),
        |${p}s2 AS (SELECT $c.vec_id, list_cosine_similarity($c.e, q.qe) AS score
        |       FROM $c JOIN ${p}i2 USING (vec_id), q),
        |${p}b2 AS (SELECT vec_id AS src FROM ${p}s2
-       |       ORDER BY score DESC, vec_id LIMIT 8),
+       |       ORDER BY score DESC, vec_id LIMIT $beam),
        |${p}i3 AS (SELECT vec_id FROM ${p}s2
        |       UNION SELECT dst AS vec_id FROM $g JOIN ${p}b2 USING (src)),
        |${p}s3 AS (SELECT $c.vec_id, list_cosine_similarity($c.e, q.qe) AS score
@@ -1814,6 +1871,75 @@ object VectorQueries {
     // graph artifact, the delta's exact scan, the provenance-tagged
     // merge, and recall vs the exact full-corpus answer
     "v48_graph_ann_lsm" -> graphLsmOracleSql("v48_base_graph"),
+    // capacity-curve replay: the BATCHED walk unrolled with query_id =
+    // beam width (`r <= query_id` is each width's own window limit),
+    // three rounds, then per-width top-10 recall + visited-set size
+    "v50_beam_sweep" ->
+      s"""WITH g AS (SELECT src, dst
+         |           FROM read_parquet('${Artifacts.oracleGlob("v50_graph")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM embeddings),
+         |qv AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |q AS (SELECT CAST(b.beam AS BIGINT) AS query_id, qv.qe
+         |      FROM (VALUES (2), (4), (8), (16)) b(beam), qv),
+         |c AS (SELECT vec_id, e FROM v WHERE vec_id <> 0),
+         |en AS (SELECT dst AS vec_id, count(*) AS deg FROM g
+         |       GROUP BY dst ORDER BY deg DESC, vec_id LIMIT 4),
+         |s0 AS (SELECT q.query_id, c.vec_id,
+         |              list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM c JOIN en USING (vec_id), q),
+         |b0 AS (SELECT query_id, vec_id AS src FROM (
+         |         SELECT query_id, vec_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY score DESC, vec_id) AS r
+         |         FROM s0) WHERE r <= query_id),
+         |i1 AS (SELECT query_id, vec_id FROM s0
+         |       UNION SELECT query_id, dst AS vec_id
+         |             FROM g JOIN b0 USING (src)),
+         |s1 AS (SELECT i1.query_id, i1.vec_id,
+         |              list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM i1 JOIN c USING (vec_id) JOIN q USING (query_id)),
+         |b1 AS (SELECT query_id, vec_id AS src FROM (
+         |         SELECT query_id, vec_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY score DESC, vec_id) AS r
+         |         FROM s1) WHERE r <= query_id),
+         |i2 AS (SELECT query_id, vec_id FROM s1
+         |       UNION SELECT query_id, dst AS vec_id
+         |             FROM g JOIN b1 USING (src)),
+         |s2 AS (SELECT i2.query_id, i2.vec_id,
+         |              list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM i2 JOIN c USING (vec_id) JOIN q USING (query_id)),
+         |b2 AS (SELECT query_id, vec_id AS src FROM (
+         |         SELECT query_id, vec_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY score DESC, vec_id) AS r
+         |         FROM s2) WHERE r <= query_id),
+         |i3 AS (SELECT query_id, vec_id FROM s2
+         |       UNION SELECT query_id, dst AS vec_id
+         |             FROM g JOIN b2 USING (src)),
+         |s3 AS (SELECT i3.query_id, i3.vec_id,
+         |              list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM i3 JOIN c USING (vec_id) JOIN q USING (query_id)),
+         |t AS (SELECT query_id, count(*) AS nodes_touched FROM s3
+         |      GROUP BY 1),
+         |ex AS (SELECT c.vec_id FROM c, qv
+         |       ORDER BY list_cosine_similarity(c.e, qv.qe) DESC, c.vec_id
+         |       LIMIT 10),
+         |top AS (SELECT query_id, vec_id FROM (
+         |          SELECT query_id, vec_id,
+         |                 row_number() OVER (PARTITION BY query_id
+         |                   ORDER BY score DESC, vec_id) AS r
+         |          FROM s3) WHERE r <= 10),
+         |h AS (SELECT top.query_id,
+         |             CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |      FROM top LEFT JOIN ex USING (vec_id)),
+         |r AS (SELECT query_id,
+         |             round(CAST(sum(hit) AS DOUBLE) / 10.0, 6)
+         |               AS recall_at_10
+         |      FROM h GROUP BY 1)
+         |SELECT r.query_id AS beam, r.recall_at_10, t.nodes_touched
+         |FROM r JOIN t USING (query_id) ORDER BY beam""".stripMargin,
     // compaction-fold replay: BOTH serving paths from their persisted
     // graphs — the compacted walk (full corpus) and the LSM pair
     // (base-graph walk + delta scan, merged) — then membership flags
@@ -3129,6 +3255,7 @@ object VectorQueries {
     "v47_graph_ann_batch" -> (graphAnnBatch(_, _)),
     "v48_graph_ann_lsm" -> (graphAnnIncrementalServe(_, _)),
     "v49_graph_compact" -> (graphAnnCompact(_, _)),
+    "v50_beam_sweep" -> (graphBeamSweep(_, _)),
     "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
     "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
     "v27_ref_dim_search" -> (refDimSearch(_, _)),

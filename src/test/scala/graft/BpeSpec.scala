@@ -41,6 +41,23 @@ class BpeSpec extends SparkSpec {
     assert(afterM2 == Seq("h", "e", "llo"))
   }
 
+  test("segmentWord replays the merge list in order over codepoints") {
+    // merges learned in order: (l,l) then (ll,o) — "hello" -> 3 syms,
+    // an unseen word stops merging where the pairs stop applying
+    val merges = Seq(("l", "l"), ("ll", "o"))
+    assert(Bpe.segmentWord("hello", merges) == Seq("h", "e", "llo"))
+    assert(Bpe.segmentWord("llama", merges) == Seq("ll", "a", "m", "a"))
+    assert(Bpe.segmentWord("xyz", merges) == Seq("x", "y", "z"))
+    assert(Bpe.segmentWord("", merges) == Seq.empty)
+  }
+
+  test("codepointSyms keeps non-BMP codepoints whole (JVM twin of the " +
+      "split pattern)") {
+    val nonBmp = new String(Character.toChars(0x1D4B3))
+    assert(Bpe.codepointSyms(s"a${nonBmp}b") == Seq("a", nonBmp, "b"))
+    assert(Bpe.codepointSyms("ab") == Seq("a", "b"))
+  }
+
   test("wordSeqs splits to codepoints, keeping non-BMP chars whole") {
     // U+1D4B3 MATHEMATICAL SCRIPT CAPITAL X — a surrogate pair in
     // UTF-16; a naive split("") would cleave it into two lone
