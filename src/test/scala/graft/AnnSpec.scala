@@ -322,6 +322,38 @@ class AnnSpec extends SparkSpec {
     assert(got(100L)._5 == 4L && got(200L)._5 == 4L)
   }
 
+  test("graphBeamSearchBatchVarBeam: each query's window cuts at ITS " +
+      "beam — narrow beam prunes a branch the wide beam explores") {
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    // entry 1 fans to {3, 4}; vs query (1,0) the scores rank
+    // 3 (0.93) > 4 (0.67) > 1 (0.45). beam=1's round-2 window keeps
+    // only 3 (→5); beam=2 keeps {3,4} and so also expands 4 (→6).
+    val vecs = Seq(
+      (1L, v(0.5, 1)),
+      (3L, v(1, 0.4)), (5L, v(1, 0.1)),
+      (4L, v(0.9, 1)), (6L, v(0.1, 1))
+    ).toDF("vec_id", "embedding")
+    val graph = Seq((1L, 3L), (1L, 4L), (3L, 5L), (4L, 6L))
+      .toDF("src", "dst")
+    val queries = Seq(
+      (1L, Array(1f, 0f), 1L), (2L, Array(1f, 0f), 2L))
+      .toDF("query_id", "qe", "beam")
+    val got = Ann.graphBeamSearchBatchVarBeam(graph, vecs, queries,
+        "vec_id", "embedding", "query_id", "beam",
+        entryIds = Seq(1L), rounds = 2, k = 10)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    val visited = got.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.map(_._3).toSet }
+    // same query vector, different widths: beam=1 visits {1,3,4,5}
+    // (4 entered the frontier from round 1's expansion of the single
+    // beam slot 1, but was never beam-selected so 6 is unreached);
+    // beam=2 expands both branches → {1,3,4,5,6}
+    assert(visited(1L) == Set(1L, 3L, 4L, 5L), s"beam=1: $visited")
+    assert(visited(2L) == Set(1L, 3L, 4L, 5L, 6L), s"beam=2: $visited")
+    assert(got.filter(_._1 == 1L).head._5 == 4L)
+    assert(got.filter(_._1 == 2L).head._5 == 5L)
+  }
+
   test("updateKnnGraph: the delta sidecar IS the full rebuild's " +
       "adjacency restricted to delta sources; base edges untouched") {
     val base = emb // ids 1..6, two clusters

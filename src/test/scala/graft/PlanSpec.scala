@@ -190,6 +190,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"no window heaps in:\n$p")
   }
 
+  test("v50 variable-beam sweep: the four widths share one plan per " +
+      "round — no cartesian, graph expansion stays an equi-join") {
+    val p = finalPlan(VectorQueries.graphBeamSweep(spark, sf))
+    // the sweep's whole economics: frontier expansion joins the graph
+    // on src (equi), re-scoring joins vectors on vec_id (equi); the
+    // only nested-loop is the deliberate broadcast of the 4-row
+    // (beam, qe) frame — a corpus-side cartesian would mean each
+    // width re-scanned the corpus independently
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the sweep:\n$p")
+  }
+
   test("correlated EXISTS + scalar subquery decorrelate to joins") {
     val p = finalPlan(RelationalQueries.existsSubquery(spark, sf))
     assert(p.contains("LeftSemi"),
