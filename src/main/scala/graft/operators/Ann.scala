@@ -584,6 +584,55 @@ object Ann {
         col(idCol), col("score"), col("nodes_touched"))
   }
 
+  /** The MULTI-INDEX batched walk: each query walks ITS OWN graph over
+    * ITS OWN vector set — the serving shape of a tier answering across
+    * index versions in one plan (v49 walks the compacted graph and the
+    * LSM base graph simultaneously; the same machinery serves N
+    * snapshot versions, the v39 time-travel idea applied to the graph
+    * family). `graph` is (queryIdCol, src, dst), `vectors`
+    * (queryIdCol, idCol, vecCol), `entries` (queryIdCol, idCol),
+    * `queries` (queryIdCol, qe): every join keys on
+    * (queryIdCol, node), so indexes stay disjoint inside one shared
+    * round — rounds-many join stages TOTAL, per-round state
+    * Σ per-index visited rows, never corpus-scale.
+    */
+  def graphBeamSearchMultiIndex(graph: DataFrame, vectors: DataFrame,
+                                queries: DataFrame, entries: DataFrame,
+                                idCol: String, vecCol: String,
+                                queryIdCol: String, beam: Int,
+                                rounds: Int, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol), col("qe")))
+    def score(pairs: DataFrame): DataFrame =
+      pairs.join(vectors.select(col(queryIdCol), col(idCol), col(vecCol)),
+          Seq(queryIdCol, idCol))
+        .join(q, Seq(queryIdCol))
+        .select(col(queryIdCol), col(idCol),
+          cosineSim(col(vecCol), col("qe")).as("score"))
+    var scored = score(entries.select(col(queryIdCol), col(idCol)))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val wq = Window.partitionBy(queryIdCol)
+        .orderBy(col("score").desc, col(idCol))
+      val beamIds = scored
+        .withColumn("_r", row_number().over(wq))
+        .filter(col("_r") <= beam)
+        .select(col(queryIdCol), col(idCol).as("src"))
+      val expanded = beamIds
+        .join(graph, Seq(queryIdCol, "src"))
+        .select(col(queryIdCol), col("dst").as(idCol))
+      val visited = scored.select(col(queryIdCol), col(idCol))
+        .unionByName(expanded)
+        .distinct()
+      scored = score(visited).localCheckpoint()
+    }
+    val touched = scored.groupBy(queryIdCol)
+      .agg(count(lit(1)).as("nodes_touched"))
+    Search.topKPerQuery(scored, queryIdCol, idCol, k)
+      .join(touched, Seq(queryIdCol))
+      .select(col(queryIdCol), col("rank").cast("long").as("rank"),
+        col(idCol), col("score"), col("nodes_touched"))
+  }
+
   /** [[graphBeamSearchBatch]] with a PER-QUERY beam width — the
     * capacity-sweep shape (v50): N operating points walk the one
     * shared graph in a single plan per round, each query's rank window

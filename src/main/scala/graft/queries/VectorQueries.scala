@@ -608,12 +608,28 @@ object VectorQueries {
       "v49_base_graph", sfDir)
     val baseGraph = spark.read.parquet(baseDir)
     val q = queryVec(emb)
-    val cw = Ann.graphBeamSearch(compacted, full, q, "vec_id", "embedding",
-      entryIds = Ann.topDegreeEntries(compacted, 4),
-      beam = 8, rounds = 3, k = 10)
-    val bw = Ann.graphBeamSearch(baseGraph, base, q, "vec_id", "embedding",
-      entryIds = Ann.topDegreeEntries(baseGraph, 4),
-      beam = 8, rounds = 3, k = 10)
+    // BOTH serving paths walk as ONE multi-index plan
+    // ([[Ann.graphBeamSearchMultiIndex]]): index "c" = the compacted
+    // graph over the full corpus, index "b" = the LSM base graph over
+    // the base split — 3 shared join rounds instead of 2 × 3
+    // sequential ones, each index with its own graph-derived entries.
+    import spark.implicits._
+    val g2 = compacted.withColumn("ix", lit("c"))
+      .unionByName(baseGraph.withColumn("ix", lit("b")))
+    val v2 = full.select(col("vec_id"), col("embedding"))
+      .withColumn("ix", lit("c"))
+      .unionByName(base.select(col("vec_id"), col("embedding"))
+        .withColumn("ix", lit("b")))
+    val q2 = Seq("c", "b").toDF("ix").crossJoin(broadcast(q))
+    val e2 = (Ann.topDegreeEntries(compacted, 4).map(("c", _)) ++
+        Ann.topDegreeEntries(baseGraph, 4).map(("b", _)))
+      .toDF("ix", "vec_id")
+    val walked = Ann.graphBeamSearchMultiIndex(g2, v2, q2, e2,
+      "vec_id", "embedding", "ix", beam = 8, rounds = 3, k = 10)
+    val cw = walked.filter(col("ix") === "c")
+      .select(col("rank"), col("vec_id"), col("score"),
+        col("nodes_touched"))
+    val bw = walked.filter(col("ix") === "b")
     val deltaTop = Search.topK(delta, q, "vec_id", "embedding", "qe", 10)
       .select(col("vec_id"), col("score"))
     val lsmTop = bw.select(col("vec_id"), col("score"))

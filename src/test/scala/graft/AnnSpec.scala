@@ -354,6 +354,31 @@ class AnnSpec extends SparkSpec {
     assert(got.filter(_._1 == 2L).head._5 == 5L)
   }
 
+  test("graphBeamSearchMultiIndex: each query walks ITS OWN graph and " +
+      "vector set — indexes stay disjoint inside the shared rounds") {
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val vecs = Seq(
+      (1L, v(1, 1)), (3L, v(1, 0.2)), (4L, v(0.2, 1))
+    ).toDF("vec_id", "embedding")
+    // index A links 1→3, index B links 1→4; B's vector set also LACKS
+    // node 3 entirely — if the round joins ever crossed indexes, B
+    // would reach or score 3
+    val g2 = Seq(("a", 1L, 3L), ("b", 1L, 4L)).toDF("ix", "src", "dst")
+    val v2 = vecs.withColumn("ix", lit("a")).unionByName(
+      vecs.filter(col("vec_id") =!= 3L).withColumn("ix", lit("b")))
+    val q2 = Seq(("a", Array(1f, 0f)), ("b", Array(1f, 0f)))
+      .toDF("ix", "qe")
+    val e2 = Seq(("a", 1L), ("b", 1L)).toDF("ix", "vec_id")
+    val got = Ann.graphBeamSearchMultiIndex(g2, v2, q2, e2,
+        "vec_id", "embedding", "ix", beam = 2, rounds = 2, k = 10)
+      .as[(String, Long, Long, Double, Long)].collect()
+    val visited = got.groupBy(_._1).map { case (ix, rs) =>
+      ix -> rs.map(_._3).toSet }
+    assert(visited("a") == Set(1L, 3L), s"index a: $visited")
+    assert(visited("b") == Set(1L, 4L), s"index b: $visited")
+    assert(got.forall(_._5 == 2L))
+  }
+
   test("updateKnnGraph: the delta sidecar IS the full rebuild's " +
       "adjacency restricted to delta sources; base edges untouched") {
     val base = emb // ids 1..6, two clusters
