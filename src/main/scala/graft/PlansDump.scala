@@ -260,6 +260,19 @@ object PlansDump {
           "per-(doc, qtoken) maxes partially aggregate, and the " +
           "top-k is a TakeOrdered heap — corpus-scale work is the " +
           "distinct-(doc,word) projection plus one per-doc sum."),
+      "v49_graph_compact" ->
+        ("Compaction fold served as a MULTI-INDEX walk: the compacted " +
+          "graph and the LSM base graph are two indexes of ONE " +
+          "batched plan — every round joins on (index, node), so both " +
+          "serving paths share 3 join rounds total; the delta scan, " +
+          "merge and the three freshness numbers are stateless " +
+          "projections over the two walks' outputs."),
+      "v50_beam_sweep" ->
+        ("Beam-width capacity sweep: four operating points walk as " +
+          "ONE variable-beam batched plan (query_id = width, each " +
+          "rank window cut at its own width) — the sweep costs " +
+          "rounds-many equi-join stages, not widths x rounds, and " +
+          "recall/nodes reduce per width in a final aggregate."),
       "i20_mor_delete" ->
         ("Merge-on-read deletes: the tombstone snapshots resolve as " +
           "BROADCAST anti joins stacked on the base scan — the store " +
