@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions.{cosineSim, l2Dist}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -432,11 +432,13 @@ object Ann {
       .orderBy(col("deg").desc, col("dst"))
       .limit(n).collect().map(_.getLong(0)).toSeq
 
-  def graphBeamSearch(graph: DataFrame, vectors: DataFrame,
-                      query: DataFrame, idCol: String, vecCol: String,
-                      entryIds: Seq[Long], beam: Int, rounds: Int,
-                      k: Int): DataFrame = {
-    require(entryIds.nonEmpty, "graphBeamSearch: entryIds must be non-empty")
+  /** The walk LOOP shared by the single-query serving variants: the
+    * scored visited set after `rounds` beam expansions. */
+  private def beamWalkScored(graph: DataFrame, vectors: DataFrame,
+                             query: DataFrame, idCol: String,
+                             vecCol: String, entryIds: Seq[Long],
+                             beam: Int, rounds: Int): DataFrame = {
+    require(entryIds.nonEmpty, "beam walk: entryIds must be non-empty")
     val q = broadcast(query)
     def score(ids: DataFrame): DataFrame =
       ids.join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
@@ -456,6 +458,15 @@ object Ann {
         .distinct()
       scored = score(visited).localCheckpoint()
     }
+    scored
+  }
+
+  def graphBeamSearch(graph: DataFrame, vectors: DataFrame,
+                      query: DataFrame, idCol: String, vecCol: String,
+                      entryIds: Seq[Long], beam: Int, rounds: Int,
+                      k: Int): DataFrame = {
+    val scored = beamWalkScored(graph, vectors, query, idCol, vecCol,
+      entryIds, beam, rounds)
     val touched = scored.agg(count(lit(1)).as("nodes_touched"))
     scored.orderBy(col("score").desc, col(idCol)).limit(k)
       .withColumn("rank",
@@ -463,6 +474,37 @@ object Ann {
       .crossJoin(broadcast(touched))
       .select(col("rank").cast("long").as("rank"), col(idCol),
         col("score"), col("nodes_touched"))
+  }
+
+  /** FILTERED graph serving — the metadata-constrained search every
+    * vector store exposes (the v05/v29 filtered family completed for
+    * the graph index): the walk TRAVERSES the graph unfiltered (a
+    * filtered traversal disconnects under selective predicates — the
+    * ACORN observation; failing nodes still route), then top-k selects
+    * only among visited nodes satisfying `pred` (evaluated against the
+    * vectors frame's metadata columns). Reports both cost meters:
+    * nodes_touched (traversal work) and passed_visited (the effective
+    * candidate pool — selectivity × visited, the number a deployment
+    * watches to decide when to over-retrieve with a wider beam).
+    */
+  def graphBeamSearchFiltered(graph: DataFrame, vectors: DataFrame,
+                              query: DataFrame, idCol: String,
+                              vecCol: String, entryIds: Seq[Long],
+                              beam: Int, rounds: Int, k: Int,
+                              pred: Column): DataFrame = {
+    val scored = beamWalkScored(graph, vectors, query, idCol, vecCol,
+      entryIds, beam, rounds)
+    val touched = scored.agg(count(lit(1)).as("nodes_touched"))
+    val passing = scored
+      .join(vectors.filter(pred).select(col(idCol)), Seq(idCol))
+    val nPass = passing.agg(count(lit(1)).as("passed_visited"))
+    passing.orderBy(col("score").desc, col(idCol)).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+      .crossJoin(broadcast(touched))
+      .crossJoin(broadcast(nPass))
+      .select(col("rank").cast("long").as("rank"), col(idCol),
+        col("score"), col("nodes_touched"), col("passed_visited"))
   }
 
   /** Build the k-NN graph artifact (src, dst) every graph-ANN serving

@@ -698,6 +698,45 @@ object VectorQueries {
       .orderBy("beam")
   }
 
+  /** FILTERED graph-ANN serving ([[Ann.graphBeamSearchFiltered]]) —
+    * the metadata-constrained search completing the filtered family
+    * across all three ANN indexes (exact v05, IVF-PQ v29, graph v51):
+    * walk the shared full-corpus graph unfiltered (failing nodes still
+    * route — the ACORN traversal rule), surface top-10 among visited
+    * nodes with `label < 5` (v05's predicate, so the two share their
+    * exact ground truth shape). Output carries both cost meters
+    * (nodes_touched, passed_visited — the effective candidate pool
+    * under this selectivity) and recall@10 vs the exact FILTERED scan.
+    * The oracle replays the walk, the predicate selection and the
+    * recall off the persisted graph.
+    */
+  def graphAnnFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val graphDir = Artifacts.write(fullKnnGraph(spark, sfDir),
+      "v51_graph", sfDir)
+    val graph = spark.read.parquet(graphDir)
+    val q = queryVec(emb)
+    val walked = Ann.graphBeamSearchFiltered(graph, corpus, q,
+      "vec_id", "embedding",
+      entryIds = Ann.topDegreeEntries(graph, 4),
+      beam = 8, rounds = 3, k = 10, pred = col("label") < 5)
+    val exact = Search.topK(corpus.filter(col("label") < 5), q,
+        "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("_hit"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    walked.join(exact, Seq("vec_id"), "left")
+      .withColumn("hit", coalesce(col("_hit"), lit(0L)))
+      .withColumn("recall_at_10",
+        round(sum(col("hit")).over(wAll).cast("double") / 10.0, 6))
+      .select(col("rank"), col("vec_id"), round(col("score"), 6).as("score"),
+        col("hit"), col("nodes_touched"), col("passed_visited"),
+        col("recall_at_10"))
+      .orderBy("rank")
+  }
+
   def ivfSearch(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 16)
@@ -1956,6 +1995,36 @@ object VectorQueries {
          |      FROM h GROUP BY 1)
          |SELECT r.query_id AS beam, r.recall_at_10, t.nodes_touched
          |FROM r JOIN t USING (query_id) ORDER BY beam""".stripMargin,
+    // filtered-serving replay: the walk unrolled over the persisted
+    // graph (traversal unfiltered), then the predicate cuts the
+    // visited set before top-10; recall vs the exact FILTERED scan
+    "v51_graph_filtered" ->
+      s"""WITH g AS (SELECT src, dst
+         |           FROM read_parquet('${Artifacts.oracleGlob("v51_graph")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+         |      FROM embeddings),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |c AS (SELECT vec_id, e, label FROM v WHERE vec_id <> 0),
+         |${walkUnrollSql("", "g", "c")},
+         |t AS (SELECT count(*) AS nodes_touched FROM s3),
+         |pv AS (SELECT s3.vec_id, s3.score
+         |       FROM s3 JOIN c USING (vec_id) WHERE c.label < 5),
+         |np AS (SELECT count(*) AS passed_visited FROM pv),
+         |ex AS (SELECT c.vec_id FROM c, q WHERE c.label < 5
+         |       ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
+         |       LIMIT 10),
+         |top AS (SELECT vec_id, score,
+         |          row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+         |        FROM pv ORDER BY score DESC, vec_id LIMIT 10),
+         |h AS (SELECT top.rank, top.vec_id, top.score,
+         |        CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |      FROM top LEFT JOIN ex USING (vec_id)),
+         |r AS (SELECT round(CAST(sum(hit) AS DOUBLE) / 10.0, 6)
+         |        AS recall_at_10 FROM h)
+         |SELECT CAST(h.rank AS BIGINT) AS rank, h.vec_id,
+         |       round(h.score, 6) AS score, CAST(h.hit AS BIGINT) AS hit,
+         |       t.nodes_touched, np.passed_visited, r.recall_at_10
+         |FROM h, t, np, r ORDER BY rank""".stripMargin,
     // compaction-fold replay: BOTH serving paths from their persisted
     // graphs — the compacted walk (full corpus) and the LSM pair
     // (base-graph walk + delta scan, merged) — then membership flags
@@ -3272,6 +3341,7 @@ object VectorQueries {
     "v48_graph_ann_lsm" -> (graphAnnIncrementalServe(_, _)),
     "v49_graph_compact" -> (graphAnnCompact(_, _)),
     "v50_beam_sweep" -> (graphBeamSweep(_, _)),
+    "v51_graph_filtered" -> (graphAnnFiltered(_, _)),
     "v25_learned_ivfpq" -> (learnedIvfPqSearch(_, _)),
     "v26_ivfpq_pruned" -> (ivfPqPrunedSearch(_, _)),
     "v27_ref_dim_search" -> (refDimSearch(_, _)),

@@ -354,6 +354,27 @@ class AnnSpec extends SparkSpec {
     assert(got.filter(_._1 == 2L).head._5 == 5L)
   }
 
+  test("graphBeamSearchFiltered: failing nodes still ROUTE the walk " +
+      "but never surface; both cost meters reported") {
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    // chain 1 → 2 → 3 where 2 scores best vs the query but fails the
+    // predicate: reaching 3 REQUIRES routing through 2 (the ACORN
+    // rule — a filtered traversal would dead-end at 1)
+    val vecs = Seq(
+      (1L, v(1, 1), 1L), (2L, v(1, 0.05), 9L), (3L, v(1, 0.2), 2L)
+    ).toDF("vec_id", "embedding", "label")
+    val graph = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val q = Seq(Tuple1(Array(1f, 0f))).toDF("qe")
+    val got = Ann.graphBeamSearchFiltered(graph, vecs, q,
+        "vec_id", "embedding", entryIds = Seq(1L), beam = 1, rounds = 2,
+        k = 10, pred = col("label") < 5)
+      .as[(Long, Long, Double, Long, Long)].collect()
+    // visited {1,2,3}; passing {1,3}; best passing = 3
+    assert(got.map(_._2).toSet == Set(1L, 3L), s"surfaced: ${got.toSeq}")
+    assert(got.sortBy(_._1).map(_._2).toSeq == Seq(3L, 1L))
+    assert(got.forall(r => r._4 == 3L && r._5 == 2L))
+  }
+
   test("graphBeamSearchMultiIndex: each query walks ITS OWN graph and " +
       "vector set — indexes stay disjoint inside the shared rounds") {
     def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
