@@ -1173,6 +1173,65 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** TOKEN-budgeted mixture sampling — t44's temperature rebalance
+    * upgraded to the unit pretraining actually budgets in: each
+    * source's quota is a TOKEN budget (B·√t_g/√T, the same α = ½
+    * correctly-rounded-sqrt trick as t44), with per-doc token counts
+    * from the TRAINED tokenizer (the t66 model through t67's
+    * tokenize-by-join core) rather than doc counts — a long document
+    * consumes its source's budget accordingly, which doc-count quotas
+    * get wrong by the length distribution. Selection stays
+    * deterministic: per-source hash rank, then docs admitted while the
+    * PARTITIONED running token sum stays within budget (greedy fill in
+    * random order — one windowed cumsum per source partition, no
+    * global sort, no RNG). Output lays raw vs sampled TOKEN shares
+    * side by side, with sum_ids as the determinism witness.
+    */
+  def tokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 20000L
+    val docs = Tables.documents(spark, sfDir)
+    val dt = bpeTokenSums(docs.select("doc_id", "text"),
+        bpeVocab(spark, sfDir))
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_toks"))
+    val d = docs.select("doc_id", "source").join(dt, Seq("doc_id"))
+    val g = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks_g"))
+      .crossJoin(broadcast(d.agg(sum(col("n_toks")).as("toks_all"))))
+      .withColumn("token_budget",
+        floor(lit(B.toDouble) * sqrt(col("toks_g").cast("double"))
+          / sqrt(col("toks_all").cast("double"))).cast("long"))
+    val ranked = d
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(
+          graft.functions.HashFunctions.md5Long(
+            concat(lit("tokmix:"), col("doc_id").cast("string"))),
+          col("doc_id"))))
+      .withColumn("cum_toks", sum(col("n_toks")).over(
+        Window.partitionBy("source").orderBy(col("rk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // the ≤|sources|-row aggregate feeds the final join AND the total;
+    // uncheckpointed, the corpus-wide rank/cumsum would run twice
+    val sampled = ranked
+      .join(broadcast(g.select("source", "token_budget")), Seq("source"))
+      .filter(col("cum_toks") <= col("token_budget"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_toks")).as("toks_sampled"),
+        sum(col("doc_id")).as("sum_ids"))
+      .localCheckpoint()
+    sampled.join(broadcast(g), Seq("source"))
+      .crossJoin(broadcast(
+        sampled.agg(sum(col("toks_sampled")).as("ts"))))
+      .select(col("source"), col("n_docs"), col("toks_g"),
+        col("token_budget"), col("n_sampled"), col("toks_sampled"),
+        col("sum_ids"),
+        round(col("toks_g").cast("double") / col("toks_all"), 6)
+          .as("p_raw"),
+        round(col("toks_sampled").cast("double") / col("ts"), 6)
+          .as("p_sampled"))
+      .orderBy("source")
+  }
+
   /** Unicode NFC normalization
     * ([[graft.functions.TextFunctions.nfcNormalize]]): the fixture
     * corpus is ASCII, so each doc gets a DECOMPOSED suffix grafted on
@@ -1919,6 +1978,7 @@ object TextQueries {
     "t42_bloom_decontaminate" -> (bloomDecontaminateQuery(_, _)),
     "t43_shard_export" -> (shardExportQuery(_, _)),
     "t44_temperature_mix" -> (temperatureMixQuery(_, _)),
+    "t69_token_budget_mix" -> (tokenBudgetMix(_, _)),
     "t39_pagerank" -> (pageRankQuery(_, _)),
     "t40_hist_quantiles" -> (histQuantilesQuery(_, _)),
     "t41_token_drift" -> (tokenDriftQuery(_, _)),
@@ -2689,6 +2749,51 @@ object TextQueries {
          |       round(CAST(s.n_sampled AS DOUBLE) / ns, 6) AS p_sampled
          |FROM q JOIN s USING (lang), st
          |ORDER BY lang""".stripMargin,
+    // token-budgeted replay: per-doc counts from the persisted final
+    // BPE segmentation, α=½ budgets on token mass, hash-rank greedy
+    // fill via the partitioned running sum
+    "t69_token_budget_mix" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($wsLowerExpr) AS word
+         |             FROM documents),
+         |vv AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe
+         |       FROM read_parquet('${Artifacts.oracleGlob("t66_seqs_r8")}')),
+         |dt AS (SELECT t.doc_id, CAST(sum(vv.n_bpe) AS BIGINT) AS n_toks
+         |       FROM tok t JOIN vv USING (word) GROUP BY t.doc_id),
+         |d AS (SELECT d0.doc_id, d0.source, dt.n_toks
+         |      FROM documents d0 JOIN dt USING (doc_id)),
+         |g0 AS (SELECT source, count(*) AS n_docs,
+         |              CAST(sum(n_toks) AS BIGINT) AS toks_g
+         |       FROM d GROUP BY source),
+         |tt AS (SELECT CAST(sum(n_toks) AS BIGINT) AS toks_all FROM d),
+         |g AS (SELECT source, n_docs, toks_g,
+         |        CAST(floor(20000.0 * sqrt(CAST(toks_g AS DOUBLE))
+         |             / sqrt(CAST(toks_all AS DOUBLE))) AS BIGINT)
+         |          AS token_budget,
+         |        toks_all
+         |      FROM g0, tt),
+         |r AS (SELECT d.doc_id, d.source, d.n_toks,
+         |        row_number() OVER (PARTITION BY d.source ORDER BY
+         |          ${hash60("'tokmix:' || CAST(doc_id AS VARCHAR)")},
+         |          doc_id) AS rk
+         |      FROM d),
+         |cum AS (SELECT source, doc_id, n_toks,
+         |          CAST(sum(n_toks) OVER (PARTITION BY source
+         |            ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING
+         |            AND CURRENT ROW) AS BIGINT) AS cum_toks
+         |        FROM r),
+         |s AS (SELECT cum.source, count(*) AS n_sampled,
+         |        CAST(sum(n_toks) AS BIGINT) AS toks_sampled,
+         |        CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |      FROM cum JOIN g USING (source)
+         |      WHERE cum_toks <= token_budget
+         |      GROUP BY cum.source),
+         |st AS (SELECT CAST(sum(toks_sampled) AS BIGINT) AS ts FROM s)
+         |SELECT g.source, g.n_docs, g.toks_g, g.token_budget,
+         |       s.n_sampled, s.toks_sampled, s.sum_ids,
+         |       round(CAST(g.toks_g AS DOUBLE) / toks_all, 6) AS p_raw,
+         |       round(CAST(s.toks_sampled AS DOUBLE) / ts, 6) AS p_sampled
+         |FROM g JOIN s USING (source), st
+         |ORDER BY source""".stripMargin,
     "t41_token_drift" -> driftOracle,
     "t40_hist_quantiles" ->
       """WITH mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi
