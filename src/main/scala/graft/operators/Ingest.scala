@@ -845,17 +845,85 @@ object Ingest {
       writeStore(out, dir)
     }
 
-  /** The live snapshot plus every `_base` ancestor it references —
-    * the set [[vacuumStore]] must retain. */
-  private def liveChain(spark: SparkSession, root: String,
-                        fs: org.apache.hadoop.fs.FileSystem): Set[String] = {
-    val live = new org.apache.hadoop.fs.Path(
-      currentSnapshotDir(spark, root)).getName
-    Iterator.iterate(Option(live)) {
-      case Some(snap) => readPointer(fs, new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(root, snap), MorBaseName))
+  /** A snapshot plus every `_base` ancestor it references — the
+    * merge-on-read chain a read of `snap` serves rows out of. */
+  private def morChain(root: String, snap: String,
+                       fs: org.apache.hadoop.fs.FileSystem): Set[String] =
+    Iterator.iterate(Option(snap)) {
+      case Some(s) => readPointer(fs, new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, s), MorBaseName))
       case None => None
     }.takeWhile(_.isDefined).flatten.toSet
+
+  /** The live snapshot plus every `_base` ancestor it references —
+    * part of the set [[vacuumStore]] must retain. */
+  private def liveChain(spark: SparkSession, root: String,
+                        fs: org.apache.hadoop.fs.FileSystem): Set[String] =
+    morChain(root, new org.apache.hadoop.fs.Path(
+      currentSnapshotDir(spark, root)).getName, fs)
+
+  private def refsDir(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_refs")
+
+  /** TAG a snapshot with an immutable name (Iceberg tag semantics) —
+    * the reproducibility primitive a training pipeline needs: "the
+    * v1 training set is exactly this data" survives any number of
+    * later commits AND [[vacuumStore]] passes (tagged snapshots and
+    * their merge-on-read chains are retained — a tag is also a
+    * retention pin). One pointer file per tag under `root/_refs/`,
+    * landed tmp + atomic rename under the store writer lock; tags are
+    * IMMUTABLE — re-tagging an existing name throws (delete is
+    * deliberately absent: an audit ref that can be repointed or
+    * dropped is not an audit ref).
+    */
+  def tagStoreSnapshot(spark: SparkSession, root: String, name: String,
+                       snapshot: String): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag name '$name' must be [A-Za-z0-9._-]+ (it becomes a file name)")
+    withStoreLock(spark, root) {
+      val hRoot = new org.apache.hadoop.fs.Path(root)
+      val fs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(new org.apache.hadoop.fs.Path(hRoot, snapshot)),
+        s"cannot tag $snapshot: no such snapshot under $root")
+      val ref = new org.apache.hadoop.fs.Path(refsDir(root), name)
+      require(!fs.exists(ref),
+        s"tag '$name' already exists (tags are immutable; pick a new name)")
+      fs.mkdirs(refsDir(root)): Unit
+      val tmp = new org.apache.hadoop.fs.Path(refsDir(root),
+        s".$name.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(snapshot.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, ref))
+        throw new java.io.IOException(s"could not publish tag '$name'")
+    }
+  }
+
+  /** Every tag, (name, snapshot), name-sorted. Readable without the
+    * lock — each ref file is immutable once published. */
+  def listStoreTags(spark: SparkSession, root: String)
+      : Seq[(String, String)] = {
+    val rd = refsDir(root)
+    val fs = rd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rd)) Seq.empty
+    else fs.listStatus(rd).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      .map { st =>
+        st.getPath.getName ->
+          readPointer(fs, st.getPath).getOrElse("")
+      }
+      .sortBy(_._1)
+  }
+
+  /** Read the store AS OF a tag — [[readStoreSnapshot]] through the
+    * ref indirection. */
+  def readStoreTag(spark: SparkSession, root: String,
+                   name: String): DataFrame = {
+    val ref = new org.apache.hadoop.fs.Path(refsDir(root), name)
+    val fs = ref.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = readPointer(fs, ref).getOrElse(
+      throw new IllegalArgumentException(
+        s"no tag '$name' under $root (see listStoreTags)"))
+    readStoreSnapshot(spark, root, snap)
   }
 
   /** The live snapshot directory the manifest names (readable without
@@ -932,10 +1000,16 @@ object Ingest {
     withStoreLock(spark, root) {
       val hRoot = new org.apache.hadoop.fs.Path(root)
       val fs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // retain the whole live CHAIN: a merge-on-read delete snapshot
+      // retain the whole live CHAIN (a merge-on-read delete snapshot
       // serves its rows out of `_base` ancestors — reclaiming one
-      // would corrupt the live read, not just lose history
-      val keep = liveChain(spark, root, fs)
+      // would corrupt the live read, not just lose history) PLUS every
+      // TAGGED snapshot's chain: a tag is a retention pin, or
+      // "reproducible training set" would be one vacuum away from a
+      // missing-directory error
+      val keep = liveChain(spark, root, fs) ++
+        listStoreTags(spark, root).flatMap { case (_, snap) =>
+          morChain(root, snap, fs)
+        }
       fs.listStatus(hRoot)
         .filter(st => st.isDirectory &&
           st.getPath.getName.startsWith("snap-") &&

@@ -532,6 +532,48 @@ object IngestQueries {
       .orderBy("snapshot")
   }
 
+  /** TAGGED snapshots ([[graft.operators.Ingest.tagStoreSnapshot]] /
+    * [[Ingest.readStoreTag]]) — the reproducibility primitive: commit
+    * the 60% corpus, TAG it `train-v1`, commit the full corpus over
+    * it, then VACUUM — and read the store both as-of the tag and live.
+    * The vacuum inside the staged build is the claim under test: a tag
+    * is a retention pin, so the tagged snapshot's chain must survive
+    * the pass that reclaims every other superseded snapshot (without
+    * the pin, readStoreTag would throw missing-directory here and the
+    * gate would fail). Aggregates mirror i14's; the oracle recomputes
+    * both refs from the source table.
+    */
+  def taggedSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ingest
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 6 / 10
+    val root = stagedDir(spark,
+      s"graft_i25_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}") { dir =>
+      val store = s"$dir/store"
+      Ingest.commitStoreSnapshot(spark, store) { snapDir =>
+        Ingest.writeStore(docs.filter(col("doc_id") <= cut), snapDir)
+      }
+      Ingest.tagStoreSnapshot(spark, store, "train-v1",
+        Ingest.listSnapshots(spark, store).head._1)
+      Ingest.commitStoreSnapshot(spark, store) { snapDir =>
+        Ingest.writeStore(docs, snapDir)
+      }
+      Ingest.vacuumStore(spark, store)
+    } + "/store"
+    val tags = Ingest.listStoreTags(spark, root)
+    require(tags.map(_._1) == Seq("train-v1"),
+      s"expected exactly tag train-v1, got $tags")
+    def agg(df: org.apache.spark.sql.DataFrame, ref: String) =
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          countDistinct(md5(col("text"))).as("n_texts"))
+        .select(lit(ref).as("ref"), col("n_docs"),
+          col("sum_ids"), col("n_texts"))
+    agg(Ingest.readStoreTag(spark, root, "train-v1"), "train-v1")
+      .unionByName(agg(Ingest.readStoreManifested(spark, root), "live"))
+      .orderBy("ref")
+  }
+
   /** SNAPSHOT DIFF (CDC) through the manifest store: snapshot 1 is
     * the corpus, snapshot 2 applies deletes (doc_id % 97 = 0),
     * updates (% 13 = 0, text suffixed) and inserts (% 31 = 0, shifted
@@ -863,6 +905,7 @@ object IngestQueries {
     "i20_mor_delete" -> (morDeleteQuery(_, _)),
     "i16_snapshot_diff" -> (snapshotDiffQuery(_, _)),
     "i14_snapshot_history" -> (snapshotHistory(_, _)),
+    "i25_tagged_snapshot" -> (taggedSnapshot(_, _)),
     "i12_binary_media" -> (binaryMediaScan(_, _)),
     "i13_compact_roundtrip" -> (compactRoundtrip(_, _)),
     "i11_bucketed_join" -> (bucketedJoin(_, _)),
@@ -1136,6 +1179,20 @@ object IngestQueries {
         |      FROM documents)
         |SELECT * FROM l UNION ALL SELECT * FROM o
         |ORDER BY snapshot""".stripMargin,
+    // the tag resolves to exactly the 60% commit even after vacuum;
+    // live is the full corpus — both recomputed from the source table
+    "i25_tagged_snapshot" ->
+      """WITH cut AS (SELECT max(doc_id) * 6 // 10 AS c FROM documents),
+        |o AS (SELECT 'train-v1' AS ref, count(*) AS n_docs,
+        |             CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |             count(DISTINCT md5(text)) AS n_texts
+        |      FROM documents, cut WHERE doc_id <= c),
+        |l AS (SELECT 'live' AS ref, count(*) AS n_docs,
+        |             CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |             count(DISTINCT md5(text)) AS n_texts
+        |      FROM documents)
+        |SELECT * FROM l UNION ALL SELECT * FROM o
+        |ORDER BY ref""".stripMargin,
     // the maintenance pass must be lossless: aggregate of the ORIGINALS
     "i13_compact_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,

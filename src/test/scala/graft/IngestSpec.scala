@@ -336,6 +336,40 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  // A tag must pin its WHOLE merge-on-read chain through vacuum:
+  // tag a delete snapshot (which serves rows out of its _base) after a
+  // later full rewrite supersedes both — vacuum reclaims nothing the
+  // tag needs, and the tag read still resolves base-minus-tombstones.
+  // Also pins immutability (re-tag throws) and the unknown-tag error.
+  test("tagged snapshots survive vacuum with their MoR chain; tags " +
+      "are immutable") {
+    val root = Files.createTempDirectory("graft_tag").toString + "/store"
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    Ingest.commitStoreSnapshot(spark, root) { d =>
+      Ingest.writeStore(docs, d)
+    }
+    Ingest.deleteStoreKeysMor(spark, root, Seq(2L).toDF("doc_id"))
+    val delSnap = Ingest.listSnapshots(spark, root).last._1
+    Ingest.tagStoreSnapshot(spark, root, "v1", delSnap)
+    Ingest.commitStoreSnapshot(spark, root) { d =>
+      Ingest.writeStore(docs.filter(col("doc_id") === 1L), d)
+    }
+    Ingest.vacuumStore(spark, root)
+    // live = rewrite only; the tag still resolves {1,3} (base minus
+    // tombstone) because vacuum retained BOTH chain members
+    assert(Ingest.readStoreManifested(spark, root)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(Ingest.readStoreTag(spark, root, "v1")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(Ingest.listStoreTags(spark, root) == Seq("v1" -> delSnap))
+    intercept[IllegalArgumentException] {
+      Ingest.tagStoreSnapshot(spark, root, "v1", delSnap)
+    }
+    intercept[IllegalArgumentException] {
+      Ingest.readStoreTag(spark, root, "nope")
+    }
+  }
+
   test("manifest store accepts URI-form file roots: lock and manifest " +
       "land beside the store, not CWD-relative") {
     val dir = Files.createTempDirectory("graft_uri").toString
