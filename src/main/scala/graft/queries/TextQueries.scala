@@ -1232,6 +1232,42 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Dedup savings in TRAINING TOKENS — t61's redundancy accounting
+    * re-denominated in the unit the cost actually accrues in: each
+    * near-dup cluster (the shared t03/t16 pair-graph artifact) keeps
+    * its canonical (min-id) doc and the removed docs' BPE token counts
+    * (the t66 model through t67's tokenize-by-join core) sum into
+    * per-source savings — "this source's corpus is X% duplicate
+    * tokens" is the number a data budget negotiates with, and char- or
+    * doc-denominated savings misstate it exactly when duplicates skew
+    * long or short. Singleton docs are their own canonical (left join
+    * + coalesce). One aggregate over corpus-scale frames; components
+    * and token counts are both build-once per corpus.
+    */
+  def tokenSavings(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dt = bpeTokenSums(docs.select("doc_id", "text"),
+        bpeVocab(spark, sfDir))
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_toks"))
+    val comp = dupComponents(spark, sfDir)
+      .select(col("node").as("doc_id"), col("label"))
+    docs.select("doc_id", "source").join(dt, Seq("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("canon", coalesce(col("label"), col("doc_id")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("doc_id") =!= col("canon")).cast("long"))
+          .as("n_redundant"),
+        sum(col("n_toks")).as("toks_total"),
+        sum(when(col("doc_id") =!= col("canon"), col("n_toks"))
+          .otherwise(lit(0L))).as("toks_removed"))
+      .select(col("source"), col("n_docs"), col("n_redundant"),
+        col("toks_total"), col("toks_removed"),
+        round(col("toks_removed").cast("double") / col("toks_total"), 6)
+          .as("savings_rate"))
+      .orderBy("source")
+  }
+
   /** Unicode NFC normalization
     * ([[graft.functions.TextFunctions.nfcNormalize]]): the fixture
     * corpus is ASCII, so each doc gets a DECOMPOSED suffix grafted on
@@ -1970,6 +2006,7 @@ object TextQueries {
     "t63_threshold_sweep" -> (thresholdSweep(_, _)),
     "t62_triangle_census" -> (triangleCensus(_, _)),
     "t61_dedup_savings" -> (dedupSavings(_, _)),
+    "t70_token_savings" -> (tokenSavings(_, _)),
     "t60_vocab_growth" -> (vocabGrowth(_, _)),
     "t46_training_export" -> (trainingExport(_, _)),
     "t37_curation_v2" -> (curationV2(_, _)),
@@ -3190,6 +3227,40 @@ object TextQueries {
          |FROM comp c JOIN sized s USING (label)
          |JOIN documents d ON d.doc_id = c.node
          |GROUP BY s.cluster_size ORDER BY s.cluster_size""".stripMargin,
+    // token-denominated replay: the same recursive component walk as
+    // t61, per-doc counts from the persisted final BPE segmentation,
+    // singleton docs their own canonical, per-source savings
+    "t70_token_savings" ->
+      s"""WITH RECURSIVE $jaccardPairCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jac >= 0.1
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM jpairs WHERE jac >= 0.1),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+         |comp AS (SELECT node, min(label) AS label FROM walk GROUP BY node),
+         |tok AS (SELECT doc_id, unnest($wsLowerExpr) AS word
+         |        FROM documents),
+         |vv AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe
+         |       FROM read_parquet('${Artifacts.oracleGlob("t66_seqs_r8")}')),
+         |dtok AS (SELECT t.doc_id, CAST(sum(vv.n_bpe) AS BIGINT) AS n_toks
+         |         FROM tok t JOIN vv USING (word) GROUP BY t.doc_id),
+         |fdoc AS (SELECT d.doc_id, d.source, dtok.n_toks,
+         |              coalesce(c.label, d.doc_id) AS canon
+         |       FROM documents d JOIN dtok USING (doc_id)
+         |       LEFT JOIN comp c ON c.node = d.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN doc_id <> canon THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_redundant,
+         |       CAST(sum(n_toks) AS BIGINT) AS toks_total,
+         |       CAST(sum(CASE WHEN doc_id <> canon THEN n_toks ELSE 0 END)
+         |            AS BIGINT) AS toks_removed,
+         |       round(CAST(sum(CASE WHEN doc_id <> canon THEN n_toks
+         |                          ELSE 0 END) AS DOUBLE)
+         |             / sum(n_toks), 6) AS savings_rate
+         |FROM fdoc GROUP BY source ORDER BY source""".stripMargin,
     // exact-integer prefix cuts + distinct counts — mirror of
     // vocabGrowth (docs with zero tokens drop from both sides)
     "t60_vocab_growth" ->
