@@ -206,6 +206,112 @@ case class CosineLshBits(child: Expression, bits: Int)
       : Expression = copy(child = newChild)
 }
 
+/** Margin-ranked capped multi-probe buckets over the SRP bucket space
+  * (Lv et al. 2007, "Multi-Probe LSH" — probe the buckets whose
+  * boundary the query sits closest to, not every neighbor). Returns
+  * the query's own bucket (the low `bucketBits` bits of its
+  * [[CosineLshBits]] sketch) plus the hamming-1 flips of the
+  * `maxProbes` hyperplanes with the SMALLEST |dot| margin (tie → lower
+  * bit index) — the bits most likely to have flipped for a true
+  * neighbor. Capping at a fixed `maxProbes` is what keeps the k-NN
+  * graph build's candidate fan-out CONSTANT per vector as `bucketBits`
+  * scales with the corpus (uncapped hamming-1 probing fans out
+  * 1 + bucketBits buckets, a log n factor at 100 TB).
+  *
+  * The hyperplanes are the identical md5-derived ±1 rows CosineLshBits
+  * uses (plane j only ever feeds bit j), so bucket values here agree
+  * bit-for-bit with `cosineLshBits(v, bits) & (2^bucketBits − 1)` and
+  * the DuckDB oracle replays both the signs and the margin ranking
+  * from the same `md5('srp:j:i')` formula. `maxProbes ≥ bucketBits`
+  * degenerates to the full hamming-1 probe set (same bucket SET as
+  * [[graft.operators.Ann.srpProbeBuckets]]); the output buckets are
+  * distinct by construction (xor with distinct single bits).
+  */
+case class SrpProbeBucketsCapped(child: Expression, bucketBits: Int,
+                                 maxProbes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bucketBits > 0 && bucketBits <= 60,
+    "srp_probe_buckets_capped: bucketBits must be in [1, 60]")
+  require(maxProbes >= 0, "srp_probe_buckets_capped: maxProbes >= 0")
+
+  override def prettyName: String = "srp_probe_buckets_capped"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"$prettyName requires array<float|double> input, got ${other.sql}")
+    }
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // same ±1 rows as CosineLshBits (plane j is a function of (j, i)
+  // only), cached per observed dim; null check, not a dim sentinel —
+  // @transient vars reset on executor deserialization
+  @transient private var signs: Array[Array[Double]] = _
+  @transient private var signsDim: Int = _
+
+  private def signMatrix(dim: Int): Array[Array[Double]] = {
+    if (signs == null || signsDim != dim) {
+      signs = Array.tabulate(bucketBits, dim) { (j, i) =>
+        if ((Md5Util.md5_60(s"srp:$j:$i") & 1L) == 1L) 1.0 else -1.0
+      }
+      signsDim = dim
+    }
+    signs
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val p = math.min(maxProbes, bucketBits)
+    if (dim == 0) { // zero vector: all dots 0, bucket 0, flips by index
+      val out = new Array[Long](1 + p)
+      var j = 0
+      while (j < p) { out(j + 1) = 1L << j; j += 1 }
+      return new GenericArrayData(out)
+    }
+    val m = signMatrix(dim)
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val dots = new Array[Double](bucketBits)
+    var own = 0L
+    var j = 0
+    while (j < bucketBits) {
+      val row = m(j)
+      var dot = 0.0
+      i = 0
+      while (i < dim) { dot += v(i) * row(i); i += 1 }
+      dots(j) = dot
+      if (dot > 0.0) own |= (1L << j)
+      j += 1
+    }
+    // rank planes by |margin| ascending, bit-index tiebreak — the exact
+    // ordering the oracle's row_number() OVER (ORDER BY abs(dot), j)
+    // replays. bucketBits ≤ 60 keeps a full sort cheap and allocation-
+    // free beyond the index array.
+    val order = Array.range(0, bucketBits).sortBy(j => (math.abs(dots(j)), j))
+    val out = new Array[Long](1 + p)
+    out(0) = own
+    j = 0
+    while (j < p) { out(j + 1) = own ^ (1L << order(j)); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** SimHash fingerprint from precomputed 60-bit token hashes: bit i of
   * the result is set iff the ±1 votes of bit i across all token hashes
   * sum positive. O(tokens × bits) primitive loop; matches the

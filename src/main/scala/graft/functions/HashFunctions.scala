@@ -45,6 +45,16 @@ object HashFunctions {
       graft.expressions.CosineLshBits(
         org.apache.spark.sql.graft.Bridge.expression(vec), bits))
 
+  /** Margin-ranked capped multi-probe SRP buckets (own bucket + the
+    * `maxProbes` smallest-|margin| hamming-1 flips) — the ONE wrapper
+    * for [[graft.expressions.SrpProbeBucketsCapped]]. */
+  def srpProbeBucketsCapped(vec: Column, bucketBits: Int,
+                            maxProbes: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.SrpProbeBucketsCapped(
+        org.apache.spark.sql.graft.Bridge.expression(vec),
+        bucketBits, maxProbes))
+
   /** Salted variant — independent hash families for MinHash/SimHash. */
   def md5Long(s: Column, salt: Int): Column =
     md5Long(concat(lit(salt.toString), lit(":"), s))

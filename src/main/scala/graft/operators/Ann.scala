@@ -246,6 +246,30 @@ object Ann {
       .drop("_qb")
   }
 
+  /** CAPPED multi-probe expansion — [[srpProbeBuckets]] with the probe
+    * count held CONSTANT as bucketBits scales (Lv et al. 2007
+    * multi-probe LSH): each query probes its own bucket plus the
+    * hamming-1 flips of only the `maxProbes` hyperplanes it sits
+    * closest to (smallest |dot| margin, bit-index tiebreak — the bits
+    * most likely to have flipped for a true neighbor). Uncapped
+    * hamming-1 probing fans out 1 + bucketBits buckets, and bucketBits
+    * must grow ∝ log n to hold |bucket| flat — so uncapped
+    * candidates/vector is a log n factor at 100 TB; capped, it is
+    * (1 + maxProbes) · mean-|bucket|, a geometry constant. With
+    * `maxProbes ≥ bucketBits` the probe SET equals [[srpProbeBuckets]]
+    * exactly (all flips, order immaterial to the downstream equi-join).
+    */
+  def srpProbeBucketsCapped(queries: DataFrame, queryVecCol: String,
+                            bits: Int, bucketBits: Int,
+                            maxProbes: Int): DataFrame = {
+    require(bucketBits > 0 && bucketBits <= bits,
+      s"srpProbeBucketsCapped: bucketBits=$bucketBits must be in " +
+        s"[1, bits=$bits]")
+    queries.withColumn("bucket", explode(
+      graft.functions.HashFunctions.srpProbeBucketsCapped(
+        col(queryVecCol), bucketBits, maxProbes)))
+  }
+
   /** Exact cosine near-duplicate pairs above `threshold`. All-pairs is
     * expressed as an id-ordered self-join so each unordered pair is
     * scored once. This is the EXACT SEMANTIC BASELINE, O(n²) by
@@ -520,13 +544,22 @@ object Ann {
     * rule) — held fixed, |bucket| grows ∝ n and the blocked self-join
     * goes quadratic. ScalingProbe measures the scaled geometry;
     * the bench queries pin bucketBits=4 for their fixed corpora.
+    *
+    * PROBE CONTRACT: the per-vector probe count is capped at
+    * 1 + `maxProbes` buckets regardless of bucketBits
+    * ([[srpProbeBucketsCapped]], margin-ranked flips) — so
+    * candidates/vector stays (1 + maxProbes) · mean-|bucket|, a
+    * geometry CONSTANT, where uncapped hamming-1 probing would grow it
+    * ∝ bucketBits ∝ log n. At the bench geometry (bucketBits = 4,
+    * maxProbes = 4) the cap doesn't bind and the probe set equals the
+    * full hamming-1 expansion.
     */
   def buildKnnGraph(emb: DataFrame, idCol: String, vecCol: String,
                     bits: Int, bucketBits: Int,
-                    degree: Int): DataFrame = {
-    val probes = srpProbeBuckets(
+                    degree: Int, maxProbes: Int = 4): DataFrame = {
+    val probes = srpProbeBucketsCapped(
       emb.select(col(idCol).as("src"), col(vecCol).as("_se")),
-      "_se", bits, bucketBits)
+      "_se", bits, bucketBits, maxProbes)
     val index = srpBucketIndex(emb, idCol, vecCol, bits, bucketBits)
     val scoredPairs = probes.join(index, Seq("bucket"))
       .filter(col("src") =!= col(idCol))
@@ -555,16 +588,17 @@ object Ann {
     * formulation defers the base-side repair to a batch fold, which
     * is the Spark-native cadence). Update cost: the delta's sketches
     * + one bucket equi-join against a bucket-pruned combined index —
-    * delta-proportional, never base-proportional.
+    * delta-proportional, never base-proportional. Probe fan-out is
+    * capped at 1 + `maxProbes` ([[buildKnnGraph]]'s probe contract).
     */
   def updateKnnGraph(baseEmb: DataFrame, delta: DataFrame, idCol: String,
                      vecCol: String, bits: Int, bucketBits: Int,
-                     degree: Int): DataFrame = {
+                     degree: Int, maxProbes: Int = 4): DataFrame = {
     val combined = baseEmb.select(col(idCol), col(vecCol))
       .unionByName(delta.select(col(idCol), col(vecCol)))
-    val probes = srpProbeBuckets(
+    val probes = srpProbeBucketsCapped(
       delta.select(col(idCol).as("src"), col(vecCol).as("_se")),
-      "_se", bits, bucketBits)
+      "_se", bits, bucketBits, maxProbes)
     val index = srpBucketIndex(combined, idCol, vecCol, bits, bucketBits)
     val scoredPairs = probes.join(index, Seq("bucket"))
       .filter(col("src") =!= col(idCol))

@@ -1097,6 +1097,64 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The CAPPED-probe k-NN graph build (v23 at a geometry where the
+    * probe cap BINDS): bucketBits = 6 — the scaled-up geometry a larger
+    * corpus forces (bucketBits ∝ log n to hold |bucket| flat) — with
+    * [[Ann.srpProbeBucketsCapped]]'s margin-ranked multi-probe capped
+    * at maxProbes = 2, so every vector probes 3 buckets instead of the
+    * 7 an uncapped hamming-1 expansion would fan out. This is the
+    * round-11 fix for the one measured superlinearity in the graph
+    * build (candidates/vector ∝ bucketBits ∝ log n): capped, the
+    * candidate fan-out is (1 + maxProbes) · mean-|bucket| — a geometry
+    * CONSTANT at any corpus size. The query pins BOTH sides of the
+    * trade as oracle-replayed columns on the capped graph's edges:
+    *   - cand_per_vec  — measured candidates/vector of the capped
+    *     build (the number SCALING.md tracks flat across 1×/8×/32×),
+    *   - edge_overlap  — |capped ∩ uncapped| / |uncapped| edges: how
+    *     much of the full-probe graph the margin-ranked cap retains
+    *     (the quality retention that makes the cap a legal default).
+    * The oracle replays the per-plane dots, the sign bits, the
+    * |margin| ranking (row_number over abs(dot), plane-index tiebreak)
+    * and both candidate joins in SQL — the cap's bucket choice is
+    * hash-pinned, not trusted.
+    */
+  def cappedProbeGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val index = Ann.srpBucketIndex(emb, "vec_id", "embedding",
+      bits = 16, bucketBits = 6)
+    def edgesFrom(probes: DataFrame): DataFrame = {
+      val scored = probes.join(index, Seq("bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosineSim(col("embedding"), col("qe")).as("score"))
+      Search.topKPerQuery(scored, "query_id", "vec_id", 3)
+    }
+    val cappedProbes = Ann.srpProbeBucketsCapped(qs, "qe",
+      bits = 16, bucketBits = 6, maxProbes = 2)
+    val fullProbes = Ann.srpProbeBuckets(qs, "qe",
+      bits = 16, bucketBits = 6)
+    val capped = edgesFrom(cappedProbes)
+    val full = edgesFrom(fullProbes)
+    val nVec = emb.agg(count(lit(1)).as("_nv"))
+    val nCand = cappedProbes.join(index, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .agg(count(lit(1)).as("_nc"))
+    val nFull = full.agg(count(lit(1)).as("_nf"))
+    val nCommon = capped.select("query_id", "vec_id")
+      .join(full.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+      .agg(count(lit(1)).as("_ncm"))
+    capped.filter(col("query_id") < 30)
+      .crossJoin(broadcast(nVec)).crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nFull)).crossJoin(broadcast(nCommon))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), round(col("score"), 6).as("score"),
+        round(col("_nc").cast("double") / col("_nv"), 4).as("cand_per_vec"),
+        round(col("_ncm").cast("double") / col("_nf"), 4).as("edge_overlap"))
+      .orderBy("query_id", "rank")
+  }
+
   /** The fully LEARNED IVF-PQ configuration — v22 with k-means cells
     * instead of seeded ones: MLlib-trained centroids route the corpus,
     * trained codebooks compress it, probe-4 → ADC shortlist-50 → exact
@@ -3196,6 +3254,72 @@ object VectorQueries {
         |       round(score, 6) AS score
         |FROM ranked WHERE rank <= 3 AND query_id < 30
         |ORDER BY query_id, rank""".stripMargin,
+    // the capped-probe graph replay: per-plane dots for the 6 bucket
+    // planes, sign bits -> own bucket, |margin| rank -> the 2 flips the
+    // cap keeps, then BOTH candidate joins (capped + full hamming-1)
+    // for the retention metric
+    "v52_graph_capped_probe" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |jj AS (SELECT unnest(range(0, 6)) AS j),
+        |d AS (SELECT v.vec_id, jj.j,
+        |        list_sum(list_transform(range(0, len(v.e)), i ->
+        |          v.e[CAST(i + 1 AS INT)] *
+        |          (CASE WHEN CAST(concat('0x', substring(
+        |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
+        |                 AS BIGINT)
+        |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
+        |      FROM v, jj),
+        |own AS (SELECT vec_id,
+        |          CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
+        |                        ELSE 0 END) AS BIGINT) AS qb
+        |        FROM d GROUP BY vec_id),
+        |fr AS (SELECT vec_id, j,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY abs(dot), j) AS rn
+        |       FROM d),
+        |cp AS (SELECT vec_id AS query_id, qb AS bucket FROM own
+        |       UNION ALL
+        |       SELECT own.vec_id, xor(own.qb, CAST(2 ** fr.j AS BIGINT))
+        |       FROM own JOIN fr USING (vec_id) WHERE fr.rn <= 2),
+        |fp AS (SELECT vec_id AS query_id, qb AS bucket FROM own
+        |       UNION ALL
+        |       SELECT own.vec_id, xor(own.qb, CAST(2 ** jj.j AS BIGINT))
+        |       FROM own, jj),
+        |i AS (SELECT v.vec_id, v.e, own.qb AS bucket
+        |      FROM v JOIN own USING (vec_id)),
+        |cc AS (SELECT cp.query_id, i.vec_id,
+        |         list_cosine_similarity(i.e, q.e) AS score
+        |       FROM cp JOIN i USING (bucket)
+        |       JOIN v q ON q.vec_id = cp.query_id
+        |       WHERE cp.query_id <> i.vec_id),
+        |fc AS (SELECT fp.query_id, i.vec_id,
+        |         list_cosine_similarity(i.e, q.e) AS score
+        |       FROM fp JOIN i USING (bucket)
+        |       JOIN v q ON q.vec_id = fp.query_id
+        |       WHERE fp.query_id <> i.vec_id),
+        |ce AS (SELECT query_id, vec_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, vec_id) AS rank
+        |       FROM cc),
+        |fe AS (SELECT query_id, vec_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, vec_id) AS rank
+        |       FROM fc),
+        |nv AS (SELECT count(*) AS nv FROM v),
+        |nc AS (SELECT count(*) AS nc FROM cc),
+        |nf AS (SELECT count(*) AS nf FROM fe WHERE rank <= 3),
+        |ncm AS (SELECT count(*) AS ncm
+        |        FROM (SELECT query_id, vec_id FROM ce WHERE rank <= 3)
+        |        JOIN (SELECT query_id, vec_id FROM fe WHERE rank <= 3)
+        |        USING (query_id, vec_id))
+        |SELECT ce.query_id, CAST(ce.rank AS BIGINT) AS rank, ce.vec_id,
+        |       round(ce.score, 6) AS score,
+        |       round(CAST(nc.nc AS DOUBLE) / nv.nv, 4) AS cand_per_vec,
+        |       round(CAST(ncm.ncm AS DOUBLE) / nf.nf, 4) AS edge_overlap
+        |FROM ce, nv, nc, nf, ncm
+        |WHERE ce.rank <= 3 AND ce.query_id < 30
+        |ORDER BY query_id, rank""".stripMargin,
     "v21_srp_batch" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |           FROM embeddings),
@@ -3322,6 +3446,7 @@ object VectorQueries {
     "v22_ivfpq_search" -> (ivfPqSearchQuery(_, _)),
     "v33_batched_ivfpq" -> (batchedIvfPq(_, _)),
     "v23_knn_graph" -> (knnGraph(_, _)),
+    "v52_graph_capped_probe" -> (cappedProbeGraph(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),
     "v34_pixel_search" -> (pixelSearch(_, _)),

@@ -192,6 +192,71 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("srpProbeBucketsCapped: maxProbes >= bucketBits equals the full " +
+      "hamming-1 probe set; capped is a subset with 1+p distinct probes") {
+    val vs = vecsDf((1L, Seq(0.3f, -1.2f, 0.7f, 0.1f)),
+      (2L, Seq(-0.9f, 0.4f, 0.05f, 1.1f)), (3L, Seq(1f, 1f, -1f, 0.2f)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "bucket").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val full = sets(Ann.srpProbeBuckets(vs, "qe", bits = 16, bucketBits = 6))
+    val uncapped = sets(Ann.srpProbeBucketsCapped(vs, "qe", bits = 16,
+      bucketBits = 6, maxProbes = 6))
+    assert(uncapped == full, "p >= bucketBits must equal the full set")
+    val capped = sets(Ann.srpProbeBucketsCapped(vs, "qe", bits = 16,
+      bucketBits = 6, maxProbes = 2))
+    capped.foreach { case (q, s) =>
+      assert(s.size == 3, s"query $q: own bucket + 2 flips")
+      assert(s.subsetOf(full(q)), s"query $q: capped ⊆ full")
+    }
+  }
+
+  test("srpProbeBucketsCapped flips exactly the smallest-|margin| planes") {
+    // replicate the md5-derived hyperplanes independently and check the
+    // flipped bits are the p smallest-|dot| plane indices (tie → lower j)
+    val v = Seq(0.37f, -0.81f, 0.22f, 0.55f, -0.13f)
+    val bucketBits = 6
+    val dots = (0 until bucketBits).map { j =>
+      (0 until v.length).map { i =>
+        val sign = if ((graft.expressions.Md5Util.md5_60(s"srp:$j:$i")
+            & 1L) == 1L) 1.0 else -1.0
+        v(i).toDouble * sign
+      }.sum
+    }
+    val own = dots.zipWithIndex
+      .map { case (d, j) => if (d > 0) 1L << j else 0L }.sum
+    val expectFlips = dots.zipWithIndex
+      .sortBy { case (d, j) => (math.abs(d), j) }.take(2).map(_._2)
+    val expected = (Set(own) ++ expectFlips.map(j => own ^ (1L << j))).toSet
+    val got = Ann.srpProbeBucketsCapped(
+        Seq(Tuple1(v)).toDF("qe"), "qe", 16, bucketBits, maxProbes = 2)
+      .select("bucket").as[Long].collect().toSet
+    assert(got == expected)
+  }
+
+  test("buildKnnGraph: the default maxProbes=4 cap doesn't bind at the " +
+      "bench geometry, and a binding cap still yields a valid graph") {
+    val rnd = new scala.util.Random(7)
+    val many = vecsDf((1L to 60L).map(i =>
+      (i, Seq.fill(6)(rnd.nextFloat() * 2 - 1))): _*)
+    def edges(g: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      g.as[(Long, Long)].collect().toSet
+    // bucketBits=4: 4 flips exist, so cap at 4 ≡ cap at 99 ≡ uncapped
+    val a = edges(Ann.buildKnnGraph(many, "vec_id", "embedding",
+      bits = 16, bucketBits = 4, degree = 3))
+    val b = edges(Ann.buildKnnGraph(many, "vec_id", "embedding",
+      bits = 16, bucketBits = 4, degree = 3, maxProbes = 99))
+    assert(a == b)
+    // binding cap (bucketBits=6, p=2): still no self-edges, per-src ≤ degree
+    val capped = Ann.buildKnnGraph(many, "vec_id", "embedding",
+      bits = 16, bucketBits = 6, degree = 3, maxProbes = 2)
+    assert(capped.filter(col("src") === col("dst")).count() == 0)
+    val perSrc = capped.groupBy("src").count().select("count")
+      .as[Long].collect()
+    assert(perSrc.nonEmpty && perSrc.forall(_ <= 3))
+  }
+
   test("contrastiveTriplets: best >=tau positive, best <tau hard negative") {
     // 2D fixture: anchors 1,2 nearly parallel (cos≈1); 3 at ~45°
     // (cos≈0.707 < 0.8 — the hard negative); 4 orthogonal (easy
