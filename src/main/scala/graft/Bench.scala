@@ -38,16 +38,22 @@ object Bench {
     // one-time builds in steady state; the phase removes the first-run
     // spikes that made per-run arrays bimodal). Subset runs skip it:
     // a dev loop timing one query shouldn't pay every artifact.
-    val setup: Double =
-      if (sys.env.contains("SPARK_GRAFT_ONLY")) 0.0
+    val (setup: Double, owners: Seq[(String, Double)]) =
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) (0.0, Seq.empty)
       else {
         val t0 = System.nanoTime()
-        SparkEntry.warm(spark, sfDir).foreach { case (n, s) =>
+        val os = SparkEntry.warm(spark, sfDir)
+        os.foreach { case (n, s) =>
           System.err.println(f"[warm] $n%-24s ${s}%.2f s")
         }
         spark.catalog.clearCache() // same state every timed query sees
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, os)
       }
+    // per-owner warm timings as JSON so warm-phase regressions are
+    // machine-diffable round-over-round like per-query timings are
+    val setupJson = owners
+      .map { case (n, s) => s"\"" + n + f"""":$s%.3f""" }
+      .mkString("{", ",", "}")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.exists(n.startsWith) }
       .map { case (name, fn) =>
@@ -82,11 +88,16 @@ object Bench {
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""runs":$runsJson,"setup_sec":$setup,"sf":"$sfDir"}"""
-    println(line)
-    // stdout gets tail-truncated by capture harnesses once the inventory
-    // is large, losing most per-query timings — persist the full map to
-    // a file too so every regression is attributable in one diff
+        s""""runs":$runsJson,"setup_sec":$setup,"setup":$setupJson,""" +
+        s""""sf":"$sfDir"}"""
+    // The FULL artifact (per-query mins + all N per-run times + the
+    // per-owner warm map) goes to a file: at 200+ queries the line is
+    // >20 KB, and the driver keeps only the last ~2 KB of stdout — a
+    // full line on stdout is guaranteed to arrive truncated and
+    // unparseable (the r9/r10 `"parsed": null` artifacts). stdout gets
+    // a COMPACT summary line instead, small enough to survive a 2 KB
+    // tail capture even with a trailing sbt status line, pointing at
+    // the file for the per-query detail.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
@@ -94,6 +105,13 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    val nOk = results.values.count(_._1 >= 0)
+    val nFail = results.size - nOk
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""n_queries":${results.size},"n_failed":$nFail,""" +
+        f""""setup_sec":$setup%.3f,"queries_file":"$outFile",""" +
+        s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
