@@ -49,10 +49,14 @@ object Bench {
         spark.catalog.clearCache() // same state every timed query sees
         ((System.nanoTime() - t0) / 1e9, os)
       }
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale (de_DE) would render 114,126 — invalid JSON
+    def fmt3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     // per-owner warm timings as JSON so warm-phase regressions are
     // machine-diffable round-over-round like per-query timings are
     val setupJson = owners
-      .map { case (n, s) => s"\"" + n + f"""":$s%.3f""" }
+      .map { case (n, s) => "\"" + n + "\":" + fmt3(s) }
       .mkString("{", ",", "}")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.exists(n.startsWith) }
@@ -110,7 +114,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""n_queries":${results.size},"n_failed":$nFail,""" +
-        f""""setup_sec":$setup%.3f,"queries_file":"$outFile",""" +
+        s""""setup_sec":${fmt3(setup)},"queries_file":"$outFile",""" +
         s""""sf":"$sfDir"}""")
     spark.stop()
   }

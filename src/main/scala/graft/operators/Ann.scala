@@ -258,6 +258,15 @@ object Ann {
     * (1 + maxProbes) · mean-|bucket|, a geometry constant. With
     * `maxProbes ≥ bucketBits` the probe SET equals [[srpProbeBuckets]]
     * exactly (all flips, order immaterial to the downstream equi-join).
+    *
+    * `bits` is accepted and validated only for signature parity with
+    * [[srpProbeBuckets]] — the kernel derives buckets from the low
+    * `bucketBits` planes directly. That is correct because
+    * [[graft.expressions.CosineLshBits]] plane j depends only on
+    * (j, i) (prefix-stable: the low-plane signs are identical at any
+    * `bits`), a property AnnSpec's capped-vs-full equality test pins;
+    * if the sketch derivation ever became bits-dependent the two probe
+    * paths would diverge and that spec would catch it.
     */
   def srpProbeBucketsCapped(queries: DataFrame, queryVecCol: String,
                             bits: Int, bucketBits: Int,
@@ -553,20 +562,119 @@ object Ann {
     * ∝ bucketBits ∝ log n. At the bench geometry (bucketBits = 4,
     * maxProbes = 4) the cap doesn't bind and the probe set equals the
     * full hamming-1 expansion.
+    *
+    * SKEW CONTRACT: the probe cap bounds how many buckets a vector
+    * probes, not how big a probed bucket is — and both the own-bucket
+    * term (size-biased: a vector in a hot bucket sees the whole hot
+    * bucket) and the margin-ranked flips (small margins cluster where
+    * vectors cluster, so flips preferentially TARGET dense buckets)
+    * grow with bucket skew even when mean-|bucket| is flat (round-11
+    * measurement: cand/vec 630→798 across 1×→32× with mean-|bucket|
+    * +7% but max-|bucket| 225→480). [[saltedBucketJoin]] bounds the
+    * per-probe contribution at ~`maxBucketGroup` rows regardless of
+    * skew; the default (2 · the ~128-row target bucket size of the
+    * bucketBits ≈ log2(n/128) schedule) never binds at the bench
+    * corpora (hottest bench bucket: 227 rows at sf0.1) so the pinned
+    * graph queries are byte-identical, and engages exactly where the
+    * measured superlinearity lives.
     */
   def buildKnnGraph(emb: DataFrame, idCol: String, vecCol: String,
                     bits: Int, bucketBits: Int,
-                    degree: Int, maxProbes: Int = 4): DataFrame = {
+                    degree: Int, maxProbes: Int = DefaultMaxProbes,
+                    maxBucketGroup: Long = DefaultMaxBucketGroup)
+      : DataFrame = {
+    val scoredPairs = knnGraphCandidates(emb, emb, idCol, vecCol,
+      bits, bucketBits, maxProbes, maxBucketGroup)
+    Search.topKPerQuery(scoredPairs, "src", idCol, degree)
+      .select(col("src"), col(idCol).as("dst"))
+  }
+
+  /** The probe fan-out of [[buildKnnGraph]]/[[updateKnnGraph]] — one
+    * constant referenced by the builders' defaults AND ScalingProbe's
+    * cand/vec diagnostic, so the diagnostic can never silently measure
+    * a different probe set than the timed build it attributes. */
+  val DefaultMaxProbes: Int = 4
+
+  /** Default bucket-group cap for [[saltedBucketJoin]]: 2× the ~128-row
+    * target bucket size the bucketBits ≈ log2(n/128) geometry schedule
+    * aims for — buckets inside 2× of target join whole (zero behavior
+    * change), only genuinely hot buckets get split. */
+  val DefaultMaxBucketGroup: Long = 256L
+
+  /** The SCORED candidate frame both graph builders rank: `probeFrom`
+    * vectors probe their capped multi-probe buckets against the bucket
+    * index of `indexFrom`, hot buckets salted ([[saltedBucketJoin]]),
+    * each surviving (src, candidate) pair scored by exact cosine.
+    * Factored out so [[buildKnnGraph]] (probeFrom = indexFrom = corpus),
+    * [[updateKnnGraph]] (probeFrom = delta, indexFrom = base ∪ delta)
+    * and ScalingProbe's cand/vec diagnostic all consume the IDENTICAL
+    * candidate set — a diagnostic that re-derived the probes with its
+    * own constants could silently measure a different join than the
+    * build it claims to attribute.
+    */
+  def knnGraphCandidates(probeFrom: DataFrame, indexFrom: DataFrame,
+                         idCol: String, vecCol: String, bits: Int,
+                         bucketBits: Int, maxProbes: Int,
+                         maxBucketGroup: Long): DataFrame = {
     val probes = srpProbeBucketsCapped(
-      emb.select(col(idCol).as("src"), col(vecCol).as("_se")),
+      probeFrom.select(col(idCol).as("src"), col(vecCol).as("_se")),
       "_se", bits, bucketBits, maxProbes)
-    val index = srpBucketIndex(emb, idCol, vecCol, bits, bucketBits)
-    val scoredPairs = probes.join(index, Seq("bucket"))
+    val index = srpBucketIndex(indexFrom, idCol, vecCol, bits, bucketBits)
+    saltedBucketJoin(probes, index, idCol, maxBucketGroup)
       .filter(col("src") =!= col(idCol))
       .select(col("src"), col(idCol),
         cosineSim(col(vecCol), col("_se")).as("score"))
-    Search.topKPerQuery(scoredPairs, "src", idCol, degree)
-      .select(col("src"), col(idCol).as("dst"))
+  }
+
+  /** Skew-bounded bucket equi-join — the t14/t48 hot-bucket discipline
+    * applied to the graph build, as a CAP instead of an abort (the
+    * build can degrade gracefully where a dedup pair query cannot):
+    * buckets larger than `maxBucketGroup` split into
+    * n_salts = ⌈|bucket| / maxBucketGroup⌉ md5-uniform salt groups
+    * (member salt = md5₆₀("gsalt:" ∥ id) mod n_salts — deterministic,
+    * id-keyed, oracle-replayable), and a probe joins the ONE group its
+    * own id hashes to — so a vector probing its own bucket always
+    * lands among its salt-mates (itself included), and the per-probe
+    * candidate contribution is ~|bucket|/n_salts ≤ ~maxBucketGroup in
+    * expectation regardless of bucket skew. Total candidates are then
+    * ≤ n · (1 + maxProbes) · ~maxBucketGroup — LINEAR in n even on
+    * clustered corpora where max-|bucket| grows while the mean stays
+    * flat. Buckets ≤ maxBucketGroup get n_salts = 1: salt ≡ 0 and the
+    * join is bit-identical to the unsalted one. The recall trade,
+    * stated: a probe into a split bucket sees a 1/n_salts md5-uniform
+    * sample of it — same-salt near neighbors are found, cross-salt
+    * ones missed; that loss applies only to buckets ≥ 2× target size
+    * and is pinned by v53's edge_overlap metric, not trusted.
+    *
+    * Scale shape: the counts frame is ≤ 2^bucketBits rows (model-
+    * sized, broadcast — both corpus-scale sides gain their salt in a
+    * map-side join), and the candidate shuffle keys on (bucket, salt)
+    * — strictly FINER keys than the unsalted bucket join, so the fix
+    * also removes the hot-reducer skew of the shuffle itself (the
+    * classic salted-join trick, here with a deterministic salt an
+    * oracle can replay).
+    */
+  private def saltedBucketJoin(probes: DataFrame, index: DataFrame,
+                               idCol: String,
+                               maxBucketGroup: Long): DataFrame = {
+    require(maxBucketGroup > 0,
+      s"saltedBucketJoin: maxBucketGroup=$maxBucketGroup must be positive")
+    val counts = index.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("_bn"))
+      .select(col("bucket"),
+        ceil(col("_bn").cast("double") / maxBucketGroup).cast("long")
+          .as("_ns"))
+    def salt(id: Column): Column =
+      pmod(graft.functions.HashFunctions.md5Long(
+        concat(lit("gsalt:"), id.cast("string"))), col("_ns"))
+    val members = index.join(broadcast(counts), Seq("bucket"))
+      .withColumn("_salt", salt(col(idCol)))
+      .drop("_ns")
+    probes.join(broadcast(counts), Seq("bucket"))
+      .withColumn("_salt", salt(col("src")))
+      .drop("_ns")
+      .join(members, Seq("bucket", "_salt"))
+      .drop("_salt")
   }
 
   /** INCREMENTAL k-NN graph maintenance — the LSM split the dedup
@@ -589,21 +697,18 @@ object Ann {
     * is the Spark-native cadence). Update cost: the delta's sketches
     * + one bucket equi-join against a bucket-pruned combined index —
     * delta-proportional, never base-proportional. Probe fan-out is
-    * capped at 1 + `maxProbes` ([[buildKnnGraph]]'s probe contract).
+    * capped at 1 + `maxProbes` and hot-bucket contribution at
+    * ~`maxBucketGroup` ([[buildKnnGraph]]'s probe and skew contracts).
     */
   def updateKnnGraph(baseEmb: DataFrame, delta: DataFrame, idCol: String,
                      vecCol: String, bits: Int, bucketBits: Int,
-                     degree: Int, maxProbes: Int = 4): DataFrame = {
+                     degree: Int, maxProbes: Int = DefaultMaxProbes,
+                     maxBucketGroup: Long = DefaultMaxBucketGroup)
+      : DataFrame = {
     val combined = baseEmb.select(col(idCol), col(vecCol))
       .unionByName(delta.select(col(idCol), col(vecCol)))
-    val probes = srpProbeBucketsCapped(
-      delta.select(col(idCol).as("src"), col(vecCol).as("_se")),
-      "_se", bits, bucketBits, maxProbes)
-    val index = srpBucketIndex(combined, idCol, vecCol, bits, bucketBits)
-    val scoredPairs = probes.join(index, Seq("bucket"))
-      .filter(col("src") =!= col(idCol))
-      .select(col("src"), col(idCol),
-        cosineSim(col(vecCol), col("_se")).as("score"))
+    val scoredPairs = knnGraphCandidates(delta, combined, idCol, vecCol,
+      bits, bucketBits, maxProbes, maxBucketGroup)
     Search.topKPerQuery(scoredPairs, "src", idCol, degree)
       .select(col("src"), col(idCol).as("dst"))
   }

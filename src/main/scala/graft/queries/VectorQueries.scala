@@ -1155,6 +1155,63 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The SALTED hot-bucket k-NN graph build (v23 at a bucket-group cap
+    * that BINDS) — round 12's fix for the residual build
+    * superlinearity the round-11 probe cap left: probes (own-bucket
+    * and margin-ranked flips alike) preferentially land in DENSE
+    * buckets, so candidates/vector grows with bucket SKEW even at a
+    * constant probe count ([[Ann.buildKnnGraph]]'s skew contract).
+    * [[Ann.saltedBucketJoin]] splits buckets over `maxBucketGroup`
+    * into ⌈|bucket|/cap⌉ md5-uniform salt groups and a probe joins
+    * the one group its own id hashes to, bounding the per-probe
+    * contribution regardless of skew. Here the cap is forced to bind
+    * (maxBucketGroup = 16 against mean |bucket| ≈ n/16) and the query
+    * pins all three sides of the trade as oracle-replayed columns on
+    * the salted graph's edges:
+    *   - cand_per_vec   — candidates/vector of the salted build (the
+    *     number that must stay a geometry constant at any skew),
+    *   - max_cand_src   — the hottest per-vector candidate fan-out
+    *     (the bound the salt provides: ≤ (1+probes)·~cap where the
+    *     unsalted join is unbounded under skew),
+    *   - edge_overlap   — |salted ∩ unsalted| / |unsalted| edges: the
+    *     recall the md5-sampling of hot buckets retains.
+    * The oracle replays the sketches, the bucket counts, the
+    * ⌈count/cap⌉ salt-group arithmetic, BOTH md5 salt assignments and
+    * both candidate joins in SQL — the salting is hash-pinned, not
+    * trusted. (At the default maxBucketGroup = 256 no bench corpus
+    * binds — v23/v43/v47/v48/v52 are byte-identical; this query is
+    * the binding-geometry pin, the v52 convention.)
+    */
+  def saltedGraphBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    def cands(cap: Long): DataFrame =
+      Ann.knnGraphCandidates(emb, emb, "vec_id", "embedding",
+        bits = 16, bucketBits = 4, maxProbes = 4, maxBucketGroup = cap)
+    val salted = cands(16L)
+    val saltedEdges = Search.topKPerQuery(salted, "src", "vec_id", 3)
+    val fullEdges = Search.topKPerQuery(cands(Long.MaxValue),
+      "src", "vec_id", 3)
+    val nVec = emb.agg(count(lit(1)).as("_nv"))
+    val nCand = salted.agg(count(lit(1)).as("_nc"))
+    val maxSrc = salted.groupBy("src").agg(count(lit(1)).as("_c"))
+      .agg(max(col("_c")).as("_mx"))
+    val nFull = fullEdges.agg(count(lit(1)).as("_nf"))
+    val nCommon = saltedEdges.select("src", "vec_id")
+      .join(fullEdges.select("src", "vec_id"), Seq("src", "vec_id"))
+      .agg(count(lit(1)).as("_ncm"))
+    saltedEdges.filter(col("src") < 30)
+      .crossJoin(broadcast(nVec)).crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(maxSrc))
+      .crossJoin(broadcast(nFull)).crossJoin(broadcast(nCommon))
+      .select(col("src"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("dst"), round(col("score"), 6).as("score"),
+        round(col("_nc").cast("double") / col("_nv"), 4).as("cand_per_vec"),
+        col("_mx").as("max_cand_src"),
+        round(col("_ncm").cast("double") / col("_nf"), 4)
+          .as("edge_overlap"))
+      .orderBy("src", "rank")
+  }
+
   /** The fully LEARNED IVF-PQ configuration — v22 with k-means cells
     * instead of seeded ones: MLlib-trained centroids route the corpus,
     * trained codebooks compress it, probe-4 → ADC shortlist-50 → exact
@@ -3254,6 +3311,72 @@ object VectorQueries {
         |       round(score, 6) AS score
         |FROM ranked WHERE rank <= 3 AND query_id < 30
         |ORDER BY query_id, rank""".stripMargin,
+    // the salted hot-bucket graph-build replay: sketches -> buckets ->
+    // per-bucket counts -> n_salts = ceil(count/cap) -> md5 salt on
+    // BOTH member and probe ids -> the (bucket, salt) group join, next
+    // to the unsalted bucket join for the edge_overlap retention metric
+    "v53_graph_salted_build" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |  CAST(list_sum(list_transform(range(0, 16), j ->
+        |    CASE WHEN list_sum(list_transform(range(0, len(e)), i ->
+        |        e[CAST(i + 1 AS INT)] *
+        |        (CASE WHEN CAST(concat('0x', substring(
+        |               md5(concat('srp:', j, ':', i)), 1, 15)) AS BIGINT)
+        |              % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+        |    THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS sketch
+        |  FROM v),
+        |p AS (SELECT src, qe,
+        |        unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
+        |                xor(qb, 8)]) AS bucket
+        |      FROM (SELECT vec_id AS src, e AS qe,
+        |                   sketch % 16 AS qb FROM s)),
+        |i AS (SELECT vec_id, e, sketch % 16 AS bucket FROM s),
+        |cnt AS (SELECT bucket, CAST(ceil(count(*) / 16.0) AS BIGINT) AS ns
+        |        FROM i GROUP BY bucket),
+        |im AS (SELECT i.vec_id, i.e, i.bucket,
+        |         CAST(concat('0x', substring(md5(concat('gsalt:',
+        |              CAST(i.vec_id AS VARCHAR))), 1, 15)) AS BIGINT)
+        |           % cnt.ns AS salt
+        |       FROM i JOIN cnt USING (bucket)),
+        |pm AS (SELECT p.src, p.qe, p.bucket,
+        |         CAST(concat('0x', substring(md5(concat('gsalt:',
+        |              CAST(p.src AS VARCHAR))), 1, 15)) AS BIGINT)
+        |           % cnt.ns AS salt
+        |       FROM p JOIN cnt USING (bucket)),
+        |cc AS (SELECT pm.src, im.vec_id,
+        |         list_cosine_similarity(im.e, pm.qe) AS score
+        |       FROM pm JOIN im USING (bucket, salt)
+        |       WHERE pm.src <> im.vec_id),
+        |fc AS (SELECT p.src, i.vec_id,
+        |         list_cosine_similarity(i.e, p.qe) AS score
+        |       FROM p JOIN i USING (bucket) WHERE p.src <> i.vec_id),
+        |ce AS (SELECT src, vec_id, score,
+        |         row_number() OVER (PARTITION BY src
+        |                            ORDER BY score DESC, vec_id) AS rank
+        |       FROM cc),
+        |fe AS (SELECT src, vec_id, score,
+        |         row_number() OVER (PARTITION BY src
+        |                            ORDER BY score DESC, vec_id) AS rank
+        |       FROM fc),
+        |nv AS (SELECT count(*) AS nv FROM v),
+        |nc AS (SELECT count(*) AS nc FROM cc),
+        |mx AS (SELECT max(c) AS mx FROM
+        |        (SELECT src, count(*) AS c FROM cc GROUP BY src)),
+        |nf AS (SELECT count(*) AS nf FROM fe WHERE rank <= 3),
+        |ncm AS (SELECT count(*) AS ncm
+        |        FROM (SELECT src, vec_id FROM ce WHERE rank <= 3)
+        |        JOIN (SELECT src, vec_id FROM fe WHERE rank <= 3)
+        |        USING (src, vec_id))
+        |SELECT ce.src, CAST(ce.rank AS BIGINT) AS rank,
+        |       ce.vec_id AS dst, round(ce.score, 6) AS score,
+        |       round(CAST(nc.nc AS DOUBLE) / nv.nv, 4) AS cand_per_vec,
+        |       mx.mx AS max_cand_src,
+        |       round(CAST(ncm.ncm AS DOUBLE) / nf.nf, 4) AS edge_overlap
+        |FROM ce, nv, nc, mx, nf, ncm
+        |WHERE ce.rank <= 3 AND ce.src < 30
+        |ORDER BY src, rank""".stripMargin,
     // the capped-probe graph replay: per-plane dots for the 6 bucket
     // planes, sign bits -> own bucket, |margin| rank -> the 2 flips the
     // cap keeps, then BOTH candidate joins (capped + full hamming-1)
@@ -3447,6 +3570,7 @@ object VectorQueries {
     "v33_batched_ivfpq" -> (batchedIvfPq(_, _)),
     "v23_knn_graph" -> (knnGraph(_, _)),
     "v52_graph_capped_probe" -> (cappedProbeGraph(_, _)),
+    "v53_graph_salted_build" -> (saltedGraphBuild(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),
     "v34_pixel_search" -> (pixelSearch(_, _)),

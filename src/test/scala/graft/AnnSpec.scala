@@ -257,6 +257,54 @@ class AnnSpec extends SparkSpec {
     assert(perSrc.nonEmpty && perSrc.forall(_ <= 3))
   }
 
+  test("buildKnnGraph salted hot-bucket join: non-binding cap is an " +
+      "identity; binding cap matches an independent md5-salt replay") {
+    val rnd = new scala.util.Random(11)
+    val many = vecsDf((1L to 80L).map(i =>
+      (i, Seq.fill(6)(rnd.nextFloat() * 2 - 1))): _*)
+    def edges(g: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      g.as[(Long, Long)].collect().toSet
+    // 80 vectors over 16 buckets: hottest bucket far below the 256
+    // default, so the default build ≡ an explicitly uncapped one
+    val dflt = edges(Ann.buildKnnGraph(many, "vec_id", "embedding",
+      bits = 16, bucketBits = 4, degree = 3))
+    val uncapped = edges(Ann.buildKnnGraph(many, "vec_id", "embedding",
+      bits = 16, bucketBits = 4, degree = 3,
+      maxBucketGroup = Long.MaxValue))
+    assert(dflt == uncapped, "non-binding maxBucketGroup must be identity")
+    // binding cap: replay counts -> n_salts -> md5 salt -> group join
+    // from scratch and demand the identical candidate set
+    val cap = 3L
+    val got = Ann.knnGraphCandidates(many, many, "vec_id", "embedding",
+        bits = 16, bucketBits = 4, maxProbes = 4, maxBucketGroup = cap)
+      .select("src", "vec_id").as[(Long, Long)].collect().toSet
+    val vecs = many.as[(Long, Seq[Float])].collect().toMap
+    def sketchBit(v: Seq[Float], j: Int): Boolean =
+      v.indices.map { i =>
+        val sign = if ((graft.expressions.Md5Util.md5_60(s"srp:$j:$i")
+            & 1L) == 1L) 1.0 else -1.0
+        v(i).toDouble * sign
+      }.sum > 0
+    val bucket = vecs.map { case (id, v) =>
+      id -> (0 until 4).map(j => if (sketchBit(v, j)) 1L << j else 0L).sum
+    }
+    val nSalts = bucket.values.groupBy(identity)
+      .map { case (b, xs) => b -> (xs.size + cap - 1) / cap }
+    def salt(id: Long, b: Long): Long =
+      graft.expressions.Md5Util.md5_60(s"gsalt:$id") % nSalts(b)
+    val expected = for {
+      (src, own) <- bucket.toSet
+      b <- Set(own) ++ (0 until 4).map(j => own ^ (1L << j))
+      if nSalts.contains(b) // probing an empty bucket yields nothing
+      // toSeq: mapping a Map to key-colliding pairs would collapse them
+      (cand, cb) <- bucket.toSeq
+      if cb == b && cand != src && salt(src, b) == salt(cand, b)
+    } yield (src, cand)
+    assert(got == expected)
+    // sanity: at least one bucket actually split (the cap bound work)
+    assert(nSalts.values.exists(_ > 1), "fixture must bind the cap")
+  }
+
   test("contrastiveTriplets: best >=tau positive, best <tau hard negative") {
     // 2D fixture: anchors 1,2 nearly parallel (cos≈1); 3 at ~45°
     // (cos≈0.707 < 0.8 — the hard negative); 4 orthogonal (easy
