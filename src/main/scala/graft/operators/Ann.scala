@@ -465,6 +465,36 @@ object Ann {
       .orderBy(col("deg").desc, col("dst"))
       .limit(n).collect().map(_.getLong(0)).toSeq
 
+  /** Entry points ROUTED BY REGION: the `perBucket` highest in-degree
+    * graph nodes of EACH SRP bucket (deg desc, id tiebreak) — the fix
+    * for the navigability failure [[topDegreeEntries]] has on
+    * CLUSTERED corpora, where the k-NN graph decomposes into
+    * near-disconnected per-cluster components and global hubs all sit
+    * in a few of them: a walk started from hubs of the wrong cluster
+    * never reaches the query's (v54 measures recall 0.39 from 4
+    * global hubs vs ≥ 0.9 with per-bucket entries on the 8-cluster
+    * fixture). This is the flat-graph analog of HNSW's upper layers /
+    * NSG's navigating node: a constant-size entry set that covers
+    * every region. One aggregate over the model-sized edge artifact
+    * joined with the bucket index, then a ≤ perBucket·2^bucketBits-row
+    * collect — entry derivation stays graph-derived and re-keying-
+    * proof. Buckets whose nodes have no in-edges contribute none
+    * (unreachable-by-edges regions are entered only if some bucket
+    * mate has in-degree).
+    */
+  def topDegreeEntriesPerBucket(graph: DataFrame, index: DataFrame,
+                                idCol: String,
+                                perBucket: Int): Seq[Long] = {
+    val deg = graph.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+    index.select(col(idCol).as("dst"), col("bucket"))
+      .join(deg, Seq("dst"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("bucket"))
+          .orderBy(col("deg").desc, col("dst"))))
+      .filter(col("_rn") <= perBucket)
+      .select(col("dst")).collect().map(_.getLong(0)).toSeq.sorted
+  }
+
   /** The walk LOOP shared by the single-query serving variants: the
     * scored visited set after `rounds` beam expansions. */
   private def beamWalkScored(graph: DataFrame, vectors: DataFrame,

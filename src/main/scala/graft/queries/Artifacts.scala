@@ -91,4 +91,68 @@ object Artifacts {
   /** The glob a DuckDB oracle reads the artifact back from. */
   def oracleGlob(name: String): String =
     path(name, lastSfDir.getOrDefault(name, DefaultSfDir)) + "/*.parquet"
+
+  /** Persist `df` hive-partitioned by `partCol` — the artifact variant
+    * for SHARDED index stores (v55's bucket-partitioned graph), where
+    * the claim under test is that serving opens only some of the
+    * partition directories. Not coalesced: the directory layout IS the
+    * artifact.
+    */
+  def writePartitioned(df: DataFrame, name: String, sfDir: String,
+                       partCol: String): String = {
+    verifiedRoot: Unit
+    lastSfDir.put(name, sfDir)
+    val dir = path(name, sfDir)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(dir)
+    dir
+  }
+
+  /** The recursive glob a DuckDB oracle reads a [[writePartitioned]]
+    * artifact back from (pair with `hive_partitioning = 1` so the
+    * partition column is reconstructed from the directory names). */
+  def oracleGlobHive(name: String): String =
+    path(name, lastSfDir.getOrDefault(name, DefaultSfDir)) + "/**/*.parquet"
+
+  // ---- cross-run reuse (the model-registry pattern) -----------------
+  //
+  // Training artifacts are DETERMINISTIC functions of (corpus, geometry,
+  // training code): same inputs → identical bytes. A fresh JVM therefore
+  // doesn't need to retrain — it can adopt the previous run's artifact
+  // if a sealed fingerprint proves the inputs match. The fingerprint is
+  // a caller-chosen string carrying the geometry AND a version token the
+  // call site bumps whenever training semantics change; the corpus is
+  // already in the directory key (name × sfDir hash). An unsealed or
+  // mismatching directory is rebuilt — reuse can only ever substitute
+  // bit-identical contents, so oracles are unaffected.
+
+  private def fpFile(name: String, sfDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path(name, sfDir), "_graft_fp")
+
+  /** True iff the artifact directory holds a completed build sealed
+    * with exactly this fingerprint — the caller may skip rebuilding.
+    * Also registers `sfDir` for [[oracleGlob]] like [[write]] does. */
+  def cachedHit(name: String, sfDir: String, fingerprint: String)
+      : Boolean = {
+    lastSfDir.put(name, sfDir)
+    try {
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path(name, sfDir), "_SUCCESS")) &&
+        java.nio.file.Files.exists(fpFile(name, sfDir)) &&
+        new String(java.nio.file.Files.readAllBytes(fpFile(name, sfDir)),
+          "UTF-8") == fingerprint
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Seal a just-written artifact with its fingerprint (call AFTER
+    * [[write]] — Overwrite mode cleared any previous marker). */
+  def seal(name: String, sfDir: String, fingerprint: String): Unit =
+    java.nio.file.Files.write(fpFile(name, sfDir),
+      fingerprint.getBytes("UTF-8")): Unit
+
+  /** The directory of an artifact (hit or just-written) — for readers
+    * on the cache-hit path, where no [[write]] returned it. */
+  def resolve(name: String, sfDir: String): String = {
+    lastSfDir.put(name, sfDir)
+    path(name, sfDir)
+  }
 }

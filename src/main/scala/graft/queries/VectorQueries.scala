@@ -1036,6 +1036,24 @@ object VectorQueries {
       Array.tabulate(trained.m, trained.k)((j, c) => persisted((j, c))))
   }
 
+  /** Rehydrate a [[persistCodebooks]] artifact without retraining —
+    * the cache-hit path of the cross-run reuse ([[Artifacts.cachedHit]]):
+    * m, k and dsub all come from the persisted (j, c, center) rows, so
+    * the loaded model is definitionally the one the artifact's sealed
+    * fingerprint vouches for.
+    */
+  private def loadCodebooks(spark: SparkSession, name: String,
+                            sfDir: String): graft.operators.Pq.PqModel = {
+    val rows = spark.read.parquet(Artifacts.resolve(name, sfDir))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
+      .toMap
+    val m = rows.keys.map(_._1).max + 1
+    val k = rows.keys.map(_._2).max + 1
+    graft.operators.Pq.PqModel(rows((0, 0)).length,
+      Array.tabulate(m, k)((j, c) => rows((j, c))))
+  }
+
   /** The full IVF-PQ composition end-to-end ([[graft.operators.Pq
     * .buildIvfPqIndex]] / [[graft.operators.Pq.ivfPqSearch]]) as an
     * oracle-gated query: seeded Voronoi cells route the corpus
@@ -1212,6 +1230,112 @@ object VectorQueries {
       .orderBy("src", "rank")
   }
 
+  /** SHARDED/ROUTED graph serving — the v26 partition-pruning
+    * discipline applied to the GRAPH index, on the clustered corpus
+    * where shard routing is meaningful (v54's fixture and geometry:
+    * bucketBits 6, degree 12): the k-NN graph artifact is persisted
+    * hive-partitioned by `shard` = the SRP bucket of each edge's
+    * SOURCE node ([[Artifacts.writePartitioned]]), and a query walks
+    * only the shards its own probe buckets route to (own bucket +
+    * hamming-1 flips — 7 of 64 directories — resolved driver-side to
+    * a static `shard IN (...)` scan filter, the v26 static-probe
+    * pattern). The graph scan therefore carries real PartitionFilters
+    * (PlanSpec asserts it): at 100 TB the graph artifact is n·degree
+    * edges and the difference is listing 7 of 64 directories instead
+    * of scanning the whole adjacency store. Entries derive from the
+    * ROUTED shards only (per-routed-bucket top-2 in-degree — v54's
+    * entry rule; serving never reads an unrouted shard). The output
+    * pins the cost meters (nodes_touched, shards_probed) against
+    * three quality meters: recall@10 of the routed walk vs the exact
+    * scan, recall_full of the same walk UNROUTED (the control — their
+    * gap is the price of reading 7/64 shards; measured ZERO for this
+    * query: 0.70 = 0.70 with walk_overlap 1.0, i.e. the routed walk
+    * returns the identical answer while reading 11% of the store —
+    * and widening to hamming-2 probes buys nothing at 3× the edges),
+    * and walk_overlap@10 between the two. The oracle replays the query's
+    * probe buckets, reads the SAME partitioned store with
+    * hive_partitioning, re-derives both entry sets and replays both
+    * walks in SQL.
+    */
+  /** The routed half of [[graphShardedServe]], factored so PlanSpec
+    * can assert the PartitionFilters on the EXACT frame the query
+    * walks (the walk rounds localCheckpoint, so the final result's
+    * plan no longer shows the graph scan). Returns
+    * (corpus-with-queries, routed shard scan, probe buckets).
+    */
+  private[graft] def v55Routed(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, Seq[Long]) = {
+    val (allSrc, edgesSrc) = clusteredBuild(spark, sfDir)
+    val all = spark.read.parquet(
+      Artifacts.write(allSrc, "v55_corpus", sfDir))
+    val corpus = all.filter(col("vec_id") >= 8)
+    val index = Ann.srpBucketIndex(corpus, "vec_id", "embedding", 16, 6)
+    val dir = Artifacts.writePartitioned(
+      edgesSrc.join(index.select(col("vec_id").as("src"),
+        col("bucket").as("shard")), Seq("src")),
+      "v55_graph", sfDir, "shard")
+    val graphAll = spark.read.parquet(dir)
+    val q = all.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    // the query's probe buckets, resolved driver-side to a static IN
+    // filter (7 longs — the k-sized collect the v26 shape legitimizes)
+    val probeBuckets = Ann.srpProbeBuckets(q, "qe", 16, 6)
+      .select("bucket").distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val routed = graphAll
+      .filter(col("shard").isin(probeBuckets: _*))
+      .select("src", "dst")
+    (all, routed, probeBuckets)
+  }
+
+  def graphShardedServe(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (all, routed, probeBuckets) = v55Routed(spark, sfDir)
+    val (_, edgesSrc) = clusteredBuild(spark, sfDir)
+    val corpus = all.filter(col("vec_id") >= 8)
+    val index = Ann.srpBucketIndex(corpus, "vec_id", "embedding", 16, 6)
+    val q = all.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val walked = Ann.graphBeamSearch(routed, corpus, q,
+      "vec_id", "embedding",
+      entryIds = Ann.topDegreeEntriesPerBucket(routed,
+        index.filter(col("bucket").isin(probeBuckets: _*)),
+        "vec_id", perBucket = 2),
+      beam = 16, rounds = 3, k = 10)
+    // the unrouted control: the same walk over the whole store, same
+    // entry rule over all buckets — what the routing gave up is the
+    // recall_full − recall_at_10 gap, pinned next to the saving
+    val fullWalkTop = Ann.graphBeamSearch(edgesSrc, corpus, q,
+        "vec_id", "embedding",
+        entryIds = Ann.topDegreeEntriesPerBucket(edgesSrc, index,
+          "vec_id", perBucket = 2),
+        beam = 16, rounds = 3, k = 10)
+      .select(col("vec_id"), lit(1L).as("_fw"))
+    val exact = Search.topK(corpus, q, "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("_hit"))
+    val recallFull = broadcast(fullWalkTop
+      .join(exact, Seq("vec_id"), "left")
+      .agg(round(sum(coalesce(col("_hit"), lit(0L))).cast("double") / 10.0,
+        6).as("recall_full")))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    walked.join(exact, Seq("vec_id"), "left")
+      .join(fullWalkTop, Seq("vec_id"), "left")
+      .withColumn("hit", coalesce(col("_hit"), lit(0L)))
+      .withColumn("in_full_walk", coalesce(col("_fw"), lit(0L)))
+      .withColumn("recall_at_10",
+        round(sum(col("hit")).over(wAll).cast("double") / 10.0, 6))
+      .withColumn("walk_overlap",
+        round(sum(col("in_full_walk")).over(wAll).cast("double") / 10.0,
+          6))
+      .withColumn("shards_probed", lit(probeBuckets.size.toLong))
+      .crossJoin(recallFull)
+      .select(col("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"), col("hit"),
+        col("in_full_walk"), col("nodes_touched"), col("shards_probed"),
+        col("recall_at_10"), col("recall_full"), col("walk_overlap"))
+      .orderBy("rank")
+  }
+
   /** The fully LEARNED IVF-PQ configuration — v22 with k-means cells
     * instead of seeded ones: MLlib-trained centroids route the corpus,
     * trained codebooks compress it, probe-4 → ADC shortlist-50 → exact
@@ -1235,14 +1359,23 @@ object VectorQueries {
     val q = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
     val (centroids, model) = ivfPqModelCache.getOrElseUpdate(sfDir, {
-      val centDir = Artifacts.write(
-        Ann.kmeansCentroids(corpus, "vec_id", "embedding", 16),
-        "v25_centroids", sfDir)
-      val trained = Pq.trainCodebooks(
-        corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
-        "vec_id", "embedding", m = 8, k = 16, maxIter = 4)
-      (spark.read.parquet(centDir).localCheckpoint(),
-        persistCodebooks(spark, trained, "v25_codebooks", sfDir))
+      // cross-run reuse, the v30 convention: both models are
+      // deterministic functions of the corpus + this geometry
+      val fp = "v25:v1:kmeans=16,pq=m8k16i4"
+      val names = Seq("v25_centroids", "v25_codebooks")
+      if (!names.forall(Artifacts.cachedHit(_, sfDir, fp))) {
+        Artifacts.write(
+          Ann.kmeansCentroids(corpus, "vec_id", "embedding", 16),
+          "v25_centroids", sfDir)
+        val trained = Pq.trainCodebooks(
+          corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", m = 8, k = 16, maxIter = 4)
+        persistCodebooks(spark, trained, "v25_codebooks", sfDir)
+        names.foreach(Artifacts.seal(_, sfDir, fp))
+      }
+      (spark.read.parquet(Artifacts.resolve("v25_centroids", sfDir))
+          .localCheckpoint(),
+        loadCodebooks(spark, "v25_codebooks", sfDir))
     })
     val index = Pq.buildIvfPqIndex(corpus, centroids,
       "vec_id", "embedding", model)
@@ -1485,48 +1618,63 @@ object VectorQueries {
     import graft.operators.{Ingest, Pq}
     val (corpus, centroids, model) =
       refIvfPqCache.getOrElseUpdate(sfDir, {
-        import graft.functions.VectorFunctions.floatVectorFromBinary
-        import graft.sources.SqliteReader
-        import spark.implicits._
-        val raw = spark.read.format("binaryFile").load(RefDb)
-          .select("content").as[Array[Byte]]
-          .flatMap { bytes =>
-            SqliteReader.readTable(bytes, "documents").map { r =>
-              (r.values(0).asInstanceOf[Long],
-                r.values(2).asInstanceOf[Array[Byte]])
+        // cross-run reuse ([[Artifacts.cachedHit]]): the d=1536
+        // k-means + PQ training is the warm phase's single largest
+        // owner (38 s of 114 in round 11) and a deterministic function
+        // of the reference blobs + this geometry — a sealed previous
+        // build is bit-identical, so a fresh JVM adopts it instead of
+        // retraining. Bump the version token on ANY training change.
+        val fp = "v30:v1:copies=40,dim=1536,kmeans=8,pq=m8k16i2"
+        val names = Seq("v30_corpus", "v30_centroids", "v30_codebooks")
+        if (!names.forall(Artifacts.cachedHit(_, sfDir, fp))) {
+          import graft.functions.VectorFunctions.floatVectorFromBinary
+          import graft.sources.SqliteReader
+          import spark.implicits._
+          val raw = spark.read.format("binaryFile").load(RefDb)
+            .select("content").as[Array[Byte]]
+            .flatMap { bytes =>
+              SqliteReader.readTable(bytes, "documents").map { r =>
+                (r.values(0).asInstanceOf[Long],
+                  r.values(2).asInstanceOf[Array[Byte]])
+              }
             }
-          }
-          .toDF("doc_id", "vector_blob")
-          .select(col("doc_id"),
-            floatVectorFromBinary(col("vector_blob")).as("seed"))
-        val copies = 40
-        val gen0 = raw
-          .crossJoin(spark.range(copies).select(col("id").as("k")))
-          .select((col("doc_id") * lit(1000L) + col("k")).as("vec_id"),
-            col("seed"))
-          .withColumn("ptext", concat(lit("pt "), col("vec_id")))
-        val gen = Ingest.hashEmbedRaw(gen0, "ptext", 1536)
-          .withColumnRenamed("embedding", "nvec")
-          .withColumn("mix",
-            zip_with(col("seed"), col("nvec"), (a, b) => a + lit(0.5) * b))
-          .withColumn("nrm",
-            sqrt(aggregate(col("mix"), lit(0.0), (acc, x) => acc + x * x)))
-          .select(col("vec_id"),
-            transform(col("mix"), x => (x / col("nrm")).cast("float"))
-              .as("embedding"))
-        val corpusDf = spark.read.parquet(
-          Artifacts.write(gen, "v30_corpus", sfDir))
-        val cents = spark.read.parquet(Artifacts.write(
+            .toDF("doc_id", "vector_blob")
+            .select(col("doc_id"),
+              floatVectorFromBinary(col("vector_blob")).as("seed"))
+          val copies = 40
+          val gen0 = raw
+            .crossJoin(spark.range(copies).select(col("id").as("k")))
+            .select((col("doc_id") * lit(1000L) + col("k")).as("vec_id"),
+              col("seed"))
+            .withColumn("ptext", concat(lit("pt "), col("vec_id")))
+          val gen = Ingest.hashEmbedRaw(gen0, "ptext", 1536)
+            .withColumnRenamed("embedding", "nvec")
+            .withColumn("mix",
+              zip_with(col("seed"), col("nvec"),
+                (a, b) => a + lit(0.5) * b))
+            .withColumn("nrm",
+              sqrt(aggregate(col("mix"), lit(0.0),
+                (acc, x) => acc + x * x)))
+            .select(col("vec_id"),
+              transform(col("mix"), x => (x / col("nrm")).cast("float"))
+                .as("embedding"))
+          val corpusDf = spark.read.parquet(
+            Artifacts.write(gen, "v30_corpus", sfDir))
+          Artifacts.write(
             Ann.kmeansCentroids(corpusDf.filter(col("vec_id") =!= 1000L),
               "vec_id", "embedding", 8),
-            "v30_centroids", sfDir))
-          .localCheckpoint()
-        val trained = Pq.trainCodebooks(
-          corpusDf.filter(col("vec_id") =!= 1000L &&
-            pmod(col("vec_id"), lit(2)) === 0),
-          "vec_id", "embedding", m = 8, k = 16, maxIter = 2)
-        (corpusDf, cents,
-          persistCodebooks(spark, trained, "v30_codebooks", sfDir))
+            "v30_centroids", sfDir)
+          val trained = Pq.trainCodebooks(
+            corpusDf.filter(col("vec_id") =!= 1000L &&
+              pmod(col("vec_id"), lit(2)) === 0),
+            "vec_id", "embedding", m = 8, k = 16, maxIter = 2)
+          persistCodebooks(spark, trained, "v30_codebooks", sfDir)
+          names.foreach(Artifacts.seal(_, sfDir, fp))
+        }
+        (spark.read.parquet(Artifacts.resolve("v30_corpus", sfDir)),
+          spark.read.parquet(Artifacts.resolve("v30_centroids", sfDir))
+            .localCheckpoint(),
+          loadCodebooks(spark, "v30_codebooks", sfDir))
       })
     import graft.operators.Pq
     val serving = corpus.filter(col("vec_id") =!= 1000L)
@@ -1569,26 +1717,35 @@ object VectorQueries {
   private val clusteredRecallCache = scala.collection.concurrent.TrieMap
     .empty[String, (DataFrame, DataFrame)]
 
-  def clusteredRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The 8-cluster deterministic corpus v28 documents, factored out so
+    * v54 (the graph-serving operating point) measures against the SAME
+    * clustered structure: center(c) = hashEmbed("center c"),
+    * point(i) = l2-normalize(center(i % 8) + 0.75 · hashEmbed("pt i")).
+    */
+  private def genClusteredCorpus(spark: SparkSession): DataFrame = {
     import graft.operators.Ingest
+    val gen0 = spark.range(2000).select(col("id").as("vec_id"))
+      .withColumn("ctext", concat(lit("center "), pmod(col("vec_id"), lit(8))))
+      .withColumn("ptext", concat(lit("pt "), col("vec_id")))
+    Ingest.hashEmbedRaw(
+        Ingest.hashEmbedRaw(gen0, "ctext", 64)
+          .withColumnRenamed("embedding", "cvec"), "ptext", 64)
+      .withColumnRenamed("embedding", "nvec")
+      .withColumn("mix",
+        zip_with(col("cvec"), col("nvec"), (a, b) => a + lit(0.75) * b))
+      .withColumn("nrm",
+        sqrt(aggregate(col("mix"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("vec_id"),
+        transform(col("mix"), x => (x / col("nrm")).cast("float"))
+          .as("embedding"))
+  }
+
+  def clusteredRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val n = 2000
     val nQueries = 8
     val (all, centroids) = clusteredRecallCache.getOrElseUpdate(sfDir, {
-      val gen0 = spark.range(n).select(col("id").as("vec_id"))
-        .withColumn("ctext", concat(lit("center "), pmod(col("vec_id"), lit(8))))
-        .withColumn("ptext", concat(lit("pt "), col("vec_id")))
-      val gen = Ingest.hashEmbedRaw(
-          Ingest.hashEmbedRaw(gen0, "ctext", 64)
-            .withColumnRenamed("embedding", "cvec"), "ptext", 64)
-        .withColumnRenamed("embedding", "nvec")
-        .withColumn("mix",
-          zip_with(col("cvec"), col("nvec"), (a, b) => a + lit(0.75) * b))
-        .withColumn("nrm",
-          sqrt(aggregate(col("mix"), lit(0.0), (acc, x) => acc + x * x)))
-        .select(col("vec_id"),
-          transform(col("mix"), x => (x / col("nrm")).cast("float"))
-            .as("embedding"))
-      val corpusDir = Artifacts.write(gen, "v28_corpus", sfDir)
+      val corpusDir = Artifacts.write(genClusteredCorpus(spark),
+        "v28_corpus", sfDir)
       val allDf = spark.read.parquet(corpusDir)
       (allDf, spark.read.parquet(Artifacts.write(
         Ann.kmeansCentroids(allDf.filter(col("vec_id") >= nQueries),
@@ -1641,6 +1798,87 @@ object VectorQueries {
     frac.join(rec, Seq("n_probe"))
       .select("n_probe", "frac_scanned", "recall_at_10")
       .orderBy("n_probe")
+  }
+
+  /** The graph-ANN RECALL-TARGETED OPERATING POINT on the clustered
+    * corpus — the serving claim v43/v50 could not make on the
+    * near-uniform fixture (recall 0.4 at sf0.001 is honest but weak;
+    * real embedding corpora are clustered, v28's premise). On the
+    * 8-cluster corpus the k-NN graph decomposes into per-cluster
+    * components, and the measured failure is ENTRY ROUTING, not walk
+    * capacity: from 4 global hubs the sweep plateaus at recall 0.39
+    * no matter the beam, because 7 of 8 clusters are unreachable.
+    * [[Ann.topDegreeEntriesPerBucket]] (top-2 in-degree nodes per SRP
+    * bucket — the flat-graph analog of HNSW's upper layers) fixes the
+    * routing. The GEOMETRY matters too: this corpus is exactly the
+    * skew the build's salt guard exists for (at bucketBits = 4 one
+    * bucket holds 1,074 of 1,992 vectors and the salt split caps
+    * recall ~0.87 at any beam); bucketBits = 6 lets real hyperplanes
+    * do the splitting (hottest bucket 489) with the margin-capped
+    * probes holding fan-out at 5 buckets/vector. The pinned operating
+    * point — bucketBits 6, degree 12, per-bucket-2 entries, beam 16,
+    * rounds 4 — reaches recall@10 ≥ 0.9 over the 8 held-out queries
+    * touching ~160 of 1,992 corpus vectors (~8%) — the
+    * recall-at-≪-corpus-cost point a serving tier would deploy. Both
+    * the graph and the corpus persist as artifacts; the oracle
+    * re-derives the per-bucket entries (sketch replay + in-degree
+    * ranking) and replays all 4 walk rounds, the exact ground truth
+    * and the per-query recall in SQL.
+    */
+  /** The clustered corpus + its (bucketBits 6, degree 12) k-NN graph,
+    * built ONCE per (JVM, corpus) and shared by v54 (operating point)
+    * and v55 (sharded serving) — the [[fullKnnGraph]] sharing
+    * convention: one real build, each consumer still persisting the
+    * frames under its OWN artifact names for a self-contained oracle.
+    */
+  private val clusteredBuildCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame)]
+
+  private def clusteredBuild(spark: SparkSession,
+                             sfDir: String): (DataFrame, DataFrame) =
+    clusteredBuildCache.getOrElseUpdate(sfDir, {
+      val all = genClusteredCorpus(spark).localCheckpoint()
+      val g = Ann.buildKnnGraph(all.filter(col("vec_id") >= 8),
+        "vec_id", "embedding", bits = 16, bucketBits = 6, degree = 12)
+        .localCheckpoint()
+      (all, g)
+    })
+
+  def graphClusteredServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val nQueries = 8
+    val (allSrc, edgesSrc) = clusteredBuild(spark, sfDir)
+    val all = spark.read.parquet(
+      Artifacts.write(allSrc, "v54_corpus", sfDir))
+    val graph = spark.read.parquet(
+      Artifacts.write(edgesSrc, "v54_graph", sfDir))
+    val corpus = all.filter(col("vec_id") >= nQueries)
+    val entries = Ann.topDegreeEntriesPerBucket(graph,
+      Ann.srpBucketIndex(corpus, "vec_id", "embedding", 16, 6),
+      "vec_id", perBucket = 2)
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val walked = Ann.graphBeamSearchBatch(graph, corpus, queries,
+      "vec_id", "embedding", "query_id", entries,
+      beam = 16, rounds = 4, k = 10)
+    val exact = Search.topKPerQuery(
+        Search.scoreAll(corpus, queries, "vec_id", "embedding",
+          "query_id", "qe"), "query_id", "vec_id", 10)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("_hit"))
+    val wq = Window.partitionBy("query_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    walked.join(exact, Seq("query_id", "vec_id"), "left")
+      .withColumn("hit", coalesce(col("_hit"), lit(0L)))
+      .withColumn("recall_at_10",
+        round(sum(col("hit")).over(wq).cast("double") / 10.0, 6))
+      .withColumn("mean_recall",
+        round(sum(col("hit")).over(wAll).cast("double") /
+          lit(10.0 * nQueries), 6))
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"), col("hit"),
+        col("nodes_touched"), col("recall_at_10"), col("mean_recall"))
+      .orderBy("query_id", "rank")
   }
 
   /** The multimodal→retrieval COMPOSITION end-to-end: binary payloads
@@ -1793,6 +2031,65 @@ object VectorQueries {
         "doc_id", "features", "qe", 10)
       .select(col("doc_id"), round(col("score"), 6).as("score"))
       .orderBy("doc_id")
+  }
+
+  /** CROSS-MODAL retrieval composition — image pixel features (v34's
+    * real-decode kernel) and text hash embeddings (i01's kernel) in
+    * ONE store with a `modality` column, served by ONE multi-probe
+    * SRP-routed search: the store is (item_id, modality, embedding)
+    * with both modalities embedded into the same 16-dim space
+    * (4×4 block-mean luma grid / dim-16 feature hashing — the
+    * deterministic stand-ins; a learned joint encoder drops into
+    * either leg without touching the plan), persisted as an artifact.
+    * The query (text item 0's stored vector) probes its SRP buckets
+    * once (own + hamming-1 — the v23 routing), every candidate is
+    * scored once, and each candidate then feeds THREE ranked scopes
+    * via one explode — 'all' plus its own modality — so the unfiltered
+    * and both modality-filtered answers come from a single scan, one
+    * scoring pass and one rank-window shuffle (scope = the window
+    * key). cand_scanned pins the routing's work. At 100 TB the store
+    * is bucket-partitioned and the probe is the pruned equi-join the
+    * graph/IVF family already serves; modality is just a column, which
+    * is the entire point — cross-modal serving needs no second index.
+    * The oracle reads the SAME persisted store (the kernels are pinned
+    * by v34/i01; this query pins the composition) and replays
+    * sketch → probe → scoped ranking in SQL.
+    */
+  def crossModalSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{ImagePixels, Ingest}
+    val docs = Tables.documents(spark, sfDir)
+    val media = docs.select("doc_id").filter(col("doc_id") < 60).as[Long]
+      .map(id =>
+        ImagePixels.MediaRow(id, ImagePixels.SynthImages.pngForId(id)))
+      .toDF()
+    val img = ImagePixels.pixelFeatures(media, 4, 4)
+      .select((col("doc_id") + 1000000L).as("item_id"),
+        lit("image").as("modality"), col("features").as("embedding"))
+    val txt = Ingest.hashEmbed(docs.filter(col("doc_id") < 200),
+        "text", 16)
+      .select(col("doc_id").as("item_id"), lit("text").as("modality"),
+        col("embedding"))
+    val store = spark.read.parquet(
+      Artifacts.write(txt.unionByName(img), "v56_store", sfDir))
+    val q = store.filter(col("item_id") === 0)
+      .select(col("embedding").as("qe"))
+    val index = store.filter(col("item_id") =!= 0)
+      .withColumn("bucket", graft.functions.HashFunctions
+        .cosineLshBits(col("embedding"), 16).bitwiseAND(lit(15L)))
+    val cand = index.join(Ann.srpProbeBuckets(q, "qe", 16, 4),
+        Seq("bucket"))
+      .select(col("item_id"), col("modality"),
+        cosineSim(col("embedding"), col("qe")).as("score"))
+    val nCand = cand.agg(count(lit(1)).as("cand_scanned"))
+    val scoped = cand.withColumn("scope",
+      explode(array(lit("all"), col("modality"))))
+    Search.topKPerQuery(scoped, "scope", "item_id", 5)
+      .crossJoin(broadcast(nCand))
+      .select(col("scope"), col("rank").cast("long").as("rank"),
+        col("item_id"), col("modality"),
+        round(col("score"), 6).as("score"), col("cand_scanned"))
+      .orderBy("scope", "rank")
   }
 
   /** Range search (FAISS's `range_search` surface — the reference's
@@ -1977,11 +2274,17 @@ object VectorQueries {
     * both the compacted and the base graph). Ends at `${p}s3`, the
     * final scored visited set.
     */
+  /** With `customEntries = true` the `${p}en` CTE is NOT emitted — the
+    * caller supplies its own entry CTE of that name upstream (v55's
+    * per-routed-bucket entry rule). */
   private def walkUnrollSql(p: String, g: String, c: String,
-                            beam: Int = 8): String =
-    s"""${p}en AS (SELECT dst AS vec_id, count(*) AS deg FROM $g
-       |       GROUP BY dst ORDER BY deg DESC, vec_id LIMIT 4),
-       |${p}s0 AS (SELECT $c.vec_id, list_cosine_similarity($c.e, q.qe) AS score
+                            beam: Int = 8,
+                            customEntries: Boolean = false): String =
+    (if (customEntries) ""
+     else s"""${p}en AS (SELECT dst AS vec_id, count(*) AS deg FROM $g
+             |       GROUP BY dst ORDER BY deg DESC, vec_id LIMIT 4),
+             |""".stripMargin) +
+    s"""${p}s0 AS (SELECT $c.vec_id, list_cosine_similarity($c.e, q.qe) AS score
        |       FROM $c JOIN ${p}en USING (vec_id), q),
        |${p}b0 AS (SELECT vec_id AS src FROM ${p}s0
        |       ORDER BY score DESC, vec_id LIMIT $beam),
@@ -2001,6 +2304,37 @@ object VectorQueries {
        |       UNION SELECT dst AS vec_id FROM $g JOIN ${p}b2 USING (src)),
        |${p}s3 AS (SELECT $c.vec_id, list_cosine_similarity($c.e, q.qe) AS score
        |       FROM $c JOIN ${p}i3 USING (vec_id), q)""".stripMargin
+
+  /** The BATCHED beam walk ([[Ann.graphBeamSearchBatch]]'s rounds)
+    * unrolled as CTEs for an arbitrary round count — the batch twin of
+    * [[walkUnrollSql]] (v47 predates it and keeps its hand-written
+    * 2-round block). Expects CTEs `q` (query_id, qe), `$c` (vec_id, e)
+    * and `en` (vec_id — the query-independent entry set); emits
+    * s0..s$rounds with per-query row_number beams cut at `$beam`.
+    * Ends at `s$rounds`, the final per-query scored visited set.
+    */
+  private def batchWalkUnrollSql(g: String, c: String, rounds: Int,
+                                 beam: Int): String = {
+    val s0 =
+      s"""s0 AS (SELECT q.query_id, $c.vec_id,
+         |              list_cosine_similarity($c.e, q.qe) AS score
+         |       FROM $c JOIN en USING (vec_id), q)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""b${r - 1} AS (SELECT query_id, vec_id AS src FROM (
+         |         SELECT query_id, vec_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY score DESC, vec_id) AS r
+         |         FROM s${r - 1}) WHERE r <= $beam),
+         |i$r AS (SELECT query_id, vec_id FROM s${r - 1}
+         |       UNION SELECT query_id, dst AS vec_id
+         |             FROM $g JOIN b${r - 1} USING (src)),
+         |s$r AS (SELECT i$r.query_id, i$r.vec_id,
+         |              list_cosine_similarity($c.e, q.qe) AS score
+         |       FROM i$r JOIN $c USING (vec_id)
+         |       JOIN q USING (query_id))""".stripMargin
+    }
+    (s0 +: steps).mkString(",\n")
+  }
 
   /** DuckDB oracles. `embeddings`/`documents` resolve to the same
     * parquet. A `def`, not a `val`: the v14/v16/v22 entries interpolate
@@ -3311,6 +3645,200 @@ object VectorQueries {
         |       round(score, 6) AS score
         |FROM ranked WHERE rank <= 3 AND query_id < 30
         |ORDER BY query_id, rank""".stripMargin,
+    // the cross-modal replay: store floats from the artifact (the
+    // feature kernels are pinned by v34/i01), sketch -> probe buckets
+    // -> one scored candidate set -> the 'all'+modality scoped ranking
+    "v56_crossmodal" ->
+      s"""WITH st AS (SELECT item_id, modality,
+         |              CAST(embedding AS DOUBLE[]) AS e
+         |            FROM read_parquet('${Artifacts.oracleGlob("v56_store")}')),
+         |q AS (SELECT e AS qe FROM st WHERE item_id = 0),
+         |s AS (SELECT item_id, modality, e,
+         |  CAST(list_sum(list_transform(range(0, 4), j ->
+         |    CASE WHEN list_sum(list_transform(range(0, len(e)), i ->
+         |        e[CAST(i + 1 AS INT)] *
+         |        (CASE WHEN CAST(concat('0x', substring(
+         |               md5(concat('srp:', j, ':', i)), 1, 15)) AS BIGINT)
+         |              % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+         |    THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+         |  FROM st WHERE item_id <> 0),
+         |qb AS (SELECT
+         |  CAST(list_sum(list_transform(range(0, 4), j ->
+         |    CASE WHEN list_sum(list_transform(range(0, len(qe)), i ->
+         |        qe[CAST(i + 1 AS INT)] *
+         |        (CASE WHEN CAST(concat('0x', substring(
+         |               md5(concat('srp:', j, ':', i)), 1, 15)) AS BIGINT)
+         |              % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+         |    THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS b
+         |  FROM q),
+         |pb AS (SELECT DISTINCT bucket FROM (
+         |        SELECT b AS bucket FROM qb
+         |        UNION ALL SELECT xor(b, 1) FROM qb
+         |        UNION ALL SELECT xor(b, 2) FROM qb
+         |        UNION ALL SELECT xor(b, 4) FROM qb
+         |        UNION ALL SELECT xor(b, 8) FROM qb)),
+         |cand AS (SELECT s.item_id, s.modality,
+         |           list_cosine_similarity(s.e, q.qe) AS score
+         |         FROM s JOIN pb USING (bucket), q),
+         |nc AS (SELECT count(*) AS cand_scanned FROM cand),
+         |sc AS (SELECT 'all' AS scope, item_id, modality, score FROM cand
+         |       UNION ALL
+         |       SELECT modality AS scope, item_id, modality, score
+         |       FROM cand),
+         |ranked AS (SELECT scope, item_id, modality, score,
+         |             row_number() OVER (PARTITION BY scope
+         |               ORDER BY score DESC, item_id) AS rank
+         |           FROM sc)
+         |SELECT scope, CAST(rank AS BIGINT) AS rank, item_id, modality,
+         |       round(score, 6) AS score, nc.cand_scanned
+         |FROM ranked, nc WHERE rank <= 5
+         |ORDER BY scope, rank""".stripMargin,
+    // the sharded-serving replay on the clustered corpus: probe
+    // buckets from the query's 6-plane sketch, the hive-partitioned
+    // graph store read twice (routed via shard IN probes, and unrouted
+    // for the control), per-bucket top-2 entries for BOTH walks, both
+    // walks unrolled, recall/control/overlap in SQL
+    "v55_graph_sharded" ->
+      s"""WITH ga AS (SELECT CAST(shard AS BIGINT) AS shard, src, dst
+         |            FROM read_parquet(
+         |              '${Artifacts.oracleGlobHive("v55_graph")}',
+         |              hive_partitioning = 1)),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("v55_corpus")}')),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |c AS (SELECT vec_id, e FROM v WHERE vec_id >= 8),
+         |qb AS (SELECT
+         |  CAST(list_sum(list_transform(range(0, 6), j ->
+         |    CASE WHEN list_sum(list_transform(range(0, len(qe)), i ->
+         |        qe[CAST(i + 1 AS INT)] *
+         |        (CASE WHEN CAST(concat('0x', substring(
+         |               md5(concat('srp:', j, ':', i)), 1, 15)) AS BIGINT)
+         |              % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+         |    THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS b
+         |  FROM q),
+         |pb AS (SELECT DISTINCT bucket FROM (
+         |        SELECT b AS bucket FROM qb
+         |        UNION ALL SELECT xor(b, 1) FROM qb
+         |        UNION ALL SELECT xor(b, 2) FROM qb
+         |        UNION ALL SELECT xor(b, 4) FROM qb
+         |        UNION ALL SELECT xor(b, 8) FROM qb
+         |        UNION ALL SELECT xor(b, 16) FROM qb
+         |        UNION ALL SELECT xor(b, 32) FROM qb)),
+         |bk AS (SELECT vec_id,
+         |  CAST(list_sum(list_transform(range(0, 6), j ->
+         |    CASE WHEN list_sum(list_transform(range(0, len(e)), i ->
+         |        e[CAST(i + 1 AS INT)] *
+         |        (CASE WHEN CAST(concat('0x', substring(
+         |               md5(concat('srp:', j, ':', i)), 1, 15)) AS BIGINT)
+         |              % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+         |    THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+         |  FROM c),
+         |g AS (SELECT src, dst FROM ga JOIN pb ON ga.shard = pb.bucket),
+         |fg AS (SELECT src, dst FROM ga),
+         |dg AS (SELECT dst AS vec_id, count(*) AS deg FROM g
+         |       GROUP BY dst),
+         |en AS (SELECT vec_id FROM (
+         |         SELECT bk.vec_id,
+         |                row_number() OVER (PARTITION BY bk.bucket
+         |                  ORDER BY dg.deg DESC, bk.vec_id) AS rn
+         |         FROM bk JOIN dg USING (vec_id)
+         |         JOIN pb ON bk.bucket = pb.bucket) WHERE rn <= 2),
+         |fdg AS (SELECT dst AS vec_id, count(*) AS deg FROM fg
+         |        GROUP BY dst),
+         |fen AS (SELECT vec_id FROM (
+         |          SELECT bk.vec_id,
+         |                 row_number() OVER (PARTITION BY bk.bucket
+         |                   ORDER BY fdg.deg DESC, bk.vec_id) AS rn
+         |          FROM bk JOIN fdg USING (vec_id)) WHERE rn <= 2),
+         |${walkUnrollSql("", "g", "c", beam = 16, customEntries = true)},
+         |${walkUnrollSql("f", "fg", "c", beam = 16,
+                          customEntries = true)},
+         |t AS (SELECT count(*) AS nodes_touched FROM s3),
+         |sp AS (SELECT count(*) AS shards_probed FROM pb),
+         |ex AS (SELECT c.vec_id FROM c, q
+         |       ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
+         |       LIMIT 10),
+         |fw AS (SELECT vec_id FROM fs3
+         |       ORDER BY score DESC, vec_id LIMIT 10),
+         |rf AS (SELECT round(CAST(count(ex.vec_id) AS DOUBLE) / 10.0, 6)
+         |         AS recall_full
+         |       FROM fw LEFT JOIN ex USING (vec_id)),
+         |top AS (SELECT vec_id, score,
+         |          row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+         |        FROM s3 ORDER BY score DESC, vec_id LIMIT 10),
+         |h AS (SELECT top.rank, top.vec_id, top.score,
+         |        CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit,
+         |        CASE WHEN fw.vec_id IS NULL THEN 0 ELSE 1 END
+         |          AS in_full_walk
+         |      FROM top LEFT JOIN ex USING (vec_id)
+         |      LEFT JOIN fw USING (vec_id)),
+         |r AS (SELECT
+         |        round(CAST(sum(hit) AS DOUBLE) / 10.0, 6)
+         |          AS recall_at_10,
+         |        round(CAST(sum(in_full_walk) AS DOUBLE) / 10.0, 6)
+         |          AS walk_overlap
+         |      FROM h)
+         |SELECT CAST(h.rank AS BIGINT) AS rank, h.vec_id,
+         |       round(h.score, 6) AS score, CAST(h.hit AS BIGINT) AS hit,
+         |       CAST(h.in_full_walk AS BIGINT) AS in_full_walk,
+         |       t.nodes_touched, sp.shards_probed,
+         |       r.recall_at_10, rf.recall_full, r.walk_overlap
+         |FROM h, t, sp, r, rf ORDER BY rank""".stripMargin,
+    // the clustered-corpus operating-point replay: corpus + graph from
+    // their artifacts, per-bucket top-2 in-degree entries re-derived
+    // from the sketch replay, all 4 batched walk rounds, exact ground
+    // truth and per-query recall — every step in SQL
+    "v54_graph_clustered" ->
+      s"""WITH g AS (SELECT src, dst
+         |           FROM read_parquet('${Artifacts.oracleGlob("v54_graph")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("v54_corpus")}')),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v
+         |      WHERE vec_id < 8),
+         |c AS (SELECT vec_id, e FROM v WHERE vec_id >= 8),
+         |bk AS (SELECT vec_id,
+         |  CAST(list_sum(list_transform(range(0, 6), j ->
+         |    CASE WHEN list_sum(list_transform(range(0, len(e)), i ->
+         |        e[CAST(i + 1 AS INT)] *
+         |        (CASE WHEN CAST(concat('0x', substring(
+         |               md5(concat('srp:', j, ':', i)), 1, 15)) AS BIGINT)
+         |              % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+         |    THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+         |  FROM c),
+         |dg AS (SELECT dst AS vec_id, count(*) AS deg FROM g GROUP BY dst),
+         |en AS (SELECT vec_id FROM (
+         |         SELECT bk.vec_id,
+         |                row_number() OVER (PARTITION BY bk.bucket
+         |                  ORDER BY dg.deg DESC, bk.vec_id) AS rn
+         |         FROM bk JOIN dg USING (vec_id)) WHERE rn <= 2),
+         |${batchWalkUnrollSql("g", "c", rounds = 4, beam = 16)},
+         |t AS (SELECT query_id, count(*) AS nodes_touched FROM s4
+         |      GROUP BY 1),
+         |top AS (SELECT query_id, vec_id, score,
+         |               row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY score DESC, vec_id) AS rank
+         |        FROM s4),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |         SELECT q.query_id, c.vec_id,
+         |                row_number() OVER (PARTITION BY q.query_id
+         |                  ORDER BY list_cosine_similarity(c.e, q.qe)
+         |                           DESC, c.vec_id) AS r
+         |         FROM c, q) WHERE r <= 10),
+         |h AS (SELECT top.query_id, top.rank, top.vec_id, top.score,
+         |        CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |      FROM top LEFT JOIN ex USING (query_id, vec_id)
+         |      WHERE top.rank <= 10),
+         |rc AS (SELECT query_id,
+         |         round(CAST(sum(hit) AS DOUBLE) / 10.0, 6)
+         |           AS recall_at_10
+         |       FROM h GROUP BY 1),
+         |mr AS (SELECT round(CAST(sum(hit) AS DOUBLE) / 80.0, 6)
+         |         AS mean_recall FROM h)
+         |SELECT h.query_id, CAST(h.rank AS BIGINT) AS rank, h.vec_id,
+         |       round(h.score, 6) AS score, CAST(h.hit AS BIGINT) AS hit,
+         |       t.nodes_touched, rc.recall_at_10, mr.mean_recall
+         |FROM h JOIN t USING (query_id) JOIN rc USING (query_id), mr
+         |ORDER BY query_id, rank""".stripMargin,
     // the salted hot-bucket graph-build replay: sketches -> buckets ->
     // per-bucket counts -> n_salts = ceil(count/cap) -> md5 salt on
     // BOTH member and probe ids -> the (bucket, salt) group join, next
@@ -3571,6 +4099,9 @@ object VectorQueries {
     "v23_knn_graph" -> (knnGraph(_, _)),
     "v52_graph_capped_probe" -> (cappedProbeGraph(_, _)),
     "v53_graph_salted_build" -> (saltedGraphBuild(_, _)),
+    "v54_graph_clustered" -> (graphClusteredServe(_, _)),
+    "v55_graph_sharded" -> (graphShardedServe(_, _)),
+    "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),
     "v34_pixel_search" -> (pixelSearch(_, _)),

@@ -121,6 +121,28 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("v55: the routed graph walk partition-prunes the sharded " +
+      "adjacency store") {
+    // the sharded-serving claim: against the shard(= SRP bucket of
+    // src)-partitioned graph store, a query's walk scans only its 7
+    // probed shard directories — the routed frame the walk consumes
+    // (the walk rounds localCheckpoint, so the final result's plan no
+    // longer shows this scan) carries a real shard partition filter
+    val (_, routed, buckets) = VectorQueries.v55Routed(spark, sf)
+    assert(buckets.size == 7, s"own + 6 flips, got $buckets")
+    val p = plan(routed)
+    val graphScans = p.split("\n")
+      .filter(l => l.contains("FileScan parquet") && l.contains("shard"))
+    assert(graphScans.nonEmpty, s"no sharded graph scan in:\n$p")
+    graphScans.foreach { l =>
+      assert(l.contains("PartitionFilters:") &&
+          !l.contains("PartitionFilters: []") &&
+          l.indexOf("shard", l.indexOf("PartitionFilters:")) > 0,
+        s"graph scan does not shard-prune:\n$l")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("bucketed tables join without any exchange (co-located join)") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
