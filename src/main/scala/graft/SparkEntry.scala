@@ -56,6 +56,7 @@ object SparkEntry {
     "v30_ref_ivfpq",        // reference-geometry d=1536 codebooks
     "v33_batched_ivfpq",    // v33 codebooks
     "v49_graph_compact",    // compacted + shared LSM base k-NN graphs
+    "v54_graph_clustered",  // clustered corpus + its bb=6 k-NN graph
   )
 
   /** Build every shared artifact by running its owner once (errors

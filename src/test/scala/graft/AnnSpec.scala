@@ -305,6 +305,30 @@ class AnnSpec extends SparkSpec {
     assert(nSalts.values.exists(_ > 1), "fixture must bind the cap")
   }
 
+  test("topDegreeEntriesPerBucket: per-bucket top-n by in-degree, " +
+      "deg desc then id tie-break, buckets without in-edges absent") {
+    import spark.implicits._
+    // graph: in-degrees 10→3, 11→2, 12→1, 20→2, 21→1; 30 has none
+    val graph = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (2L, 11L), (4L, 12L),
+      (1L, 20L), (2L, 20L), (3L, 21L)).toDF("src", "dst")
+    val index = Seq(
+      (10L, 0L), (11L, 0L), (12L, 0L), // bucket 0
+      (20L, 1L), (21L, 1L),            // bucket 1
+      (30L, 2L)                        // bucket 2: no in-degree
+    ).toDF("vec_id", "bucket")
+      .withColumn("embedding", array(lit(0f))) // unused by the derivation
+    val got = Ann.topDegreeEntriesPerBucket(graph, index, "vec_id",
+      perBucket = 2)
+    assert(got == Seq(10L, 11L, 20L, 21L))
+    // equal degrees: id asc wins the rank
+    val tie = Seq((1L, 41L), (2L, 40L)).toDF("src", "dst")
+    val tIdx = Seq((40L, 0L), (41L, 0L)).toDF("vec_id", "bucket")
+      .withColumn("embedding", array(lit(0f)))
+    assert(Ann.topDegreeEntriesPerBucket(tie, tIdx, "vec_id", 1)
+      == Seq(40L))
+  }
+
   test("contrastiveTriplets: best >=tau positive, best <tau hard negative") {
     // 2D fixture: anchors 1,2 nearly parallel (cos≈1); 3 at ~45°
     // (cos≈0.707 < 0.8 — the hard negative); 4 orthogonal (easy
