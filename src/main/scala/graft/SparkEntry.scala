@@ -57,6 +57,7 @@ object SparkEntry {
     "v33_batched_ivfpq",    // v33 codebooks
     "v49_graph_compact",    // compacted + shared LSM base k-NN graphs
     "v54_graph_clustered",  // clustered corpus + its bb=6 k-NN graph
+    "v58_graph_sharded_lsm",// sharded base store + delta sidecar append
   )
 
   /** Build every shared artifact by running its owner once (errors

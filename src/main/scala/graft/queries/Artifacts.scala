@@ -113,6 +113,26 @@ object Artifacts {
   def oracleGlobHive(name: String): String =
     path(name, lastSfDir.getOrDefault(name, DefaultSfDir)) + "/**/*.parquet"
 
+  /** APPEND to a [[writePartitioned]] store — the LSM delta write: new
+    * files land ONLY in the partition directories the frame actually
+    * contains (Spark's per-partition append), every other shard's
+    * files untouched — which is the whole point of composing a sharded
+    * layout with incremental maintenance (at 100 TB: a delta batch
+    * rewrites k of 2^bucketBits directories, not the store).
+    * NOT idempotent: appending the same frame twice duplicates rows —
+    * callers own once-per-build sequencing (the v58 snapshot cache),
+    * and a fresh JVM's base [[writePartitioned]] (Overwrite) resets
+    * the store before its append re-runs.
+    */
+  def appendPartitioned(df: DataFrame, name: String, sfDir: String,
+                        partCol: String): String = {
+    verifiedRoot: Unit
+    lastSfDir.put(name, sfDir)
+    val dir = path(name, sfDir)
+    df.write.mode(SaveMode.Append).partitionBy(partCol).parquet(dir)
+    dir
+  }
+
   // ---- cross-run reuse (the model-registry pattern) -----------------
   //
   // Training artifacts are DETERMINISTIC functions of (corpus, geometry,
@@ -148,6 +168,60 @@ object Artifacts {
   def seal(name: String, sfDir: String, fingerprint: String): Unit =
     java.nio.file.Files.write(fpFile(name, sfDir),
       fingerprint.getBytes("UTF-8")): Unit
+
+  /** The reuse wrapper over [[cachedHit]]/[[seal]]: if EVERY artifact
+    * in `names` is sealed with exactly `fp`, skip `build` (a fresh JVM
+    * adopts the previous run's bit-identical parquet); otherwise run
+    * `build` — which must [[write]] every name — and seal them all.
+    * Callers fold [[inputDigest]] of the training inputs into `fp` so
+    * in-place fixture regeneration forces a rebuild.
+    */
+  def reuseOrBuild(sfDir: String, fp: String, names: Seq[String])
+                  (build: => Unit): Unit =
+    if (!names.forall(cachedHit(_, sfDir, fp))) {
+      build
+      names.foreach(seal(_, sfDir, fp))
+    }
+
+  /** Content identity of a training INPUT (file or directory), for
+    * folding into a [[cachedHit]] fingerprint — closes the reuse
+    * contract's blind spot: the directory key carries the input's
+    * PATH, so an in-place regeneration of the same path (new fixture
+    * bytes, same location) would otherwise be invisible and a stale
+    * model adopted — with the oracle replaying downstream from the
+    * same artifact, correctness would still report a match, hiding
+    * the drift. Digest = md5 over every regular file's (relative
+    * path, size, mtime), sorted — metadata, not bytes: O(files) stat
+    * calls instead of a re-read of corpus-scale parquet, and any
+    * rewrite (even byte-identical) bumps mtime → a spurious REBUILD,
+    * never a spurious reuse, which is the safe direction. Cached per
+    * (JVM, path): inputs are immutable within a run.
+    */
+  def inputDigest(inputPaths: String*): String = {
+    val key = inputPaths.mkString(" ")
+    digestCache.computeIfAbsent(key, { _ =>
+      val entries = inputPaths.flatMap { p =>
+        val root = java.nio.file.Paths.get(p)
+        if (!java.nio.file.Files.exists(root)) Seq(s"$p:ABSENT")
+        else {
+          val s = java.nio.file.Files.walk(root)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .map(f => root.relativize(f).toString + ":" +
+                java.nio.file.Files.size(f) + ":" +
+                java.nio.file.Files.getLastModifiedTime(f).toMillis)
+              .toVector.sorted
+          } finally s.close()
+        }
+      }
+      hash8(entries.mkString("\n"))
+    })
+  }
+
+  private val digestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The directory of an artifact (hit or just-written) — for readers
     * on the cache-hit path, where no [[write]] returned it. */

@@ -80,11 +80,24 @@ object TextQueries {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def dupPairs(spark: SparkSession, sfDir: String): DataFrame =
-    dupPairCache.getOrElseUpdate(sfDir,
-      Dedup.ngramJaccardPairs(
-        spread(Tables.documents(spark, sfDir), "doc_id"),
-        "doc_id", "text", n = 3, threshold = 0.1, maxDf = 1000L)
-        .localCheckpoint())
+    dupPairCache.getOrElseUpdate(sfDir, {
+      // cross-run reuse (the v30 convention): the pair graph is a
+      // deterministic function of the corpus + these constants, so a
+      // sealed previous run's edge list is bit-identical — the warm
+      // phase's single largest owner (t16, 13 s of shingle explode +
+      // inverted-index join) lands on a parquet read in later runs
+      val fp = "t16pairs:v1:n=3,th=0.1,maxdf=1000:" +
+        Artifacts.inputDigest(sfDir + "/documents.parquet")
+      Artifacts.reuseOrBuild(sfDir, fp, Seq("shared_dup_pairs")) {
+        Artifacts.write(
+          Dedup.ngramJaccardPairs(
+            spread(Tables.documents(spark, sfDir), "doc_id"),
+            "doc_id", "text", n = 3, threshold = 0.1, maxDf = 1000L),
+          "shared_dup_pairs", sfDir): Unit
+      }
+      spark.read.parquet(Artifacts.resolve("shared_dup_pairs", sfDir))
+        .localCheckpoint()
+    })
 
   private def dupComponents(spark: SparkSession, sfDir: String): DataFrame =
     dupComponentCache.getOrElseUpdate(sfDir, {
@@ -93,8 +106,18 @@ object TextQueries {
       // the iterative closure — the t45 per-run drift round 9's driver
       // bench recorded. The checkpoint survives clearCache like the
       // other per-corpus artifacts (node-count-sized frame).
-      graft.operators.Graph.connectedComponents(
-        dupPairs(spark, sfDir), "id_a", "id_b")
+      // Cross-run: the iterative closure is deterministic over the
+      // (already reusable) pair graph, so it reuses the same way.
+      val fp = "t16comp:v1:n=3,th=0.1,maxdf=1000:" +
+        Artifacts.inputDigest(sfDir + "/documents.parquet")
+      Artifacts.reuseOrBuild(sfDir, fp, Seq("shared_dup_components")) {
+        Artifacts.write(
+          graft.operators.Graph.connectedComponents(
+            dupPairs(spark, sfDir), "id_a", "id_b"),
+          "shared_dup_components", sfDir): Unit
+      }
+      spark.read.parquet(
+          Artifacts.resolve("shared_dup_components", sfDir))
         .localCheckpoint()
     })
 
@@ -498,22 +521,37 @@ object TextQueries {
   private def bpeModel(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame) =
     bpeModelCache.getOrElseUpdate(sfDir, {
-      var lastSeqs: DataFrame = null
-      val merges = graft.operators.Bpe
-        .train(Tables.documents(spark, sfDir), "text", rounds = BpeRounds,
-          persistRound = (r, df) => {
-            val dir = Artifacts.write(df, s"t66_seqs_r$r", sfDir)
-            val back = spark.read.parquet(dir)
-            lastSeqs = back
-            back
-          })
-        .localCheckpoint() // merge table is BpeRounds rows — model-sized
-      val learned = merges.count()
-      require(learned == BpeRounds,
-        s"BPE training exhausted after $learned merges (< $BpeRounds) " +
-          s"on corpus $sfDir — the t66/t67 oracles replay exactly " +
-          s"$BpeRounds rounds; lower BpeRounds for this corpus")
-      (merges, lastSeqs)
+      // cross-run reuse (the v30 convention): training is a
+      // deterministic fold over the corpus word table, every round
+      // artifact already persists for the oracle, and the merge table
+      // now persists too ("t66_merges") — so a fresh JVM whose seals
+      // all match adopts the previous run's rounds instead of
+      // re-training. reuseOrBuild's cachedHit registers every round
+      // artifact for the oracle glob on the hit path.
+      val fp = s"t66:v1:rounds=$BpeRounds:" +
+        Artifacts.inputDigest(sfDir + "/documents.parquet")
+      val names =
+        (0 to BpeRounds).map(r => s"t66_seqs_r$r") :+ "t66_merges"
+      Artifacts.reuseOrBuild(sfDir, fp, names) {
+        val merges = graft.operators.Bpe
+          .train(Tables.documents(spark, sfDir), "text",
+            rounds = BpeRounds,
+            persistRound = (r, df) => spark.read.parquet(
+              Artifacts.write(df, s"t66_seqs_r$r", sfDir)))
+        val learned = merges.count()
+        require(learned == BpeRounds,
+          s"BPE training exhausted after $learned merges " +
+            s"(< $BpeRounds) on corpus $sfDir — the t66/t67 oracles " +
+            s"replay exactly $BpeRounds rounds; lower BpeRounds for " +
+            "this corpus")
+        Artifacts.write(merges, "t66_merges", sfDir): Unit
+      }
+      // merge table is BpeRounds rows — model-sized
+      (spark.read.parquet(Artifacts.resolve("t66_merges", sfDir))
+          .localCheckpoint(),
+        spark.read.parquet(
+            Artifacts.resolve(s"t66_seqs_r$BpeRounds", sfDir))
+          .localCheckpoint())
     })
 
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
@@ -1466,11 +1504,22 @@ object TextQueries {
     */
   private[queries] def positionalShingleIndex(spark: SparkSession,
                                               sfDir: String): DataFrame =
-    posShingleCache.getOrElseUpdate(sfDir,
-      Dedup.positionalShingleHashes(
-          Tables.documents(spark, sfDir).select("doc_id", "text"),
-          "doc_id", "text", w = 8)
-        .localCheckpoint())
+    posShingleCache.getOrElseUpdate(sfDir, {
+      // cross-run reuse (the v30 convention): one md5 per token
+      // position is deterministic, so later runs read the sealed
+      // parquet instead of re-hashing the corpus
+      val fp = "t34idx:v1:w=8:" +
+        Artifacts.inputDigest(sfDir + "/documents.parquet")
+      Artifacts.reuseOrBuild(sfDir, fp, Seq("shared_pos_shingles")) {
+        Artifacts.write(
+          Dedup.positionalShingleHashes(
+            Tables.documents(spark, sfDir).select("doc_id", "text"),
+            "doc_id", "text", w = 8),
+          "shared_pos_shingles", sfDir): Unit
+      }
+      spark.read.parquet(Artifacts.resolve("shared_pos_shingles", sfDir))
+        .localCheckpoint()
+    })
 
   /** Exact-substring spans ([[graft.operators.Dedup.substringSpans]])
     * over the documents table: 8-token positional shingles, df ≤ 50,
@@ -1494,12 +1543,29 @@ object TextQueries {
 
   private def baseSubstrIndex(spark: SparkSession,
                               sfDir: String): Dedup.SubstrIndex =
-    substrIndexCache.getOrElseUpdate(sfDir,
-      Dedup.buildSubstrIndex(
-        Tables.documents(spark, sfDir)
-          .filter(pmod(col("doc_id"), lit(10)) < 8)
-          .select("doc_id", "text"),
-        "doc_id", "text", w = 8, maxDf = 50L, minRunTokens = 16))
+    substrIndexCache.getOrElseUpdate(sfDir, {
+      // cross-run reuse: the base index is (positional shingles, full
+      // span detection) — both deterministic frames, both persisted,
+      // so later runs skip the snapshot-time span pass entirely
+      val fp = "t47base:v1:w=8,maxdf=50,minrun=16,basemod10lt8:" +
+        Artifacts.inputDigest(sfDir + "/documents.parquet")
+      val names = Seq("shared_substr_base", "shared_substr_spans")
+      Artifacts.reuseOrBuild(sfDir, fp, names) {
+        val built = Dedup.buildSubstrIndex(
+          Tables.documents(spark, sfDir)
+            .filter(pmod(col("doc_id"), lit(10)) < 8)
+            .select("doc_id", "text"),
+          "doc_id", "text", w = 8, maxDf = 50L, minRunTokens = 16)
+        Artifacts.write(built.base, "shared_substr_base", sfDir)
+        Artifacts.write(built.spans, "shared_substr_spans", sfDir): Unit
+      }
+      Dedup.SubstrIndex(
+        spark.read.parquet(Artifacts.resolve("shared_substr_base", sfDir))
+          .localCheckpoint(),
+        spark.read.parquet(
+            Artifacts.resolve("shared_substr_spans", sfDir))
+          .localCheckpoint(), Nil)
+    })
 
   /** INCREMENTAL ExactSubstr maintenance
     * ([[graft.operators.Dedup.updateSubstrIndex]]) — t34's t31-style

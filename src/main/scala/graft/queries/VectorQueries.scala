@@ -502,10 +502,23 @@ object VectorQueries {
 
   private def fullKnnGraph(spark: SparkSession, sfDir: String): DataFrame =
     fullKnnGraphCache.getOrElseUpdate(sfDir, {
-      val emb = Tables.embeddings(spark, sfDir)
-      Ann.buildKnnGraph(emb.filter(col("vec_id") =!= 0),
-        "vec_id", "embedding",
-        bits = 16, bucketBits = 4, degree = 8).localCheckpoint()
+      // cross-run reuse (the v30 convention): the build is a
+      // deterministic function of the corpus + this geometry, so a
+      // sealed previous run's edge list is bit-identical and a fresh
+      // JVM adopts it instead of re-running the bucketed self-join —
+      // the warm phase's v49/v43/v50 share lands on a parquet read
+      val fp = "gfull:v1:bits=16,bb=4,deg=8:" +
+        Artifacts.inputDigest(sfDir + "/embeddings.parquet")
+      Artifacts.reuseOrBuild(sfDir, fp, Seq("shared_full_graph")) {
+        val emb = Tables.embeddings(spark, sfDir)
+        Artifacts.write(
+          Ann.buildKnnGraph(emb.filter(col("vec_id") =!= 0),
+            "vec_id", "embedding",
+            bits = 16, bucketBits = 4, degree = 8),
+          "shared_full_graph", sfDir): Unit
+      }
+      spark.read.parquet(Artifacts.resolve("shared_full_graph", sfDir))
+        .localCheckpoint()
     })
 
   /** The LSM pair's BASE k-NN graph, built ONCE per (JVM, corpus) and
@@ -522,11 +535,21 @@ object VectorQueries {
 
   private def lsmBaseGraph(spark: SparkSession, sfDir: String): DataFrame =
     lsmBaseGraphCache.getOrElseUpdate(sfDir, {
-      val emb = Tables.embeddings(spark, sfDir)
-      val base = emb.filter(col("vec_id") =!= 0 &&
-        pmod(col("vec_id"), lit(10)) =!= 9)
-      Ann.buildKnnGraph(base, "vec_id", "embedding",
-        bits = 16, bucketBits = 4, degree = 8).localCheckpoint()
+      // cross-run reuse, same contract as [[fullKnnGraph]]
+      val fp = "glsm:v1:bits=16,bb=4,deg=8,basemod10ne9:" +
+        Artifacts.inputDigest(sfDir + "/embeddings.parquet")
+      Artifacts.reuseOrBuild(sfDir, fp, Seq("shared_lsm_base_graph")) {
+        val emb = Tables.embeddings(spark, sfDir)
+        val base = emb.filter(col("vec_id") =!= 0 &&
+          pmod(col("vec_id"), lit(10)) =!= 9)
+        Artifacts.write(
+          Ann.buildKnnGraph(base, "vec_id", "embedding",
+            bits = 16, bucketBits = 4, degree = 8),
+          "shared_lsm_base_graph", sfDir): Unit
+      }
+      spark.read.parquet(
+          Artifacts.resolve("shared_lsm_base_graph", sfDir))
+        .localCheckpoint()
     })
 
   /** The shared serve-merge half of the LSM graph-serving pair (v48
@@ -1044,12 +1067,19 @@ object VectorQueries {
     */
   private def loadCodebooks(spark: SparkSession, name: String,
                             sfDir: String): graft.operators.Pq.PqModel = {
+    // columns by NAME, and the (j, c) grid required DENSE: a schema-
+    // reordered or partially-written artifact must fail with a
+    // fingerprint-grade diagnostic, not an opaque key/cast error
     val rows = spark.read.parquet(Artifacts.resolve(name, sfDir))
-      .collect()
+      .select("j", "c", "center").collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
       .toMap
     val m = rows.keys.map(_._1).max + 1
     val k = rows.keys.map(_._2).max + 1
+    require(rows.size == m * k,
+      s"codebook artifact '$name' is not a dense ${m}x$k grid " +
+        s"(${rows.size} rows) — corrupt or partially written; delete " +
+        s"${Artifacts.resolve(name, sfDir)} to force retraining")
     graft.operators.Pq.PqModel(rows((0, 0)).length,
       Array.tabulate(m, k)((j, c) => rows((j, c))))
   }
@@ -1207,7 +1237,10 @@ object VectorQueries {
         bits = 16, bucketBits = 4, maxProbes = 4, maxBucketGroup = cap)
     // OWNERSHIP: the salted frame feeds the edges AND three metric
     // aggregates, the full frame two — persisted here, released by the
-    // evaluating caller (the simHashNearDupPairs convention)
+    // evaluating caller via spark.catalog.clearCache (the
+    // simHashNearDupPairs convention; every harness — Bench, Verify,
+    // PlansDump, ScalingProbe — clears cache between queries, so
+    // corpus-scale candidate frames never accumulate across calls)
     val salted = cands(16L).persist()
     val saltedEdges = Search.topKPerQuery(salted, "src", "vec_id", 3)
     val fullEdges = Search.topKPerQuery(cands(Long.MaxValue),
@@ -1247,15 +1280,23 @@ object VectorQueries {
     * edges and the difference is listing 7 of 64 directories instead
     * of scanning the whole adjacency store. Entries derive from the
     * ROUTED shards only (per-routed-bucket top-2 in-degree — v54's
-    * entry rule; serving never reads an unrouted shard). The output
-    * pins the cost meters (nodes_touched, shards_probed) against
-    * three quality meters: recall@10 of the routed walk vs the exact
-    * scan, recall_full of the same walk UNROUTED (the control — their
-    * gap is the price of reading 7/64 shards; measured ZERO for this
+    * entry rule; serving never reads an unrouted shard). The walk
+    * runs v54's PINNED operating point (beam 16, rounds 4) — sharding
+    * serves the same geometry, not a weaker one. The output pins the
+    * cost meters (nodes_touched, shards_probed) against three quality
+    * meters: recall@10 of the routed walk vs the exact scan,
+    * recall_full of the same walk UNROUTED (the control — their gap
+    * is the price of reading 7/64 shards; measured ZERO for this
     * query: 0.70 = 0.70 with walk_overlap 1.0, i.e. the routed walk
-    * returns the identical answer while reading 11% of the store —
-    * and widening to hamming-2 probes buys nothing at 3× the edges),
-    * and walk_overlap@10 between the two. The oracle replays the query's
+    * returns the identical answer while reading 11% of the store and
+    * touching 70 nodes where the all-bucket-entry control touches
+    * 176 — and widening to hamming-2 probes buys nothing at 3× the
+    * edges). The ABSOLUTE 0.70 is this query's own value at the
+    * pinned point — v54's per-query recalls are {0.6, 0.7, 1.0×6},
+    * mean 0.91, and query 0 is one of the two hard cases; the sharded
+    * path reproduces it exactly, so what v55 pins is "routing is
+    * free at the deployed geometry", not a weaker operating point.
+    * The oracle replays the query's
     * probe buckets, reads the SAME partitioned store with
     * hive_partitioning, re-derives both entry sets and replays both
     * walks in SQL.
@@ -1299,6 +1340,19 @@ object VectorQueries {
     (all, routed, probeBuckets)
   }
 
+  /** Both v55 entry sets (routed-shards rule / all-buckets control),
+    * once per (JVM, corpus) — entry derivation is snapshot-time like
+    * the store writes (the v54ArtifactCache convention); repeated
+    * timed invocations measure the walks. NOTE the timed number still
+    * includes the unrouted CONTROL walk and the exact ground-truth
+    * scan — the pinned recall_full/walk_overlap meters are computed
+    * inside the query by design, so v55's time is NOT the routed
+    * serving cost alone (the plan assert + shards_probed carry the
+    * serving claim; the 7-of-64 read saving shows in the scan, not
+    * the wall clock of this fixture-sized corpus). */
+  private val v55EntryCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[Long], Seq[Long])]
+
   def graphShardedServe(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (all, routed, probeBuckets) = v55Routed(spark, sfDir)
@@ -1307,20 +1361,24 @@ object VectorQueries {
     val index = Ann.srpBucketIndex(corpus, "vec_id", "embedding", 16, 6)
     val q = all.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"))
+    val (routedEntries, fullEntries) =
+      v55EntryCache.getOrElseUpdate(sfDir, (
+        Ann.topDegreeEntriesPerBucket(routed,
+          index.filter(col("bucket").isin(probeBuckets: _*)),
+          "vec_id", perBucket = 2),
+        Ann.topDegreeEntriesPerBucket(edgesSrc, index,
+          "vec_id", perBucket = 2)))
+    // rounds = 4: v54's PINNED operating point (bucketBits 6, degree
+    // 12, beam 16, rounds 4) — served sharded, not a weaker geometry
     val walked = Ann.graphBeamSearch(routed, corpus, q,
-      "vec_id", "embedding",
-      entryIds = Ann.topDegreeEntriesPerBucket(routed,
-        index.filter(col("bucket").isin(probeBuckets: _*)),
-        "vec_id", perBucket = 2),
-      beam = 16, rounds = 3, k = 10)
+      "vec_id", "embedding", entryIds = routedEntries,
+      beam = 16, rounds = 4, k = 10)
     // the unrouted control: the same walk over the whole store, same
     // entry rule over all buckets — what the routing gave up is the
     // recall_full − recall_at_10 gap, pinned next to the saving
     val fullWalkTop = Ann.graphBeamSearch(edgesSrc, corpus, q,
-        "vec_id", "embedding",
-        entryIds = Ann.topDegreeEntriesPerBucket(edgesSrc, index,
-          "vec_id", perBucket = 2),
-        beam = 16, rounds = 3, k = 10)
+        "vec_id", "embedding", entryIds = fullEntries,
+        beam = 16, rounds = 4, k = 10)
       .select(col("vec_id"), lit(1L).as("_fw"))
     val exact = Search.topK(corpus, q, "vec_id", "embedding", "qe", 10)
       .select(col("vec_id"), lit(1L).as("_hit"))
@@ -1348,6 +1406,173 @@ object VectorQueries {
       .orderBy("rank")
   }
 
+  /** LSM MAINTENANCE OF THE SHARDED GRAPH STORE — v48's delta
+    * contract composed with v55's routed layout, the composition a
+    * deployed index actually runs: neither "incremental but the store
+    * is one blob" (v48) nor "sharded but updates rewrite everything"
+    * (v55) survives at 100 TB — a delta batch must land as new files
+    * in ONLY the partition directories its nodes' shards route to.
+    * Mechanics: the clustered corpus (v54's fixture) splits into a
+    * base and a 10% delta batch (mod-10 = 8 of the serving split —
+    * this class intersects the query's own cluster, so freshness is
+    * observable in the answer; mod-10 = 9 ids are odd and the
+    * clusters are id-mod-8, so v48's split would make delta_in_top
+    * vacuously zero here); the BASE k-NN graph persists
+    * hive-partitioned by src-node SRP bucket
+    * ([[Artifacts.writePartitioned]] — v55's layout, bucketBits 6 /
+    * degree 12); the delta's sidecar edges ([[Ann.updateKnnGraph]] —
+    * delta-proportional, probes the combined index, never rescores
+    * the base) then APPEND to the same store
+    * ([[Artifacts.appendPartitioned]]): Spark's partitioned append
+    * writes files only under the shard= directories the sidecar
+    * frame contains — ArtifactsSpec asserts untouched shards
+    * byte-stable, and `shards_written` pins the count (the update's
+    * I/O footprint). Serving is the LSM pair (v48's shape): the walk
+    * runs over the post-update store at the v54 pinned operating
+    * point (beam 16, rounds 4, entries re-derived per-routed-bucket
+    * from the post-update routed shards — still real
+    * PartitionFilters, PlanSpec-asserted), and the freshness half is
+    * the EXACT delta scan — deliberately UNROUTED: the LSM asymmetry
+    * means no base edge points into a fresh node yet, so a fresh
+    * node in an unprobed bucket would be invisible to BOTH halves if
+    * the scan were bucket-pruned (measured: the query's own cluster
+    * has a fresh member outside the probe set; a routed scan drops
+    * recall 0.7 → 0.6). Freshness must not depend on routing — the
+    * scan is delta-proportional (`delta_scanned` pins it), the LSM
+    * trade until compaction. The two top-10s merge by best score
+    * (same-id collisions — a delta node reached via its own sidecar
+    * linkage AND scanned — collapse to one row, provenance `delta` <
+    * `graph` on the tie). delta_in_top pins that fresh nodes
+    * actually rank: the query's own cluster contains delta members,
+    * so a serving path that lost them would show in recall (and the
+    * pinned answer matches v55's pre-split top-10 — the delta split
+    * costs NOTHING against the same store's unsplit serving, 0.7 =
+    * 0.7). The oracle reads the SAME
+    * post-update partitioned store with hive_partitioning, replays
+    * probe buckets, entry derivation, all 4 walk rounds, the routed
+    * delta scan, the merge, the exact scan over base ∪ delta, recall
+    * and the shards-written arithmetic (distinct sidecar-src
+    * buckets) in SQL.
+    */
+  private val v58StoreCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String, Seq[Long], Seq[Long])]
+
+  /** v58's store build + delta append + probe routing + entry
+    * derivation, once per (JVM, corpus) — snapshot-time; repeated
+    * timed invocations measure routed serving (+ the exact-scan
+    * meter). Returns (corpus, routed post-update scan, probe buckets,
+    * entries). Factored so PlanSpec can assert PartitionFilters on
+    * the exact frame the walk consumes (the v55Routed convention). */
+  private[graft] def v58Routed(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, Seq[Long], Seq[Long]) = {
+    val (corpusDir, storeDir, probeBuckets, entries) =
+      v58StoreCache.getOrElseUpdate(sfDir, {
+        val (allSrc, _) = clusteredBuild(spark, sfDir)
+        val aDir = Artifacts.write(allSrc, "v58_corpus", sfDir)
+        val all = spark.read.parquet(aDir)
+        val corpus = all.filter(col("vec_id") >= 8)
+        val base = corpus.filter(pmod(col("vec_id"), lit(10)) =!= 8)
+        val delta = corpus.filter(pmod(col("vec_id"), lit(10)) === 8)
+        // shard = SRP bucket of the src node in the COMBINED index
+        // (base and delta share one address space, so the delta's
+        // sidecar lands in the same shard a compaction would put it)
+        val index = Ann.srpBucketIndex(corpus, "vec_id", "embedding",
+          16, 6)
+        val shardOf = index.select(col("vec_id").as("src"),
+          col("bucket").as("shard"))
+        val baseGraph = Ann.buildKnnGraph(base, "vec_id", "embedding",
+          bits = 16, bucketBits = 6, degree = 12)
+        val sDir = Artifacts.writePartitioned(
+          baseGraph.join(shardOf, Seq("src")), "v58_store", sfDir,
+          "shard")
+        val sidecar = Ann.updateKnnGraph(base, delta, "vec_id",
+          "embedding", bits = 16, bucketBits = 6, degree = 12)
+        Artifacts.appendPartitioned(
+          sidecar.join(shardOf, Seq("src")), "v58_store", sfDir,
+          "shard")
+        val q = all.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val probes = Ann.srpProbeBuckets(q, "qe", 16, 6)
+          .select("bucket").distinct().collect()
+          .map(_.getLong(0)).toSeq.sorted
+        val routedScan = spark.read.parquet(sDir)
+          .filter(col("shard").isin(probes: _*))
+        (aDir, sDir, probes,
+          Ann.topDegreeEntriesPerBucket(
+            routedScan.select("src", "dst"),
+            index.filter(col("bucket").isin(probes: _*)),
+            "vec_id", perBucket = 2))
+      })
+    val all = spark.read.parquet(corpusDir)
+    val routed = spark.read.parquet(storeDir)
+      .filter(col("shard").isin(probeBuckets: _*))
+      .select("src", "dst")
+    (all, routed, probeBuckets, entries)
+  }
+
+  def graphShardedLsm(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (all, routed, probeBuckets, entries) = v58Routed(spark, sfDir)
+    val corpus = all.filter(col("vec_id") >= 8)
+    val delta = corpus.filter(pmod(col("vec_id"), lit(10)) === 8)
+    val q = all.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val walked = Ann.graphBeamSearch(routed, corpus, q,
+      "vec_id", "embedding", entryIds = entries,
+      beam = 16, rounds = 4, k = 10)
+    val touched = broadcast(walked.select("nodes_touched").limit(1))
+    // the freshness half: the EXACT delta scan (v48's contract).
+    // Deliberately UNROUTED — the LSM asymmetry means no base edge
+    // points into a fresh node yet, so a fresh node in an unprobed
+    // bucket would be unreachable by BOTH halves if the scan were
+    // bucket-pruned (measured here: the query's own cluster has a
+    // fresh member whose bucket the probe set misses — a routed scan
+    // drops recall 0.7 → 0.6). Freshness must not depend on routing;
+    // the scan is delta-proportional (delta_scanned pins it), which
+    // is the LSM trade until compaction folds the delta in.
+    val deltaN = broadcast(delta.agg(count(lit(1)).as("delta_scanned")))
+    val deltaTop = Search.topK(delta, q, "vec_id", "embedding",
+        "qe", 10)
+      .select(col("vec_id"), col("score"))
+    // merge by best score; a node surfaced by BOTH halves collapses to
+    // one row (scores are the same exact cosine; provenance keeps the
+    // lexicographic min, 'delta' < 'graph')
+    val cands = walked.select(col("vec_id"), col("score"),
+        lit("graph").as("src"))
+      .unionByName(deltaTop.withColumn("src", lit("delta")))
+      .groupBy("vec_id")
+      .agg(max(col("score")).as("score"), min(col("src")).as("src"))
+    val exact = Search.topK(corpus, q, "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("_hit"))
+    // the update's I/O footprint: distinct shards the sidecar wrote
+    val written = broadcast(spark.read
+      .parquet(Artifacts.resolve("v58_store", sfDir))
+      .filter(pmod(col("src"), lit(10)) === 8)
+      .agg(countDistinct(col("shard")).as("shards_written")))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    cands.orderBy(col("score").desc, col("vec_id")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("vec_id"))).cast("long"))
+      .join(exact, Seq("vec_id"), "left")
+      .withColumn("hit", coalesce(col("_hit"), lit(0L)))
+      .withColumn("is_delta",
+        when(pmod(col("vec_id"), lit(10)) === 8, 1L).otherwise(0L))
+      .withColumn("recall_at_10",
+        round(sum(col("hit")).over(wAll).cast("double") / 10.0, 6))
+      .withColumn("delta_in_top", sum(col("is_delta")).over(wAll))
+      .withColumn("shards_probed", lit(probeBuckets.size.toLong))
+      .crossJoin(touched)
+      .crossJoin(deltaN)
+      .crossJoin(written)
+      .select(col("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"), col("src"), col("hit"),
+        col("is_delta"), col("nodes_touched"), col("shards_probed"),
+        col("shards_written"), col("delta_scanned"),
+        col("recall_at_10"), col("delta_in_top"))
+      .orderBy("rank")
+  }
+
   /** The fully LEARNED IVF-PQ configuration — v22 with k-means cells
     * instead of seeded ones: MLlib-trained centroids route the corpus,
     * trained codebooks compress it, probe-4 → ADC shortlist-50 → exact
@@ -1372,8 +1597,10 @@ object VectorQueries {
       .select("embedding").head().getSeq[Float](0).toArray
     val (centroids, model) = ivfPqModelCache.getOrElseUpdate(sfDir, {
       // cross-run reuse, the v30 convention: both models are
-      // deterministic functions of the corpus + this geometry
-      val fp = "v25:v1:kmeans=16,pq=m8k16i4"
+      // deterministic functions of the corpus + this geometry (the
+      // input digest pins the corpus CONTENT, not just its path)
+      val fp = "v25:v1:kmeans=16,pq=m8k16i4:" +
+        Artifacts.inputDigest(sfDir + "/embeddings.parquet")
       val names = Seq("v25_centroids", "v25_codebooks")
       if (!names.forall(Artifacts.cachedHit(_, sfDir, fp))) {
         Artifacts.write(
@@ -1635,8 +1862,11 @@ object VectorQueries {
         // owner (38 s of 114 in round 11) and a deterministic function
         // of the reference blobs + this geometry — a sealed previous
         // build is bit-identical, so a fresh JVM adopts it instead of
-        // retraining. Bump the version token on ANY training change.
-        val fp = "v30:v1:copies=40,dim=1536,kmeans=8,pq=m8k16i2"
+        // retraining. Bump the version token on ANY training change;
+        // the input digest makes an in-place fixture regeneration
+        // force a rebuild without one (the self-enforcing half).
+        val fp = "v30:v1:copies=40,dim=1536,kmeans=8,pq=m8k16i2:" +
+          Artifacts.inputDigest(RefDb)
         val names = Seq("v30_corpus", "v30_centroids", "v30_codebooks")
         if (!names.forall(Artifacts.cachedHit(_, sfDir, fp))) {
           import graft.functions.VectorFunctions.floatVectorFromBinary
@@ -2303,31 +2533,26 @@ object VectorQueries {
     * per-routed-bucket entry rule). */
   private def walkUnrollSql(p: String, g: String, c: String,
                             beam: Int = 8,
-                            customEntries: Boolean = false): String =
-    (if (customEntries) ""
-     else s"""${p}en AS (SELECT dst AS vec_id, count(*) AS deg FROM $g
-             |       GROUP BY dst ORDER BY deg DESC, vec_id LIMIT 4),
-             |""".stripMargin) +
-    s"""${p}s0 AS (SELECT $c.vec_id, list_cosine_similarity($c.e, q.qe) AS score
-       |       FROM $c JOIN ${p}en USING (vec_id), q),
-       |${p}b0 AS (SELECT vec_id AS src FROM ${p}s0
-       |       ORDER BY score DESC, vec_id LIMIT $beam),
-       |${p}i1 AS (SELECT vec_id FROM ${p}s0
-       |       UNION SELECT dst AS vec_id FROM $g JOIN ${p}b0 USING (src)),
-       |${p}s1 AS (SELECT $c.vec_id, list_cosine_similarity($c.e, q.qe) AS score
-       |       FROM $c JOIN ${p}i1 USING (vec_id), q),
-       |${p}b1 AS (SELECT vec_id AS src FROM ${p}s1
-       |       ORDER BY score DESC, vec_id LIMIT $beam),
-       |${p}i2 AS (SELECT vec_id FROM ${p}s1
-       |       UNION SELECT dst AS vec_id FROM $g JOIN ${p}b1 USING (src)),
-       |${p}s2 AS (SELECT $c.vec_id, list_cosine_similarity($c.e, q.qe) AS score
-       |       FROM $c JOIN ${p}i2 USING (vec_id), q),
-       |${p}b2 AS (SELECT vec_id AS src FROM ${p}s2
-       |       ORDER BY score DESC, vec_id LIMIT $beam),
-       |${p}i3 AS (SELECT vec_id FROM ${p}s2
-       |       UNION SELECT dst AS vec_id FROM $g JOIN ${p}b2 USING (src)),
-       |${p}s3 AS (SELECT $c.vec_id, list_cosine_similarity($c.e, q.qe) AS score
-       |       FROM $c JOIN ${p}i3 USING (vec_id), q)""".stripMargin
+                            customEntries: Boolean = false,
+                            rounds: Int = 3): String = {
+    val entries =
+      if (customEntries) ""
+      else s"""${p}en AS (SELECT dst AS vec_id, count(*) AS deg FROM $g
+              |       GROUP BY dst ORDER BY deg DESC, vec_id LIMIT 4),
+              |""".stripMargin
+    val s0 =
+      s"""${p}s0 AS (SELECT $c.vec_id, list_cosine_similarity($c.e, q.qe) AS score
+         |       FROM $c JOIN ${p}en USING (vec_id), q)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""${p}b${r - 1} AS (SELECT vec_id AS src FROM ${p}s${r - 1}
+         |       ORDER BY score DESC, vec_id LIMIT $beam),
+         |${p}i$r AS (SELECT vec_id FROM ${p}s${r - 1}
+         |       UNION SELECT dst AS vec_id FROM $g JOIN ${p}b${r - 1} USING (src)),
+         |${p}s$r AS (SELECT $c.vec_id, list_cosine_similarity($c.e, q.qe) AS score
+         |       FROM $c JOIN ${p}i$r USING (vec_id), q)""".stripMargin
+    }
+    entries + (s0 +: steps).mkString(",\n")
+  }
 
   /** The BATCHED beam walk ([[Ann.graphBeamSearchBatch]]'s rounds)
     * unrolled as CTEs for an arbitrary round count — the batch twin of
@@ -3722,6 +3947,97 @@ object VectorQueries {
     // graph store read twice (routed via shard IN probes, and unrouted
     // for the control), per-bucket top-2 entries for BOTH walks, both
     // walks unrolled, recall/control/overlap in SQL
+    // the sharded-LSM replay: the POST-UPDATE partitioned store (base
+    // graph + appended delta sidecar) read back with hive_partitioning,
+    // probe buckets -> routed shards -> per-bucket entries -> 4 walk
+    // rounds -> exact over base UNION delta, plus the shards-written
+    // arithmetic (distinct sidecar-src buckets) — all in SQL
+    "v58_graph_sharded_lsm" ->
+      s"""WITH ga AS (SELECT CAST(shard AS BIGINT) AS shard, src, dst
+         |            FROM read_parquet(
+         |              '${Artifacts.oracleGlobHive("v58_store")}',
+         |              hive_partitioning = 1)),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("v58_corpus")}')),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |c AS (SELECT vec_id, e FROM v WHERE vec_id >= 8),
+         |qb AS (SELECT
+         |  CAST(list_sum(list_transform(range(0, 6), j ->
+         |    CASE WHEN list_sum(list_transform(range(0, len(qe)), i ->
+         |        qe[CAST(i + 1 AS INT)] *
+         |        (CASE WHEN CAST(concat('0x', substring(
+         |               md5(concat('srp:', j, ':', i)), 1, 15)) AS BIGINT)
+         |              % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+         |    THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS b
+         |  FROM q),
+         |pb AS (SELECT DISTINCT bucket FROM (
+         |        SELECT b AS bucket FROM qb
+         |        UNION ALL SELECT xor(b, 1) FROM qb
+         |        UNION ALL SELECT xor(b, 2) FROM qb
+         |        UNION ALL SELECT xor(b, 4) FROM qb
+         |        UNION ALL SELECT xor(b, 8) FROM qb
+         |        UNION ALL SELECT xor(b, 16) FROM qb
+         |        UNION ALL SELECT xor(b, 32) FROM qb)),
+         |bk AS (SELECT vec_id,
+         |  CAST(list_sum(list_transform(range(0, 6), j ->
+         |    CASE WHEN list_sum(list_transform(range(0, len(e)), i ->
+         |        e[CAST(i + 1 AS INT)] *
+         |        (CASE WHEN CAST(concat('0x', substring(
+         |               md5(concat('srp:', j, ':', i)), 1, 15)) AS BIGINT)
+         |              % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+         |    THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+         |  FROM c),
+         |g AS (SELECT src, dst FROM ga JOIN pb ON ga.shard = pb.bucket),
+         |dg AS (SELECT dst AS vec_id, count(*) AS deg FROM g
+         |       GROUP BY dst),
+         |en AS (SELECT vec_id FROM (
+         |         SELECT bk.vec_id,
+         |                row_number() OVER (PARTITION BY bk.bucket
+         |                  ORDER BY dg.deg DESC, bk.vec_id) AS rn
+         |         FROM bk JOIN dg USING (vec_id)
+         |         JOIN pb ON bk.bucket = pb.bucket) WHERE rn <= 2),
+         |${walkUnrollSql("", "g", "c", beam = 16, customEntries = true,
+                          rounds = 4)},
+         |t AS (SELECT count(*) AS nodes_touched FROM s4),
+         |sp AS (SELECT count(*) AS shards_probed FROM pb),
+         |sw AS (SELECT count(DISTINCT shard) AS shards_written FROM ga
+         |       WHERE src % 10 = 8),
+         |dd AS (SELECT vec_id FROM c WHERE vec_id % 10 = 8),
+         |dn AS (SELECT count(*) AS delta_scanned FROM dd),
+         |dt AS (SELECT c.vec_id,
+         |              list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM c JOIN dd USING (vec_id), q
+         |       ORDER BY score DESC, c.vec_id LIMIT 10),
+         |wt AS (SELECT vec_id, score FROM s4
+         |       ORDER BY score DESC, vec_id LIMIT 10),
+         |mg AS (SELECT vec_id, max(score) AS score, min(src) AS src
+         |       FROM (SELECT vec_id, score, 'graph' AS src FROM wt
+         |             UNION ALL
+         |             SELECT vec_id, score, 'delta' AS src FROM dt)
+         |       GROUP BY vec_id),
+         |ex AS (SELECT c.vec_id FROM c, q
+         |       ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
+         |       LIMIT 10),
+         |top AS (SELECT vec_id, score, src,
+         |          row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+         |        FROM mg ORDER BY score DESC, vec_id LIMIT 10),
+         |h AS (SELECT top.rank, top.vec_id, top.score, top.src,
+         |        CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit,
+         |        CASE WHEN top.vec_id % 10 = 8 THEN 1 ELSE 0 END
+         |          AS is_delta
+         |      FROM top LEFT JOIN ex USING (vec_id)),
+         |r AS (SELECT
+         |        round(CAST(sum(hit) AS DOUBLE) / 10.0, 6)
+         |          AS recall_at_10,
+         |        CAST(sum(is_delta) AS BIGINT) AS delta_in_top
+         |      FROM h)
+         |SELECT CAST(h.rank AS BIGINT) AS rank, h.vec_id,
+         |       round(h.score, 6) AS score, h.src,
+         |       CAST(h.hit AS BIGINT) AS hit,
+         |       CAST(h.is_delta AS BIGINT) AS is_delta,
+         |       t.nodes_touched, sp.shards_probed, sw.shards_written,
+         |       dn.delta_scanned, r.recall_at_10, r.delta_in_top
+         |FROM h, t, sp, sw, dn, r ORDER BY rank""".stripMargin,
     "v55_graph_sharded" ->
       s"""WITH ga AS (SELECT CAST(shard AS BIGINT) AS shard, src, dst
          |            FROM read_parquet(
@@ -3774,22 +4090,23 @@ object VectorQueries {
          |                 row_number() OVER (PARTITION BY bk.bucket
          |                   ORDER BY fdg.deg DESC, bk.vec_id) AS rn
          |          FROM bk JOIN fdg USING (vec_id)) WHERE rn <= 2),
-         |${walkUnrollSql("", "g", "c", beam = 16, customEntries = true)},
+         |${walkUnrollSql("", "g", "c", beam = 16, customEntries = true,
+                          rounds = 4)},
          |${walkUnrollSql("f", "fg", "c", beam = 16,
-                          customEntries = true)},
-         |t AS (SELECT count(*) AS nodes_touched FROM s3),
+                          customEntries = true, rounds = 4)},
+         |t AS (SELECT count(*) AS nodes_touched FROM s4),
          |sp AS (SELECT count(*) AS shards_probed FROM pb),
          |ex AS (SELECT c.vec_id FROM c, q
          |       ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
          |       LIMIT 10),
-         |fw AS (SELECT vec_id FROM fs3
+         |fw AS (SELECT vec_id FROM fs4
          |       ORDER BY score DESC, vec_id LIMIT 10),
          |rf AS (SELECT round(CAST(count(ex.vec_id) AS DOUBLE) / 10.0, 6)
          |         AS recall_full
          |       FROM fw LEFT JOIN ex USING (vec_id)),
          |top AS (SELECT vec_id, score,
          |          row_number() OVER (ORDER BY score DESC, vec_id) AS rank
-         |        FROM s3 ORDER BY score DESC, vec_id LIMIT 10),
+         |        FROM s4 ORDER BY score DESC, vec_id LIMIT 10),
          |h AS (SELECT top.rank, top.vec_id, top.score,
          |        CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit,
          |        CASE WHEN fw.vec_id IS NULL THEN 0 ELSE 1 END
@@ -4125,6 +4442,7 @@ object VectorQueries {
     "v53_graph_salted_build" -> (saltedGraphBuild(_, _)),
     "v54_graph_clustered" -> (graphClusteredServe(_, _)),
     "v55_graph_sharded" -> (graphShardedServe(_, _)),
+    "v58_graph_sharded_lsm" -> (graphShardedLsm(_, _)),
     "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),

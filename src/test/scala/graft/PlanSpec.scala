@@ -143,6 +143,29 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("v58: the post-update (base + appended sidecar) store scan " +
+      "still partition-prunes") {
+    // the composed claim: after the delta sidecar APPENDS files into
+    // its shard directories, the routed walk's scan of the SAME store
+    // still carries a real shard partition filter — maintenance did
+    // not cost the layout its pruning
+    val (_, routed, buckets, entries) =
+      VectorQueries.v58Routed(spark, sf)
+    assert(buckets.size == 7, s"own + 6 flips, got $buckets")
+    assert(entries.nonEmpty, "post-update entry derivation is empty")
+    val p = plan(routed)
+    val graphScans = p.split("\n")
+      .filter(l => l.contains("FileScan parquet") && l.contains("shard"))
+    assert(graphScans.nonEmpty, s"no sharded graph scan in:\n$p")
+    graphScans.foreach { l =>
+      assert(l.contains("PartitionFilters:") &&
+          !l.contains("PartitionFilters: []") &&
+          l.indexOf("shard", l.indexOf("PartitionFilters:")) > 0,
+        s"post-update graph scan does not shard-prune:\n$l")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("bucketed tables join without any exchange (co-located join)") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
