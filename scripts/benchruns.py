@@ -64,3 +64,39 @@ if len(sys.argv) > 2:
     print(f"\nvs {sys.argv[2]}: {len(regressed)} min-vs-min regressions")
     for q, b, c in sorted(regressed, key=lambda x: x[2] - x[1], reverse=True):
         print(f"REGRESS  {q}: {b:.2f}s -> {c:.2f}s")
+
+# PINS.json (scripts/mkpins.py output, committed at the repo root):
+# the machine-readable adjudication the prose bands in BASELINE.md
+# used to require archaeology for. Every query's min is checked
+# against its [lo, hi] band; out-of-band queries print with their
+# attribution tag (if any) and the script exits nonzero so a driver
+# or CI can gate on it.
+import os
+pins_path = os.path.join(os.path.dirname(sys.argv[1]) or ".", "PINS.json")
+if not os.path.exists(pins_path):
+    pins_path = "PINS.json"
+if os.path.exists(pins_path):
+    pins = json.load(open(pins_path))
+    cq = cur.get("queries", {})
+    out_of_band, unpinned, in_band = [], [], 0
+    for q, t in sorted(cq.items()):
+        if t < 0:
+            continue
+        p = pins.get(q)
+        if p is None:
+            unpinned.append(q)
+            continue
+        lo, hi = p["band"]
+        if lo <= t <= hi:
+            in_band += 1
+        else:
+            out_of_band.append((q, t, lo, hi, p.get("tag", "")))
+    print(f"\nvs {pins_path}: {in_band} in-band, "
+          f"{len(out_of_band)} out-of-band, {len(unpinned)} unpinned")
+    for q, t, lo, hi, tag in out_of_band:
+        extra = f"  [{tag}]" if tag else ""
+        print(f"OUTOFBAND {q}: {t:.2f}s vs [{lo}, {hi}]{extra}")
+    for q in unpinned:
+        print(f"UNPINNED  {q}: no band (new query? run scripts/mkpins.py)")
+    if out_of_band:
+        sys.exit(1)

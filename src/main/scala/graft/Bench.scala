@@ -10,6 +10,17 @@ object Bench {
       // parity with Verify/ScalingProbe/PlansDump: outside sbt's forked
       // -D flags, a non-UTC JVM would shift the TIMESTAMP_NTZ events
       .config("spark.sql.session.timeZone", "UTC")
+      // Static conf sizing CodeGenerator's generated-class cache
+      // (default 100 entries). The interleaved sweep design (below)
+      // visits all 214 queries between two runs of the same query, so
+      // at the default size every timed run pays full Janino
+      // recompilation of every stage — a +0.3-1.0 s tax on nearly
+      // every query (measured: the first interleaved full run came in
+      // at 172.7 s vs 142.9 s consecutive-run, with no early-alphabet
+      // drift but a broad flat inflation). Sized to hold the whole
+      // inventory's generated classes so sweep N+1 re-measures the
+      // query, not the compiler.
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .config("spark.ui.enabled", "false")
       // local profiling aid; the driver never sets this
       .config("spark.eventLog.enabled",
@@ -58,10 +69,24 @@ object Bench {
     val setupJson = owners
       .map { case (n, s) => "\"" + n + "\":" + fmt3(s) }
       .mkString("{", ",", "}")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // INTERLEAVED sweeps: run the whole inventory once per sweep and
+    // take each query's min ACROSS sweeps — not N consecutive runs per
+    // query. Consecutive runs of a short query all complete inside the
+    // same measurement window, so a window-scale distortion (JIT/C2
+    // compilation in a freshly-started JVM, a host-load spike) inflates
+    // every run and the min can't escape it — exactly the round-12
+    // early-alphabet drift: the warm phase got 28 s shorter (cross-run
+    // model reuse), the JVM entered the timed section cold, and the
+    // alphabetically-first i*/r* queries measured 3/3 elevated runs
+    // (isolated reproduction: run arrays like [6.5, 1.5, 1.3, 1.2,
+    // 1.1, 1.1] — run 1 pays compilation, steady state matches the
+    // pins). Sweep N+1 starts a full inventory (~2 min of execution)
+    // after sweep N touched the same query, so repeat measurements are
+    // far outside both the cold window and any single load spike.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.exists(n.startsWith) }
-      .map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    val sweeps: Seq[Map[String, Double]] = (1 to runs).map { _ =>
+      names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // a failed query must NOT masquerade as a fast success: -1 marker
         val dt =
@@ -71,9 +96,13 @@ object Bench {
             -1.0
           }
         spark.catalog.clearCache()
-        dt
-      }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min, times)
+        name -> dt
+      }.toMap
+    }
+    val results: Map[String, (Double, Seq[Double])] = names.map {
+      case (name, _) =>
+        val times = sweeps.map(_(name))
+        name -> (if (times.exists(_ < 0)) -1.0 else times.min, times)
     }.toMap
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, (v, _)) => s"\"" + k + "\":" + v }

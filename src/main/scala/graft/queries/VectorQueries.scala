@@ -1853,10 +1853,56 @@ object VectorQueries {
     * encode, LUT, ADC and rerank in SQL at the full 1536 width — the
     * dsub generalization is inside the hash gate, not asserted.
     */
-  def refDimIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared d=1536 fixture (corpus, centroids, PQ model) — v30's
+    * cache block factored out so v57 (the graph family at the
+    * reference dimension) builds on the SAME corpus without
+    * duplicating acquisition or training. */
+  /** The d=1536 corpus GENERATOR — the reference blobs replicated
+    * `copies`× by the deterministic kernel point(seed, j) =
+    * l2-normalize(seed + 0.5 · hashEmbed("pt <id>")) (v28's recipe at
+    * the reference width). Factored out of [[refDimModels]] so
+    * ScalingProbe can generate the SAME corpus at larger copy counts
+    * for the d=1536 graph scaling row. Pure generation, no artifacts.
+    */
+  private[graft] def genRefDimCorpus(spark: SparkSession,
+                                     copies: Int): DataFrame = {
+    import graft.operators.Ingest
+    import graft.functions.VectorFunctions.floatVectorFromBinary
+    import graft.sources.SqliteReader
+    import spark.implicits._
+    val raw = spark.read.format("binaryFile").load(RefDb)
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        SqliteReader.readTable(bytes, "documents").map { r =>
+          (r.values(0).asInstanceOf[Long],
+            r.values(2).asInstanceOf[Array[Byte]])
+        }
+      }
+      .toDF("doc_id", "vector_blob")
+      .select(col("doc_id"),
+        floatVectorFromBinary(col("vector_blob")).as("seed"))
+    val gen0 = raw
+      .crossJoin(spark.range(copies).select(col("id").as("k")))
+      .select((col("doc_id") * lit(1000L) + col("k")).as("vec_id"),
+        col("seed"))
+      .withColumn("ptext", concat(lit("pt "), col("vec_id")))
+    Ingest.hashEmbedRaw(gen0, "ptext", 1536)
+      .withColumnRenamed("embedding", "nvec")
+      .withColumn("mix",
+        zip_with(col("seed"), col("nvec"),
+          (a, b) => a + lit(0.5) * b))
+      .withColumn("nrm",
+        sqrt(aggregate(col("mix"), lit(0.0),
+          (acc, x) => acc + x * x)))
+      .select(col("vec_id"),
+        transform(col("mix"), x => (x / col("nrm")).cast("float"))
+          .as("embedding"))
+  }
+
+  private def refDimModels(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, graft.operators.Pq.PqModel) = {
     import graft.operators.{Ingest, Pq}
-    val (corpus, centroids, model) =
-      refIvfPqCache.getOrElseUpdate(sfDir, {
+    refIvfPqCache.getOrElseUpdate(sfDir, {
         // cross-run reuse ([[Artifacts.cachedHit]]): the d=1536
         // k-means + PQ training is the warm phase's single largest
         // owner (38 s of 114 in round 11) and a deterministic function
@@ -1869,39 +1915,9 @@ object VectorQueries {
           Artifacts.inputDigest(RefDb)
         val names = Seq("v30_corpus", "v30_centroids", "v30_codebooks")
         if (!names.forall(Artifacts.cachedHit(_, sfDir, fp))) {
-          import graft.functions.VectorFunctions.floatVectorFromBinary
-          import graft.sources.SqliteReader
-          import spark.implicits._
-          val raw = spark.read.format("binaryFile").load(RefDb)
-            .select("content").as[Array[Byte]]
-            .flatMap { bytes =>
-              SqliteReader.readTable(bytes, "documents").map { r =>
-                (r.values(0).asInstanceOf[Long],
-                  r.values(2).asInstanceOf[Array[Byte]])
-              }
-            }
-            .toDF("doc_id", "vector_blob")
-            .select(col("doc_id"),
-              floatVectorFromBinary(col("vector_blob")).as("seed"))
-          val copies = 40
-          val gen0 = raw
-            .crossJoin(spark.range(copies).select(col("id").as("k")))
-            .select((col("doc_id") * lit(1000L) + col("k")).as("vec_id"),
-              col("seed"))
-            .withColumn("ptext", concat(lit("pt "), col("vec_id")))
-          val gen = Ingest.hashEmbedRaw(gen0, "ptext", 1536)
-            .withColumnRenamed("embedding", "nvec")
-            .withColumn("mix",
-              zip_with(col("seed"), col("nvec"),
-                (a, b) => a + lit(0.5) * b))
-            .withColumn("nrm",
-              sqrt(aggregate(col("mix"), lit(0.0),
-                (acc, x) => acc + x * x)))
-            .select(col("vec_id"),
-              transform(col("mix"), x => (x / col("nrm")).cast("float"))
-                .as("embedding"))
           val corpusDf = spark.read.parquet(
-            Artifacts.write(gen, "v30_corpus", sfDir))
+            Artifacts.write(genRefDimCorpus(spark, copies = 40),
+              "v30_corpus", sfDir))
           Artifacts.write(
             Ann.kmeansCentroids(corpusDf.filter(col("vec_id") =!= 1000L),
               "vec_id", "embedding", 8),
@@ -1918,7 +1934,11 @@ object VectorQueries {
             .localCheckpoint(),
           loadCodebooks(spark, "v30_codebooks", sfDir))
       })
+  }
+
+  def refDimIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Pq
+    val (corpus, centroids, model) = refDimModels(spark, sfDir)
     val serving = corpus.filter(col("vec_id") =!= 1000L)
     val q = corpus.filter(col("vec_id") === 1000L)
       .select("embedding").head().getSeq[Float](0).toArray
@@ -1928,6 +1948,92 @@ object VectorQueries {
         q, model, nProbe = 3, shortlist = 50, k = 10)
       .select(col("vec_id"), round(col("dist"), 6).as("l2_dist"))
       .orderBy("vec_id")
+  }
+
+  /** THE GRAPH FAMILY AT THE REFERENCE DIMENSION (d = 1536) — the
+    * v27/v30 discipline applied to the graph index: every other graph
+    * query runs at d = 64, but the reference's embeddings are 1536-d
+    * float32 (embed.js's text-embedding width; vectors.db rows are
+    * 6144 B), and "the constants transfer" is an argument until it is
+    * a gated measurement. Build + serve on v30's corpus (the
+    * SqliteReader blobs replicated 40× by the deterministic kernel —
+    * [[refDimModels]], shared, cross-run sealed): k-NN graph at
+    * bits 16 / bucketBits 5 / degree 8, per-bucket top-2 entries
+    * ([[Ann.topDegreeEntriesPerBucket]]), beam 8 / rounds 3 / k 10
+    * against the held-out copy (vec_id 1000). The GEOMETRY is itself
+    * a d=1536 finding: the log2(n/128) schedule says bucketBits ≈ 1
+    * for n = 279, but this corpus is 7 tight replica-clusters and the
+    * k-NN graph decomposes into per-doc components — at bucketBits
+    * ≤ 4 the query's cluster shares every bucket it touches with a
+    * larger cluster whose hubs win ALL the in-degree entry slots at
+    * ANY perBucket budget (measured: recall 0.0 at perBucket 2/4/8),
+    * while at bucketBits 5 the cluster attains plurality in a bucket
+    * of its own and per-bucket-2 entries reach recall 0.9 — v54's
+    * entry-routing conclusion reproduced at the reference width:
+    * bucket granularity must resolve the CLUSTER structure, not just
+    * the row-count schedule. Pins at this width: recall@10 vs the
+    * exact 1536-d scan, nodes_touched, and cand_per_vec of the
+    * build's candidate frame ([[Ann.knnGraphCandidates]] at the
+    * DEFAULT probe/salt constants — the margin-ranked probe cap
+    * BINDS here, 4 of 5 flips, and the oracle replays the |margin|
+    * ranking; max |bucket| < maxBucketGroup = 256 so the salt
+    * provably never engages and the plain-join replay is
+    * bit-identical — the binding-cap behavior is v53's pin). The
+    * oracle replays the 5-plane SRP sketch over all 1536 components,
+    * per-vector margin-capped probes, the candidate count, entry
+    * derivation, all 3 walk rounds and the exact scan in SQL — the
+    * dimension transfer is inside the hash gate, with only the
+    * edge-ranking kernel pinned at d = 64 (v23/v53) instead.
+    */
+  private val v57Cache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String, Seq[Long])]
+
+  def refDimGraphServe(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (corpusDir, graphDir, entries) =
+      v57Cache.getOrElseUpdate(sfDir, {
+        val (corpusAll, _, _) = refDimModels(spark, sfDir)
+        val cDir = Artifacts.write(corpusAll, "v57_corpus", sfDir)
+        val all = spark.read.parquet(cDir)
+        val serving = all.filter(col("vec_id") =!= 1000L)
+        val gDir = Artifacts.write(
+          Ann.buildKnnGraph(serving, "vec_id", "embedding",
+            bits = 16, bucketBits = 5, degree = 8),
+          "v57_graph", sfDir)
+        val index = Ann.srpBucketIndex(serving, "vec_id", "embedding",
+          16, 5)
+        (cDir, gDir, Ann.topDegreeEntriesPerBucket(
+          spark.read.parquet(gDir), index, "vec_id", perBucket = 2))
+      })
+    val all = spark.read.parquet(corpusDir)
+    val serving = all.filter(col("vec_id") =!= 1000L)
+    val graph = spark.read.parquet(graphDir)
+    val q = all.filter(col("vec_id") === 1000L)
+      .select(col("embedding").as("qe"))
+    val nServing = serving.agg(count(lit(1)).as("_nv"))
+    val nCand = Ann.knnGraphCandidates(serving, serving, "vec_id",
+        "embedding", 16, 5, Ann.DefaultMaxProbes,
+        Ann.DefaultMaxBucketGroup)
+      .agg(count(lit(1)).as("_nc"))
+    val walked = Ann.graphBeamSearch(graph, serving, q,
+      "vec_id", "embedding", entryIds = entries,
+      beam = 8, rounds = 3, k = 10)
+    val exact = Search.topK(serving, q, "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("_hit"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    walked.join(exact, Seq("vec_id"), "left")
+      .withColumn("hit", coalesce(col("_hit"), lit(0L)))
+      .withColumn("recall_at_10",
+        round(sum(col("hit")).over(wAll).cast("double") / 10.0, 6))
+      .crossJoin(broadcast(nServing)).crossJoin(broadcast(nCand))
+      .select(col("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"), col("hit"),
+        col("nodes_touched"),
+        round(col("_nc").cast("double") / col("_nv"), 4)
+          .as("cand_per_vec"),
+        col("recall_at_10"))
+      .orderBy("rank")
   }
 
   /** IVF recall on a CLUSTERED corpus — the evidence that cell pruning
@@ -3947,6 +4053,71 @@ object VectorQueries {
     // graph store read twice (routed via shard IN probes, and unrouted
     // for the control), per-bucket top-2 entries for BOTH walks, both
     // walks unrolled, recall/control/overlap in SQL
+    // the d=1536 graph replay: 5-plane SRP sketch over all 1536
+    // components, per-vector probes (own + the 4 smallest-|margin|
+    // flips — the cap binds, v52's ranking replayed), the
+    // candidate-count replay of the build join (plain bucket join —
+    // max |bucket| < 256, the salt provably never engages on this
+    // fixture), per-bucket top-2 entries, 3 walk rounds, exact 1536-d
+    // scan, recall
+    "v57_graph_refdim" ->
+      s"""WITH g AS (SELECT src, dst
+         |           FROM read_parquet('${Artifacts.oracleGlob("v57_graph")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("v57_corpus")}')),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 1000),
+         |c AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
+         |jj AS (SELECT unnest(range(0, 5)) AS j),
+         |d AS (SELECT c.vec_id, jj.j,
+         |        list_sum(list_transform(range(0, len(c.e)), i ->
+         |          c.e[CAST(i + 1 AS INT)] *
+         |          (CASE WHEN CAST(concat('0x', substring(
+         |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
+         |                 AS BIGINT)
+         |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
+         |      FROM c, jj),
+         |bk AS (SELECT vec_id,
+         |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
+         |                       ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM d GROUP BY vec_id),
+         |fr AS (SELECT vec_id, j,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY abs(dot), j) AS rn
+         |       FROM d),
+         |cp AS (SELECT vec_id AS src, bucket FROM bk
+         |       UNION ALL
+         |       SELECT bk.vec_id, xor(bk.bucket, CAST(2 ** fr.j AS BIGINT))
+         |       FROM bk JOIN fr USING (vec_id) WHERE fr.rn <= 4),
+         |nv AS (SELECT count(*) AS nv FROM c),
+         |nc AS (SELECT count(*) AS nc FROM cp
+         |       JOIN bk i ON cp.bucket = i.bucket
+         |       WHERE cp.src != i.vec_id),
+         |dg AS (SELECT dst AS vec_id, count(*) AS deg FROM g
+         |       GROUP BY dst),
+         |en AS (SELECT vec_id FROM (
+         |         SELECT bk.vec_id,
+         |                row_number() OVER (PARTITION BY bk.bucket
+         |                  ORDER BY dg.deg DESC, bk.vec_id) AS rn
+         |         FROM bk JOIN dg USING (vec_id)) WHERE rn <= 2),
+         |${walkUnrollSql("", "g", "c", beam = 8, customEntries = true)},
+         |t AS (SELECT count(*) AS nodes_touched FROM s3),
+         |ex AS (SELECT c.vec_id FROM c, q
+         |       ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
+         |       LIMIT 10),
+         |top AS (SELECT vec_id, score,
+         |          row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+         |        FROM s3 ORDER BY score DESC, vec_id LIMIT 10),
+         |h AS (SELECT top.rank, top.vec_id, top.score,
+         |        CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |      FROM top LEFT JOIN ex USING (vec_id)),
+         |r AS (SELECT round(CAST(sum(hit) AS DOUBLE) / 10.0, 6)
+         |        AS recall_at_10 FROM h)
+         |SELECT CAST(h.rank AS BIGINT) AS rank, h.vec_id,
+         |       round(h.score, 6) AS score, CAST(h.hit AS BIGINT) AS hit,
+         |       t.nodes_touched,
+         |       round(CAST(nc.nc AS DOUBLE) / nv.nv, 4) AS cand_per_vec,
+         |       r.recall_at_10
+         |FROM h, t, nc, nv, r ORDER BY rank""".stripMargin,
     // the sharded-LSM replay: the POST-UPDATE partitioned store (base
     // graph + appended delta sidecar) read back with hive_partitioning,
     // probe buckets -> routed shards -> per-bucket entries -> 4 walk
@@ -4442,6 +4613,7 @@ object VectorQueries {
     "v53_graph_salted_build" -> (saltedGraphBuild(_, _)),
     "v54_graph_clustered" -> (graphClusteredServe(_, _)),
     "v55_graph_sharded" -> (graphShardedServe(_, _)),
+    "v57_graph_refdim" -> (refDimGraphServe(_, _)),
     "v58_graph_sharded_lsm" -> (graphShardedLsm(_, _)),
     "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
