@@ -57,6 +57,7 @@ object SparkEntry {
     "v33_batched_ivfpq",    // v33 codebooks
     "v49_graph_compact",    // compacted + shared LSM base k-NN graphs
     "v54_graph_clustered",  // clustered corpus + its bb=6 k-NN graph
+    "v57_graph_refdim",     // d=1536 corpus + k-NN graph (shared with v59)
     "v58_graph_sharded_lsm",// sharded base store + delta sidecar append
   )
 

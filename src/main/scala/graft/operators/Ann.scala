@@ -495,21 +495,16 @@ object Ann {
       .select(col("dst")).collect().map(_.getLong(0)).toSeq.sorted
   }
 
-  /** The walk LOOP shared by the single-query serving variants: the
-    * scored visited set after `rounds` beam expansions. */
-  private def beamWalkScored(graph: DataFrame, vectors: DataFrame,
-                             query: DataFrame, idCol: String,
-                             vecCol: String, entryIds: Seq[Long],
-                             beam: Int, rounds: Int): DataFrame = {
-    require(entryIds.nonEmpty, "beam walk: entryIds must be non-empty")
-    val q = broadcast(query)
-    def score(ids: DataFrame): DataFrame =
-      ids.join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
-        .crossJoin(q)
-        .select(col(idCol), cosineSim(col(vecCol), col("qe")).as("score"))
-    var scored = score(
-      vectors.select(col(idCol)).filter(col(idCol).isin(entryIds: _*)))
-      .localCheckpoint()
+  /** The walk LOOP under an ARBITRARY scorer — `score` maps an id
+    * frame to (idCol, score) with larger = closer; beam and tie rules
+    * are the family's (score desc, id asc). Factored from
+    * [[beamWalkScored]] so the PQ-scored walk
+    * ([[graphBeamSearchPqRerank]]) shares the exact traversal. */
+  private def beamWalkGeneric(graph: DataFrame, entries: DataFrame,
+                              idCol: String, beam: Int, rounds: Int)
+                             (score: DataFrame => DataFrame)
+      : DataFrame = {
+    var scored = score(entries).localCheckpoint()
     for (_ <- 1 to rounds) {
       val beamIds = scored.orderBy(col("score").desc, col(idCol))
         .limit(beam)
@@ -522,6 +517,81 @@ object Ann {
       scored = score(visited).localCheckpoint()
     }
     scored
+  }
+
+  /** The walk LOOP shared by the single-query serving variants: the
+    * scored visited set after `rounds` beam expansions. */
+  private def beamWalkScored(graph: DataFrame, vectors: DataFrame,
+                             query: DataFrame, idCol: String,
+                             vecCol: String, entryIds: Seq[Long],
+                             beam: Int, rounds: Int): DataFrame = {
+    require(entryIds.nonEmpty, "beam walk: entryIds must be non-empty")
+    val q = broadcast(query)
+    beamWalkGeneric(graph,
+      vectors.select(col(idCol)).filter(col(idCol).isin(entryIds: _*)),
+      idCol, beam, rounds) { ids =>
+      ids.join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+        .crossJoin(q)
+        .select(col(idCol), cosineSim(col(vecCol), col("qe")).as("score"))
+    }
+  }
+
+  /** DiskANN-style serving (Subramanya et al. 2019): the beam walk
+    * TRAVERSES on PQ asymmetric distance against the compressed code
+    * table — never touching a raw vector — then exact-reranks only the
+    * final `shortlist` against the float store. This is the 100 TB
+    * memory story at the reference width: a 1536-d float32 vector is
+    * 6,144 B, its m-byte PQ code fits hundreds of times over, so the
+    * graph+codes working set stays RAM-resident at corpus sizes where
+    * the float store lives on disk/object storage and is touched
+    * `shortlist` rows per query (a broadcast semi-join here, a point
+    * read there). Scoring convention: score = −ADC (larger = closer),
+    * so beam selection and tie-breaks (score desc, id asc) are
+    * bit-compatible with the cosine walk's ordering rules and the SQL
+    * replay orders by the same key.
+    *
+    * [[graphBeamWalkPq]] is the traversal alone — the scored visited
+    * set, each visit one m-lookup ADC evaluation, never a 1536-wide
+    * cosine; [[graphBeamSearchPqRerank]] composes it with the exact
+    * rerank tail into the deployment-shaped answer.
+    */
+  def graphBeamWalkPq(graph: DataFrame, codes: DataFrame,
+                      query: Array[Float], model: Pq.PqModel,
+                      idCol: String, entryIds: Seq[Long],
+                      beam: Int, rounds: Int): DataFrame = {
+    require(entryIds.nonEmpty, "beam walk: entryIds must be non-empty")
+    beamWalkGeneric(graph,
+      codes.select(col(idCol)).filter(col(idCol).isin(entryIds: _*)),
+      idCol, beam, rounds) { ids =>
+      ids.join(codes, Seq(idCol))
+        .select(col(idCol),
+          negate(Pq.adcDistance(col("codes"), query, model)).as("score"))
+    }
+  }
+
+  /** Exact-cosine rerank of the walk's `shortlist` best-by-ADC against
+    * the raw float store — only these rows' full vectors are ever
+    * fetched (broadcast semi-join). See [[graphBeamWalkPq]]. */
+  def graphBeamSearchPqRerank(graph: DataFrame, codes: DataFrame,
+                              raw: DataFrame, query: Array[Float],
+                              model: Pq.PqModel, idCol: String,
+                              vecCol: String, entryIds: Seq[Long],
+                              beam: Int, rounds: Int, shortlist: Int,
+                              k: Int): DataFrame = {
+    val scored = graphBeamWalkPq(graph, codes, query, model, idCol,
+      entryIds, beam, rounds)
+    val touched = scored.agg(count(lit(1)).as("nodes_touched"))
+    val short = scored.orderBy(col("score").desc, col(idCol))
+      .limit(shortlist).select(col(idCol))
+    val qLit = array(query.map(x => lit(x)).toIndexedSeq: _*)
+    raw.join(broadcast(short), Seq(idCol))
+      .select(col(idCol), cosineSim(col(vecCol), qLit).as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+      .crossJoin(broadcast(touched))
+      .select(col("rank").cast("long").as("rank"), col(idCol),
+        col("score"), col("nodes_touched"))
   }
 
   def graphBeamSearch(graph: DataFrame, vectors: DataFrame,

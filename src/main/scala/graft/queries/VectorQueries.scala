@@ -1988,10 +1988,12 @@ object VectorQueries {
   private val v57Cache = scala.collection.concurrent.TrieMap
     .empty[String, (String, String, Seq[Long])]
 
-  def refDimGraphServe(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val (corpusDir, graphDir, entries) =
-      v57Cache.getOrElseUpdate(sfDir, {
+  /** v57's sealed fixture (corpus dir, graph dir, routed entries),
+    * once per (JVM, corpus) — shared with v59, which serves the SAME
+    * graph from PQ codes. */
+  private def v57Artifacts(spark: SparkSession, sfDir: String)
+      : (String, String, Seq[Long]) =
+    v57Cache.getOrElseUpdate(sfDir, {
         val (corpusAll, _, _) = refDimModels(spark, sfDir)
         val cDir = Artifacts.write(corpusAll, "v57_corpus", sfDir)
         val all = spark.read.parquet(cDir)
@@ -2005,6 +2007,10 @@ object VectorQueries {
         (cDir, gDir, Ann.topDegreeEntriesPerBucket(
           spark.read.parquet(gDir), index, "vec_id", perBucket = 2))
       })
+
+  def refDimGraphServe(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (corpusDir, graphDir, entries) = v57Artifacts(spark, sfDir)
     val all = spark.read.parquet(corpusDir)
     val serving = all.filter(col("vec_id") =!= 1000L)
     val graph = spark.read.parquet(graphDir)
@@ -2033,6 +2039,77 @@ object VectorQueries {
         round(col("_nc").cast("double") / col("_nv"), 4)
           .as("cand_per_vec"),
         col("recall_at_10"))
+      .orderBy("rank")
+  }
+
+  /** DiskANN-STYLE SERVING AT THE REFERENCE DIMENSION — v57's graph
+    * walked on PQ codes instead of raw floats (Subramanya et al. 2019:
+    * graph adjacency + compressed codes RAM-resident, full-precision
+    * vectors touched only for the final rerank). Same fixture, graph,
+    * entries and walk geometry as v57 (beam 8 / rounds 3), same PQ
+    * model as v30 (m=8, dsub=192, k=16 — trained on this corpus,
+    * cross-run sealed): the ONLY change vs v57 is the traversal's
+    * distance oracle, −ADC from an 8-byte code per vector instead of
+    * a 1536-wide cosine, followed by an exact-cosine rerank of the
+    * top-20 shortlist. This is the 100 TB serving-memory argument
+    * made measurable: a 1536-d float32 vector is 6,144 B, its code is
+    * 8 B (768× smaller), so graph+codes stay in executor memory at
+    * corpus sizes where the float store lives in object storage and
+    * is read `shortlist` rows per query. Pins BOTH quality meters —
+    * `adc_recall_at_10` (top-10 by ADC alone among visited: what
+    * compression alone delivers) and `recall_at_10` (post-rerank:
+    * what the serving stack delivers) — so the rerank's contribution
+    * is the visible difference, alongside nodes_touched, code_bytes
+    * and the compression ratio. The oracle replays encode (nearest
+    * center per 192-wide subspace from the persisted float
+    * codebooks), the per-query LUT, ADC for every corpus vector, the
+    * d=1536 SRP sketch + per-bucket entries, all 3 ADC-scored walk
+    * rounds, the shortlist, the exact rerank and both recalls in SQL.
+    */
+  def refDimGraphPqServe(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Pq
+    val (corpusDir, graphDir, entries) = v57Artifacts(spark, sfDir)
+    val (_, _, model) = refDimModels(spark, sfDir)
+    val all = spark.read.parquet(corpusDir)
+    val serving = all.filter(col("vec_id") =!= 1000L)
+    val graph = spark.read.parquet(graphDir)
+    val q = all.filter(col("vec_id") === 1000L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val codes = Pq.encode(serving, "vec_id", "embedding", model)
+    val scored = Ann.graphBeamWalkPq(graph, codes, q, model,
+      "vec_id", entryIds = entries, beam = 8, rounds = 3)
+    val touched = scored.agg(count(lit(1)).as("nodes_touched"))
+    val short = scored.orderBy(col("score").desc, col("vec_id"))
+      .limit(20).select("vec_id")
+    val qDf = all.filter(col("vec_id") === 1000L)
+      .select(col("embedding").as("qe"))
+    val exact = Search.topK(serving, qDf, "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("_hit"))
+    val adcHits = scored.orderBy(col("score").desc, col("vec_id"))
+      .limit(10).select("vec_id")
+      .join(exact, Seq("vec_id"))
+      .agg(round(count(lit(1)).cast("double") / 10.0, 6)
+        .as("adc_recall_at_10"))
+    val rr = Search.topK(
+        serving.join(broadcast(short), Seq("vec_id")),
+        qDf, "vec_id", "embedding", "qe", 10)
+      .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id")))
+        .cast("long"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    rr.join(exact, Seq("vec_id"), "left")
+      .withColumn("hit", coalesce(col("_hit"), lit(0L)))
+      .withColumn("recall_at_10",
+        round(sum(col("hit")).over(wAll).cast("double") / 10.0, 6))
+      .crossJoin(broadcast(touched)).crossJoin(broadcast(adcHits))
+      .select(col("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"), col("hit"),
+        col("nodes_touched"), col("adc_recall_at_10"),
+        col("recall_at_10"),
+        lit(model.m.toLong).as("code_bytes"),
+        round(lit(1536.0 * 4 / model.m), 1).as("compression"))
       .orderBy("rank")
   }
 
@@ -2637,24 +2714,60 @@ object VectorQueries {
   /** With `customEntries = true` the `${p}en` CTE is NOT emitted — the
     * caller supplies its own entry CTE of that name upstream (v55's
     * per-routed-bucket entry rule). */
+  /** The d=1536 SRP sketch replay shared by v57/v59 (CTEs jj, d, bk —
+    * expects `c` (vec_id, e)): 5 hyperplanes over all 1536 components,
+    * bucket = sign bits. */
+  private val refDimSketchCtes: String =
+    """jj AS (SELECT unnest(range(0, 5)) AS j),
+      |d AS (SELECT c.vec_id, jj.j,
+      |        list_sum(list_transform(range(0, len(c.e)), i ->
+      |          c.e[CAST(i + 1 AS INT)] *
+      |          (CASE WHEN CAST(concat('0x', substring(
+      |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
+      |                 AS BIGINT)
+      |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
+      |      FROM c, jj),
+      |bk AS (SELECT vec_id,
+      |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
+      |                       ELSE 0 END) AS BIGINT) AS bucket
+      |       FROM d GROUP BY vec_id)""".stripMargin
+
+  /** Per-bucket top-2 in-degree entries (CTEs dg, en — expects `g`
+    * (src, dst) and `bk`), [[graft.operators.Ann.topDegreeEntriesPerBucket]]
+    * replayed. Shared by v57/v59. */
+  private val refDimEntryCtes: String =
+    """dg AS (SELECT dst AS vec_id, count(*) AS deg FROM g
+      |       GROUP BY dst),
+      |en AS (SELECT vec_id FROM (
+      |         SELECT bk.vec_id,
+      |                row_number() OVER (PARTITION BY bk.bucket
+      |                  ORDER BY dg.deg DESC, bk.vec_id) AS rn
+      |         FROM bk JOIN dg USING (vec_id)) WHERE rn <= 2)""".stripMargin
+
   private def walkUnrollSql(p: String, g: String, c: String,
                             beam: Int = 8,
                             customEntries: Boolean = false,
-                            rounds: Int = 3): String = {
+                            rounds: Int = 3,
+                            score: String = ""): String = {
+    // the traversal's distance oracle: exact cosine by default; v59
+    // passes a precomputed-per-vector column ("c.ascore", −ADC) so the
+    // SAME unrolled walk replays the PQ-scored traversal
+    val sc =
+      if (score.isEmpty) s"list_cosine_similarity($c.e, q.qe)" else score
     val entries =
       if (customEntries) ""
       else s"""${p}en AS (SELECT dst AS vec_id, count(*) AS deg FROM $g
               |       GROUP BY dst ORDER BY deg DESC, vec_id LIMIT 4),
               |""".stripMargin
     val s0 =
-      s"""${p}s0 AS (SELECT $c.vec_id, list_cosine_similarity($c.e, q.qe) AS score
+      s"""${p}s0 AS (SELECT $c.vec_id, $sc AS score
          |       FROM $c JOIN ${p}en USING (vec_id), q)""".stripMargin
     val steps = (1 to rounds).map { r =>
       s"""${p}b${r - 1} AS (SELECT vec_id AS src FROM ${p}s${r - 1}
          |       ORDER BY score DESC, vec_id LIMIT $beam),
          |${p}i$r AS (SELECT vec_id FROM ${p}s${r - 1}
          |       UNION SELECT dst AS vec_id FROM $g JOIN ${p}b${r - 1} USING (src)),
-         |${p}s$r AS (SELECT $c.vec_id, list_cosine_similarity($c.e, q.qe) AS score
+         |${p}s$r AS (SELECT $c.vec_id, $sc AS score
          |       FROM $c JOIN ${p}i$r USING (vec_id), q)""".stripMargin
     }
     entries + (s0 +: steps).mkString(",\n")
@@ -4067,19 +4180,7 @@ object VectorQueries {
          |      FROM read_parquet('${Artifacts.oracleGlob("v57_corpus")}')),
          |q AS (SELECT e AS qe FROM v WHERE vec_id = 1000),
          |c AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
-         |jj AS (SELECT unnest(range(0, 5)) AS j),
-         |d AS (SELECT c.vec_id, jj.j,
-         |        list_sum(list_transform(range(0, len(c.e)), i ->
-         |          c.e[CAST(i + 1 AS INT)] *
-         |          (CASE WHEN CAST(concat('0x', substring(
-         |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
-         |                 AS BIGINT)
-         |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
-         |      FROM c, jj),
-         |bk AS (SELECT vec_id,
-         |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
-         |                       ELSE 0 END) AS BIGINT) AS bucket
-         |       FROM d GROUP BY vec_id),
+         |$refDimSketchCtes,
          |fr AS (SELECT vec_id, j,
          |         row_number() OVER (PARTITION BY vec_id
          |                            ORDER BY abs(dot), j) AS rn
@@ -4092,13 +4193,7 @@ object VectorQueries {
          |nc AS (SELECT count(*) AS nc FROM cp
          |       JOIN bk i ON cp.bucket = i.bucket
          |       WHERE cp.src != i.vec_id),
-         |dg AS (SELECT dst AS vec_id, count(*) AS deg FROM g
-         |       GROUP BY dst),
-         |en AS (SELECT vec_id FROM (
-         |         SELECT bk.vec_id,
-         |                row_number() OVER (PARTITION BY bk.bucket
-         |                  ORDER BY dg.deg DESC, bk.vec_id) AS rn
-         |         FROM bk JOIN dg USING (vec_id)) WHERE rn <= 2),
+         |$refDimEntryCtes,
          |${walkUnrollSql("", "g", "c", beam = 8, customEntries = true)},
          |t AS (SELECT count(*) AS nodes_touched FROM s3),
          |ex AS (SELECT c.vec_id FROM c, q
@@ -4118,6 +4213,56 @@ object VectorQueries {
          |       round(CAST(nc.nc AS DOUBLE) / nv.nv, 4) AS cand_per_vec,
          |       r.recall_at_10
          |FROM h, t, nc, nv, r ORDER BY rank""".stripMargin,
+    // the DiskANN-style replay: PQ encode (nearest center per 192-wide
+    // subspace from the persisted float codebooks), per-query LUT, ADC
+    // for every corpus vector, the d=1536 sketch + per-bucket entries,
+    // 3 walk rounds scored by −ADC, the top-20 shortlist, the exact
+    // cosine rerank and BOTH recalls (ADC-only and post-rerank)
+    "v59_graph_pq_serve" ->
+      s"""WITH g AS (SELECT src, dst
+         |           FROM read_parquet('${Artifacts.oracleGlob("v57_graph")}')),
+         |cb AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |       FROM read_parquet('${Artifacts.oracleGlob("v30_codebooks")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("v57_corpus")}')),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 1000),
+         |cw AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
+         |${pqAdcCtes("cw", dsub = 192)},
+         |c AS (SELECT cw.vec_id, cw.e, -adc.adc_dist AS ascore
+         |      FROM cw JOIN adc USING (vec_id)),
+         |$refDimSketchCtes,
+         |$refDimEntryCtes,
+         |${walkUnrollSql("", "g", "c", beam = 8, customEntries = true,
+                          score = "c.ascore")},
+         |t AS (SELECT count(*) AS nodes_touched FROM s3),
+         |short AS (SELECT vec_id FROM s3
+         |          ORDER BY score DESC, vec_id LIMIT 20),
+         |ex AS (SELECT c.vec_id FROM c, q
+         |       ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
+         |       LIMIT 10),
+         |at AS (SELECT vec_id FROM s3
+         |       ORDER BY score DESC, vec_id LIMIT 10),
+         |ar AS (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6)
+         |         AS adc_recall_at_10
+         |       FROM at JOIN ex USING (vec_id)),
+         |rr AS (SELECT c.vec_id,
+         |              list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM c JOIN short USING (vec_id), q
+         |       ORDER BY score DESC, vec_id LIMIT 10),
+         |top AS (SELECT vec_id, score,
+         |          row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+         |        FROM rr),
+         |h AS (SELECT top.rank, top.vec_id, top.score,
+         |        CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |      FROM top LEFT JOIN ex USING (vec_id)),
+         |r AS (SELECT round(CAST(sum(hit) AS DOUBLE) / 10.0, 6)
+         |        AS recall_at_10 FROM h)
+         |SELECT CAST(h.rank AS BIGINT) AS rank, h.vec_id,
+         |       round(h.score, 6) AS score, CAST(h.hit AS BIGINT) AS hit,
+         |       t.nodes_touched, ar.adc_recall_at_10, r.recall_at_10,
+         |       CAST(8 AS BIGINT) AS code_bytes,
+         |       round(6144.0 / 8, 1) AS compression
+         |FROM h, t, ar, r ORDER BY rank""".stripMargin,
     // the sharded-LSM replay: the POST-UPDATE partitioned store (base
     // graph + appended delta sidecar) read back with hive_partitioning,
     // probe buckets -> routed shards -> per-bucket entries -> 4 walk
@@ -4615,6 +4760,7 @@ object VectorQueries {
     "v55_graph_sharded" -> (graphShardedServe(_, _)),
     "v57_graph_refdim" -> (refDimGraphServe(_, _)),
     "v58_graph_sharded_lsm" -> (graphShardedLsm(_, _)),
+    "v59_graph_pq_serve" -> (refDimGraphPqServe(_, _)),
     "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Search}
+import graft.operators.{Ann, Pq, Search}
 import org.apache.spark.sql.functions._
 
 class AnnSpec extends SparkSpec {
@@ -457,6 +457,57 @@ class AnnSpec extends SparkSpec {
     assert(got(200L)._3 == 6L, s"query B best: ${got(200L)}")
     // A visited {1,3,4,5}; B visited {1,3,4,6} — both 4 nodes
     assert(got(100L)._5 == 4L && got(200L)._5 == 4L)
+  }
+
+  test("graphBeamWalkPq/PqRerank: exact codebooks reproduce the cosine " +
+      "walk's reachability — the island stays unreachable on codes too") {
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val vecs = Seq(
+      (1L, v(1, 1)), (3L, v(1, 0.5)), (5L, v(1, 0.1)),
+      (2L, v(1, 0))  // best possible score but unreachable
+    ).toDF("vec_id", "embedding")
+    val graph = Seq((1L, 3L), (3L, 5L)).toDF("src", "dst")
+    // dsub=1, m=2, every coordinate value a center -> encode is
+    // LOSSLESS, ADC == exact squared L2, the walk's routing decisions
+    // must match the float walk's
+    val model = Pq.PqModel(1, Array(
+      Array(Array(1f), Array(0f), Array(0.5f), Array(0.1f)),
+      Array(Array(1f), Array(0f), Array(0.5f), Array(0.1f))))
+    val codes = Pq.encode(vecs, "vec_id", "embedding", model)
+    val got = Ann.graphBeamSearchPqRerank(graph, codes, vecs,
+        Array(1f, 0f), model, "vec_id", "embedding",
+        entryIds = Seq(1L), beam = 2, rounds = 2, shortlist = 10, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.map(_._2).toSet == Set(1L, 3L, 5L), "island 2 must stay out")
+    assert(got.forall(_._4 == 3L), "nodes_touched must be 3")
+    assert(got.sortBy(_._1).map(_._2).toSeq == Seq(5L, 3L, 1L))
+  }
+
+  test("graphBeamSearchPqRerank: coarse codes tie two nodes, the exact " +
+      "rerank orders them — the shortlist recovers what ADC loses") {
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    // 5 and 7 quantize to the SAME y center (0.11): ADC ties them and
+    // the tie-break picks the lower id 5; exact cosine prefers 7
+    val vecs = Seq(
+      (1L, v(1, 1)), (3L, v(1, 0.5)),
+      (5L, v(1, 0.12)), (7L, v(1, 0.1))
+    ).toDF("vec_id", "embedding")
+    val graph = Seq((1L, 3L), (3L, 5L), (3L, 7L)).toDF("src", "dst")
+    val model = Pq.PqModel(1, Array(
+      Array(Array(1f), Array(2f), Array(3f)),
+      Array(Array(1f), Array(0.5f), Array(0.11f))))
+    val codes = Pq.encode(vecs, "vec_id", "embedding", model)
+    val q = Array(1f, 0f)
+    val adcFirst = Ann.graphBeamWalkPq(graph, codes, q, model,
+        "vec_id", entryIds = Seq(1L), beam = 2, rounds = 2)
+      .orderBy(col("score").desc, col("vec_id"))
+      .select("vec_id").as[Long].head()
+    assert(adcFirst == 5L, "ADC alone must tie-break to the lower id")
+    val rr = Ann.graphBeamSearchPqRerank(graph, codes, vecs, q, model,
+        "vec_id", "embedding", entryIds = Seq(1L), beam = 2, rounds = 2,
+        shortlist = 4, k = 1)
+      .select("vec_id").as[Long].head()
+    assert(rr == 7L, "the exact rerank must recover the true best")
   }
 
   test("graphBeamSearchBatchVarBeam: each query's window cuts at ITS " +
