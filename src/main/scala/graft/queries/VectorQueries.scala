@@ -2113,6 +2113,65 @@ object VectorQueries {
       .orderBy("rank")
   }
 
+  /** THE RERANK-DEPTH OPERATING CURVE for DiskANN-style serving —
+    * v50's sweep discipline applied to v59's one free parameter: how
+    * many full-precision vectors must the float store serve per query
+    * (the `shortlist`, each one a ~6 KiB object-store read at the
+    * reference width) to buy how much recall back from 768×
+    * compression? ONE PQ-scored walk (v59's geometry: beam 8, rounds
+    * 3, same graph/entries/model), then every shortlist depth in
+    * {5, 10, 20, 40} reranks the SAME scored visited set — the sweep
+    * is a literal-array explode over one ranked frame and a single
+    * rank-window shuffle partitioned by depth, not four walks. The
+    * pinned curve is the deployment dial: ADC ties inside a replica
+    * cluster make the ADC-ranked prefix nearly arbitrary within the
+    * cluster, so recall climbs with depth until the shortlist covers
+    * the cluster's visited members and plateaus at the float walk's
+    * 0.9 — the knee says what rerank I/O the quality target actually
+    * requires. Oracle: v59's replay (encode, LUT, ADC, sketch,
+    * entries, 3 ADC-scored rounds) with the sweep as an unnest +
+    * per-depth rank/recall in SQL.
+    */
+  def refDimPqShortlistSweep(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Pq
+    val (corpusDir, graphDir, entries) = v57Artifacts(spark, sfDir)
+    val (_, _, model) = refDimModels(spark, sfDir)
+    val all = spark.read.parquet(corpusDir)
+    val serving = all.filter(col("vec_id") =!= 1000L)
+    val graph = spark.read.parquet(graphDir)
+    val q = all.filter(col("vec_id") === 1000L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val codes = Pq.encode(serving, "vec_id", "embedding", model)
+    val scored = Ann.graphBeamWalkPq(graph, codes, q, model,
+      "vec_id", entryIds = entries, beam = 8, rounds = 3)
+    val qDf = all.filter(col("vec_id") === 1000L)
+      .select(col("embedding").as("qe"))
+    val exact = Search.topK(serving, qDf, "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("_hit"))
+    import spark.implicits._
+    val depths = Seq(5L, 10L, 20L, 40L).toDF("shortlist")
+    val ranked = scored.withColumn("_rn", row_number().over(
+      Window.orderBy(col("score").desc, col("vec_id"))))
+    val qLit = array(q.map(x => lit(x)).toIndexedSeq: _*)
+    val swept = ranked
+      .crossJoin(broadcast(depths))
+      .filter(col("_rn") <= col("shortlist"))
+      .join(serving.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("shortlist"), col("vec_id"),
+        cosineSim(col("embedding"), qLit).as("_cs"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("shortlist"))
+          .orderBy(col("_cs").desc, col("vec_id"))))
+      .filter(col("_rk") <= 10)
+    swept.join(exact, Seq("vec_id"), "left")
+      .groupBy(col("shortlist"))
+      .agg(round(sum(coalesce(col("_hit"), lit(0L))).cast("double")
+        / 10.0, 6).as("recall_at_10"))
+      .orderBy("shortlist")
+  }
+
   /** IVF recall on a CLUSTERED corpus — the evidence that cell pruning
     * pays on structured data. The fixture embeddings are near-uniform,
     * so v14's partial-probe recall sits near the n_probe/16 floor (its
@@ -4263,6 +4322,47 @@ object VectorQueries {
          |       CAST(8 AS BIGINT) AS code_bytes,
          |       round(6144.0 / 8, 1) AS compression
          |FROM h, t, ar, r ORDER BY rank""".stripMargin,
+    // the rerank-depth curve: v59's replay to s3, then the depth sweep
+    // as an unnest + per-depth rank/recall
+    "v60_pq_shortlist_sweep" ->
+      s"""WITH g AS (SELECT src, dst
+         |           FROM read_parquet('${Artifacts.oracleGlob("v57_graph")}')),
+         |cb AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |       FROM read_parquet('${Artifacts.oracleGlob("v30_codebooks")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("v57_corpus")}')),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 1000),
+         |cw AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
+         |${pqAdcCtes("cw", dsub = 192)},
+         |c AS (SELECT cw.vec_id, cw.e, -adc.adc_dist AS ascore
+         |      FROM cw JOIN adc USING (vec_id)),
+         |$refDimSketchCtes,
+         |$refDimEntryCtes,
+         |${walkUnrollSql("", "g", "c", beam = 8, customEntries = true,
+                          score = "c.ascore")},
+         |ranked AS (SELECT vec_id,
+         |             row_number() OVER (ORDER BY score DESC, vec_id)
+         |               AS rn
+         |           FROM s3),
+         |sw AS (SELECT unnest([5, 10, 20, 40]) AS shortlist),
+         |cand AS (SELECT sw.shortlist, ranked.vec_id
+         |         FROM sw JOIN ranked ON ranked.rn <= sw.shortlist),
+         |rr AS (SELECT shortlist, vec_id, cs,
+         |         row_number() OVER (PARTITION BY shortlist
+         |                            ORDER BY cs DESC, vec_id) AS rk
+         |       FROM (SELECT cand.shortlist, cand.vec_id,
+         |                    list_cosine_similarity(c.e, q.qe) AS cs
+         |             FROM cand JOIN c USING (vec_id), q)),
+         |ex AS (SELECT c.vec_id FROM c, q
+         |       ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
+         |       LIMIT 10)
+         |SELECT CAST(rr.shortlist AS BIGINT) AS shortlist,
+         |       round(CAST(sum(CASE WHEN ex.vec_id IS NULL THEN 0
+         |                           ELSE 1 END) AS DOUBLE) / 10.0, 6)
+         |         AS recall_at_10
+         |FROM rr LEFT JOIN ex USING (vec_id)
+         |WHERE rr.rk <= 10
+         |GROUP BY rr.shortlist ORDER BY shortlist""".stripMargin,
     // the sharded-LSM replay: the POST-UPDATE partitioned store (base
     // graph + appended delta sidecar) read back with hive_partitioning,
     // probe buckets -> routed shards -> per-bucket entries -> 4 walk
@@ -4761,6 +4861,7 @@ object VectorQueries {
     "v57_graph_refdim" -> (refDimGraphServe(_, _)),
     "v58_graph_sharded_lsm" -> (graphShardedLsm(_, _)),
     "v59_graph_pq_serve" -> (refDimGraphPqServe(_, _)),
+    "v60_pq_shortlist_sweep" -> (refDimPqShortlistSweep(_, _)),
     "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),
