@@ -198,7 +198,7 @@ object Artifacts {
     * (JVM, path): inputs are immutable within a run.
     */
   def inputDigest(inputPaths: String*): String = {
-    val key = inputPaths.mkString(" ")
+    val key = inputPaths.mkString("\u0000")
     digestCache.computeIfAbsent(key, { _ =>
       val entries = inputPaths.flatMap { p =>
         val root = java.nio.file.Paths.get(p)
