@@ -2172,6 +2172,75 @@ object VectorQueries {
       .orderBy("shortlist")
   }
 
+  /** SCALAR-QUANTIZED (SQ8) SERVING AT THE REFERENCE DIMENSION — the
+    * MIDDLE point of the measured compression-recall frontier the
+    * graph family now pins end to end: float32 serving (v57, 6,144 B
+    * per vector, recall 0.9), int8 serving (THIS query, 1,536 B, 4×),
+    * PQ ADC-only (v59, 8 B, 768×, recall 0.3) and PQ + exact rerank
+    * (v59/v60, 8 B resident + 20 object-store reads per query, 0.9).
+    * The quantizer is [[graft.operators.Sq8]] (per-dimension symmetric
+    * affine, codes tinyint, scale row broadcast — no training, no
+    * codebook staleness under appends). Same
+    * fixture, graph, entries and walk geometry as v57 (beam 8 /
+    * rounds 3); the ONLY change is the traversal's distance oracle:
+    * cosine against the DEQUANTIZED int8 reconstruction instead of
+    * the raw float. Pins recall@10 vs the exact float scan (the
+    * deployment question: does 4× compression cost recall at the
+    * reference width — int8 serving needs no rerank tier, unlike
+    * v59's 768×), `min_cos_fidelity` (worst-case per-vector
+    * reconstruction cosine — min, not mean, so the meter is
+    * summation-order-free), nodes_touched, code_bytes and the
+    * compression ratio. The oracle replays the scale aggregation, the
+    * quantize/dequantize round trip, the d=1536 SRP sketch +
+    * per-bucket entries over the FLOAT vectors (entries derive from
+    * the float index — quantization changes scoring, not routing),
+    * all 3 dequantized-cosine walk rounds, the exact float scan and
+    * recall in SQL.
+    */
+  def refDimSq8Serve(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Sq8
+    val (corpusDir, graphDir, entries) = v57Artifacts(spark, sfDir)
+    val all = spark.read.parquet(corpusDir)
+    val serving = all.filter(col("vec_id") =!= 1000L)
+    val graph = spark.read.parquet(graphDir)
+    // quantize → int8 codes (the 1,536 B resident representation) →
+    // dequantize in double (exact: codes are integral). Float inputs
+    // widen exactly, so the oracle's all-double replay is bit-identical
+    val coded = serving
+      .join(Sq8.roundTrip(serving,
+          "vec_id", "embedding", Sq8.scalesRow(serving, "embedding"))
+          .select(col("vec_id"), col("embedding").as("deq")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("embedding").as("orig"), col("deq"))
+      .localCheckpoint() // feeds 3 walk rounds + the fidelity meter
+    val fid = coded
+      .select(cosineSim(col("orig"), col("deq")).as("cf"))
+      .agg(round(min(col("cf")), 6).as("min_cos_fidelity"))
+    val deqServing = coded.select(col("vec_id"), col("deq").as("embedding"))
+    val qDf = all.filter(col("vec_id") === 1000L)
+      .select(col("embedding").as("qe"))
+    val walked = Ann.graphBeamSearch(graph, deqServing, qDf,
+      "vec_id", "embedding", entryIds = entries,
+      beam = 8, rounds = 3, k = 10)
+    val exact = Search.topK(serving, qDf, "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("_hit"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    walked.join(exact, Seq("vec_id"), "left")
+      .withColumn("hit", coalesce(col("_hit"), lit(0L)))
+      .withColumn("recall_at_10",
+        round(sum(col("hit")).over(wAll).cast("double") / 10.0, 6))
+      .crossJoin(broadcast(fid))
+      .select(col("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"), col("hit"),
+        col("nodes_touched"), col("recall_at_10"),
+        col("min_cos_fidelity"),
+        lit(1536L).as("code_bytes"),
+        round(lit(6144.0 / 1536), 1).as("compression"))
+      .orderBy("rank")
+  }
+
   /** IVF recall on a CLUSTERED corpus — the evidence that cell pruning
     * pays on structured data. The fixture embeddings are near-uniform,
     * so v14's partial-probe recall sits near the n_probe/16 floor (its
@@ -4363,6 +4432,57 @@ object VectorQueries {
          |FROM rr LEFT JOIN ex USING (vec_id)
          |WHERE rr.rk <= 10
          |GROUP BY rr.shortlist ORDER BY shortlist""".stripMargin,
+    // the SQ8 replay: per-dim scale aggregation, quantize/dequantize
+    // round trip (all-double; round() is half-away-from-zero in both
+    // engines and codes are integral so dequant is exact), sketch +
+    // entries over the FLOAT vectors, 3 walk rounds scored on the
+    // dequantized reconstruction, exact float scan, recall and the
+    // order-free min-fidelity meter
+    "v61_sq8_serve" ->
+      s"""WITH g AS (SELECT src, dst
+         |           FROM read_parquet('${Artifacts.oracleGlob("v57_graph")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("v57_corpus")}')),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 1000),
+         |cw AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
+         |ii AS (SELECT unnest(range(0, 1536)) AS i),
+         |sx AS (SELECT ii.i,
+         |         greatest(max(abs(cw.e[CAST(ii.i + 1 AS INT)])), 1e-30)
+         |           AS s
+         |       FROM cw, ii GROUP BY ii.i),
+         |scl AS (SELECT list(s ORDER BY i) AS sc FROM sx),
+         |dq AS (SELECT cw.vec_id,
+         |         list_transform(range(0, len(cw.e)), i ->
+         |           round(cw.e[CAST(i + 1 AS INT)]
+         |                 / scl.sc[CAST(i + 1 AS INT)] * 127)
+         |             * scl.sc[CAST(i + 1 AS INT)] / 127) AS de
+         |       FROM cw, scl),
+         |c AS (SELECT cw.vec_id, cw.e, dq.de
+         |      FROM cw JOIN dq USING (vec_id)),
+         |fd AS (SELECT round(min(list_cosine_similarity(c.e, c.de)), 6)
+         |         AS min_cos_fidelity FROM c),
+         |$refDimSketchCtes,
+         |$refDimEntryCtes,
+         |${walkUnrollSql("", "g", "c", beam = 8, customEntries = true,
+                          score = "list_cosine_similarity(c.de, q.qe)")},
+         |t AS (SELECT count(*) AS nodes_touched FROM s3),
+         |ex AS (SELECT c.vec_id FROM c, q
+         |       ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
+         |       LIMIT 10),
+         |top AS (SELECT vec_id, score,
+         |          row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+         |        FROM s3 ORDER BY score DESC, vec_id LIMIT 10),
+         |h AS (SELECT top.rank, top.vec_id, top.score,
+         |        CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |      FROM top LEFT JOIN ex USING (vec_id)),
+         |r AS (SELECT round(CAST(sum(hit) AS DOUBLE) / 10.0, 6)
+         |        AS recall_at_10 FROM h)
+         |SELECT CAST(h.rank AS BIGINT) AS rank, h.vec_id,
+         |       round(h.score, 6) AS score, CAST(h.hit AS BIGINT) AS hit,
+         |       t.nodes_touched, r.recall_at_10, fd.min_cos_fidelity,
+         |       CAST(1536 AS BIGINT) AS code_bytes,
+         |       round(6144.0 / 1536, 1) AS compression
+         |FROM h, t, r, fd ORDER BY rank""".stripMargin,
     // the sharded-LSM replay: the POST-UPDATE partitioned store (base
     // graph + appended delta sidecar) read back with hive_partitioning,
     // probe buckets -> routed shards -> per-bucket entries -> 4 walk
@@ -4862,6 +4982,7 @@ object VectorQueries {
     "v58_graph_sharded_lsm" -> (graphShardedLsm(_, _)),
     "v59_graph_pq_serve" -> (refDimGraphPqServe(_, _)),
     "v60_pq_shortlist_sweep" -> (refDimPqShortlistSweep(_, _)),
+    "v61_sq8_serve" -> (refDimSq8Serve(_, _)),
     "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),
