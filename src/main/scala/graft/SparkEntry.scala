@@ -61,14 +61,26 @@ object SparkEntry {
     "v58_graph_sharded_lsm",// sharded base store + delta sidecar append
   )
 
-  /** Build every shared artifact by running its owner once (errors
-    * logged, not fatal — a broken owner surfaces in its own timed/
-    * verified run). Returns (owner, seconds) per owner. */
+  /** Artifact-only warmers: per owner, build/seal/load its shared
+    * snapshot artifacts WITHOUT running the owner's serving body (the
+    * queries.warmers contract). Owners without a warmer fall back to
+    * running the full query once. */
+  private val warmers: Map[String, (SparkSession, String) => Unit] =
+    graft.queries.TextQueries.warmers ++ graft.queries.VectorQueries.warmers
+
+  /** Build every shared artifact — via its artifact-only warmer when
+    * one exists, else by running its owner query once (errors logged,
+    * not fatal — a broken owner surfaces in its own timed/verified
+    * run). Returns (owner, seconds) per owner. */
   def warm(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
     artifactOwners.flatMap { name =>
-      queries.get(name).map { fn =>
+      val step: Option[(SparkSession, String) => Unit] =
+        warmers.get(name).orElse(
+          queries.get(name).map(fn =>
+            (s: SparkSession, d: String) => fn(s, d).count(): Unit))
+      step.map { fn =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(): Unit }
+        try fn(spark, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[warm] $name failed: ${e.getMessage}")
         }

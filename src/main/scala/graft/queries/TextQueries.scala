@@ -138,15 +138,36 @@ object TextQueries {
       .orderBy("id_a", "id_b")
 
   /** The cached base index, shared by t31 (batch update) and s10
-    * (streaming update) — one artifact per corpus, as deployed. */
+    * (streaming update) — one artifact per corpus, as deployed.
+    * Cross-run sealed (the v30 convention): the three index frames
+    * are a deterministic function of the 80% base slice + this
+    * geometry, so a fresh JVM adopts a sealed previous build instead
+    * of re-shingling the corpus; the input digest forces a rebuild if
+    * the fixture regenerates in place. What t31/s10 then measure is
+    * the UPDATE — which never reads these frames' construction.
+    */
   private[queries] def baseJaccardIndex(spark: SparkSession,
                                         sfDir: String): Dedup.JaccardIndex =
-    jaccardIndexCache.getOrElseUpdate(sfDir,
-      Dedup.buildJaccardIndex(
-        spread(Tables.documents(spark, sfDir), "doc_id")
-          .filter(pmod(col("doc_id"), lit(10)) < 8)
-          .select("doc_id", "text"),
-        "doc_id", "text", n = 3, threshold = 0.1, maxDf = 1000L))
+    jaccardIndexCache.getOrElseUpdate(sfDir, {
+      val fp = "t31base:v1:n=3,th=0.1,maxdf=1000,mod10<8:" +
+        Artifacts.inputDigest(sfDir + "/documents.parquet")
+      val names = Seq("t31_base_postings", "t31_base_sizes",
+        "t31_base_pairs")
+      Artifacts.reuseOrBuild(sfDir, fp, names) {
+        val ix = Dedup.buildJaccardIndex(
+          spread(Tables.documents(spark, sfDir), "doc_id")
+            .filter(pmod(col("doc_id"), lit(10)) < 8)
+            .select("doc_id", "text"),
+          "doc_id", "text", n = 3, threshold = 0.1, maxDf = 1000L)
+        Artifacts.write(ix.postings, "t31_base_postings", sfDir)
+        Artifacts.write(ix.sizes, "t31_base_sizes", sfDir)
+        Artifacts.write(ix.pairs, "t31_base_pairs", sfDir): Unit
+      }
+      Dedup.JaccardIndex(
+        spark.read.parquet(Artifacts.resolve("t31_base_postings", sfDir)),
+        spark.read.parquet(Artifacts.resolve("t31_base_sizes", sfDir)),
+        spark.read.parquet(Artifacts.resolve("t31_base_pairs", sfDir)))
+    })
 
   /** INCREMENTAL near-dup maintenance
     * ([[graft.operators.Dedup.updateJaccardIndex]]): 80% of the corpus
@@ -626,23 +647,32 @@ object TextQueries {
   private def bpeSplitModel(spark: SparkSession, sfDir: String)
       : (Seq[(String, String)], DataFrame) =
     bpeSplitModelCache.getOrElseUpdate(sfDir, {
-      var lastSeqs: DataFrame = null
-      val merges = graft.operators.Bpe
-        .train(Tables.documents(spark, sfDir)
-            .filter(pmod(col("doc_id"), lit(5)) =!= 0),
-          "text", rounds = BpeRounds,
-          persistRound = (r, df) =>
-            if (r == BpeRounds) {
-              val back = spark.read
-                .parquet(Artifacts.write(df, "t68_vocab", sfDir))
-              lastSeqs = back
-              back
-            } else df.localCheckpoint())
+      // cross-run seal (the v30 convention): the split-trained model
+      // is a deterministic function of the train slice + the round
+      // count, and BOTH its halves (the final segmentation table and
+      // the ordered merge list) persist, so a fresh JVM adopts a
+      // sealed previous training instead of re-running the rounds
+      val fp = s"t68:v1:rounds=$BpeRounds,train-mod5:" +
+        Artifacts.inputDigest(sfDir + "/documents.parquet")
+      Artifacts.reuseOrBuild(sfDir, fp, Seq("t68_vocab", "t68_merges")) {
+        val mergesDf = graft.operators.Bpe
+          .train(Tables.documents(spark, sfDir)
+              .filter(pmod(col("doc_id"), lit(5)) =!= 0),
+            "text", rounds = BpeRounds,
+            persistRound = (r, df) =>
+              if (r == BpeRounds)
+                spark.read.parquet(Artifacts.write(df, "t68_vocab", sfDir))
+              else df.localCheckpoint())
+        Artifacts.write(mergesDf, "t68_merges", sfDir): Unit
+      }
+      val merges = spark.read
+        .parquet(Artifacts.resolve("t68_merges", sfDir))
         .orderBy("round").collect() // BpeRounds rows — model-sized
       require(merges.length == BpeRounds,
         s"t68 split training exhausted after ${merges.length} merges " +
           s"(< $BpeRounds) on corpus $sfDir")
-      (merges.toSeq.map(m => (m.getString(1), m.getString(2))), lastSeqs)
+      (merges.toSeq.map(m => (m.getString(1), m.getString(2))),
+        spark.read.parquet(Artifacts.resolve("t68_vocab", sfDir)))
     })
 
   /** GENERALIZATION of the trained tokenizer — the evaluation every
@@ -1382,8 +1412,9 @@ object TextQueries {
   private val semDedupCache = scala.collection.concurrent.TrieMap
     .empty[String, (DataFrame, DataFrame)]
 
-  def semanticDedupQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val (corpus, centroids) = semDedupCache.getOrElseUpdate(sfDir, {
+  private def semDedupArtifacts(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) =
+    semDedupCache.getOrElseUpdate(sfDir, {
       val n = 1500
       val gen0 = spark.range(n).select(col("id").as("vec_id"))
         .withColumn("ctext", concat(lit("sd center "),
@@ -1402,12 +1433,23 @@ object TextQueries {
         .select(col("vec_id"),
           transform(col("mix"), x => (x / col("nrm")).cast("float"))
             .as("embedding"))
-      val corpusDf = spark.read.parquet(
-        Artifacts.write(gen, "t32_corpus", sfDir))
-      (corpusDf, spark.read.parquet(Artifacts.write(
-        Ann.kmeansCentroids(corpusDf, "vec_id", "embedding", 12),
-        "t32_centroids", sfDir)))
+      // cross-run seal: fixture + trained centroids are deterministic
+      // functions of the generator version (no external inputs — the
+      // corpus IS the artifact, so the fingerprint is the recipe token)
+      Artifacts.reuseOrBuild(sfDir, "t32:v1:n=1500,k12,d64,amp5",
+          Seq("t32_corpus", "t32_centroids")) {
+        val corpusDf = spark.read.parquet(
+          Artifacts.write(gen, "t32_corpus", sfDir))
+        Artifacts.write(
+          Ann.kmeansCentroids(corpusDf, "vec_id", "embedding", 12),
+          "t32_centroids", sfDir): Unit
+      }
+      (spark.read.parquet(Artifacts.resolve("t32_corpus", sfDir)),
+        spark.read.parquet(Artifacts.resolve("t32_centroids", sfDir)))
     })
+
+  def semanticDedupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val (corpus, centroids) = semDedupArtifacts(spark, sfDir)
     Dedup.semanticDedup(corpus, centroids, "vec_id", "embedding",
         tau = 0.95)
       .groupBy("centroid_id")
@@ -1466,13 +1508,24 @@ object TextQueries {
         .select(col("vec_id"),
           transform(col("mix"), x => (x / col("nrm")).cast("float"))
             .as("embedding"))
-      val corpusDir = Artifacts.write(gen, "t33_corpus", sfDir)
-      val corpusDf = spark.read.parquet(corpusDir)
-        .withColumn("cls", pmod(col("vec_id"), lit(10)))
-      val train = corpusDf.filter(pmod(col("vec_id"), lit(7)) =!= 0)
-      (corpusDir, corpusDf, spark.read.parquet(Artifacts.write(
-        graft.operators.Classify.classMeans(train, "cls", "embedding"),
-        "t33_classmeans", sfDir)))
+      // cross-run seal, the t32 convention (pure generator, no
+      // external inputs — the fingerprint is the recipe token)
+      Artifacts.reuseOrBuild(sfDir, "t33:v1:n=2000,cls10,amp3,train-mod7",
+          Seq("t33_corpus", "t33_classmeans")) {
+        val corpusDf = spark.read
+          .parquet(Artifacts.write(gen, "t33_corpus", sfDir))
+          .withColumn("cls", pmod(col("vec_id"), lit(10)))
+        Artifacts.write(
+          graft.operators.Classify.classMeans(
+            corpusDf.filter(pmod(col("vec_id"), lit(7)) =!= 0),
+            "cls", "embedding"),
+          "t33_classmeans", sfDir): Unit
+      }
+      val corpusDir = Artifacts.resolve("t33_corpus", sfDir)
+      (corpusDir,
+        spark.read.parquet(corpusDir)
+          .withColumn("cls", pmod(col("vec_id"), lit(10))),
+        spark.read.parquet(Artifacts.resolve("t33_classmeans", sfDir)))
     })
 
   def classifierFilter(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1807,18 +1860,33 @@ object TextQueries {
   private def curationKeptSpans(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame) =
     curationCache.getOrElseUpdate(sfDir, {
-      val (_, _, qual) = curationFunnel(spark, sfDir)
-      val cent = Ann.seedCentroids(qual, "doc_id", "embedding", 8)
-      val keptIds = Dedup
-        .semanticDedup(qual, cent, "doc_id", "embedding", tau = 0.35)
-        .filter(col("kept")).select("doc_id")
-      val k = qual.join(keptIds, Seq("doc_id"), "left_semi")
-        .localCheckpoint()
-      (k, Dedup.substringSpansFrom(
-        Dedup.positionalShingleHashes(k.select("doc_id", "text"),
-          "doc_id", "text", w = 8),
-        "doc_id", w = 8, maxDf = 50L, minRunTokens = 16)
-        .localCheckpoint())
+      // cross-run sealed (the v30 convention): survivor set + span
+      // relation are deterministic functions of the two input tables
+      // + the funnel's constants, and the warm phase's largest owner
+      // (9 s of semantic dedup + span detection) without the seal
+      val fp = "t37prod:v1:tau=.35,cent8,w8,maxdf50,minrun16:" +
+        Artifacts.inputDigest(sfDir + "/documents.parquet",
+          sfDir + "/embeddings.parquet")
+      Artifacts.reuseOrBuild(sfDir, fp,
+          Seq("shared_curation_kept", "shared_curation_spans")) {
+        val (_, _, qual) = curationFunnel(spark, sfDir)
+        val cent = Ann.seedCentroids(qual, "doc_id", "embedding", 8)
+        val keptIds = Dedup
+          .semanticDedup(qual, cent, "doc_id", "embedding", tau = 0.35)
+          .filter(col("kept")).select("doc_id")
+        val k = qual.join(keptIds, Seq("doc_id"), "left_semi")
+        Artifacts.write(k, "shared_curation_kept", sfDir)
+        Artifacts.write(
+          Dedup.substringSpansFrom(
+            Dedup.positionalShingleHashes(k.select("doc_id", "text"),
+              "doc_id", "text", w = 8),
+            "doc_id", w = 8, maxDf = 50L, minRunTokens = 16),
+          "shared_curation_spans", sfDir): Unit
+      }
+      (spark.read.parquet(
+          Artifacts.resolve("shared_curation_kept", sfDir)),
+        spark.read.parquet(
+          Artifacts.resolve("shared_curation_spans", sfDir)))
     })
 
   def curationV2(spark: SparkSession, sfDir: String): DataFrame = {
@@ -2066,6 +2134,26 @@ object TextQueries {
           / col("n_tokens"), 6).as("epochs_at_2x"))
       .orderBy("source")
   }
+
+  /** Artifact-only warmers for SparkEntry's warm phase: each builds /
+    * seals / loads the owner's shared snapshot artifacts WITHOUT
+    * running the owner's serving body — "artifacts exist before any
+    * timed run" is satisfied by the cache fill alone, and the first
+    * timed run's plan-compile/JIT cost is absorbed by the interleaved
+    * protocol's min-across-sweeps. */
+  private[graft] val warmers: Map[String, (SparkSession, String) => Unit] =
+    Map(
+      "t16_dup_clusters" -> ((s, d) => dupComponents(s, d): Unit),
+      "t31_incremental_dedup" -> ((s, d) => baseJaccardIndex(s, d): Unit),
+      "t32_semantic_dedup" -> ((s, d) => semDedupArtifacts(s, d): Unit),
+      "t33_classifier_filter" ->
+        ((s, d) => classifierArtifacts(s, d): Unit),
+      "t34_substring_spans" ->
+        ((s, d) => positionalShingleIndex(s, d): Unit),
+      "t47_incremental_substr" -> ((s, d) => baseSubstrIndex(s, d): Unit),
+      "t37_curation_v2" -> ((s, d) => curationKeptSpans(s, d): Unit),
+      "t66_bpe_merges" -> ((s, d) => bpeModel(s, d): Unit),
+      "t68_bpe_heldout" -> ((s, d) => bpeSplitModel(s, d): Unit))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t64_mixing_plan" -> (mixingPlan(_, _)),

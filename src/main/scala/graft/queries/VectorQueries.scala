@@ -1467,29 +1467,47 @@ object VectorQueries {
       : (DataFrame, DataFrame, Seq[Long], Seq[Long]) = {
     val (corpusDir, storeDir, probeBuckets, entries) =
       v58StoreCache.getOrElseUpdate(sfDir, {
-        val (allSrc, _) = clusteredBuild(spark, sfDir)
-        val aDir = Artifacts.write(allSrc, "v58_corpus", sfDir)
+        // snapshot-time work (base build + sharded write + the delta
+        // sidecar append) cross-run sealed: the POST-update store is a
+        // deterministic function of the shared clustered fixture, and
+        // the query verifies the END state through the oracle's
+        // hive-partitioned read — so a fresh JVM adopts it instead of
+        // rebuilding + re-appending. Probe buckets and entries are
+        // model-sized DERIVATIONS from the persisted store and are
+        // re-derived per JVM either way (below), so reuse cannot
+        // change what the walk consumes.
+        Artifacts.reuseOrBuild(sfDir, "v58:v1:bb6,d12,delta-mod10",
+            Seq("v58_corpus", "v58_store")) {
+          val (allSrc, _) = clusteredBuild(spark, sfDir)
+          val aDir = Artifacts.write(allSrc, "v58_corpus", sfDir)
+          val all = spark.read.parquet(aDir)
+          val corpus = all.filter(col("vec_id") >= 8)
+          val base = corpus.filter(pmod(col("vec_id"), lit(10)) =!= 8)
+          val delta = corpus.filter(pmod(col("vec_id"), lit(10)) === 8)
+          // shard = SRP bucket of the src node in the COMBINED index
+          // (base and delta share one address space, so the delta's
+          // sidecar lands in the same shard a compaction would put it)
+          val index = Ann.srpBucketIndex(corpus, "vec_id", "embedding",
+            16, 6)
+          val shardOf = index.select(col("vec_id").as("src"),
+            col("bucket").as("shard"))
+          val baseGraph = Ann.buildKnnGraph(base, "vec_id", "embedding",
+            bits = 16, bucketBits = 6, degree = 12)
+          Artifacts.writePartitioned(
+            baseGraph.join(shardOf, Seq("src")), "v58_store", sfDir,
+            "shard")
+          val sidecar = Ann.updateKnnGraph(base, delta, "vec_id",
+            "embedding", bits = 16, bucketBits = 6, degree = 12)
+          Artifacts.appendPartitioned(
+            sidecar.join(shardOf, Seq("src")), "v58_store", sfDir,
+            "shard"): Unit
+        }
+        val aDir = Artifacts.resolve("v58_corpus", sfDir)
+        val sDir = Artifacts.resolve("v58_store", sfDir)
         val all = spark.read.parquet(aDir)
         val corpus = all.filter(col("vec_id") >= 8)
-        val base = corpus.filter(pmod(col("vec_id"), lit(10)) =!= 8)
-        val delta = corpus.filter(pmod(col("vec_id"), lit(10)) === 8)
-        // shard = SRP bucket of the src node in the COMBINED index
-        // (base and delta share one address space, so the delta's
-        // sidecar lands in the same shard a compaction would put it)
         val index = Ann.srpBucketIndex(corpus, "vec_id", "embedding",
           16, 6)
-        val shardOf = index.select(col("vec_id").as("src"),
-          col("bucket").as("shard"))
-        val baseGraph = Ann.buildKnnGraph(base, "vec_id", "embedding",
-          bits = 16, bucketBits = 6, degree = 12)
-        val sDir = Artifacts.writePartitioned(
-          baseGraph.join(shardOf, Seq("src")), "v58_store", sfDir,
-          "shard")
-        val sidecar = Ann.updateKnnGraph(base, delta, "vec_id",
-          "embedding", bits = 16, bucketBits = 6, degree = 12)
-        Artifacts.appendPartitioned(
-          sidecar.join(shardOf, Seq("src")), "v58_store", sfDir,
-          "shard")
         val q = all.filter(col("vec_id") === 0)
           .select(col("embedding").as("qe"))
         val probes = Ann.srpProbeBuckets(q, "qe", 16, 6)
@@ -1589,33 +1607,42 @@ object VectorQueries {
   private val ivfPqModelCache = scala.collection.concurrent.TrieMap
     .empty[String, (DataFrame, graft.operators.Pq.PqModel)]
 
+  /** v25's trained models, once per (JVM, corpus) — factored out of
+    * the query so the warm phase builds artifacts without running the
+    * serving body. */
+  private def ivfPqModels(spark: SparkSession, sfDir: String)
+      : (DataFrame, graft.operators.Pq.PqModel) =
+    ivfPqModelCache.getOrElseUpdate(sfDir, {
+      import graft.operators.Pq
+      val corpus = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") =!= 0)
+      // cross-run reuse, the v30 convention: both models are
+      // deterministic functions of the corpus + this geometry (the
+      // input digest pins the corpus CONTENT, not just its path)
+      val fp = "v25:v1:kmeans=16,pq=m8k16i4:" +
+        Artifacts.inputDigest(sfDir + "/embeddings.parquet")
+      Artifacts.reuseOrBuild(sfDir, fp,
+          Seq("v25_centroids", "v25_codebooks")) {
+        Artifacts.write(
+          Ann.kmeansCentroids(corpus, "vec_id", "embedding", 16),
+          "v25_centroids", sfDir)
+        persistCodebooks(spark, Pq.trainCodebooks(
+            corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
+            "vec_id", "embedding", m = 8, k = 16, maxIter = 4),
+          "v25_codebooks", sfDir): Unit
+      }
+      (spark.read.parquet(Artifacts.resolve("v25_centroids", sfDir))
+          .localCheckpoint(),
+        loadCodebooks(spark, "v25_codebooks", sfDir))
+    })
+
   def learnedIvfPqSearch(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Pq
     val emb = Tables.embeddings(spark, sfDir)
     val corpus = emb.filter(col("vec_id") =!= 0)
     val q = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
-    val (centroids, model) = ivfPqModelCache.getOrElseUpdate(sfDir, {
-      // cross-run reuse, the v30 convention: both models are
-      // deterministic functions of the corpus + this geometry (the
-      // input digest pins the corpus CONTENT, not just its path)
-      val fp = "v25:v1:kmeans=16,pq=m8k16i4:" +
-        Artifacts.inputDigest(sfDir + "/embeddings.parquet")
-      val names = Seq("v25_centroids", "v25_codebooks")
-      if (!names.forall(Artifacts.cachedHit(_, sfDir, fp))) {
-        Artifacts.write(
-          Ann.kmeansCentroids(corpus, "vec_id", "embedding", 16),
-          "v25_centroids", sfDir)
-        val trained = Pq.trainCodebooks(
-          corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
-          "vec_id", "embedding", m = 8, k = 16, maxIter = 4)
-        persistCodebooks(spark, trained, "v25_codebooks", sfDir)
-        names.foreach(Artifacts.seal(_, sfDir, fp))
-      }
-      (spark.read.parquet(Artifacts.resolve("v25_centroids", sfDir))
-          .localCheckpoint(),
-        loadCodebooks(spark, "v25_codebooks", sfDir))
-    })
+    val (centroids, model) = ivfPqModels(spark, sfDir)
     val index = Pq.buildIvfPqIndex(corpus, centroids,
       "vec_id", "embedding", model)
     Pq.ivfPqSearch(index, centroids, corpus, "vec_id", "embedding",
@@ -1628,6 +1655,24 @@ object VectorQueries {
     * contract). */
   private val filteredIvfPqCache = scala.collection.concurrent.TrieMap
     .empty[String, graft.operators.Pq.PqModel]
+
+  private def filteredIvfPqModel(spark: SparkSession, sfDir: String)
+      : graft.operators.Pq.PqModel =
+    filteredIvfPqCache.getOrElseUpdate(sfDir, {
+      import graft.operators.Pq
+      // cross-run seal, the v25 convention
+      val fp = "v29:v1:m8k16i4,evenhalf:" +
+        Artifacts.inputDigest(sfDir + "/embeddings.parquet")
+      Artifacts.reuseOrBuild(sfDir, fp, Seq("v29_codebooks")) {
+        persistCodebooks(spark, Pq.trainCodebooks(
+            Tables.embeddings(spark, sfDir)
+              .filter(col("vec_id") >= 16 &&
+                pmod(col("vec_id"), lit(2)) === 0),
+            "vec_id", "embedding", m = 8, k = 16, maxIter = 4),
+          "v29_codebooks", sfDir): Unit
+      }
+      loadCodebooks(spark, "v29_codebooks", sfDir)
+    })
 
   /** FILTERED vector search — the top user-facing feature the raw ANN
     * layouts lack: top-k among only the vectors satisfying a metadata
@@ -1647,12 +1692,7 @@ object VectorQueries {
     val corpus = emb.filter(col("vec_id") >= 16)
     val q = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
-    val model = filteredIvfPqCache.getOrElseUpdate(sfDir, {
-      val trained = Pq.trainCodebooks(
-        corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
-        "vec_id", "embedding", m = 8, k = 16, maxIter = 4)
-      persistCodebooks(spark, trained, "v29_codebooks", sfDir)
-    })
+    val model = filteredIvfPqModel(spark, sfDir)
     val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 16)
     val index = Pq.buildIvfPqIndex(corpus, centroids,
         "vec_id", "embedding", model, carryCols = Seq("label"))
@@ -1667,6 +1707,24 @@ object VectorQueries {
     * contract): repeated v33 timings measure the BATCH SERVING path. */
   private val batchedIvfPqCache = scala.collection.concurrent.TrieMap
     .empty[String, graft.operators.Pq.PqModel]
+
+  private def batchedIvfPqModel(spark: SparkSession, sfDir: String)
+      : graft.operators.Pq.PqModel =
+    batchedIvfPqCache.getOrElseUpdate(sfDir, {
+      import graft.operators.Pq
+      // cross-run seal, the v25 convention
+      val fp = "v33:v1:m8k16i4,evenhalf:" +
+        Artifacts.inputDigest(sfDir + "/embeddings.parquet")
+      Artifacts.reuseOrBuild(sfDir, fp, Seq("v33_codebooks")) {
+        persistCodebooks(spark, Pq.trainCodebooks(
+            Tables.embeddings(spark, sfDir)
+              .filter(col("vec_id") >= 16 &&
+                pmod(col("vec_id"), lit(2)) === 0),
+            "vec_id", "embedding", m = 8, k = 16, maxIter = 4),
+          "v33_codebooks", sfDir): Unit
+      }
+      loadCodebooks(spark, "v33_codebooks", sfDir)
+    })
 
   /** BATCHED IVF-PQ serving ([[graft.operators.Pq.ivfPqSearchBatch]])
     * — the production workload v22/v25/v26/v29/v30 don't cover: EIGHT
@@ -1687,12 +1745,7 @@ object VectorQueries {
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
       .sortBy(_._1)
-    val model = batchedIvfPqCache.getOrElseUpdate(sfDir, {
-      val trained = Pq.trainCodebooks(
-        corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
-        "vec_id", "embedding", m = 8, k = 16, maxIter = 4)
-      persistCodebooks(spark, trained, "v33_codebooks", sfDir)
-    })
+    val model = batchedIvfPqModel(spark, sfDir)
     val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 16)
     val index = Pq.buildIvfPqIndex(corpus, centroids,
       "vec_id", "embedding", model)
@@ -1722,28 +1775,44 @@ object VectorQueries {
     * the corpus and listing 4 directories (PlanSpec asserts it). Same
     * oracle replay as v22, over this query's own persisted codebooks.
     */
+  /** v26's partitioned store + models, once per (JVM, corpus) —
+    * factored for the artifact-only warm phase. Codebook training is
+    * cross-run sealed (the v25 convention); the partitioned store
+    * lives in a per-JVM staged dir, so its (cheap) write stays
+    * per-run. */
+  private def prunedIndexArtifacts(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, graft.operators.Pq.PqModel) =
+    prunedIndexCache.getOrElseUpdate(sfDir, {
+      import graft.operators.{Ingest, Pq}
+      val emb = Tables.embeddings(spark, sfDir)
+      val corpus = emb.filter(col("vec_id") >= 16)
+      val cents = Ann.seedCentroids(emb, "vec_id", "embedding", 16)
+        .localCheckpoint()
+      val fp = "v26:v1:m8k16i4,evenhalf:" +
+        Artifacts.inputDigest(sfDir + "/embeddings.parquet")
+      Artifacts.reuseOrBuild(sfDir, fp, Seq("v26_codebooks")) {
+        persistCodebooks(spark, Pq.trainCodebooks(
+            corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
+            "vec_id", "embedding", m = 8, k = 16, maxIter = 4),
+          "v26_codebooks", sfDir): Unit
+      }
+      val m = loadCodebooks(spark, "v26_codebooks", sfDir)
+      val base = IngestQueries.stagedDir(spark,
+        s"graft_v26_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}") { d =>
+        Ingest.writeStorePartitioned(
+          Pq.buildIvfPqIndex(corpus, cents, "vec_id", "embedding", m),
+          s"$d/index", Seq("centroid_id"))
+      }
+      (spark.read.parquet(s"$base/index"), cents, m)
+    })
+
   def ivfPqPrunedSearch(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.operators.{Ingest, Pq}
+    import graft.operators.Pq
     val emb = Tables.embeddings(spark, sfDir)
     val corpus = emb.filter(col("vec_id") >= 16)
     val q = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
-    val (store, centroids, model) =
-      prunedIndexCache.getOrElseUpdate(sfDir, {
-        val cents = Ann.seedCentroids(emb, "vec_id", "embedding", 16)
-          .localCheckpoint()
-        val trained = Pq.trainCodebooks(
-          corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
-          "vec_id", "embedding", m = 8, k = 16, maxIter = 4)
-        val m = persistCodebooks(spark, trained, "v26_codebooks", sfDir)
-        val base = IngestQueries.stagedDir(spark,
-          s"graft_v26_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}") { d =>
-          Ingest.writeStorePartitioned(
-            Pq.buildIvfPqIndex(corpus, cents, "vec_id", "embedding", m),
-            s"$d/index", Seq("centroid_id"))
-        }
-        (spark.read.parquet(s"$base/index"), cents, m)
-      })
+    val (store, centroids, model) = prunedIndexArtifacts(spark, sfDir)
     Pq.ivfPqSearchPruned(store, centroids, corpus, "vec_id", "embedding",
         q, model, nProbe = 4, shortlist = 50, k = 10)
       .select(col("vec_id"), round(col("dist"), 6).as("l2_dist"))
@@ -1994,14 +2063,27 @@ object VectorQueries {
   private def v57Artifacts(spark: SparkSession, sfDir: String)
       : (String, String, Seq[Long]) =
     v57Cache.getOrElseUpdate(sfDir, {
-        val (corpusAll, _, _) = refDimModels(spark, sfDir)
-        val cDir = Artifacts.write(corpusAll, "v57_corpus", sfDir)
-        val all = spark.read.parquet(cDir)
-        val serving = all.filter(col("vec_id") =!= 1000L)
-        val gDir = Artifacts.write(
-          Ann.buildKnnGraph(serving, "vec_id", "embedding",
-            bits = 16, bucketBits = 5, degree = 8),
-          "v57_graph", sfDir)
+        // corpus copy + d=1536 graph build cross-run sealed (the v30
+        // convention — the build is ~2.5 s of the warm phase without
+        // it); entries are re-derived per JVM from the sealed frames
+        Artifacts.reuseOrBuild(sfDir,
+            "v57:v1:copies=40,bits16,bb5,deg8:" +
+              Artifacts.inputDigest(RefDb),
+            Seq("v57_corpus", "v57_graph")) {
+          val (corpusAll, _, _) = refDimModels(spark, sfDir)
+          val cDir = Artifacts.write(corpusAll, "v57_corpus", sfDir)
+          Artifacts.write(
+            Ann.buildKnnGraph(
+              spark.read.parquet(cDir)
+                .filter(col("vec_id") =!= 1000L),
+              "vec_id", "embedding", bits = 16, bucketBits = 5,
+              degree = 8),
+            "v57_graph", sfDir): Unit
+        }
+        val cDir = Artifacts.resolve("v57_corpus", sfDir)
+        val gDir = Artifacts.resolve("v57_graph", sfDir)
+        val serving = spark.read.parquet(cDir)
+          .filter(col("vec_id") =!= 1000L)
         val index = Ann.srpBucketIndex(serving, "vec_id", "embedding",
           16, 5)
         (cDir, gDir, Ann.topDegreeEntriesPerBucket(
@@ -2293,18 +2375,27 @@ object VectorQueries {
           .as("embedding"))
   }
 
+  private def clusteredRecallArtifacts(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) =
+    clusteredRecallCache.getOrElseUpdate(sfDir, {
+      // cross-run seal, the t32 convention (pure generator)
+      Artifacts.reuseOrBuild(sfDir, "v28:v1:n=2000,c8,k16,d64",
+          Seq("v28_corpus", "v28_centroids")) {
+        val allDf = spark.read.parquet(
+          Artifacts.write(genClusteredCorpus(spark), "v28_corpus", sfDir))
+        Artifacts.write(
+          Ann.kmeansCentroids(allDf.filter(col("vec_id") >= 8),
+            "vec_id", "embedding", 16),
+          "v28_centroids", sfDir): Unit
+      }
+      (spark.read.parquet(Artifacts.resolve("v28_corpus", sfDir)),
+        spark.read.parquet(Artifacts.resolve("v28_centroids", sfDir)))
+    })
+
   def clusteredRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val n = 2000
     val nQueries = 8
-    val (all, centroids) = clusteredRecallCache.getOrElseUpdate(sfDir, {
-      val corpusDir = Artifacts.write(genClusteredCorpus(spark),
-        "v28_corpus", sfDir)
-      val allDf = spark.read.parquet(corpusDir)
-      (allDf, spark.read.parquet(Artifacts.write(
-        Ann.kmeansCentroids(allDf.filter(col("vec_id") >= nQueries),
-          "vec_id", "embedding", 16),
-        "v28_centroids", sfDir)))
-    })
+    val (all, centroids) = clusteredRecallArtifacts(spark, sfDir)
     val corpus = all.filter(col("vec_id") >= nQueries)
     val nCorpus = (n - nQueries).toDouble
     val queries = all.filter(col("vec_id") < nQueries)
@@ -2390,11 +2481,24 @@ object VectorQueries {
   private def clusteredBuild(spark: SparkSession,
                              sfDir: String): (DataFrame, DataFrame) =
     clusteredBuildCache.getOrElseUpdate(sfDir, {
-      val all = genClusteredCorpus(spark).localCheckpoint()
-      val g = Ann.buildKnnGraph(all.filter(col("vec_id") >= 8),
-        "vec_id", "embedding", bits = 16, bucketBits = 6, degree = 12)
-        .localCheckpoint()
-      (all, g)
+      // cross-run seal under SHARED names (pure generator + the
+      // deterministic k-NN build); v54/v58 still copy into their OWN
+      // artifact names so each oracle stays self-contained, but the
+      // real graph build is paid once per recipe, not once per JVM
+      Artifacts.reuseOrBuild(sfDir, "clusteredbuild:v1:n=2000,bb6,d12",
+          Seq("shared_clustered_corpus", "shared_clustered_graph")) {
+        val all = spark.read.parquet(Artifacts.write(
+          genClusteredCorpus(spark), "shared_clustered_corpus", sfDir))
+        Artifacts.write(
+          Ann.buildKnnGraph(all.filter(col("vec_id") >= 8),
+            "vec_id", "embedding", bits = 16, bucketBits = 6,
+            degree = 12),
+          "shared_clustered_graph", sfDir): Unit
+      }
+      (spark.read.parquet(
+          Artifacts.resolve("shared_clustered_corpus", sfDir)),
+        spark.read.parquet(
+          Artifacts.resolve("shared_clustered_graph", sfDir)))
     })
 
   /** v54's artifact writes + entry derivation, once per (JVM, corpus)
@@ -2403,20 +2507,31 @@ object VectorQueries {
   private val v54ArtifactCache = scala.collection.concurrent.TrieMap
     .empty[String, (String, String, Seq[Long])]
 
+  private def v54Artifacts(spark: SparkSession, sfDir: String)
+      : (String, String, Seq[Long]) =
+    v54ArtifactCache.getOrElseUpdate(sfDir, {
+      // the self-contained copies are themselves sealed, so on
+      // reuse neither the shared build nor the copy runs; entries
+      // are re-derived per JVM from the persisted frames (bounded)
+      Artifacts.reuseOrBuild(sfDir, "v54copy:v1:n=2000,bb6,d12",
+          Seq("v54_corpus", "v54_graph")) {
+        val (allSrc, edgesSrc) = clusteredBuild(spark, sfDir)
+        Artifacts.write(allSrc, "v54_corpus", sfDir)
+        Artifacts.write(edgesSrc, "v54_graph", sfDir): Unit
+      }
+      val aDir = Artifacts.resolve("v54_corpus", sfDir)
+      val gDir = Artifacts.resolve("v54_graph", sfDir)
+      val corpus = spark.read.parquet(aDir)
+        .filter(col("vec_id") >= 8)
+      (aDir, gDir, Ann.topDegreeEntriesPerBucket(
+        spark.read.parquet(gDir),
+        Ann.srpBucketIndex(corpus, "vec_id", "embedding", 16, 6),
+        "vec_id", perBucket = 2))
+    })
+
   def graphClusteredServe(spark: SparkSession, sfDir: String): DataFrame = {
     val nQueries = 8
-    val (allDir, graphDir, entries) =
-      v54ArtifactCache.getOrElseUpdate(sfDir, {
-        val (allSrc, edgesSrc) = clusteredBuild(spark, sfDir)
-        val aDir = Artifacts.write(allSrc, "v54_corpus", sfDir)
-        val gDir = Artifacts.write(edgesSrc, "v54_graph", sfDir)
-        val corpus = spark.read.parquet(aDir)
-          .filter(col("vec_id") >= nQueries)
-        (aDir, gDir, Ann.topDegreeEntriesPerBucket(
-          spark.read.parquet(gDir),
-          Ann.srpBucketIndex(corpus, "vec_id", "embedding", 16, 6),
-          "vec_id", perBucket = 2))
-      })
+    val (allDir, graphDir, entries) = v54Artifacts(spark, sfDir)
     val all = spark.read.parquet(allDir)
     val graph = spark.read.parquet(graphDir)
     val corpus = all.filter(col("vec_id") >= nQueries)
@@ -4951,6 +5066,26 @@ object VectorQueries {
         |    FROM embeddings e, c WHERE e.vec_id >= 16) WHERE rn = 1)
         |SELECT centroid_id, count(*) AS n_vectors, CAST(sum(vec_id) AS BIGINT) AS sum_ids
         |FROM assigned GROUP BY centroid_id ORDER BY centroid_id""".stripMargin)
+
+  /** Artifact-only warmers (the TextQueries.warmers contract): build
+    * each owner's shared snapshot artifacts without running its
+    * serving body. */
+  private[graft] val warmers: Map[String, (SparkSession, String) => Unit] =
+    Map(
+      "v25_learned_ivfpq" -> ((s, d) => ivfPqModels(s, d): Unit),
+      "v26_ivfpq_pruned" -> ((s, d) => prunedIndexArtifacts(s, d): Unit),
+      "v28_clustered_recall" ->
+        ((s, d) => clusteredRecallArtifacts(s, d): Unit),
+      "v29_filtered_ivfpq" -> ((s, d) => filteredIvfPqModel(s, d): Unit),
+      "v30_ref_ivfpq" -> ((s, d) => refDimModels(s, d): Unit),
+      "v33_batched_ivfpq" -> ((s, d) => batchedIvfPqModel(s, d): Unit),
+      "v49_graph_compact" -> ((s, d) => {
+        fullKnnGraph(s, d)
+        lsmBaseGraph(s, d): Unit
+      }),
+      "v54_graph_clustered" -> ((s, d) => v54Artifacts(s, d): Unit),
+      "v57_graph_refdim" -> ((s, d) => v57Artifacts(s, d): Unit),
+      "v58_graph_sharded_lsm" -> ((s, d) => v58Routed(s, d): Unit))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_topk" -> ((s, d) => knnTopK(s, d)),
