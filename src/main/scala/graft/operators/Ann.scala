@@ -569,6 +569,31 @@ object Ann {
     }
   }
 
+  /** The beam walk TRAVERSING on binary (sign-bit) hamming distance —
+    * [[graphBeamWalkPq]]'s contract at [[Bq]]'s 32× compression rung:
+    * each visit costs d/32 XOR+popcount word ops against the packed
+    * code table, never a d-wide float pass; score = −hamming
+    * (larger = closer, ties by id — the family's ordering rules).
+    * Hamming collapses magnitude and quantizes angle to bit flips, so
+    * the rerank tail restores true cosine scores — though v62's
+    * measurement shows 1,536 sign bits already resolve this corpus's
+    * replica mates (hamming-only recall 0.9), unlike PQ's 8-byte
+    * codes (ADC-only 0.3).
+    */
+  def graphBeamWalkBq(graph: DataFrame, codes: DataFrame,
+                      qWords: Seq[Long], idCol: String,
+                      entryIds: Seq[Long], beam: Int,
+                      rounds: Int): DataFrame = {
+    require(entryIds.nonEmpty, "beam walk: entryIds must be non-empty")
+    beamWalkGeneric(graph,
+      codes.select(col(idCol)).filter(col(idCol).isin(entryIds: _*)),
+      idCol, beam, rounds) { ids =>
+      ids.join(codes, Seq(idCol))
+        .select(col(idCol),
+          Bq.negHammingCol(col("code"), qWords).as("score"))
+    }
+  }
+
   /** Exact-cosine rerank of the walk's `shortlist` best-by-ADC against
     * the raw float store — only these rows' full vectors are ever
     * fetched (broadcast semi-join). See [[graphBeamWalkPq]]. */

@@ -2323,6 +2323,83 @@ object VectorQueries {
       .orderBy("rank")
   }
 
+  /** BINARY-QUANTIZED SERVING AT THE REFERENCE DIMENSION — the 32×
+    * rung that COMPLETES the measured compression-recall frontier:
+    * float32 6,144 B / recall 0.9 (v57) → SQ8 1,536 B / 0.9, no
+    * rerank needed (v61) → BQ 192 B / rerank-dependent (THIS query) →
+    * PQ 8 B / 0.3 ADC-only, 0.9 with 20 exact reads (v59/v60). The
+    * quantizer is [[graft.operators.Bq]]: one sign bit per dimension
+    * packed 32 per word, traversal distance = hamming via XOR +
+    * popcount over 48 words ([[Ann.graphBeamWalkBq]]) — no training,
+    * no scales, nothing to go stale. Same fixture, graph, entries and
+    * walk geometry as v57/v59/v61 (beam 8 / rounds 3); exact-cosine
+    * rerank of the top-20 by hamming (v59's shortlist contract).
+    * MEASURED: hamming-only recall is ALREADY 0.9 — 1,536 sign bits
+    * resolve the replica-cluster mates that v59's 8-byte codes
+    * collapse (the SimHash property: per-bit flip probability ∝
+    * angle, and this corpus's mates differ by a real noise angle), so
+    * at the reference width BQ matches the float walk's recall at 32×
+    * with the rerank tier needed only to restore true cosine SCORES,
+    * not the hit set. The contrast with v59 (ADC-only 0.3 at 768×) is
+    * the frontier's shape: recall degrades where compression collapses
+    * the corpus's OWN structure, not at a fixed ratio.
+    * Pins BOTH quality meters — `bq_recall_at_10` (top-10 by hamming
+    * alone among visited: what sign bits alone deliver) and
+    * `recall_at_10` (post-rerank) — alongside nodes_touched,
+    * code_bytes and the ratio. The oracle replays the MSB-first
+    * power-of-two packing (exact BIGINT arithmetic — words < 2^32, no
+    * overflow on either engine), the query's own packing, the
+    * XOR/popcount scoring, the d=1536 SRP sketch + entries over the
+    * FLOAT vectors, all 3 hamming-scored walk rounds, the shortlist,
+    * the exact rerank and both recalls in SQL.
+    */
+  def refDimBqServe(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Bq
+    val (corpusDir, graphDir, entries) = v57Artifacts(spark, sfDir)
+    val all = spark.read.parquet(corpusDir)
+    val serving = all.filter(col("vec_id") =!= 1000L)
+    val graph = spark.read.parquet(graphDir)
+    val q = all.filter(col("vec_id") === 1000L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val codes = Bq.pack(serving, "vec_id", "embedding", 1536)
+      .localCheckpoint() // feeds 3 walk rounds; one narrow map, cut once
+    val scored = Ann.graphBeamWalkBq(graph, codes, Bq.packQuery(q),
+      "vec_id", entryIds = entries, beam = 8, rounds = 3)
+    val touched = scored.agg(count(lit(1)).as("nodes_touched"))
+    val short = scored.orderBy(col("score").desc, col("vec_id"))
+      .limit(20).select("vec_id")
+    val qDf = all.filter(col("vec_id") === 1000L)
+      .select(col("embedding").as("qe"))
+    val exact = Search.topK(serving, qDf, "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("_hit"))
+    val bqHits = scored.orderBy(col("score").desc, col("vec_id"))
+      .limit(10).select("vec_id")
+      .join(exact, Seq("vec_id"))
+      .agg(round(count(lit(1)).cast("double") / 10.0, 6)
+        .as("bq_recall_at_10"))
+    val rr = Search.topK(
+        serving.join(broadcast(short), Seq("vec_id")),
+        qDf, "vec_id", "embedding", "qe", 10)
+      .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id")))
+        .cast("long"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    rr.join(exact, Seq("vec_id"), "left")
+      .withColumn("hit", coalesce(col("_hit"), lit(0L)))
+      .withColumn("recall_at_10",
+        round(sum(col("hit")).over(wAll).cast("double") / 10.0, 6))
+      .crossJoin(broadcast(touched)).crossJoin(broadcast(bqHits))
+      .select(col("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"), col("hit"),
+        col("nodes_touched"), col("bq_recall_at_10"),
+        col("recall_at_10"),
+        lit(192L).as("code_bytes"),
+        round(lit(6144.0 / 192), 1).as("compression"))
+      .orderBy("rank")
+  }
+
   /** IVF recall on a CLUSTERED corpus — the evidence that cell pruning
     * pays on structured data. The fixture embeddings are near-uniform,
     * so v14's partial-probe recall sits near the n_probe/16 floor (its
@@ -4598,6 +4675,73 @@ object VectorQueries {
          |       CAST(1536 AS BIGINT) AS code_bytes,
          |       round(6144.0 / 1536, 1) AS compression
          |FROM h, t, r, fd ORDER BY rank""".stripMargin,
+    // the BQ replay: MSB-first power-of-two packing of corpus AND
+    // query sign bits (exact BIGINT arithmetic, words < 2^32), the
+    // XOR/popcount hamming score, sketch + entries over the FLOAT
+    // vectors, 3 hamming-scored walk rounds, shortlist-20 exact
+    // rerank and both recalls
+    "v62_bq_serve" ->
+      s"""WITH g AS (SELECT src, dst
+         |           FROM read_parquet('${Artifacts.oracleGlob("v57_graph")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("v57_corpus")}')),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 1000),
+         |cw AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
+         |ww AS (SELECT unnest(range(0, 48)) AS w),
+         |cd AS (SELECT cw.vec_id, ww.w,
+         |         list_sum(list_transform(range(0, 32), b ->
+         |           CASE WHEN cw.e[CAST(ww.w * 32 + b + 1 AS INT)] > 0
+         |                THEN CAST(power(2, 31 - b) AS BIGINT)
+         |                ELSE 0 END)) AS word
+         |       FROM cw, ww),
+         |cl AS (SELECT vec_id, list(word ORDER BY w) AS code
+         |       FROM cd GROUP BY vec_id),
+         |qd AS (SELECT ww.w,
+         |         list_sum(list_transform(range(0, 32), b ->
+         |           CASE WHEN q.qe[CAST(ww.w * 32 + b + 1 AS INT)] > 0
+         |                THEN CAST(power(2, 31 - b) AS BIGINT)
+         |                ELSE 0 END)) AS word
+         |       FROM q, ww),
+         |ql AS (SELECT list(word ORDER BY w) AS qcode FROM qd),
+         |c AS (SELECT cw.vec_id, cw.e,
+         |        -CAST(list_sum(list_transform(range(0, 48), i ->
+         |          bit_count(xor(cl.code[CAST(i + 1 AS INT)],
+         |                        ql.qcode[CAST(i + 1 AS INT)]))))
+         |          AS BIGINT) AS bscore
+         |      FROM cw JOIN cl USING (vec_id), ql),
+         |$refDimSketchCtes,
+         |$refDimEntryCtes,
+         |${walkUnrollSql("", "g", "c", beam = 8, customEntries = true,
+                          score = "c.bscore")},
+         |t AS (SELECT count(*) AS nodes_touched FROM s3),
+         |short AS (SELECT vec_id FROM s3
+         |          ORDER BY score DESC, vec_id LIMIT 20),
+         |ex AS (SELECT c.vec_id FROM c, q
+         |       ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
+         |       LIMIT 10),
+         |bt AS (SELECT vec_id FROM s3
+         |       ORDER BY score DESC, vec_id LIMIT 10),
+         |br AS (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6)
+         |         AS bq_recall_at_10
+         |       FROM bt JOIN ex USING (vec_id)),
+         |rr AS (SELECT c.vec_id,
+         |              list_cosine_similarity(c.e, q.qe) AS score
+         |       FROM c JOIN short USING (vec_id), q
+         |       ORDER BY score DESC, vec_id LIMIT 10),
+         |top AS (SELECT vec_id, score,
+         |          row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+         |        FROM rr),
+         |h AS (SELECT top.rank, top.vec_id, top.score,
+         |        CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |      FROM top LEFT JOIN ex USING (vec_id)),
+         |r AS (SELECT round(CAST(sum(hit) AS DOUBLE) / 10.0, 6)
+         |        AS recall_at_10 FROM h)
+         |SELECT CAST(h.rank AS BIGINT) AS rank, h.vec_id,
+         |       round(h.score, 6) AS score, CAST(h.hit AS BIGINT) AS hit,
+         |       t.nodes_touched, br.bq_recall_at_10, r.recall_at_10,
+         |       CAST(192 AS BIGINT) AS code_bytes,
+         |       round(6144.0 / 192, 1) AS compression
+         |FROM h, t, br, r ORDER BY rank""".stripMargin,
     // the sharded-LSM replay: the POST-UPDATE partitioned store (base
     // graph + appended delta sidecar) read back with hive_partitioning,
     // probe buckets -> routed shards -> per-bucket entries -> 4 walk
@@ -5118,6 +5262,7 @@ object VectorQueries {
     "v59_graph_pq_serve" -> (refDimGraphPqServe(_, _)),
     "v60_pq_shortlist_sweep" -> (refDimPqShortlistSweep(_, _)),
     "v61_sq8_serve" -> (refDimSq8Serve(_, _)),
+    "v62_bq_serve" -> (refDimBqServe(_, _)),
     "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),
