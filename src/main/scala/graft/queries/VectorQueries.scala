@@ -2400,6 +2400,80 @@ object VectorQueries {
       .orderBy("rank")
   }
 
+  /** PREFIX-DIMENSION SERVING SWEEP (Matryoshka-style truncation) —
+    * the SECOND compression axis, orthogonal to v59/v61/v62's
+    * precision axis: serve on the FIRST d′ of 1536 dimensions
+    * (Kusupati et al. 2022's deployment dial; OpenAI's
+    * text-embedding-3 exposes exactly this knob). Production MRL
+    * models TRAIN the prefix to carry the signal; this query measures
+    * the UNTRAINED baseline — and the measured curve is the negative
+    * result that justifies that training: recall@10 runs 0.9 / 0.8 /
+    * 0.7 / 0.5 at widths 96 / 192 / 384 / 768 — NON-MONOTONE IN THE
+    * WRONG DIRECTION, wider prefixes serving WORSE. Mechanism (a real
+    * property of feature-hashed embeddings, not an artifact): each
+    * vector is dense-seed + sparse token spikes (hashEmbed buckets 2
+    * tokens of "pt <id>" into 2 of 1536 dims), the dense seed carries
+    * CLUSTER identity and the spikes carry MATE identity; a short
+    * prefix excludes nearly all spikes, scoring near-pure seed cosine
+    * (right cluster, mates near-interchangeable), while a half-width
+    * prefix includes roughly half the spikes with the wrong norm
+    * context, ranking mates by a half-sampled noise that disagrees
+    * with the full ordering. The deployment lesson the frontier now
+    * states with measurements on both axes: PRECISION compression
+    * degrades gracefully without training (v61 4×/0.9, v62 32×/0.9,
+    * v59 768×/0.3→0.9 reranked) but DIMENSION compression is unsafe
+    * without MRL-trained embeddings — "just truncate" is not a dial.
+    * ONE multi-index walk serves every width
+    * ([[Ann.graphBeamSearchMultiIndex]], v49's machinery with width
+    * as the index key): graph, entries and geometry are v57's
+    * (width-independent — routing comes from the full-dim index;
+    * truncation changes scoring only, the v61/v62 discipline), the
+    * vectors frame carries each width's prefix, and every join keys
+    * on (width, node) — the sweep costs rounds-many join stages
+    * total, not per width. Output one row per width ∈ {96, 192, 384,
+    * 768}: bytes_per_vec (4·d′), nodes_touched, recall@10 vs the
+    * full-dimension exact scan. The oracle replays the prefix slices
+    * (variable-bound list slicing), the d=1536 sketch + entries over
+    * the FULL vectors, all 3 width-keyed walk rounds and the
+    * per-width recall in SQL.
+    */
+  def refDimPrefixServe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (corpusDir, graphDir, entries) = v57Artifacts(spark, sfDir)
+    val all = spark.read.parquet(corpusDir)
+    val serving = all.filter(col("vec_id") =!= 1000L)
+    val graph = spark.read.parquet(graphDir)
+    val wdf = Seq(96L, 192L, 384L, 768L).toDF("query_id")
+    val pv = serving.crossJoin(broadcast(wdf))
+      .select(col("query_id"), col("vec_id"),
+        slice(col("embedding"), lit(1), col("query_id").cast("int"))
+          .as("embedding"))
+      .localCheckpoint() // 4 model-scale prefix frames feed 3 rounds
+    val g4 = graph.crossJoin(broadcast(wdf))
+      .select(col("query_id"), col("src"), col("dst"))
+    val e4 = wdf.crossJoin(entries.toDF("vec_id"))
+    val qe4 = all.filter(col("vec_id") === 1000L)
+      .select(col("embedding")).crossJoin(broadcast(wdf))
+      .select(col("query_id"),
+        slice(col("embedding"), lit(1), col("query_id").cast("int"))
+          .as("qe"))
+    val walked = Ann.graphBeamSearchMultiIndex(g4, pv, qe4, e4,
+      "vec_id", "embedding", "query_id", beam = 8, rounds = 3, k = 10)
+    val qDf = all.filter(col("vec_id") === 1000L)
+      .select(col("embedding").as("qe"))
+    val exact = Search.topK(serving, qDf, "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("_hit"))
+    walked.join(exact, Seq("vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(max(col("nodes_touched")).as("nodes_touched"),
+        round(sum(coalesce(col("_hit"), lit(0L))).cast("double") / 10.0,
+          6).as("recall_at_10"))
+      .select(col("query_id").as("width"),
+        (col("query_id") * 4).as("bytes_per_vec"),
+        col("nodes_touched"), col("recall_at_10"))
+      .orderBy("width")
+  }
+
   /** IVF recall on a CLUSTERED corpus — the evidence that cell pruning
     * pays on structured data. The fixture embeddings are near-uniform,
     * so v14's partial-probe recall sits near the n_probe/16 floor (its
@@ -4742,6 +4816,65 @@ object VectorQueries {
          |       CAST(192 AS BIGINT) AS code_bytes,
          |       round(6144.0 / 192, 1) AS compression
          |FROM h, t, br, r ORDER BY rank""".stripMargin,
+    // the prefix-dimension replay: variable-bound list slices per
+    // width, sketch + entries over the FULL vectors, 3 width-keyed
+    // walk rounds (the multi-index unroll), per-width recall vs the
+    // full-dimension exact scan
+    "v63_prefix_serve" ->
+      s"""WITH g AS (SELECT src, dst
+         |           FROM read_parquet('${Artifacts.oracleGlob("v57_graph")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("v57_corpus")}')),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 1000),
+         |c AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
+         |$refDimSketchCtes,
+         |$refDimEntryCtes,
+         |wd AS (SELECT unnest([96, 192, 384, 768]) AS width),
+         |cp AS (SELECT wd.width, c.vec_id,
+         |         c.e[1:CAST(wd.width AS INT)] AS pe FROM c, wd),
+         |qp AS (SELECT wd.width,
+         |         q.qe[1:CAST(wd.width AS INT)] AS qe FROM q, wd),
+         |en4 AS (SELECT wd.width, en.vec_id FROM en, wd),
+         |g4 AS (SELECT wd.width, g.src, g.dst FROM g, wd),
+         |s0 AS (SELECT cp.width, cp.vec_id,
+         |         list_cosine_similarity(cp.pe, qp.qe) AS score
+         |       FROM cp JOIN en4 USING (width, vec_id)
+         |       JOIN qp USING (width)),
+         |${(1 to 3).map { r =>
+              s"""b${r - 1} AS (SELECT width, vec_id AS src FROM (
+                 |         SELECT width, vec_id,
+                 |                row_number() OVER (PARTITION BY width
+                 |                  ORDER BY score DESC, vec_id) AS r
+                 |         FROM s${r - 1}) WHERE r <= 8),
+                 |i$r AS (SELECT width, vec_id FROM s${r - 1}
+                 |       UNION SELECT g4.width, g4.dst
+                 |             FROM g4 JOIN b${r - 1}
+                 |             ON g4.width = b${r - 1}.width
+                 |            AND g4.src = b${r - 1}.src),
+                 |s$r AS (SELECT i$r.width, i$r.vec_id,
+                 |         list_cosine_similarity(cp.pe, qp.qe) AS score
+                 |       FROM i$r JOIN cp USING (width, vec_id)
+                 |       JOIN qp USING (width))""".stripMargin
+            }.mkString(",\n")},
+         |ex AS (SELECT c.vec_id FROM c, q
+         |       ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
+         |       LIMIT 10),
+         |t AS (SELECT width, count(*) AS nodes_touched FROM s3
+         |      GROUP BY width),
+         |tp AS (SELECT width, vec_id FROM (
+         |         SELECT width, vec_id,
+         |                row_number() OVER (PARTITION BY width
+         |                  ORDER BY score DESC, vec_id) AS r
+         |         FROM s3) WHERE r <= 10)
+         |SELECT CAST(tp.width AS BIGINT) AS width,
+         |       CAST(tp.width * 4 AS BIGINT) AS bytes_per_vec,
+         |       t.nodes_touched,
+         |       round(CAST(sum(CASE WHEN ex.vec_id IS NULL THEN 0
+         |                           ELSE 1 END) AS DOUBLE) / 10.0, 6)
+         |         AS recall_at_10
+         |FROM tp LEFT JOIN ex USING (vec_id) JOIN t USING (width)
+         |GROUP BY tp.width, t.nodes_touched
+         |ORDER BY width""".stripMargin,
     // the sharded-LSM replay: the POST-UPDATE partitioned store (base
     // graph + appended delta sidecar) read back with hive_partitioning,
     // probe buckets -> routed shards -> per-bucket entries -> 4 walk
@@ -5263,6 +5396,7 @@ object VectorQueries {
     "v60_pq_shortlist_sweep" -> (refDimPqShortlistSweep(_, _)),
     "v61_sq8_serve" -> (refDimSq8Serve(_, _)),
     "v62_bq_serve" -> (refDimBqServe(_, _)),
+    "v63_prefix_serve" -> (refDimPrefixServe(_, _)),
     "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),
