@@ -139,6 +139,15 @@ object Pq {
     * ships inside the expression.
     */
   def adcDistance(codesCol: Column, query: Array[Float],
+                  model: PqModel): Column =
+    adcDistance(codesCol, query.map(_.toDouble), model)
+
+  /** [[adcDistance]] for a DOUBLE query — the variant a TRANSFORMED
+    * query arrives as ([[Opq.rotate]]'s 1e-6-rounded doubles): a float
+    * round-trip would interpose a rounding step the SQL replay of the
+    * rotation (which stays in double) could not reproduce.
+    */
+  def adcDistance(codesCol: Column, query: Array[Double],
                   model: PqModel): Column = {
     require(query.length == model.m * model.dsub,
       s"query dim ${query.length} != ${model.m}×${model.dsub}")
@@ -148,7 +157,7 @@ object Pq {
       var acc = 0.0
       var i = 0
       while (i < model.dsub) {
-        val d = query(j * model.dsub + i).toDouble -
+        val d = query(j * model.dsub + i) -
           model.codebooks(j)(c)(i).toDouble
         acc += d * d
         i += 1

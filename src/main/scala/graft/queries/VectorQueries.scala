@@ -1038,6 +1038,50 @@ object VectorQueries {
       .crossJoin(rerank.select(col("r").as("recall_rerank100_at_10")))
   }
 
+  /** (vec_id, j, mind) — per-(vector, subspace) assignment distance
+    * (min over the codebook's k centroids): the frame BOTH of v64/
+    * v65's distortion meters aggregate — total reconstruction MSE
+    * (Σ_j, avg over the corpus: the objective OPQ's rotation is
+    * trained to reduce) and the hottest-subspace distortion SHARE
+    * (max_j / Σ_j of the per-subspace means: the spread the eigenvalue
+    * allocation exists to flatten). `cb` is a persisted codebook frame
+    * (j, c, ctr double).
+    */
+  private def pqMinDist(vecs: DataFrame, cb: DataFrame, m: Int,
+                        dsub: Int): DataFrame =
+    vecs.select(col("vec_id"),
+        explode(array((0 until m).map { j =>
+          struct(lit(j).as("j"),
+            slice(col("embedding"), j * dsub + 1, dsub)
+              .cast("array<double>").as("sv"))
+        }: _*)).as("e"))
+      .select(col("vec_id"), col("e.j").as("j"), col("e.sv").as("sv"))
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("dist",
+        aggregate(zip_with(col("sv"), col("ctr"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+      .groupBy("vec_id", "j").agg(min("dist").as("mind"))
+
+  /** Total reconstruction MSE from a [[pqMinDist]] frame: Σ over
+    * subspaces, averaged over the corpus, rounded for the oracle. */
+  private def pqMseOf(mind: DataFrame, outCol: String): DataFrame =
+    mind.groupBy("vec_id").agg(sum("mind").as("serr"))
+      .agg(round(avg("serr"), 6).as(outCol))
+
+  /** Hottest-subspace distortion share from a [[pqMinDist]] frame:
+    * max_j / Σ_j of the per-subspace mean assignment distances. */
+  private def pqShareOf(mind: DataFrame, outCol: String): DataFrame =
+    mind.groupBy("j").agg(avg("mind").as("jm"))
+      .agg(round(max("jm") / sum("jm"), 6).as(outCol))
+
+  /** A [[persistCodebooks]] artifact as a (j, c, ctr double) frame —
+    * the join shape [[pqMinDist]] consumes. */
+  private def codebookFrame(spark: SparkSession, name: String,
+                            sfDir: String): DataFrame =
+    spark.read.parquet(Artifacts.resolve(name, sfDir))
+      .select(col("j"), col("c"),
+        col("center").cast("array<double>").as("ctr"))
+
   /** Persist trained PQ codebooks as the named [[Artifacts]] parquet
     * and rebuild the model FROM the persisted floats — so the model a
     * query searches with is bit-for-bit what its oracle reads back.
@@ -2595,6 +2639,299 @@ object VectorQueries {
       .orderBy("n_probe")
   }
 
+  /** v64's trained models — the OPQ rotation ([[graft.operators.Opq]])
+    * plus TWO codebook sets at the IDENTICAL budget (m=8, k=16,
+    * maxIter=4, same train split): plain PQ on the raw dimension
+    * blocks, OPQ on the rotated ones. Cross-run sealed (pure-generator
+    * fixture, the v28 convention); rehydration is by-name artifact
+    * loads, so the cache-hit path is definitionally what the seal
+    * certified.
+    */
+  private val v64Cache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, graft.operators.Pq.PqModel,
+      graft.operators.Pq.PqModel, Array[Array[Double]])]
+
+  private def v64Models(spark: SparkSession, sfDir: String)
+      : (DataFrame, graft.operators.Pq.PqModel,
+         graft.operators.Pq.PqModel, Array[Array[Double]]) =
+    v64Cache.getOrElseUpdate(sfDir, {
+      import graft.operators.{Opq, Pq}
+      val (all, _) = clusteredRecallArtifacts(spark, sfDir)
+      Artifacts.reuseOrBuild(sfDir, "v64:v2:n=2000,c8,d64,m8k256i4",
+          Seq("v64_rot", "v64_pq_cb", "v64_opq_cb")) {
+        val train = all.filter(col("vec_id") >= 8 &&
+          pmod(col("vec_id"), lit(2)) === 0)
+        val rot = Opq.trainRotation(train, "embedding", 64, 8)
+        Artifacts.write(Opq.rotationFrame(spark, rot), "v64_rot", sfDir)
+        persistCodebooks(spark,
+          Pq.trainCodebooks(train, "vec_id", "embedding",
+            m = 8, k = 256, maxIter = 4), "v64_pq_cb", sfDir)
+        persistCodebooks(spark,
+          Pq.trainCodebooks(Opq.rotate(train, "vec_id", "embedding", rot),
+            "vec_id", "embedding", m = 8, k = 256, maxIter = 4),
+          "v64_opq_cb", sfDir): Unit
+      }
+      (all,
+        loadCodebooks(spark, "v64_pq_cb", sfDir),
+        loadCodebooks(spark, "v64_opq_cb", sfDir),
+        Opq.loadRotation(spark, Artifacts.resolve("v64_rot", sfDir)))
+    })
+
+  /** OPTIMIZED PRODUCT QUANTIZATION vs plain PQ at the SAME code
+    * budget — the TRAINED-TRANSFORM rung of the compression frontier
+    * (v59/v61/v62/v63 measured untrained quantizers; this measures
+    * what LEARNING the basis buys). [[graft.operators.Opq]]: the
+    * parametric OPQ of Ge et al. CVPR 2013 §4 — eigenbasis of the
+    * corpus second-moment matrix (public MLlib `RowMatrix.computeSVD`,
+    * Gramian cost d², not corpus-sized), eigenvalue allocation
+    * balancing the spectrum product across the m subspaces, applied
+    * as one [[graft.expressions.MatVecRotate]] kernel pass. Fixture:
+    * v28's 8-cluster corpus — REAL anisotropy (16 hash-spike
+    * directions carry the cluster identity), exactly the geometry
+    * plain PQ's contiguous blocks mishandle: the measured per-block
+    * second-moment spread (`energy_ratio_*` = hottest/coldest block
+    * energy) quantifies how unevenly raw blocks load, and how the
+    * allocation flattens it. Both variants train m=8/k=16/maxIter=4
+    * codebooks on the SAME even-id split; both serve all 8 held-out
+    * queries by flat ADC over the full corpus codes (one batched LUT
+    * join, the v33 shape); ground truth is the exact L2 scan of the
+    * ORIGINAL vectors — rotation is orthogonal, so the true answer
+    * set is IDENTICAL in either basis and the comparison isolates
+    * quantization. MEASURED (m=8, k=256 — the classic 8-bit-code PQ):
+    * mean recall@10 0.34 plain → 0.61 OPQ at the SAME 8-byte code,
+    * with total reconstruction MSE statistically UNCHANGED (0.0727 vs
+    * 0.0734) — the rotation's win at a budget this size is not less
+    * error but WHERE the error sits: plain PQ parks 52% of the
+    * distortion in the single hottest subspace (`submse_share_pq`
+    * 0.52 — exactly the blocks carrying the spike directions that
+    * distinguish a query's true neighbors), while the allocation
+    * flattens the hottest share to 0.30, so the surviving error stops
+    * erasing neighbor identity. Pins per query: recall@10 plain vs
+    * OPQ; frame constants: total MSE and the hottest-subspace
+    * distortion share, both variants. The oracle
+    * replays EVERYTHING downstream of training in SQL: the rotation
+    * matvec itself (64 `list_dot_product`s per vector against the
+    * persisted rows, rounded 1e-6 — the engine-portability contract of
+    * [[graft.operators.Opq.rotate]]), both encodes, both LUT/ADC
+    * paths, recalls, MSEs and energy ratios.
+    */
+  def opqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Opq
+    import graft.functions.VectorFunctions.l2Dist
+    import spark.implicits._
+    val (all, pqModel, opqModel, rot) = v64Models(spark, sfDir)
+    val corpus = all.filter(col("vec_id") >= 8)
+    val queries = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val rotCorpus = Opq.rotate(corpus, "vec_id", "embedding", rot)
+      .localCheckpoint() // feeds encode + MSE + energy, cut once
+    val rotQueries = Opq.rotate(queries, "query_id", "qe", rot)
+    // batched flat ADC (the v33 LUT-join shape, no IVF: the corpus is
+    // 2k codes — routing is v22/v25's concern, this isolates the
+    // quantizer): LUT(j)(c) = ||q_j − ctr_jc||², double end-to-end
+    def lutFor(model: graft.operators.Pq.PqModel,
+               qs: Seq[(Long, Array[Double])]): DataFrame =
+      qs.map { case (qid, qv) =>
+        val lut: Seq[Seq[Double]] =
+          for (j <- 0 until model.m) yield
+            for (c <- 0 until model.k) yield {
+              var acc = 0.0
+              var i = 0
+              while (i < model.dsub) {
+                val d = qv(j * model.dsub + i) -
+                  model.codebooks(j)(c)(i).toDouble
+                acc += d * d
+                i += 1
+              }
+              acc
+            }
+        (qid, lut)
+      }.toDF("query_id", "lut")
+    def top10(vecs: DataFrame, model: graft.operators.Pq.PqModel,
+              luts: DataFrame): DataFrame =
+      graft.operators.Pq.encode(vecs, "vec_id", "embedding", model)
+        .crossJoin(broadcast(luts))
+        .select(col("query_id"), col("vec_id"),
+          aggregate(
+            zip_with(col("codes"), col("lut"),
+              (c, lutRow) => element_at(lutRow, c + 1)),
+            lit(0.0), (acc, x) => acc + x).as("adc"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("adc").asc, col("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select("query_id", "vec_id")
+    val qOrig = queries.collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).toSeq
+    val qRot = rotQueries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val exact = corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        l2Dist(col("embedding"), col("qe")).as("d"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("d").asc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select("query_id", "vec_id")
+    def recallOf(top: DataFrame, outCol: String): DataFrame =
+      top.join(exact.withColumn("_hit", lit(1L)),
+          Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("_hit"), lit(0L)))
+          .cast("double") / 10.0, 6).as(outCol))
+    val recPq = recallOf(
+      top10(corpus, pqModel, lutFor(pqModel, qOrig)), "recall_pq")
+    val recOpq = recallOf(
+      top10(rotCorpus, opqModel, lutFor(opqModel, qRot)), "recall_opq")
+    val mindPq = pqMinDist(corpus,
+      codebookFrame(spark, "v64_pq_cb", sfDir), 8, 8).localCheckpoint()
+    val mindOpq = pqMinDist(rotCorpus,
+      codebookFrame(spark, "v64_opq_cb", sfDir), 8, 8).localCheckpoint()
+    recPq.join(recOpq, Seq("query_id"))
+      .crossJoin(broadcast(pqMseOf(mindPq, "mse_pq")))
+      .crossJoin(broadcast(pqMseOf(mindOpq, "mse_opq")))
+      .crossJoin(broadcast(pqShareOf(mindPq, "submse_share_pq")))
+      .crossJoin(broadcast(pqShareOf(mindOpq, "submse_share_opq")))
+      .select(col("query_id"), col("recall_pq"), col("recall_opq"),
+        col("mse_pq"), col("mse_opq"),
+        col("submse_share_pq"), col("submse_share_opq"),
+        lit(8L).as("code_bytes"))
+      .orderBy("query_id")
+  }
+
+  /** v65's trained models: the OPQ rotation + rotated-basis codebooks
+    * at the REFERENCE dimension, on v30's exact training recipe (even
+    * vec_ids, m=8, k=16, maxIter=2) so the plain-PQ baseline is
+    * literally v30's persisted codebooks — one varied factor. */
+  private val v65Cache = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.operators.Pq.PqModel, Array[Array[Double]])]
+
+  private def v65Models(spark: SparkSession, sfDir: String)
+      : (graft.operators.Pq.PqModel, Array[Array[Double]]) =
+    v65Cache.getOrElseUpdate(sfDir, {
+      import graft.operators.{Opq, Pq}
+      val (corpusDir, _, _) = v57Artifacts(spark, sfDir)
+      val fp = "v65:v1:copies=40,dim=1536,m8k16i2:" +
+        Artifacts.inputDigest(RefDb)
+      val names = Seq("v65_rot", "v65_opq_cb")
+      if (!names.forall(Artifacts.cachedHit(_, sfDir, fp))) {
+        val all = spark.read.parquet(corpusDir)
+        val train = all.filter(col("vec_id") =!= 1000L &&
+          pmod(col("vec_id"), lit(2)) === 0)
+        val rot = Opq.trainRotation(train, "embedding", 1536, 8)
+        Artifacts.write(Opq.rotationFrame(spark, rot), "v65_rot", sfDir)
+        persistCodebooks(spark,
+          Pq.trainCodebooks(Opq.rotate(train, "vec_id", "embedding", rot),
+            "vec_id", "embedding", m = 8, k = 16, maxIter = 2),
+          "v65_opq_cb", sfDir)
+        names.foreach(Artifacts.seal(_, sfDir, fp))
+      }
+      (loadCodebooks(spark, "v65_opq_cb", sfDir),
+        Opq.loadRotation(spark, Artifacts.resolve("v65_rot", sfDir)))
+    })
+
+  /** OPQ AT THE REFERENCE DIMENSION — does a TRAINED rotation lift
+    * v59's 8-byte ADC floor (flat/walk ADC-only recall 0.3 at 768×
+    * compression, replica-cluster mates collapsed onto shared codes)?
+    * Same fixture, training split and code budget as v30/v59 (d=1536,
+    * m=8, k=16, maxIter=2 — the plain baseline IS v30's persisted
+    * codebooks); the one varied factor is [[graft.operators.Opq]]'s
+    * eigenvalue-allocation rotation in front of the quantizer, trained
+    * on the same even-id split (rank ≤ 140 — [[graft.operators.Opq
+    * .completeBasis]] fills the null space, which carries zero train
+    * variance by construction). Both variants flat-ADC the full 280
+    * codes for top-10 (isolating the QUANTIZER from v57's routing
+    * concerns) and exact-rerank their top-20 shortlist against the
+    * raw float store (v59's rerank contract); distortion meters are
+    * d=1536 instances of v64's ([[pqMinDist]]). MEASURED: the
+    * rotation cuts total reconstruction MSE 43% (0.197 → 0.112) and
+    * TRIPLES flat ADC-only recall (0.1 → 0.3 — plain flat ADC scores
+    * ties across clusters that the graph walk's routing was masking in
+    * v59) — but 0.3 is still the mate-collapse plateau: at 8 bytes the
+    * within-cluster differences stay below code resolution in ANY
+    * basis, confirming v62's finding that this corpus needs 1,536
+    * sign bits (192 B) before codes alone resolve mates. The share
+    * meter INVERTS against v64's d=64 story, and the inversion is the
+    * mechanism: plain PQ's error here is already near-uniform
+    * (share 0.14 ≈ 1/8 — every 192-dim block carries similar spike
+    * noise), so there is nothing to flatten; instead the allocation
+    * CONCENTRATES the 140-sample spectrum's signal directions where
+    * centroids can fight them and parks the train-null bulk in few
+    * subspaces (share 0.46) — less total error, differently placed,
+    * and the placement is what buys the recall. Rerank-20 improves
+    * 0.4 → 0.5 (flat top-20 under exact-tie ADC picks lowest ids of a
+    * ~40-mate tie; the walk-visited variant of this dial is v60's).
+    * Pins: flat ADC-only recall@10 and rerank-20 recall per variant,
+    * total MSE and hottest-subspace share per variant, at 8 B / 768×.
+    * The oracle
+    * replays the 1536-wide rotation matvec (1,536 list_dot_products
+    * per vector, rounded 1e-6), both encodes at dsub=192, both
+    * LUT/ADC paths, both reranks and all four meters in SQL.
+    */
+  def refDimOpq(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Opq, Pq}
+    val (corpusDir, _, _) = v57Artifacts(spark, sfDir)
+    val (_, _, pqModel) = refDimModels(spark, sfDir)
+    val (opqModel, rot) = v65Models(spark, sfDir)
+    val all = spark.read.parquet(corpusDir)
+    val serving = all.filter(col("vec_id") =!= 1000L)
+    val qDf = all.filter(col("vec_id") === 1000L)
+      .select(col("embedding").as("qe"))
+    val q = qDf.head().getSeq[Float](0).toArray
+    val rotServing = Opq.rotate(serving, "vec_id", "embedding", rot)
+      .localCheckpoint() // feeds encode + meters, one kernel pass
+    val rotQ = Opq.rotate(
+        all.filter(col("vec_id") === 1000L), "vec_id", "embedding", rot)
+      .head().getSeq[Double](1).toArray
+    val pqScored = Pq.encode(serving, "vec_id", "embedding", pqModel)
+      .select(col("vec_id"),
+        Pq.adcDistance(col("codes"), q, pqModel).as("adc"))
+      .localCheckpoint() // feeds top-10 + shortlist-20
+    val opqScored = Pq.encode(rotServing, "vec_id", "embedding", opqModel)
+      .select(col("vec_id"),
+        Pq.adcDistance(col("codes"), rotQ, opqModel).as("adc"))
+      .localCheckpoint()
+    def topIds(scored: DataFrame, n: Int): DataFrame =
+      scored.orderBy(col("adc").asc, col("vec_id")).limit(n)
+        .select("vec_id")
+    val exact = Search.topK(serving, qDf, "vec_id", "embedding", "qe", 10)
+      .select("vec_id")
+    def recallOf(ids: DataFrame, outCol: String): DataFrame =
+      ids.join(exact, Seq("vec_id"))
+        .agg(round(count(lit(1)).cast("double") / 10.0, 6).as(outCol))
+    def rerank(scored: DataFrame, outCol: String): DataFrame =
+      recallOf(
+        Search.topK(serving.join(broadcast(topIds(scored, 20)),
+            Seq("vec_id")), qDf, "vec_id", "embedding", "qe", 10)
+          .select("vec_id"),
+        outCol)
+    val mindPq = pqMinDist(serving,
+      codebookFrame(spark, "v30_codebooks", sfDir), 8, 192)
+      .localCheckpoint()
+    val mindOpq = pqMinDist(rotServing,
+      codebookFrame(spark, "v65_opq_cb", sfDir), 8, 192)
+      .localCheckpoint()
+    recallOf(topIds(pqScored, 10), "flat_adc_recall_pq")
+      .crossJoin(broadcast(
+        recallOf(topIds(opqScored, 10), "flat_adc_recall_opq")))
+      .crossJoin(broadcast(rerank(pqScored, "rerank20_recall_pq")))
+      .crossJoin(broadcast(rerank(opqScored, "rerank20_recall_opq")))
+      .crossJoin(broadcast(pqMseOf(mindPq, "mse_pq")))
+      .crossJoin(broadcast(pqMseOf(mindOpq, "mse_opq")))
+      .crossJoin(broadcast(pqShareOf(mindPq, "submse_share_pq")))
+      .crossJoin(broadcast(pqShareOf(mindOpq, "submse_share_opq")))
+      .select(col("flat_adc_recall_pq"), col("flat_adc_recall_opq"),
+        col("rerank20_recall_pq"), col("rerank20_recall_opq"),
+        col("mse_pq"), col("mse_opq"),
+        col("submse_share_pq"), col("submse_share_opq"),
+        lit(8L).as("code_bytes"),
+        round(lit(6144.0 / 8), 1).as("compression"))
+  }
+
   /** The graph-ANN RECALL-TARGETED OPERATING POINT on the clustered
     * corpus — the serving claim v43/v50 could not make on the
     * near-uniform fixture (recall 0.4 at sf0.001 is honest but weak;
@@ -3034,6 +3371,71 @@ object VectorQueries {
        |           AS adc_dist
        |  FROM codes JOIN lut ON codes.j = lut.j AND codes.c = lut.c
        |  GROUP BY codes.vec_id)""".stripMargin
+
+  /** One OPQ-vs-PQ variant's full replay as prefixed CTEs (the v64
+    * and v65 oracles each instantiate it twice — raw basis vs rotated
+    * basis, at their own `dsub`): over candidates `$cand` (vec_id, e)
+    * and queries `$qs` (query_id, qe) against codebook CTE `$cb`, emit
+    * encode ([[pqAdcCtes]]'s argmin discipline), per-query LUT, ADC
+    * summed in subspace order, per-query top-10, recall vs the shared
+    * `ex` exact CTE, reconstruction MSE (min assignment distance
+    * summed over subspaces, averaged over the corpus) and the
+    * hottest/coldest block second-moment ratio (`ii` CTE supplies the
+    * dimension index).
+    */
+  private def opqVariantCtes(p: String, cand: String, qs: String,
+                             cb: String, dsub: Int = 8): String =
+    s"""${p}sub AS (
+       |  SELECT ca.vec_id, cb.j, cb.c,
+       |         list_sum(list_transform(range(0, $dsub), i ->
+       |           (ca.e[CAST(cb.j * $dsub + i + 1 AS INT)]
+       |              - cb.ctr[CAST(i + 1 AS INT)]) *
+       |           (ca.e[CAST(cb.j * $dsub + i + 1 AS INT)]
+       |              - cb.ctr[CAST(i + 1 AS INT)]))) AS dist
+       |  FROM $cand ca, $cb cb),
+       |${p}codes AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c,
+       |           row_number() OVER (PARTITION BY vec_id, j
+       |                              ORDER BY dist, c) AS rn
+       |    FROM ${p}sub) WHERE rn = 1),
+       |${p}lut AS (
+       |  SELECT qq.query_id, cb.j, cb.c,
+       |         list_sum(list_transform(range(0, $dsub), i ->
+       |           (qq.qe[CAST(cb.j * $dsub + i + 1 AS INT)]
+       |              - cb.ctr[CAST(i + 1 AS INT)]) *
+       |           (qq.qe[CAST(cb.j * $dsub + i + 1 AS INT)]
+       |              - cb.ctr[CAST(i + 1 AS INT)]))) AS d
+       |  FROM $cb cb, $qs qq),
+       |${p}adc AS (
+       |  SELECT l.query_id, co.vec_id,
+       |         list_sum(list(l.d ORDER BY l.j)) AS adc
+       |  FROM ${p}codes co JOIN ${p}lut l ON co.j = l.j AND co.c = l.c
+       |  GROUP BY l.query_id, co.vec_id),
+       |${p}top AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY adc, vec_id) AS rk
+       |    FROM ${p}adc) WHERE rk <= 10),
+       |${p}rec AS (
+       |  SELECT t.query_id,
+       |         round(CAST(sum(CASE WHEN ex.vec_id IS NULL THEN 0
+       |                             ELSE 1 END) AS DOUBLE) / 10.0, 6)
+       |           AS recall
+       |  FROM ${p}top t LEFT JOIN ex
+       |    ON t.query_id = ex.query_id AND t.vec_id = ex.vec_id
+       |  GROUP BY t.query_id),
+       |${p}mind AS (
+       |  SELECT vec_id, j, min(dist) AS mind
+       |  FROM ${p}sub GROUP BY vec_id, j),
+       |${p}mse AS (
+       |  SELECT round(avg(serr), 6) AS mse FROM (
+       |    SELECT vec_id, sum(mind) AS serr FROM ${p}mind
+       |    GROUP BY vec_id)),
+       |${p}er AS (
+       |  SELECT round(max(jm) / sum(jm), 6) AS er FROM (
+       |    SELECT j, avg(mind) AS jm FROM ${p}mind GROUP BY j))""".stripMargin
 
   /** The v12/v20/v21/v23 16-bit SRP sketch replay, factored as the
     * shared `v`/`s` CTE pair the newer bucket-routed oracles (v43-v45)
@@ -4875,6 +5277,97 @@ object VectorQueries {
          |FROM tp LEFT JOIN ex USING (vec_id) JOIN t USING (width)
          |GROUP BY tp.width, t.nodes_touched
          |ORDER BY width""".stripMargin,
+    // the OPQ replay: the rotation matvec itself (64 list_dot_products
+    // per vector against the persisted rotation rows, rounded 1e-6 —
+    // Opq.rotate's engine-portability contract), then BOTH variants'
+    // encode / per-query LUT / ADC / top-10 / recall / MSE / block-
+    // energy from the same parameterized CTE block — everything
+    // downstream of training in SQL
+    "v64_opq_recall" ->
+      s"""WITH rr AS (SELECT o, rv
+         |            FROM read_parquet('${Artifacts.oracleGlob("v64_rot")}')),
+         |cbp AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |        FROM read_parquet('${Artifacts.oracleGlob("v64_pq_cb")}')),
+         |cbo AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |        FROM read_parquet('${Artifacts.oracleGlob("v64_opq_cb")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("v28_corpus")}')),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8),
+         |cw AS (SELECT vec_id, e FROM v WHERE vec_id >= 8),
+         |rw AS (SELECT cw.vec_id,
+         |         list(round(list_dot_product(cw.e, rr.rv), 6)
+         |              ORDER BY rr.o) AS e
+         |       FROM cw, rr GROUP BY cw.vec_id),
+         |rq AS (SELECT q.query_id,
+         |         list(round(list_dot_product(q.qe, rr.rv), 6)
+         |              ORDER BY rr.o) AS qe
+         |       FROM q, rr GROUP BY q.query_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |         SELECT q.query_id, cw.vec_id,
+         |                row_number() OVER (PARTITION BY q.query_id
+         |                  ORDER BY list_distance(cw.e, q.qe), cw.vec_id)
+         |                  AS rk
+         |         FROM cw, q) WHERE rk <= 10),
+         |${opqVariantCtes("p", "cw", "q", "cbp")},
+         |${opqVariantCtes("o", "rw", "rq", "cbo")}
+         |SELECT q.query_id, prec.recall AS recall_pq,
+         |       orec.recall AS recall_opq,
+         |       pmse.mse AS mse_pq, omse.mse AS mse_opq,
+         |       per.er AS submse_share_pq, oer.er AS submse_share_opq,
+         |       CAST(8 AS BIGINT) AS code_bytes
+         |FROM q JOIN prec ON q.query_id = prec.query_id
+         |       JOIN orec ON q.query_id = orec.query_id,
+         |     pmse, omse, per, oer
+         |ORDER BY q.query_id""".stripMargin,
+    // v64's replay at the reference dimension (dsub=192, v30's plain
+    // codebooks as the baseline), plus both variants' shortlist-20
+    // exact-cosine reranks
+    "v65_opq_refdim" ->
+      s"""WITH rr AS (SELECT o, rv
+         |            FROM read_parquet('${Artifacts.oracleGlob("v65_rot")}')),
+         |cbp AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |        FROM read_parquet('${Artifacts.oracleGlob("v30_codebooks")}')),
+         |cbo AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |        FROM read_parquet('${Artifacts.oracleGlob("v65_opq_cb")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("v57_corpus")}')),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v
+         |      WHERE vec_id = 1000),
+         |cw AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
+         |rw AS (SELECT cw.vec_id,
+         |         list(round(list_dot_product(cw.e, rr.rv), 6)
+         |              ORDER BY rr.o) AS e
+         |       FROM cw, rr GROUP BY cw.vec_id),
+         |rq AS (SELECT q.query_id,
+         |         list(round(list_dot_product(q.qe, rr.rv), 6)
+         |              ORDER BY rr.o) AS qe
+         |       FROM q, rr GROUP BY q.query_id),
+         |ex AS (SELECT q.query_id, cw.vec_id FROM cw, q
+         |       ORDER BY list_cosine_similarity(cw.e, q.qe) DESC,
+         |                cw.vec_id LIMIT 10),
+         |${opqVariantCtes("p", "cw", "q", "cbp", 192)},
+         |${opqVariantCtes("o", "rw", "rq", "cbo", 192)},
+         |psh AS (SELECT vec_id FROM padc ORDER BY adc, vec_id LIMIT 20),
+         |prt AS (SELECT cw.vec_id FROM cw JOIN psh USING (vec_id), q
+         |        ORDER BY list_cosine_similarity(cw.e, q.qe) DESC,
+         |                 cw.vec_id LIMIT 10),
+         |prk AS (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS r
+         |        FROM prt JOIN ex ON prt.vec_id = ex.vec_id),
+         |osh AS (SELECT vec_id FROM oadc ORDER BY adc, vec_id LIMIT 20),
+         |ort AS (SELECT cw.vec_id FROM cw JOIN osh USING (vec_id), q
+         |        ORDER BY list_cosine_similarity(cw.e, q.qe) DESC,
+         |                 cw.vec_id LIMIT 10),
+         |ork AS (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS r
+         |        FROM ort JOIN ex ON ort.vec_id = ex.vec_id)
+         |SELECT prec.recall AS flat_adc_recall_pq,
+         |       orec.recall AS flat_adc_recall_opq,
+         |       prk.r AS rerank20_recall_pq,
+         |       ork.r AS rerank20_recall_opq,
+         |       pmse.mse AS mse_pq, omse.mse AS mse_opq,
+         |       per.er AS submse_share_pq, oer.er AS submse_share_opq,
+         |       CAST(8 AS BIGINT) AS code_bytes,
+         |       round(6144.0 / 8, 1) AS compression
+         |FROM prec, orec, prk, ork, pmse, omse, per, oer""".stripMargin,
     // the sharded-LSM replay: the POST-UPDATE partitioned store (base
     // graph + appended delta sidecar) read back with hive_partitioning,
     // probe buckets -> routed shards -> per-bucket entries -> 4 walk
@@ -5362,7 +5855,9 @@ object VectorQueries {
       }),
       "v54_graph_clustered" -> ((s, d) => v54Artifacts(s, d): Unit),
       "v57_graph_refdim" -> ((s, d) => v57Artifacts(s, d): Unit),
-      "v58_graph_sharded_lsm" -> ((s, d) => v58Routed(s, d): Unit))
+      "v58_graph_sharded_lsm" -> ((s, d) => v58Routed(s, d): Unit),
+      "v64_opq_recall" -> ((s, d) => v64Models(s, d): Unit),
+      "v65_opq_refdim" -> ((s, d) => v65Models(s, d): Unit))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_topk" -> ((s, d) => knnTopK(s, d)),
@@ -5397,6 +5892,8 @@ object VectorQueries {
     "v61_sq8_serve" -> (refDimSq8Serve(_, _)),
     "v62_bq_serve" -> (refDimBqServe(_, _)),
     "v63_prefix_serve" -> (refDimPrefixServe(_, _)),
+    "v64_opq_recall" -> (opqRecall(_, _)),
+    "v65_opq_refdim" -> (refDimOpq(_, _)),
     "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),

@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.Opq
+import org.apache.spark.sql.functions._
+
+class OpqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("allocate deals dsub directions to every subspace, top " +
+    "eigenvalues to distinct subspaces") {
+    // spectrum with 3 dominant directions, dim 12, m 3 → dsub 4
+    val lambdas = Array(100.0, 90.0, 80.0, 1.0, 0.9, 0.8, 0.7, 0.6,
+      0.5, 0.4, 0.3, 0.2)
+    val order = Opq.allocate(lambdas, 3)
+    assert(order.length == 12)
+    assert(order.toSet == (0 until 12).toSet) // a permutation
+    // subspace j owns order slice [j·4, (j+1)·4); the 3 big directions
+    // must land in 3 DIFFERENT subspaces (product balancing)
+    val owner = (0 until 3).map(i => order.indexOf(i) / 4)
+    assert(owner.toSet.size == 3, s"top directions share a subspace: $owner")
+  }
+
+  test("allocate is deterministic under ties") {
+    val lambdas = Array.fill(8)(1.0)
+    val a = Opq.allocate(lambdas, 2)
+    val b = Opq.allocate(lambdas, 2)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("completeBasis extends a partial orthonormal set to a full " +
+    "orthonormal basis") {
+    val dirs = Array(
+      Array(1.0 / math.sqrt(2), 1.0 / math.sqrt(2), 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0))
+    val full = Opq.completeBasis(dirs, 4)
+    assert(full.length == 4)
+    for (a <- 0 until 4; b <- 0 until 4) {
+      val dot = (0 until 4).map(i => full(a)(i) * full(b)(i)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-10,
+        s"rows $a,$b: dot=$dot want=$want")
+    }
+  }
+
+  test("trainRotation yields an orthonormal matrix that preserves " +
+    "pairwise L2 distances") {
+    // anisotropic 8-d corpus: two strong directions + small noise
+    val rows = (0 until 32).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(0) = if (i % 2 == 0) 5f else -5f
+      v(3) = if (i % 3 == 0) 3f else -3f
+      v(i % 8) = v(i % 8) + 0.1f * (i % 5)
+      (i.toLong, v.toSeq)
+    }
+    val df = vecsDf(rows.map { case (id, v) => (id, v.map(_.toFloat)) }: _*)
+    val rot = Opq.trainRotation(df, "embedding", 8, 2)
+    assert(rot.length == 8)
+    for (a <- 0 until 8; b <- 0 until 8) {
+      val dot = (0 until 8).map(i => rot(a)(i) * rot(b)(i)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"rows $a,$b: dot=$dot")
+    }
+    // pairwise distance preservation on the first 4 vectors (up to the
+    // kernel's 1e-6 output rounding)
+    val orig = df.filter(col("vec_id") < 4)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+    val rotated = Opq.rotate(df.filter(col("vec_id") < 4),
+        "vec_id", "embedding", rot)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .toMap
+    for (a <- 0L until 4L; b <- (a + 1) until 4L) {
+      def d2(x: Seq[Double], y: Seq[Double]): Double =
+        x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+      assert(math.abs(d2(orig(a), orig(b)) -
+        d2(rotated(a), rotated(b))) < 1e-3)
+    }
+  }
+
+  test("rotate quantizes outputs to 1e-6 (the engine-portability " +
+    "contract) and matches a driver-side matvec") {
+    val df = vecsDf((1L, Seq(0.25f, -0.5f, 0.125f, 1.0f)))
+    val rot = Array(
+      Array(0.0, 1.0, 0.0, 0.0),
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.7071067811865476, 0.7071067811865476),
+      Array(0.0, 0.0, -0.7071067811865476, 0.7071067811865476))
+    val got = Opq.rotate(df, "vec_id", "embedding", rot)
+      .select("embedding").head().getSeq[Double](0)
+    val x = Array(0.25, -0.5, 0.125, 1.0)
+    val want = rot.map(row =>
+      math.rint(row.zip(x).map { case (r, v) => r * v }.sum * 1e6) / 1e6)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-12, s"got $g want $w")
+      assert(math.abs(g * 1e6 - math.rint(g * 1e6)) < 1e-7,
+        s"$g is not a 1e-6 multiple")
+    }
+  }
+
+  test("loadRotation round-trips rotationFrame through parquet") {
+    val rot = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val dir = java.nio.file.Files
+      .createTempDirectory("opq_rot_spec").toString
+    Opq.rotationFrame(spark, rot).write
+      .mode("overwrite").parquet(dir)
+    val back = Opq.loadRotation(spark, dir)
+    assert(back.map(_.toSeq).toSeq == rot.map(_.toSeq).toSeq)
+  }
+}
