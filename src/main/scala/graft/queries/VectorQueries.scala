@@ -2932,6 +2932,197 @@ object VectorQueries {
         round(lit(6144.0 / 8), 1).as("compression"))
   }
 
+  /** v66's stage-2 codebooks — TWO training regimes for the residual
+    * stage, same geometry (m=8, k=64, maxIter=2 on stage-1 residuals;
+    * stage 1 is v30's persisted books): `split` trains on the even-id
+    * half-sample (v30's sampling convention — what a 100 TB deployment
+    * can afford) and `corpus` trains on every indexed vector (what RQ
+    * papers quietly assume). The gap between them is the query's
+    * point. */
+  private val v66Cache = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.operators.Pq.PqModel,
+      graft.operators.Pq.PqModel)]
+
+  private def v66Models(spark: SparkSession, sfDir: String)
+      : (graft.operators.Pq.PqModel, graft.operators.Pq.PqModel) =
+    v66Cache.getOrElseUpdate(sfDir, {
+      import graft.operators.Pq
+      val (corpusDir, _, _) = v57Artifacts(spark, sfDir)
+      val (_, _, stage1) = refDimModels(spark, sfDir)
+      val fp = "v66:v3:copies=40,dim=1536,rq:m8k128i8:" +
+        Artifacts.inputDigest(RefDb)
+      val names = Seq("v66_cb2_split", "v66_cb2_corpus")
+      if (!names.forall(Artifacts.cachedHit(_, sfDir, fp))) {
+        val serving = spark.read.parquet(corpusDir)
+          .filter(col("vec_id") =!= 1000L)
+        val resid = Pq.residuals(serving, "vec_id", "embedding", stage1)
+          .localCheckpoint() // train both regimes off one residual pass
+        persistCodebooks(spark,
+          Pq.trainCodebooks(
+            resid.filter(pmod(col("vec_id"), lit(2)) === 0),
+            "vec_id", "embedding", m = 8, k = 128, maxIter = 8),
+          "v66_cb2_split", sfDir)
+        persistCodebooks(spark,
+          Pq.trainCodebooks(resid, "vec_id", "embedding",
+            m = 8, k = 128, maxIter = 8),
+          "v66_cb2_corpus", sfDir)
+        names.foreach(Artifacts.seal(_, sfDir, fp))
+      }
+      (loadCodebooks(spark, "v66_cb2_split", sfDir),
+        loadCodebooks(spark, "v66_cb2_corpus", sfDir))
+    })
+
+  /** RESIDUAL QUANTIZATION AT THE REFERENCE DIMENSION — the 16-byte
+    * rung between PQ's 8 B (flat ADC 0.1, mate-collapsed — v65) and
+    * BQ's 192 B (0.9 — v62): after v30's stage-1 books absorb the
+    * coarse cluster structure, the RESIDUAL is exactly the per-vector
+    * fine structure (this corpus: each mate's 2 hash spikes), so a
+    * stage-2 codebook trained ON residuals ([[graft.operators.Pq
+    * .residuals]], RVQ — Chen, Guan & Wang 2010) attacks precisely
+    * what stage 1 collapses. Serving is flat two-stage ADC over all
+    * 280 code rows: ||q−c1−c2||² decomposed as l1[c1] + l2[c2] +
+    * 2·cross[c1][c2] with l1 the stage-1 LUT, l2 query-dependent and
+    * `cross` query-INDEPENDENT (k1×k2 per subspace, built once at
+    * snapshot time — the standard RQ serving trick that keeps
+    * per-candidate cost at 2 lookups + 1 table read instead of a
+    * d-wide pass). The query pins the rung TWICE, because the
+    * residual stage's capacity is MEMORIZATION of vector-specific
+    * structure and that makes the training-sample question
+    * first-class at 100 TB: `recall_rq16_split` trains stage 2 on the
+    * even-id half-sample (v30's sampling convention — the affordable
+    * regime) and `recall_rq16_corpus` on every indexed vector (what
+    * RQ evaluations quietly assume); their gap measures how much of
+    * the rung's recall evaporates exactly where sampling becomes
+    * mandatory. MEASURED (m=8, k1=16, k2=128, i8): corpus-trained
+    * stage 2 reaches recall@10 **0.9 at 16 B / 384×** — the float
+    * walk's quality, the rung between PQ 8 B/0.1-flat and BQ
+    * 192 B/0.9 filled — while the HALF-SAMPLE regime reads 0.2, at
+    * IDENTICAL post-stage-2 MSE (0.0479 vs 0.0484, both down 4× from
+    * stage-1's 0.197). That equality is the finding: average
+    * distortion cannot see the sampling gap, because an unseen
+    * residual quantizes to a SMALL but identity-erasing error (its
+    * spike maps to someone else's centroid) — RQ's capacity is
+    * memorization of vector-specific structure, so at deployment
+    * scale, where training on every indexed vector is exactly what
+    * you cannot do, the rung quietly degrades toward the one-stage
+    * plateau while every aggregate quality meter stays green. The
+    * levers that DON'T require seeing every vector remain v61/v62's
+    * bits and v59/v60's rerank. Oracle replays
+    * stage-1 encode, the residual subtraction (exact float-widened
+    * doubles, no rounding step), both stage-2 encodes, the l1/l2/cross
+    * tables from the persisted books, the decomposed two-stage ADC in
+    * subspace order, stage-1-only ADC, all three top-10s, recalls vs
+    * the exact cosine scan and the three MSE meters in SQL.
+    */
+  def refDimRq(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Pq
+    val (corpusDir, _, _) = v57Artifacts(spark, sfDir)
+    val (_, _, stage1) = refDimModels(spark, sfDir)
+    val (cb2Split, cb2Corpus) = v66Models(spark, sfDir)
+    val all = spark.read.parquet(corpusDir)
+    val serving = all.filter(col("vec_id") =!= 1000L)
+    val qDf = all.filter(col("vec_id") === 1000L)
+      .select(col("embedding").as("qe"))
+    val q = qDf.head().getSeq[Float](0).map(_.toDouble).toArray
+    val codes1 = Pq.encode(serving, "vec_id", "embedding", stage1)
+      .withColumnRenamed("codes", "codes1")
+      .localCheckpoint()
+    val resid = Pq.residuals(serving, "vec_id", "embedding", stage1)
+      .localCheckpoint() // feeds both stage-2 encodes + both MSE meters
+    def codes2(model: Pq.PqModel, outCol: String): DataFrame =
+      Pq.encode(resid, "vec_id", "embedding", model)
+        .withColumnRenamed("codes", outCol)
+    // LUTs, driver-side (model-sized: m×k1 + m×k2 + m×k1×k2 doubles),
+    // arithmetic mirroring the oracle's term-by-term order exactly
+    val dsub = stage1.dsub
+    def l2Of(cb2: Pq.PqModel): Seq[Seq[Double]] =
+      for (j <- 0 until 8) yield
+        for (c <- 0 until cb2.k) yield {
+          var acc = 0.0
+          var i = 0
+          while (i < dsub) {
+            val ctr = cb2.codebooks(j)(c)(i).toDouble
+            acc += ctr * ctr - 2.0 * q(j * dsub + i) * ctr
+            i += 1
+          }
+          acc
+        }
+    def crossOf(cb2: Pq.PqModel): Seq[Seq[Seq[Double]]] =
+      for (j <- 0 until 8) yield
+        for (c1 <- 0 until stage1.k) yield
+          for (c2 <- 0 until cb2.k) yield {
+            var acc = 0.0
+            var i = 0
+            while (i < dsub) {
+              acc += stage1.codebooks(j)(c1)(i).toDouble *
+                cb2.codebooks(j)(c2)(i).toDouble
+              i += 1
+            }
+            acc
+          }
+    val l1: Seq[Seq[Double]] =
+      for (j <- 0 until 8) yield
+        for (c <- 0 until stage1.k) yield {
+          var acc = 0.0
+          var i = 0
+          while (i < dsub) {
+            val d = q(j * dsub + i) - stage1.codebooks(j)(c)(i).toDouble
+            acc += d * d
+            i += 1
+          }
+          acc
+        }
+    def rqAdc(c2Col: String, cb2: Pq.PqModel)
+        : org.apache.spark.sql.Column = {
+      val l1Lit = typedlit(l1)
+      val l2Lit = typedlit(l2Of(cb2))
+      val cxLit = typedlit(crossOf(cb2))
+      aggregate(
+        transform(sequence(lit(0), lit(7)), j =>
+          element_at(element_at(l1Lit, j + 1),
+            element_at(col("codes1"), j + 1) + 1) +
+          element_at(element_at(l2Lit, j + 1),
+            element_at(col(c2Col), j + 1) + 1) +
+          lit(2.0) * element_at(element_at(element_at(cxLit, j + 1),
+            element_at(col("codes1"), j + 1) + 1),
+            element_at(col(c2Col), j + 1) + 1)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val joined = codes1
+      .join(codes2(cb2Split, "codes2s"), Seq("vec_id"))
+      .join(codes2(cb2Corpus, "codes2c"), Seq("vec_id"))
+      .localCheckpoint()
+    val exact = Search.topK(serving, qDf, "vec_id", "embedding", "qe", 10)
+      .select("vec_id")
+    def recallOf(scored: DataFrame, outCol: String): DataFrame =
+      scored.orderBy(col("adc").asc, col("vec_id")).limit(10)
+        .select("vec_id").join(exact, Seq("vec_id"))
+        .agg(round(count(lit(1)).cast("double") / 10.0, 6).as(outCol))
+    val cb1Frame = codebookFrame(spark, "v30_codebooks", sfDir)
+    val mse1 = pqMseOf(pqMinDist(serving, cb1Frame, 8, dsub), "mse_pq8")
+    val mse2s = pqMseOf(
+      pqMinDist(resid, codebookFrame(spark, "v66_cb2_split", sfDir),
+        8, dsub), "mse_rq16_split")
+    val mse2c = pqMseOf(
+      pqMinDist(resid, codebookFrame(spark, "v66_cb2_corpus", sfDir),
+        8, dsub), "mse_rq16_corpus")
+    recallOf(joined.select(col("vec_id"),
+        Pq.adcDistance(col("codes1"), q, stage1).as("adc")),
+      "flat_adc_recall_pq8")
+      .crossJoin(broadcast(recallOf(joined.select(col("vec_id"),
+        rqAdc("codes2s", cb2Split).as("adc")), "recall_rq16_split")))
+      .crossJoin(broadcast(recallOf(joined.select(col("vec_id"),
+        rqAdc("codes2c", cb2Corpus).as("adc")), "recall_rq16_corpus")))
+      .crossJoin(broadcast(mse1))
+      .crossJoin(broadcast(mse2s))
+      .crossJoin(broadcast(mse2c))
+      .select(col("flat_adc_recall_pq8"), col("recall_rq16_split"),
+        col("recall_rq16_corpus"), col("mse_pq8"),
+        col("mse_rq16_split"), col("mse_rq16_corpus"),
+        lit(16L).as("code_bytes"),
+        round(lit(6144.0 / 16), 1).as("compression"))
+  }
+
   /** The graph-ANN RECALL-TARGETED OPERATING POINT on the clustered
     * corpus — the serving claim v43/v50 could not make on the
     * near-uniform fixture (recall 0.4 at sf0.001 is honest but weak;
@@ -5368,6 +5559,157 @@ object VectorQueries {
          |       CAST(8 AS BIGINT) AS code_bytes,
          |       round(6144.0 / 8, 1) AS compression
          |FROM prec, orec, prk, ork, pmse, omse, per, oer""".stripMargin,
+    // the RQ replay: stage-1 encode, the residual subtraction (exact
+    // float-widened doubles), both stage-2 encodes, the l1/l2/cross
+    // tables, the decomposed two-stage ADC summed in subspace order,
+    // stage-1-only ADC, three top-10s + recalls, three MSE meters
+    "v66_residual_pq" ->
+      s"""WITH cb1 AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |        FROM read_parquet('${Artifacts.oracleGlob("v30_codebooks")}')),
+         |c2s AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |        FROM read_parquet('${Artifacts.oracleGlob("v66_cb2_split")}')),
+         |c2c AS (SELECT j, c, CAST(center AS DOUBLE[]) AS ctr
+         |        FROM read_parquet('${Artifacts.oracleGlob("v66_cb2_corpus")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("v57_corpus")}')),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 1000),
+         |cw AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
+         |sub1 AS (
+         |  SELECT cw.vec_id, cb1.j, cb1.c,
+         |         list_sum(list_transform(range(0, 192), i ->
+         |           (cw.e[CAST(cb1.j * 192 + i + 1 AS INT)]
+         |              - cb1.ctr[CAST(i + 1 AS INT)]) *
+         |           (cw.e[CAST(cb1.j * 192 + i + 1 AS INT)]
+         |              - cb1.ctr[CAST(i + 1 AS INT)]))) AS dist
+         |  FROM cw, cb1),
+         |k1 AS (SELECT vec_id, j, c FROM (
+         |         SELECT vec_id, j, c,
+         |                row_number() OVER (PARTITION BY vec_id, j
+         |                                   ORDER BY dist, c) AS rn
+         |         FROM sub1) WHERE rn = 1),
+         |rs AS (SELECT cw.vec_id, k1.j,
+         |         list_transform(range(0, 192), i ->
+         |           cw.e[CAST(k1.j * 192 + i + 1 AS INT)]
+         |             - cb1.ctr[CAST(i + 1 AS INT)]) AS rv
+         |       FROM cw JOIN k1 USING (vec_id)
+         |            JOIN cb1 ON k1.j = cb1.j AND k1.c = cb1.c),
+         |sub2s AS (
+         |  SELECT rs.vec_id, rs.j, cb.c,
+         |         list_sum(list_transform(range(0, 192), i ->
+         |           (rs.rv[CAST(i + 1 AS INT)]
+         |              - cb.ctr[CAST(i + 1 AS INT)]) *
+         |           (rs.rv[CAST(i + 1 AS INT)]
+         |              - cb.ctr[CAST(i + 1 AS INT)]))) AS dist
+         |  FROM rs JOIN c2s cb ON rs.j = cb.j),
+         |k2s AS (SELECT vec_id, j, c FROM (
+         |          SELECT vec_id, j, c,
+         |                 row_number() OVER (PARTITION BY vec_id, j
+         |                                    ORDER BY dist, c) AS rn
+         |          FROM sub2s) WHERE rn = 1),
+         |sub2c AS (
+         |  SELECT rs.vec_id, rs.j, cb.c,
+         |         list_sum(list_transform(range(0, 192), i ->
+         |           (rs.rv[CAST(i + 1 AS INT)]
+         |              - cb.ctr[CAST(i + 1 AS INT)]) *
+         |           (rs.rv[CAST(i + 1 AS INT)]
+         |              - cb.ctr[CAST(i + 1 AS INT)]))) AS dist
+         |  FROM rs JOIN c2c cb ON rs.j = cb.j),
+         |k2c AS (SELECT vec_id, j, c FROM (
+         |          SELECT vec_id, j, c,
+         |                 row_number() OVER (PARTITION BY vec_id, j
+         |                                    ORDER BY dist, c) AS rn
+         |          FROM sub2c) WHERE rn = 1),
+         |l1 AS (SELECT cb1.j, cb1.c,
+         |         list_sum(list_transform(range(0, 192), i ->
+         |           (q.qe[CAST(cb1.j * 192 + i + 1 AS INT)]
+         |              - cb1.ctr[CAST(i + 1 AS INT)]) *
+         |           (q.qe[CAST(cb1.j * 192 + i + 1 AS INT)]
+         |              - cb1.ctr[CAST(i + 1 AS INT)]))) AS d
+         |       FROM cb1, q),
+         |l2s AS (SELECT cb.j, cb.c,
+         |          list_sum(list_transform(range(0, 192), i ->
+         |            cb.ctr[CAST(i + 1 AS INT)] * cb.ctr[CAST(i + 1 AS INT)]
+         |              - 2 * q.qe[CAST(cb.j * 192 + i + 1 AS INT)]
+         |                  * cb.ctr[CAST(i + 1 AS INT)])) AS d
+         |        FROM c2s cb, q),
+         |l2c AS (SELECT cb.j, cb.c,
+         |          list_sum(list_transform(range(0, 192), i ->
+         |            cb.ctr[CAST(i + 1 AS INT)] * cb.ctr[CAST(i + 1 AS INT)]
+         |              - 2 * q.qe[CAST(cb.j * 192 + i + 1 AS INT)]
+         |                  * cb.ctr[CAST(i + 1 AS INT)])) AS d
+         |        FROM c2c cb, q),
+         |cxs AS (SELECT a.j, a.c AS c1, b.c AS c2,
+         |          list_sum(list_transform(range(0, 192), i ->
+         |            a.ctr[CAST(i + 1 AS INT)] * b.ctr[CAST(i + 1 AS INT)]))
+         |            AS d
+         |        FROM cb1 a JOIN c2s b ON a.j = b.j),
+         |cxc AS (SELECT a.j, a.c AS c1, b.c AS c2,
+         |          list_sum(list_transform(range(0, 192), i ->
+         |            a.ctr[CAST(i + 1 AS INT)] * b.ctr[CAST(i + 1 AS INT)]))
+         |            AS d
+         |        FROM cb1 a JOIN c2c b ON a.j = b.j),
+         |a1 AS (SELECT k1.vec_id,
+         |         list_sum(list(l1.d ORDER BY l1.j)) AS adc
+         |       FROM k1 JOIN l1 ON k1.j = l1.j AND k1.c = l1.c
+         |       GROUP BY k1.vec_id),
+         |a2s AS (SELECT k1.vec_id,
+         |          list_sum(list(l1.d + l2s.d + 2 * cxs.d
+         |                        ORDER BY k1.j)) AS adc
+         |        FROM k1 JOIN k2s ON k1.vec_id = k2s.vec_id
+         |                        AND k1.j = k2s.j
+         |             JOIN l1 ON k1.j = l1.j AND k1.c = l1.c
+         |             JOIN l2s ON k2s.j = l2s.j AND k2s.c = l2s.c
+         |             JOIN cxs ON k1.j = cxs.j AND k1.c = cxs.c1
+         |                     AND k2s.c = cxs.c2
+         |        GROUP BY k1.vec_id),
+         |a2c AS (SELECT k1.vec_id,
+         |          list_sum(list(l1.d + l2c.d + 2 * cxc.d
+         |                        ORDER BY k1.j)) AS adc
+         |        FROM k1 JOIN k2c ON k1.vec_id = k2c.vec_id
+         |                        AND k1.j = k2c.j
+         |             JOIN l1 ON k1.j = l1.j AND k1.c = l1.c
+         |             JOIN l2c ON k2c.j = l2c.j AND k2c.c = l2c.c
+         |             JOIN cxc ON k1.j = cxc.j AND k1.c = cxc.c1
+         |                     AND k2c.c = cxc.c2
+         |        GROUP BY k1.vec_id),
+         |ex AS (SELECT cw.vec_id FROM cw, q
+         |       ORDER BY list_cosine_similarity(cw.e, q.qe) DESC,
+         |                cw.vec_id LIMIT 10),
+         |r1 AS (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS r
+         |       FROM (SELECT vec_id FROM a1
+         |             ORDER BY adc, vec_id LIMIT 10) t
+         |       JOIN ex USING (vec_id)),
+         |r2s AS (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS r
+         |        FROM (SELECT vec_id FROM a2s
+         |              ORDER BY adc, vec_id LIMIT 10) t
+         |        JOIN ex USING (vec_id)),
+         |r2c AS (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS r
+         |        FROM (SELECT vec_id FROM a2c
+         |              ORDER BY adc, vec_id LIMIT 10) t
+         |        JOIN ex USING (vec_id)),
+         |m1 AS (SELECT round(avg(serr), 6) AS m FROM (
+         |         SELECT vec_id, sum(mind) AS serr FROM (
+         |           SELECT vec_id, j, min(dist) AS mind
+         |           FROM sub1 GROUP BY vec_id, j)
+         |         GROUP BY vec_id)),
+         |m2s AS (SELECT round(avg(serr), 6) AS m FROM (
+         |          SELECT vec_id, sum(mind) AS serr FROM (
+         |            SELECT vec_id, j, min(dist) AS mind
+         |            FROM sub2s GROUP BY vec_id, j)
+         |          GROUP BY vec_id)),
+         |m2c AS (SELECT round(avg(serr), 6) AS m FROM (
+         |          SELECT vec_id, sum(mind) AS serr FROM (
+         |            SELECT vec_id, j, min(dist) AS mind
+         |            FROM sub2c GROUP BY vec_id, j)
+         |          GROUP BY vec_id))
+         |SELECT r1.r AS flat_adc_recall_pq8,
+         |       r2s.r AS recall_rq16_split,
+         |       r2c.r AS recall_rq16_corpus,
+         |       m1.m AS mse_pq8, m2s.m AS mse_rq16_split,
+         |       m2c.m AS mse_rq16_corpus,
+         |       CAST(16 AS BIGINT) AS code_bytes,
+         |       round(6144.0 / 16, 1) AS compression
+         |FROM r1, r2s, r2c, m1, m2s, m2c""".stripMargin,
     // the sharded-LSM replay: the POST-UPDATE partitioned store (base
     // graph + appended delta sidecar) read back with hive_partitioning,
     // probe buckets -> routed shards -> per-bucket entries -> 4 walk
@@ -5857,7 +6199,8 @@ object VectorQueries {
       "v57_graph_refdim" -> ((s, d) => v57Artifacts(s, d): Unit),
       "v58_graph_sharded_lsm" -> ((s, d) => v58Routed(s, d): Unit),
       "v64_opq_recall" -> ((s, d) => v64Models(s, d): Unit),
-      "v65_opq_refdim" -> ((s, d) => v65Models(s, d): Unit))
+      "v65_opq_refdim" -> ((s, d) => v65Models(s, d): Unit),
+      "v66_residual_pq" -> ((s, d) => v66Models(s, d): Unit))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_topk" -> ((s, d) => knnTopK(s, d)),
@@ -5894,6 +6237,7 @@ object VectorQueries {
     "v63_prefix_serve" -> (refDimPrefixServe(_, _)),
     "v64_opq_recall" -> (opqRecall(_, _)),
     "v65_opq_refdim" -> (refDimOpq(_, _)),
+    "v66_residual_pq" -> (refDimRq(_, _)),
     "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),

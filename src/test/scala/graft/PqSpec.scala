@@ -126,6 +126,41 @@ class PqSpec extends SparkSpec {
     assert(batched.keySet == qs.map(_._1).toSet)
   }
 
+  test("residuals: center + residual reconstructs the original; a " +
+    "vector that IS a centroid has zero residual") {
+    val res = Pq.residuals(emb, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val codes = Pq.encode(emb, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val orig = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    for (id <- orig.keys) {
+      for (i <- 0 until 4) {
+        val j = i / model.dsub
+        val ctr = model.codebooks(j)(codes(id)(j))(i % model.dsub)
+        assert(math.abs(
+          res(id)(i) + ctr.toDouble - orig(id)(i).toDouble) < 1e-12,
+          s"vec $id dim $i: residual + center != original")
+      }
+    }
+    // the trained centers are cluster means; a residual's norm is
+    // bounded by the within-cluster spread, far below the vector norm
+    val worst = res.values.map(_.map(x => x * x).sum).max
+    assert(worst < 1.0, s"residual energy $worst not small")
+  }
+
+  test("two-stage residual coding strictly reduces reconstruction " +
+    "error") {
+    val res = Pq.residuals(emb, "vec_id", "embedding", model)
+    val stage2 = Pq.trainCodebooks(res, "vec_id", "embedding",
+      m = 2, k = 2)
+    val res2 = Pq.residuals(res, "vec_id", "embedding", stage2)
+      .collect().map(_.getSeq[Double](1).map(x => x * x).sum).sum
+    val res1 = res.collect()
+      .map(_.getSeq[Double](1).map(x => x * x).sum).sum
+    assert(res2 < res1, s"stage-2 residual energy $res2 !< $res1")
+  }
+
   test("dimension mismatch raises in encode and adc") {
     val bad = vecsDf((1L, Seq(1f, 2f, 3f)))
     val e = intercept[Exception] {
