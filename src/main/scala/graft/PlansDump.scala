@@ -273,6 +273,22 @@ object PlansDump {
           "rank window cut at its own width) — the sweep costs " +
           "rounds-many equi-join stages, not widths x rounds, and " +
           "recall/nodes reduce per width in a final aggregate."),
+      "v64_opq_recall" ->
+        ("OPQ vs PQ at one code budget: the rotation is ONE narrow " +
+          "MatVecRotate projection (the matrix rides the plan like PQ " +
+          "codebooks — no join, no shuffle to change basis), both " +
+          "encodes are narrow kernel passes, the batched 8-query ADC " +
+          "is a codes×LUT broadcast join, and the only corpus-scale " +
+          "exchange is the per-query rank window. Distortion meters " +
+          "join the n·m encoded assignments against the 16k-row " +
+          "codebook — never the n·m·k explode."),
+      "v66_residual_pq" ->
+        ("Two-stage RQ serving: stage-1 codes, the residual (a second " +
+          "narrow kernel+builtin pass), stage-2 codes, then ADC as " +
+          "lookups into three plan-riding literal tables (l1, l2, " +
+          "k1×k2 cross) — per-candidate cost is index arithmetic, no " +
+          "d-wide float pass anywhere in the scoring plan; the three " +
+          "top-10s are TakeOrderedAndProject heaps."),
       "i20_mor_delete" ->
         ("Merge-on-read deletes: the tombstone snapshots resolve as " +
           "BROADCAST anti joins stacked on the base scan — the store " +
