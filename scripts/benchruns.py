@@ -11,7 +11,8 @@ Optionally compare against a second artifact (e.g. last round's) and
 flag only queries whose MIN regressed — min-vs-min is the noise-robust
 comparison.
 
-Usage: python3 scripts/benchruns.py BENCH_FULL.json [BASELINE.json]
+Usage: python3 scripts/benchruns.py [BENCH_FULL.json] [BASELINE.json]
+       (first arg defaults to BENCH_FULL.json in the cwd)
 """
 import json
 import sys
@@ -19,6 +20,8 @@ import sys
 NOISE_RATIO = 1.5   # median/min above this = at least one inflated run
 REGRESS_RATIO = 1.3 # min-vs-min above this (and >0.3s abs) = regression
 
+if len(sys.argv) < 2:
+    sys.argv.append("BENCH_FULL.json")
 cur = json.load(open(sys.argv[1]))
 runs = cur.get("runs")
 if runs is None:

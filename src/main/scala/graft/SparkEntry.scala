@@ -59,6 +59,11 @@ object SparkEntry {
     "v54_graph_clustered",  // clustered corpus + its bb=6 k-NN graph
     "v57_graph_refdim",     // d=1536 corpus + k-NN graph (shared with v59)
     "v58_graph_sharded_lsm",// sharded base store + delta sidecar append
+    "v64_opq_recall",       // d=64 OPQ rotation + both codebook sets
+    "v65_opq_refdim",       // d=1536 OPQ rotation + rotated codebooks
+    "v66_residual_pq",      // RVQ stage-2 codebooks (both regimes)
+    "v67_rvq_depth",        // 160x corpus + 3-stage RVQ ladder + codes
+    "v68_aniso_refdim",     // anisotropic (score-aware) codebooks
   )
 
   /** Artifact-only warmers: per owner, build/seal/load its shared

@@ -134,10 +134,12 @@ object Ann {
     // one-row guard rides the (tiny, pre-broadcast) query side: the
     // count-over-all window sees every query row, and the filter keeps
     // the raise_error from being pruned away as an unused column
+    // (boundedGlobalWindow: the frame is the ≤1-row query by contract)
     val qGuarded = query
       .withColumn("_qn", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
+        Search.boundedGlobalWindow(size(col("qe")))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
       .filter(when(col("_qn") === 1, lit(true))
         .otherwise(raise_error(lit(
           "srpShortlistKnn: query must have exactly one row"))
@@ -613,7 +615,8 @@ object Ann {
       .select(col(idCol), cosineSim(col(vecCol), qLit).as("score"))
       .orderBy(col("score").desc, col(idCol)).limit(k)
       .withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+        row_number().over(Search.boundedGlobalWindow(col(idCol))
+          .orderBy(col("score").desc, col(idCol))))
       .crossJoin(broadcast(touched))
       .select(col("rank").cast("long").as("rank"), col(idCol),
         col("score"), col("nodes_touched"))
@@ -628,7 +631,8 @@ object Ann {
     val touched = scored.agg(count(lit(1)).as("nodes_touched"))
     scored.orderBy(col("score").desc, col(idCol)).limit(k)
       .withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+        row_number().over(Search.boundedGlobalWindow(col(idCol))
+          .orderBy(col("score").desc, col(idCol))))
       .crossJoin(broadcast(touched))
       .select(col("rank").cast("long").as("rank"), col(idCol),
         col("score"), col("nodes_touched"))
@@ -658,7 +662,8 @@ object Ann {
     val nPass = passing.agg(count(lit(1)).as("passed_visited"))
     passing.orderBy(col("score").desc, col(idCol)).limit(k)
       .withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+        row_number().over(Search.boundedGlobalWindow(col(idCol))
+          .orderBy(col("score").desc, col(idCol))))
       .crossJoin(broadcast(touched))
       .crossJoin(broadcast(nPass))
       .select(col("rank").cast("long").as("rank"), col(idCol),
@@ -725,6 +730,96 @@ object Ann {
     * aims for — buckets inside 2× of target join whole (zero behavior
     * change), only genuinely hot buckets get split. */
   val DefaultMaxBucketGroup: Long = 256L
+
+  /** The OCCUPANCY TABLE behind [[occupancyBucketBits]] — one row per
+    * candidate bucketBits in [bbMin, bbMax]: bucket count, hottest
+    * bucket, and the SIZE-BIASED mean bucket size Σ|b|²/n (the
+    * expected size of the bucket a RANDOM VECTOR sits in — exactly
+    * the per-probe candidate contribution of [[buildKnnGraph]]'s
+    * own-bucket term, which is what the row-count schedule
+    * bucketBits ≈ log2(n/128) silently mis-estimates on clustered
+    * corpora: replica mates concentrate in few buckets, so the
+    * size-biased mean grows with n while the plain mean stays flat —
+    * the round-13 d=1536 superlinearity, cand/vec 142→344→586).
+    *
+    * Scale shape: ONE corpus pass sketches every vector at the finest
+    * width and reduces to the ≤min(n, 2^bbMax)-row fine histogram
+    * (map-side combined groupBy); each candidate width is then a
+    * re-aggregation of that model-sized frame (coarser buckets are
+    * prefixes of finer ones), never another corpus scan. Σ|b|² stays
+    * exact in Long up to |b| ~ 3·10⁹ — beyond any per-bucket count a
+    * sane geometry permits (and 2^bbMax buckets bound the sum's terms).
+    */
+  def bucketOccupancy(emb: DataFrame, vecCol: String, bits: Int,
+                      bbMin: Int, bbMax: Int): DataFrame = {
+    require(0 < bbMin && bbMin <= bbMax && bbMax <= bits,
+      s"bucketOccupancy: need 0 < bbMin=$bbMin <= bbMax=$bbMax <= " +
+        s"bits=$bits")
+    val fine = emb.select(
+        graft.functions.HashFunctions.cosineLshBits(col(vecCol), bits)
+          .bitwiseAND(lit((1L << bbMax) - 1)).as("fb"))
+      .groupBy("fb").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // one corpus pass feeds every candidate width
+    (bbMin to bbMax).map { bb =>
+      fine
+        .groupBy(col("fb").bitwiseAND(lit((1L << bb) - 1)).as("bucket"))
+        .agg(sum("cnt").as("bn"))
+        .agg(count(lit(1)).as("n_buckets"),
+          max("bn").as("max_bucket"),
+          round(sum(col("bn") * col("bn")).cast("double") /
+            sum(col("bn")), 4).as("size_biased"))
+        .select(lit(bb).as("bucket_bits"), col("n_buckets"),
+          col("max_bucket"), col("size_biased"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** OCCUPANCY-DRIVEN bucket geometry: the smallest bucketBits in
+    * [bbMin, bbMax] whose measured size-biased mean bucket size is ≤
+    * `targetSizeBiased`, else bbMax (the densest geometry available —
+    * [[saltedBucketJoin]]'s cap remains the backstop there, and the
+    * caller can see the miss in [[bucketOccupancy]]'s table). Replaces
+    * the row-count schedule log2(n/128) for [[buildKnnGraph]]: derived
+    * from the measured bucket HISTOGRAM, it holds the own-bucket
+    * candidate contribution — and with the probe cap, total cand/vec —
+    * at a geometry CONSTANT as the corpus grows, where the row-count
+    * schedule lets in-place cluster densification grow it superlinearly
+    * (the round-13 SCALING.md finding). Smallest-first keeps recall:
+    * coarser buckets see MORE candidates, so the chooser only refines
+    * as far as the cost target forces it. Deterministic (the sketch
+    * and histogram are), driver-side only the (bbMax−bbMin+1)-row
+    * table — at 100 TB this is a snapshot-build-time planning query
+    * over the fine histogram, model-sized state end to end.
+    */
+  def occupancyBucketBits(emb: DataFrame, vecCol: String, bits: Int,
+                          bbMin: Int, bbMax: Int,
+                          targetSizeBiased: Double = DefaultTargetSizeBiased)
+      : Int =
+    chooseBucketBits(bucketOccupancy(emb, vecCol, bits, bbMin, bbMax),
+      targetSizeBiased)
+
+  /** The decision half of [[occupancyBucketBits]], over an
+    * already-computed [[bucketOccupancy]] table — split out so a
+    * caller that also REPORTS the table (v69) pays the sketch pass
+    * once. Driver-side: the table is (bbMax−bbMin+1) rows. */
+  def chooseBucketBits(occ: DataFrame, targetSizeBiased: Double): Int = {
+    val rows = occ.select("bucket_bits", "size_biased")
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "chooseBucketBits: empty occupancy table")
+    rows.find(_._2 <= targetSizeBiased).map(_._1).getOrElse(rows.last._1)
+  }
+
+  /** Calibration target for [[occupancyBucketBits]]: the own-bucket
+    * size-biased load the hand-pinned v57 geometry (bucketBits = 5 on
+    * the 40× d=1536 fixture) measures — ~47 rows, cand/vec ~142 with
+    * the default 1+4 probes. Holding THIS constant as the corpus grows
+    * is the adaptive schedule's whole point: the chooser reproduces
+    * v57's pin at 40× (v69 hash-gates that) and refines bucketBits
+    * exactly as fast as in-place cluster densification demands
+    * (measured: bb 5→11→17 across 40×/160×/640×, size-biased 47/47/40
+    * — flat, where the row-count schedule let it grow 47→106→418). */
+  val DefaultTargetSizeBiased: Double = 48.0
 
   /** The SCORED candidate frame both graph builders rank: `probeFrom`
     * vectors probe their capped multi-probe buckets against the bucket

@@ -33,9 +33,11 @@ import org.apache.spark.sql.graft.Bridge
   *    eigendecomposition is driver-local, the same split MLlib's own
   *    PCA uses;
   *  - the trained R is model-sized (d² doubles) and rides the
-  *    [[MatVecRotate]] kernel exactly as PQ codebooks ride
-  *    [[graft.expressions.PqEncode]] — applying it is one narrow
-  *    map-stage pass, no shuffle;
+  *    [[MatVecRotate]] kernel — as an expression literal below
+  *    [[graft.expressions.MatVecKernel.BcastDim]] dims (the PQ-codebook
+  *    transport), as an explicit cached Broadcast above it (d = 1536 is
+  *    ~18 MiB: a literal re-ships per stage, the broadcast once per
+  *    executor) — applying it is one narrow map-stage pass, no shuffle;
   *  - everything downstream (codebook training, encode, ADC, IVF
   *    routing, graph walks) is [[Pq]]/[[Ann]] machinery unchanged —
   *    OPQ composes as a pre-transform, which is why serving stacks
@@ -44,14 +46,25 @@ import org.apache.spark.sql.graft.Bridge
 object Opq {
 
   /** Greedy eigenvalue allocation (Ge et al. §4.2): directions sorted
-    * by eigenvalue descending are dealt one at a time to the non-full
-    * subspace with the smallest current log-eigenvalue product (floor
-    * 1e-12 keeps rank-deficient spectra — null-space directions — from
-    * collapsing the products to -∞). Returns `order`: order(o) = the
+    * by eigenvalue descending are dealt one at a time, LEVEL BY LEVEL
+    * (emptier buckets first), to the subspace with the smallest
+    * current log-eigenvalue product among the least-filled non-full
+    * subspaces — so the top m directions land in m DISTINCT subspaces
+    * and each round pairs the largest remaining eigenvalues with the
+    * smallest accumulated products. Comparing products across buckets
+    * of EQUAL fill is what makes the log-sum comparison meaningful:
+    * comparing an empty bucket's product (1, logSum 0) against a
+    * filled one is sign-sensitive — with all λ < 1 (every normalized
+    * corpus: unit-norm vectors give trace 1) a filled bucket's logSum
+    * is NEGATIVE, so a fill-agnostic minBy would keep stuffing every
+    * signal direction into whichever bucket took the first one, the
+    * exact inversion of the paper's balanced spectrum. (Floor 1e-12
+    * keeps rank-deficient spectra — null-space directions — from
+    * collapsing the products to -∞.) Returns `order`: order(o) = the
     * index (into `lambdas`) of the direction serving output dimension
     * o, where subspace j owns output dims [j·dsub, (j+1)·dsub).
     * Deterministic: ties in λ break to the lower direction index, ties
-    * in product to the lower subspace id.
+    * in (fill, product) to the lower subspace id.
     */
   def allocate(lambdas: Array[Double], m: Int): Array[Int] = {
     val dim = lambdas.length
@@ -64,7 +77,7 @@ object Opq {
     byVar.foreach { case (l, i) =>
       val j = (0 until m)
         .filter(buckets(_).length < dsub)
-        .minBy(j => (logSum(j), j))
+        .minBy(j => (buckets(j).length, logSum(j), j))
       logSum(j) += math.log(math.max(l, 1e-12))
       buckets(j) = buckets(j) :+ i
     }
@@ -166,10 +179,33 @@ object Opq {
     Array.tabulate(dim)(rows(_))
   }
 
+  /** One Broadcast per trained matrix INSTANCE per JVM (weak keys: a
+    * dropped rotation lets its broadcast be GC-unpersisted) — repeated
+    * [[rotate]] calls over one loaded rotation share a single
+    * executor-resident copy instead of re-broadcasting 18 MiB per
+    * call. */
+  private val bcastCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Array[Array[Double]],
+        org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]())
+
   /** R·x as a column — raw dots; wrap rank-sensitive consumers in
-    * `round` (see [[MatVecRotate]]'s arithmetic contract). */
+    * `round` (see [[MatVecRotate]]'s arithmetic contract). Transport
+    * switches on dimension ([[graft.expressions.MatVecKernel.BcastDim]]):
+    * small matrices ride the expression literal (the PQ-codebook
+    * shape), large ones an explicit cached Broadcast — identical
+    * arithmetic (one shared kernel), so the switch is invisible to
+    * every oracle. */
   def rotateCol(vecCol: Column, rot: Array[Array[Double]]): Column =
-    Bridge.column(MatVecRotate(Bridge.expression(vecCol), rot))
+    if (rot.length < graft.expressions.MatVecKernel.BcastDim)
+      Bridge.column(MatVecRotate(Bridge.expression(vecCol), rot))
+    else {
+      val bc = bcastCache.computeIfAbsent(rot,
+        r => org.apache.spark.sql.SparkSession.active
+          .sparkContext.broadcast(r))
+      Bridge.column(graft.expressions.MatVecRotateBcast(
+        Bridge.expression(vecCol), bc, rot.length))
+    }
 
   /** (idCol, vecCol → R·x rounded to 1e-6) — the rotated frame
     * codebook training, encode and LUTs consume; the 1e-6 quantization

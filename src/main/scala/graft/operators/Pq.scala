@@ -169,6 +169,30 @@ object Pq {
     Bridge.column(PqAdcDistance(Bridge.expression(codesCol), lut))
   }
 
+  /** Approximate INNER PRODUCT ⟨query, reconstruction⟩ via per-subspace
+    * LUT — the MIPS serving score (the metric anisotropic training
+    * optimizes for, v68): lut(j)(c) = Σᵢ q(j·dsub+i)·ctr(i), score =
+    * Σⱼ lut(j)(codes(j)). Double end-to-end, i-ascending — the
+    * [[adcDistance]] portability contract at the other metric. Rank
+    * DESCENDING (larger = closer), ties to the lower id.
+    */
+  def adcInnerProduct(codesCol: Column, query: Array[Double],
+                      model: PqModel): Column = {
+    require(query.length == model.m * model.dsub,
+      s"query dim ${query.length} != ${model.m}×${model.dsub}")
+    val lut = Array.tabulate(model.m, model.k) { (j, c) =>
+      var acc = 0.0
+      var i = 0
+      while (i < model.dsub) {
+        acc += query(j * model.dsub + i) *
+          model.codebooks(j)(c)(i).toDouble
+        i += 1
+      }
+      acc
+    }
+    Bridge.column(PqAdcDistance(Bridge.expression(codesCol), lut))
+  }
+
   /** Top-k nearest by PQ asymmetric distance (ascending, ties to lower
     * id) — TakeOrderedAndProject over a narrow scan of the code table.
     */

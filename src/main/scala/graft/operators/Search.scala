@@ -55,6 +55,23 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  /** A window spec over a BOUNDED global frame (≤k rows post-`limit` —
+    * rank stamping, whole-frame recall sums) that partitions on the
+    * non-foldable constant `pmod(anchor, 1)` instead of an empty spec.
+    * Execution is identical (one partition either way — legal ONLY
+    * because callers guarantee the frame is model/k-sized), but a
+    * partition-less WindowExec logs "No Partition Defined" per run,
+    * and those ~8 benign lines were drowning real diagnostics in the
+    * bench tail; the warning should stay reserved for actual
+    * unbounded global sorts. A literal partition key would not
+    * survive the optimizer (EliminateWindowPartitions strips foldable
+    * keys) — the pmod over a data column does. `anchor` must be a
+    * non-null numeric column of the frame (ids; pmod(x,1) = 0).
+    */
+  def boundedGlobalWindow(anchor: Column)
+      : org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(pmod(anchor, lit(1)))
+
   /** Batched search: per-query top-k via ranking window. One shuffle,
     * keyed by query id; at 100 TB the scored set never materializes —
     * AQE sizes the single exchange.

@@ -932,9 +932,49 @@ object StreamingQueries {
       Streaming.runAvailableNow(spark, agg, "graft_s24"))
   }
 
+  /** CONTINUOUS QUANTIZED-STORE BUILD → compressed serving — the
+    * round-13 advice's missing deployment shape: the serving tier a
+    * 100 TB deployment actually runs holds a COMPRESSED store, and
+    * its vectors arrive as a stream (the ingest memtable), so the
+    * quantization snapshot must be derivable continuously. SQ8 makes
+    * that exact, not approximate: the scale row (per-dimension
+    * max |x|) is SQ8's ONLY cross-vector coupling, and max is an
+    * order-free streaming aggregate — 1,536 rows of bounded state, no
+    * watermark needed. Per micro-batch the vector stream explodes to
+    * (dim, |x|) and folds into the running per-dimension max; at the
+    * drain (the snapshot boundary) the scale row freezes, the store
+    * quantizes in the same narrow broadcast pass as batch, and the
+    * SAME v61 serving walk runs over the int8 reconstruction
+    * ([[VectorQueries.sq8ServeWith]] — shared code). Oracle = v61's
+    * SQL verbatim: the continuously-derived store must serve
+    * byte-identically to the batch-built one — streaming changes WHEN
+    * the scales are learned, never what the tier answers.
+    */
+  def streamSq8Store(spark: SparkSession, sfDir: String): DataFrame = {
+    val (corpusDir, _, _) = VectorQueries.v57Artifacts(spark, sfDir)
+    val schema = spark.read.parquet(corpusDir).schema
+    val vecStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(corpusDir)
+      .filter(col("vec_id") =!= 1000L)
+    // identical arithmetic to Sq8.scalesRow's batch pass (abs/max in
+    // float, one exact double widening, dead-dim floor) — max is
+    // order-free, so streamed == batch to the last bit
+    val dimMax = vecStream
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(greatest(max(abs(col("x"))).cast("double"),
+        lit(graft.operators.Sq8.DeadDimFloor)).as("s"))
+    val scales = Streaming.runAvailableNow(spark, dimMax, "graft_s25")
+      .agg(array_sort(collect_list(struct(col("pos"), col("s"))))
+        .as("ps"))
+      .select(transform(col("ps"), p => p.getField("s")).as("scales"))
+    VectorQueries.sq8ServeWith(spark, sfDir, scales)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s24_stream_bpe_tokenize" -> (streamBpeTokenize(_, _)),
     "s23_stream_graph_serve" -> (streamGraphServe(_, _)),
+    "s25_stream_sq8_store" -> (streamSq8Store(_, _)),
     "s22_outer_join" -> (streamOuterJoin(_, _)),
     "s21_late_data" -> (streamLateData(_, _)),
     "s20_stream_merge" -> (streamMergeInto(_, _)),
@@ -965,6 +1005,7 @@ object StreamingQueries {
     "s24_stream_bpe_tokenize" -> TextQueries.oracles("t67_bpe_apply"),
     "s23_stream_graph_serve" ->
       VectorQueries.graphLsmOracleSql("s23_base_graph"),
+    "s25_stream_sq8_store" -> VectorQueries.oracles("v61_sq8_serve"),
     // inner matches are the batch interval join; NULL rows emit only
     // for clicks finalized by the final global watermark (min of both
     // sides' max ts − 10 min) — the stream's partial-result rule

@@ -613,4 +613,46 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long, Double, Long)].collect()
     assert(got.map(_._2).toSet == Set(1L, 2L) && got.forall(_._4 == 2L))
   }
+
+  test("bucketOccupancy matches a direct per-width histogram and " +
+    "chooseBucketBits picks the smallest width under target") {
+    // 64 vectors spread around a ring so the SRP planes actually split
+    val rows = (0 until 64).map { i =>
+      val a = i * 0.197
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat,
+        math.cos(3 * a).toFloat, math.sin(3 * a).toFloat))
+    }
+    val df = vecsDf(rows: _*)
+    val occ = Ann.bucketOccupancy(df, "embedding", bits = 12,
+        bbMin = 1, bbMax = 12)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .toMap
+    assert(occ.keySet == (1 to 12).toSet)
+    // cross-check EVERY width against a direct srpBucketIndex histogram
+    // (the fine-histogram prefix re-aggregation must equal the direct
+    // groupBy — same sketch planes, same masking)
+    for (bb <- 1 to 12) {
+      val counts = Ann.srpBucketIndex(df, "vec_id", "embedding", 12, bb)
+        .groupBy("bucket").count()
+        .as[(Long, Long)].collect().map(_._2)
+      val n = counts.sum.toDouble
+      val want = (counts.map(c => c * c).sum / n * 10000).round / 10000.0
+      val (nb, mx, sb) = occ(bb)
+      assert(nb == counts.length && mx == counts.max,
+        s"bb=$bb: ($nb,$mx) vs (${counts.length},${counts.max})")
+      assert(math.abs(sb - want) < 1e-9, s"bb=$bb: $sb vs $want")
+    }
+    // size-biased mean never increases when buckets split
+    val sbs = (1 to 12).map(occ(_)._3)
+    assert(sbs.zip(sbs.tail).forall { case (a, b) => b <= a + 1e-9 })
+    // chooser: smallest width whose load meets the target...
+    val t = occ(6)._3
+    val chosen = Ann.occupancyBucketBits(df, "embedding", 12, 1, 12, t)
+    assert(occ(chosen)._3 <= t &&
+      (1 until chosen).forall(occ(_)._3 > t), s"chosen=$chosen")
+    // ...and bbMax when nothing does
+    assert(Ann.occupancyBucketBits(df, "embedding", 12, 1, 3, 0.5) == 3)
+  }
 }
