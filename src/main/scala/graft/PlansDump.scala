@@ -289,6 +289,30 @@ object PlansDump {
           "k1×k2 cross) — per-candidate cost is index arithmetic, no " +
           "d-wide float pass anywhere in the scoring plan; the three " +
           "top-10s are TakeOrderedAndProject heaps."),
+      "v68_aniso_refdim" ->
+        ("Anisotropic-vs-L2 training sweep: every rung's encode is one " +
+          "narrow kernel pass (AnisoEncode / PqEncode — the codebooks " +
+          "ride the expression), the MIPS scores are PqAdcDistance " +
+          "lookups into per-rung plan-riding IP LUTs, the top-10s are " +
+          "TakeOrderedAndProject heaps, and the residual meters are " +
+          "narrow zip_with arithmetic + one aggregate per rung — no " +
+          "corpus-scale shuffle anywhere but the final tiny unions."),
+      "v69_occupancy_geometry" ->
+        ("Occupancy-driven geometry planning: ONE corpus pass sketches " +
+          "at the finest width and reduces to the fine histogram " +
+          "(map-side combined groupBy, ≤2^bbMax rows); every candidate " +
+          "width is a re-aggregation of that model-sized frame — the " +
+          "18-width decision table costs one scan plus model-sized " +
+          "work, which is what makes it a free snapshot-build step at " +
+          "100 TB."),
+      "v70_joint_aq" ->
+        ("Joint-AQ rungs: each encode is one narrow kernel pass " +
+          "(AqJointEncode's per-executor codebook tables — the k1×k2 " +
+          "enumeration is index arithmetic inside the kernel, never a " +
+          "plan-level join), query-ADC scores are literal-table " +
+          "lookups, and the MSE meters are zip_with arithmetic over " +
+          "the encoded frame — the only exchanges are the three " +
+          "top-10 heaps and tiny unions."),
       "i20_mor_delete" ->
         ("Merge-on-read deletes: the tombstone snapshots resolve as " +
           "BROADCAST anti joins stacked on the base scan — the store " +
