@@ -310,7 +310,8 @@ class Engine(spark: SparkSession, storePath: String, dim: Int = 64,
 
   /** The reference's context string (server.js:251-254). */
   def context(query: String, k: Int): String = {
-    val enriched = search(query, k).withColumn("query_id", lit(0L))
+    val enriched = search(query, k)
+      .withColumn("query_id", pmod(col("doc_id"), lit(1L)))
     val rows = Search.contextAgg(enriched, "query_id", "doc_id", "content")
       .select("context").collect()
     if (rows.isEmpty) "" else rows(0).getString(0)

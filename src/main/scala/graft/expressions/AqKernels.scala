@@ -153,3 +153,73 @@ case class AqJointEncode(child: Expression, dsub: Int,
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
 }
+
+/** (vector, codes1 ++ codes2) → total two-stage reconstruction error
+  * Σⱼ Σᵢ ((x − U[c1])ᵢ − V[c2]ᵢ)² — v70's distortion meter as a
+  * kernel instead of plan-riding nested-Seq literals (the boxed
+  * double Seqs cost ~12 MiB of task binary; the primitive float
+  * codebooks here serialize compactly). Arithmetic contract: u and v
+  * widen float→double exactly, the subtraction associates
+  * ((x − u) − v), squares accumulate i-ascending within a subspace
+  * and subspaces sum j-ascending — the exact order the SQL oracle's
+  * per-(vec, j) list_sum + j-ordered list replays.
+  */
+case class AqReconError(left: Expression, right: Expression,
+                        dsub: Int,
+                        cb1: Array[Array[Array[Float]]],
+                        cb2: Array[Array[Array[Float]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def prettyName: String = "aq_recon_error"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(IntegerType, _)) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, array<int>), " +
+          s"got $other")
+    }
+  }
+
+  private lazy val isFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private val m = cb1.length
+
+  override def nullSafeEval(vecAny: Any, codesAny: Any): Any = {
+    val arr = vecAny.asInstanceOf[ArrayData]
+    val codes = codesAny.asInstanceOf[ArrayData]
+    if (arr.numElements() != m * dsub) throw new IllegalArgumentException(
+      s"$prettyName: vector dim ${arr.numElements()} != $m×$dsub")
+    if (codes.numElements() != 2 * m) throw new IllegalArgumentException(
+      s"$prettyName: ${codes.numElements()} codes != ${2 * m}")
+    @inline def at(i: Int): Double =
+      if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+    var total = 0.0
+    var j = 0
+    while (j < m) {
+      val u = cb1(j)(codes.getInt(j))
+      val v = cb2(j)(codes.getInt(m + j))
+      val off = j * dsub
+      var acc = 0.0
+      var i = 0
+      while (i < dsub) {
+        val r = (at(off + i) - u(i).toDouble) - v(i).toDouble
+        acc += r * r
+        i += 1
+      }
+      total += acc
+      j += 1
+    }
+    total
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

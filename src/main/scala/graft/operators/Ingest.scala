@@ -75,11 +75,15 @@ object Ingest {
   def assignIds(novel: DataFrame, contentCol: String, maxExisting: Long)
       : DataFrame =
     novel.withColumn("doc_id",
-      // partitionBy(lit): the single-partition ranking is the documented
-      // AUTOINCREMENT-parity serialization point, deliberate, not an
-      // accidental unpartitioned window
-      row_number().over(Window.partitionBy(lit(0))
-        .orderBy(col(contentCol))) + maxExisting)
+      // boundedGlobalWindow: the single-partition ranking is the
+      // documented AUTOINCREMENT-parity serialization point, deliberate,
+      // not an accidental unpartitioned window (a plain lit(0) partition
+      // no longer works — Spark 4's EliminateWindowPartitions strips
+      // foldable keys and the warning returns; the non-foldable constant
+      // survives the optimizer)
+      row_number().over(
+        Search.boundedGlobalWindow(length(col(contentCol)))
+          .orderBy(col(contentCol))) + maxExisting)
 
   /** Single-plan variant: the store's max id arrives as a broadcast
     * 1-row aggregate instead of a driver-side `.head()` fetch, so the
@@ -92,8 +96,9 @@ object Ingest {
       .agg(coalesce(max(col(storeIdCol)), lit(0L)).as("_max_existing"))
     novel.crossJoin(broadcast(maxFrame))
       .withColumn("doc_id",
-        row_number().over(Window.partitionBy(lit(0))
-          .orderBy(col(contentCol))) + col("_max_existing"))
+        row_number().over(
+          Search.boundedGlobalWindow(length(col(contentCol)))
+            .orderBy(col(contentCol))) + col("_max_existing"))
       .drop("_max_existing")
   }
 

@@ -65,12 +65,16 @@ object Search {
     * bench tail; the warning should stay reserved for actual
     * unbounded global sorts. A literal partition key would not
     * survive the optimizer (EliminateWindowPartitions strips foldable
-    * keys) — the pmod over a data column does. `anchor` must be a
-    * non-null numeric column of the frame (ids; pmod(x,1) = 0).
+    * keys) — the pmod over a data column does. `anchor` is any numeric
+    * column/expression of the frame: it is truncated to LONG first, so
+    * pmod(·, 1) is identically 0 for fractional inputs too (a raw
+    * double would keep its fractional part and split the partition);
+    * the coalesce keeps a null anchor in the same single partition.
     */
   def boundedGlobalWindow(anchor: Column)
       : org.apache.spark.sql.expressions.WindowSpec =
-    Window.partitionBy(pmod(anchor, lit(1)))
+    Window.partitionBy(
+      coalesce(pmod(anchor.cast("long"), lit(1L)), lit(0L)))
 
   /** Batched search: per-query top-k via ranking window. One shuffle,
     * keyed by query id; at 100 TB the scored set never materializes —

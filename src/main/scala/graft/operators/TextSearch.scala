@@ -125,12 +125,13 @@ object TextSearch {
     def ranked(df: DataFrame): DataFrame =
       df.orderBy(col("score").desc, col(idCol)).limit(depth)
         .withColumn("rrf",
-          // partitionBy(lit) pins the (deliberate) single-partition
+          // boundedGlobalWindow pins the (deliberate) single-partition
           // ranking stage without tripping WindowExec's no-partition
           // warning — its input is already capped at `depth` rows by the
           // TakeOrderedAndProject above, so one task is the right plan
+          // (lit(0) no longer survives EliminateWindowPartitions)
           lit(1.0) / (lit(c) + row_number().over(
-            Window.partitionBy(lit(0))
+            Search.boundedGlobalWindow(col("score"))
               .orderBy(col("score").desc, col(idCol)))))
         .select(col(idCol), col("rrf"))
     ranked(a).unionByName(ranked(b))

@@ -63,7 +63,11 @@ object VectorQueries {
     val enriched = hits
       .join(docs.select(col("doc_id").as("vec_id"),
         substring(col("text"), 1, 30).as("content")), Seq("vec_id"), "left")
-      .withColumn("query_id", lit(0L))
+      // a non-foldable 0 (pmod over the id column): a lit(0L) here is
+      // folded into contextAgg's partition spec by FoldablePropagation,
+      // then stripped by EliminateWindowPartitions — same single
+      // partition, but the benign warning returns
+      .withColumn("query_id", pmod(col("vec_id"), lit(1L)))
     Search.contextAgg(enriched, "query_id", "vec_id", "content")
       .select("query_id", "context")
   }
@@ -424,7 +428,7 @@ object VectorQueries {
     val exact = Search.topK(corpus, queryVec(emb),
         "vec_id", "embedding", "qe", 10)
       .select(col("vec_id"), lit(1L).as("_hit"))
-    val wAll = org.apache.spark.sql.expressions.Window
+    val wAll = Search.boundedGlobalWindow(col("vec_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     walked.join(exact, Seq("vec_id"), "left")
@@ -3807,33 +3811,18 @@ object VectorQueries {
   }
 
   /** Direct two-stage reconstruction MSE of a (codes1 ++ codes2)
-    * column: res = (x − u) − v per subspace, Σ res², j-ascending,
+    * column via the [[graft.expressions.AqReconError]] kernel
+    * (res = (x − u) − v per subspace, Σ res², i- then j-ascending),
     * averaged over the corpus (round 6). */
   private def aqMse(joined: DataFrame,
                     m1: graft.operators.Pq.PqModel,
-                    m2: graft.operators.Pq.PqModel): DataFrame = {
-    val m = m1.m
-    val dsub = m1.dsub
-    val u = typedlit(m1.codebooks
-      .map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq)
-    val v = typedlit(m2.codebooks
-      .map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq)
-    import org.apache.spark.sql.Column
-    def ssqJ(j: Int): Column = {
-      val xj = slice(col("embedding"), j * dsub + 1, dsub)
-        .cast("array<double>")
-      val uj = element_at(element_at(u, j + 1),
-        element_at(col("codes"), j + 1) + 1)
-      val vj = element_at(element_at(v, j + 1),
-        element_at(col("codes"), j + m + 1) + 1)
-      val res = zip_with(zip_with(xj, uj, (a, b) => a - b), vj,
-        (a, b) => a - b)
-      aggregate(zip_with(res, res, (a, b) => a * b), lit(0.0),
-        (acc, x) => acc + x)
-    }
-    joined.select((0 until m).map(ssqJ).reduce(_ + _).as("mse_vec"))
+                    m2: graft.operators.Pq.PqModel): DataFrame =
+    joined.select(org.apache.spark.sql.graft.Bridge.column(
+        graft.expressions.AqReconError(
+          org.apache.spark.sql.graft.Bridge.expression(col("embedding")),
+          org.apache.spark.sql.graft.Bridge.expression(col("codes")),
+          m1.dsub, m1.codebooks, m2.codebooks)).as("mse_vec"))
       .agg(round(avg("mse_vec"), 6).as("mse"))
-  }
 
   /** Shared recall computation for the gate and refDimAq's rungs. */
   private def aqAdcRecall(spark: SparkSession, sfDir: String,
