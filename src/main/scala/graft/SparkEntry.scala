@@ -64,6 +64,7 @@ object SparkEntry {
     "v66_residual_pq",      // RVQ stage-2 codebooks (both regimes)
     "v67_rvq_depth",        // 160x corpus + 3-stage RVQ ladder + codes
     "v68_aniso_refdim",     // anisotropic (score-aware) codebooks
+    "v70_joint_aq",         // jointly-refined AQ codebook pair
   )
 
   /** Artifact-only warmers: per owner, build/seal/load its shared

@@ -731,6 +731,27 @@ object Ann {
     * change), only genuinely hot buckets get split. */
   val DefaultMaxBucketGroup: Long = 256L
 
+  /** [[buildKnnGraph]] at OCCUPANCY-DRIVEN geometry: derive bucketBits
+    * from the measured histogram ([[occupancyBucketBits]]) instead of
+    * a row-count schedule, then build — the one-call form of the
+    * round-14 fix for in-place cluster densification (SCALING.md:
+    * cand/vec flat at 142/148/124 across 40×/160×/640× where the
+    * log2(n/128) schedule grew it to 586). Costs one extra corpus
+    * sketch pass at snapshot-build time; v69 hash-gates the chooser.
+    */
+  def buildKnnGraphAdaptive(emb: DataFrame, idCol: String,
+                            vecCol: String, bits: Int, bbMin: Int,
+                            bbMax: Int, degree: Int,
+                            targetSizeBiased: Double =
+                              DefaultTargetSizeBiased,
+                            maxProbes: Int = DefaultMaxProbes,
+                            maxBucketGroup: Long = DefaultMaxBucketGroup)
+      : DataFrame =
+    buildKnnGraph(emb, idCol, vecCol, bits,
+      occupancyBucketBits(emb, vecCol, bits, bbMin, bbMax,
+        targetSizeBiased),
+      degree, maxProbes, maxBucketGroup)
+
   /** The OCCUPANCY TABLE behind [[occupancyBucketBits]] — one row per
     * candidate bucketBits in [bbMin, bbMax]: bucket count, hottest
     * bucket, and the SIZE-BIASED mean bucket size Σ|b|²/n (the

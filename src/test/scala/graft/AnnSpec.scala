@@ -655,4 +655,22 @@ class AnnSpec extends SparkSpec {
     // ...and bbMax when nothing does
     assert(Ann.occupancyBucketBits(df, "embedding", 12, 1, 3, 0.5) == 3)
   }
+
+  test("buildKnnGraphAdaptive equals buildKnnGraph at the chosen width") {
+    val rows = (0 until 48).map { i =>
+      val a = i * 0.53
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat,
+        math.cos(2 * a).toFloat, math.sin(5 * a).toFloat))
+    }
+    val df = vecsDf(rows: _*)
+    val bb = Ann.occupancyBucketBits(df, "embedding", 12, 1, 12, 8.0)
+    val adaptive = Ann.buildKnnGraphAdaptive(df, "vec_id", "embedding",
+        bits = 12, bbMin = 1, bbMax = 12, degree = 3,
+        targetSizeBiased = 8.0)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val manual = Ann.buildKnnGraph(df, "vec_id", "embedding",
+        bits = 12, bucketBits = bb, degree = 3)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(adaptive == manual && adaptive.nonEmpty)
+  }
 }
