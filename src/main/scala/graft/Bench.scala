@@ -21,6 +21,20 @@ object Bench {
       // inventory's generated classes so sweep N+1 re-measures the
       // query, not the compiler.
       .config("spark.sql.codegen.cache.maxEntries", "20000")
+      // Injected runtime bloom filters OFF (round-15 measurement, the
+      // true source of the r14 bench tail's 4.1/2.2 MiB task-binary
+      // warnings mis-attributed to v66/v67 literals): localCheckpoint
+      // frames (every beam-walk round) are LogicalRDDs with UNKNOWN
+      // stats, which defeats InjectRuntimeFilter's 10 GiB application-
+      // side threshold, so Spark injected 1 MiB statically-sized
+      // blooms (1M items / 8.4M bits vs 280-row fixture scans) whose
+      // payloads literal-fold into EVERY task binary of every walk
+      // stage. At deployment scale the injection wouldn't fire either
+      // (corpus-scale creation sides exceed the 10 MB
+      // creationSideThreshold); where a runtime filter IS the right
+      // shape, the engine sizes one explicitly from corpus knowledge
+      // (Prefilter.bloomSemiFilter — r31's pattern).
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
       .config("spark.ui.enabled", "false")
       // local profiling aid; the driver never sets this
       .config("spark.eventLog.enabled",

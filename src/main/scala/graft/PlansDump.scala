@@ -15,6 +15,9 @@ object PlansDump {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      // see Bench.scala: injected runtime blooms off (checkpoint
+      // frames' unknown stats defeat the thresholds)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -65,6 +65,7 @@ object SparkEntry {
     "v67_rvq_depth",        // 160x corpus + 3-stage RVQ ladder + codes
     "v68_aniso_refdim",     // anisotropic (score-aware) codebooks
     "v70_joint_aq",         // jointly-refined AQ codebook pair
+    "v71_occupancy_drift",  // delta-accreted 320x corpus
   )
 
   /** Artifact-only warmers: per owner, build/seal/load its shared

@@ -167,3 +167,68 @@ case class PqSubAssign(left: Expression, right: Expression,
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** (vector, codes) → x − reconstruct(codes): the residual frame a
+  * second RVQ stage trains on and encodes
+  * ([[graft.operators.Pq.residuals]]). residual(j·dsub + i) =
+  * x(j·dsub + i) − book(j)(codes(j))(i), both widened to double
+  * exactly — bit-identical to (and replacing) the
+  * flatten/transform/zip_with formulation over the codebooks as a
+  * boxed nested-Seq `typedlit`, which at k = 128 / d = 1536 cost
+  * ~4 MiB of task binary PER STAGE (196k boxed Doubles); the
+  * primitive float books here serialize at ~786 KiB. A SQL replay
+  * subtracting the same parquet floats needs no rounding step.
+  */
+case class PqResidual(left: Expression, right: Expression, dsub: Int,
+                      books: Array[Array[Array[Float]]])
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "pq_residual"
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(IntegerType, _)) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, array<int>), " +
+          s"got $other")
+    }
+  }
+
+  private lazy val isFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private val m = books.length
+
+  override def nullSafeEval(vecAny: Any, codesAny: Any): Any = {
+    val arr = vecAny.asInstanceOf[ArrayData]
+    val codes = codesAny.asInstanceOf[ArrayData]
+    if (arr.numElements() != m * dsub) throw new IllegalArgumentException(
+      s"$prettyName: vector dim ${arr.numElements()} != $m×$dsub")
+    if (codes.numElements() != m) throw new IllegalArgumentException(
+      s"$prettyName: ${codes.numElements()} codes != $m")
+    @inline def at(i: Int): Double =
+      if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+    val out = new Array[Double](m * dsub)
+    var j = 0
+    while (j < m) {
+      val cen = books(j)(codes.getInt(j))
+      val off = j * dsub
+      var i = 0
+      while (i < dsub) {
+        out(off + i) = at(off + i) - cen(i).toDouble
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -54,8 +54,13 @@ object AnisoPq {
     * [[Pq.PqModel]] (the downstream encode/persist/oracle machinery
     * is shared — only the training loss and the serving-encode metric
     * differ). */
+  /** `trainPartitions` sizes the exploded training frame's parallelism
+    * (the [[Pq.trainCodebooks]] knob): the default 4 fits the bench
+    * fixtures; corpus-scale training raises it so the aggregateByKey's
+    * map side isn't bottlenecked on 4 tasks. */
   def trainAniso(emb: DataFrame, idCol: String, vecCol: String,
-                 m: Int, k: Int, eta: Double, maxIter: Int = 2)
+                 m: Int, k: Int, eta: Double, maxIter: Int = 2,
+                 trainPartitions: Int = 4)
       : Pq.PqModel = {
     require(eta >= 1.0, s"eta=$eta must be >= 1 (1 = plain L2)")
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
@@ -68,7 +73,7 @@ object AnisoPq {
               .as("sv"))
         }: _*)).as("e"))
       .select(col(idCol), col("e.j").as("j"), col("e.sv").as("sv"))
-      .repartition(4)
+      .repartition(trainPartitions)
       .persist()
     try {
       val initRows = emb.orderBy(col(idCol)).limit(k)
@@ -99,12 +104,16 @@ object AnisoPq {
               var i = 0
               while (i < dsub) { s(i) += x(i); norm2 += x(i) * x(i); i += 1 }
               if (norm2 > 0.0) {
+                // hoisted loop-invariant (bit-identical: same sqrt
+                // value, same per-element divide order as the inline
+                // form this replaces — dsub² sqrts saved per row)
+                val nrm = math.sqrt(norm2)
                 var a = 0
                 while (a < dsub) {
-                  val xa = x(a) / math.sqrt(norm2)
+                  val xa = x(a) / nrm
                   var b = 0
                   while (b < dsub) {
-                    g(a * dsub + b) += xa * x(b) / math.sqrt(norm2)
+                    g(a * dsub + b) += xa * x(b) / nrm
                     b += 1
                   }
                   a += 1
@@ -203,21 +212,14 @@ object AnisoPq {
 
   /** (idCol, vecCol → x − reconstruct(anisoEncode(x))) —
     * [[Pq.residuals]] with the score-aware assignment picking the
-    * code (same subtraction arithmetic: exact persisted values
+    * code; the subtraction is the same
+    * [[graft.expressions.PqResidual]] kernel (exact persisted values
     * widened to double, SQL-replayable without a rounding step). */
   def residuals(emb: DataFrame, idCol: String, vecCol: String,
-                model: Pq.PqModel, eta: Double): DataFrame = {
-    val cenLit = typedlit(model.codebooks
-      .map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq)
-    emb.select(col(idCol), col(vecCol),
-        encodeCol(col(vecCol), model, eta).as("_codes"))
-      .select(col(idCol),
-        flatten(transform(sequence(lit(0), lit(model.m - 1)), j =>
-          zip_with(
-            slice(col(vecCol), j * model.dsub + 1, lit(model.dsub))
-              .cast("array<double>"),
-            element_at(element_at(cenLit, j + 1),
-              element_at(col("_codes"), j + 1) + 1),
-            (a, b) => a - b))).as(vecCol))
-  }
+                model: Pq.PqModel, eta: Double): DataFrame =
+    emb.select(col(idCol),
+      Bridge.column(graft.expressions.PqResidual(
+        Bridge.expression(col(vecCol)),
+        Bridge.expression(encodeCol(col(vecCol), model, eta)),
+        model.dsub, model.codebooks)).as(vecCol))
 }

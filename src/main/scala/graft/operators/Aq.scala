@@ -38,8 +38,11 @@ import org.apache.spark.sql.graft.Bridge
   */
 object Aq {
 
-  /** Ridge weight, as a fraction of the mean per-code count — scale-
-    * free: λ = RidgeFrac · (rows·m / (k1+k2)). */
+  /** Ridge weight fraction: per subspace, λ = RidgeFrac · rows/(k1+k2)
+    * (see [[refine]]) — half the mean per-code count 2·rows/(k1+k2)
+    * (each vector takes one c1 AND one c2), so scale-free in corpus
+    * rows. The v70 artifacts were trained under exactly this formula;
+    * changing it requires a v70 fingerprint bump. */
   val RidgeFrac = 1e-6
 
   /** One joint refinement pass over (cb1, cb2): E-step (joint encode)
@@ -183,8 +186,68 @@ object Aq {
     emb.select(col(idCol), col(vecCol),
       encodeJointCol(col(vecCol), cb1, cb2).as("codes"))
 
+  /** One Broadcast per DISTINCT codebook pair per JVM, keyed by a
+    * content digest (the [[Opq]] cache's lifecycle: JVM-lifetime,
+    * bounded by the per-sfDir model caches' handful of trained pairs)
+    * — repeated encode/meter calls over one pair share one
+    * executor-resident copy AND one per-executor k1·k2 table build. */
+  private val pairCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[
+      graft.expressions.AqPair]]()
+
+  private def digest(md: java.security.MessageDigest,
+                     cb: Array[Array[Array[Float]]]): Unit = {
+    val buf = java.nio.ByteBuffer.allocate(4)
+    cb.foreach(_.foreach(_.foreach { v =>
+      buf.clear()
+      buf.putFloat(v)
+      md.update(buf.array())
+    }))
+  }
+
+  private def pairBcast(cb1: Pq.PqModel, cb2: Pq.PqModel)
+      : org.apache.spark.broadcast.Broadcast[graft.expressions.AqPair] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    digest(md, cb1.codebooks)
+    digest(md, cb2.codebooks)
+    val key = cb1.dsub + ":" + md.digest().map("%02x".format(_)).mkString
+    pairCache.computeIfAbsent(key,
+      _ => org.apache.spark.sql.SparkSession.active.sparkContext
+        .broadcast(new graft.expressions.AqPair(cb1.dsub,
+          cb1.codebooks, cb2.codebooks)))
+  }
+
+  /** Transport switch ([[graft.expressions.AqKernels.BcastBytes]]):
+    * small pairs (the spec fixtures) ride the expression literal,
+    * large ones (v70's d = 1536 / k = 128 pair, ~1.6 MiB of floats)
+    * an explicit cached Broadcast — identical arithmetic (one shared
+    * kernel), so the switch is invisible to every oracle. */
   def encodeJointCol(vec: Column, cb1: Pq.PqModel,
-                     cb2: Pq.PqModel): Column =
-    Bridge.column(AqJointEncode(Bridge.expression(vec), cb1.dsub,
-      cb1.codebooks, cb2.codebooks))
+                     cb2: Pq.PqModel): Column = {
+    import graft.expressions.{AqJointEncodeBcast, AqKernels, AqPair}
+    if (new AqPair(cb1.dsub, cb1.codebooks, cb2.codebooks).codebookBytes
+        < AqKernels.BcastBytes)
+      Bridge.column(AqJointEncode(Bridge.expression(vec), cb1.dsub,
+        cb1.codebooks, cb2.codebooks))
+    else
+      Bridge.column(AqJointEncodeBcast(Bridge.expression(vec),
+        pairBcast(cb1, cb2)))
+  }
+
+  /** The two-stage reconstruction error as a column
+    * ([[graft.expressions.AqReconError]] / its Bcast twin — v70's
+    * distortion meter), same transport switch as [[encodeJointCol]]. */
+  def reconErrorCol(vec: Column, codes: Column, cb1: Pq.PqModel,
+                    cb2: Pq.PqModel): Column = {
+    import graft.expressions.{AqKernels, AqPair, AqReconError,
+      AqReconErrorBcast}
+    if (new AqPair(cb1.dsub, cb1.codebooks, cb2.codebooks).codebookBytes
+        < AqKernels.BcastBytes)
+      Bridge.column(AqReconError(Bridge.expression(vec),
+        Bridge.expression(codes), cb1.dsub, cb1.codebooks,
+        cb2.codebooks))
+    else
+      Bridge.column(AqReconErrorBcast(Bridge.expression(vec),
+        Bridge.expression(codes), pairBcast(cb1, cb2)))
+  }
 }

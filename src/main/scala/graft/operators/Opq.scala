@@ -179,15 +179,35 @@ object Opq {
     Array.tabulate(dim)(rows(_))
   }
 
-  /** One Broadcast per trained matrix INSTANCE per JVM (weak keys: a
-    * dropped rotation lets its broadcast be GC-unpersisted) — repeated
+  /** One Broadcast per DISTINCT trained matrix per JVM, keyed by a
+    * CONTENT digest (md5 of the row-major doubles) — repeated
     * [[rotate]] calls over one loaded rotation share a single
     * executor-resident copy instead of re-broadcasting 18 MiB per
-    * call. */
-  private val bcastCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[Array[Array[Double]],
-        org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]())
+    * call, and two separately-LOADED copies of one persisted rotation
+    * dedupe to one broadcast. Lifecycle, stated honestly: entries live
+    * for the JVM (a broadcast pins its value in the driver
+    * BlockManager, so a weak-keyed cache could never actually collect
+    * one — the round-14 comment claiming GC-unpersist was wrong);
+    * the bound is the number of distinct trained rotations, which the
+    * per-sfDir model caches keep to a handful. */
+  private val bcastCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]()
+
+  /** md5 over the matrix bytes — ~30 ms at d = 1536, paid once per
+    * [[rotateCol]] call on the large-matrix path (vs re-shipping 18 MiB
+    * per stage without the cache). */
+  private def rotDigest(rot: Array[Array[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    rot.foreach { row =>
+      row.foreach { v =>
+        buf.clear()
+        buf.putDouble(v)
+        md.update(buf.array())
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   /** R·x as a column — raw dots; wrap rank-sensitive consumers in
     * `round` (see [[MatVecRotate]]'s arithmetic contract). Transport
@@ -200,9 +220,9 @@ object Opq {
     if (rot.length < graft.expressions.MatVecKernel.BcastDim)
       Bridge.column(MatVecRotate(Bridge.expression(vecCol), rot))
     else {
-      val bc = bcastCache.computeIfAbsent(rot,
-        r => org.apache.spark.sql.SparkSession.active
-          .sparkContext.broadcast(r))
+      val bc = bcastCache.computeIfAbsent(rotDigest(rot),
+        _ => org.apache.spark.sql.SparkSession.active
+          .sparkContext.broadcast(rot))
       Bridge.column(graft.expressions.MatVecRotateBcast(
         Bridge.expression(vecCol), bc, rot.length))
     }

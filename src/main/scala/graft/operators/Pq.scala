@@ -241,29 +241,22 @@ object Pq {
     * as ResidualQuantizer). After stage 1 absorbs the coarse (cluster)
     * structure, the residual IS the per-vector fine structure — which
     * is why a stage-2 codebook resolves neighbors a single stage
-    * collapses. One narrow kernel+builtin pass, no shuffle, no join:
-    * codes come from [[PqEncode]] and the subtraction runs under
-    * `flatten`/`transform`/`zip_with` against the codebooks as a
-    * nested literal. Arithmetic contract: residual(i) = x(i) −
-    * center(i), both exact persisted values widened to double — a SQL
-    * replay subtracting the same parquet floats is bit-identical, no
-    * rounding step needed.
+    * collapses. One narrow kernel pass, no shuffle, no join: codes
+    * come from [[PqEncode]] and the subtraction is the
+    * [[graft.expressions.PqResidual]] kernel (primitive float books —
+    * the boxed nested-Seq `typedlit` it replaces cost ~4 MiB of task
+    * binary per stage at k = 128 / d = 1536). Arithmetic contract:
+    * residual(i) = x(i) − center(i), both exact persisted values
+    * widened to double — a SQL replay subtracting the same parquet
+    * floats is bit-identical, no rounding step needed.
     */
   def residuals(emb: DataFrame, idCol: String, vecCol: String,
-                model: PqModel): DataFrame = {
-    val cenLit = typedlit(model.codebooks
-      .map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq)
-    emb.select(col(idCol), col(vecCol),
-        encodeCol(vecCol, model).as("_codes"))
-      .select(col(idCol),
-        flatten(transform(sequence(lit(0), lit(model.m - 1)), j =>
-          zip_with(
-            slice(col(vecCol), j * model.dsub + 1, lit(model.dsub))
-              .cast("array<double>"),
-            element_at(element_at(cenLit, j + 1),
-              element_at(col("_codes"), j + 1) + 1),
-            (a, b) => a - b))).as(vecCol))
-  }
+                model: PqModel): DataFrame =
+    emb.select(col(idCol),
+      Bridge.column(graft.expressions.PqResidual(
+        Bridge.expression(col(vecCol)),
+        Bridge.expression(encodeCol(vecCol, model)),
+        model.dsub, model.codebooks)).as(vecCol))
 
   /** The `nProbe` cells nearest the query (ascending centroid distance,
     * ties to the lower cell id). */

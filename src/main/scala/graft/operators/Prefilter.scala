@@ -21,10 +21,13 @@ import org.apache.spark.sql.types.{BinaryType, LongType}
   *
   * Spark's own AQE runtime filter (spark.sql.optimizer.runtime
   * .bloomFilter.enabled) injects the same construct automatically when
-  * its size thresholds are met; this operator makes the pattern
-  * explicit and tunable — and it probes with the SAME codegen'd
-  * expression the optimizer uses (`BloomFilterMightContain`), not a
-  * Scala UDF: the sketch is built by one distributed
+  * its size thresholds are met — the engine's sessions RUN WITH THAT
+  * INJECTION OFF (Bench.scala: localCheckpoint frames' unknown stats
+  * defeat the thresholds, so the injected, statically-sized 1 MiB
+  * blooms landed exactly where they cost task-binary weight and
+  * pruned nothing); this operator makes the pattern explicit and
+  * CORPUS-SIZED — and it probes with the SAME codegen'd expression
+  * the optimizer uses (`BloomFilterMightContain`), not a Scala UDF: the sketch is built by one distributed
   * `BloomFilterAggregate` job, carried to the probe side as a binary
   * literal (KB-scale — the transport a broadcast would use), and the
   * membership test participates in whole-stage codegen, so the

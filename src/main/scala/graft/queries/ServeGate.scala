@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.operators.{Ann, Bq, Pq, Search, Sq8}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** END-TO-END SERVE-PATH recall meters for the composed graph-serving
+  * snapshots — the round-15 gate the verdict asked for next to the
+  * per-model [[QuantGate]]s: a QuantGate guards each TRAINED quantizer
+  * artifact, but a composed regression (healthy codebooks, wrong
+  * graph/entries/beam geometry) still ships silently — the index
+  * snapshot as a WHOLE has a measured serving quality nothing sealed.
+  * Each meter here replays one deployment-shaped composed path over a
+  * (corpus, graph, entries) snapshot — the exact serving shape its
+  * pinned query runs — and returns the held-out recall@10 that
+  * [[QuantGate.seal]] rides: raise-on-write below the declared floor,
+  * re-check on every load (v57Artifacts seals all three beside the
+  * graph snapshot; ServeGateSpec pins that a composed-geometry
+  * regression TRIPS the gate even when every codebook is healthy).
+  *
+  * Scale shape: each meter is one walk over the snapshot (beam-bounded
+  * joins) plus one exact top-10 — snapshot-build-time work,
+  * proportional to the walk's visited set, never per serving query.
+  */
+object ServeGate {
+
+  private def exactTop10(serving: DataFrame, qDf: DataFrame,
+                         idCol: String, vecCol: String): Set[Long] =
+    Search.topK(serving, qDf, idCol, vecCol, "qe", 10)
+      .select(idCol).collect().map(_.getLong(0)).toSet
+
+  private def recallOf(approx: Set[Long], exact: Set[Long]): Double =
+    if (exact.isEmpty) 1.0
+    else approx.intersect(exact).size.toDouble / exact.size
+
+  /** The v59 composed path: beam walk TRAVERSING on PQ codes
+    * ([[Ann.graphBeamWalkPq]]), exact-cosine rerank of the ADC
+    * shortlist, top-10 — the DiskANN serving stack end to end. */
+  def pqWalkRecall(serving: DataFrame, graph: DataFrame,
+                   entries: Seq[Long], model: Pq.PqModel,
+                   q: Array[Float], qDf: DataFrame, idCol: String,
+                   vecCol: String, beam: Int, rounds: Int,
+                   shortlist: Int): Double = {
+    val codes = Pq.encode(serving, idCol, vecCol, model)
+    val scored = Ann.graphBeamWalkPq(graph, codes, q, model, idCol,
+      entries, beam, rounds)
+    val short = scored.orderBy(col("score").desc, col(idCol))
+      .limit(shortlist).select(idCol)
+    val reranked = Search.topK(
+        serving.join(broadcast(short), Seq(idCol)), qDf, idCol, vecCol,
+        "qe", 10)
+      .select(idCol).collect().map(_.getLong(0)).toSet
+    recallOf(reranked, exactTop10(serving, qDf, idCol, vecCol))
+  }
+
+  /** The v61 composed path: beam walk scoring cosine against the SQ8
+    * DEQUANTIZED reconstructions (no rerank tier — int8 needs none),
+    * top-10 straight from the walk. */
+  def sq8WalkRecall(serving: DataFrame, graph: DataFrame,
+                    entries: Seq[Long], scales: DataFrame,
+                    qDf: DataFrame, idCol: String, vecCol: String,
+                    beam: Int, rounds: Int): Double = {
+    val deq = Sq8.roundTrip(serving, idCol, vecCol, scales)
+      .select(col(idCol), col(vecCol))
+    val walked = Ann.graphBeamSearch(graph, deq, qDf, idCol, vecCol,
+      entries, beam, rounds, k = 10)
+      .select(idCol).collect().map(_.getLong(0)).toSet
+    recallOf(walked, exactTop10(serving, qDf, idCol, vecCol))
+  }
+
+  /** The v62 composed path: beam walk on packed sign bits (hamming via
+    * XOR+popcount, [[Ann.graphBeamWalkBq]]), exact-cosine rerank of
+    * the hamming shortlist, top-10. */
+  def bqWalkRecall(serving: DataFrame, graph: DataFrame,
+                   entries: Seq[Long], dim: Int, q: Array[Float],
+                   qDf: DataFrame, idCol: String, vecCol: String,
+                   beam: Int, rounds: Int, shortlist: Int): Double = {
+    val codes = Bq.pack(serving, idCol, vecCol, dim)
+    val scored = Ann.graphBeamWalkBq(graph, codes, Bq.packQuery(q),
+      idCol, entries, beam, rounds)
+    val short = scored.orderBy(col("score").desc, col(idCol))
+      .limit(shortlist).select(idCol)
+    val reranked = Search.topK(
+        serving.join(broadcast(short), Seq(idCol)), qDf, idCol, vecCol,
+        "qe", 10)
+      .select(idCol).collect().map(_.getLong(0)).toSet
+    recallOf(reranked, exactTop10(serving, qDf, idCol, vecCol))
+  }
+}

@@ -397,6 +397,8 @@ object VectorQueries {
     */
   def tripletMiningShortlist(spark: SparkSession, sfDir: String): DataFrame =
     Ann.tripletsFromScored(
+      // fixture-PINNED width (the v23 convention): the oracle replays
+      // the bucket arithmetic at bb=4
       Ann.srpTripletCandidates(Tables.embeddings(spark, sfDir),
         "vec_id", "embedding", bits = 16, bucketBits = 4),
       tau = 0.4)
@@ -454,8 +456,13 @@ object VectorQueries {
   def graphAnnBatch(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val corpus = emb.filter(col("vec_id") >= 8)
-    val edges = Ann.buildKnnGraph(corpus, "vec_id", "embedding",
-      bits = 16, bucketBits = 4, degree = 8)
+    // occupancy-driven geometry (round 15, closing the verdict's
+    // hand-pin adoption item): the chooser reproduces the old bb=4
+    // pin at sf0.001/0.01 and corrects it to 6 at sf0.1, where the
+    // pinned width's measured size-biased load had drifted to 135
+    // (~3× target) as the corpus grew
+    val edges = Ann.buildKnnGraphAdaptive(corpus, "vec_id", "embedding",
+      bits = 16, bbMin = 1, bbMax = 16, degree = 8)
     val graphDir = Artifacts.write(edges, "v47_graph", sfDir)
     val graph = spark.read.parquet(graphDir)
     val queries = emb.filter(col("vec_id") < 8)
@@ -494,12 +501,21 @@ object VectorQueries {
     graphLsmMerge(spark, sfDir, "v48_base_graph", deltaTop)
   }
 
-  /** The FULL-corpus k-NN graph (every vec_id ≠ 0, the v23 geometry:
-    * bits 16, bucketBits 4, degree 8), built ONCE per (JVM, corpus) —
-    * v43's serving graph, v49's compaction fold and v50's beam sweep
-    * are all THE SAME snapshot artifact, so they share one build the
-    * way the LSM consumers share [[lsmBaseGraph]]. Each consumer still
-    * writes it under its own artifact name for a self-contained oracle.
+  /** The FULL-corpus k-NN graph (every vec_id ≠ 0; bits 16, degree 8,
+    * bucketBits OCCUPANCY-CHOSEN — the round-15 adoption of
+    * [[Ann.occupancyBucketBits]] at the serving-family build sites:
+    * the chooser reproduces the old bb=4 hand pin at sf0.001/0.01 and
+    * corrects it to 6 at sf0.1, where bb=4's measured size-biased
+    * load had drifted to 136 ≈ 3× target as the corpus grew), built
+    * ONCE per (JVM, corpus) — v43's serving graph, v49's compaction
+    * fold and v50's beam sweep are all THE SAME snapshot artifact, so
+    * they share one build the way the LSM consumers share
+    * [[lsmBaseGraph]]. Each consumer still writes it under its own
+    * artifact name for a self-contained oracle. Because v49 consumes
+    * this, the COMPACTION FOLD now re-chooses geometry at fold time —
+    * the occupancy-aware maintenance cadence (verdict item 1): deltas
+    * accrete at the base width ([[Ann.updateKnnGraphChecked]] measures
+    * the drift), the fold re-buckets at the fresh choice.
     */
   private val fullKnnGraphCache = scala.collection.concurrent.TrieMap
     .empty[String, DataFrame]
@@ -507,18 +523,20 @@ object VectorQueries {
   private def fullKnnGraph(spark: SparkSession, sfDir: String): DataFrame =
     fullKnnGraphCache.getOrElseUpdate(sfDir, {
       // cross-run reuse (the v30 convention): the build is a
-      // deterministic function of the corpus + this geometry, so a
-      // sealed previous run's edge list is bit-identical and a fresh
-      // JVM adopts it instead of re-running the bucketed self-join —
-      // the warm phase's v49/v43/v50 share lands on a parquet read
-      val fp = "gfull:v1:bits=16,bb=4,deg=8:" +
+      // deterministic function of the corpus + the (measured) chosen
+      // geometry — the fingerprint embeds the choice, so a corpus
+      // whose occupancy drifts re-fingerprints and rebuilds instead
+      // of adopting a stale-width graph
+      val emb = Tables.embeddings(spark, sfDir)
+      val bb = Ann.occupancyBucketBits(emb.filter(col("vec_id") =!= 0),
+        "embedding", bits = 16, bbMin = 1, bbMax = 16)
+      val fp = s"gfull:v2:bits=16,bb=$bb(occ),deg=8:" +
         Artifacts.inputDigest(sfDir + "/embeddings.parquet")
       Artifacts.reuseOrBuild(sfDir, fp, Seq("shared_full_graph")) {
-        val emb = Tables.embeddings(spark, sfDir)
         Artifacts.write(
           Ann.buildKnnGraph(emb.filter(col("vec_id") =!= 0),
             "vec_id", "embedding",
-            bits = 16, bucketBits = 4, degree = 8),
+            bits = 16, bucketBits = bb, degree = 8),
           "shared_full_graph", sfDir): Unit
       }
       spark.read.parquet(Artifacts.resolve("shared_full_graph", sfDir))
@@ -539,16 +557,20 @@ object VectorQueries {
 
   private def lsmBaseGraph(spark: SparkSession, sfDir: String): DataFrame =
     lsmBaseGraphCache.getOrElseUpdate(sfDir, {
-      // cross-run reuse, same contract as [[fullKnnGraph]]
-      val fp = "glsm:v1:bits=16,bb=4,deg=8,basemod10ne9:" +
+      // cross-run reuse, same contract as [[fullKnnGraph]] — incl. the
+      // round-15 occupancy-chosen width (4 at sf0.001/0.01 = the old
+      // pin, 6 at sf0.1), fingerprint-embedded
+      val emb = Tables.embeddings(spark, sfDir)
+      val base = emb.filter(col("vec_id") =!= 0 &&
+        pmod(col("vec_id"), lit(10)) =!= 9)
+      val bb = Ann.occupancyBucketBits(base, "embedding", bits = 16,
+        bbMin = 1, bbMax = 16)
+      val fp = s"glsm:v2:bits=16,bb=$bb(occ),deg=8,basemod10ne9:" +
         Artifacts.inputDigest(sfDir + "/embeddings.parquet")
       Artifacts.reuseOrBuild(sfDir, fp, Seq("shared_lsm_base_graph")) {
-        val emb = Tables.embeddings(spark, sfDir)
-        val base = emb.filter(col("vec_id") =!= 0 &&
-          pmod(col("vec_id"), lit(10)) =!= 9)
         Artifacts.write(
           Ann.buildKnnGraph(base, "vec_id", "embedding",
-            bits = 16, bucketBits = 4, degree = 8),
+            bits = 16, bucketBits = bb, degree = 8),
           "shared_lsm_base_graph", sfDir): Unit
       }
       spark.read.parquet(
@@ -1219,6 +1241,10 @@ object VectorQueries {
     * sketch → probe → join → rank in SQL — approximation pinned.
     */
   def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    // fixture-PINNED width: v23's oracle replays the bucket join's
+    // arithmetic at bb=4 in SQL — the geometry IS the query's
+    // contract (the serving-family builds adopted the occupancy
+    // chooser instead; v69/v71 gate it)
     val emb = Tables.embeddings(spark, sfDir)
     val probes = Ann.srpProbeBuckets(
       emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
@@ -1323,6 +1349,9 @@ object VectorQueries {
     */
   def saltedGraphBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
+    // fixture-PINNED width: this query measures the SALT CAP at a
+    // deliberately-coarse bb=4 (the skew the cap exists for), and the
+    // oracle replays the salted join's arithmetic at that width
     def cands(cap: Long): DataFrame =
       Ann.knnGraphCandidates(emb, emb, "vec_id", "embedding",
         bits = 16, bucketBits = 4, maxProbes = 4, maxBucketGroup = cap)
@@ -1582,13 +1611,34 @@ object VectorQueries {
             16, 6)
           val shardOf = index.select(col("vec_id").as("src"),
             col("bucket").as("shard"))
+          // fixture-PINNED width: the store's shard layout IS bb=6
+          // (v54's operating point; the oracle's routing replays it)
           val baseGraph = Ann.buildKnnGraph(base, "vec_id", "embedding",
             bits = 16, bucketBits = 6, degree = 12)
           Artifacts.writePartitioned(
             baseGraph.join(shardOf, Seq("src")), "v58_store", sfDir,
             "shard")
-          val sidecar = Ann.updateKnnGraph(base, delta, "vec_id",
-            "embedding", bits = 16, bucketBits = 6, degree = 12)
+          // the delta lands through the CHECKED update (round 15):
+          // same sidecar, plus the occupancy-drift verdict measured
+          // on the combined index it probed. The fixture deliberately
+          // KEEPS the bb=6 layout — the shard routing is the store's
+          // on-disk contract and the serving pins are the v54
+          // operating point — so the verdict is surfaced, not acted
+          // on: on this clustered fixture it reads rebucket=true
+          // (size-biased load ~276 at bb=6 vs target 48), which a
+          // deployment answers by scheduling the compaction fold
+          // early (v49's fold now re-buckets at the fresh occupancy
+          // choice); v71 hash-gates the decision table this verdict
+          // reads.
+          val (sidecar, drift) = Ann.updateKnnGraphChecked(base, delta,
+            "vec_id", "embedding", bits = 16, bucketBits = 6,
+            degree = 12, bbMin = 3, bbMax = 16)
+          if (drift.rebucket)
+            System.err.println(s"[v58] occupancy drift at update: " +
+              s"size-biased load ${drift.currentLoad} at frozen " +
+              s"bb=${drift.currentBits} (target " +
+              s"${drift.targetSizeBiased}, chooser now says " +
+              s"bb=${drift.chosenBits}) — fold early at deployment")
           Artifacts.appendPartitioned(
             sidecar.join(shardOf, Seq("src")), "v58_store", sfDir,
             "shard"): Unit
@@ -2194,32 +2244,95 @@ object VectorQueries {
   /** v57's sealed fixture (corpus dir, graph dir, routed entries),
     * once per (JVM, corpus) — shared with v59, which serves the SAME
     * graph from PQ codes. */
+  /** v57's bucket width, OCCUPANCY-CHOSEN per (JVM, corpus) — the
+    * round-15 adoption at the d=1536 site. The chooser reproduces the
+    * old hand-pinned bb=5 on this fixture (v69 hash-gates exactly
+    * that decision), so every sealed artifact and the oracle's
+    * 5-plane sketch replay are unchanged; if the fixture ever drifts,
+    * the fingerprint re-buckets the build and the oracle's pinned
+    * width fails LOUDLY instead of silently serving stale geometry. */
+  private val v57BbCache = scala.collection.concurrent.TrieMap
+    .empty[String, Int]
+
+  private def v57BucketBits(spark: SparkSession, sfDir: String): Int =
+    v57BbCache.getOrElseUpdate(sfDir, {
+      val (corpusAll, _, _) = refDimModels(spark, sfDir)
+      Ann.occupancyBucketBits(
+        corpusAll.filter(col("vec_id") =!= 1000L), "embedding",
+        bits = 16, bbMin = 3, bbMax = 16)
+    })
+
   private[queries] def v57Artifacts(spark: SparkSession, sfDir: String)
       : (String, String, Seq[Long]) =
     v57Cache.getOrElseUpdate(sfDir, {
         // corpus copy + d=1536 graph build cross-run sealed (the v30
         // convention — the build is ~2.5 s of the warm phase without
         // it); entries are re-derived per JVM from the sealed frames
+        val bb = v57BucketBits(spark, sfDir)
         Artifacts.reuseOrBuild(sfDir,
-            "v57:v1:copies=40,bits16,bb5,deg8:" +
+            s"v57:v3:copies=40,bits16,bb$bb(occ),deg8,servegates:" +
               Artifacts.inputDigest(RefDb),
-            Seq("v57_corpus", "v57_graph")) {
-          val (corpusAll, _, _) = refDimModels(spark, sfDir)
+            Seq("v57_corpus", "v57_graph", "v59_serve_gate",
+              "v61_serve_gate", "v62_serve_gate")) {
+          val (corpusAll, _, model) = refDimModels(spark, sfDir)
           val cDir = Artifacts.write(corpusAll, "v57_corpus", sfDir)
           Artifacts.write(
             Ann.buildKnnGraph(
               spark.read.parquet(cDir)
                 .filter(col("vec_id") =!= 1000L),
-              "vec_id", "embedding", bits = 16, bucketBits = 5,
+              "vec_id", "embedding", bits = 16, bucketBits = bb,
               degree = 8),
-            "v57_graph", sfDir): Unit
+            "v57_graph", sfDir)
+          // SERVE-PATH gates (round 15, verdict item 4): the composed
+          // snapshot's measured end-to-end recall@10 sealed NEXT TO
+          // the graph — QuantGate guards each trained model, but a
+          // composed regression (healthy codebooks, wrong
+          // graph/entries/beam) shipped silently until now. Each gate
+          // replays its query's exact serving shape (v59 PQ-walk +
+          // rerank-20, v61 SQ8 dequantized walk, v62 BQ hamming walk +
+          // rerank-20) for the held-out query; floors = the measured
+          // steady 0.9 minus headroom, same on every SF (the fixture
+          // is SF-independent).
+          val all2 = spark.read.parquet(cDir)
+          val serving2 = all2.filter(col("vec_id") =!= 1000L)
+          val graph2 = spark.read
+            .parquet(Artifacts.resolve("v57_graph", sfDir))
+          val entries2 = Ann.topDegreeEntriesPerBucket(graph2,
+            Ann.srpBucketIndex(serving2, "vec_id", "embedding", 16, bb),
+            "vec_id", perBucket = 2)
+          val qDf2 = all2.filter(col("vec_id") === 1000L)
+            .select(col("embedding").as("qe"))
+          val q2 = qDf2.head().getSeq[Float](0).toArray
+          QuantGate.seal(spark, "v59_serve", sfDir,
+            ServeGate.pqWalkRecall(serving2, graph2, entries2, model,
+              q2, qDf2, "vec_id", "embedding", beam = 8, rounds = 3,
+              shortlist = 20),
+            floor = 0.85, note = "composed DiskANN path (PQ walk + " +
+              "rerank 20) over the v57 snapshot; measured steady 0.9")
+          QuantGate.seal(spark, "v61_serve", sfDir,
+            ServeGate.sq8WalkRecall(serving2, graph2, entries2,
+              graft.operators.Sq8.scalesRow(serving2, "embedding"),
+              qDf2, "vec_id", "embedding", beam = 8, rounds = 3),
+            floor = 0.85, note = "composed SQ8 path (dequantized " +
+              "walk, no rerank) over the v57 snapshot; measured " +
+              "steady 0.9")
+          QuantGate.seal(spark, "v62_serve", sfDir,
+            ServeGate.bqWalkRecall(serving2, graph2, entries2, 1536,
+              q2, qDf2, "vec_id", "embedding", beam = 8, rounds = 3,
+              shortlist = 20),
+            floor = 0.85, note = "composed BQ path (hamming walk + " +
+              "rerank 20) over the v57 snapshot; measured steady 0.9")
         }
+        // gates re-checked on EVERY load (cache hits adopt snapshots a
+        // previous run built — the QuantGate.check contract)
+        Seq("v59_serve", "v61_serve", "v62_serve")
+          .foreach(QuantGate.check(spark, _, sfDir))
         val cDir = Artifacts.resolve("v57_corpus", sfDir)
         val gDir = Artifacts.resolve("v57_graph", sfDir)
         val serving = spark.read.parquet(cDir)
           .filter(col("vec_id") =!= 1000L)
         val index = Ann.srpBucketIndex(serving, "vec_id", "embedding",
-          16, 5)
+          16, bb)
         (cDir, gDir, Ann.topDegreeEntriesPerBucket(
           spark.read.parquet(gDir), index, "vec_id", perBucket = 2))
       })
@@ -2234,8 +2347,8 @@ object VectorQueries {
       .select(col("embedding").as("qe"))
     val nServing = serving.agg(count(lit(1)).as("_nv"))
     val nCand = Ann.knnGraphCandidates(serving, serving, "vec_id",
-        "embedding", 16, 5, Ann.DefaultMaxProbes,
-        Ann.DefaultMaxBucketGroup)
+        "embedding", 16, v57BucketBits(spark, sfDir),
+        Ann.DefaultMaxProbes, Ann.DefaultMaxBucketGroup)
       .agg(count(lit(1)).as("_nc"))
     val walked = Ann.graphBeamSearch(graph, serving, q,
       "vec_id", "embedding", entryIds = entries,
@@ -3190,60 +3303,50 @@ object VectorQueries {
       Pq.encode(resid, "vec_id", "embedding", model)
         .withColumnRenamed("codes", outCol)
     // LUTs, driver-side (model-sized: m×k1 + m×k2 + m×k1×k2 doubles),
-    // arithmetic mirroring the oracle's term-by-term order exactly
+    // arithmetic mirroring the oracle's term-by-term order exactly;
+    // transport = [[adcLookupSum]]'s broadcast (the k1×k2 cross table
+    // rode the plan as a boxed typedlit literal through round 14)
     val dsub = stage1.dsub
-    def l2Of(cb2: Pq.PqModel): Seq[Seq[Double]] =
-      for (j <- 0 until 8) yield
-        for (c <- 0 until cb2.k) yield {
-          var acc = 0.0
-          var i = 0
-          while (i < dsub) {
-            val ctr = cb2.codebooks(j)(c)(i).toDouble
-            acc += ctr * ctr - 2.0 * q(j * dsub + i) * ctr
-            i += 1
-          }
-          acc
+    def l2Of(cb2: Pq.PqModel): Array[Array[Double]] =
+      Array.tabulate(8, cb2.k) { (j, c) =>
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val ctr = cb2.codebooks(j)(c)(i).toDouble
+          acc += ctr * ctr - 2.0 * q(j * dsub + i) * ctr
+          i += 1
         }
-    def crossOf(cb2: Pq.PqModel): Seq[Seq[Seq[Double]]] =
-      for (j <- 0 until 8) yield
-        for (c1 <- 0 until stage1.k) yield
-          for (c2 <- 0 until cb2.k) yield {
-            var acc = 0.0
-            var i = 0
-            while (i < dsub) {
-              acc += stage1.codebooks(j)(c1)(i).toDouble *
-                cb2.codebooks(j)(c2)(i).toDouble
-              i += 1
-            }
-            acc
-          }
-    val l1: Seq[Seq[Double]] =
-      for (j <- 0 until 8) yield
-        for (c <- 0 until stage1.k) yield {
-          var acc = 0.0
-          var i = 0
-          while (i < dsub) {
-            val d = q(j * dsub + i) - stage1.codebooks(j)(c)(i).toDouble
-            acc += d * d
-            i += 1
-          }
-          acc
+        acc
+      }
+    def crossOf(cb2: Pq.PqModel): Array[Array[Array[Double]]] =
+      Array.tabulate(8, stage1.k, cb2.k) { (j, c1, c2) =>
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          acc += stage1.codebooks(j)(c1)(i).toDouble *
+            cb2.codebooks(j)(c2)(i).toDouble
+          i += 1
         }
+        acc
+      }
+    val l1: Array[Array[Double]] =
+      Array.tabulate(8, stage1.k) { (j, c) =>
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = q(j * dsub + i) - stage1.codebooks(j)(c)(i).toDouble
+          acc += d * d
+          i += 1
+        }
+        acc
+      }
     def rqAdc(c2Col: String, cb2: Pq.PqModel)
         : org.apache.spark.sql.Column = {
-      val l1Lit = typedlit(l1)
-      val l2Lit = typedlit(l2Of(cb2))
-      val cxLit = typedlit(crossOf(cb2))
-      aggregate(
-        transform(sequence(lit(0), lit(7)), j =>
-          element_at(element_at(l1Lit, j + 1),
-            element_at(col("codes1"), j + 1) + 1) +
-          element_at(element_at(l2Lit, j + 1),
-            element_at(col(c2Col), j + 1) + 1) +
-          lit(2.0) * element_at(element_at(element_at(cxLit, j + 1),
-            element_at(col("codes1"), j + 1) + 1),
-            element_at(col(c2Col), j + 1) + 1)),
-        lit(0.0), (acc, x) => acc + x)
+      import graft.expressions.AdcTerm
+      adcLookupSum(Seq(col("codes1"), col(c2Col)), Seq(0, 0),
+        Array(AdcTerm.ofLut(1.0, 0, l1),
+          AdcTerm.ofLut(1.0, 1, l2Of(cb2)),
+          AdcTerm.ofCross(2.0, 0, 1, crossOf(cb2))), 8)
     }
     val joined = codes1
       .join(codes2(cb2Split, "codes2s"), Seq("vec_id"))
@@ -3416,69 +3519,58 @@ object VectorQueries {
       .select(col("embedding").as("qe"))
     val q = qDf.head().getSeq[Float](0).map(_.toDouble).toArray
     val dsub = cb1.dsub
-    def lutQ(cb: Pq.PqModel): Seq[Seq[Double]] =
-      for (j <- 0 until 8) yield
-        for (c <- 0 until cb.k) yield {
-          var acc = 0.0
-          var i = 0
-          while (i < dsub) {
-            val ctr = cb.codebooks(j)(c)(i).toDouble
-            acc += ctr * ctr - 2.0 * q(j * dsub + i) * ctr
-            i += 1
-          }
-          acc
+    def lutQ(cb: Pq.PqModel): Array[Array[Double]] =
+      Array.tabulate(8, cb.k) { (j, c) =>
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val ctr = cb.codebooks(j)(c)(i).toDouble
+          acc += ctr * ctr - 2.0 * q(j * dsub + i) * ctr
+          i += 1
         }
-    def crossT(a: Pq.PqModel, b: Pq.PqModel): Seq[Seq[Seq[Double]]] =
-      for (j <- 0 until 8) yield
-        for (ca <- 0 until a.k) yield
-          for (cbi <- 0 until b.k) yield {
-            var acc = 0.0
-            var i = 0
-            while (i < dsub) {
-              acc += a.codebooks(j)(ca)(i).toDouble *
-                b.codebooks(j)(cbi)(i).toDouble
-              i += 1
-            }
-            acc
-          }
-    val l1: Seq[Seq[Double]] =
-      for (j <- 0 until 8) yield
-        for (c <- 0 until cb1.k) yield {
-          var acc = 0.0
-          var i = 0
-          while (i < dsub) {
-            val d = q(j * dsub + i) - cb1.codebooks(j)(c)(i).toDouble
-            acc += d * d
-            i += 1
-          }
-          acc
+        acc
+      }
+    def crossT(a: Pq.PqModel, b: Pq.PqModel): Array[Array[Array[Double]]] =
+      Array.tabulate(8, a.k, b.k) { (j, ca, cbi) =>
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          acc += a.codebooks(j)(ca)(i).toDouble *
+            b.codebooks(j)(cbi)(i).toDouble
+          i += 1
         }
+        acc
+      }
+    val l1: Array[Array[Double]] =
+      Array.tabulate(8, cb1.k) { (j, c) =>
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = q(j * dsub + i) - cb1.codebooks(j)(c)(i).toDouble
+          acc += d * d
+          i += 1
+        }
+        acc
+      }
     val l2 = lutQ(cb2)
     val l3 = lutQ(cb3)
     val (x12, x13, x23) =
       (crossT(cb1, cb2), crossT(cb1, cb3), crossT(cb2, cb3))
-    def at2(t: Seq[Seq[Double]], j: org.apache.spark.sql.Column,
-            c: org.apache.spark.sql.Column) =
-      element_at(element_at(typedlit(t), j + 1), c + 1)
-    def at3(t: Seq[Seq[Seq[Double]]], j: org.apache.spark.sql.Column,
-            a: org.apache.spark.sql.Column,
-            b: org.apache.spark.sql.Column) =
-      element_at(element_at(element_at(typedlit(t), j + 1), a + 1), b + 1)
-    def cAt(name: String, j: org.apache.spark.sql.Column) =
-      element_at(col(name), j + 1)
     // the 2-stage and 3-stage ADC terms, summed j ascending; the
-    // 3-stage term order mirrors the oracle's left-associative sum
-    val adc2 = aggregate(transform(sequence(lit(0), lit(7)), j =>
-        at2(l1, j, cAt("codes1", j)) + at2(l2, j, cAt("codes2", j)) +
-        lit(2.0) * at3(x12, j, cAt("codes1", j), cAt("codes2", j))),
-      lit(0.0), (acc, x) => acc + x)
-    val adc3 = aggregate(transform(sequence(lit(0), lit(7)), j =>
-        at2(l1, j, cAt("codes1", j)) + at2(l2, j, cAt("codes2", j)) +
-        at2(l3, j, cAt("codes3", j)) +
-        lit(2.0) * at3(x12, j, cAt("codes1", j), cAt("codes2", j)) +
-        lit(2.0) * at3(x13, j, cAt("codes1", j), cAt("codes3", j)) +
-        lit(2.0) * at3(x23, j, cAt("codes2", j), cAt("codes3", j))),
-      lit(0.0), (acc, x) => acc + x)
+    // declared term order mirrors the oracle's left-associative sum,
+    // and the tables (x23 is the 8×128×128 table the round-14 bench
+    // tail shipped as a 4.1 MiB boxed literal) ride [[adcLookupSum]]'s
+    // broadcast
+    import graft.expressions.AdcTerm
+    val codeCols = Seq(col("codes1"), col("codes2"), col("codes3"))
+    val adc2 = adcLookupSum(codeCols.take(2), Seq(0, 0),
+      Array(AdcTerm.ofLut(1.0, 0, l1), AdcTerm.ofLut(1.0, 1, l2),
+        AdcTerm.ofCross(2.0, 0, 1, x12)), 8)
+    val adc3 = adcLookupSum(codeCols, Seq(0, 0, 0),
+      Array(AdcTerm.ofLut(1.0, 0, l1), AdcTerm.ofLut(1.0, 1, l2),
+        AdcTerm.ofLut(1.0, 2, l3), AdcTerm.ofCross(2.0, 0, 1, x12),
+        AdcTerm.ofCross(2.0, 0, 2, x13),
+        AdcTerm.ofCross(2.0, 1, 2, x23)), 8)
     val exact = Search.topK(serving, qDf, "vec_id", "embedding", "qe", 10)
       .select("vec_id")
     def recallOf(scored: DataFrame, outCol: String): DataFrame =
@@ -3548,6 +3640,83 @@ object VectorQueries {
         when(col("bucket_bits") === chosen, lit(1L)).otherwise(lit(0L))
           .as("chosen"))
       .orderBy("bucket_bits")
+  }
+
+  /** v71's fixture: the delta-ACCRETED d=1536 corpus — v69's 40× base
+    * plus three clustered delta batches (copies 40–79, 80–159,
+    * 160–319: each new vector lands INSIDE an existing replica
+    * cluster, the in-place densification a long-lived store accretes
+    * between compactions), persisted once so the oracle replays the
+    * same floats. */
+  private val v71Cache = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+
+  private def v71Corpus(spark: SparkSession, sfDir: String): String =
+    v71Cache.getOrElseUpdate(sfDir, {
+      Artifacts.reuseOrBuild(sfDir,
+          "v71:v1:copies=320,dim=1536,drift:" +
+            Artifacts.inputDigest(RefDb), Seq("v71_corpus")) {
+        Artifacts.write(genRefDimCorpus(spark, copies = 320),
+          "v71_corpus", sfDir): Unit
+      }
+      Artifacts.resolve("v71_corpus", sfDir)
+    })
+
+  /** OCCUPANCY DRIFT UNDER DELTA ACCRETION — the maintenance decision
+    * that closes round 14's one flagged weakness: v69 proved the
+    * occupancy chooser fixes the ONE-SHOT build's geometry, but an LSM
+    * store runs its updates ([[Ann.updateKnnGraph]]) at the width the
+    * BASE build chose, and nothing measured how fast clustered deltas
+    * re-open the densification between compactions (the salt cap
+    * bounds the hottest bucket, not the aggregate size-biased load).
+    * This query pins the drift decision table
+    * ([[Ann.maintenanceCheck]] — the verdict
+    * [[Ann.updateKnnGraphChecked]] returns beside each delta's
+    * sidecar) on a DELTA-ACCRETED corpus: base = the 40× fixture
+    * (frozen geometry = the chooser's own base pick, bb 5), then
+    * three clustered delta batches double and redouble every replica
+    * cluster in place (80× / 160× / 320× — clustered INSERTS, not the
+    * replica-copied corpora of the build sweep). Per accretion step it
+    * emits the measured size-biased load AT THE FROZEN WIDTH (what
+    * the store actually pays per probe until someone re-buckets),
+    * the width the chooser would pick NOW, that width's load, and the
+    * `rebucket` verdict (frozen load > target 48). MEASURED: the
+    * frozen-width load doubles with every batch (46.9 → 93.6 → 184.4
+    * → 364.4 — linear densification the v53 salt cap would silently
+    * convert into same-rate recall loss) while the re-chosen width
+    * (bb 5 → 10 → 11 → 13) holds the load flat under target (46.9 /
+    * 30.4 / 46.6 / 47.3) — so the maintenance rule "re-check
+    * occupancy at every update, fold early when frozen load exceeds
+    * target" fires at the FIRST delta batch on this growth rate.
+    * Scale shape: one sketch pass per check over base ∪ deltas
+    * (compaction-cadence planning work, model-sized state —
+    * [[Ann.bucketOccupancy]]); the decision table is 18 driver rows
+    * per step. The oracle replays the 20-plane SRP sketch of all
+    * 2,239 vectors, every step's fine histogram, every candidate
+    * width's size-biased load, the frozen/chosen reads and the
+    * verdicts in SQL.
+    */
+  def occupancyDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val all = spark.read.parquet(v71Corpus(spark, sfDir))
+      .filter(col("vec_id") =!= 1000L)
+      .withColumn("_k", pmod(col("vec_id"), lit(1000L)))
+    val base = all.filter(col("_k") < 40)
+    val frozen = Ann.occupancyBucketBits(base, "embedding", bits = 20,
+      bbMin = 3, bbMax = 20)
+    val steps = Seq((0L, 40L), (1L, 80L), (2L, 160L), (3L, 320L))
+    steps.map { case (s, lim) =>
+        val combined = all.filter(col("_k") < lim)
+        val n = combined.count()
+        val m = Ann.maintenanceCheck(combined, "embedding", bits = 20,
+          currentBits = frozen, bbMin = 3, bbMax = 20)
+        (s, n, m.currentBits.toLong, m.currentLoad,
+          m.chosenBits.toLong, m.chosenLoad,
+          if (m.rebucket) 1L else 0L)
+      }
+      .toDF("step", "n_vectors", "frozen_bits", "frozen_load",
+        "chosen_bits", "chosen_load", "rebucket")
+      .orderBy("step")
   }
 
   /** v68's trained models + their sealed gates — [[graft.operators
@@ -3760,16 +3929,37 @@ object VectorQueries {
         loadCodebooks(spark, "v70_aq_cb2", sfDir))
     })
 
+  /** [[graft.expressions.AdcLookupSum]] builder — the decomposed
+    * multi-stage ADC tables behind a Broadcast (one fresh broadcast
+    * per plan construction: the per-query luts are query-dependent;
+    * unreferenced broadcasts are reclaimed by Spark's ContextCleaner).
+    * The round-14 `typedlit` form shipped the same tables as 2–4 MiB
+    * of boxed task-binary literals per stage (BASELINE adjudication
+    * #8); values are bit-identical (the expression's documented
+    * left-associative contract). */
+  private def adcLookupSum(codeCols: Seq[org.apache.spark.sql.Column],
+                           offsets: Seq[Int],
+                           terms: Array[graft.expressions.AdcTerm],
+                           m: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.expressions.AdcLookupSum(
+      codeCols.map(Bridge.expression), offsets,
+      org.apache.spark.sql.SparkSession.active.sparkContext
+        .broadcast(terms), m))
+  }
+
   /** The two-stage decomposed query-ADC score for a (codes1 ++ codes2)
     * column against driver-built tables: per subspace j,
     * n1[c1] + n2[c2] + 2·ab[c1][c2] − 2·qa[c1] − 2·qb[c2], summed
     * j-ascending — rank ASC ≡ reconstruction-L2 rank (the dropped
     * ‖q‖² is constant). Left-associative term order is the SQL
-    * replay's contract. */
+    * replay's contract; the tables ride [[adcLookupSum]]'s broadcast.
+    */
   private def aqScoreCol(codesCol: org.apache.spark.sql.Column,
                          m1: graft.operators.Pq.PqModel,
                          m2: graft.operators.Pq.PqModel,
                          q: Array[Double]): org.apache.spark.sql.Column = {
+    import graft.expressions.AdcTerm
     val m = m1.m
     val dsub = m1.dsub
     def dotD(a: Array[Float], b: Array[Float]): Double = {
@@ -3784,45 +3974,59 @@ object VectorQueries {
       while (i < dsub) { acc += q(j * dsub + i) * a(i); i += 1 }
       acc
     }
-    val n1 = (0 until m).map(j => (0 until m1.k).map(c =>
-      dotD(m1.codebooks(j)(c), m1.codebooks(j)(c))))
-    val n2 = (0 until m).map(j => (0 until m2.k).map(c =>
-      dotD(m2.codebooks(j)(c), m2.codebooks(j)(c))))
-    val ab = (0 until m).map(j => (0 until m1.k).map(a =>
-      (0 until m2.k).map(b =>
-        dotD(m1.codebooks(j)(a), m2.codebooks(j)(b)))))
-    val qa = (0 until m).map(j => (0 until m1.k).map(c =>
-      dotQ(j, m1.codebooks(j)(c))))
-    val qb = (0 until m).map(j => (0 until m2.k).map(c =>
-      dotQ(j, m2.codebooks(j)(c))))
-    val (n1L, n2L, abL, qaL, qbL) =
-      (typedlit(n1), typedlit(n2), typedlit(ab), typedlit(qa),
-        typedlit(qb))
-    aggregate(transform(sequence(lit(0), lit(m - 1)), j => {
-      val c1 = element_at(codesCol, j + 1)
-      val c2 = element_at(codesCol, j + lit(m) + 1)
-      element_at(element_at(n1L, j + 1), c1 + 1) +
-        element_at(element_at(n2L, j + 1), c2 + 1) +
-        lit(2.0) * element_at(element_at(element_at(abL, j + 1),
-          c1 + 1), c2 + 1) -
-        lit(2.0) * element_at(element_at(qaL, j + 1), c1 + 1) -
-        lit(2.0) * element_at(element_at(qbL, j + 1), c2 + 1)
-    }), lit(0.0), (acc, x) => acc + x)
+    val n1 = Array.tabulate(m, m1.k)((j, c) =>
+      dotD(m1.codebooks(j)(c), m1.codebooks(j)(c)))
+    val n2 = Array.tabulate(m, m2.k)((j, c) =>
+      dotD(m2.codebooks(j)(c), m2.codebooks(j)(c)))
+    val ab = Array.tabulate(m, m1.k, m2.k)((j, a, b) =>
+      dotD(m1.codebooks(j)(a), m2.codebooks(j)(b)))
+    val qa = Array.tabulate(m, m1.k)((j, c) =>
+      dotQ(j, m1.codebooks(j)(c)))
+    val qb = Array.tabulate(m, m2.k)((j, c) =>
+      dotQ(j, m2.codebooks(j)(c)))
+    adcLookupSum(Seq(codesCol, codesCol), Seq(0, m),
+      Array(AdcTerm.ofLut(1.0, 0, n1), AdcTerm.ofLut(1.0, 1, n2),
+        AdcTerm.ofCross(2.0, 0, 1, ab), AdcTerm.ofLut(-2.0, 0, qa),
+        AdcTerm.ofLut(-2.0, 1, qb)), m)
   }
 
   /** Direct two-stage reconstruction MSE of a (codes1 ++ codes2)
     * column via the [[graft.expressions.AqReconError]] kernel
-    * (res = (x − u) − v per subspace, Σ res², i- then j-ascending),
-    * averaged over the corpus (round 6). */
+    * (res = (x − u) − v per subspace, Σ res², i- then j-ascending;
+    * broadcast transport above the size switch — see
+    * [[graft.operators.Aq.reconErrorCol]]), averaged over the corpus
+    * (round 6). */
   private def aqMse(joined: DataFrame,
                     m1: graft.operators.Pq.PqModel,
                     m2: graft.operators.Pq.PqModel): DataFrame =
-    joined.select(org.apache.spark.sql.graft.Bridge.column(
-        graft.expressions.AqReconError(
-          org.apache.spark.sql.graft.Bridge.expression(col("embedding")),
-          org.apache.spark.sql.graft.Bridge.expression(col("codes")),
-          m1.dsub, m1.codebooks, m2.codebooks)).as("mse_vec"))
+    joined.select(graft.operators.Aq.reconErrorCol(col("embedding"),
+        col("codes"), m1, m2).as("mse_vec"))
       .agg(round(avg("mse_vec"), 6).as("mse"))
+
+  /** The ONE definition of both two-stage encode paths — joint exact
+    * E-step vs greedy stage-then-residual — as a (vec_id, embedding,
+    * codes1 ++ codes2) frame; [[refDimAq]]'s rungs and the v70 gate's
+    * [[aqAdcRecall]] both consume it, so the greedy encode cannot fork
+    * into two slightly-different plumbings (the round-14 ADVICE item).
+    */
+  private def aqCodes(serving: DataFrame,
+                      m1: graft.operators.Pq.PqModel,
+                      m2: graft.operators.Pq.PqModel,
+                      joint: Boolean): DataFrame = {
+    import graft.operators.{Aq, Pq}
+    if (joint) Aq.encodeJoint(serving, "vec_id", "embedding", m1, m2)
+      .select(col("vec_id"), col("embedding"), col("codes"))
+    else Pq.encode(serving, "vec_id", "embedding", m1)
+      .withColumnRenamed("codes", "c1")
+      .join(Pq.encode(
+        Pq.residuals(serving, "vec_id", "embedding", m1),
+        "vec_id", "embedding", m2).withColumnRenamed("codes", "c2"),
+        Seq("vec_id"))
+      .join(serving.select(col("vec_id"), col("embedding")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        concat(col("c1"), col("c2")).as("codes"))
+  }
 
   /** Shared recall computation for the gate and refDimAq's rungs. */
   private def aqAdcRecall(spark: SparkSession, sfDir: String,
@@ -3830,21 +4034,12 @@ object VectorQueries {
                           m1: graft.operators.Pq.PqModel,
                           m2: graft.operators.Pq.PqModel,
                           jointCodes: Boolean): Double = {
-    import graft.operators.{Aq, Pq}
     val all = spark.read.parquet(Artifacts.resolve("v67_corpus", sfDir))
     val qDf = all.filter(col("vec_id") === 1000L)
       .select(col("embedding").as("qe"))
     val q = qDf.head().getSeq[Float](0).map(_.toDouble).toArray
-    val codes =
-      if (jointCodes) Aq.encodeJoint(serving, "vec_id", "embedding",
-        m1, m2).select(col("vec_id"), col("codes"))
-      else Pq.encode(serving, "vec_id", "embedding", m1)
-        .withColumnRenamed("codes", "c1")
-        .join(Pq.encode(
-          Pq.residuals(serving, "vec_id", "embedding", m1),
-          "vec_id", "embedding", m2).withColumnRenamed("codes", "c2"),
-          Seq("vec_id"))
-        .select(col("vec_id"), concat(col("c1"), col("c2")).as("codes"))
+    val codes = aqCodes(serving, m1, m2, jointCodes)
+      .select(col("vec_id"), col("codes"))
     val approx = codes
       .select(col("vec_id"), aqScoreCol(col("codes"), m1, m2, q).as("s"))
       .orderBy(col("s").asc, col("vec_id")).limit(10)
@@ -3901,20 +4096,8 @@ object VectorQueries {
     def rung(name: String, m1: graft.operators.Pq.PqModel,
              m2: graft.operators.Pq.PqModel,
              joint: Boolean): DataFrame = {
-      val codes =
-        if (joint) Aq.encodeJoint(serving, "vec_id", "embedding", m1, m2)
-          .select(col("vec_id"), col("embedding"), col("codes"))
-        else Pq.encode(serving, "vec_id", "embedding", m1)
-          .withColumnRenamed("codes", "c1")
-          .join(Pq.encode(
-            Pq.residuals(serving, "vec_id", "embedding", m1),
-            "vec_id", "embedding", m2).withColumnRenamed("codes", "c2"),
-            Seq("vec_id"))
-          .join(serving.select(col("vec_id"), col("embedding")),
-            Seq("vec_id"))
-          .select(col("vec_id"), col("embedding"),
-            concat(col("c1"), col("c2")).as("codes"))
-      val cached = codes.localCheckpoint() // encode feeds rank + MSE
+      val cached = aqCodes(serving, m1, m2, joint)
+        .localCheckpoint() // encode feeds rank + MSE
       val rec = cached
         .select(col("vec_id"), aqScoreCol(col("codes"), m1, m2, q)
           .as("s"))
@@ -3981,6 +4164,11 @@ object VectorQueries {
         val all = spark.read.parquet(Artifacts.write(
           genClusteredCorpus(spark), "shared_clustered_corpus", sfDir))
         Artifacts.write(
+          // fixture-PINNED width (not the occupancy chooser, which
+          // reads bb=13 here): v54's POINT is the measured bb=6
+          // operating point — salt engagement, entry routing, the
+          // recall-0.9 serving story — and v55/v58's shard layout and
+          // oracle routing are part of the store's on-disk contract
           Ann.buildKnnGraph(all.filter(col("vec_id") >= 8),
             "vec_id", "embedding", bits = 16, bucketBits = 6,
             degree = 12),
@@ -6284,6 +6472,60 @@ object VectorQueries {
          |       CAST(CASE WHEN occ.bucket_bits = ch.cb THEN 1 ELSE 0 END
          |         AS BIGINT) AS chosen
          |FROM occ, ch ORDER BY bucket_bits""".stripMargin,
+    // the drift replay: the 20-plane sketch of the delta-accreted
+    // corpus, per-step fine histograms (membership k < step limit),
+    // per-width size-biased loads, the base (step-0) frozen choice,
+    // each step's fresh choice, and the rebucket verdicts
+    "v71_occupancy_drift" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM read_parquet('${Artifacts.oracleGlob("v71_corpus")}')),
+         |c AS (SELECT vec_id, vec_id % 1000 AS k, e FROM v
+         |      WHERE vec_id != 1000),
+         |jj AS (SELECT unnest(range(0, 20)) AS j),
+         |d AS (SELECT c.vec_id, c.k, jj.j,
+         |        list_sum(list_transform(range(0, len(c.e)), i ->
+         |          c.e[CAST(i + 1 AS INT)] *
+         |          (CASE WHEN CAST(concat('0x', substring(
+         |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
+         |                 AS BIGINT)
+         |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
+         |      FROM c, jj),
+         |fb AS (SELECT vec_id, k,
+         |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
+         |                       ELSE 0 END) AS BIGINT) AS fb
+         |       FROM d GROUP BY vec_id, k),
+         |st AS (SELECT * FROM (VALUES (0, 40), (1, 80), (2, 160),
+         |                             (3, 320)) AS t(step, lim)),
+         |bb AS (SELECT unnest(range(3, 21)) AS bucket_bits),
+         |hist AS (SELECT st.step, bb.bucket_bits,
+         |                fb.fb % CAST(2 ** bb.bucket_bits AS BIGINT)
+         |                  AS bucket,
+         |                count(*) AS bn
+         |         FROM fb, st, bb WHERE fb.k < st.lim GROUP BY 1, 2, 3),
+         |occ AS (SELECT step, bucket_bits,
+         |               round(CAST(sum(bn * bn) AS DOUBLE) / sum(bn), 4)
+         |                 AS size_biased
+         |        FROM hist GROUP BY step, bucket_bits),
+         |fr AS (SELECT coalesce(min(bucket_bits)
+         |                 FILTER (WHERE size_biased <= 48.0), 20) AS fbits
+         |       FROM occ WHERE step = 0),
+         |ch AS (SELECT step, coalesce(min(bucket_bits)
+         |                 FILTER (WHERE size_biased <= 48.0), 20) AS cb
+         |       FROM occ GROUP BY step),
+         |n AS (SELECT st.step, count(*) AS n_vectors
+         |      FROM fb, st WHERE fb.k < st.lim GROUP BY st.step)
+         |SELECT CAST(st.step AS BIGINT) AS step, n.n_vectors,
+         |       CAST(fr.fbits AS BIGINT) AS frozen_bits,
+         |       ofr.size_biased AS frozen_load,
+         |       CAST(ch.cb AS BIGINT) AS chosen_bits,
+         |       oc.size_biased AS chosen_load,
+         |       CAST(CASE WHEN ofr.size_biased > 48.0 THEN 1 ELSE 0 END
+         |         AS BIGINT) AS rebucket
+         |FROM st, fr, ch, occ ofr, occ oc, n
+         |WHERE ch.step = st.step AND ofr.step = st.step
+         |  AND ofr.bucket_bits = fr.fbits AND oc.step = st.step
+         |  AND oc.bucket_bits = ch.cb AND n.step = st.step
+         |ORDER BY step""".stripMargin,
     // candidate-count replay of the build join (plain bucket join —
     // max |bucket| < 256, the salt provably never engages on this
     // fixture), per-bucket top-2 entries, 3 walk rounds, exact 1536-d
@@ -7497,7 +7739,8 @@ object VectorQueries {
       "v66_residual_pq" -> ((s, d) => v66Models(s, d): Unit),
       "v67_rvq_depth" -> ((s, d) => v67Codes(s, d): Unit),
       "v68_aniso_refdim" -> ((s, d) => v68Models(s, d): Unit),
-      "v70_joint_aq" -> ((s, d) => v70Models(s, d): Unit))
+      "v70_joint_aq" -> ((s, d) => v70Models(s, d): Unit),
+      "v71_occupancy_drift" -> ((s, d) => v71Corpus(s, d): Unit))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_topk" -> ((s, d) => knnTopK(s, d)),
@@ -7539,6 +7782,7 @@ object VectorQueries {
     "v68_aniso_refdim" -> (refDimAniso(_, _)),
     "v69_occupancy_geometry" -> (occupancyGeometry(_, _)),
     "v70_joint_aq" -> (refDimAq(_, _)),
+    "v71_occupancy_drift" -> (occupancyDrift(_, _)),
     "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),

@@ -673,4 +673,39 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq.sorted
     assert(adaptive == manual && adaptive.nonEmpty)
   }
+
+  test("updateKnnGraphChecked: sidecar identical to updateKnnGraph, " +
+      "verdict reads the combined occupancy table") {
+    val base = emb // ids 1..6
+    val delta = vecsDf((10L, Seq(10f, 0.5f)), (11L, Seq(0.5f, 10f)))
+    val plain = Ann.updateKnnGraph(base, delta, "vec_id", "embedding",
+        bits = 12, bucketBits = 2, degree = 2)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val (sidecar, verdict) = Ann.updateKnnGraphChecked(base, delta,
+      "vec_id", "embedding", bits = 12, bucketBits = 2, degree = 2,
+      bbMin = 1, bbMax = 12, targetSizeBiased = 2.0)
+    assert(sidecar.as[(Long, Long)].collect().toSeq.sorted == plain)
+    // the verdict's numbers ARE the combined index's occupancy rows
+    val combined = base.unionByName(delta)
+    val occ = Ann.bucketOccupancy(combined, "embedding", 12, 1, 12)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(verdict.currentBits == 2 &&
+      verdict.currentLoad == occ(2) &&
+      verdict.chosenLoad == occ(verdict.chosenBits))
+    // chosen = smallest width under target (or bbMax), and rebucket
+    // fires exactly when the FROZEN width's load exceeds target
+    val wantChosen = (1 to 12).find(occ(_) <= 2.0).getOrElse(12)
+    assert(verdict.chosenBits == wantChosen)
+    assert(verdict.rebucket == (occ(2) > 2.0))
+    // an in-target frozen width yields a calm verdict
+    val calm = Ann.maintenanceCheck(combined, "embedding", 12,
+      currentBits = 12, bbMin = 1, bbMax = 12,
+      targetSizeBiased = 1e9)
+    assert(!calm.rebucket && calm.chosenBits == 1)
+    // currentBits outside the candidate range fails fast
+    intercept[IllegalArgumentException] {
+      Ann.maintenanceCheck(combined, "embedding", 12,
+        currentBits = 13, bbMin = 1, bbMax = 12)
+    }
+  }
 }

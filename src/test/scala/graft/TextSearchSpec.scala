@@ -74,4 +74,47 @@ class TextSearchSpec extends SparkSpec {
     // every contribution is clamped at 0 -> scores are non-negative
     got.values.foreach(s => assert(s >= 0.0))
   }
+
+  test("tokenizer parity table: naturalWordTokens reproduces the npm " +
+      "boundary rule where whitespace words() deliberately diverges") {
+    import graft.functions.TextFunctions.{naturalWordTokens, words}
+    // the round-15 divergence table (verdict stretch item): each row
+    // is (input, npm-rule tokens, whitespace tokens) — the npm rule
+    // from the public `natural` WordTokenizer source (split on every
+    // non-[A-Za-zА-Яа-я0-9_]); the engine's O18 path keeps whitespace
+    // semantics deliberately (SQL-portable, unicode-stable) and this
+    // table is the measured difference, not an accident
+    val cases = Seq(
+      // contractions split under the npm rule
+      ("don't stop", Seq("don", "t", "stop"), Seq("don't", "stop")),
+      // hyphens split
+      ("state-of-the-art", Seq("state", "of", "the", "art"),
+        Seq("state-of-the-art")),
+      // decimals split
+      ("pi is 3.14", Seq("pi", "is", "3", "14"),
+        Seq("pi", "is", "3.14")),
+      // unicode letters TRUNCATE under the npm class (é is outside)
+      ("café au lait", Seq("caf", "au", "lait"),
+        Seq("café", "au", "lait")),
+      // unicode punctuation is a boundary for npm, glue for whitespace
+      ("alpha—beta", Seq("alpha", "beta"), Seq("alpha—beta")),
+      // underscores bind in both
+      ("snake_case id", Seq("snake_case", "id"),
+        Seq("snake_case", "id")),
+      // cyrillic is inside the npm class
+      ("привет world", Seq("привет", "world"),
+        Seq("привет", "world")),
+      // trailing punctuation stays on the whitespace token
+      ("end. next", Seq("end", "next"), Seq("end.", "next")))
+    val df = cases.map(_._1).toDF("text")
+      .select(col("text"), naturalWordTokens(col("text")).as("npm"),
+        words(col("text")).as("ws"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getSeq[String](1), r.getSeq[String](2))).toMap
+    cases.foreach { case (in, npm, ws) =>
+      assert(df(in)._1 == npm, s"npm rule on '$in': ${df(in)._1}")
+      assert(df(in)._2 == ws, s"whitespace rule on '$in': ${df(in)._2}")
+    }
+  }
 }
