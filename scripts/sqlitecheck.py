@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Out-of-JVM cross-check of SqliteWriter exports with the STOCK
+sqlite3 C library (via Python's bundled binding — the library the
+zero-dependency sbt build cannot link).
+
+The i26/i27 queries leave their exported .db files in the artifacts
+dir; this script opens each with stock sqlite3 and verifies:
+  - PRAGMA integrity_check == 'ok' (b-tree structure, page layout,
+    overflow chains, header — sqlite's own full structural audit)
+  - i26: every (id, content, vector) row equals the reference's
+    original /root/reference/vectors.db, byte for byte
+  - i27: every blob equals the little-endian float32 packing of the
+    matching embeddings.parquet row (via duckdb + struct)
+
+Run AFTER a Verify/Bench pass has executed i26/i27 (any SF):
+    python3 scripts/sqlitecheck.py
+"""
+import glob
+import os
+import sqlite3
+import struct
+import sys
+
+fails = []
+
+
+def check_integrity(path):
+    con = sqlite3.connect(path)
+    (res,) = con.execute("PRAGMA integrity_check").fetchone()
+    ok = res == "ok"
+    print(f"  integrity_check: {res}")
+    if not ok:
+        fails.append(f"{path}: integrity_check={res}")
+    return con
+
+
+i26 = sorted(glob.glob("/tmp/graft_artifacts_*/i26_export_db_*/vectors_export.db"))
+i27 = sorted(glob.glob("/tmp/graft_artifacts_*/i27_export_db_*/embeddings_export.db"))
+if not i26 and not i27:
+    print("no exported .db artifacts found — run the i26/i27 queries first")
+    sys.exit(1)
+
+for path in i26:
+    print(f"[i26] {path}")
+    con = check_integrity(path)
+    got = con.execute(
+        "SELECT id, content, vector FROM documents ORDER BY id").fetchall()
+    ref = sqlite3.connect("/root/reference/vectors.db").execute(
+        "SELECT id, content, vector FROM documents ORDER BY id").fetchall()
+    if got == ref:
+        print(f"  rows == reference original: {len(got)}/{len(ref)}")
+    else:
+        fails.append(f"{path}: rows differ from reference original")
+
+for path in i27:
+    print(f"[i27] {path}")
+    con = check_integrity(path)
+    got = con.execute(
+        "SELECT id, content, vector FROM documents ORDER BY id").fetchall()
+    # the matching corpus: the artifact dir name hashes the sfDir, so
+    # find the SF whose row count matches (counts differ across SFs)
+    import duckdb
+    matched = False
+    for sf in ("0.001", "0.01", "0.1"):
+        pq = f"/root/testdata/sf{sf}/embeddings.parquet"
+        if not os.path.exists(pq):
+            continue
+        rows = duckdb.sql(
+            f"SELECT vec_id, embedding FROM read_parquet('{pq}') "
+            "ORDER BY vec_id").fetchall()
+        if len(rows) != len(got):
+            continue
+        bad = 0
+        for (gid, gc, gb), (vid, emb) in zip(got, rows):
+            want = struct.pack(f"<{len(emb)}f", *emb)
+            if gid != vid + 1 or gc != f"vec-{vid}" or bytes(gb) != want:
+                bad += 1
+        if bad == 0:  # several SFs share a row count — try each
+            print(f"  all {len(got)} blobs == float32-packed sf{sf} parquet")
+            matched = True
+            break
+    if not matched:
+        fails.append(f"{path}: no SF corpus matches the exported rows")
+
+if fails:
+    print("\nFAIL:")
+    for f in fails:
+        print(" ", f)
+    sys.exit(1)
+print("\nALL STOCK-SQLITE3 CHECKS PASS")

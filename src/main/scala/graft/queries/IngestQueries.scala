@@ -895,7 +895,102 @@ object IngestQueries {
       .orderBy("column")
   }
 
+  private val RefDb = "/root/reference/vectors.db"
+
+  /** SQLite EXPORT round-trip at the reference's own geometry — the
+    * WRITE half of the migration seam (the store loop closed in both
+    * directions): the reference's shipped `vectors.db` (7 docs,
+    * 6144-byte float32 blobs; reference server.js:21-32) is parsed by
+    * [[graft.sources.SqliteReader]], re-exported through
+    * [[graft.sources.SqliteWriter]] (range-partitioned distributed
+    * page assembly; every record overflows a 4096-byte page, so the
+    * overflow-chain encoder runs on the graded path), re-read from
+    * the WRITTEN file, and pinned byte-for-byte: per doc the content
+    * string, blob length, two byte moments (Σ byteᵢ, Σ (i+1)·byteᵢ)
+    * and the decoded first float. The oracle computes identical stats
+    * from the ORIGINAL rows (artifact parquet) — written-then-
+    * reparsed ≡ original, i04's sink/source contract applied to the
+    * reference's own store format. The byte moments ride a typed map
+    * over the 7-row validation result (an export gate, not a serving
+    * path); a stock-sqlite3 cross-open of the exported file runs
+    * out-of-JVM (scripts/sqlitecheck.py, recorded in BASELINE.md).
+    */
+  def sqliteExport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Sources
+    val orig = Sources.fromSqliteDocumentsRaw(spark, RefDb)
+    val origDir = Artifacts.write(orig, "i26_refrows", sfDir)
+    // artifact-dir, not scratch: the exported FILE is itself an
+    // artifact — scripts/sqlitecheck.py re-opens it with the stock
+    // sqlite3 C library after the JVM exits
+    val db = java.nio.file.Paths.get(
+      Artifacts.resolve("i26_export_db", sfDir), "vectors_export.db")
+    java.nio.file.Files.createDirectories(db.getParent)
+    Sources.toSqliteDocuments(spark.read.parquet(origDir), db.toString,
+      numPartitions = 2): Unit
+    val back = Sources.fromSqliteDocumentsRaw(spark, db.toString)
+    back.as[(Long, String, Array[Byte])].map { case (id, c, b) =>
+        var ws = 0L; var s = 0L; var i = 0
+        while (i < b.length) {
+          val v = (b(i) & 0xff).toLong; ws += (i + 1) * v; s += v; i += 1
+        }
+        val u = (b(0) & 0xffL) | ((b(1) & 0xffL) << 8) |
+          ((b(2) & 0xffL) << 16) | ((b(3) & 0xffL) << 24)
+        (id, c, b.length.toLong, ws, s,
+          java.lang.Float.intBitsToFloat(u.toInt).toDouble)
+      }
+      .toDF("doc_id", "content", "blob_len", "blob_wsum", "blob_sum", "v0")
+      .select(col("doc_id"), col("content"), col("blob_len"),
+        col("blob_wsum"), col("blob_sum"), round(col("v0"), 6).as("vec0"))
+      .orderBy("doc_id")
+  }
+
+  /** SQLite export at CORPUS scale — [[sqliteExport]]'s sf-scaling
+    * twin: the embeddings table encodes to float32 blobs (O4), exports
+    * through the 4-partition writer (multi-leaf tree with interior
+    * level(s); each range partition serializes its own contiguous
+    * leaf run), is re-read and decoded (O3), and the VALUES are
+    * pinned per vec_id%8 group in order-free integer micro-units
+    * (round(Σcomponents·1e5) per vector, summed as longs — group
+    * aggregation order can't move a bit). The oracle replays from the
+    * original parquet, so any encode/page/parse corruption anywhere
+    * in the written file surfaces as a value mismatch, not just a
+    * count drift.
+    */
+  def sqliteScaleExport(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{floatVectorFromBinary, floatVectorToBinary}
+    import graft.sources.Sources
+    val emb = Tables.embeddings(spark, sfDir)
+    val rows = emb.select((col("vec_id") + 1).cast("long").as("id"),
+      concat(lit("vec-"), col("vec_id")).as("content"),
+      floatVectorToBinary(col("embedding")).as("vector_blob"))
+    val db = java.nio.file.Paths.get( // artifact-dir: see sqliteExport
+      Artifacts.resolve("i27_export_db", sfDir), "embeddings_export.db")
+    java.nio.file.Files.createDirectories(db.getParent)
+    Sources.toSqliteDocuments(rows, db.toString, numPartitions = 4): Unit
+    val back = Sources.fromSqliteDocumentsRaw(spark, db.toString)
+      .select((col("doc_id") - 1).as("vec_id"), col("content"),
+        length(col("vector_blob")).cast("long").as("blob_len"),
+        floatVectorFromBinary(col("vector_blob")).as("v"))
+    back
+      .withColumn("vq", round(aggregate(col("v"), lit(0.0d),
+          (a, x) => a + x.cast("double")) * 100000, 0).cast("long"))
+      .withColumn("content_ok",
+        (col("content") === concat(lit("vec-"), col("vec_id")))
+          .cast("long"))
+      .groupBy((col("vec_id") % 8).as("grp"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("vq")).as("sum_q"),
+        sum(col("blob_len")).as("sum_blob_len"),
+        sum(col("content_ok")).as("n_content_ok"),
+        min(col("vec_id")).as("min_id"),
+        max(col("vec_id")).as("max_id"))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i26_sqlite_export" -> (sqliteExport(_, _)),
+    "i27_sqlite_scale_export" -> (sqliteScaleExport(_, _)),
     "i24_analyze_stats" -> (analyzeStats(_, _)),
     "i23_erasure_audit" -> (erasureAudit(_, _)),
     "i22_merge_into" -> (mergeIntoQuery(_, _)),
@@ -935,7 +1030,56 @@ object IngestQueries {
       |SELECT doc_id + 20000 AS doc_id, text || ' EXTRA' AS text
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: the i26 oracle embeds Artifacts.oracleGlob, which
+  // resolves against the corpus the artifact LAST RAN for — a val
+  // would freeze the default at object-init, before the query runs
+  def oracles: Map[String, String] = Map(
+    // the written-file stats recomputed from the ORIGINAL rows: hex →
+    // per-byte list → moments, plus v27's independent IEEE754 float32
+    // decode of the first component — written-then-reparsed ≡ original
+    "i26_sqlite_export" ->
+      s"""WITH h AS (SELECT doc_id, content, hex(vector_blob) AS hx,
+         |             CAST(octet_length(vector_blob) AS BIGINT) AS blen
+         |           FROM read_parquet('${Artifacts.oracleGlob("i26_refrows")}')),
+         |b AS (SELECT doc_id, content, blen,
+         |        list_transform(range(0, CAST(blen AS INT)), i ->
+         |          CAST(concat('0x', substr(hx, CAST(2*i+1 AS INT), 2))
+         |               AS BIGINT)) AS bl
+         |      FROM h),
+         |s AS (SELECT doc_id, content, blen,
+         |        CAST(list_sum(list_transform(
+         |          range(1, CAST(blen AS INT) + 1), j -> j * bl[j]))
+         |          AS BIGINT) AS wsum,
+         |        CAST(list_sum(bl) AS BIGINT) AS bsum,
+         |        bl[1] + 256 * bl[2] + 65536 * bl[3] + 16777216 * bl[4] AS u
+         |      FROM b),
+         |f AS (SELECT doc_id, content, blen, wsum, bsum,
+         |        (CASE WHEN u >= 2147483648 THEN -1.0 ELSE 1.0 END) *
+         |        (CASE WHEN ((u // 8388608) % 256) = 0
+         |              THEN (u % 8388608) * power(2.0, -149)
+         |              ELSE (8388608 + (u % 8388608)) *
+         |                   power(2.0, ((u // 8388608) % 256) - 150) END)
+         |          AS v0
+         |      FROM s)
+         |SELECT doc_id, content, blen AS blob_len, wsum AS blob_wsum,
+         |       bsum AS blob_sum, round(v0, 6) AS vec0
+         |FROM f ORDER BY doc_id""".stripMargin,
+    // group stats replayed from the original embeddings parquet; the
+    // Spark side's values flowed encode → page assembly → file →
+    // parse → decode, so equality pins the whole written file
+    "i27_sqlite_scale_export" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+        |           FROM embeddings),
+        |per AS (SELECT vec_id,
+        |          CAST(round(list_sum(ev) * 100000, 0) AS BIGINT) AS vq,
+        |          CAST(4 * len(ev) AS BIGINT) AS blen
+        |        FROM e)
+        |SELECT vec_id % 8 AS grp, count(*) AS n_vecs,
+        |       CAST(sum(vq) AS BIGINT) AS sum_q,
+        |       CAST(sum(blen) AS BIGINT) AS sum_blob_len,
+        |       count(*) AS n_content_ok,
+        |       min(vec_id) AS min_id, max(vec_id) AS max_id
+        |FROM per GROUP BY 1 ORDER BY grp""".stripMargin,
     // exact per-column min/max/NDV/nulls, string-rendered — mirror of
     // analyzeStats over the committed snapshot's columns
     "i24_analyze_stats" ->

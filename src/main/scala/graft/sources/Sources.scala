@@ -59,8 +59,19 @@ object Sources {
     * output in the parquet store and query that.
     */
   def fromSqliteDocuments(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
     import graft.functions.VectorFunctions.floatVectorFromBinary
+    fromSqliteDocumentsRaw(spark, path)
+      .select(col("doc_id"), col("content"),
+        floatVectorFromBinary(col("vector_blob")).as("vector"))
+  }
+
+  /** [[fromSqliteDocuments]] without the blob decode — (doc_id,
+    * content, vector_blob) with the RAW bytes, for byte-level
+    * round-trip checks against [[SqliteWriter]] exports (i26) and for
+    * callers that re-encode rather than search. */
+  def fromSqliteDocumentsRaw(spark: SparkSession, path: String)
+      : DataFrame = {
+    import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select("content").as[Array[Byte]]
       .flatMap { bytes =>
@@ -71,7 +82,15 @@ object Sources {
         }
       }
       .toDF("doc_id", "content", "vector_blob")
-      .select(col("doc_id"), col("content"),
-        floatVectorFromBinary(col("vector_blob")).as("vector"))
   }
+
+  /** Inverse of [[fromSqliteDocuments]]: export (doc_id, content,
+    * vector_blob) rows as a reference-shaped SQLite file a stock
+    * `sqlite3` opens (see [[SqliteWriter]] for the distributed page
+    * assembly and the constraint-enforcement scope note). */
+  def toSqliteDocuments(df: DataFrame, out: String,
+                        numPartitions: Int = 4): SqliteWriter.WriteStats =
+    SqliteWriter.write(df, out, "documents",
+      "CREATE TABLE documents (id INTEGER PRIMARY KEY, content TEXT, " +
+        "vector BLOB)", numPartitions)
 }
