@@ -6,20 +6,29 @@ zero-dependency sbt build cannot link).
 The i26/i27 queries leave their exported .db files in the artifacts
 dir; this script opens each with stock sqlite3 and verifies:
   - PRAGMA integrity_check == 'ok' (b-tree structure, page layout,
-    overflow chains, header — sqlite's own full structural audit)
+    overflow chains, header, AND the index-vs-table cross-audit —
+    sqlite's own full structural validation)
   - i26: every (id, content, vector) row equals the reference's
     original /root/reference/vectors.db, byte for byte
   - i27: every blob equals the little-endian float32 packing of the
     matching embeddings.parquet row (via duckdb + struct)
+  - write-path continuation on a COPY of each export (full-schema
+    files): INSERT of a duplicate content raises the UNIQUE
+    constraint through the shipped autoindex; a fresh INSERT gets
+    id = seeded-sequence + 1 (AUTOINCREMENT continues where the
+    exporter left off); content lookups run on the index (EXPLAIN
+    QUERY PLAN); integrity still 'ok' after the mutation.
 
 Run AFTER a Verify/Bench pass has executed i26/i27 (any SF):
     python3 scripts/sqlitecheck.py
 """
 import glob
 import os
+import shutil
 import sqlite3
 import struct
 import sys
+import tempfile
 
 fails = []
 
@@ -32,6 +41,45 @@ def check_integrity(path):
     if not ok:
         fails.append(f"{path}: integrity_check={res}")
     return con
+
+
+def check_write_continuation(path):
+    """Full-schema exports must keep WORKING as sqlite stores: mutate a
+    throwaway copy with the stock library."""
+    names = {r[0] for r in sqlite3.connect(path).execute(
+        "SELECT name FROM sqlite_master")}
+    if "sqlite_sequence" not in names:
+        return  # bare-schema export
+    work = os.path.join(tempfile.mkdtemp("graft_sqchk"), "w.db")
+    shutil.copy(path, work)
+    con = sqlite3.connect(work)
+    (seq,) = con.execute(
+        "SELECT seq FROM sqlite_sequence WHERE name='documents'").fetchone()
+    (some_content,) = con.execute(
+        "SELECT content FROM documents LIMIT 1").fetchone()
+    try:
+        con.execute("INSERT INTO documents (content, vector) VALUES (?, ?)",
+                    (some_content, b"x"))
+        fails.append(f"{path}: duplicate INSERT did not raise UNIQUE")
+    except sqlite3.IntegrityError as e:
+        assert "UNIQUE" in str(e).upper(), e
+    cur = con.execute("INSERT INTO documents (content, vector) VALUES (?, ?)",
+                      ("graft-continuation-probe", b"\x01\x02"))
+    new_id = cur.lastrowid
+    if new_id != seq + 1:
+        fails.append(f"{path}: AUTOINCREMENT continued at {new_id}, "
+                     f"expected seq+1 = {seq + 1}")
+    plan = " ".join(str(x) for r in con.execute(
+        "EXPLAIN QUERY PLAN SELECT id FROM documents WHERE content = ?",
+        (some_content,)) for x in r)
+    if "sqlite_autoindex_documents_1" not in plan:
+        fails.append(f"{path}: content lookup not index-backed: {plan}")
+    con.commit()
+    (res,) = con.execute("PRAGMA integrity_check").fetchone()
+    if res != "ok":
+        fails.append(f"{path}: integrity after stock INSERTs: {res}")
+    print(f"  write continuation: UNIQUE enforced, id {seq}->{new_id}, "
+          "index-backed lookup, integrity ok after mutation")
 
 
 i26 = sorted(glob.glob("/tmp/graft_artifacts_*/i26_export_db_*/vectors_export.db"))
@@ -51,6 +99,16 @@ for path in i26:
         print(f"  rows == reference original: {len(got)}/{len(ref)}")
     else:
         fails.append(f"{path}: rows differ from reference original")
+    # schema parity: the export stores the reference's DDL verbatim
+    (sql,) = sqlite3.connect(path).execute(
+        "SELECT sql FROM sqlite_master WHERE name='documents'").fetchone()
+    (ref_sql,) = sqlite3.connect("/root/reference/vectors.db").execute(
+        "SELECT sql FROM sqlite_master WHERE name='documents'").fetchone()
+    if sql == ref_sql:
+        print("  CREATE TABLE sql == reference, verbatim")
+    else:
+        fails.append(f"{path}: schema sql differs from reference")
+    check_write_continuation(path)
 
 for path in i27:
     print(f"[i27] {path}")
@@ -81,6 +139,7 @@ for path in i27:
             break
     if not matched:
         fails.append(f"{path}: no SF corpus matches the exported rows")
+    check_write_continuation(path)
 
 if fails:
     print("\nFAIL:")

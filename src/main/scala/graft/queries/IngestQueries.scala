@@ -910,10 +910,16 @@ object IngestQueries {
     * and the decoded first float. The oracle computes identical stats
     * from the ORIGINAL rows (artifact parquet) — written-then-
     * reparsed ≡ original, i04's sink/source contract applied to the
-    * reference's own store format. The byte moments ride a typed map
-    * over the 7-row validation result (an export gate, not a serving
-    * path); a stock-sqlite3 cross-open of the exported file runs
-    * out-of-JVM (scripts/sqlitecheck.py, recorded in BASELINE.md).
+    * reference's own store format. The export carries the reference's
+    * FULL schema — its DDL verbatim, the `UNIQUE` constraint backed
+    * by a real `sqlite_autoindex_documents_1` b-tree, `AUTOINCREMENT`
+    * backed by a sqlite_sequence seeded at max(id) — so a reference
+    * server pointed at the file keeps working, INSERTs included. The
+    * byte moments ride a typed map over the 7-row validation result
+    * (an export gate, not a serving path); stock-sqlite3 cross-checks
+    * (integrity_check's index-vs-table audit, UNIQUE rejection,
+    * id continuation, index-backed lookup) run out-of-JVM
+    * (scripts/sqlitecheck.py, recorded in BASELINE.md).
     */
   def sqliteExport(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -927,7 +933,7 @@ object IngestQueries {
       Artifacts.resolve("i26_export_db", sfDir), "vectors_export.db")
     java.nio.file.Files.createDirectories(db.getParent)
     Sources.toSqliteDocuments(spark.read.parquet(origDir), db.toString,
-      numPartitions = 2): Unit
+      numPartitions = 2, fullSchema = true): Unit
     val back = Sources.fromSqliteDocumentsRaw(spark, db.toString)
     back.as[(Long, String, Array[Byte])].map { case (id, c, b) =>
         var ws = 0L; var s = 0L; var i = 0
@@ -949,7 +955,9 @@ object IngestQueries {
     * twin: the embeddings table encodes to float32 blobs (O4), exports
     * through the 4-partition writer (multi-leaf tree with interior
     * level(s); each range partition serializes its own contiguous
-    * leaf run), is re-read and decoded (O3), and the VALUES are
+    * leaf run — and with the full schema the UNIQUE autoindex build
+    * runs its own content-ordered distributed leaf pass at corpus
+    * row counts), is re-read and decoded (O3), and the VALUES are
     * pinned per vec_id%8 group in order-free integer micro-units
     * (round(Σcomponents·1e5) per vector, summed as longs — group
     * aggregation order can't move a bit). The oracle replays from the
@@ -967,7 +975,8 @@ object IngestQueries {
     val db = java.nio.file.Paths.get( // artifact-dir: see sqliteExport
       Artifacts.resolve("i27_export_db", sfDir), "embeddings_export.db")
     java.nio.file.Files.createDirectories(db.getParent)
-    Sources.toSqliteDocuments(rows, db.toString, numPartitions = 4): Unit
+    Sources.toSqliteDocuments(rows, db.toString, numPartitions = 4,
+      fullSchema = true): Unit
     val back = Sources.fromSqliteDocumentsRaw(spark, db.toString)
       .select((col("doc_id") - 1).as("vec_id"), col("content"),
         length(col("vector_blob")).cast("long").as("blob_len"),

@@ -84,13 +84,34 @@ object Sources {
       .toDF("doc_id", "content", "vector_blob")
   }
 
+  /** The reference's own DDL, verbatim (as stored in its vectors.db
+    * sqlite_master; reference server.js:26-32) — so `.schema` on an
+    * exported file matches the original character for character. */
+  private val RefCreateSql =
+    """CREATE TABLE documents (
+      |                id INTEGER PRIMARY KEY AUTOINCREMENT,
+      |                content TEXT UNIQUE,
+      |                vector BLOB
+      |            )""".stripMargin
+
   /** Inverse of [[fromSqliteDocuments]]: export (doc_id, content,
     * vector_blob) rows as a reference-shaped SQLite file a stock
     * `sqlite3` opens (see [[SqliteWriter]] for the distributed page
-    * assembly and the constraint-enforcement scope note). */
+    * assembly). With `fullSchema` the file carries the reference's
+    * EXACT schema — `UNIQUE` backed by a real autoindex b-tree,
+    * `AUTOINCREMENT` backed by a seeded sqlite_sequence — so a
+    * reference server pointed at the export keeps working, INSERTs
+    * included; without it, a bare data-only schema. */
   def toSqliteDocuments(df: DataFrame, out: String,
-                        numPartitions: Int = 4): SqliteWriter.WriteStats =
-    SqliteWriter.write(df, out, "documents",
-      "CREATE TABLE documents (id INTEGER PRIMARY KEY, content TEXT, " +
-        "vector BLOB)", numPartitions)
+                        numPartitions: Int = 4,
+                        fullSchema: Boolean = false)
+      : SqliteWriter.WriteStats =
+    if (fullSchema)
+      SqliteWriter.writeFull(df, out, SqliteWriter.ExportSchema(
+        "documents", RefCreateSql, uniqueTextCol = Some(1),
+        autoincrement = true), numPartitions)
+    else
+      SqliteWriter.write(df, out, "documents",
+        "CREATE TABLE documents (id INTEGER PRIMARY KEY, content TEXT, " +
+          "vector BLOB)", numPartitions)
 }

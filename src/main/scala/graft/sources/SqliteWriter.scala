@@ -50,10 +50,26 @@ object SqliteWriter {
 
   /** What a write produced — surfaced so specs and call sites can
     * assert the tree SHAPE (overflow exercised, interior depth), not
-    * just re-read the rows. */
+    * just re-read the rows. The index fields stay 0 without a
+    * [[ExportSchema.uniqueTextCol]]. */
   final case class WriteStats(rows: Long, dataPages: Long,
                               overflowPages: Long, interiorPages: Int,
-                              levels: Int, rootPage: Long)
+                              levels: Int, rootPage: Long,
+                              indexPages: Long = 0L, indexLevels: Int = 0)
+
+  /** The exported file's logical schema. `createSql` is stored
+    * verbatim in sqlite_master; `uniqueTextCol` (an index into `df`'s
+    * columns, pointing at a TEXT column) additionally builds the
+    * `sqlite_autoindex_<table>_1` UNIQUE index b-tree that a `UNIQUE`
+    * column constraint in `createSql` obligates — without it a stock
+    * sqlite3 would reject the schema/file pairing on its integrity
+    * audit; `autoincrement` adds the `sqlite_sequence` bookkeeping
+    * table an AUTOINCREMENT rowid obligates, seeded at max(rowid) so
+    * subsequent stock-sqlite INSERTs continue the id sequence exactly
+    * where the exporter left off. */
+  final case class ExportSchema(table: String, createSql: String,
+                                uniqueTextCol: Option[Int] = None,
+                                autoincrement: Boolean = false)
 
   // ---- varints (big-endian 7-bit groups, 9th byte carries 8) -------
 
@@ -164,6 +180,51 @@ object SqliteWriter {
 
   private final case class Cell(bytes: Array[Byte], fixupInCell: Int)
 
+  /** The overflow chain for `payload` past its first `local` bytes:
+    * pages at CONSECUTIVE local indexes `firstIdx..`, each [4-byte
+    * next][usable−4 data]; every next-pointer holds the following
+    * page's local index with a fix-up at offset 0 (the stream patch
+    * adds the partition base), the last a true zero. */
+  private def overflowChain(payload: Array[Byte], local: Int,
+                            firstIdx: Int): IndexedSeq[LocalPage] = {
+    val pages = ArrayBuffer.empty[LocalPage]
+    var written = local
+    var idx = firstIdx
+    while (written < payload.length) {
+      val pg = new Array[Byte](PageSize)
+      val take = math.min(Usable - 4, payload.length - written)
+      System.arraycopy(payload, written, pg, 4, take)
+      written += take
+      val isLast = written >= payload.length
+      if (!isLast) u32(pg, 0, (idx + 1).toLong)
+      pages += LocalPage(idx, pg,
+        if (isLast) Array.empty[Int] else Array(0),
+        isLeaf = false, maxRowid = Long.MinValue)
+      idx += 1
+    }
+    pages.toIndexedSeq
+  }
+
+  /** Serialize a leaf page of the given type (0x0d table / 0x0a
+    * index) from pre-built cells; returns (page bytes, page-relative
+    * fix-up offsets). */
+  private def leafFromCells(pageType: Int, cells: Seq[Cell])
+      : (Array[Byte], Array[Int]) = {
+    val page = new Array[Byte](PageSize)
+    page(0) = pageType.toByte
+    u16(page, 3, cells.length)
+    var content = Usable
+    val fixups = ArrayBuffer.empty[Int]
+    cells.zipWithIndex.foreach { case (c, i) =>
+      content -= c.bytes.length
+      System.arraycopy(c.bytes, 0, page, content, c.bytes.length)
+      u16(page, 8 + 2 * i, content)
+      if (c.fixupInCell >= 0) fixups += content + c.fixupInCell
+    }
+    u16(page, 5, content) // 4096-B pages: start always fits u16
+    (page, fixups.toArray)
+  }
+
   /** Serialize one partition's rowid-ascending rows into leaf +
     * overflow pages. Streaming: buffers one open leaf (its cells and
     * their overflow pages) at a time. */
@@ -188,25 +249,8 @@ object SqliteWriter {
     }
 
     private def flushLeaf(): Unit = {
-      val n = cells.length
-      val page = new Array[Byte](PageSize)
-      page(0) = 0x0d
-      page(3) = ((n >>> 8) & 0xff).toByte; page(4) = (n & 0xff).toByte
-      var content = Usable
-      val fixups = ArrayBuffer.empty[Int]
-      var i = 0
-      while (i < n) {
-        val c = cells(i)
-        content -= c.bytes.length
-        System.arraycopy(c.bytes, 0, page, content, c.bytes.length)
-        page(8 + 2 * i) = ((content >>> 8) & 0xff).toByte
-        page(9 + 2 * i) = (content & 0xff).toByte
-        if (c.fixupInCell >= 0) fixups += content + c.fixupInCell
-        i += 1
-      }
-      page(5) = ((content >>> 8) & 0xff).toByte
-      page(6) = (content & 0xff).toByte
-      out += LocalPage(leafIdx, page, fixups.toArray, isLeaf = true, leafMax)
+      val (page, fixups) = leafFromCells(0x0d, cells.toSeq)
+      out += LocalPage(leafIdx, page, fixups, isLeaf = true, leafMax)
       leafOverflow.foreach(out += _)
       leafIdx = -1
     }
@@ -245,33 +289,10 @@ object SqliteWriter {
       var fixupInCell = -1
       if (overflows) {
         fixupInCell = off + local
-        var written = local
-        var prevPtrPage = -1 // -1 → pointer lives in the cell
-        var prevPtrOff = fixupInCell
-        while (written < payload.length) {
-          val idx = nextLocal; nextLocal += 1
-          // patch the PREVIOUS pointer to this page's local index
-          val target = if (prevPtrPage < 0) cell
-                       else leafOverflow(prevPtrPage).bytes
-          target(prevPtrOff) = ((idx >>> 24) & 0xff).toByte
-          target(prevPtrOff + 1) = ((idx >>> 16) & 0xff).toByte
-          target(prevPtrOff + 2) = ((idx >>> 8) & 0xff).toByte
-          target(prevPtrOff + 3) = (idx & 0xff).toByte
-          val pg = new Array[Byte](PageSize)
-          val take = math.min(Usable - 4, payload.length - written)
-          System.arraycopy(payload, written, pg, 4, take)
-          written += take
-          // next-pointer: 0 (end of chain) unless another page follows,
-          // in which case the next iteration patches offset 0
-          leafOverflow += LocalPage(idx, pg, fixups = Array(0),
-            isLeaf = false, maxRowid = Long.MinValue)
-          prevPtrPage = leafOverflow.length - 1
-          prevPtrOff = 0
-        }
-        // the LAST overflow page's next-pointer is a true zero, not a
-        // local index — drop its fix-up so the patch pass leaves it
-        val last = leafOverflow.length - 1
-        leafOverflow(last) = leafOverflow(last).copy(fixups = Array.empty)
+        val chain = overflowChain(payload, local, nextLocal)
+        u32(cell, fixupInCell, nextLocal.toLong) // head's local index
+        nextLocal += chain.length
+        leafOverflow ++= chain
       }
       cells += Cell(cell, fixupInCell)
       cellBytes += cellLen
@@ -294,6 +315,226 @@ object SqliteWriter {
       if (!hasNext) throw new NoSuchElementException("no more pages")
       out.dequeue()
     }
+  }
+
+  // ---- index (0x02 / 0x0a) b-tree assembly ---------------------------
+  //
+  // A UNIQUE column obligates an index b-tree whose entries are
+  // (column value, rowid) records sorted by the column under BINARY
+  // collation — which is exactly Spark's StringType sort order
+  // (UTF8String compares unsigned byte-wise), so a repartitionByRange
+  // + sortWithinPartitions on the column IS the index order and each
+  // range partition owns a contiguous leaf run, like the table side.
+  // Unlike the table tree, interior entries are full keys that appear
+  // ONCE in the whole tree: the classic bulk-load promotes the next
+  // key each time a leaf fills (and each partition > 0 promotes its
+  // first key as the cross-partition separator).
+
+  /** Index pages use a larger local-payload threshold than table
+    * leaves (the documented 64/255 fraction vs 35 bytes). */
+  private def indexLocalLen(p: Int): Int = {
+    val maxLocal = (Usable - 12) * 64 / 255 - 23
+    if (p <= maxLocal) p
+    else {
+      val minLocal = (Usable - 12) * 32 / 255 - 23
+      val k = minLocal + (p - minLocal) % (Usable - 4)
+      if (k > maxLocal) minLocal else k
+    }
+  }
+
+  private[sources] sealed trait IndexOut extends Serializable
+  private[sources] final case class IndexPageOut(page: LocalPage)
+    extends IndexOut
+  /** A key promoted OUT of the leaf level: sits between the leaf at
+    * `afterLeafLocal` and the next leaf (−1 = partition-boundary
+    * separator, belongs before this partition's first leaf). */
+  private[sources] final case class IndexSepOut(afterLeafLocal: Int,
+                                                key: Array[Byte])
+    extends IndexOut
+
+  /** Bulk-loads one partition's sorted key records into 0x0a leaf
+    * pages (+ overflow chains), emitting promoted separators for the
+    * driver's interior build. */
+  private[sources] final class IndexPager(entries: Iterator[Array[Byte]],
+                                          promoteFirst: Boolean)
+    extends Iterator[IndexOut] {
+
+    private val out = scala.collection.mutable.Queue.empty[IndexOut]
+    private var nextLocal = 0
+    private var leafIdx = -1
+    private val cells = ArrayBuffer.empty[Cell]
+    // (payload, chainPages, cellLen) per cell — lets the trailing-key
+    // rebalance pop the last placed entry back out
+    private val cellMeta = ArrayBuffer.empty[(Array[Byte], Int, Int)]
+    private var cellBytes = 0
+    private val leafOverflow = ArrayBuffer.empty[LocalPage]
+    private var pendingBoundary = promoteFirst
+
+    private def openLeaf(): Unit = {
+      leafIdx = nextLocal; nextLocal += 1
+      cells.clear(); cellMeta.clear(); cellBytes = 0; leafOverflow.clear()
+    }
+
+    private def flushLeaf(): Unit = {
+      val (page, fixups) = leafFromCells(0x0a, cells.toSeq)
+      out += IndexPageOut(
+        LocalPage(leafIdx, page, fixups, isLeaf = true, Long.MinValue))
+      leafOverflow.foreach(p => out += IndexPageOut(p))
+      leafIdx = -1
+    }
+
+    private def place(payload: Array[Byte], local: Int,
+                      cellLen: Int): Unit = {
+      val cell = new Array[Byte](cellLen)
+      val off = putVarint(cell, 0, payload.length.toLong)
+      System.arraycopy(payload, 0, cell, off, local)
+      var fixupInCell = -1
+      var chainLen = 0
+      if (local < payload.length) {
+        fixupInCell = off + local
+        val chain = overflowChain(payload, local, nextLocal)
+        u32(cell, fixupInCell, nextLocal.toLong)
+        chainLen = chain.length
+        nextLocal += chainLen
+        leafOverflow ++= chain
+      }
+      cells += Cell(cell, fixupInCell)
+      cellMeta += ((payload, chainLen, cellLen))
+      cellBytes += cellLen
+    }
+
+    private def process(e: Array[Byte], last: Boolean): Unit = {
+      if (pendingBoundary) {
+        pendingBoundary = false
+        out += IndexSepOut(-1, e)
+        return
+      }
+      val local = indexLocalLen(e.length)
+      val cellLen = varintLen(e.length.toLong) + local +
+        (if (local < e.length) 4 else 0)
+      if (leafIdx >= 0 &&
+          8 + 2 * (cells.length + 1) + cellBytes + cellLen > Usable) {
+        if (!last) { // the filled leaf's successor key moves UP
+          val closed = leafIdx
+          flushLeaf()
+          out += IndexSepOut(closed, e)
+          return
+        }
+        // a trailing key can't promote (no right sibling exists to
+        // hold it) — promote the leaf's LAST PLACED entry instead:
+        // every remaining leaf key sorts below it and `e` above, so
+        // it is a valid separator, and `e` opens the trailing leaf.
+        // An over-full leaf always holds ≥ 2 cells (two max-size
+        // index cells fit any page), so the pop never empties it.
+        val (prevPayload, chainLen, prevLen) =
+          cellMeta.remove(cellMeta.length - 1)
+        cells.remove(cells.length - 1)
+        cellBytes -= prevLen
+        if (chainLen > 0)
+          leafOverflow.remove(leafOverflow.length - chainLen, chainLen)
+        nextLocal -= chainLen
+        val closed = leafIdx
+        flushLeaf()
+        out += IndexSepOut(closed, prevPayload)
+        openLeaf()
+        place(e, local, cellLen)
+        return
+      }
+      if (leafIdx < 0) openLeaf()
+      place(e, local, cellLen)
+    }
+
+    override def hasNext: Boolean = {
+      while (out.isEmpty && entries.hasNext) {
+        val e = entries.next()
+        process(e, last = !entries.hasNext)
+        if (!entries.hasNext && leafIdx >= 0) flushLeaf()
+      }
+      out.nonEmpty
+    }
+
+    override def next(): IndexOut = {
+      if (!hasNext) throw new NoSuchElementException("no more pages")
+      out.dequeue()
+    }
+  }
+
+  /** One interior (0x02) level over `children` page numbers with the
+    * `seps` keys between them (|seps| = |children|−1), all
+    * driver-side (the directory is O(leaves)): greedy groups of ≥2
+    * children, within-group seps become cells (4-byte child +
+    * key payload, overflow chains allocated inline), group-boundary
+    * seps promote to the next level. Returns (pages in page-number
+    * order starting at `firstPageNo`, next level's children, next
+    * level's seps). */
+  private def indexInteriorLevel(children: IndexedSeq[Long],
+                                 seps: IndexedSeq[Array[Byte]],
+                                 firstPageNo: Long)
+      : (IndexedSeq[Array[Byte]], IndexedSeq[Long],
+         IndexedSeq[Array[Byte]]) = {
+    def cellLenOf(key: Array[Byte]): Int = {
+      val local = indexLocalLen(key.length)
+      4 + varintLen(key.length.toLong) + local +
+        (if (local < key.length) 4 else 0)
+    }
+    // plan group boundaries (start indexes into children)
+    val starts = ArrayBuffer(0)
+    var cur = 0
+    var bytes = 0
+    children.indices.foreach { i =>
+      val cost = if (i < seps.length) cellLenOf(seps(i)) else 0
+      if (cur >= 2 && 12 + 2 * (cur + 1) + bytes + cost > Usable) {
+        starts += i; cur = 0; bytes = 0
+      }
+      cur += 1; bytes += cost
+    }
+    if (starts.length > 1 && children.length - starts.last == 1)
+      starts(starts.length - 1) -= 1 // donate one child to the lone tail
+    // serialize each group; overflow chains follow their page directly
+    val pages = ArrayBuffer.empty[Array[Byte]]
+    val nextChildren = ArrayBuffer.empty[Long]
+    val nextSeps = ArrayBuffer.empty[Array[Byte]]
+    starts.indices.foreach { g =>
+      val a = starts(g)
+      val b = if (g + 1 < starts.length) starts(g + 1) - 1
+              else children.length - 1
+      val pageNo = firstPageNo + pages.length
+      val page = new Array[Byte](PageSize)
+      page(0) = 0x02
+      u16(page, 3, b - a)
+      u32(page, 8, children(b)) // right-most child
+      var content = Usable
+      val chains = ArrayBuffer.empty[Array[Byte]]
+      var chainNo = pageNo + 1
+      (a until b).zipWithIndex.foreach { case (i, ci) =>
+        val key = seps(i)
+        val local = indexLocalLen(key.length)
+        val len = cellLenOf(key)
+        content -= len
+        u32(page, content, children(i))
+        var off = content + 4
+        off += putVarint(page, off, key.length.toLong)
+        System.arraycopy(key, 0, page, off, local)
+        if (local < key.length) {
+          u32(page, off + local, chainNo)
+          // driver-side chains carry FINAL page numbers — rewrite the
+          // local-index next-pointers the shared builder installed
+          val chain = overflowChain(key, local, 0)
+          chain.zipWithIndex.foreach { case (p, k) =>
+            if (p.fixups.nonEmpty) u32(p.bytes, 0, chainNo + k + 1)
+            chains += p.bytes
+          }
+          chainNo += chain.length
+        }
+        u16(page, 12 + 2 * ci, content)
+      }
+      u16(page, 5, content)
+      pages += page
+      chains.foreach(pages += _)
+      nextChildren += pageNo
+      if (b < children.length - 1) nextSeps += seps(b)
+    }
+    (pages.toIndexedSeq, nextChildren.toIndexedSeq, nextSeps.toIndexedSeq)
   }
 
   // ---- driver-side assembly ------------------------------------------
@@ -377,19 +618,37 @@ object SqliteWriter {
     (pages.toIndexedSeq, dir.toIndexedSeq)
   }
 
-  /** sqlite_master record for the one exported table. */
-  private def masterCell(table: String, rootPage: Long, sql: String)
-      : Array[Byte] = {
-    val rec = encodeRecord(IndexedSeq("table", table, table, rootPage, sql))
+  /** A non-overflowing table-leaf cell (driver-built pages:
+    * sqlite_master rows, the sqlite_sequence row). */
+  private def rowCell(rowid: Long, values: IndexedSeq[Any]): Array[Byte] = {
+    val rec = encodeRecord(values)
     require(rec.length <= Usable - 35 - 100,
-      s"schema record (${rec.length} B) would overflow page 1 — " +
-        "shorten the CREATE TABLE statement")
+      s"driver-built record (${rec.length} B) would overflow its page " +
+        "— shorten the CREATE TABLE statement")
     val cell = new Array[Byte](varintLen(rec.length.toLong) +
-      varintLen(1L) + rec.length)
+      varintLen(rowid) + rec.length)
     var off = putVarint(cell, 0, rec.length.toLong)
-    off += putVarint(cell, off, 1L)
+    off += putVarint(cell, off, rowid)
     System.arraycopy(rec, 0, cell, off, rec.length)
     cell
+  }
+
+  /** sqlite_master rows: the table, its automatic UNIQUE index (NULL
+    * sql — sqlite's own convention for constraint-obligated indexes),
+    * and the AUTOINCREMENT bookkeeping table. */
+  private def masterCells(schema: ExportSchema, rootTable: Long,
+                          rootIndex: Long, rootSeq: Long)
+      : Seq[Array[Byte]] = {
+    val t = schema.table
+    val rows = ArrayBuffer[IndexedSeq[Any]](
+      IndexedSeq("table", t, t, rootTable, schema.createSql))
+    if (schema.uniqueTextCol.isDefined)
+      rows += IndexedSeq("index", s"sqlite_autoindex_${t}_1", t,
+        rootIndex, null)
+    if (schema.autoincrement)
+      rows += IndexedSeq("table", "sqlite_sequence", "sqlite_sequence",
+        rootSeq, "CREATE TABLE sqlite_sequence(name,seq)")
+    rows.zipWithIndex.map { case (r, i) => rowCell(i + 1L, r) }.toSeq
   }
 
   private def fileHeader(dbPages: Long): Array[Byte] = {
@@ -444,13 +703,29 @@ object SqliteWriter {
   }
 
   /** Export `df` (first column = unique integral rowid) as a fresh
-    * SQLite file at local path `out`. Returns [[WriteStats]].
-    *
-    * `numPartitions` sizes the executor-side page-assembly fan-out;
-    * the final stream write is single-file by format necessity.
-    */
+    * SQLite file at local path `out`, bare schema (no index, no
+    * sequence). Returns [[WriteStats]]. */
   def write(df: DataFrame, out: String, table: String, createSql: String,
             numPartitions: Int = 4, rowidAlias: Boolean = true)
+      : WriteStats =
+    writeFull(df, out, ExportSchema(table, createSql), numPartitions,
+      rowidAlias)
+
+  /** [[write]] with the full [[ExportSchema]] — optionally the
+    * UNIQUE-constraint autoindex b-tree and the AUTOINCREMENT
+    * `sqlite_sequence` table, making the exported file a drop-in for
+    * the reference's own schema: a stock sqlite3 can keep INSERTing
+    * (ids continue from the seeded sequence, the UNIQUE constraint
+    * enforces through the shipped index) and its integrity audit
+    * cross-validates index against table.
+    *
+    * `numPartitions` sizes the executor-side page-assembly fan-out
+    * for BOTH trees (the index side range-partitions by the indexed
+    * column, so its leaf runs are contiguous too); the final stream
+    * write is single-file by format necessity.
+    */
+  def writeFull(df: DataFrame, out: String, schema: ExportSchema,
+                numPartitions: Int = 4, rowidAlias: Boolean = true)
       : WriteStats = {
     import org.apache.spark.sql.functions.col
     val types = df.schema.fields.map(_.dataType)
@@ -462,6 +737,7 @@ object SqliteWriter {
       new PartitionPager(it.map(rowValues(_, types, rowidAlias)))
     }
     pages.persist(StorageLevel.MEMORY_AND_DISK)
+    var idxOut: org.apache.spark.rdd.RDD[IndexOut] = null
     try {
       // one count-only pass → partition page counts → global bases
       val counts = pages.mapPartitionsWithIndex { (i, it) =>
@@ -482,72 +758,190 @@ object SqliteWriter {
         }.collect().sortBy(t => (t._1, t._2))
         .map { case (i, li, mr) => (bases(i) + li, mr) }.toIndexedSeq
 
-      val interiors = ArrayBuffer.empty[Array[Byte]]
+      // ---- index leaf level (distributed), sorted by the column ----
+      val idxFirst = 2L + totalData
+      var idxBases = Array.empty[Long]
+      var idxCounts = Array.empty[Long]
+      var totalIdx = 0L
+      var idxLeaves: IndexedSeq[Long] = IndexedSeq.empty
+      var idxSeps: IndexedSeq[Array[Byte]] = IndexedSeq.empty
+      schema.uniqueTextCol.foreach { ci =>
+        val cName = df.schema.fields(ci).name
+        require(types(ci) == StringType,
+          s"unique index column must be TEXT, got ${types(ci)}")
+        // tiny inputs degrade to one partition: the bulk-load promotes
+        // each partition's first key, which needs every non-empty
+        // partition to hold ≥ 2 keys
+        val idxParts =
+          if (totalRows < numPartitions * 8L) 1 else numPartitions
+        val entriesDf = df.select(col(cName), col(rowidCol))
+          .repartitionByRange(idxParts, col(cName), col(rowidCol))
+          .sortWithinPartitions(cName, rowidCol)
+        val ridType = types(0)
+        idxOut = entriesDf.rdd.mapPartitionsWithIndex { (pi, it) =>
+          var last: String = null
+          val entries = it.map { r =>
+            val c = r.getString(0)
+            require(c != null, "UNIQUE index column must be non-null")
+            require(last == null || c != last,
+              s"UNIQUE constraint violated in export input: duplicate " +
+                s"value '${c.take(40)}'")
+            last = c
+            val rid = ridType match {
+              case LongType => r.getLong(1)
+              case _ => r.getInt(1).toLong
+            }
+            encodeRecord(IndexedSeq(c, rid))
+          }
+          new IndexPager(entries, promoteFirst = pi > 0)
+        }
+        idxOut.persist(StorageLevel.MEMORY_AND_DISK)
+        val meta = idxOut.mapPartitionsWithIndex { (i, it) =>
+          var n = 0L
+          val leaves = ArrayBuffer.empty[Int]
+          val seps = ArrayBuffer.empty[Array[Byte]]
+          it.foreach {
+            case IndexPageOut(p) =>
+              n += 1; if (p.isLeaf) leaves += p.localIdx
+            case IndexSepOut(_, k) => seps += k
+          }
+          Iterator((i, n, leaves.toVector, seps.toVector))
+        }.collect().sortBy(_._1)
+        idxBases = new Array[Long](meta.length)
+        idxCounts = meta.map(_._2)
+        var a2 = idxFirst
+        meta.foreach { case (i, n, _, _) => idxBases(i) = a2; a2 += n }
+        totalIdx = a2 - idxFirst
+        idxLeaves = meta.flatMap { case (i, _, ls, _) =>
+          ls.map(idxBases(i) + _) }.toIndexedSeq
+        idxSeps = meta.flatMap(_._4).toIndexedSeq
+        require(idxSeps.length == math.max(0, idxLeaves.length - 1),
+          s"index bulk-load invariant broken: ${idxLeaves.length} " +
+            s"leaves need ${math.max(0, idxLeaves.length - 1)} " +
+            s"separators, got ${idxSeps.length} (a range partition " +
+            "held a single key — use fewer partitions)")
+      }
+
+      // ---- table interior levels (driver, O(leaves) directory) -----
+      val tiFirst = idxFirst + totalIdx
+      val tableInteriors = ArrayBuffer.empty[Array[Byte]]
       var levels = 1
-      var rootPage = 1L + totalData // provisional: single-leaf case
-      var emptyRootLeaf: Option[Array[Byte]] = None
+      var rootTable = tiFirst
       if (leafDir.isEmpty) {
-        emptyRootLeaf = Some(leafPageOf(Nil, isPage1 = false))
-        rootPage = 2L
+        tableInteriors += leafPageOf(Nil, isPage1 = false)
       } else if (leafDir.length == 1) {
-        rootPage = leafDir.head._1
+        rootTable = leafDir.head._1
       } else {
         var level = leafDir
-        var nextNo = 2L + totalData
+        var nextNo = tiFirst
         while (level.length > 1) {
           val (pgs, dir) = interiorLevel(level, nextNo)
-          interiors ++= pgs
+          tableInteriors ++= pgs
           nextNo += pgs.length
           level = dir
           levels += 1
         }
-        rootPage = level.head._1
+        rootTable = level.head._1
       }
-      val dbPages = 1L + totalData +
-        (if (emptyRootLeaf.isDefined) 1L else interiors.length.toLong)
+
+      // ---- index interior levels ------------------------------------
+      val iiFirst = tiFirst + tableInteriors.length
+      val indexInteriors = ArrayBuffer.empty[Array[Byte]]
+      var indexLevels = 0
+      var rootIndex = iiFirst
+      if (schema.uniqueTextCol.isDefined) {
+        indexLevels = 1
+        if (idxLeaves.isEmpty) {
+          // empty 0x0a root leaf
+          val (pg, _) = leafFromCells(0x0a, Nil)
+          indexInteriors += pg
+        } else if (idxLeaves.length == 1) {
+          rootIndex = idxLeaves.head
+        } else {
+          var ch = idxLeaves
+          var sp = idxSeps
+          var nextNo = iiFirst
+          while (ch.length > 1) {
+            val (pgs, nc, ns) = indexInteriorLevel(ch, sp, nextNo)
+            indexInteriors ++= pgs
+            nextNo += pgs.length
+            ch = nc; sp = ns
+            indexLevels += 1
+          }
+          rootIndex = ch.head
+        }
+      }
+
+      // ---- sqlite_sequence ------------------------------------------
+      val seqPageNo = iiFirst + indexInteriors.length
+      val seqPage: Option[Array[Byte]] =
+        if (!schema.autoincrement) None
+        else if (leafDir.isEmpty) Some(leafPageOf(Nil, isPage1 = false))
+        else Some(leafPageOf(
+          Seq(rowCell(1L, IndexedSeq(schema.table, leafDir.last._2))),
+          isPage1 = false))
+
+      val dbPages = seqPageNo - 1 + (if (seqPage.isDefined) 1L else 0L)
 
       val os = new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(out), 1 << 16)
       try {
         // page 1: file header + sqlite_master leaf
-        val p1 = leafPageOf(Seq(masterCell(table, rootPage, createSql)),
+        val p1 = leafPageOf(
+          masterCells(schema, rootTable, rootIndex, seqPageNo),
           isPage1 = true)
         System.arraycopy(fileHeader(dbPages), 0, p1, 0, 100)
         os.write(p1)
-        // data pages stream through in partition order; every fix-up
-        // is patched local → global as the bytes pass. toLocalIterator
-        // yields partitions in index order, so the owning partition of
-        // the page at global number `expect` is found by advancing a
-        // cursor past finished (or empty — end == base) partitions.
-        var expect = 2L
-        val partEnds = bases.zip(counts.map(_._2)).map { case (b, n) => b + n }
-        var pi = 0
-        pages.toLocalIterator.foreach { p =>
-          while (pi < nParts - 1 && expect >= partEnds(pi)) pi += 1
-          val base = bases(pi)
-          val no = base + p.localIdx
-          assert(no == expect,
-            s"page stream out of order: expected page $expect, got $no")
-          p.fixups.foreach { off =>
-            val local = ((p.bytes(off) & 0xff).toLong << 24) |
-              ((p.bytes(off + 1) & 0xff) << 16) |
-              ((p.bytes(off + 2) & 0xff) << 8) | (p.bytes(off + 3) & 0xff)
-            u32(p.bytes, off, base + local)
+        // distributed pages stream through in partition order; every
+        // fix-up is patched local → global as the bytes pass.
+        // toLocalIterator yields partitions in index order, so the
+        // owning partition of the page at global number `expect` is
+        // found by advancing a cursor past finished (or empty —
+        // end == base) partitions.
+        def streamPages(rdd: org.apache.spark.rdd.RDD[LocalPage],
+                        pBases: Array[Long], pCounts: Array[Long],
+                        first: Long, total: Long): Unit = {
+          var expect = first
+          val ends = pBases.zip(pCounts).map { case (b, n) => b + n }
+          var pi = 0
+          rdd.toLocalIterator.foreach { p =>
+            while (pi < pBases.length - 1 && expect >= ends(pi)) pi += 1
+            val base = pBases(pi)
+            val no = base + p.localIdx
+            assert(no == expect,
+              s"page stream out of order: expected page $expect, got $no")
+            p.fixups.foreach { off =>
+              val local = ((p.bytes(off) & 0xff).toLong << 24) |
+                ((p.bytes(off + 1) & 0xff) << 16) |
+                ((p.bytes(off + 2) & 0xff) << 8) | (p.bytes(off + 3) & 0xff)
+              u32(p.bytes, off, base + local)
+            }
+            os.write(p.bytes)
+            expect += 1
           }
-          os.write(p.bytes)
-          expect += 1
+          require(expect == first + total,
+            s"wrote ${expect - first} pages, expected $total")
         }
-        require(expect == 2L + totalData,
-          s"wrote ${expect - 2} data pages, expected $totalData")
-        emptyRootLeaf.foreach(os.write)
-        interiors.foreach(os.write)
+        streamPages(pages, bases, counts.map(_._2), 2L, totalData)
+        if (idxOut != null)
+          streamPages(idxOut.flatMap {
+            case IndexPageOut(p) => Some(p)
+            case _ => None
+          }, idxBases, idxCounts, idxFirst, totalIdx)
+        tableInteriors.foreach(os.write)
+        indexInteriors.foreach(os.write)
+        seqPage.foreach(os.write)
       } finally os.close()
-      WriteStats(totalRows, totalData, {
-        // overflow pages = data pages - leaves
-        totalData - leafDir.length
-      }, if (emptyRootLeaf.isDefined) 0 else interiors.length,
-        levels, rootPage)
-    } finally { pages.unpersist(); () }
+      WriteStats(totalRows, totalData, totalData - leafDir.length,
+        if (leafDir.isEmpty) 0 else tableInteriors.length,
+        levels, rootTable,
+        indexPages = totalIdx + indexInteriors.length,
+        indexLevels = indexLevels)
+    } finally {
+      pages.unpersist()
+      if (idxOut != null) idxOut.unpersist()
+      ()
+    }
   }
 
   private def countCells(leaf: Array[Byte]): Long =

@@ -181,6 +181,81 @@ class SqliteWriterSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("strictly increasing")))
   }
 
+  test("full schema: UNIQUE autoindex + seeded sqlite_sequence") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("content", StringType, nullable = false),
+      StructField("vector", BinaryType, nullable = false)))
+    // contents long enough that index ENTRIES overflow their pages
+    // (index local threshold ≈ 1002 B) and numerous enough for a
+    // multi-page index leaf level + an interior level above it
+    val rows = (1L to 600L).map { i =>
+      Row(i, f"doc-$i%05d-" + ("c" * (if (i % 7 == 0) 1500 else 200)),
+        Array.tabulate(64)(j => (i + j).toByte))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val out = tmp("full.db")
+    val stats = SqliteWriter.writeFull(df, out, SqliteWriter.ExportSchema(
+      "documents",
+      "CREATE TABLE documents (id INTEGER PRIMARY KEY AUTOINCREMENT, " +
+        "content TEXT UNIQUE, vector BLOB)",
+      uniqueTextCol = Some(1), autoincrement = true), numPartitions = 4)
+    assert(stats.indexPages > 10 && stats.indexLevels >= 2,
+      s"expected an overflowing multi-level index, got $stats")
+    val bytes = Files.readAllBytes(Paths.get(out))
+    // table rows intact under the 3-row sqlite_master
+    val got = SqliteReader.readTable(bytes, "documents").toSeq
+    assert(got.size == 600 && got.map(_.rowid) == (1L to 600L))
+    assert(got(6).values(1) == f"doc-${7}%05d-" + ("c" * 1500))
+    // the sequence table reads back with the reader too: seeded at max
+    val seq = SqliteReader.readTable(bytes, "sqlite_sequence").toSeq
+    assert(seq.map(r => (r.values(0), r.values(1))) ==
+      Seq(("documents", 600L)))
+    // declared page count still equals the file size with both extra
+    // trees present
+    val declared = ((bytes(28) & 0xffL) << 24) | ((bytes(29) & 0xffL) << 16) |
+      ((bytes(30) & 0xffL) << 8) | (bytes(31) & 0xffL)
+    assert(declared * 4096 == bytes.length)
+    // stock-sqlite semantics (integrity_check, UNIQUE rejection on
+    // INSERT, autoincrement continuation, index-backed lookups) are
+    // cross-checked out-of-JVM by scripts/sqlitecheck.py
+  }
+
+  test("duplicate values in the UNIQUE column are rejected at export") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("content", StringType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, "same"), Row(2L, "same")), 1), schema)
+    val e = intercept[org.apache.spark.SparkException] {
+      SqliteWriter.writeFull(df, tmp("uniq.db"),
+        SqliteWriter.ExportSchema("t",
+          "CREATE TABLE t (id INTEGER PRIMARY KEY, content TEXT UNIQUE)",
+          uniqueTextCol = Some(1)), numPartitions = 1)
+    }
+    assert(e.getMessage.contains("UNIQUE constraint") ||
+      Option(e.getCause).exists(_.getMessage.contains("UNIQUE constraint")))
+  }
+
+  test("full schema on an empty table: empty index root + empty sequence") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("content", StringType, nullable = false)))
+    val out = tmp("emptyfull.db")
+    val stats = SqliteWriter.writeFull(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+      out, SqliteWriter.ExportSchema("t",
+        "CREATE TABLE t (id INTEGER PRIMARY KEY AUTOINCREMENT, " +
+          "content TEXT UNIQUE)",
+        uniqueTextCol = Some(1), autoincrement = true))
+    assert(stats.rows == 0)
+    val bytes = Files.readAllBytes(Paths.get(out))
+    assert(SqliteReader.readTable(bytes, "t").isEmpty)
+    assert(SqliteReader.readTable(bytes, "sqlite_sequence").isEmpty)
+  }
+
   test("varint codec matches the reader's on the full boundary set") {
     val cases = Seq(0L, 1L, 127L, 128L, 16383L, 16384L, (1L << 21) - 1,
       1L << 21, (1L << 56) - 1, 1L << 56, Long.MaxValue, -1L, Long.MinValue)
