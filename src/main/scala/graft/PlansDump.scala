@@ -320,7 +320,16 @@ object PlansDump {
         ("Merge-on-read deletes: the tombstone snapshots resolve as " +
           "BROADCAST anti joins stacked on the base scan — the store " +
           "side never shuffles to apply a delete, and compaction " +
-          "collapses the chain back to a plain parquet scan."))
+          "collapses the chain back to a plain parquet scan."),
+      "i27_sqlite_scale_export" ->
+        ("SQLite export round-trip (the plan shown is the re-read + " +
+          "value-pinning side: one binaryFile scan → record parse → " +
+          "narrow decode → a single grouped exchange on vec_id%8). " +
+          "The write side that ran before it is two range-partitioned " +
+          "mapPartitions passes — table pages by rowid, index pages " +
+          "by content — with only a metadata prefix-sum on the " +
+          "driver; the single-file byte stream at the end is the " +
+          "format's own constraint, not a plan defect."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")

@@ -798,7 +798,19 @@ object Ann {
     * [bbMin, bbMax] whose measured size-biased mean bucket size is ≤
     * `targetSizeBiased`, else bbMax (the densest geometry available —
     * [[saltedBucketJoin]]'s cap remains the backstop there, and the
-    * caller can see the miss in [[bucketOccupancy]]'s table). Replaces
+    * caller can see the miss in [[bucketOccupancy]]'s table).
+    *
+    * A bbMax return WITH the load still above target is usually not a
+    * data floor but the SKETCH saying it is too narrow: plane j's
+    * bucket bit is independent of how many planes exist, so `bits` is
+    * nothing but this chooser's ceiling, widening it costs d·Δbits
+    * multiplies per vector at sketch time, and every bb ≤ the old
+    * width masks to the IDENTICAL buckets (same planes). Measured on
+    * the 2560× d=1536 corpus (SCALING.md round 15): bits 20 → 40
+    * moves the chosen geometry from (bb 20, load 124, cand/vec 286)
+    * to (bb 25, load 36) — flat again; the residual max bucket at the
+    * full 40-bit width (59 near-identical cluster-core members) is
+    * the salting cap's territory. Replaces
     * the row-count schedule log2(n/128) for [[buildKnnGraph]]: derived
     * from the measured bucket HISTOGRAM, it holds the own-bucket
     * candidate contribution — and with the probe cap, total cand/vec —

@@ -180,7 +180,17 @@ object Aq {
 
   /** The joint E-step as a column ([[AqJointEncode]]): (idCol, vecCol,
     * codes) with codes = codes1 ++ codes2, length 2m. vecCol is kept
-    * so the M-step reads subvectors without a second scan. */
+    * so the M-step reads subvectors without a second scan.
+    *
+    * Scan budget (the PqKernels convention, stated because v70 is the
+    * template a 16-byte serving tier would copy): exact joint
+    * enumeration costs k1·k2 table lookups per (vector, subspace) —
+    * m·k1·k2 adds/compares per vector (fixture: 8·128·128 ≈ 131k)
+    * after the one-off per-executor table build folds the dsub-wide
+    * dot products into the k1·k2 cross table. That is the price of
+    * exactness over the greedy two-stage encode (m·(k1+k2) per
+    * vector) and the reason the cross table rides a Broadcast, not a
+    * literal. */
   def encodeJoint(emb: DataFrame, idCol: String, vecCol: String,
                   cb1: Pq.PqModel, cb2: Pq.PqModel): DataFrame =
     emb.select(col(idCol), col(vecCol),

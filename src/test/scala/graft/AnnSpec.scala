@@ -656,6 +656,38 @@ class AnnSpec extends SparkSpec {
     assert(Ann.occupancyBucketBits(df, "embedding", 12, 1, 3, 0.5) == 3)
   }
 
+  test("the sketch width is only the chooser's ceiling: buckets at " +
+    "bb <= 20 are identical under a 20-bit and a 40-bit sketch") {
+    // the round-15 SCALING lesson behind widening the refdim sweep's
+    // sketch: plane j's bit does not depend on how many planes exist,
+    // so a wider sketch masks to the SAME buckets at every old width —
+    // widening can never change an already-chosen geometry, only
+    // allow finer ones
+    val rows = (0 until 64).map { i =>
+      val a = i * 0.197
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat,
+        math.cos(3 * a).toFloat, math.sin(5 * a).toFloat))
+    }
+    val df = vecsDf(rows: _*)
+    for (bb <- Seq(1, 7, 16, 20)) {
+      val narrow = Ann.srpBucketIndex(df, "vec_id", "embedding", 20, bb)
+        .select("vec_id", "bucket")
+        .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+      val wide = Ann.srpBucketIndex(df, "vec_id", "embedding", 40, bb)
+        .select("vec_id", "bucket")
+        .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+      assert(narrow == wide, s"bb=$bb: bucket assignment moved")
+    }
+    // and the occupancy tables agree row-for-row over the shared range
+    val o20 = Ann.bucketOccupancy(df, "embedding", 20, 1, 20).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val o40 = Ann.bucketOccupancy(df, "embedding", 40, 1, 40).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    (1 to 20).foreach(bb => assert(o20(bb) == o40(bb), s"bb=$bb"))
+  }
+
   test("buildKnnGraphAdaptive equals buildKnnGraph at the chosen width") {
     val rows = (0 until 48).map { i =>
       val a = i * 0.53
