@@ -92,6 +92,17 @@ object Opq {
     * for the null space a rank-deficient sample leaves). R is
     * orthonormal by construction; rotated(o) = Σ_i R(o)(i)·x(i).
     */
+  /** Task-binary note (round-15 warm-sweep finding): MLlib's
+    * `computeSVD` aggregates the Gramian with a treeAggregate whose
+    * ZERO VALUE is the d(d+1)/2-double upper-triangle — at d = 1536
+    * that is one ~18.9 MiB task binary, ONCE per rotation training
+    * job (a from-scratch artifact rebuild), never on a serve or query
+    * path (those ride [[MatVecRotateBcast]]). Left as-is deliberately:
+    * replacing the library SVD with a hand-rolled Gramian +
+    * driver-side eigensolver would perturb the trained rotation in
+    * the last bits and re-pin every OPQ artifact for a one-off
+    * training-stage ship that at deployment scale amortizes over the
+    * whole corpus pass it prices. */
   def trainRotation(train: DataFrame, vecCol: String, dim: Int,
                     m: Int): Array[Array[Double]] = {
     import org.apache.spark.mllib.linalg.distributed.RowMatrix
