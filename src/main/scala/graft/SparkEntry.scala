@@ -66,6 +66,7 @@ object SparkEntry {
     "v68_aniso_refdim",     // anisotropic (score-aware) codebooks
     "v70_joint_aq",         // jointly-refined AQ codebook pair
     "v71_occupancy_drift",  // delta-accreted 320x corpus
+    "v72_hist_fold_drift",  // persisted base fine histogram
   )
 
   /** Artifact-only warmers: per owner, build/seal/load its shared

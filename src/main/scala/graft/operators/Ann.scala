@@ -776,13 +776,55 @@ object Ann {
     require(0 < bbMin && bbMin <= bbMax && bbMax <= bits,
       s"bucketOccupancy: need 0 < bbMin=$bbMin <= bbMax=$bbMax <= " +
         s"bits=$bits")
-    val fine = emb.select(
+    occupancyFromHistogram(
+      fineOccupancyHistogram(emb, vecCol, bits, bbMax), bbMin, bbMax)
+  }
+
+  /** The FINE occupancy histogram — [[bucketOccupancy]]'s one corpus
+    * pass as a standalone, PERSISTABLE frame: per-bucket counts
+    * (fb, cnt) at the finest candidate width `bbMax` of the
+    * `bits`-plane SRP sketch. This is the mergeable-sketch form (the
+    * t36/t38 discipline applied to index maintenance): the bucket of
+    * an existing vector NEVER changes — the hyperplane signs are fixed
+    * md5 functions of (plane, component) — so the histogram is purely
+    * ADDITIVE, and a store that persists it per snapshot folds each
+    * delta batch's histogram in ([[foldOccupancyHistogram]]) instead
+    * of re-sketching the base corpus: the occupancy half of LSM
+    * maintenance becomes O(delta). ≤ min(n, 2^bbMax) rows —
+    * model-sized at any corpus scale. */
+  def fineOccupancyHistogram(emb: DataFrame, vecCol: String, bits: Int,
+                             bbMax: Int): DataFrame = {
+    require(0 < bbMax && bbMax <= bits,
+      s"fineOccupancyHistogram: need 0 < bbMax=$bbMax <= bits=$bits")
+    emb.select(
         graft.functions.HashFunctions.cosineLshBits(col(vecCol), bits)
           .bitwiseAND(lit((1L << bbMax) - 1)).as("fb"))
       .groupBy("fb").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // one corpus pass feeds every candidate width
+  }
+
+  /** Additive fold of two fine histograms — base snapshot + delta
+    * batch → the combined corpus's exact histogram, per-bucket sum
+    * (no approximation: the underlying sketch is deterministic and
+    * bucket membership immutable). O(distinct buckets) work, never a
+    * corpus pass. */
+  def foldOccupancyHistogram(base: DataFrame, delta: DataFrame)
+      : DataFrame =
+    base.unionByName(delta).groupBy("fb").agg(sum("cnt").as("cnt"))
+
+  /** [[bucketOccupancy]]'s per-width decision table from an
+    * already-computed fine histogram — ZERO corpus passes: each
+    * candidate width is a prefix re-aggregation of the model-sized
+    * (fb, cnt) frame (coarser buckets are mask-prefixes of finer
+    * ones, the AnnSpec-pinned property). The input is
+    * localCheckpoint-ed so a lazily-built histogram is materialized
+    * once, not once per width. */
+  def occupancyFromHistogram(fine: DataFrame, bbMin: Int, bbMax: Int)
+      : DataFrame = {
+    require(0 < bbMin && bbMin <= bbMax,
+      s"occupancyFromHistogram: need 0 < bbMin=$bbMin <= bbMax=$bbMax")
+    val f = fine.localCheckpoint()
     (bbMin to bbMax).map { bb =>
-      fine
+      f
         .groupBy(col("fb").bitwiseAND(lit((1L << bb) - 1)).as("bucket"))
         .agg(sum("cnt").as("bn"))
         .agg(count(lit(1)).as("n_buckets"),
@@ -909,11 +951,25 @@ object Ann {
     */
   private def saltedBucketJoin(probes: DataFrame, index: DataFrame,
                                idCol: String,
-                               maxBucketGroup: Long): DataFrame = {
+                               maxBucketGroup: Long): DataFrame =
+    saltedBucketJoinWithCounts(probes, index, idCol,
+      index.groupBy(col("bucket")).agg(count(lit(1)).as("_bn")),
+      maxBucketGroup)
+
+  /** [[saltedBucketJoin]] with the per-bucket counts SUPPLIED instead
+    * of aggregated from `index` — the O(delta) maintenance path
+    * derives them from the folded fine histogram
+    * ([[updateKnnGraphIncremental]]), which holds the identical
+    * numbers the index aggregation would measure, without the
+    * base-proportional scan. `bucketCounts` = (bucket, _bn). */
+  private def saltedBucketJoinWithCounts(probes: DataFrame,
+                                         index: DataFrame, idCol: String,
+                                         bucketCounts: DataFrame,
+                                         maxBucketGroup: Long)
+      : DataFrame = {
     require(maxBucketGroup > 0,
       s"saltedBucketJoin: maxBucketGroup=$maxBucketGroup must be positive")
-    val counts = index.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("_bn"))
+    val counts = bucketCounts
       .select(col("bucket"),
         ceil(col("_bn").cast("double") / maxBucketGroup).cast("long")
           .as("_ns"))
@@ -996,11 +1052,28 @@ object Ann {
   def maintenanceCheck(combined: DataFrame, vecCol: String, bits: Int,
                        currentBits: Int, bbMin: Int, bbMax: Int,
                        targetSizeBiased: Double = DefaultTargetSizeBiased)
+      : GraphMaintenance =
+    maintenanceCheckFromHistogram(
+      fineOccupancyHistogram(combined, vecCol, bits, bbMax),
+      currentBits, bbMin, bbMax, targetSizeBiased)
+
+  /** [[maintenanceCheck]] from a fine histogram instead of the corpus
+    * — the O(delta) form: a store that persists its histogram per
+    * snapshot ([[fineOccupancyHistogram]]) and folds each delta in
+    * ([[foldOccupancyHistogram]]) gets the drift verdict from
+    * model-sized state alone, no base re-scan. Identical decision to
+    * [[maintenanceCheck]] on the same corpus — the folded histogram IS
+    * the combined corpus's histogram (v72 hash-gates this end to
+    * end). */
+  def maintenanceCheckFromHistogram(fine: DataFrame, currentBits: Int,
+                                    bbMin: Int, bbMax: Int,
+                                    targetSizeBiased: Double =
+                                      DefaultTargetSizeBiased)
       : GraphMaintenance = {
     require(bbMin <= currentBits && currentBits <= bbMax,
-      s"maintenanceCheck: currentBits=$currentBits outside " +
-        s"[$bbMin, $bbMax]")
-    val occ = bucketOccupancy(combined, vecCol, bits, bbMin, bbMax)
+      s"maintenanceCheckFromHistogram: currentBits=$currentBits " +
+        s"outside [$bbMin, $bbMax]")
+    val occ = occupancyFromHistogram(fine, bbMin, bbMax)
       .collect()
       .map(r => (r.getInt(0), r.getDouble(3)))
       .toMap
@@ -1038,6 +1111,92 @@ object Ann {
       .select(col("src"), col(idCol).as("dst"))
     (sidecar, maintenanceCheck(combined, vecCol, bits, bucketBits,
       bbMin, bbMax, targetSizeBiased))
+  }
+
+  /** O(delta) END-TO-END LSM update — [[updateKnnGraphChecked]] with
+    * every base-proportional pass replaced by PERSISTED snapshot
+    * artifacts (the round-15 verdict's What's-wrong #1: the checked
+    * update was delta-proportional in JOIN work but still paid an
+    * O(base∪delta) sketch pass per batch for its bucket index and a
+    * second for the occupancy histogram). Bucket membership of an
+    * existing vector never changes (fixed md5 hyperplanes), so both
+    * passes are avoidable:
+    *
+    *   - `baseIndex` = the persisted (bucket, idCol, vecCol) bucket
+    *     index of the base at `bucketBits` — v58's sharded store
+    *     layout IS this frame; re-deriving it per batch was pure
+    *     waste.
+    *   - `baseHist` = the persisted fine histogram (fb, cnt) at
+    *     `bbMax` ([[fineOccupancyHistogram]]) — additive, so the
+    *     delta FOLDS in ([[foldOccupancyHistogram]]).
+    *
+    * Per delta batch the update then pays: ONE sketch pass over the
+    * DELTA (its fine bucket and join bucket are mask-prefixes of the
+    * same sketch — one kernel evaluation), a model-sized histogram
+    * fold, and the bucket equi-join of the delta's capped probes
+    * against base∪delta index rows — with a hive-partitioned base
+    * store only the probed bucket directories are read. Nothing scans
+    * the base corpus: at 100 TB with daily deltas this is the
+    * difference between a maintenance job that reads the delta and
+    * one that re-reads the store (SCALING.md measures the wall-time
+    * flat vs base size).
+    *
+    * Equality contract (AnnSpec-pinned): the sidecar edges are
+    * row-identical to [[updateKnnGraphChecked]]'s — the persisted
+    * index holds exactly the rows the re-sketch would derive
+    * (deterministic sketch), and the salted join's group counts
+    * derived from the folded histogram equal the combined-index
+    * aggregation's. The drift verdict is likewise identical: the
+    * folded histogram IS the combined corpus's fine histogram (v72
+    * hash-gates the decision table end to end).
+    *
+    * Returns (sidecar edges, folded fine histogram — persist it as
+    * the next snapshot's `baseHist`, the maintenance verdict).
+    */
+  def updateKnnGraphIncremental(baseIndex: DataFrame, baseHist: DataFrame,
+                                delta: DataFrame, idCol: String,
+                                vecCol: String, bits: Int,
+                                bucketBits: Int, degree: Int,
+                                bbMin: Int, bbMax: Int,
+                                targetSizeBiased: Double =
+                                  DefaultTargetSizeBiased,
+                                maxProbes: Int = DefaultMaxProbes,
+                                maxBucketGroup: Long = DefaultMaxBucketGroup)
+      : (DataFrame, DataFrame, GraphMaintenance) = {
+    require(0 < bucketBits && bucketBits <= bbMax && bbMax <= bits,
+      s"updateKnnGraphIncremental: need 0 < bucketBits=$bucketBits <= " +
+        s"bbMax=$bbMax <= bits=$bits")
+    // one sketch pass over the delta feeds BOTH derived frames: the
+    // fine histogram bucket and the join bucket are prefixes of the
+    // same planes (the AnnSpec mask-prefix gate)
+    val deltaFine = delta.select(col(idCol), col(vecCol),
+        graft.functions.HashFunctions.cosineLshBits(col(vecCol), bits)
+          .bitwiseAND(lit((1L << bbMax) - 1)).as("fb"))
+      .localCheckpoint()
+    val deltaHist = deltaFine.groupBy("fb").agg(count(lit(1)).as("cnt"))
+    val folded = foldOccupancyHistogram(baseHist, deltaHist)
+      .localCheckpoint() // model-sized; reused by counts AND verdict
+    val bMask = lit((1L << bucketBits) - 1)
+    val combinedIndex = baseIndex
+      .select(col(idCol), col(vecCol), col("bucket"))
+      .unionByName(deltaFine.select(col(idCol), col(vecCol),
+        col("fb").bitwiseAND(bMask).as("bucket")))
+    val bucketCounts = folded
+      .groupBy(col("fb").bitwiseAND(bMask).as("bucket"))
+      .agg(sum("cnt").as("_bn"))
+    val probes = srpProbeBucketsCapped(
+      delta.select(col(idCol).as("src"), col(vecCol).as("_se")),
+      "_se", bits, bucketBits, maxProbes)
+    val scored = saltedBucketJoinWithCounts(probes, combinedIndex,
+        idCol, bucketCounts, maxBucketGroup)
+      .filter(col("src") =!= col(idCol))
+      .select(col("src"), col(idCol),
+        cosineSim(col(vecCol), col("_se")).as("score"))
+    val sidecar = Search.topKPerQuery(scored, "src", idCol, degree)
+      .select(col("src"), col(idCol).as("dst"))
+    (sidecar, folded,
+      maintenanceCheckFromHistogram(folded, bucketBits, bbMin, bbMax,
+        targetSizeBiased))
   }
 
   /** Batched [[graphBeamSearch]]: Q queries walk ONE shared graph in a

@@ -3719,6 +3719,75 @@ object VectorQueries {
       .orderBy("step")
   }
 
+  /** O(DELTA) MAINTENANCE VIA THE PERSISTED HISTOGRAM FOLD — the
+    * round-15 verdict's top item made real: v71 proved the drift
+    * verdict must be re-measured at every delta batch, but its
+    * [[Ann.maintenanceCheck]] re-sketches base ∪ delta per step — an
+    * O(base) pass a 100 TB store cannot pay per batch. Bucket
+    * membership of an existing vector never changes (fixed md5
+    * hyperplanes), so the fine histogram is ADDITIVE: this query
+    * persists the BASE snapshot's histogram once
+    * ([[Ann.fineOccupancyHistogram]] → a sealed artifact, the
+    * model-registry discipline), then per accretion step touches ONLY
+    * the delta — sketch the delta's vectors, FOLD its histogram in
+    * ([[Ann.foldOccupancyHistogram]]), and read the drift verdict
+    * from the folded model-sized state
+    * ([[Ann.maintenanceCheckFromHistogram]]). The emitted decision
+    * table is v71's, column for column — and the ORACLE deliberately
+    * replays it FROM SCRATCH in SQL (v71's exact replay: full sketch
+    * of the accreted corpus, per-step histograms, per-width loads),
+    * so the hash match IS the proof that fold ≡ re-sketch, end to
+    * end, on the genuinely delta-accreted 320× d=1536 corpus.
+    * Scale shape: after the base snapshot, each step's work is one
+    * sketch pass over the DELTA plus an O(distinct buckets) fold —
+    * nothing rescans the base (SCALING.md's maintenance table
+    * measures the wall-time staying flat as the base grows;
+    * [[Ann.updateKnnGraphIncremental]] carries the same contract
+    * into the sidecar build, AnnSpec-pinned equal to the checked
+    * update). */
+  def occupancyDriftFold(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val all = spark.read.parquet(v71Corpus(spark, sfDir))
+      .filter(col("vec_id") =!= 1000L)
+      .withColumn("_k", pmod(col("vec_id"), lit(1000L)))
+    val base = all.filter(col("_k") < 40)
+    // the persisted snapshot artifact: the base's fine histogram,
+    // written once at compaction time and adopted sealed thereafter
+    Artifacts.reuseOrBuild(sfDir,
+        "v72:v1:copies=320,dim=1536,hist:bits20:" +
+          Artifacts.inputDigest(RefDb), Seq("v72_hist_base")) {
+      Artifacts.write(
+        Ann.fineOccupancyHistogram(base, "embedding", bits = 20,
+          bbMax = 20), "v72_hist_base", sfDir): Unit
+    }
+    var hist = spark.read
+      .parquet(Artifacts.resolve("v72_hist_base", sfDir))
+    val frozen = Ann.chooseBucketBits(
+      Ann.occupancyFromHistogram(hist, 3, 20),
+      Ann.DefaultTargetSizeBiased)
+    val steps = Seq((0L, 0L, 40L), (1L, 40L, 80L), (2L, 80L, 160L),
+      (3L, 160L, 320L))
+    steps.map { case (s, lo, hi) =>
+        if (s > 0L) {
+          val delta = all.filter(col("_k") >= lo && col("_k") < hi)
+          hist = Ann.foldOccupancyHistogram(hist,
+              Ann.fineOccupancyHistogram(delta, "embedding", bits = 20,
+                bbMax = 20))
+            .localCheckpoint() // model-sized; next step folds onto it
+        }
+        val n = hist.agg(sum("cnt")).head().getLong(0)
+        val m = Ann.maintenanceCheckFromHistogram(hist, frozen,
+          bbMin = 3, bbMax = 20)
+        (s, n, m.currentBits.toLong, m.currentLoad,
+          m.chosenBits.toLong, m.chosenLoad,
+          if (m.rebucket) 1L else 0L)
+      }
+      .toDF("step", "n_vectors", "frozen_bits", "frozen_load",
+        "chosen_bits", "chosen_load", "rebucket")
+      .orderBy("step")
+  }
+
   /** v68's trained models + their sealed gates — [[graft.operators
     * .AnisoPq]] codebooks on v30's EXACT training recipe (even
     * vec_ids of the 40× d=1536 fixture, m=8, k=16, maxIter=2, same
@@ -4959,6 +5028,64 @@ object VectorQueries {
     * actually ran against — Verify dumps `oracleSql` AFTER running the
     * queries, so the glob matches the run.
     */
+  /** The drift-decision replay shared by v71 (from-scratch
+    * maintenanceCheck) and v72 (persisted-histogram fold): the
+    * 20-plane sketch of the delta-accreted corpus, per-step fine
+    * histograms (membership k < step limit), per-width size-biased
+    * loads, the base (step-0) frozen choice, each step's fresh choice,
+    * and the rebucket verdicts — all from the corpus, so v72's
+    * fold-derived table matching this hash proves the fold exact. */
+  private def v71DriftOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM read_parquet('${Artifacts.oracleGlob("v71_corpus")}')),
+         |c AS (SELECT vec_id, vec_id % 1000 AS k, e FROM v
+         |      WHERE vec_id != 1000),
+         |jj AS (SELECT unnest(range(0, 20)) AS j),
+         |d AS (SELECT c.vec_id, c.k, jj.j,
+         |        list_sum(list_transform(range(0, len(c.e)), i ->
+         |          c.e[CAST(i + 1 AS INT)] *
+         |          (CASE WHEN CAST(concat('0x', substring(
+         |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
+         |                 AS BIGINT)
+         |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
+         |      FROM c, jj),
+         |fb AS (SELECT vec_id, k,
+         |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
+         |                       ELSE 0 END) AS BIGINT) AS fb
+         |       FROM d GROUP BY vec_id, k),
+         |st AS (SELECT * FROM (VALUES (0, 40), (1, 80), (2, 160),
+         |                             (3, 320)) AS t(step, lim)),
+         |bb AS (SELECT unnest(range(3, 21)) AS bucket_bits),
+         |hist AS (SELECT st.step, bb.bucket_bits,
+         |                fb.fb % CAST(2 ** bb.bucket_bits AS BIGINT)
+         |                  AS bucket,
+         |                count(*) AS bn
+         |         FROM fb, st, bb WHERE fb.k < st.lim GROUP BY 1, 2, 3),
+         |occ AS (SELECT step, bucket_bits,
+         |               round(CAST(sum(bn * bn) AS DOUBLE) / sum(bn), 4)
+         |                 AS size_biased
+         |        FROM hist GROUP BY step, bucket_bits),
+         |fr AS (SELECT coalesce(min(bucket_bits)
+         |                 FILTER (WHERE size_biased <= 48.0), 20) AS fbits
+         |       FROM occ WHERE step = 0),
+         |ch AS (SELECT step, coalesce(min(bucket_bits)
+         |                 FILTER (WHERE size_biased <= 48.0), 20) AS cb
+         |       FROM occ GROUP BY step),
+         |n AS (SELECT st.step, count(*) AS n_vectors
+         |      FROM fb, st WHERE fb.k < st.lim GROUP BY st.step)
+         |SELECT CAST(st.step AS BIGINT) AS step, n.n_vectors,
+         |       CAST(fr.fbits AS BIGINT) AS frozen_bits,
+         |       ofr.size_biased AS frozen_load,
+         |       CAST(ch.cb AS BIGINT) AS chosen_bits,
+         |       oc.size_biased AS chosen_load,
+         |       CAST(CASE WHEN ofr.size_biased > 48.0 THEN 1 ELSE 0 END
+         |         AS BIGINT) AS rebucket
+         |FROM st, fr, ch, occ ofr, occ oc, n
+         |WHERE ch.step = st.step AND ofr.step = st.step
+         |  AND ofr.bucket_bits = fr.fbits AND oc.step = st.step
+         |  AND oc.bucket_bits = ch.cb AND n.step = st.step
+         |ORDER BY step""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // the walk replay: read the SAME persisted graph, re-derive the
     // top-degree entries, unroll the three beam rounds (score → top-8
@@ -6476,56 +6603,14 @@ object VectorQueries {
     // corpus, per-step fine histograms (membership k < step limit),
     // per-width size-biased loads, the base (step-0) frozen choice,
     // each step's fresh choice, and the rebucket verdicts
-    "v71_occupancy_drift" ->
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-         |           FROM read_parquet('${Artifacts.oracleGlob("v71_corpus")}')),
-         |c AS (SELECT vec_id, vec_id % 1000 AS k, e FROM v
-         |      WHERE vec_id != 1000),
-         |jj AS (SELECT unnest(range(0, 20)) AS j),
-         |d AS (SELECT c.vec_id, c.k, jj.j,
-         |        list_sum(list_transform(range(0, len(c.e)), i ->
-         |          c.e[CAST(i + 1 AS INT)] *
-         |          (CASE WHEN CAST(concat('0x', substring(
-         |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
-         |                 AS BIGINT)
-         |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
-         |      FROM c, jj),
-         |fb AS (SELECT vec_id, k,
-         |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
-         |                       ELSE 0 END) AS BIGINT) AS fb
-         |       FROM d GROUP BY vec_id, k),
-         |st AS (SELECT * FROM (VALUES (0, 40), (1, 80), (2, 160),
-         |                             (3, 320)) AS t(step, lim)),
-         |bb AS (SELECT unnest(range(3, 21)) AS bucket_bits),
-         |hist AS (SELECT st.step, bb.bucket_bits,
-         |                fb.fb % CAST(2 ** bb.bucket_bits AS BIGINT)
-         |                  AS bucket,
-         |                count(*) AS bn
-         |         FROM fb, st, bb WHERE fb.k < st.lim GROUP BY 1, 2, 3),
-         |occ AS (SELECT step, bucket_bits,
-         |               round(CAST(sum(bn * bn) AS DOUBLE) / sum(bn), 4)
-         |                 AS size_biased
-         |        FROM hist GROUP BY step, bucket_bits),
-         |fr AS (SELECT coalesce(min(bucket_bits)
-         |                 FILTER (WHERE size_biased <= 48.0), 20) AS fbits
-         |       FROM occ WHERE step = 0),
-         |ch AS (SELECT step, coalesce(min(bucket_bits)
-         |                 FILTER (WHERE size_biased <= 48.0), 20) AS cb
-         |       FROM occ GROUP BY step),
-         |n AS (SELECT st.step, count(*) AS n_vectors
-         |      FROM fb, st WHERE fb.k < st.lim GROUP BY st.step)
-         |SELECT CAST(st.step AS BIGINT) AS step, n.n_vectors,
-         |       CAST(fr.fbits AS BIGINT) AS frozen_bits,
-         |       ofr.size_biased AS frozen_load,
-         |       CAST(ch.cb AS BIGINT) AS chosen_bits,
-         |       oc.size_biased AS chosen_load,
-         |       CAST(CASE WHEN ofr.size_biased > 48.0 THEN 1 ELSE 0 END
-         |         AS BIGINT) AS rebucket
-         |FROM st, fr, ch, occ ofr, occ oc, n
-         |WHERE ch.step = st.step AND ofr.step = st.step
-         |  AND ofr.bucket_bits = fr.fbits AND oc.step = st.step
-         |  AND oc.bucket_bits = ch.cb AND n.step = st.step
-         |ORDER BY step""".stripMargin,
+    "v71_occupancy_drift" -> v71DriftOracle,
+    // v72 computes the SAME decision table through the persisted
+    // histogram FOLD (fineOccupancyHistogram + foldOccupancyHistogram
+    // + maintenanceCheckFromHistogram — zero base re-scans after the
+    // base snapshot); the oracle deliberately replays it FROM SCRATCH
+    // (v71's exact SQL) — the hash match IS the proof that
+    // fold ≡ re-sketch on the accreted corpus
+    "v72_hist_fold_drift" -> v71DriftOracle,
     // candidate-count replay of the build join (plain bucket join —
     // max |bucket| < 256, the salt provably never engages on this
     // fixture), per-bucket top-2 entries, 3 walk rounds, exact 1536-d
@@ -7740,7 +7825,20 @@ object VectorQueries {
       "v67_rvq_depth" -> ((s, d) => v67Codes(s, d): Unit),
       "v68_aniso_refdim" -> ((s, d) => v68Models(s, d): Unit),
       "v70_joint_aq" -> ((s, d) => v70Models(s, d): Unit),
-      "v71_occupancy_drift" -> ((s, d) => v71Corpus(s, d): Unit))
+      "v71_occupancy_drift" -> ((s, d) => v71Corpus(s, d): Unit),
+      "v72_hist_fold_drift" -> ((s, d) => {
+        val all = s.read.parquet(v71Corpus(s, d))
+          .filter(col("vec_id") =!= 1000L)
+          .withColumn("_k", pmod(col("vec_id"), lit(1000L)))
+        Artifacts.reuseOrBuild(d,
+            "v72:v1:copies=320,dim=1536,hist:bits20:" +
+              Artifacts.inputDigest(RefDb), Seq("v72_hist_base")) {
+          Artifacts.write(
+            graft.operators.Ann.fineOccupancyHistogram(
+              all.filter(col("_k") < 40), "embedding", bits = 20,
+              bbMax = 20), "v72_hist_base", d): Unit
+        }
+      }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_topk" -> ((s, d) => knnTopK(s, d)),
@@ -7783,6 +7881,7 @@ object VectorQueries {
     "v69_occupancy_geometry" -> (occupancyGeometry(_, _)),
     "v70_joint_aq" -> (refDimAq(_, _)),
     "v71_occupancy_drift" -> (occupancyDrift(_, _)),
+    "v72_hist_fold_drift" -> (occupancyDriftFold(_, _)),
     "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),

@@ -13,16 +13,24 @@ import org.apache.spark.storage.StorageLevel
   * export one a stock `sqlite3` opens, so a user migrating either way
   * never leaves the library.
   *
-  * Scope mirrors the reader: ONE rowid table per file, written fresh
-  * (no update path), serial types for null/int/real/text/blob,
-  * overflow chains for records past the local-payload threshold (the
-  * reference's 6144-byte float32 blobs always overflow a 4096-byte
-  * page), multi-level interior B-trees. Deliberately NOT written:
-  * indexes and constraint enforcement — uniqueness is the ingest
-  * path's job in this engine (the i02 dedup-upsert), so the exported
-  * schema carries the columns, not the reference's `UNIQUE` clause
-  * (which would obligate an index B-tree for stock-sqlite validity);
-  * freelists/WAL/pointer maps don't occur in a fresh single-pass file.
+  * Scope: ONE rowid table per file, written fresh (no update path),
+  * serial types for null/int/real/text/blob, overflow chains for
+  * records past the local-payload threshold (the reference's
+  * 6144-byte float32 blobs always overflow a 4096-byte page),
+  * multi-level interior B-trees — and, through [[writeFull]] with an
+  * [[ExportSchema.uniqueTextCol]], the reference's FULL schema: a
+  * real `sqlite_autoindex_<table>_1` UNIQUE index B-tree (bulk-loaded
+  * distributed, range-partitioned by the indexed column) and an
+  * AUTOINCREMENT `sqlite_sequence` row seeded at max(rowid), so a
+  * stock `sqlite3` can keep INSERTing into the export with the UNIQUE
+  * constraint enforcing through the shipped index. The bare [[write]]
+  * variant (no `uniqueTextCol`) still exports schema-only files for
+  * tables without a uniqueness contract. Duplicate values in the
+  * UNIQUE column are rejected loudly at export: adjacent duplicates by
+  * a per-partition adjacency check executor-side, boundary-straddling
+  * duplicates by a driver-side strict-increase check over each
+  * partition's (first, last) indexed key — O(partitions) state.
+  * Freelists/WAL/pointer maps don't occur in a fresh single-pass file.
   *
   * Distribution: SQLite is a single-FILE format, so the final byte
   * stream is inherently one writer — but everything CPU-shaped is
@@ -33,14 +41,17 @@ import org.apache.spark.storage.StorageLevel
   * indexes plus a fix-up list), a count-only job turns partition page
   * counts into global base offsets, and the driver then streams
   * pages to disk in partition order, patching each fix-up to
-  * `base + local` as the bytes pass through — O(page) driver memory,
-  * zero driver-side record encoding. Interior levels are built
-  * driver-side from the (leaf page number, max rowid) directory:
-  * O(leaves) entries ≈ file_bytes / 4 KiB — model-sized for the
-  * export/migration workloads a single .db file can serve at all
-  * (this is the migration seam, not the 100 TB store: the operational
-  * sink remains the parquet/manifest store, exactly as the reader is
-  * the one-time migration scan).
+  * `base + local` as the bytes pass through. Driver memory for the
+  * stream is O(largest partition's serialized pages) — the fetch unit
+  * of `RDD.toLocalIterator` is a partition, not a page — plus the
+  * O(leaves) (page number, max key) directories the interior builds
+  * hold; zero driver-side record encoding. Interior levels are built
+  * driver-side from those directories: O(leaves) entries ≈
+  * file_bytes / 4 KiB — model-sized for the export/migration
+  * workloads a single .db file can serve at all (this is the
+  * migration seam, not the 100 TB store: the operational sink remains
+  * the parquet/manifest store, exactly as the reader is the one-time
+  * migration scan).
   */
 object SqliteWriter {
 
@@ -350,6 +361,14 @@ object SqliteWriter {
     * separator, belongs before this partition's first leaf). */
   private[sources] final case class IndexSepOut(afterLeafLocal: Int,
                                                 key: Array[Byte])
+    extends IndexOut
+  /** One partition's (first, last) raw indexed-key bounds, emitted
+    * after its pages: the executor-side adjacency check can only see
+    * duplicates WITHIN a partition, so the driver re-checks strict
+    * key increase ACROSS partition boundaries from these —
+    * [[SqliteWriter.checkIndexPartitionBounds]]. */
+  private[sources] final case class IndexBoundsOut(first: String,
+                                                   last: String)
     extends IndexOut
 
   /** Bulk-loads one partition's sorted key records into 0x0a leaf
@@ -779,6 +798,7 @@ object SqliteWriter {
           .sortWithinPartitions(cName, rowidCol)
         val ridType = types(0)
         idxOut = entriesDf.rdd.mapPartitionsWithIndex { (pi, it) =>
+          var first: String = null
           var last: String = null
           val entries = it.map { r =>
             val c = r.getString(0)
@@ -786,6 +806,7 @@ object SqliteWriter {
             require(last == null || c != last,
               s"UNIQUE constraint violated in export input: duplicate " +
                 s"value '${c.take(40)}'")
+            if (first == null) first = c
             last = c
             val rid = ridType match {
               case LongType => r.getLong(1)
@@ -793,26 +814,35 @@ object SqliteWriter {
             }
             encodeRecord(IndexedSeq(c, rid))
           }
-          new IndexPager(entries, promoteFirst = pi > 0)
+          // ++'s right side is by-name: it materializes only after the
+          // pager drains `entries`, when first/last hold this
+          // partition's actual bounds
+          new IndexPager(entries, promoteFirst = pi > 0) ++
+            (if (first != null)
+               Iterator.single(IndexBoundsOut(first, last))
+             else Iterator.empty)
         }
         idxOut.persist(StorageLevel.MEMORY_AND_DISK)
         val meta = idxOut.mapPartitionsWithIndex { (i, it) =>
           var n = 0L
           val leaves = ArrayBuffer.empty[Int]
           val seps = ArrayBuffer.empty[Array[Byte]]
+          var bounds: Option[(String, String)] = None
           it.foreach {
             case IndexPageOut(p) =>
               n += 1; if (p.isLeaf) leaves += p.localIdx
             case IndexSepOut(_, k) => seps += k
+            case IndexBoundsOut(f, l) => bounds = Some((f, l))
           }
-          Iterator((i, n, leaves.toVector, seps.toVector))
+          Iterator((i, n, leaves.toVector, seps.toVector, bounds))
         }.collect().sortBy(_._1)
+        checkIndexPartitionBounds(meta.flatMap(_._5).toIndexedSeq)
         idxBases = new Array[Long](meta.length)
         idxCounts = meta.map(_._2)
         var a2 = idxFirst
-        meta.foreach { case (i, n, _, _) => idxBases(i) = a2; a2 += n }
+        meta.foreach { case (i, n, _, _, _) => idxBases(i) = a2; a2 += n }
         totalIdx = a2 - idxFirst
-        idxLeaves = meta.flatMap { case (i, _, ls, _) =>
+        idxLeaves = meta.flatMap { case (i, _, ls, _, _) =>
           ls.map(idxBases(i) + _) }.toIndexedSeq
         idxSeps = meta.flatMap(_._4).toIndexedSeq
         require(idxSeps.length == math.max(0, idxLeaves.length - 1),
@@ -946,4 +976,49 @@ object SqliteWriter {
 
   private def countCells(leaf: Array[Byte]): Long =
     (((leaf(3) & 0xff) << 8) | (leaf(4) & 0xff)).toLong
+
+  /** Driver-side half of the UNIQUE-duplicate rejection. The
+    * executor-side adjacency check sees duplicates only WITHIN a
+    * partition, but the index input is range-partitioned by
+    * (key, rowid) — two rows with the same key and different rowids
+    * sort adjacent yet can land in ADJACENT partitions, each passing
+    * its partition-local check, which would ship a sqlite_autoindex
+    * holding duplicate keys (stock sqlite3's integrity_check reports
+    * 'non-unique entry'). Range partitioning guarantees the global
+    * order is non-decreasing across partition boundaries, so a
+    * straddling duplicate surfaces exactly as boundary EQUALITY:
+    * require strict increase from each non-empty partition's last key
+    * to the next one's first. `bounds` must be in partition-index
+    * order (empty partitions already dropped); O(partitions) driver
+    * state — cheap at any scale. */
+  private[graft] def checkIndexPartitionBounds(
+      bounds: IndexedSeq[(String, String)]): Unit =
+    bounds.sliding(2).foreach {
+      case Seq((_, prevLast), (nextFirst, _)) =>
+        require(utf8Less(prevLast, nextFirst),
+          s"UNIQUE constraint violated in export input: duplicate " +
+            s"value '${nextFirst.take(40)}' straddles an index " +
+            "partition boundary")
+      case _ => ()
+    }
+
+  /** Strict less-than in UNSIGNED UTF-8 byte order — the collation
+    * BOTH sides of this check live in: Spark's range partitioner
+    * orders StringType by UTF8String binary comparison and SQLite
+    * BINARY collation is memcmp over the stored UTF-8, while Java's
+    * `String.compareTo` (UTF-16 code units) disagrees with both for
+    * supplementary characters (surrogates D800–DFFF sort below
+    * E000–FFFF in UTF-16 but encode code points ABOVE them). */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8")
+    val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
 }

@@ -740,4 +740,48 @@ class AnnSpec extends SparkSpec {
         currentBits = 13, bbMin = 1, bbMax = 12)
     }
   }
+
+  test("updateKnnGraphIncremental: O(delta) path identical to the " +
+      "checked update — sidecar, folded histogram, and verdict") {
+    val base = emb // ids 1..6, two clusters
+    val delta = vecsDf((10L, Seq(10f, 0.5f)), (11L, Seq(0.5f, 10f)))
+    val combined = base.unionByName(delta)
+    // the persisted snapshot artifacts the incremental path consumes:
+    // the base's bucket index at the frozen width and its fine
+    // histogram at bbMax
+    val baseIndex = Ann.srpBucketIndex(base, "vec_id", "embedding",
+      bits = 12, bucketBits = 2)
+    val baseHist = Ann.fineOccupancyHistogram(base, "embedding",
+      bits = 12, bbMax = 12)
+    val (incSidecar, folded, incVerdict) = Ann.updateKnnGraphIncremental(
+      baseIndex, baseHist, delta, "vec_id", "embedding",
+      bits = 12, bucketBits = 2, degree = 2, bbMin = 1, bbMax = 12,
+      targetSizeBiased = 2.0)
+    val (sidecar, verdict) = Ann.updateKnnGraphChecked(base, delta,
+      "vec_id", "embedding", bits = 12, bucketBits = 2, degree = 2,
+      bbMin = 1, bbMax = 12, targetSizeBiased = 2.0)
+    assert(incSidecar.as[(Long, Long)].collect().toSeq.sorted ==
+      sidecar.as[(Long, Long)].collect().toSeq.sorted)
+    assert(incVerdict == verdict)
+    // the folded histogram IS the combined corpus's from-scratch one
+    val scratch = Ann.fineOccupancyHistogram(combined, "embedding",
+        bits = 12, bbMax = 12)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(folded.as[(Long, Long)].collect().toSeq.sorted == scratch)
+    // ...and its decision table equals bucketOccupancy's
+    val fromHist = Ann.occupancyFromHistogram(folded, 1, 12)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    val direct = Ann.bucketOccupancy(combined, "embedding", 12, 1, 12)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    assert(fromHist == direct)
+    // geometry mismatches fail fast (bucketBits beyond the histogram's
+    // fine width would silently mis-mask)
+    intercept[IllegalArgumentException] {
+      Ann.updateKnnGraphIncremental(baseIndex, baseHist, delta,
+        "vec_id", "embedding", bits = 12, bucketBits = 13, degree = 2,
+        bbMin = 1, bbMax = 12)
+    }
+  }
 }

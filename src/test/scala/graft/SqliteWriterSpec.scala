@@ -239,6 +239,52 @@ class SqliteWriterSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("UNIQUE constraint")))
   }
 
+  test("boundary-straddling UNIQUE duplicates are rejected (driver check)") {
+    // the executor-side check is adjacency WITHIN a partition; a
+    // duplicate pair split ACROSS two range partitions passes it, so
+    // the driver's bounds check must fire instead
+    SqliteWriter.checkIndexPartitionBounds(
+      IndexedSeq(("a", "f"), ("g", "m"), ("n", "z"))) // strictly increasing: ok
+    val e = intercept[IllegalArgumentException] {
+      SqliteWriter.checkIndexPartitionBounds(
+        IndexedSeq(("a", "same"), ("same", "z")))
+    }
+    assert(e.getMessage.contains("UNIQUE constraint") &&
+      e.getMessage.contains("straddles"))
+    // the comparison is UTF-8 byte order (= the range partitioner's
+    // UTF8String order and SQLite BINARY collation), NOT Java UTF-16
+    // order: U+10000 (surrogate pair, compareTo-below U+FFFD) sorts
+    // ABOVE U+FFFD in UTF-8 bytes, so this legitimate order must pass
+    SqliteWriter.checkIndexPartitionBounds(
+      IndexedSeq(("a", "�"), ("𐀀", "𐀁")))
+  }
+
+  test("a cross-partition duplicate pair fails the export end-to-end") {
+    // 16 distinct keys except ids 8/9 share content at the median of
+    // the key order — the 2-way range partitioner's boundary lands
+    // between them (all 16 keys are sampled at this size), so each
+    // partition's local adjacency check passes and only the driver
+    // bounds check can reject
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("content", StringType, nullable = false)))
+    val rows = (1L to 16L).map { i =>
+      Row(i, if (i == 8L || i == 9L) "m-dup"
+             else if (i < 8L) f"a$i%02d" else f"z$i%02d")
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val e = intercept[Exception] {
+      SqliteWriter.writeFull(df, tmp("xdup.db"),
+        SqliteWriter.ExportSchema("t",
+          "CREATE TABLE t (id INTEGER PRIMARY KEY, content TEXT UNIQUE)",
+          uniqueTextCol = Some(1)), numPartitions = 2)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("straddles")), msgs(e))
+  }
+
   test("full schema on an empty table: empty index root + empty sequence") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
