@@ -67,6 +67,7 @@ object SparkEntry {
     "v70_joint_aq",         // jointly-refined AQ codebook pair
     "v71_occupancy_drift",  // delta-accreted 320x corpus
     "v72_hist_fold_drift",  // persisted base fine histogram
+    "v73_drift_serve",      // frozen + rebucketed 320x stores
   )
 
   /** Artifact-only warmers: per owner, build/seal/load its shared

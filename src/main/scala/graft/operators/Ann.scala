@@ -1199,6 +1199,59 @@ object Ann {
         targetSizeBiased))
   }
 
+  /** NEAR-DUP COLLAPSE TIER for the graph build — the fix for the
+    * residual cluster-core floor the SCALING sweeps name: at ANY
+    * sketch width some vectors stay co-bucketed because no hyperplane
+    * separates them (their difference projects below every plane's
+    * margin — near-identical cluster cores), so max-|bucket| floors
+    * out and the salt cap converts the excess into silent recall
+    * loss. Those vectors are by construction NEAR-DUPLICATES, which
+    * makes the dedup tier (t32/v32's discipline) the structural fix:
+    * collapse them to one representative BEFORE the build and carry a
+    * (member → rep) sidecar for result expansion.
+    *
+    * Scope and rule, stated exactly so an oracle can replay them: the
+    * tier collapses within the FINE bucket only (bucket at `fineBits`
+    * of the `bits`-plane sketch — precisely the set the sketch cannot
+    * separate, which is what makes the pair join's blocking key the
+    * floor itself: Σ|fine bucket|² work, guarded by
+    * `maxBucketRows`), and rep(v) = the smallest same-bucket id u
+    * with cosine(u, v) ≥ `tau` (v itself included) — ONE join, no
+    * transitive closure: chains beyond a single hop keep extra reps,
+    * which only makes the collapse conservative. Returns
+    * (idCol, rep_id) for EVERY input row; rows with rep_id = id are
+    * the representatives the build keeps.
+    */
+  def fineBucketNearDupReps(emb: DataFrame, idCol: String,
+                            vecCol: String, bits: Int, fineBits: Int,
+                            tau: Double,
+                            maxBucketRows: Long = 100000L): DataFrame = {
+    val idx = srpBucketIndex(emb, idCol, vecCol, bits, fineBits)
+    val guard = idx.groupBy("bucket").agg(count(lit(1)).as("_bn"))
+      .agg(max("_bn").as("_mx"))
+    val a = idx.select(col("bucket"), col(idCol).as("_m_id"),
+      col(vecCol).as("_m_vec"))
+      .crossJoin(broadcast(guard))
+      .filter(when(col("_mx") > maxBucketRows,
+          raise_error(concat(
+            lit("fineBucketNearDupReps: fine bucket of "), col("_mx"),
+            lit(s" rows exceeds maxBucketRows=$maxBucketRows — the " +
+              "floor this tier removes is bounded by construction; a " +
+              "bucket this hot means the sketch width or corpus " +
+              "changed"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("_mx")
+    val b = idx.select(col("bucket"), col(idCol).as("_n_id"),
+      col(vecCol).as("_n_vec"))
+    a.join(b, Seq("bucket"), "left")
+      .withColumn("_match",
+        when(col("_n_id") < col("_m_id") &&
+          cosineSim(col("_m_vec"), col("_n_vec")) >= tau, col("_n_id")))
+      .groupBy(col("_m_id").as(idCol))
+      .agg(coalesce(min(col("_match")), min(col("_m_id")))
+        .as("rep_id"))
+  }
+
   /** Batched [[graphBeamSearch]]: Q queries walk ONE shared graph in a
     * single plan per round — the serving shape a production graph-ANN
     * tier runs (the v33-batched-IVF-PQ economics applied to the graph

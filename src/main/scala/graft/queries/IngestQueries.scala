@@ -997,7 +997,55 @@ object IngestQueries {
       .orderBy("grp")
   }
 
+  /** THE DSv2 ROUTE OF THE MIGRATION SEAM — i27's round-trip driven
+    * through `spark.read.format("sqlite")` ([[graft.sources
+    * .SqliteTableProvider]]) instead of the Scala library call, so the
+    * export is consumable from pure SQL / pyspark: write the
+    * embeddings table as a full-schema SQLite file (UNIQUE autoindex +
+    * sqlite_sequence — i27's writer path), then read it back through
+    * the registered source — schema INFERRED from the stored DDL, one
+    * InputPartition per file — decode the float32 blobs and aggregate
+    * per id-group against the original parquet (the i04 sink
+    * convention). The `pruned_read_schema` column carries the
+    * optimizer-applied column pruning VERDICT into the hash gate: it
+    * is the DSv2 scan's readSchema for a (id, content) projection,
+    * introspected from the optimized plan — if
+    * [[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]]
+    * ever stops engaging (and 6 KiB blobs start being materialized
+    * for blob-free projections), the literal changes and the oracle
+    * mismatches. */
+  def sqliteDsv2Roundtrip(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import graft.functions.VectorFunctions.{floatVectorFromBinary, floatVectorToBinary}
+    import graft.sources.Sources
+    val emb = Tables.embeddings(spark, sfDir)
+    val rows = emb.select((col("vec_id") + 1).cast("long").as("id"),
+      concat(lit("vec-"), col("vec_id")).as("content"),
+      floatVectorToBinary(col("embedding")).as("vector"))
+    val db = java.nio.file.Paths.get(
+      Artifacts.resolve("i28_export_db", sfDir), "embeddings_dsv2.db")
+    java.nio.file.Files.createDirectories(db.getParent)
+    Sources.toSqliteDocuments(rows, db.toString, numPartitions = 4,
+      fullSchema = true): Unit
+    val back = spark.read.format("sqlite").load(db.toString)
+    val pruned = back.select("id", "content")
+    val prunedSchema = pruned.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.readSchema().fieldNames.toSeq
+    }.head.mkString(",")
+    back.select(col("id"), col("content"),
+        floatVectorFromBinary(col("vector")).as("v"))
+      .withColumn("vq", round(aggregate(col("v"), lit(0.0d),
+          (a, x) => a + x.cast("double")) * 100000, 0).cast("long"))
+      .groupBy(pmod(col("id") - 1, lit(8L)).as("grp"))
+      .agg(count(lit(1)).as("n_vecs"), sum("vq").as("sum_q"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .withColumn("pruned_read_schema", lit(prunedSchema))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i28_sqlite_dsv2" -> (sqliteDsv2Roundtrip(_, _)),
     "i26_sqlite_export" -> (sqliteExport(_, _)),
     "i27_sqlite_scale_export" -> (sqliteScaleExport(_, _)),
     "i24_analyze_stats" -> (analyzeStats(_, _)),
@@ -1076,6 +1124,21 @@ object IngestQueries {
     // group stats replayed from the original embeddings parquet; the
     // Spark side's values flowed encode → page assembly → file →
     // parse → decode, so equality pins the whole written file
+    // the DSv2 round-trip's truth: the ORIGINAL parquet aggregated the
+    // same way, plus the pruning verdict literal — 'id,content' is
+    // what SupportsPushDownRequiredColumns must leave in readSchema
+    // for a blob-free projection
+    "i28_sqlite_dsv2" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+        |           FROM embeddings),
+        |per AS (SELECT vec_id,
+        |          CAST(round(list_sum(ev) * 100000, 0) AS BIGINT) AS vq
+        |        FROM e)
+        |SELECT vec_id % 8 AS grp, count(*) AS n_vecs,
+        |       CAST(sum(vq) AS BIGINT) AS sum_q,
+        |       min(vec_id) + 1 AS min_id, max(vec_id) + 1 AS max_id,
+        |       'id,content' AS pruned_read_schema
+        |FROM per GROUP BY 1 ORDER BY grp""".stripMargin,
     "i27_sqlite_scale_export" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
         |           FROM embeddings),

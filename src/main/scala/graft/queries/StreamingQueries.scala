@@ -501,6 +501,54 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** CONTINUOUS ANN-PREFILTERED SEMANTIC DECONTAMINATION — t72's
+    * streaming twin and the deployment shape of the semantic
+    * contamination filter: documents stream in (the ingest tap), the
+    * bucketed eval index rides the projection AS A LITERAL (s11/s15's
+    * model-as-literal convention — a `map_from_entries` literal of
+    * SRP bucket → sorted (eval_id, evec) array, benchmark-sized bytes
+    * of plan however large the corpus), and per-document probing +
+    * candidate argmax ([[TextQueries.semPrefilterCols]], the exact
+    * batch kernel) is a pure narrow map: NO join, NO watermark, ZERO
+    * streaming state — the cheapest legal streaming plan, so the
+    * filter composes under any downstream stateful operator. Output
+    * is the flag stream itself (doc, attributed eval item, sim) —
+    * what a quarantine sink consumes. Oracle = the t72 prefilter
+    * replay's per-doc flags: continuous ≡ batch, and t72's own gate
+    * already pins those flags' recall 1.0 against the exact argmax.
+    */
+  def streamSemanticPrefilter(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val eval = TextQueries.t71EvalSet(spark, sfDir)
+    val bb = TextQueries.SemPrefilterBits
+    // the model collect: 36 (bucket, eval_id, evec) rows → a literal
+    val entries = eval
+      .withColumn("bucket", graft.functions.HashFunctions
+        .cosineLshBits(col("evec"), bb).bitwiseAND(lit((1L << bb) - 1)))
+      .select("bucket", "eval_id", "evec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val evmapLit = map_from_entries(array(entries.map {
+      case (b, items) =>
+        struct(lit(b).as("bucket"),
+          array(items.sortBy(_._2).map { case (_, id, vec) =>
+            struct(lit(id).as("eval_id"),
+              typedLit(vec).as("evec"))
+          }: _*).as("items"))
+    }: _*))
+    val corpusDir = Artifacts.resolve("t71_corpus", sfDir)
+    val schema = spark.read.parquet(corpusDir).schema
+    val stream = spark.readStream.schema(schema).parquet(corpusDir)
+    val flagged = TextQueries.semPrefilterCols(stream, evmapLit)
+      .filter(col("best").getField("s") >= 0.95)
+      .select(col("vec_id"),
+        col("best").getField("eval_id").as("eval_id"),
+        round(col("best").getField("s"), 6).as("sim"))
+    Streaming.runAvailableNowAppend(spark, flagged, "graft_s26")
+      .orderBy("vec_id")
+  }
+
   /** Streaming DSIR scoring — the deployment split of t52: the bucket
     * model is fit OFFLINE over the full corpus (one batch job; the
     * artifact is ≤1024 (bucket, micro-unit-weight) rows, collected
@@ -975,6 +1023,7 @@ object StreamingQueries {
     "s24_stream_bpe_tokenize" -> (streamBpeTokenize(_, _)),
     "s23_stream_graph_serve" -> (streamGraphServe(_, _)),
     "s25_stream_sq8_store" -> (streamSq8Store(_, _)),
+    "s26_stream_sem_prefilter" -> (streamSemanticPrefilter(_, _)),
     "s22_outer_join" -> (streamOuterJoin(_, _)),
     "s21_late_data" -> (streamLateData(_, _)),
     "s20_stream_merge" -> (streamMergeInto(_, _)),
@@ -1006,6 +1055,12 @@ object StreamingQueries {
     "s23_stream_graph_serve" ->
       VectorQueries.graphLsmOracleSql("s23_base_graph"),
     "s25_stream_sq8_store" -> VectorQueries.oracles("v61_sq8_serve"),
+    // t72's prefilter replay, per-doc flags: continuous == batch
+    "s26_stream_sem_prefilter" ->
+      s"""WITH ${TextQueries.semPrefilterOracleCtes}
+         |SELECT vec_id, eval_id, round(s, 6) AS sim
+         |FROM pb WHERE rn = 1 AND s >= 0.95
+         |ORDER BY vec_id""".stripMargin,
     // inner matches are the batch interval join; NULL rows emit only
     // for clicks finalized by the final global watermark (min of both
     // sides' max ts − 10 min) — the stream's partial-result rule

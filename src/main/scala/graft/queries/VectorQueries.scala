@@ -3788,6 +3788,346 @@ object VectorQueries {
       .orderBy("step")
   }
 
+  /** v73's two stores over the SAME fully-accreted 320× corpus: the
+    * FROZEN one is the real LSM end state (base graph at the base
+    * chooser's width, then three delta sidecars accreted through the
+    * O(delta) incremental update — index and histogram carried
+    * forward exactly as a deployment persists them), the REBUCKETED
+    * one is the compaction fold at the width the chooser picks on the
+    * full corpus. Both widths are chooser-DERIVED, not hand-pinned —
+    * the oracle re-derives them in SQL from the same histograms. */
+  private val v73Cache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String, Int, Int)]
+
+  private def v73Stores(spark: SparkSession, sfDir: String)
+      : (String, String, Int, Int) =
+    v73Cache.getOrElseUpdate(sfDir, {
+      val all = spark.read.parquet(v71Corpus(spark, sfDir))
+        .filter(col("vec_id") =!= 1000L)
+        .withColumn("_k", pmod(col("vec_id"), lit(1000L)))
+      val base = all.filter(col("_k") < 40)
+      val frozenBits = Ann.occupancyBucketBits(base, "embedding",
+        bits = 20, bbMin = 3, bbMax = 20)
+      val freshBits = Ann.occupancyBucketBits(all, "embedding",
+        bits = 20, bbMin = 3, bbMax = 20)
+      Artifacts.reuseOrBuild(sfDir,
+          s"v73:v1:copies=320,f$frozenBits,r$freshBits,deg8:" +
+            Artifacts.inputDigest(RefDb),
+          Seq("v73_frozen_graph", "v73_fresh_graph")) {
+        var index = Ann.srpBucketIndex(base, "vec_id", "embedding",
+          20, frozenBits).localCheckpoint()
+        var hist = Ann.fineOccupancyHistogram(base, "embedding",
+          20, 20).localCheckpoint()
+        var edges = Ann.buildKnnGraph(base, "vec_id", "embedding",
+          bits = 20, bucketBits = frozenBits, degree = 8)
+          .localCheckpoint()
+        for ((lo, hi) <- Seq((40L, 80L), (80L, 160L), (160L, 320L))) {
+          val delta = all.filter(col("_k") >= lo && col("_k") < hi)
+          val (sidecar, folded, _) = Ann.updateKnnGraphIncremental(
+            index, hist, delta, "vec_id", "embedding", bits = 20,
+            bucketBits = frozenBits, degree = 8, bbMin = 3, bbMax = 20)
+          edges = edges.unionByName(sidecar).localCheckpoint()
+          hist = folded
+          index = index.unionByName(Ann.srpBucketIndex(delta,
+            "vec_id", "embedding", 20, frozenBits)).localCheckpoint()
+        }
+        Artifacts.write(edges, "v73_frozen_graph", sfDir): Unit
+        Artifacts.write(
+          Ann.buildKnnGraph(all, "vec_id", "embedding", bits = 20,
+            bucketBits = freshBits, degree = 8),
+          "v73_fresh_graph", sfDir): Unit
+      }
+      (Artifacts.resolve("v73_frozen_graph", sfDir),
+        Artifacts.resolve("v73_fresh_graph", sfDir),
+        frozenBits, freshBits)
+    })
+
+  /** WHAT `rebucket=true` ACTUALLY BUYS — the round-15 verdict's
+    * missing link between the drift VERDICT (v71/v72: the frozen
+    * width's load quadruples under accretion) and SERVING quality
+    * (ServeGate: composed-path recall on static snapshots): one query
+    * that walks the SAME fully-accreted 320× d=1536 store both ways
+    * and meters recall@10 side by side. The FROZEN row is the store a
+    * deployment that ignores the verdict is serving — base graph at
+    * the base-time chooser width, three clustered delta batches
+    * accreted as LSM sidecars ([[Ann.updateKnnGraphIncremental]] — the
+    * O(delta) path, dogfooded here as the store's real maintenance
+    * sequence); the REBUCKETED row is the same corpus after the
+    * compaction fold the verdict schedules, rebuilt at the width the
+    * chooser picks NOW. Identical serving everywhere else: same
+    * query, same per-bucket top-2 entry rule (each store routed by
+    * its own width's bucket index), same beam-8 / 3-round walk, same
+    * exact-scan ground truth. Both widths are chooser-derived, never
+    * hand-pinned — the oracle re-derives them from the replayed
+    * histograms (v71's CTEs), reads both edge artifacts, replays both
+    * entry derivations, both walks round by round, the exact top-10
+    * and both recalls in SQL. The number pair this emits is the
+    * operator's cost/benefit statement for acting on `rebucket`:
+    * what the walk's recall@10 and touched-node count are before vs
+    * after paying the fold. MEASURED: frozen bb=5 serves recall@10
+    * 0.2 touching 79 nodes; the fold (bb=13) serves 0.9 touching 432
+    * — the drift the v71/v72 verdict meters (load 46.9 → 364.4) is
+    * not an abstract cost number, it is most of the store's recall
+    * gone. The fold buys BOTH halves by construction: the re-chosen
+    * bucket geometry (entry coverage follows occupied buckets) and
+    * the base-side edge repair the LSM asymmetry defers — exactly
+    * what a compaction is. */
+  def driftServeCompare(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val (fDir, rDir, frozenBits, freshBits) = v73Stores(spark, sfDir)
+    val all = spark.read.parquet(v71Corpus(spark, sfDir))
+    val corpus = all.filter(col("vec_id") =!= 1000L)
+    val q = all.filter(col("vec_id") === 1000L)
+      .select(col("embedding").as("qe"))
+    val exact = Search.topK(corpus, q, "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("_hit")).localCheckpoint()
+    def serve(graphDir: String, bits: Int, variant: String)
+        : DataFrame = {
+      val graph = spark.read.parquet(graphDir)
+      val entries = Ann.topDegreeEntriesPerBucket(graph,
+        Ann.srpBucketIndex(corpus, "vec_id", "embedding", 20, bits),
+        "vec_id", perBucket = 2)
+      Ann.graphBeamSearch(graph, corpus, q, "vec_id", "embedding",
+          entryIds = entries, beam = 8, rounds = 3, k = 10)
+        .join(exact, Seq("vec_id"), "left")
+        .agg(
+          round(sum(coalesce(col("_hit"), lit(0L))).cast("double") /
+            10.0, 6).as("recall_at_10"),
+          max("nodes_touched").as("nodes_touched"))
+        .select(lit(variant).as("variant"),
+          lit(bits.toLong).as("bucket_bits"),
+          col("recall_at_10"), col("nodes_touched"))
+    }
+    serve(fDir, frozenBits, "frozen")
+      .unionByName(serve(rDir, freshBits, "rebucketed"))
+      .orderBy("variant")
+  }
+
+  /** v74's fixture geometry, shared by the builder, the query and the
+    * oracle text. The bucket width is fixture-PINNED (the occupancy
+    * chooser's measured pick on the sealed corpus — the builder
+    * requires the chooser still agrees, so a regenerated fixture
+    * fails loudly instead of serving a stale geometry). */
+  private val V74Bb = 5
+
+  /** v74's GRADED-SPECTRUM corpus — the fixture the Matryoshka claim
+    * actually needs. The v57 replica corpus cannot carry it: its
+    * top-10 is 40 near-tied replica mates whose ranking lives in
+    * ISOTROPIC hash noise, so ANY truncation reshuffles the order
+    * (measured: flat exact-prefix recall 0.2-0.4 at every width in
+    * BOTH bases, even at 768 of 1536 dims) — there is no spectrum for
+    * a rotation to concentrate. Real encoder embeddings have fast-
+    * decaying spectra (the empirical fact MRL training exploits);
+    * this fixture generates exactly that, deterministically: latent
+    * z_i[dd] = (center(i%8)[dd] + 0.5·noise(i)[dd]) / (1 + dd/24) —
+    * per-dimension variance decay, neighbor margins concentrated in
+    * the leading latent dims — then mixes through the closed-form
+    * orthonormal DCT-IV basis (Q[o][i] = √(2/D)·cos(π(o+½)(i+½)/D)),
+    * so the STORED coordinates spread the spectrum evenly, the way a
+    * trained encoder's arbitrary output basis does. An orthonormal
+    * mix preserves all cosines, so full-width truth is basis-free;
+    * what differs is what a stored PREFIX keeps. 800 corpus points in
+    * 8 graded clusters + held-out query 1000 (cluster 0, fresh
+    * noise). */
+  private val v74CacheF = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String, Array[Array[Double]], Seq[Long])]
+
+  private def dctIv(dim: Int): Array[Array[Double]] =
+    Array.tabulate(dim, dim)((o, i) =>
+      math.sqrt(2.0 / dim) *
+        math.cos(math.Pi * (o + 0.5) * (i + 0.5) / dim))
+
+  private def genV74Corpus(spark: SparkSession): DataFrame = {
+    import graft.operators.Opq
+    import graft.functions.HashFunctions.md5Long
+    def u(seed: String, key: org.apache.spark.sql.Column,
+          dd: org.apache.spark.sql.Column) =
+      (md5Long(concat(lit(seed), key.cast("string"), lit(":"),
+          dd.cast("string"))) % 2001L).cast("double") / 1000.0 - 1.0
+    val gen0 = spark.range(801)
+      .select(when(col("id") === 800L, lit(1000L)).otherwise(col("id"))
+        .as("vec_id"))
+      .withColumn("cid",
+        when(col("vec_id") === 1000L, lit(0L))
+          .otherwise(pmod(col("vec_id"), lit(80))))
+    val latent = gen0.withColumn("z",
+      transform(sequence(lit(0), lit(1535)), dd =>
+        (u("v74c:", col("cid"), dd) +
+          lit(0.8) * u("v74n:", col("vec_id"), dd)) /
+          (lit(1.0) + dd.cast("double") / lit(24.0))))
+    latent.select(col("vec_id"),
+      transform(Opq.rotateCol(col("z"), dctIv(1536)),
+        x => x.cast("float")).as("embedding"))
+  }
+
+  private def v74Fixture(spark: SparkSession, sfDir: String)
+      : (String, String, Array[Array[Double]], Seq[Long]) =
+    v74CacheF.getOrElseUpdate(sfDir, {
+      import graft.operators.Opq
+      val fp = "v74:v2:n800,c8,dim=1536,decay24,dct4,pca-m1"
+      val names = Seq("v74_corpus", "v74_graph", "v74_rot",
+        "v74_prefix_gate")
+      if (!names.forall(Artifacts.cachedHit(_, sfDir, fp))) {
+        val cDir = Artifacts.write(genV74Corpus(spark), "v74_corpus",
+          sfDir)
+        val all = spark.read.parquet(cDir)
+        val serving = all.filter(col("vec_id") =!= 1000L)
+        val bb = Ann.occupancyBucketBits(serving, "embedding",
+          bits = 20, bbMin = 3, bbMax = 20)
+        require(bb == V74Bb,
+          s"v74 fixture drifted: chooser picks bb=$bb, pinned $V74Bb" +
+            " (oracle sketch width) — regenerate the pin")
+        Artifacts.write(
+          Ann.buildKnnGraph(serving, "vec_id", "embedding", bits = 20,
+            bucketBits = V74Bb, degree = 8), "v74_graph", sfDir)
+        val train = serving.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val rot = Opq.trainRotation(train, "embedding", 1536, m = 1)
+        Artifacts.write(Opq.rotationFrame(spark, rot), "v74_rot", sfDir)
+        // gate: the rotated 192-prefix (1/8 width) walk recall — the
+        // serving rung v74 pins
+        val graph = spark.read
+          .parquet(Artifacts.resolve("v74_graph", sfDir))
+        val entries = Ann.topDegreeEntriesPerBucket(graph,
+          Ann.srpBucketIndex(serving, "vec_id", "embedding", 20,
+            V74Bb), "vec_id", perBucket = 2)
+        val rec = prefixWalkRecall(spark,
+          Opq.rotate(serving, "vec_id", "embedding", rot),
+          Opq.rotate(all.filter(col("vec_id") === 1000L),
+            "vec_id", "embedding", rot),
+          serving, all.filter(col("vec_id") === 1000L)
+            .select(col("embedding").as("qe")),
+          graph, entries, width = 192)
+        QuantGate.seal(spark, "v74_prefix", sfDir, rec,
+          floor = 0.6, note = "rotated 192-prefix (1/8 width, 768 B" +
+            "/vec) beam-16 walk recall@10 vs the full-width exact " +
+            "scan on the graded-spectrum corpus; measured 0.8 — the " +
+            "fixture's graph-serving ceiling (the full-width walk " +
+            "serves the same 0.8)")
+        names.foreach(Artifacts.seal(_, sfDir, fp))
+      }
+      QuantGate.check(spark, "v74_prefix", sfDir)
+      val cDir = Artifacts.resolve("v74_corpus", sfDir)
+      val gDir = Artifacts.resolve("v74_graph", sfDir)
+      val serving = spark.read.parquet(cDir)
+        .filter(col("vec_id") =!= 1000L)
+      (cDir, gDir,
+        Opq.loadRotation(spark, Artifacts.resolve("v74_rot", sfDir)),
+        Ann.topDegreeEntriesPerBucket(spark.read.parquet(gDir),
+          Ann.srpBucketIndex(serving, "vec_id", "embedding", 20,
+            V74Bb), "vec_id", perBucket = 2))
+    })
+
+  /** One prefix-width walk + recall (the v63 serving shape at a
+    * single width): slice corpus and query to `width`, walk the
+    * full-width graph with the sliced scorer, recall@10 vs the
+    * FULL-width exact scan over the plain vectors. */
+  private def prefixWalkRecall(spark: SparkSession, servingW: DataFrame,
+                               qW: DataFrame, servingFull: DataFrame,
+                               qFull: DataFrame, graph: DataFrame,
+                               entries: Seq[Long], width: Int): Double = {
+    val pv = servingW.select(col("vec_id"),
+      slice(col("embedding"), 1, width).as("embedding"))
+    val qe = qW.select(slice(col("embedding"), 1, width).as("qe"))
+    val walked = Ann.graphBeamSearch(graph, pv, qe, "vec_id",
+      "embedding", entryIds = entries, beam = 16, rounds = 3, k = 10)
+    val exact = Search.topK(servingFull, qFull, "vec_id", "embedding",
+      "qe", 10).select("vec_id")
+    walked.join(exact, Seq("vec_id"))
+      .agg(count(lit(1)).cast("double") / 10.0)
+      .head().getDouble(0)
+  }
+
+  /** TRAINED PREFIX TRANSFORM FOR MATRYOSHKA SERVING — the round-15
+    * verdict's item 5. v63 measured dimension truncation degrading in
+    * the wrong direction on the replica fixture; the attempted fix —
+    * a PCA rotation on that same fixture — measures NOTHING, and the
+    * reason is load-bearing: the replica corpus's top-10 ranking
+    * lives in isotropic hash noise (40 near-tied mates), so there is
+    * no spectrum to concentrate — flat exact-prefix recall is 0.2-0.4
+    * at EVERY width in BOTH bases, even keeping half of all 1536
+    * dims. Matryoshka serving is a SPECTRUM property; this query
+    * therefore measures it on [[genV74Corpus]], the graded-spectrum
+    * fixture whose per-dimension variance decays the way real encoder
+    * embeddings' does, mixed into a spread basis by an orthonormal
+    * DCT-IV (what an arbitrary encoder output basis looks like).
+    * Serving shape is v63's exactly — beam-16 / 3-round walks of the
+    * fixture's graph (beam 16 because 80 cluster components need the
+    * round-0 beam to keep the true region among 64 per-bucket
+    * entries — the v54 operating-point argument), scored on stored
+    * prefixes of 96/192/384/768 floats, against the same full-width
+    * exact truth — in BOTH bases side by side: `plain` stores
+    * prefixes of the mixed coordinates, `rotated` stores prefixes
+    * after [[v74Fixture]]'s PCA / variance-ordered rotation
+    * ([[graft.operators.Opq.trainRotation]] at m = 1, where
+    * eigenvalue allocation degenerates to descending-variance order —
+    * MLlib SVD, the v65 training seam; orthonormal, so full-width
+    * geometry and the shared graph are untouched). MEASURED — the
+    * knee moves all the way left: plain serves recall@10
+    * 0.1/0.0/0.7/0.7 across 96/192/384/768 (a prefix of a spread
+    * basis is a random projection — at ≤192 dims the projection noise
+    * swamps the margins), rotated serves 0.8 at EVERY width, and 0.8
+    * IS this fixture's graph-serving ceiling (the full-1536-width
+    * walk also serves 0.8; flat exact-prefix search reads 0.9-1.0).
+    * At 96 floats (384 B/vec, 16× smaller than the 6 KiB full vector)
+    * the rotated prefix already serves the ceiling, because the
+    * decayed spectrum's ~72 effective dimensions fit inside the first
+    * 96 variance-ordered directions. The QuantGate seals the
+    * 192-prefix rung (floor 0.6, measured 0.8). The oracle replays
+    * the rotation matvec itself
+    * (persisted rotation rows, rounded 1e-6 — v65's contract), both
+    * variants' slices at every width, the sketch + per-bucket
+    * entries, all width-keyed walk rounds, the exact scan and every
+    * recall in SQL. */
+  def matryoshkaRotatedServe(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.operators.Opq
+    val (corpusDir, graphDir, rot, entries) = v74Fixture(spark, sfDir)
+    val all = spark.read.parquet(corpusDir)
+    val serving = all.filter(col("vec_id") =!= 1000L)
+    val graph = spark.read.parquet(graphDir)
+    val qDf = all.filter(col("vec_id") === 1000L)
+      .select(col("embedding").as("qe"))
+    val exact = Search.topK(serving, qDf, "vec_id", "embedding", "qe",
+      10).select(col("vec_id"), lit(1L).as("_hit")).localCheckpoint()
+    val wdf = Seq(96L, 192L, 384L, 768L).toDF("query_id")
+    def curve(sv: DataFrame, qv: DataFrame, variant: String)
+        : DataFrame = {
+      val pv = sv.crossJoin(broadcast(wdf))
+        .select(col("query_id"), col("vec_id"),
+          slice(col("embedding"), lit(1), col("query_id").cast("int"))
+            .as("embedding"))
+        .localCheckpoint()
+      val g4 = graph.crossJoin(broadcast(wdf))
+        .select(col("query_id"), col("src"), col("dst"))
+      val e4 = wdf.crossJoin(entries.toDF("vec_id"))
+      val qe4 = qv.crossJoin(broadcast(wdf))
+        .select(col("query_id"),
+          slice(col("qe"), lit(1), col("query_id").cast("int"))
+            .as("qe"))
+      Ann.graphBeamSearchMultiIndex(g4, pv, qe4, e4,
+          "vec_id", "embedding", "query_id", beam = 16, rounds = 3,
+          k = 10)
+        .join(exact, Seq("vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(max(col("nodes_touched")).as("nodes_touched"),
+          round(sum(coalesce(col("_hit"), lit(0L))).cast("double") /
+            10.0, 6).as("recall_at_10"))
+        .select(lit(variant).as("variant"),
+          col("query_id").as("width"),
+          (col("query_id") * 4).as("bytes_per_vec"),
+          col("nodes_touched"), col("recall_at_10"))
+    }
+    curve(serving, qDf, "plain")
+      .unionByName(curve(
+        Opq.rotate(serving, "vec_id", "embedding", rot),
+        Opq.rotate(all.filter(col("vec_id") === 1000L),
+            "vec_id", "embedding", rot)
+          .select(col("embedding").as("qe")),
+        "rotated"))
+      .orderBy("variant", "width")
+  }
+
   /** v68's trained models + their sealed gates — [[graft.operators
     * .AnisoPq]] codebooks on v30's EXACT training recipe (even
     * vec_ids of the 40× d=1536 fixture, m=8, k=16, maxIter=2, same
@@ -5028,6 +5368,56 @@ object VectorQueries {
     * actually ran against — Verify dumps `oracleSql` AFTER running the
     * queries, so the glob matches the run.
     */
+  /** v74's width-keyed prefix-walk replay for ONE variant — expects
+    * CTEs `g`, `en`, `wd` plus the variant's corpus `$c` (vec_id, e)
+    * and query `$q` (qe); emits ${p}cp/${p}qp/${p}en4/${p}g4/
+    * ${p}s0..${p}s3 (the multi-index unroll, v63's shape) and the
+    * ${p}t/${p}tp work/top-10 frames. */
+  private def prefixWalkVariantCtes(p: String, c: String,
+                                    q: String): String =
+    s"""${p}cp AS (SELECT wd.width, $c.vec_id,
+       |         $c.e[1:CAST(wd.width AS INT)] AS pe FROM $c, wd),
+       |${p}qp AS (SELECT wd.width,
+       |         $q.qe[1:CAST(wd.width AS INT)] AS qe FROM $q, wd),
+       |${p}en4 AS (SELECT wd.width, en.vec_id FROM en, wd),
+       |${p}g4 AS (SELECT wd.width, g.src, g.dst FROM g, wd),
+       |${p}s0 AS (SELECT ${p}cp.width, ${p}cp.vec_id,
+       |         list_cosine_similarity(${p}cp.pe, ${p}qp.qe) AS score
+       |       FROM ${p}cp JOIN ${p}en4 USING (width, vec_id)
+       |       JOIN ${p}qp USING (width)),
+       |${(1 to 3).map { r =>
+            s"""${p}b${r - 1} AS (SELECT width, vec_id AS src FROM (
+               |         SELECT width, vec_id,
+               |                row_number() OVER (PARTITION BY width
+               |                  ORDER BY score DESC, vec_id) AS r
+               |         FROM ${p}s${r - 1}) WHERE r <= 16),
+               |${p}i$r AS (SELECT width, vec_id FROM ${p}s${r - 1}
+               |       UNION SELECT ${p}g4.width, ${p}g4.dst
+               |             FROM ${p}g4 JOIN ${p}b${r - 1}
+               |             ON ${p}g4.width = ${p}b${r - 1}.width
+               |            AND ${p}g4.src = ${p}b${r - 1}.src),
+               |${p}s$r AS (SELECT ${p}i$r.width, ${p}i$r.vec_id,
+               |         list_cosine_similarity(${p}cp.pe, ${p}qp.qe)
+               |           AS score
+               |       FROM ${p}i$r JOIN ${p}cp USING (width, vec_id)
+               |       JOIN ${p}qp USING (width))""".stripMargin
+          }.mkString(",\n")},
+       |${p}t AS (SELECT width, count(*) AS nodes_touched FROM ${p}s3
+       |      GROUP BY width),
+       |${p}tp AS (SELECT width, vec_id FROM (
+       |         SELECT width, vec_id,
+       |                row_number() OVER (PARTITION BY width
+       |                  ORDER BY score DESC, vec_id) AS r
+       |         FROM ${p}s3) WHERE r <= 10),
+       |${p}res AS (SELECT CAST(${p}tp.width AS BIGINT) AS width,
+       |         ${p}t.nodes_touched,
+       |         round(CAST(sum(CASE WHEN ex.vec_id IS NULL THEN 0
+       |                             ELSE 1 END) AS DOUBLE) / 10.0, 6)
+       |           AS recall_at_10
+       |       FROM ${p}tp LEFT JOIN ex USING (vec_id)
+       |       JOIN ${p}t USING (width)
+       |       GROUP BY ${p}tp.width, ${p}t.nodes_touched)""".stripMargin
+
   /** The drift-decision replay shared by v71 (from-scratch
     * maintenanceCheck) and v72 (persisted-histogram fold): the
     * 20-plane sketch of the delta-accreted corpus, per-step fine
@@ -6611,6 +7001,140 @@ object VectorQueries {
     // (v71's exact SQL) — the hash match IS the proof that
     // fold ≡ re-sketch on the accreted corpus
     "v72_hist_fold_drift" -> v71DriftOracle,
+    // both stores served side by side: 20-plane sketch, the chooser's
+    // widths re-derived from the replayed histograms (frozen = the
+    // base's step-0 choice, rebucketed = the full corpus's), both
+    // bucket indexes, per-bucket top-2 entry rules, both 3-round
+    // beam-8 walks from the edge artifacts, exact top-10, and both
+    // recalls — the cost/benefit pair acting on `rebucket` buys
+    "v73_drift_serve" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM read_parquet('${Artifacts.oracleGlob("v71_corpus")}')),
+         |c AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
+         |ck AS (SELECT vec_id, vec_id % 1000 AS k, e FROM v
+         |       WHERE vec_id != 1000),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 1000),
+         |jj AS (SELECT unnest(range(0, 20)) AS j),
+         |d AS (SELECT ck.vec_id, ck.k, jj.j,
+         |        list_sum(list_transform(range(0, len(ck.e)), i ->
+         |          ck.e[CAST(i + 1 AS INT)] *
+         |          (CASE WHEN CAST(concat('0x', substring(
+         |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
+         |                 AS BIGINT)
+         |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
+         |      FROM ck, jj),
+         |fb AS (SELECT vec_id, k,
+         |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
+         |                       ELSE 0 END) AS BIGINT) AS fb
+         |       FROM d GROUP BY vec_id, k),
+         |bb AS (SELECT unnest(range(3, 21)) AS bucket_bits),
+         |histf AS (SELECT bb.bucket_bits,
+         |                 fb.fb % CAST(2 ** bb.bucket_bits AS BIGINT)
+         |                   AS bucket, count(*) AS bn
+         |          FROM fb, bb WHERE fb.k < 40 GROUP BY 1, 2),
+         |occf AS (SELECT bucket_bits,
+         |                round(CAST(sum(bn * bn) AS DOUBLE) / sum(bn), 4)
+         |                  AS size_biased
+         |         FROM histf GROUP BY bucket_bits),
+         |fch AS (SELECT coalesce(min(bucket_bits)
+         |                 FILTER (WHERE size_biased <= 48.0), 20) AS b
+         |        FROM occf),
+         |hista AS (SELECT bb.bucket_bits,
+         |                 fb.fb % CAST(2 ** bb.bucket_bits AS BIGINT)
+         |                   AS bucket, count(*) AS bn
+         |          FROM fb, bb GROUP BY 1, 2),
+         |occa AS (SELECT bucket_bits,
+         |                round(CAST(sum(bn * bn) AS DOUBLE) / sum(bn), 4)
+         |                  AS size_biased
+         |         FROM hista GROUP BY bucket_bits),
+         |rch AS (SELECT coalesce(min(bucket_bits)
+         |                 FILTER (WHERE size_biased <= 48.0), 20) AS b
+         |        FROM occa),
+         |bkf AS (SELECT vec_id,
+         |          fb.fb % CAST(2 ** (SELECT b FROM fch) AS BIGINT)
+         |            AS bucket FROM fb),
+         |bkr AS (SELECT vec_id,
+         |          fb.fb % CAST(2 ** (SELECT b FROM rch) AS BIGINT)
+         |            AS bucket FROM fb),
+         |fg AS (SELECT src, dst
+         |       FROM read_parquet('${Artifacts.oracleGlob("v73_frozen_graph")}')),
+         |rg AS (SELECT src, dst
+         |       FROM read_parquet('${Artifacts.oracleGlob("v73_fresh_graph")}')),
+         |fdg AS (SELECT dst AS vec_id, count(*) AS deg FROM fg
+         |        GROUP BY dst),
+         |fen AS (SELECT vec_id FROM (
+         |          SELECT bkf.vec_id,
+         |                 row_number() OVER (PARTITION BY bkf.bucket
+         |                   ORDER BY fdg.deg DESC, bkf.vec_id) AS rn
+         |          FROM bkf JOIN fdg USING (vec_id)) WHERE rn <= 2),
+         |rdg AS (SELECT dst AS vec_id, count(*) AS deg FROM rg
+         |        GROUP BY dst),
+         |ren AS (SELECT vec_id FROM (
+         |          SELECT bkr.vec_id,
+         |                 row_number() OVER (PARTITION BY bkr.bucket
+         |                   ORDER BY rdg.deg DESC, bkr.vec_id) AS rn
+         |          FROM bkr JOIN rdg USING (vec_id)) WHERE rn <= 2),
+         |${walkUnrollSql("f", "fg", "c", beam = 8, customEntries = true)},
+         |${walkUnrollSql("r", "rg", "c", beam = 8, customEntries = true)},
+         |ex AS (SELECT c.vec_id FROM c, q
+         |       ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
+         |       LIMIT 10),
+         |ftop AS (SELECT vec_id FROM fs3 ORDER BY score DESC, vec_id
+         |         LIMIT 10),
+         |rtop AS (SELECT vec_id FROM rs3 ORDER BY score DESC, vec_id
+         |         LIMIT 10),
+         |frec AS (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS r
+         |         FROM ftop JOIN ex USING (vec_id)),
+         |rrec AS (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS r
+         |         FROM rtop JOIN ex USING (vec_id)),
+         |fnt AS (SELECT count(*) AS nt FROM fs3),
+         |rnt AS (SELECT count(*) AS nt FROM rs3)
+         |SELECT * FROM (
+         |  SELECT 'frozen' AS variant,
+         |         CAST((SELECT b FROM fch) AS BIGINT) AS bucket_bits,
+         |         frec.r AS recall_at_10,
+         |         CAST(fnt.nt AS BIGINT) AS nodes_touched
+         |  FROM frec, fnt
+         |  UNION ALL
+         |  SELECT 'rebucketed', CAST((SELECT b FROM rch) AS BIGINT),
+         |         rrec.r, CAST(rnt.nt AS BIGINT) FROM rrec, rnt)
+         |ORDER BY variant""".stripMargin,
+    // both bases' prefix curves: the rotation matvec from the
+    // persisted rows (rounded 1e-6 — v65's contract), plain + rotated
+    // slices at every width, sketch + entries over the full vectors,
+    // 2 × 4 width-keyed walks, the full-width exact scan, every recall
+    "v74_prefix_rotated" ->
+      s"""WITH g AS (SELECT src, dst
+         |           FROM read_parquet('${Artifacts.oracleGlob("v74_graph")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("v74_corpus")}')),
+         |rr AS (SELECT o, rv
+         |       FROM read_parquet('${Artifacts.oracleGlob("v74_rot")}')),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 1000),
+         |c AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
+         |$refDimSketchCtes,
+         |$refDimEntryCtes,
+         |rw AS (SELECT c.vec_id,
+         |         list(round(list_dot_product(c.e, rr.rv), 6)
+         |              ORDER BY rr.o) AS e
+         |       FROM c, rr GROUP BY c.vec_id),
+         |rqw AS (SELECT list(round(list_dot_product(q.qe, rr.rv), 6)
+         |               ORDER BY rr.o) AS qe
+         |        FROM q, rr),
+         |wd AS (SELECT unnest([96, 192, 384, 768]) AS width),
+         |ex AS (SELECT c.vec_id FROM c, q
+         |       ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
+         |       LIMIT 10),
+         |${prefixWalkVariantCtes("p", "c", "q")},
+         |${prefixWalkVariantCtes("o", "rw", "rqw")}
+         |SELECT * FROM (
+         |  SELECT 'plain' AS variant, width,
+         |         CAST(width * 4 AS BIGINT) AS bytes_per_vec,
+         |         nodes_touched, recall_at_10 FROM pres
+         |  UNION ALL
+         |  SELECT 'rotated', width, CAST(width * 4 AS BIGINT),
+         |         nodes_touched, recall_at_10 FROM ores)
+         |ORDER BY variant, width""".stripMargin,
     // candidate-count replay of the build join (plain bucket join —
     // max |bucket| < 256, the salt provably never engages on this
     // fixture), per-bucket top-2 entries, 3 walk rounds, exact 1536-d
@@ -7826,6 +8350,8 @@ object VectorQueries {
       "v68_aniso_refdim" -> ((s, d) => v68Models(s, d): Unit),
       "v70_joint_aq" -> ((s, d) => v70Models(s, d): Unit),
       "v71_occupancy_drift" -> ((s, d) => v71Corpus(s, d): Unit),
+      "v73_drift_serve" -> ((s, d) => v73Stores(s, d): Unit),
+      "v74_prefix_rotated" -> ((s, d) => v74Fixture(s, d): Unit),
       "v72_hist_fold_drift" -> ((s, d) => {
         val all = s.read.parquet(v71Corpus(s, d))
           .filter(col("vec_id") =!= 1000L)
@@ -7882,6 +8408,8 @@ object VectorQueries {
     "v70_joint_aq" -> (refDimAq(_, _)),
     "v71_occupancy_drift" -> (occupancyDrift(_, _)),
     "v72_hist_fold_drift" -> (occupancyDriftFold(_, _)),
+    "v73_drift_serve" -> (driftServeCompare(_, _)),
+    "v74_prefix_rotated" -> (matryoshkaRotatedServe(_, _)),
     "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),

@@ -71,7 +71,10 @@ object SqliteReader {
     /** Walk the table B-tree rooted at `root`, decoding every leaf cell
       * (payload reassembled across overflow chains).
       */
-    def tableRows(root: Long): Iterator[Row] = {
+    def tableRows(root: Long): Iterator[Row] =
+      tableRows(root, _ => true)
+
+    def tableRows(root: Long, keep: Int => Boolean): Iterator[Row] = {
       val off = pageOff(root)
       val hdr = off + (if (root == 1L) 100 else 0)
       u8(hdr) match {
@@ -83,19 +86,19 @@ object SqliteReader {
             val cellOff = off + u16(hdr + 12 + 2 * i)
             u32(cellOff)
           } :+ u32(hdr + 8) // right-most pointer
-          children.iterator.flatMap(tableRows)
+          children.iterator.flatMap(tableRows(_, keep))
         case 0x0d => // leaf table page
           val nCells = u16(hdr + 3)
           (0 until nCells).iterator.map { i =>
             val cellOff = off + u16(hdr + 8 + 2 * i)
-            readLeafCell(cellOff)
+            readLeafCell(cellOff, keep)
           }
         case t => throw new IllegalStateException(
           s"unexpected b-tree page type 0x${t.toHexString} at page $root")
       }
     }
 
-    private def readLeafCell(cellOff: Int): Row = {
+    private def readLeafCell(cellOff: Int, keep: Int => Boolean): Row = {
       val (payloadLen, n1) = varint(cellOff)
       val (rowid, n2) = varint(cellOff + n1)
       val payloadOff = cellOff + n1 + n2
@@ -130,11 +133,16 @@ object SqliteReader {
             s"overflow chain ended early: $written of $payloadLen bytes")
           out
         }
-      Row(rowid, decodeRecord(payload))
+      Row(rowid, decodeRecord(payload, keep))
     }
 
-    /** Decode a record payload: header of serial types, then values. */
-    private def decodeRecord(p: Array[Byte]): IndexedSeq[Any] = {
+    /** Decode a record payload: header of serial types, then values.
+      * Columns with `keep(ordinal) == false` are SKIPPED — their body
+      * bytes advance the cursor but are never materialized (the DSv2
+      * column-pruning contract: a pruned 6 KiB blob costs zero
+      * allocations), and a null placeholder keeps ordinals stable. */
+    private def decodeRecord(p: Array[Byte],
+                             keep: Int => Boolean): IndexedSeq[Any] = {
       def pVarint(off: Int): (Long, Int) = {
         var v = 0L
         var i = 0
@@ -155,38 +163,53 @@ object SqliteReader {
         off += n
       }
       var dataOff = hdrLen.toInt
+      var ci = -1
       types.map { t =>
-        def int(nBytes: Int): Long = {
-          var v = if ((p(dataOff) & 0x80) != 0) -1L else 0L // sign-extend
-          var i = 0
-          while (i < nBytes) { v = (v << 8) | (p(dataOff + i) & 0xff); i += 1 }
-          dataOff += nBytes
-          v
-        }
-        t match {
-          case 0 => null
-          case 1 => int(1)
-          case 2 => int(2)
-          case 3 => int(3)
-          case 4 => int(4)
-          case 5 => int(6)
-          case 6 => int(8)
-          case 7 =>
-            val v = java.lang.Double.longBitsToDouble(int(8)); v
-          case 8 => 0L
-          case 9 => 1L
-          case n if n >= 13 && n % 2 == 1 => // text
-            val len = ((n - 13) / 2).toInt
-            val s = new String(p, dataOff, len, "UTF-8")
-            dataOff += len
-            s
-          case n if n >= 12 && n % 2 == 0 => // blob
-            val len = ((n - 12) / 2).toInt
-            val b = java.util.Arrays.copyOfRange(p, dataOff, dataOff + len)
-            dataOff += len
-            b
+        ci += 1
+        val bodyLen: Int = t match {
+          case 0 | 8 | 9 => 0
+          case 1 => 1
+          case 2 => 2
+          case 3 => 3
+          case 4 => 4
+          case 5 => 6
+          case 6 | 7 => 8
+          case n if n >= 13 && n % 2 == 1 => ((n - 13) / 2).toInt
+          case n if n >= 12 && n % 2 == 0 => ((n - 12) / 2).toInt
           case other =>
             throw new IllegalStateException(s"reserved serial type $other")
+        }
+        if (!keep(ci)) { dataOff += bodyLen; null }
+        else {
+          def int(nBytes: Int): Long = {
+            var v = if ((p(dataOff) & 0x80) != 0) -1L else 0L // sign-extend
+            var i = 0
+            while (i < nBytes) { v = (v << 8) | (p(dataOff + i) & 0xff); i += 1 }
+            dataOff += nBytes
+            v
+          }
+          t match {
+            case 0 => null
+            case 1 => int(1)
+            case 2 => int(2)
+            case 3 => int(3)
+            case 4 => int(4)
+            case 5 => int(6)
+            case 6 => int(8)
+            case 7 =>
+              val v = java.lang.Double.longBitsToDouble(int(8)); v
+            case 8 => 0L
+            case 9 => 1L
+            case n if n >= 13 && n % 2 == 1 => // text
+              val s = new String(p, dataOff, bodyLen, "UTF-8")
+              dataOff += bodyLen
+              s
+            case _ => // blob (reserved types already rejected above)
+              val b = java.util.Arrays.copyOfRange(p, dataOff,
+                dataOff + bodyLen)
+              dataOff += bodyLen
+              b
+          }
         }
       }.toIndexedSeq
     }
@@ -194,7 +217,8 @@ object SqliteReader {
     /** rootpage of `table` from sqlite_master (B-tree at page 1; its
       * rows are (type, name, tbl_name, rootpage, sql)). */
     def rootPageOf(table: String): Long =
-      tableRows(1L)
+      if (table == "sqlite_master") 1L // the master table IS page 1
+      else tableRows(1L)
         .collectFirst {
           case Row(_, vs)
               if vs.lift(0).contains("table") && vs.lift(1).contains(table) =>
@@ -207,6 +231,24 @@ object SqliteReader {
   /** All rows of `table`, rowid-aliased NULL integer-primary-key
     * columns resolved to the rowid.
     */
+  /** Projected read for the DSv2 scan: decode ONLY `ordinals`
+    * (indexes into the table's stored column order) — other columns'
+    * bodies are cursor-skipped, never materialized. Values come back
+    * in `ordinals` order; the INTEGER-PRIMARY-KEY rowid alias applies
+    * to ordinal 0 exactly as in [[readTable]]. */
+  def readTableProjected(bytes: Array[Byte], table: String,
+                         ordinals: Array[Int])
+      : Iterator[IndexedSeq[Any]] = {
+    val db = new Db(bytes)
+    val keep = ordinals.toSet
+    db.tableRows(db.rootPageOf(table), keep.contains).map { r =>
+      ordinals.toIndexedSeq.map { o =>
+        val v = r.values.lift(o).orNull
+        if (o == 0 && v == null) r.rowid else v
+      }
+    }
+  }
+
   def readTable(bytes: Array[Byte], table: String): Iterator[Row] = {
     val db = new Db(bytes)
     db.tableRows(db.rootPageOf(table)).map { r =>
