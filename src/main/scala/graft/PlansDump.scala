@@ -329,7 +329,40 @@ object PlansDump {
           "mapPartitions passes — table pages by rowid, index pages " +
           "by content — with only a metadata prefix-sum on the " +
           "driver; the single-file byte stream at the end is the " +
-          "format's own constraint, not a plan defect."))
+          "format's own constraint, not a plan defect."),
+      "v72_hist_fold_drift" ->
+        ("O(delta) maintenance by histogram FOLD: per accretion step " +
+          "the only corpus-shaped work is one narrow sketch pass over " +
+          "the DELTA reduced map-side to its fine histogram; the fold " +
+          "is a union of two model-sized frames + a groupBy, and every " +
+          "candidate width re-aggregates the folded histogram — the " +
+          "persisted base is READ ONCE as a model-sized parquet, never " +
+          "re-sketched. The plan that at 100 TB turns maintenance from " +
+          "a store re-read into a delta read."),
+      "t72_semantic_prefilter" ->
+        ("ANN-prefiltered decontamination: the bucketed eval index is " +
+          "ONE broadcast row (BroadcastNestedLoopJoin against a 1-row " +
+          "frame = a literal in all but name), and probes, candidate " +
+          "lookup (map element_at) and the candidate argmax are narrow " +
+          "projections INSIDE the corpus scan — the corpus never " +
+          "shuffles; the only exchange is the 5-row stratum rollup."),
+      "v74_prefix_rotated" ->
+        ("Rotated prefix serving: the PCA matvec is one broadcast-" +
+          "kernel projection (MatVecRotateBcast — the 1536x1536 matrix " +
+          "ships once per executor, not per task), prefix widths are " +
+          "slice projections of the same scan, and the width-keyed " +
+          "walk rounds are rank-window beams + point-lookup joins — " +
+          "per-round state is beam-degree-rounds rows, never " +
+          "corpus-scale."),
+      "i28_sqlite_dsv2" ->
+        ("DSv2 sqlite scan: BatchScan with one InputPartition per .db " +
+          "file; column pruning is visible in THIS plan's scan output " +
+          "— the aggregation path never uses `content`, so the scan " +
+          "reads [id, vector] only — and the query's hash-gated " +
+          "pruned_read_schema column additionally pins the blob-free " +
+          "projection reading (id, content), with pruned bodies " +
+          "skipped inside the record decoder, not dropped after " +
+          "materialization."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")

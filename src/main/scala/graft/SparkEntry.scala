@@ -68,6 +68,8 @@ object SparkEntry {
     "v71_occupancy_drift",  // delta-accreted 320x corpus
     "v72_hist_fold_drift",  // persisted base fine histogram
     "v73_drift_serve",      // frozen + rebucketed 320x stores
+    "v74_prefix_rotated",   // graded-spectrum corpus + graph + rotation
+    "v75_neardup_tier",     // shares the v71 accreted corpus
   )
 
   /** Artifact-only warmers: per owner, build/seal/load its shared

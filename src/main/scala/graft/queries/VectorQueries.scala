@@ -3903,6 +3903,66 @@ object VectorQueries {
       .orderBy("variant")
   }
 
+  /** THE NEAR-DUP TIER UNDER THE GRAPH BUILD — the round-15 verdict's
+    * item 4, removing the residual cluster-core floor the SCALING
+    * sweeps name: at the FULL sketch width some vectors stay
+    * co-bucketed because no hyperplane separates them (their
+    * difference projects below every plane's margin), so max-|bucket|
+    * floors out — the salt cap bounds the join cost but converts the
+    * excess into sampled-candidate recall loss. Those vectors are by
+    * construction near-duplicates, so the structural fix is the dedup
+    * tier composed as a PRE-BUILD pass
+    * ([[Ann.fineBucketNearDupReps]]): collapse same-fine-bucket
+    * vectors at cosine ≥ 0.8 to their smallest-id representative
+    * (one blocked join — the blocking key IS the floor, so the pair
+    * work is bounded by the thing being removed), keep a
+    * (member → rep) sidecar for result expansion, and build on the
+    * representatives. This query pins the before/after occupancy on
+    * the 320× delta-accreted corpus at BOTH the fine width (the
+    * floor itself) and each variant's chooser-picked width. MEASURED:
+    * 2,239 → 607 vectors (the replica cores collapse ~4:1), the
+    * fine-width floor goes from max-bucket 58 / size-biased 16.6 to
+    * 3 / 1.03 — after the tier essentially every fine bucket is a
+    * singleton, so NOTHING the sketch cannot split remains for the
+    * salt cap to sample away — and the chooser relaxes 13 → 7 bits
+    * while HOLDING the size-biased load under target (47.3 → 40.4):
+    * the same serving cost at 64× fewer buckets. The oracle replays the 20-plane
+    * sketch, the fine-bucket pair join with the tau rule, the rep
+    * choice, both variants' full per-width histograms, both chooser
+    * decisions and all the occupancy stats in SQL.
+    */
+  def nearDupTierOccupancy(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val corpus = spark.read.parquet(v71Corpus(spark, sfDir))
+      .filter(col("vec_id") =!= 1000L)
+    val reps = Ann.fineBucketNearDupReps(corpus, "vec_id", "embedding",
+      bits = 20, fineBits = 20, tau = 0.8)
+    val collapsed = corpus.join(
+      reps.filter(col("rep_id") === col("vec_id")).select("vec_id"),
+      Seq("vec_id"))
+    def row(df: DataFrame, variant: String): DataFrame = {
+      val occ = Ann.bucketOccupancy(df, "embedding", 20, 3, 20)
+        .localCheckpoint()
+      val chosen = Ann.chooseBucketBits(occ,
+        Ann.DefaultTargetSizeBiased)
+      val fine = occ.filter(col("bucket_bits") === 20)
+        .select(col("max_bucket").as("fine_max_bucket"),
+          col("size_biased").as("fine_size_biased"))
+      val ch = occ.filter(col("bucket_bits") === chosen)
+        .select(col("max_bucket").as("chosen_max_bucket"),
+          col("size_biased").as("chosen_size_biased"))
+      val n = df.agg(count(lit(1)).as("n_vectors"))
+      n.crossJoin(fine).crossJoin(ch)
+        .select(lit(variant).as("variant"), col("n_vectors"),
+          col("fine_max_bucket"), col("fine_size_biased"),
+          lit(chosen.toLong).as("chosen_bits"),
+          col("chosen_max_bucket"), col("chosen_size_biased"))
+    }
+    row(corpus, "full")
+      .unionByName(row(collapsed, "collapsed"))
+      .orderBy("variant")
+  }
+
   /** v74's fixture geometry, shared by the builder, the query and the
     * oracle text. The bucket width is fixture-PINNED (the occupancy
     * chooser's measured pick on the sealed corpus — the builder
@@ -7099,6 +7159,77 @@ object VectorQueries {
          |  SELECT 'rebucketed', CAST((SELECT b FROM rch) AS BIGINT),
          |         rrec.r, CAST(rnt.nt AS BIGINT) FROM rrec, rnt)
          |ORDER BY variant""".stripMargin,
+    // the tier replay: 20-plane sketch, fine-bucket pair join with
+    // the cosine-tau rule, smallest-id rep choice, both variants'
+    // full per-width histograms, both chooser decisions, all stats
+    "v75_neardup_tier" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM read_parquet('${Artifacts.oracleGlob("v71_corpus")}')),
+         |c AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
+         |jj AS (SELECT unnest(range(0, 20)) AS j),
+         |d AS (SELECT c.vec_id, jj.j,
+         |        list_sum(list_transform(range(0, len(c.e)), i ->
+         |          c.e[CAST(i + 1 AS INT)] *
+         |          (CASE WHEN CAST(concat('0x', substring(
+         |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
+         |                 AS BIGINT)
+         |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
+         |      FROM c, jj),
+         |fb AS (SELECT vec_id,
+         |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
+         |                       ELSE 0 END) AS BIGINT) AS fb
+         |       FROM d GROUP BY vec_id),
+         |bb AS (SELECT unnest(range(3, 21)) AS bucket_bits),
+         |ha AS (SELECT bb.bucket_bits,
+         |              fb.fb % CAST(2 ** bb.bucket_bits AS BIGINT)
+         |                AS bucket, count(*) AS bn
+         |       FROM fb, bb GROUP BY 1, 2),
+         |oa AS (SELECT bucket_bits, max(bn) AS max_bucket,
+         |              round(CAST(sum(bn * bn) AS DOUBLE) / sum(bn), 4)
+         |                AS size_biased
+         |       FROM ha GROUP BY 1),
+         |cha AS (SELECT coalesce(min(bucket_bits)
+         |                 FILTER (WHERE size_biased <= 48.0), 20) AS b
+         |        FROM oa),
+         |pr AS (SELECT f1.vec_id AS m, f2.vec_id AS nn
+         |       FROM fb f1 JOIN fb f2
+         |         ON f1.fb = f2.fb AND f2.vec_id < f1.vec_id
+         |       JOIN c cm ON cm.vec_id = f1.vec_id
+         |       JOIN c cn ON cn.vec_id = f2.vec_id
+         |       WHERE list_cosine_similarity(cm.e, cn.e) >= 0.8),
+         |keep AS (SELECT c.vec_id FROM c LEFT JOIN pr ON pr.m = c.vec_id
+         |         GROUP BY c.vec_id HAVING count(pr.nn) = 0),
+         |hc AS (SELECT bb.bucket_bits,
+         |              fb.fb % CAST(2 ** bb.bucket_bits AS BIGINT)
+         |                AS bucket, count(*) AS bn
+         |       FROM fb JOIN keep USING (vec_id), bb GROUP BY 1, 2),
+         |oc AS (SELECT bucket_bits, max(bn) AS max_bucket,
+         |              round(CAST(sum(bn * bn) AS DOUBLE) / sum(bn), 4)
+         |                AS size_biased
+         |       FROM hc GROUP BY 1),
+         |chc AS (SELECT coalesce(min(bucket_bits)
+         |                 FILTER (WHERE size_biased <= 48.0), 20) AS b
+         |        FROM oc)
+         |SELECT * FROM (
+         |  SELECT 'collapsed' AS variant,
+         |         (SELECT count(*) FROM keep) AS n_vectors,
+         |         f.max_bucket AS fine_max_bucket,
+         |         f.size_biased AS fine_size_biased,
+         |         CAST((SELECT b FROM chc) AS BIGINT) AS chosen_bits,
+         |         ch.max_bucket AS chosen_max_bucket,
+         |         ch.size_biased AS chosen_size_biased
+         |  FROM oc f, oc ch
+         |  WHERE f.bucket_bits = 20
+         |    AND ch.bucket_bits = (SELECT b FROM chc)
+         |  UNION ALL
+         |  SELECT 'full', (SELECT count(*) FROM c),
+         |         f.max_bucket, f.size_biased,
+         |         CAST((SELECT b FROM cha) AS BIGINT),
+         |         ch.max_bucket, ch.size_biased
+         |  FROM oa f, oa ch
+         |  WHERE f.bucket_bits = 20
+         |    AND ch.bucket_bits = (SELECT b FROM cha))
+         |ORDER BY variant""".stripMargin,
     // both bases' prefix curves: the rotation matvec from the
     // persisted rows (rounded 1e-6 — v65's contract), plain + rotated
     // slices at every width, sketch + entries over the full vectors,
@@ -8352,6 +8483,7 @@ object VectorQueries {
       "v71_occupancy_drift" -> ((s, d) => v71Corpus(s, d): Unit),
       "v73_drift_serve" -> ((s, d) => v73Stores(s, d): Unit),
       "v74_prefix_rotated" -> ((s, d) => v74Fixture(s, d): Unit),
+      "v75_neardup_tier" -> ((s, d) => v71Corpus(s, d): Unit),
       "v72_hist_fold_drift" -> ((s, d) => {
         val all = s.read.parquet(v71Corpus(s, d))
           .filter(col("vec_id") =!= 1000L)
@@ -8410,6 +8542,7 @@ object VectorQueries {
     "v72_hist_fold_drift" -> (occupancyDriftFold(_, _)),
     "v73_drift_serve" -> (driftServeCompare(_, _)),
     "v74_prefix_rotated" -> (matryoshkaRotatedServe(_, _)),
+    "v75_neardup_tier" -> (nearDupTierOccupancy(_, _)),
     "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),

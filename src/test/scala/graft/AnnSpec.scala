@@ -741,6 +741,37 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("fineBucketNearDupReps: collapses same-fine-bucket near-dups " +
+      "to the smallest id, leaves separated or dissimilar rows alone") {
+    // cluster A: 3 near-identical vectors (same bucket at any width);
+    // cluster B: 2 near-identical; id 30 similar to A but OPPOSITE
+    // sign on one strong component -> different fine bucket (the tier
+    // must NOT collapse what the sketch can separate)
+    val emb = vecsDf(
+      (10L, Seq(10f, 0.1f, 0f, 0f)), (11L, Seq(10f, 0.11f, 0f, 0f)),
+      (12L, Seq(10f, 0.09f, 0f, 0f)),
+      (20L, Seq(0f, 0f, 10f, 0.1f)), (21L, Seq(0f, 0f, 10f, 0.11f)),
+      (30L, Seq(10f, -9f, 0f, 0f)))
+    val reps = Ann.fineBucketNearDupReps(emb, "vec_id", "embedding",
+        bits = 12, fineBits = 12, tau = 0.95)
+      .as[(Long, Long)].collect().toMap
+    assert(reps(10L) == 10L && reps(11L) == 10L && reps(12L) == 10L)
+    assert(reps(20L) == 20L && reps(21L) == 20L)
+    // 30's cosine to the A rows is ~0.74 < tau even if co-bucketed,
+    // and its bucket differs: it stays its own rep either way
+    assert(reps(30L) == 30L)
+    assert(reps.size == 6)
+    // the guard trips on a hot fine bucket instead of going quadratic
+    val e = intercept[Exception] {
+      Ann.fineBucketNearDupReps(emb, "vec_id", "embedding",
+        bits = 12, fineBits = 12, tau = 0.95, maxBucketRows = 2)
+        .count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("fineBucketNearDupReps")), msgs(e))
+  }
+
   test("updateKnnGraphIncremental: O(delta) path identical to the " +
       "checked update — sidecar, folded histogram, and verdict") {
     val base = emb // ids 1..6, two clusters
