@@ -741,6 +741,43 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("histogram fold is split-invariant: any partition of the corpus " +
+      "folds to the from-scratch histogram and decision table") {
+    // 48 ring vectors, split three unequal ways — the additive-sketch
+    // property the O(delta) maintenance path rests on must hold for
+    // ANY batch boundary, not just the fixtures' halves
+    val rows = (0 until 48).map { i =>
+      val a = i * 0.37
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat,
+        math.cos(2 * a).toFloat, math.sin(5 * a).toFloat))
+    }
+    val df = vecsDf(rows: _*)
+    val parts = Seq(
+      df.filter(col("vec_id") < 7),
+      df.filter(col("vec_id") >= 7 && col("vec_id") < 30),
+      df.filter(col("vec_id") >= 30))
+    val folded = parts
+      .map(Ann.fineOccupancyHistogram(_, "embedding", 12, 12))
+      .reduce(Ann.foldOccupancyHistogram)
+    val scratch = Ann.fineOccupancyHistogram(df, "embedding", 12, 12)
+    assert(folded.as[(Long, Long)].collect().toSeq.sorted ==
+      scratch.as[(Long, Long)].collect().toSeq.sorted)
+    // and the whole decision table downstream agrees
+    val a = Ann.occupancyFromHistogram(folded, 1, 12).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    val b = Ann.bucketOccupancy(df, "embedding", 12, 1, 12).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    assert(a == b)
+    // an empty delta is the fold's identity
+    val empty = Ann.fineOccupancyHistogram(
+      df.filter(col("vec_id") < 0), "embedding", 12, 12)
+    assert(Ann.foldOccupancyHistogram(scratch, empty)
+      .as[(Long, Long)].collect().toSeq.sorted ==
+      scratch.as[(Long, Long)].collect().toSeq.sorted)
+  }
+
   test("fineBucketNearDupReps: collapses same-fine-bucket near-dups " +
       "to the smallest id, leaves separated or dissimilar rows alone") {
     // cluster A: 3 near-identical vectors (same bucket at any width);
