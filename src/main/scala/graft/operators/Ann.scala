@@ -1166,6 +1166,18 @@ object Ann {
     require(0 < bucketBits && bucketBits <= bbMax && bbMax <= bits,
       s"updateKnnGraphIncremental: need 0 < bucketBits=$bucketBits <= " +
         s"bbMax=$bbMax <= bits=$bits")
+    // geometry guard: the fold ≡ from-scratch contract only holds when
+    // the persisted artifacts were built at THESE widths — a stale or
+    // wrong-width artifact would silently yield wrong salt counts,
+    // candidates and drift verdicts. baseHist is model-sized, so the
+    // check is one tiny driver-side agg; baseIndex is corpus-scale, so
+    // its check rides the union projection as an inline raise_error
+    // (zero extra pass — see checked bucket below).
+    val histMax = baseHist.agg(max("fb")).head()
+    require(histMax.isNullAt(0) || histMax.getLong(0) < (1L << bbMax),
+      s"updateKnnGraphIncremental: baseHist has fb=${histMax.get(0)} " +
+        s">= 2^$bbMax — the persisted fine histogram was folded at a " +
+        "different width than bbMax; refusing to fold")
     // one sketch pass over the delta feeds BOTH derived frames: the
     // fine histogram bucket and the join bucket are prefixes of the
     // same planes (the AnnSpec mask-prefix gate)
@@ -1177,8 +1189,17 @@ object Ann {
     val folded = foldOccupancyHistogram(baseHist, deltaHist)
       .localCheckpoint() // model-sized; reused by counts AND verdict
     val bMask = lit((1L << bucketBits) - 1)
+    val checkedBucket = when(
+      col("bucket") < 0 || col("bucket") >= (1L << bucketBits),
+      raise_error(concat(
+        lit("updateKnnGraphIncremental: baseIndex bucket "),
+        col("bucket"),
+        lit(s" out of range for bucketBits=$bucketBits — the " +
+          "persisted index was built at a different width")))
+        .cast("long"))
+      .otherwise(col("bucket"))
     val combinedIndex = baseIndex
-      .select(col(idCol), col(vecCol), col("bucket"))
+      .select(col(idCol), col(vecCol), checkedBucket.as("bucket"))
       .unionByName(deltaFine.select(col(idCol), col(vecCol),
         col("fb").bitwiseAND(bMask).as("bucket")))
     val bucketCounts = folded
@@ -1215,12 +1236,25 @@ object Ann {
     * of the `bits`-plane sketch — precisely the set the sketch cannot
     * separate, which is what makes the pair join's blocking key the
     * floor itself: Σ|fine bucket|² work, guarded by
-    * `maxBucketRows`), and rep(v) = the smallest same-bucket id u
-    * with cosine(u, v) ≥ `tau` (v itself included) — ONE join, no
-    * transitive closure: chains beyond a single hop keep extra reps,
-    * which only makes the collapse conservative. Returns
+    * `maxBucketRows`). A row is KEPT iff it has no smaller same-bucket
+    * id u with cosine(u, v) ≥ `tau` (so the keep set is a single
+    * blocked join — no closure needed to decide it); each dropped
+    * row's one-hop rep (its smallest qualifying u) is then resolved to
+    * a FIXPOINT by pointer-jumping member → rep chains until every
+    * rep_id is itself a kept id. The fixpoint matters for similarity
+    * CHAINS (cos(1,2) ≥ τ, cos(2,3) ≥ τ, cos(1,3) < τ): one hop would
+    * point 3 at the dropped row 2 and the sidecar would dangle —
+    * 3 would vanish from a rep-built index with no kept stand-in.
+    * Resolved reps give chains the standard transitive near-dup
+    * semantics (a member's final rep may sit below τ of it directly;
+    * it is reachable through ≥ τ hops — the same contract as t02's
+    * connected-component dedup). Rep ids strictly decrease along a
+    * chain, so jumping halves the unresolved chain length per round
+    * and terminates in O(log chain) joins over the DUPLICATE subset
+    * only (kept rows never re-enter the loop). Returns
     * (idCol, rep_id) for EVERY input row; rows with rep_id = id are
-    * the representatives the build keeps.
+    * the representatives the build keeps, and every rep_id is one of
+    * them.
     */
   def fineBucketNearDupReps(emb: DataFrame, idCol: String,
                             vecCol: String, bits: Int, fineBits: Int,
@@ -1243,13 +1277,33 @@ object Ann {
       .drop("_mx")
     val b = idx.select(col("bucket"), col(idCol).as("_n_id"),
       col(vecCol).as("_n_vec"))
-    a.join(b, Seq("bucket"), "left")
+    val oneHop = a.join(b, Seq("bucket"), "left")
       .withColumn("_match",
         when(col("_n_id") < col("_m_id") &&
           cosineSim(col("_m_vec"), col("_n_vec")) >= tau, col("_n_id")))
       .groupBy(col("_m_id").as(idCol))
       .agg(coalesce(min(col("_match")), min(col("_m_id")))
         .as("rep_id"))
+    // fixpoint: only the dropped rows can chain, so the loop runs on
+    // the duplicate subset; a member is unresolved while its rep_id is
+    // itself a member id (i.e. a dropped row)
+    val kept = oneHop.filter(col("rep_id") === col(idCol))
+      .localCheckpoint()
+    var members = oneHop.filter(col("rep_id") =!= col(idCol))
+      .localCheckpoint()
+    def unresolved(m: DataFrame): Long =
+      m.join(m.select(col(idCol).as("_cid")),
+        m("rep_id") === col("_cid")).count()
+    while (unresolved(members) > 0) {
+      val hop = members.select(col(idCol).as("_cid"),
+        col("rep_id").as("_crep"))
+      members = members.join(hop,
+          members("rep_id") === col("_cid"), "left")
+        .select(members(idCol),
+          coalesce(col("_crep"), members("rep_id")).as("rep_id"))
+        .localCheckpoint()
+    }
+    kept.unionByName(members)
   }
 
   /** Batched [[graphBeamSearch]]: Q queries walk ONE shared graph in a

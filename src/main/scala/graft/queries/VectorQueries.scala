@@ -3979,7 +3979,7 @@ object VectorQueries {
     * a rotation to concentrate. Real encoder embeddings have fast-
     * decaying spectra (the empirical fact MRL training exploits);
     * this fixture generates exactly that, deterministically: latent
-    * z_i[dd] = (center(i%8)[dd] + 0.5·noise(i)[dd]) / (1 + dd/24) —
+    * z_i[dd] = (center(i%80)[dd] + 0.8·noise(i)[dd]) / (1 + dd/24) —
     * per-dimension variance decay, neighbor margins concentrated in
     * the leading latent dims — then mixes through the closed-form
     * orthonormal DCT-IV basis (Q[o][i] = √(2/D)·cos(π(o+½)(i+½)/D)),
@@ -3987,8 +3987,9 @@ object VectorQueries {
     * trained encoder's arbitrary output basis does. An orthonormal
     * mix preserves all cosines, so full-width truth is basis-free;
     * what differs is what a stored PREFIX keeps. 800 corpus points in
-    * 8 graded clusters + held-out query 1000 (cluster 0, fresh
-    * noise). */
+    * 80 graded clusters of 10 (cid = vec_id mod 80 — the geometry
+    * [[Opq.matryoshkaRotatedServe]]'s 80-cluster prose describes) +
+    * held-out query 1000 (cluster 0, fresh noise). */
   private val v74CacheF = scala.collection.concurrent.TrieMap
     .empty[String, (String, String, Array[Array[Double]], Seq[Long])]
 

@@ -54,7 +54,8 @@ class SqliteTableProvider extends TableProvider with DataSourceRegister {
     require(files.nonEmpty,
       s"sqlite source: no .db files at '${options.get("path")}'")
     SqliteSourceV2.schemaOf(
-      SqliteSourceV2.readBytes(files.head), tableName(options))
+      SqliteSourceV2.readBytes(files.head,
+        SqliteSourceV2.driverHadoopConf()), tableName(options))
   }
 
   override def getTable(schema: StructType,
@@ -111,21 +112,48 @@ private[sources] class SqliteScan(full: StructType, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val ordinals = required.fields
       .map(f => full.fieldIndex(f.name))
-    SqliteReaderFactory(table, ordinals, required)
+    // ship the DRIVER's resolved hadoop conf (incl. session-level
+    // spark.hadoop.* — e.g. object-store credentials) to the partition
+    // readers: a fresh executor-side Configuration() would list files
+    // with one auth on the driver and read them with another in the
+    // tasks. Broadcast so N tasks don't each serialize the conf.
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val conf = sc.broadcast(
+      new SerializableHadoopConf(SqliteSourceV2.driverHadoopConf()))
+    SqliteReaderFactory(table, ordinals, required, conf)
   }
 }
 
 private[sources] final case class SqliteFilePartition(path: String)
     extends InputPartition
 
+/** Java-serializable envelope for a hadoop [[Configuration]] (which
+  * is Writable, not Serializable) — lets the driver's resolved conf
+  * ride a broadcast to the partition readers. Same shape as Spark's
+  * own (spark-private) SerializableConfiguration. */
+private[sources] final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private[sources] final case class SqliteReaderFactory(
-    table: String, ordinals: Array[Int], required: StructType)
+    table: String, ordinals: Array[Int], required: StructType,
+    conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[SqliteFilePartition].path
     val rows = SqliteReader.readTableProjected(
-      SqliteSourceV2.readBytes(path), table, ordinals)
+      SqliteSourceV2.readBytes(path, conf.value.value), table, ordinals)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
@@ -151,29 +179,43 @@ private[sources] final case class SqliteReaderFactory(
 
 private[sources] object SqliteSourceV2 {
 
+  /** The driver's RESOLVED hadoop conf — session-level
+    * `spark.hadoop.*` options included (what `sessionState
+    * .newHadoopConf()` layers on top of the SparkContext conf), so
+    * object-store credentials set on the session reach both the
+    * listing and (broadcast) the partition readers. */
+  def driverHadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
   /** Expand `path` (file, directory, or glob) to the .db file list via
     * the Hadoop filesystem — the same resolution `binaryFile` uses, so
     * the DSv2 route and [[Sources.fromSqliteDocumentsRaw]] see the
-    * same files. */
+    * same files. Directory expansion keeps `*.db` only (matching the
+    * no-files error text): a stray _SUCCESS / temp file would
+    * otherwise be parsed as SQLite and fail the scan with an obscure
+    * b-tree error. An EXPLICIT file or glob match is taken as-is —
+    * the user named it, so a non-.db extension fails loudly in the
+    * header check rather than being silently skipped. */
   def resolveFiles(options: CaseInsensitiveStringMap): Seq[String] = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "sqlite source: 'path' is required"))
     val hp = new org.apache.hadoop.fs.Path(path)
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
-    val fs = hp.getFileSystem(conf)
+    val fs = hp.getFileSystem(driverHadoopConf())
     val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
     matched.flatMap { st =>
       if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq.filter(_.isFile).map(_.getPath)
+        fs.listStatus(st.getPath).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".db"))
+          .map(_.getPath)
       else Seq(st.getPath)
     }.map(_.toString).sorted
   }
 
-  def readBytes(path: String): Array[Byte] = {
+  def readBytes(path: String,
+                conf: org.apache.hadoop.conf.Configuration)
+      : Array[Byte] = {
     val hp = new org.apache.hadoop.fs.Path(path)
-    val conf = new org.apache.hadoop.conf.Configuration()
     val fs = hp.getFileSystem(conf)
     val len = fs.getFileStatus(hp).getLen
     require(len <= Int.MaxValue, s"sqlite file too large: $path")

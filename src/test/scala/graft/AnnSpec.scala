@@ -809,6 +809,84 @@ class AnnSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("fineBucketNearDupReps")), msgs(e))
   }
 
+  test("fineBucketNearDupReps: similarity CHAINS resolve to a " +
+      "fixpoint — every rep_id is a kept id, no dangling sidecar") {
+    // a 3-link chain: angles θ, θ+25°, θ+50° in the xy-plane, so
+    // cos(a,b) = cos(b,c) = cos 25° ≈ 0.906 ≥ τ=0.9 but
+    // cos(a,c) = cos 50° ≈ 0.643 < τ. One hop would point c at the
+    // DROPPED b (rep(c)=b, rep(b)=a) and c's sidecar would dangle at
+    // a vector the build removed; the fixpoint walks c → b → a. The
+    // fixture SEARCHES base angles for the first triple the sketch
+    // co-buckets at the fine width (the tier only collapses inside
+    // the fine bucket), so the test is robust to the hash family.
+    def triple(baseDeg: Int): Seq[(Long, Seq[Float])] =
+      Seq(0, 25, 50).zipWithIndex.map { case (off, i) =>
+        val a = math.toRadians(baseDeg + off)
+        (baseDeg * 10L + 1 + i,
+          Seq(math.cos(a).toFloat, math.sin(a).toFloat, 0f, 0f))
+      }
+    val all = vecsDf((0 until 90).flatMap(triple): _*)
+    val buckets = Ann
+      .srpBucketIndex(all, "vec_id", "embedding", bits = 12,
+        bucketBits = 4)
+      .select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    val base = (0 until 90).find { t =>
+      buckets(t * 10L + 1) == buckets(t * 10L + 2) &&
+        buckets(t * 10L + 2) == buckets(t * 10L + 3)
+    }
+    assert(base.isDefined,
+      "no co-bucketed chain triple in the angle sweep — rehash fixture")
+    val ids = (1 to 3).map(base.get * 10L + _)
+    val reps = Ann.fineBucketNearDupReps(vecsDf(triple(base.get): _*),
+        "vec_id", "embedding", bits = 12, fineBits = 4, tau = 0.9)
+      .as[(Long, Long)].collect().toMap
+    // transitive collapse: b and c both land on a (a is the only kept
+    // row), even though cos(a,c) < τ — c reaches a through ≥ τ hops
+    assert(reps(ids(0)) == ids(0) && reps(ids(1)) == ids(0) &&
+      reps(ids(2)) == ids(0), reps)
+    // the structural invariant the sidecar contract needs: every
+    // rep_id is itself a kept id (rep of rep == rep)
+    val kept = reps.collect { case (id, r) if id == r => id }.toSet
+    assert(reps.values.forall(kept.contains), reps)
+  }
+
+  test("updateKnnGraphIncremental: wrong-width persisted artifacts " +
+      "fail fast instead of folding wrong") {
+    val base = emb
+    val delta = vecsDf((10L, Seq(10f, 0.5f)))
+    val baseIndex = Ann.srpBucketIndex(base, "vec_id", "embedding",
+      bits = 12, bucketBits = 2)
+    val baseHist = Ann.fineOccupancyHistogram(base, "embedding",
+      bits = 12, bbMax = 12)
+    // a histogram persisted at a WIDER fine width than bbMax: its fb
+    // values overflow 2^bbMax — the driver-side guard refuses the fold
+    val wideHist = Ann.fineOccupancyHistogram(base, "embedding",
+      bits = 16, bbMax = 16)
+    val eh = intercept[IllegalArgumentException] {
+      Ann.updateKnnGraphIncremental(baseIndex, wideHist, delta,
+        "vec_id", "embedding", bits = 12, bucketBits = 2, degree = 2,
+        bbMin = 1, bbMax = 12)
+    }
+    assert(eh.getMessage.contains("different width"), eh.getMessage)
+    // an index persisted at a WIDER bucket width: bucket values
+    // overflow 2^bucketBits — the inline raise_error trips when the
+    // union is consumed
+    val wideIndex = Ann.srpBucketIndex(base, "vec_id", "embedding",
+      bits = 12, bucketBits = 12)
+    assert(wideIndex.agg(max("bucket")).head.getLong(0) >= 4L,
+      "fixture: wide index must actually exceed 2 bits")
+    val (sc2, _, _) = Ann.updateKnnGraphIncremental(wideIndex, baseHist,
+      delta, "vec_id", "embedding", bits = 12, bucketBits = 2,
+      degree = 2, bbMin = 1, bbMax = 12)
+    val ei = intercept[Exception] { sc2.count() }
+    def msgs2(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
+    assert(msgs2(ei).exists(_.contains("built at a different width")),
+      msgs2(ei))
+  }
+
   test("updateKnnGraphIncremental: O(delta) path identical to the " +
       "checked update — sidecar, folded histogram, and verdict") {
     val base = emb // ids 1..6, two clusters
