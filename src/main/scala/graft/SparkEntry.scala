@@ -70,6 +70,7 @@ object SparkEntry {
     "v73_drift_serve",      // frozen + rebucketed 320x stores
     "v74_prefix_rotated",   // graded-spectrum corpus + graph + rotation
     "v75_neardup_tier",     // shares the v71 accreted corpus
+    "v76_neardup_serve",    // rep graph + (member -> rep) sidecar
   )
 
   /** Artifact-only warmers: per owner, build/seal/load its shared

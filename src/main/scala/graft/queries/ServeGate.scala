@@ -68,6 +68,35 @@ object ServeGate {
     recallOf(walked, exactTop10(serving, qDf, idCol, vecCol))
   }
 
+  /** The v76 composed path: beam walk over the REPRESENTATIVE graph
+    * (the store [[graft.operators.Ann.fineBucketNearDupReps]]'s tier
+    * builds on), then result EXPANSION through the (member → rep)
+    * sidecar — every member of a hit rep re-enters the candidate set —
+    * and an exact-cosine rerank of the expanded set. recall@10 is
+    * against the FULL corpus's exact scan: the number that says the
+    * collapsed store still serves full-corpus results. Returns
+    * (recall@10, nodes the walk touched, members the rerank scored) —
+    * the walk's cost is rep-store-sized and the rerank's is bounded by
+    * the hit reps' group sizes, never the corpus. */
+  def nearDupExpandRecall(corpus: DataFrame, collapsed: DataFrame,
+                          reps: DataFrame, graph: DataFrame,
+                          entries: Seq[Long], qDf: DataFrame,
+                          idCol: String, vecCol: String, beam: Int,
+                          rounds: Int): (Double, Long, Long) = {
+    val walked = Ann.graphBeamSearch(graph, collapsed, qDf, idCol,
+        vecCol, entries, beam, rounds, k = 10)
+      .localCheckpoint()
+    val nodes = walked.agg(max("nodes_touched")).head().getLong(0)
+    val hitReps = walked.select(col(idCol).as("rep_id"))
+    val members = reps.join(broadcast(hitReps), Seq("rep_id"))
+      .select(idCol).localCheckpoint()
+    val expanded = Search.topK(corpus.join(members, Seq(idCol)), qDf,
+        idCol, vecCol, "qe", 10)
+      .select(idCol).collect().map(_.getLong(0)).toSet
+    (recallOf(expanded, exactTop10(corpus, qDf, idCol, vecCol)),
+      nodes, members.count())
+  }
+
   /** The v62 composed path: beam walk on packed sign bits (hamming via
     * XOR+popcount, [[Ann.graphBeamWalkBq]]), exact-cosine rerank of
     * the hamming shortlist, top-10. */

@@ -3963,6 +3963,166 @@ object VectorQueries {
       .orderBy("variant")
   }
 
+  /** v76's store: the k-NN graph built ON THE REPRESENTATIVES v75's
+    * tier keeps, plus the persisted (member → rep) sidecar — the
+    * serving pair the tier exists for. The bucket width is
+    * chooser-DERIVED on the collapsed corpus each run (never
+    * hand-pinned; the oracle re-derives it from the replayed
+    * histogram) and rides the fingerprint, so a drifted chooser
+    * rebuilds rather than serving a stale geometry. The composed
+    * serve path (walk + sidecar expansion + exact rerank) is
+    * ServeGate-sealed at build and re-checked on every cache hit. */
+  private val v76Cache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String, Int)]
+
+  private def v76Store(spark: SparkSession, sfDir: String)
+      : (String, String, Int) =
+    v76Cache.getOrElseUpdate(sfDir, {
+      val all = spark.read.parquet(v71Corpus(spark, sfDir))
+      val corpus = all.filter(col("vec_id") =!= 1000L)
+      val reps = Ann.fineBucketNearDupReps(corpus, "vec_id",
+        "embedding", bits = 20, fineBits = 20, tau = 0.8)
+        .localCheckpoint()
+      val collapsed = corpus.join(
+        reps.filter(col("rep_id") === col("vec_id")).select("vec_id"),
+        Seq("vec_id"))
+      val bb = Ann.occupancyBucketBits(collapsed, "embedding",
+        bits = 20, bbMin = 3, bbMax = 20)
+      Artifacts.reuseOrBuild(sfDir,
+          s"v76:v2:copies=320,tau0.8,bb$bb,deg8,sym:" +
+            Artifacts.inputDigest(RefDb),
+          Seq("v76_graph", "v76_reps")) {
+        Artifacts.write(reps, "v76_reps", sfDir)
+        // SYMMETRIZE the k-NN edges before persisting (HNSW's
+        // bidirectional-link convention, deduped): a directed k-NN
+        // graph over collapsed reps forms SINK CLIQUES — measured on
+        // this fixture, the 8 former-cluster-core reps nearest the
+        // query point only at each other (+1 external out-edge) and
+        // receive ZERO external in-edges, so the directed walk can
+        // never enter the region serving the exact top-10 (recall
+        // 0.0 at any beam). Reverse links make every out-edge an
+        // entry path; the walk then reaches the clique through the
+        // reverse of ITS OWN escape edge.
+        val fwd = Ann.buildKnnGraph(collapsed, "vec_id", "embedding",
+          bits = 20, bucketBits = bb, degree = 8)
+        val gDir = Artifacts.write(
+          fwd.unionByName(fwd.select(col("dst").as("src"),
+            col("src").as("dst"))).distinct(),
+          "v76_graph", sfDir)
+        val graph = spark.read.parquet(gDir)
+        val entries = Ann.topDegreeEntriesPerBucket(graph,
+          Ann.srpBucketIndex(collapsed, "vec_id", "embedding", 20, bb),
+          "vec_id", perBucket = 2)
+        val q = all.filter(col("vec_id") === 1000L)
+          .select(col("embedding").as("qe"))
+        val (rec, _, _) = ServeGate.nearDupExpandRecall(corpus,
+          collapsed, reps, graph, entries, q, "vec_id", "embedding",
+          beam = 8, rounds = 3)
+        QuantGate.seal(spark, "v76_serve", sfDir, rec, floor = 0.8,
+          note = "rep-graph walk + (member -> rep) sidecar expansion " +
+            "+ exact rerank, recall@10 vs the FULL 320x-accreted " +
+            "corpus's exact scan; measured 0.9 — 9 of the exact 10 " +
+            "live under the 7 walked clique reps, the one miss is a " +
+            "member whose rep sits 0.095 cosine BELOW it (the tau=" +
+            "0.8 collapse radius — the measured price of serving " +
+            "through the tier)")
+      }
+      QuantGate.check(spark, "v76_serve", sfDir)
+      (Artifacts.resolve("v76_graph", sfDir),
+        Artifacts.resolve("v76_reps", sfDir), bb)
+    })
+
+  /** SERVING THROUGH THE NEAR-DUP TIER — the round-16 verdict's item
+    * 1, closing the loop v75 opened: v75 proved collapsing
+    * same-fine-bucket near-duplicates (cos ≥ 0.8) removes the
+    * occupancy floor, but nothing yet WALKED a graph built on the
+    * 607 representatives and expanded hits back to full-corpus ids —
+    * the serving contract the (member → rep) sidecar exists for.
+    * This query runs that composed path end to end on the 320×
+    * delta-accreted corpus: build on the reps at the width the
+    * chooser picks on the COLLAPSED corpus (relaxed 13 → 7 bits,
+    * v75's measured pair), SYMMETRIZE the k-NN edges (see the build
+    * comment: the collapse turns former cluster cores into 8-member
+    * sink cliques with zero external in-edges — the directed walk
+    * measured recall 0.0 at ANY beam because the region serving the
+    * exact top-10 was unreachable; HNSW-style reverse links fix it
+    * and the walk enters the clique through the reverse of its own
+    * escape edge), per-bucket top-2 in-degree entries, the family's
+    * beam-8 / 3-round walk over the rep store, then EXPANSION —
+    * every member of a top-10 hit rep re-enters through the sidecar
+    * — and an exact-cosine rerank of the expanded set, top-10
+    * against the FULL corpus's exact scan. MEASURED: recall@10
+    * **0.9** touching **189** nodes of the 607-rep store and
+    * reranking 372 members — v73's rebucketed FULL-corpus store
+    * serves the same 0.9 touching 432 nodes of 2,239 and paying the
+    * full-width rebuild first; that pair is what justifies building
+    * on reps. The one miss is structural and honestly priced: exact
+    * hit 6190's rep sits 0.095 cosine BELOW it relative to the query
+    * (rep-rank 67 of 607) — the τ=0.8 collapse radius bounds how
+    * well a rep's score proxies its members', and that is the tier's
+    * serving cost, not a walk failure. The oracle replays EVERYTHING
+    * from the floats: the 20-plane sketch, the pair join with the τ
+    * rule, the one-hop rep choice AND its pointer-jump fixpoint
+    * (three UNROLLED jumps — chains to length 8 resolve to kept ids,
+    * with an unresolved_chains guard column pinned 0 on both sides;
+    * unrolled rather than a recursive CTE because duckdb 1.0.0
+    * mis-evaluates a plain UNION CTE inside a WITH RECURSIVE list —
+    * the walk's beam LIMIT silently stopped binding and the replay
+    * degenerated to a BFS closure, measured 549 visited vs the
+    * definition's 190), the collapsed
+    * histogram and the chooser width, the entry rule, the 3-round
+    * walk over the persisted symmetrized rep graph, the sidecar
+    * expansion, the exact rerank and the recall. ServeGate seals the
+    * composed path at build ([[ServeGate.nearDupExpandRecall]]);
+    * [[QuantGate.check]] re-binds it on every cache hit.
+    */
+  def nearDupTierServe(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val (gDir, rDir, bb) = v76Store(spark, sfDir)
+    val all = spark.read.parquet(v71Corpus(spark, sfDir))
+    val corpus = all.filter(col("vec_id") =!= 1000L)
+    val q = all.filter(col("vec_id") === 1000L)
+      .select(col("embedding").as("qe"))
+    val reps = spark.read.parquet(rDir)
+    val collapsed = corpus.join(
+      reps.filter(col("rep_id") === col("vec_id")).select("vec_id"),
+      Seq("vec_id"))
+    val graph = spark.read.parquet(gDir)
+    val entries = Ann.topDegreeEntriesPerBucket(graph,
+      Ann.srpBucketIndex(collapsed, "vec_id", "embedding", 20, bb),
+      "vec_id", perBucket = 2)
+    val exact = Search.topK(corpus, q, "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("_hit")).localCheckpoint()
+    val walked = Ann.graphBeamSearch(graph, collapsed, q, "vec_id",
+        "embedding", entryIds = entries, beam = 8, rounds = 3, k = 10)
+      .localCheckpoint()
+    val members = reps
+      .join(broadcast(walked.select(col("vec_id").as("rep_id"))),
+        Seq("rep_id"))
+      .select("vec_id").localCheckpoint()
+    val rescored = Search.topK(corpus.join(members, Seq("vec_id")), q,
+      "vec_id", "embedding", "qe", 10)
+    // the sidecar's structural invariant, re-counted from the
+    // PERSISTED artifact (the oracle counts its replay's residue
+    // after 3 unrolled pointer jumps): rows whose rep_id is not a
+    // kept id — 0, or the expansion contract is broken
+    val unresolved = reps.join(
+        reps.filter(col("rep_id") === col("vec_id"))
+          .select(col("vec_id").as("_kid")),
+        col("rep_id") === col("_kid"), "left_anti")
+      .agg(count(lit(1)).as("unresolved_chains"))
+    rescored.join(exact, Seq("vec_id"), "left")
+      .agg(round(sum(coalesce(col("_hit"), lit(0L))).cast("double") /
+        10.0, 6).as("recall_at_10"))
+      .crossJoin(collapsed.agg(count(lit(1)).as("n_reps")))
+      .crossJoin(walked.agg(max("nodes_touched").as("nodes_touched")))
+      .crossJoin(members.agg(count(lit(1)).as("members_rescored")))
+      .crossJoin(unresolved)
+      .select(lit(bb.toLong).as("chosen_bits"), col("n_reps"),
+        col("unresolved_chains"), col("nodes_touched"),
+        col("members_rescored"), col("recall_at_10"))
+  }
+
   /** v74's fixture geometry, shared by the builder, the query and the
     * oracle text. The bucket width is fixture-PINNED (the occupancy
     * chooser's measured pick on the sealed corpus — the builder
@@ -7231,6 +7391,97 @@ object VectorQueries {
          |  WHERE f.bucket_bits = 20
          |    AND ch.bucket_bits = (SELECT b FROM cha))
          |ORDER BY variant""".stripMargin,
+    // the tier's SERVING replay, everything from the floats: sketch,
+    // pair join + tau rule, one-hop rep + pointer-jump fixpoint
+    // (UNROLLED o1/o2/o3 — each jump doubles resolved chain length,
+    // so 3 jumps cover chains to 8; the unresolved_chains column is
+    // the loud guard for deeper ones. NOT a recursive CTE: duckdb
+    // 1.0.0 mis-evaluates a plain UNION CTE inside a WITH RECURSIVE
+    // list — measured here, ni1 returned 347 rows while its literal
+    // definition evaluates to <= 190 in the same query),
+    // collapsed histogram + chooser, entries, 3-round walk over the
+    // persisted rep graph, sidecar expansion, exact rerank, recall
+    "v76_neardup_serve" ->
+      s"""WITH v AS (SELECT vec_id,
+         |             CAST(embedding AS DOUBLE[]) AS e
+         |           FROM read_parquet('${Artifacts.oracleGlob("v71_corpus")}')),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 1000),
+         |c AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
+         |jj AS (SELECT unnest(range(0, 20)) AS j),
+         |d AS (SELECT c.vec_id, jj.j,
+         |        list_sum(list_transform(range(0, len(c.e)), i ->
+         |          c.e[CAST(i + 1 AS INT)] *
+         |          (CASE WHEN CAST(concat('0x', substring(
+         |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
+         |                 AS BIGINT)
+         |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
+         |      FROM c, jj),
+         |fb AS (SELECT vec_id,
+         |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
+         |                       ELSE 0 END) AS BIGINT) AS fb
+         |       FROM d GROUP BY vec_id),
+         |pr AS (SELECT f1.vec_id AS m, f2.vec_id AS nn
+         |       FROM fb f1 JOIN fb f2
+         |         ON f1.fb = f2.fb AND f2.vec_id < f1.vec_id
+         |       JOIN c cm ON cm.vec_id = f1.vec_id
+         |       JOIN c cn ON cn.vec_id = f2.vec_id
+         |       WHERE list_cosine_similarity(cm.e, cn.e) >= 0.8),
+         |oh AS (SELECT m AS id, min(nn) AS rep FROM pr GROUP BY m),
+         |o1 AS (SELECT a.id, coalesce(b.rep, a.rep) AS rep
+         |       FROM oh a LEFT JOIN oh b ON a.rep = b.id),
+         |o2 AS (SELECT a.id, coalesce(b.rep, a.rep) AS rep
+         |       FROM o1 a LEFT JOIN o1 b ON a.rep = b.id),
+         |o3 AS (SELECT a.id, coalesce(b.rep, a.rep) AS rep
+         |       FROM o2 a LEFT JOIN o2 b ON a.rep = b.id),
+         |keep AS (SELECT c.vec_id FROM c LEFT JOIN oh ON oh.id = c.vec_id
+         |         WHERE oh.id IS NULL),
+         |rp AS (SELECT vec_id AS id, vec_id AS rep FROM keep
+         |       UNION ALL SELECT id, rep FROM o3),
+         |ck AS (SELECT c.vec_id, c.e FROM c JOIN keep USING (vec_id)),
+         |bb AS (SELECT unnest(range(3, 21)) AS bucket_bits),
+         |hc AS (SELECT bb.bucket_bits,
+         |              fb.fb % CAST(2 ** bb.bucket_bits AS BIGINT)
+         |                AS bucket, count(*) AS bn
+         |       FROM fb JOIN keep USING (vec_id), bb GROUP BY 1, 2),
+         |oc AS (SELECT bucket_bits,
+         |              round(CAST(sum(bn * bn) AS DOUBLE) / sum(bn), 4)
+         |                AS size_biased
+         |       FROM hc GROUP BY 1),
+         |chc AS (SELECT coalesce(min(bucket_bits)
+         |                 FILTER (WHERE size_biased <= 48.0), 20) AS b
+         |        FROM oc),
+         |bk AS (SELECT fb.vec_id,
+         |         fb.fb % CAST(2 ** (SELECT b FROM chc) AS BIGINT)
+         |           AS bucket FROM fb JOIN keep USING (vec_id)),
+         |g AS (SELECT src, dst
+         |      FROM read_parquet('${Artifacts.oracleGlob("v76_graph")}')),
+         |dg AS (SELECT dst AS vec_id, count(*) AS deg FROM g
+         |       GROUP BY dst),
+         |nen AS (SELECT vec_id FROM (
+         |          SELECT bk.vec_id,
+         |                 row_number() OVER (PARTITION BY bk.bucket
+         |                   ORDER BY dg.deg DESC, bk.vec_id) AS rn
+         |          FROM bk JOIN dg USING (vec_id)) WHERE rn <= 2),
+         |${walkUnrollSql("n", "g", "ck", beam = 8, customEntries = true)},
+         |ntop AS (SELECT vec_id FROM ns3 ORDER BY score DESC, vec_id
+         |         LIMIT 10),
+         |mem AS (SELECT rp.id AS vec_id FROM rp
+         |        JOIN ntop ON rp.rep = ntop.vec_id),
+         |resc AS (SELECT c.vec_id FROM c JOIN mem USING (vec_id), q
+         |         ORDER BY list_cosine_similarity(c.e, q.qe) DESC,
+         |           c.vec_id
+         |         LIMIT 10),
+         |ex AS (SELECT c.vec_id FROM c, q
+         |       ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
+         |       LIMIT 10)
+         |SELECT CAST((SELECT b FROM chc) AS BIGINT) AS chosen_bits,
+         |       (SELECT count(*) FROM keep) AS n_reps,
+         |       (SELECT count(*) FROM o3 a JOIN oh b ON a.rep = b.id)
+         |         AS unresolved_chains,
+         |       (SELECT count(*) FROM ns3) AS nodes_touched,
+         |       (SELECT count(*) FROM mem) AS members_rescored,
+         |       (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6)
+         |        FROM resc JOIN ex USING (vec_id)) AS recall_at_10""".stripMargin,
     // both bases' prefix curves: the rotation matvec from the
     // persisted rows (rounded 1e-6 — v65's contract), plain + rotated
     // slices at every width, sketch + entries over the full vectors,
@@ -8485,6 +8736,7 @@ object VectorQueries {
       "v73_drift_serve" -> ((s, d) => v73Stores(s, d): Unit),
       "v74_prefix_rotated" -> ((s, d) => v74Fixture(s, d): Unit),
       "v75_neardup_tier" -> ((s, d) => v71Corpus(s, d): Unit),
+      "v76_neardup_serve" -> ((s, d) => v76Store(s, d): Unit),
       "v72_hist_fold_drift" -> ((s, d) => {
         val all = s.read.parquet(v71Corpus(s, d))
           .filter(col("vec_id") =!= 1000L)
@@ -8544,6 +8796,7 @@ object VectorQueries {
     "v73_drift_serve" -> (driftServeCompare(_, _)),
     "v74_prefix_rotated" -> (matryoshkaRotatedServe(_, _)),
     "v75_neardup_tier" -> (nearDupTierOccupancy(_, _)),
+    "v76_neardup_serve" -> (nearDupTierServe(_, _)),
     "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),
