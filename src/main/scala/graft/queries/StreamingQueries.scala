@@ -549,6 +549,124 @@ object StreamingQueries {
       .orderBy("vec_id")
   }
 
+  /** CONTINUOUS LSM GRAPH MAINTENANCE — the O(delta) incremental
+    * graph update ([[graft.operators.Ann.updateKnnGraphIncremental]])
+    * run as a STREAM: v73's accretion sequence (base 40× store, then
+    * three clustered delta batches) with each delta arriving as a
+    * micro-batch and `foreachBatch` as the maintenance loop — fold
+    * the delta's fine histogram onto the persisted one, emit the
+    * delta's sidecar edges, extend the bucket index; the carried
+    * (index, histogram, edges) triple IS the store, exactly what a
+    * deployment persists between triggers, and there is ZERO Spark
+    * streaming state beyond it (no watermark, no state store — the
+    * s10 foreachBatch convention applied to the graph family). Per
+    * trigger the work is delta-proportional: one sketch pass over
+    * the delta, an O(distinct buckets) histogram fold, a bucket
+    * equi-join against the carried index — nothing rescans the base.
+    * Emits v72's drift decision table (step 0 = the base snapshot,
+    * steps 1-3 after each micro-batch: the maintenance verdict
+    * [[graft.operators.Ann.GraphMaintenance]] returns beside each
+    * sidecar) plus `edges_diff_vs_batch` — the symmetric difference
+    * between the streamed store's edge set and v73's BATCH-accreted
+    * frozen graph, computed on BOTH sides (Spark diffs the two
+    * frames; the oracle diffs the two persisted artifacts) and
+    * pinned 0: stream ≡ batch, edge-set-identical after the same
+    * batches. The decision-table half of the oracle is v71/v72's
+    * from-scratch SQL replay verbatim — the fold chain crossing a
+    * foreachBatch boundary changes nothing the oracle can see.
+    */
+  def streamGraphLsmMaintain(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import graft.operators.Ann
+    import spark.implicits._
+    val all = spark.read
+      .parquet(VectorQueries.v71Corpus(spark, sfDir))
+      .filter(col("vec_id") =!= 1000L)
+      .withColumn("_k", pmod(col("vec_id"), lit(1000L)))
+    val base = all.filter(col("_k") < 40).drop("_k")
+    // the three delta batches staged ONCE per (app, corpus) as three
+    // files in accretion order → three AvailableNow micro-batches
+    val staged = IngestQueries.stagedDir(spark,
+      s"graft_s27_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}") { dir =>
+      Seq((40L, 80L), (80L, 160L), (160L, 320L)).foreach {
+        case (lo, hi) =>
+          all.filter(col("_k") >= lo && col("_k") < hi).drop("_k")
+            .coalesce(1).write
+            .mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(s"$dir/delta")
+      }
+    }
+    // the snapshot the stream starts from: the base store's three
+    // persisted artifacts (the same shapes v73Stores carries)
+    val frozenBits = Ann.occupancyBucketBits(base, "embedding",
+      bits = 20, bbMin = 3, bbMax = 20)
+    val hist0 = Ann.fineOccupancyHistogram(base, "embedding",
+      bits = 20, bbMax = 20).localCheckpoint()
+    val m0 = Ann.maintenanceCheckFromHistogram(hist0, frozenBits,
+      bbMin = 3, bbMax = 20)
+    val n0 = hist0.agg(sum("cnt")).head().getLong(0)
+    case class Store(index: DataFrame, hist: DataFrame,
+                     edges: DataFrame,
+                     rows: Seq[(Long, Long, Long, Double, Long,
+                       Double, Long)])
+    def verdictRow(step: Long, n: Long, m: Ann.GraphMaintenance)
+        : (Long, Long, Long, Double, Long, Double, Long) =
+      (step, n, m.currentBits.toLong, m.currentLoad,
+        m.chosenBits.toLong, m.chosenLoad, if (m.rebucket) 1L else 0L)
+    val ref = new java.util.concurrent.atomic.AtomicReference(Store(
+      Ann.srpBucketIndex(base, "vec_id", "embedding", 20, frozenBits)
+        .localCheckpoint(),
+      hist0,
+      Ann.buildKnnGraph(base, "vec_id", "embedding", bits = 20,
+        bucketBits = frozenBits, degree = 8).localCheckpoint(),
+      Seq(verdictRow(0L, n0, m0))))
+    val chk =
+      s"$staged/chk_${java.util.UUID.randomUUID().toString.take(8)}"
+    val stream = spark.readStream
+      .schema(base.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$staged/delta")
+    Streaming.withStatePartitions(spark) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          ref.updateAndGet { st =>
+            val (sidecar, folded, m) = Ann.updateKnnGraphIncremental(
+              st.index, st.hist, batch, "vec_id", "embedding",
+              bits = 20, bucketBits = frozenBits, degree = 8,
+              bbMin = 3, bbMax = 20)
+            val foldedC = folded.localCheckpoint()
+            Store(
+              st.index.unionByName(Ann.srpBucketIndex(batch, "vec_id",
+                "embedding", 20, frozenBits)).localCheckpoint(),
+              foldedC,
+              st.edges.unionByName(sidecar).localCheckpoint(),
+              st.rows :+ verdictRow(st.rows.size.toLong,
+                foldedC.agg(sum("cnt")).head().getLong(0), m))
+          }
+          ()
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val chkPath = new org.apache.hadoop.fs.Path(chk)
+    chkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(chkPath, true)
+    val st = ref.get()
+    // persist the streamed store's edges so the oracle can diff the
+    // two ARTIFACTS (not trust a Spark-side claim)
+    Artifacts.write(st.edges, "s27_edges", sfDir)
+    val (fDir, _, _, _) = VectorQueries.v73Stores(spark, sfDir)
+    val fg = spark.read.parquet(fDir)
+    val diff = st.edges.except(fg).unionByName(fg.except(st.edges))
+      .count()
+    st.rows.toDF("step", "n_vectors", "frozen_bits", "frozen_load",
+        "chosen_bits", "chosen_load", "rebucket")
+      .withColumn("edges_diff_vs_batch", lit(diff))
+      .orderBy("step")
+  }
+
   /** Streaming DSIR scoring — the deployment split of t52: the bucket
     * model is fit OFFLINE over the full corpus (one batch job; the
     * artifact is ≤1024 (bucket, micro-unit-weight) rows, collected
@@ -1024,6 +1142,7 @@ object StreamingQueries {
     "s23_stream_graph_serve" -> (streamGraphServe(_, _)),
     "s25_stream_sq8_store" -> (streamSq8Store(_, _)),
     "s26_stream_sem_prefilter" -> (streamSemanticPrefilter(_, _)),
+    "s27_stream_graph_lsm" -> (streamGraphLsmMaintain(_, _)),
     "s22_outer_join" -> (streamOuterJoin(_, _)),
     "s21_late_data" -> (streamLateData(_, _)),
     "s20_stream_merge" -> (streamMergeInto(_, _)),
@@ -1055,6 +1174,22 @@ object StreamingQueries {
     "s23_stream_graph_serve" ->
       VectorQueries.graphLsmOracleSql("s23_base_graph"),
     "s25_stream_sq8_store" -> VectorQueries.oracles("v61_sq8_serve"),
+    // v71/v72's drift-table replay verbatim + the artifact-vs-artifact
+    // edge diff: the streamed store must be edge-set-identical to
+    // v73's batch-accreted frozen graph after the same three batches
+    "s27_stream_graph_lsm" -> VectorQueries.driftTableOracle(
+      s""",
+         |sg AS (SELECT src, dst
+         |       FROM read_parquet('${Artifacts.oracleGlob("s27_edges")}')),
+         |fg AS (SELECT src, dst
+         |       FROM read_parquet('${Artifacts.oracleGlob("v73_frozen_graph")}')),
+         |ed AS (SELECT count(*) AS ediff FROM (
+         |  (SELECT src, dst FROM sg EXCEPT SELECT src, dst FROM fg)
+         |  UNION ALL
+         |  (SELECT src, dst FROM fg EXCEPT SELECT src, dst FROM sg)))"""
+        .stripMargin,
+      ",\n       ed.ediff AS edges_diff_vs_batch",
+      ", ed"),
     // t72's prefilter replay, per-doc flags: continuous == batch
     "s26_stream_sem_prefilter" ->
       s"""WITH ${TextQueries.semPrefilterOracleCtes}

@@ -3651,7 +3651,8 @@ object VectorQueries {
   private val v71Cache = scala.collection.concurrent.TrieMap
     .empty[String, String]
 
-  private def v71Corpus(spark: SparkSession, sfDir: String): String =
+  private[queries] def v71Corpus(spark: SparkSession,
+                                 sfDir: String): String =
     v71Cache.getOrElseUpdate(sfDir, {
       Artifacts.reuseOrBuild(sfDir,
           "v71:v1:copies=320,dim=1536,drift:" +
@@ -3799,7 +3800,7 @@ object VectorQueries {
   private val v73Cache = scala.collection.concurrent.TrieMap
     .empty[String, (String, String, Int, Int)]
 
-  private def v73Stores(spark: SparkSession, sfDir: String)
+  private[queries] def v73Stores(spark: SparkSession, sfDir: String)
       : (String, String, Int, Int) =
     v73Cache.getOrElseUpdate(sfDir, {
       val all = spark.read.parquet(v71Corpus(spark, sfDir))
@@ -5646,7 +5647,16 @@ object VectorQueries {
     * loads, the base (step-0) frozen choice, each step's fresh choice,
     * and the rebucket verdicts — all from the corpus, so v72's
     * fold-derived table matching this hash proves the fold exact. */
-  private def v71DriftOracle: String =
+  private def v71DriftOracle: String = driftTableOracle("", "", "")
+
+  /** The v71/v72 drift-decision-table replay, extensible for twins
+    * that emit the same table plus extra columns (s27 appends the
+    * streamed-store-vs-batch-store edge diff): `extraCtes` is
+    * appended to the WITH list (lead with ",\n"), `extraCols` to the
+    * final SELECT (lead with ","), `extraFrom` to its FROM. */
+  private[queries] def driftTableOracle(extraCtes: String,
+                                        extraCols: String,
+                                        extraFrom: String): String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |           FROM read_parquet('${Artifacts.oracleGlob("v71_corpus")}')),
          |c AS (SELECT vec_id, vec_id % 1000 AS k, e FROM v
@@ -5683,15 +5693,15 @@ object VectorQueries {
          |                 FILTER (WHERE size_biased <= 48.0), 20) AS cb
          |       FROM occ GROUP BY step),
          |n AS (SELECT st.step, count(*) AS n_vectors
-         |      FROM fb, st WHERE fb.k < st.lim GROUP BY st.step)
+         |      FROM fb, st WHERE fb.k < st.lim GROUP BY st.step)$extraCtes
          |SELECT CAST(st.step AS BIGINT) AS step, n.n_vectors,
          |       CAST(fr.fbits AS BIGINT) AS frozen_bits,
          |       ofr.size_biased AS frozen_load,
          |       CAST(ch.cb AS BIGINT) AS chosen_bits,
          |       oc.size_biased AS chosen_load,
          |       CAST(CASE WHEN ofr.size_biased > 48.0 THEN 1 ELSE 0 END
-         |         AS BIGINT) AS rebucket
-         |FROM st, fr, ch, occ ofr, occ oc, n
+         |         AS BIGINT) AS rebucket$extraCols
+         |FROM st, fr, ch, occ ofr, occ oc, n$extraFrom
          |WHERE ch.step = st.step AND ofr.step = st.step
          |  AND ofr.bucket_bits = fr.fbits AND oc.step = st.step
          |  AND oc.bucket_bits = ch.cb AND n.step = st.step
