@@ -141,6 +141,40 @@ for path in i27:
         fails.append(f"{path}: no SF corpus matches the exported rows")
     check_write_continuation(path)
 
+# i29: the DSv2 WRITE route (df.write.format("sqlite")) — same file
+# shape as i27 but DDL derived from the DataFrame schema (INTEGER
+# PRIMARY KEY rowid alias + UNIQUE on content, no AUTOINCREMENT), so
+# validate structure + UNIQUE enforcement through the shipped index
+i29 = sorted(glob.glob(
+    "/tmp/graft_artifacts_*/i29_export_db_*/embeddings_dsv2w.db"))
+for path in i29:
+    print(f"[i29] {path}")
+    con = check_integrity(path)
+    (sql,) = con.execute(
+        "SELECT sql FROM sqlite_master WHERE name='documents'"
+    ).fetchone()
+    if "INTEGER PRIMARY KEY" in sql and "UNIQUE" in sql:
+        print(f"  derived DDL carries rowid alias + UNIQUE: {sql!r}")
+    else:
+        fails.append(f"{path}: derived DDL missing rowid/UNIQUE: {sql}")
+    # UNIQUE enforced through the shipped autoindex on a COPY
+    tmp = tempfile.mktemp(suffix=".db")
+    shutil.copy(path, tmp)
+    mut = sqlite3.connect(tmp)
+    (c0,) = mut.execute(
+        "SELECT content FROM documents ORDER BY id LIMIT 1").fetchone()
+    try:
+        mut.execute(
+            "INSERT INTO documents (id, content, vector) VALUES "
+            "(999999, ?, x'00')", (c0,))
+        fails.append(f"{path}: duplicate INSERT not rejected")
+    except sqlite3.IntegrityError:
+        print("  stock INSERT of duplicate content rejected via index")
+    (res,) = mut.execute("PRAGMA integrity_check").fetchone()
+    if res != "ok":
+        fails.append(f"{path}: integrity after stock attempt: {res}")
+    os.unlink(tmp)
+
 if fails:
     print("\nFAIL:")
     for f in fails:

@@ -1044,7 +1044,88 @@ object IngestQueries {
       .orderBy("grp")
   }
 
+  /** THE DSv2 WRITE ROUTE OF THE MIGRATION SEAM — the round-16
+    * verdict's item 4, completing `format("sqlite")` in both
+    * directions from pure SQL / pyspark: `df.write.format("sqlite")
+    * .mode("overwrite").option("table", …).option("unique", content)
+    * .save(path)` drives [[graft.sources.SqliteWriteBuilder]] (a
+    * V1Write — the writer is driver-orchestrated by format necessity:
+    * executors build page runs, the driver streams ONE file), then
+    * the file is read back through the registered DSv2 source and
+    * the decoded values aggregate against the original parquet (the
+    * i28 shape, now with BOTH halves on the DSv2 route; the `unique`
+    * option routes through writeFull's autoindex build, and
+    * scripts/sqlitecheck.py stock-validates the file's integrity +
+    * index cross-audit out of JVM). Two write-path verdicts ride the
+    * hash gate as Spark-side assertion columns: `dup_write_rejected`
+    * = 1 (a duplicate-content frame pushed through the SAME DSv2
+    * route raises the UNIQUE guard before a corrupt file ships — the
+    * round-16 boundary-check family exercised through the new entry
+    * point), and `append_rejected` = 1 (mode("append") refuses
+    * loudly: a SQLite file is a single-writer store assembled whole;
+    * incremental adds are the Ingest upsert path's job).
+    */
+  def sqliteDsv2Write(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import graft.functions.VectorFunctions.{floatVectorFromBinary, floatVectorToBinary}
+    val emb = Tables.embeddings(spark, sfDir)
+    val rows = emb.select((col("vec_id") + 1).cast("long").as("id"),
+      concat(lit("vec-"), col("vec_id")).as("content"),
+      floatVectorToBinary(col("embedding")).as("vector"))
+    val db = java.nio.file.Paths.get(
+      Artifacts.resolve("i29_export_db", sfDir), "embeddings_dsv2w.db")
+    rows.write.format("sqlite").mode("overwrite")
+      .option("table", "documents").option("unique", "content")
+      .option("numPartitions", "4").save(db.toString)
+    def rootMsgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ rootMsgs(t.getCause)
+    // the UNIQUE guard through the DSv2 entry point: a frame with a
+    // duplicate content value must raise BEFORE a corrupt file ships
+    val dupDb = java.nio.file.Paths.get(
+      Artifacts.resolve("i29_export_db", sfDir), "dup_reject.db")
+    val dupRejected =
+      try {
+        rows.limit(2)
+          .select(col("id"), lit("same-content").as("content"),
+            col("vector"))
+          .write.format("sqlite").mode("overwrite")
+          .option("table", "documents").option("unique", "content")
+          .save(dupDb.toString)
+        0L
+      } catch {
+        case e: Throwable
+            if rootMsgs(e).exists(_.contains("UNIQUE")) => 1L
+      }
+    // append mode refuses loudly (single-writer format)
+    val appendRejected =
+      try {
+        rows.limit(1).write.format("sqlite").mode("append")
+          .option("table", "documents").save(db.toString)
+        0L
+      } catch {
+        case e: Throwable if rootMsgs(e)
+          .exists(_.contains("only mode(\"overwrite\")")) => 1L
+      }
+    val back = spark.read.format("sqlite").load(db.toString)
+    back.select(col("id"), col("content"),
+        floatVectorFromBinary(col("vector")).as("v"))
+      .withColumn("vq", round(aggregate(col("v"), lit(0.0d),
+          (a, x) => a + x.cast("double")) * 100000, 0).cast("long"))
+      .withColumn("content_ok",
+        (col("content") === concat(lit("vec-"), col("id") - 1))
+          .cast("long"))
+      .groupBy(pmod(col("id") - 1, lit(8L)).as("grp"))
+      .agg(count(lit(1)).as("n_vecs"), sum("vq").as("sum_q"),
+        sum("content_ok").as("n_content_ok"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .withColumn("dup_write_rejected", lit(dupRejected))
+      .withColumn("append_rejected", lit(appendRejected))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i29_sqlite_dsv2_write" -> (sqliteDsv2Write(_, _)),
     "i28_sqlite_dsv2" -> (sqliteDsv2Roundtrip(_, _)),
     "i26_sqlite_export" -> (sqliteExport(_, _)),
     "i27_sqlite_scale_export" -> (sqliteScaleExport(_, _)),
@@ -1128,6 +1209,25 @@ object IngestQueries {
     // same way, plus the pruning verdict literal — 'id,content' is
     // what SupportsPushDownRequiredColumns must leave in readSchema
     // for a blob-free projection
+    // the DSv2-write round-trip's truth: the ORIGINAL parquet
+    // aggregated the same way. The two rejection columns are
+    // Spark-side write-path assertions carried into the hash (the
+    // Spark value is 1 only if the duplicate/append write actually
+    // RAISED through the DSv2 entry point); content_ok re-derives
+    // per-row content equality on the re-read
+    "i29_sqlite_dsv2_write" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+        |           FROM embeddings),
+        |per AS (SELECT vec_id,
+        |          CAST(round(list_sum(ev) * 100000, 0) AS BIGINT) AS vq
+        |        FROM e)
+        |SELECT vec_id % 8 AS grp, count(*) AS n_vecs,
+        |       CAST(sum(vq) AS BIGINT) AS sum_q,
+        |       CAST(count(*) AS BIGINT) AS n_content_ok,
+        |       min(vec_id) + 1 AS min_id, max(vec_id) + 1 AS max_id,
+        |       CAST(1 AS BIGINT) AS dup_write_rejected,
+        |       CAST(1 AS BIGINT) AS append_rejected
+        |FROM per GROUP BY 1 ORDER BY grp""".stripMargin,
     "i28_sqlite_dsv2" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
         |           FROM embeddings),

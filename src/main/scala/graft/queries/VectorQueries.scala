@@ -2108,6 +2108,15 @@ object VectorQueries {
     * ScalingProbe can generate the SAME corpus at larger copy counts
     * for the d=1536 graph scaling row. Pure generation, no artifacts.
     */
+  /** Recover the copy index k from a [[genRefDimCorpus]] vec_id under
+    * the two-range keying: low range (k < 1000) is doc·1000 + k, high
+    * range is 10^10 + doc·10^7 + k (both 10^10 and doc·10^7 vanish
+    * mod 10^7 since 10^10 = 10^7·10^3). */
+  private[graft] def refDimK(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(c >= 10_000_000_000L, pmod(c, lit(10_000_000L)))
+      .otherwise(pmod(c, lit(1000L)))
+
   private[graft] def genRefDimCorpus(spark: SparkSession,
                                      copies: Int): DataFrame = {
     import graft.operators.Ingest
@@ -2125,9 +2134,23 @@ object VectorQueries {
       .toDF("doc_id", "vector_blob")
       .select(col("doc_id"),
         floatVectorFromBinary(col("vector_blob")).as("seed"))
+    // keying v2 (round 17): k < 1000 keeps vec_id = doc·1000 + k, so
+    // every sealed fixture (copies ≤ 640) and every historical sweep
+    // rung is BIT-IDENTICAL by construction (embeddings are a pure
+    // function of vec_id + seed, and neither changes below the
+    // boundary); k ≥ 1000 moves to the DISJOINT range
+    // 10^10 + doc·10^7 + k — the round-16 sweep found the old single
+    // formula silently DOUBLE-COUNTS at copies ≥ 1000 (doc 1, k 1000
+    // aliases doc 2, k 0: same vec_id, same noise text, different
+    // seed — duplicate ids corrupting every id-keyed join), which
+    // capped the accretion family at 640×. The new range aliases
+    // nothing until k = 10^7. k recovers as [[refDimK]].
     val gen0 = raw
       .crossJoin(spark.range(copies).select(col("id").as("k")))
-      .select((col("doc_id") * lit(1000L) + col("k")).as("vec_id"),
+      .select(when(col("k") < 1000L,
+          col("doc_id") * lit(1000L) + col("k"))
+        .otherwise(lit(10_000_000_000L) +
+          col("doc_id") * lit(10_000_000L) + col("k")).as("vec_id"),
         col("seed"))
       .withColumn("ptext", concat(lit("pt "), col("vec_id")))
     Ingest.hashEmbedRaw(gen0, "ptext", 1536)

@@ -67,22 +67,81 @@ class SqliteTableProvider extends TableProvider with DataSourceRegister {
 
 private[sources] class SqliteTable(schema: StructType,
                                    options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"sqlite:${Option(options.get("table")).getOrElse("documents")}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(opts: CaseInsensitiveStringMap)
-      : ScanBuilder = {
-    // merge table properties (captured at getTable) with read options
-    val merged = new util.HashMap[String, String]()
-    options.entrySet().asScala.foreach(e =>
-      merged.put(e.getKey, e.getValue))
-    opts.entrySet().asScala.foreach(e =>
-      merged.put(e.getKey, e.getValue))
-    new SqliteScanBuilder(schema, new CaseInsensitiveStringMap(merged))
+    // BATCH_WRITE admits the table into DataFrameWriter.save()'s V2
+    // branch (it checks that capability literally); V1_BATCH_WRITE
+    // tells the physical planner the built Write is a V1Write
+    // fallback, routing to the InsertableRelation exec instead of
+    // asking for a (nonexistent) BatchWrite
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  private def merged(opts: CaseInsensitiveStringMap)
+      : CaseInsensitiveStringMap = {
+    // merge table properties (captured at getTable) with per-op options
+    val m = new util.HashMap[String, String]()
+    options.entrySet().asScala.foreach(e => m.put(e.getKey, e.getValue))
+    opts.entrySet().asScala.foreach(e => m.put(e.getKey, e.getValue))
+    new CaseInsensitiveStringMap(m)
   }
+  override def newScanBuilder(opts: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new SqliteScanBuilder(schema, merged(opts))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SqliteWriteBuilder(info.schema(), merged(info.options()))
+}
+
+/** The WRITE half of the `format("sqlite")` seam:
+  * `df.write.format("sqlite").mode("overwrite").option("table", …)
+  * .save(path)` assembles ONE fresh SQLite file through
+  * [[SqliteWriter.writeFull]] — the distributed page assembly with
+  * the per-partition leaf runs, optional UNIQUE autoindex
+  * (`option("unique", <textCol>)` — the cross-partition boundary
+  * check fires through this path too) and the format's single-FILE
+  * final stream. Implemented as a [[org.apache.spark.sql.connector
+  * .write.V1Write]]: the writer is driver-ORCHESTRATED (executors
+  * build page runs; the driver streams them into one file — a SQLite
+  * file is single-writer by format necessity), so the whole-DataFrame
+  * InsertableRelation seam is the honest shape, not a per-task
+  * DataWriter that would pretend the commit is distributed.
+  *
+  * Only `mode("overwrite")` is supported: append would have to read
+  * and rewrite the existing b-tree (use the library's Ingest upsert
+  * path for incremental adds). DDL is derived from the DataFrame
+  * schema (first column = INTEGER PRIMARY KEY rowid alias — writeFull
+  * enforces integral ids; LONG/INT→INTEGER, DOUBLE/FLOAT→REAL,
+  * STRING→TEXT, BINARY→BLOB), so the read half's sqlite_master
+  * inference round-trips it.
+  */
+private[sources] class SqliteWriteBuilder(
+    schema: StructType, options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var truncated = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncated = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation()
+          : org.apache.spark.sql.sources.InsertableRelation = {
+        require(truncated,
+          "sqlite write: only mode(\"overwrite\") is supported — a " +
+            "SQLite file is a single-writer store assembled whole; " +
+            "append would read + rewrite the b-tree (use the " +
+            "library's Ingest upsert path for incremental adds)")
+        (data: org.apache.spark.sql.DataFrame, _: Boolean) =>
+          SqliteSourceV2.writeLocal(data, schema, options)
+      }
+    }
 }
 
 private[sources] class SqliteScanBuilder(full: StructType,
@@ -210,6 +269,54 @@ private[sources] object SqliteSourceV2 {
           .map(_.getPath)
       else Seq(st.getPath)
     }.map(_.toString).sorted
+  }
+
+  /** The V1Write body: derive the DDL from the DataFrame schema and
+    * hand the whole frame to [[SqliteWriter.writeFull]]. Local paths
+    * only (the final single-file stream is a java.io write —
+    * `file:`-prefixed URIs are accepted and stripped). */
+  def writeLocal(df: org.apache.spark.sql.DataFrame,
+                 schema: StructType,
+                 options: CaseInsensitiveStringMap): Unit = {
+    val rawPath = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "sqlite write: 'path' is required"))
+    require(!rawPath.contains("://") || rawPath.startsWith("file:"),
+      s"sqlite write: only local paths are supported (got '$rawPath')" +
+        " — the single-file final stream is a local java.io write")
+    val local = rawPath.stripPrefix("file:")
+    val table = Option(options.get("table")).getOrElse("documents")
+    val unique = Option(options.get("unique"))
+    unique.foreach(u => require(schema.fieldNames.contains(u),
+      s"sqlite write: unique column '$u' not in schema " +
+        schema.fieldNames.mkString("(", ", ", ")")))
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      val t = f.dataType match {
+        case LongType | IntegerType | ShortType => "INTEGER"
+        case DoubleType | FloatType => "REAL"
+        case StringType => "TEXT"
+        case BinaryType => "BLOB"
+        case other => throw new IllegalArgumentException(
+          s"sqlite write: unsupported column type $other for " +
+            s"'${f.name}' (INTEGER/REAL/TEXT/BLOB storage classes only)")
+      }
+      if (i == 0) s"${f.name} INTEGER PRIMARY KEY"
+      else s"${f.name} $t" +
+        (if (unique.contains(f.name)) " UNIQUE" else "")
+    }
+    val createSql = s"CREATE TABLE $table (${cols.mkString(", ")})"
+    val uniqueIdx = unique.map(schema.fieldIndex)
+    uniqueIdx.foreach(i => require(i > 0,
+      "sqlite write: the first column is the INTEGER rowid alias and " +
+        "cannot carry the UNIQUE text index"))
+    val nParts = Option(options.get("numPartitions"))
+      .map(_.toInt).getOrElse(4)
+    val parent = java.nio.file.Paths.get(local).getParent
+    if (parent != null) java.nio.file.Files.createDirectories(parent)
+    SqliteWriter.writeFull(df, local,
+      SqliteWriter.ExportSchema(table, createSql,
+        uniqueTextCol = uniqueIdx, autoincrement = false),
+      numPartitions = nParts): Unit
   }
 
   def readBytes(path: String,
