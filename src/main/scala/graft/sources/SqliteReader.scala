@@ -27,7 +27,17 @@ object SqliteReader {
     * values (null | Long | Double | String | Array[Byte]). */
   final case class Row(rowid: Long, values: IndexedSeq[Any])
 
+  /** The unrestricted rowid interval — [[readTableProjected]]'s
+    * default and the identity element of range pushdown. */
+  val FullRange: IndexedSeq[(Long, Long)] =
+    IndexedSeq((Long.MinValue, Long.MaxValue))
+
   private final class Db(bytes: Array[Byte]) {
+    /** B-tree pages visited by [[tableRows]] walks (interior + leaf;
+      * overflow pages excluded — their count is proportional to rows
+      * RETURNED, not rows pruned). The rowid-range pushdown's spec
+      * pins a 1-row lookup at O(depth) via this counter. */
+    var btreePagesVisited: Long = 0L
     require(bytes.length >= 100 &&
       new String(bytes, 0, 16, "ISO-8859-1").startsWith("SQLite format 3"),
       "not a SQLite format 3 file")
@@ -74,24 +84,51 @@ object SqliteReader {
     def tableRows(root: Long): Iterator[Row] =
       tableRows(root, _ => true)
 
-    def tableRows(root: Long, keep: Int => Boolean): Iterator[Row] = {
+    def tableRows(root: Long, keep: Int => Boolean): Iterator[Row] =
+      tableRows(root, keep, FullRange)
+
+    /** The range-pruned walk: `ranges` is a sorted-disjoint set of
+      * inclusive rowid intervals. Interior cells carry (child page,
+      * max rowid in child) — child i covers (key(i-1), key(i)], the
+      * rightmost pointer (key(n-1), +inf) — so whole subtrees outside
+      * every range are SKIPPED without reading their pages; at the
+      * leaf, excluded cells skip the payload decode entirely (the
+      * rowid varint is the only thing read). With [[FullRange]] the
+      * traversal is exactly the unpruned walk. */
+    def tableRows(root: Long, keep: Int => Boolean,
+                  ranges: IndexedSeq[(Long, Long)]): Iterator[Row] = {
+      btreePagesVisited += 1
       val off = pageOff(root)
       val hdr = off + (if (root == 1L) 100 else 0)
+      def anyAbove(prevKey: Long): Boolean = // (prevKey, +inf) hits?
+        ranges.exists(_._2 > prevKey)
+      def anySpan(prevKey: Long, key: Long): Boolean = // (prev, key]
+        ranges.exists(r => r._1 <= key && r._2 > prevKey)
+      def inRanges(r: Long): Boolean =
+        ranges.exists(t => t._1 <= r && r <= t._2)
       u8(hdr) match {
-        case 0x05 => // interior table page: recurse into children
+        case 0x05 => // interior table page: recurse into kept children
           val nCells = u16(hdr + 3)
           // cell pointer array starts after the 12-byte interior header;
-          // each cell = 4-byte child page + varint key
-          val children = (0 until nCells).map { i =>
+          // each cell = 4-byte child page + varint key (child's max)
+          var prev = Long.MinValue
+          val picked = Vector.newBuilder[Long]
+          (0 until nCells).foreach { i =>
             val cellOff = off + u16(hdr + 12 + 2 * i)
-            u32(cellOff)
-          } :+ u32(hdr + 8) // right-most pointer
-          children.iterator.flatMap(tableRows(_, keep))
+            val key = varint(cellOff + 4)._1
+            if (anySpan(prev, key)) picked += u32(cellOff)
+            prev = key
+          }
+          if (anyAbove(prev)) picked += u32(hdr + 8) // right-most
+          picked.result().iterator.flatMap(tableRows(_, keep, ranges))
         case 0x0d => // leaf table page
           val nCells = u16(hdr + 3)
-          (0 until nCells).iterator.map { i =>
+          (0 until nCells).iterator.flatMap { i =>
             val cellOff = off + u16(hdr + 8 + 2 * i)
-            readLeafCell(cellOff, keep)
+            val (_, n1) = varint(cellOff)
+            val (rowid, _) = varint(cellOff + n1)
+            if (inRanges(rowid)) Some(readLeafCell(cellOff, keep))
+            else None // payload never decoded
           }
         case t => throw new IllegalStateException(
           s"unexpected b-tree page type 0x${t.toHexString} at page $root")
@@ -238,15 +275,31 @@ object SqliteReader {
     * to ordinal 0 exactly as in [[readTable]]. */
   def readTableProjected(bytes: Array[Byte], table: String,
                          ordinals: Array[Int])
-      : Iterator[IndexedSeq[Any]] = {
+      : Iterator[IndexedSeq[Any]] =
+    readTableRanges(bytes, table, ordinals, FullRange)._1
+
+  /** [[readTableProjected]] with rowid-range pruning (the DSv2 filter
+    * pushdown): only subtrees intersecting `ranges` (sorted disjoint
+    * inclusive intervals over the rowid) are read — interior-page
+    * separators bound each child, so a 1-row lookup visits O(tree
+    * depth) pages, not the table. Returns the row iterator plus a
+    * pages-visited thunk (valid after the iterator is consumed) so
+    * the claim is measurable, not asserted. */
+  def readTableRanges(bytes: Array[Byte], table: String,
+                      ordinals: Array[Int],
+                      ranges: IndexedSeq[(Long, Long)])
+      : (Iterator[IndexedSeq[Any]], () => Long) = {
     val db = new Db(bytes)
+    val root = db.rootPageOf(table)
+    db.btreePagesVisited = 0L // count the data walk, not the master's
     val keep = ordinals.toSet
-    db.tableRows(db.rootPageOf(table), keep.contains).map { r =>
+    val it = db.tableRows(root, keep.contains, ranges).map { r =>
       ordinals.toIndexedSeq.map { o =>
         val v = r.values.lift(o).orNull
         if (o == 0 && v == null) r.rowid else v
       }
     }
+    (it, () => db.btreePagesVisited)
   }
 
   def readTable(bytes: Array[Byte], table: String): Iterator[Row] = {

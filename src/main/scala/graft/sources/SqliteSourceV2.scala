@@ -146,8 +146,12 @@ private[sources] class SqliteWriteBuilder(
 
 private[sources] class SqliteScanBuilder(full: StructType,
                                          options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = full
+  private var accepted: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  private var ranges: IndexedSeq[(Long, Long)] = SqliteReader.FullRange
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the FILE's column order (the decoder walks serial types in
@@ -155,19 +159,62 @@ private[sources] class SqliteScanBuilder(full: StructType,
     required = StructType(
       full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
+  /** ROWID pushdown (the reference's own access pattern — its
+    * `WHERE id IN (?,...)` point lookups): equality / IN / range
+    * filters on the rowid-alias column become sorted-disjoint rowid
+    * intervals the reader prunes whole b-tree subtrees with (interior
+    * pages carry per-child max-rowid separators, so a 1-row lookup
+    * reads O(depth) pages — SqliteSourceV2Spec pins it via the
+    * pages-visited meter). Pushdown engages ONLY when the stored DDL
+    * declares the FIRST column `INTEGER PRIMARY KEY` (the rowid
+    * alias: SQLite stores NULL and the value IS the rowid, which is
+    * what makes rowid pruning equal value filtering); otherwise every
+    * filter stays residual and Spark evaluates them post-scan. */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val rowidCol = full.fields.headOption
+      .filter(_.dataType == LongType).map(_.name)
+    val aliasOk = rowidCol.isDefined &&
+      SqliteSourceV2.firstColIsRowidAlias(options)
+    if (!aliasOk) filters
+    else {
+      val (sup, unsup) = filters.partition(f =>
+        SqliteSourceV2.filterRanges(f, rowidCol.get).isDefined)
+      sup.foreach { f =>
+        ranges = SqliteSourceV2.intersectRanges(ranges,
+          SqliteSourceV2.filterRanges(f, rowidCol.get).get)
+      }
+      accepted = sup
+      unsup
+    }
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    accepted
+
   override def build(): Scan =
     new SqliteScan(full, required,
       Option(options.get("table")).getOrElse("documents"),
-      SqliteSourceV2.resolveFiles(options))
+      SqliteSourceV2.resolveFiles(options), ranges)
 }
 
-private[sources] class SqliteScan(full: StructType, required: StructType,
-                                  table: String, files: Seq[String])
+private[graft] class SqliteScan(full: StructType, required: StructType,
+                                  table: String, files: Seq[String],
+                                  private[graft] val pushedRanges:
+                                    IndexedSeq[(Long, Long)])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"SqliteScan(table=$table, files=${files.size}, " +
+      s"pushedRowidRanges=${
+        if (pushedRanges == SqliteReader.FullRange) "ALL"
+        else pushedRanges.mkString(",")})"
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => SqliteFilePartition(f): InputPartition).toArray
+    // contradictory pushed filters prune the whole scan at plan time
+    if (pushedRanges.isEmpty) Array.empty
+    else files.map(f => SqliteFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
     val ordinals = required.fields
       .map(f => full.fieldIndex(f.name))
@@ -179,7 +226,7 @@ private[sources] class SqliteScan(full: StructType, required: StructType,
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
     val conf = sc.broadcast(
       new SerializableHadoopConf(SqliteSourceV2.driverHadoopConf()))
-    SqliteReaderFactory(table, ordinals, required, conf)
+    SqliteReaderFactory(table, ordinals, required, conf, pushedRanges)
   }
 }
 
@@ -206,13 +253,15 @@ private[sources] final class SerializableHadoopConf(
 
 private[sources] final case class SqliteReaderFactory(
     table: String, ordinals: Array[Int], required: StructType,
-    conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+    conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
+    ranges: IndexedSeq[(Long, Long)])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[SqliteFilePartition].path
-    val rows = SqliteReader.readTableProjected(
-      SqliteSourceV2.readBytes(path, conf.value.value), table, ordinals)
+    val (rows, _) = SqliteReader.readTableRanges(
+      SqliteSourceV2.readBytes(path, conf.value.value), table, ordinals,
+      ranges)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
@@ -236,7 +285,7 @@ private[sources] final case class SqliteReaderFactory(
   }
 }
 
-private[sources] object SqliteSourceV2 {
+private[graft] object SqliteSourceV2 {
 
   /** The driver's RESOLVED hadoop conf — session-level
     * `spark.hadoop.*` options included (what `sessionState
@@ -332,12 +381,8 @@ private[sources] object SqliteSourceV2 {
     buf
   }
 
-  /** Schema from the stored DDL: column clauses between the outer
-    * parens, first token = name, second (if any) = type keyword.
-    * Table-level constraint clauses (PRIMARY KEY(...), UNIQUE(...),
-    * CHECK, FOREIGN KEY) are skipped. */
-  def schemaOf(bytes: Array[Byte], table: String): StructType = {
-    val createSql = SqliteReader.readTable(bytes, "sqlite_master")
+  private def createSqlOf(bytes: Array[Byte], table: String): String =
+    SqliteReader.readTable(bytes, "sqlite_master")
       .collectFirst {
         case r if r.values.lift(0).contains("table") &&
           r.values.lift(1).contains(table) =>
@@ -345,6 +390,82 @@ private[sources] object SqliteSourceV2 {
       }
       .getOrElse(throw new NoSuchElementException(
         s"table '$table' not found in sqlite_master"))
+
+  /** True iff the stored DDL declares the FIRST column `INTEGER
+    * PRIMARY KEY` — the rowid alias (SQLite stores NULL; the value IS
+    * the b-tree rowid), which is the precondition for rowid-range
+    * filter pushdown to equal value filtering. Reads the head file's
+    * master table (one driver-side read, same as inferSchema). */
+  def firstColIsRowidAlias(options: CaseInsensitiveStringMap): Boolean = {
+    val files = resolveFiles(options)
+    files.nonEmpty && {
+      val table = Option(options.get("table")).getOrElse("documents")
+      val sql = createSqlOf(readBytes(files.head, driverHadoopConf()),
+        table)
+      val inner = sql.substring(sql.indexOf('(') + 1)
+      val first = inner.split(",").head.trim
+        .toUpperCase(java.util.Locale.ROOT)
+      first.contains("INTEGER") && first.contains("PRIMARY KEY")
+    }
+  }
+
+  /** Translate one Spark source filter over the rowid-alias column to
+    * a sorted-disjoint set of inclusive rowid intervals; None = not
+    * translatable (stays residual, Spark evaluates it post-scan). */
+  def filterRanges(f: org.apache.spark.sql.sources.Filter,
+                   col: String): Option[IndexedSeq[(Long, Long)]] = {
+    import org.apache.spark.sql.sources._
+    def long(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case _ => None
+    }
+    f match {
+      case EqualTo(`col`, v) => long(v).map(l => IndexedSeq((l, l)))
+      case In(`col`, vs) if vs.nonEmpty =>
+        val ls = vs.map(long)
+        if (ls.exists(_.isEmpty)) None
+        else Some(ls.flatten.distinct.sorted.map(l => (l, l))
+          .toIndexedSeq)
+      case GreaterThan(`col`, v) => long(v).collect {
+        case l if l < Long.MaxValue => IndexedSeq((l + 1, Long.MaxValue))
+      }
+      case GreaterThanOrEqual(`col`, v) =>
+        long(v).map(l => IndexedSeq((l, Long.MaxValue)))
+      case LessThan(`col`, v) => long(v).collect {
+        case l if l > Long.MinValue => IndexedSeq((Long.MinValue, l - 1))
+      }
+      case LessThanOrEqual(`col`, v) =>
+        long(v).map(l => IndexedSeq((Long.MinValue, l)))
+      case _ => None
+    }
+  }
+
+  /** Intersect two sorted-disjoint interval sets (conjunctive filter
+    * semantics) — standard two-pointer sweep; may return empty (a
+    * contradiction, which prunes the whole scan at plan time). */
+  def intersectRanges(a: IndexedSeq[(Long, Long)],
+                      b: IndexedSeq[(Long, Long)])
+      : IndexedSeq[(Long, Long)] = {
+    val out = IndexedSeq.newBuilder[(Long, Long)]
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val lo = math.max(a(i)._1, b(j)._1)
+      val hi = math.min(a(i)._2, b(j)._2)
+      if (lo <= hi) out += ((lo, hi))
+      if (a(i)._2 < b(j)._2) i += 1 else j += 1
+    }
+    out.result()
+  }
+
+  /** Schema from the stored DDL: column clauses between the outer
+    * parens, first token = name, second (if any) = type keyword.
+    * Table-level constraint clauses (PRIMARY KEY(...), UNIQUE(...),
+    * CHECK, FOREIGN KEY) are skipped. */
+  def schemaOf(bytes: Array[Byte], table: String): StructType = {
+    val createSql = createSqlOf(bytes, table)
     val inner = createSql.substring(createSql.indexOf('(') + 1,
       createSql.lastIndexOf(')'))
     // split on top-level commas (types like DECIMAL(10,2) keep theirs)

@@ -92,6 +92,84 @@ class SqliteSourceV2Spec extends SparkSpec {
     assert(viaDir.count() == 40)
   }
 
+  test("rowid filter pushdown: a 1-row lookup reads O(depth) pages, " +
+      "ranges/IN prune subtrees, non-alias tables stay residual") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.SqliteSourceV2
+    // a file WITH an interior level: 2000 short rows over 4-KiB pages
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("content", StringType, nullable = false),
+      StructField("vector", BinaryType, nullable = false)))
+    val rows = (1L to 2000L).map(i =>
+      Row(i, f"row-$i%04d", Array.tabulate(4)(j => (i + j).toByte)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val dir = Files.createTempDirectory("graft_push").toString
+    val db = Paths.get(dir, "p.db").toString
+    df.write.format("sqlite").mode("overwrite")
+      .option("table", "docs").save(db)
+    val bytes = Files.readAllBytes(Paths.get(db))
+    // the meter: a full scan visits every leaf; the 1-row range
+    // visits root + one child per level (O(depth))
+    val (fullIt, fullPages) = SqliteReader.readTableRanges(bytes,
+      "docs", Array(0, 1), SqliteReader.FullRange)
+    assert(fullIt.size == 2000)
+    val (oneIt, onePages) = SqliteReader.readTableRanges(bytes,
+      "docs", Array(0, 1), IndexedSeq((1234L, 1234L)))
+    val one = oneIt.toSeq
+    assert(one.map(_.head) == Seq(1234L) &&
+      one.head(1) == "row-1234")
+    assert(fullPages() >= 10,
+      s"fixture too small for the claim: ${fullPages()} pages")
+    assert(onePages() <= 3, // root + ≤2 levels on this fixture
+      s"1-row lookup visited ${onePages()} of ${fullPages()} pages")
+    // end-to-end through the DSv2 plan: pushed ranges are IN the scan
+    def scanOf(q: org.apache.spark.sql.DataFrame)
+        : graft.sources.SqliteScan =
+      q.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[graft.sources.SqliteScan]
+      }.head
+    val base = spark.read.format("sqlite").option("table", "docs")
+      .load(db)
+    val eq = base.filter(col("id") === 42L)
+    assert(scanOf(eq).pushedRanges == IndexedSeq((42L, 42L)))
+    assert(eq.collect().map(_.getString(1)).toSeq == Seq("row-0042"))
+    val in = base.filter(col("id").isin(7L, 3L, 1999L))
+    assert(scanOf(in).pushedRanges ==
+      IndexedSeq((3L, 3L), (7L, 7L), (1999L, 1999L)))
+    assert(in.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(3L, 7L, 1999L))
+    val rng = base.filter(col("id") > 10L && col("id") <= 13L)
+    assert(scanOf(rng).pushedRanges == IndexedSeq((11L, 13L)))
+    assert(rng.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(11L, 12L, 13L))
+    // a contradiction prunes the whole scan at plan time
+    val none = base.filter(col("id") > 100L && col("id") < 50L)
+    assert(scanOf(none).pushedRanges.isEmpty && none.count() == 0)
+    // non-rowid filters stay residual and still evaluate correctly
+    val resid = base.filter(col("content") === "row-0099")
+    assert(scanOf(resid).pushedRanges == SqliteReader.FullRange)
+    assert(resid.collect().map(_.getLong(0)).toSeq == Seq(99L))
+    // a table WITHOUT the rowid alias refuses pushdown (col-0 values
+    // are real stored values, rowids independent — pruning by rowid
+    // would be wrong) but filters still evaluate post-scan
+    val db2 = Paths.get(dir, "noalias.db").toString
+    graft.sources.SqliteWriter.write(df.limit(50), db2, "docs",
+      "CREATE TABLE docs (id BIGINT, content TEXT, vector BLOB)",
+      numPartitions = 2, rowidAlias = false)
+    val base2 = spark.read.format("sqlite").option("table", "docs")
+      .load(db2)
+    val eq2 = base2.filter(col("id") === 5L)
+    assert(scanOf(eq2).pushedRanges == SqliteReader.FullRange)
+    assert(eq2.collect().map(_.getString(1)).toSeq == Seq("row-0005"))
+    // the two-pointer interval intersection, directly
+    assert(SqliteSourceV2.intersectRanges(
+      IndexedSeq((1L, 10L), (20L, 30L)),
+      IndexedSeq((5L, 25L))) == IndexedSeq((5L, 10L), (20L, 25L)))
+  }
+
   test("DSv2 WRITE: df.write.format(\"sqlite\") round-trips, derives " +
       "the DDL, enforces UNIQUE, rejects append and remote paths") {
     val schema = StructType(Seq(
