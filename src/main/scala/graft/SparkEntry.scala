@@ -43,6 +43,7 @@ object SparkEntry {
     "t16_dup_clusters",     // near-dup pair graph + connected components
     "t31_incremental_dedup",// base Jaccard index
     "t32_semantic_dedup",   // SemDeDup fixture corpus + centroids
+    "t73_sem_prefilter_10k",// 10k eval set + matched spread corpus
     "t33_classifier_filter",// classifier fixture corpus + class means
     "t34_substring_spans",  // positional shingles + substring spans
     "t47_incremental_substr", // base substring LSM index

@@ -1589,6 +1589,168 @@ object TextQueries {
       .drop("_probes", "_cands")
   }
 
+  /** t73's sketch width (both sides) and the margin rule: a doc-eval
+    * pair qualifying at cosine ≥ τ sits at angle ≤ arccos τ, so each
+    * SRP plane flips with probability ≤ p = arccos(τ)/π — the hamming
+    * distance of a QUALIFYING pair is ≤ Binomial(planes, p), and
+    * H = ⌈planes·p + 4·√(planes·p(1−p))⌉ is a 4σ tail bound on it
+    * (miss probability ~3·10⁻⁵ per qualifying pair at τ = 0.95,
+    * planes = 56 → H = 15). Random-direction pairs sit at ~planes/2
+    * flips (σ ≈ 3.7), so the same H admits ~4·10⁻⁴ of them — the
+    * margin SEPARATES because it scales with √planes while the
+    * qualifying/random gap scales with planes. */
+  private[queries] val SemMarginPlanes = 56
+
+  private[queries] def semMarginH(tau: Double, planes: Int): Int = {
+    val p = math.acos(tau) / math.Pi
+    math.ceil(planes * p + 4.0 * math.sqrt(planes * p * (1 - p))).toInt
+  }
+
+  /** t73's fixtures: the 10k-item DEPLOYMENT eval set and its matched
+    * corpus, generated with SPREAD (signed, genRefDimCorpus's u()
+    * kernel) directions — a load-bearing choice: the hashEmbed family
+    * t32/t71 use concentrates directions so hard that 10k items
+    * occupy only 138 of 2²⁰ sketch buckets (the chooser SATURATES at
+    * bbMax with size-biased 83 — measured round 17), which says
+    * nothing about deployment geometry. Corpus: 1,500 docs, 12
+    * centers, the t32 amp strata (0.2 + 0.15·(id mod 5)). Eval:
+    * items 0-119 on the SAME 12 centers at paraphrase distance
+    * (amp 0.05 + 0.05·(e mod 3) — the contaminated tranche), items
+    * 120-9,999 on 2,000 fresh centers. Persisted as
+    * `t73_corpus` / `t73_eval` for the oracle replay. */
+  private def t73Fixture(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    import graft.functions.HashFunctions.md5Long
+    def u(seed: String, key: org.apache.spark.sql.Column,
+          dd: org.apache.spark.sql.Column) =
+      (md5Long(concat(lit(seed), key.cast("string"), lit(":"),
+        dd.cast("string"))) % 2001L).cast("double") / 1000.0 - 1.0
+    def gen(n: Int, idCol: String, cid: org.apache.spark.sql.Column,
+            amp: org.apache.spark.sql.Column,
+            nseed: String): DataFrame =
+      spark.range(n).select(col("id").as(idCol))
+        .withColumn("cid", cid)
+        .withColumn("mix", transform(sequence(lit(0), lit(63)), dd =>
+          u("t73c:", col("cid"), dd) + amp * u(nseed, col(idCol), dd)))
+        .withColumn("nrm",
+          sqrt(aggregate(col("mix"), lit(0.0), (acc, x) => acc + x * x)))
+        .select(col(idCol),
+          transform(col("mix"), x => (x / col("nrm")).cast("float"))
+            .as("embedding"))
+    Artifacts.reuseOrBuild(sfDir,
+        "t73:v1:n=1500,k12,eval10k,c2000,d64,spread",
+        Seq("t73_corpus", "t73_eval")) {
+      Artifacts.write(
+        gen(1500, "vec_id", pmod(col("vec_id"), lit(12)),
+          lit(0.2) +
+            lit(0.15) * pmod(col("vec_id"), lit(5)).cast("double"),
+          "t73p:"), "t73_corpus", sfDir)
+      Artifacts.write(
+        gen(10000, "eval_id",
+          when(col("eval_id") < 120, pmod(col("eval_id"), lit(12)))
+            .otherwise(lit(100) + pmod(col("eval_id"), lit(2000))),
+          lit(0.05) +
+            lit(0.05) * pmod(col("eval_id"), lit(3)).cast("double"),
+          "t73e:")
+          .withColumnRenamed("embedding", "evec"), "t73_eval",
+        sfDir): Unit
+    }
+    (spark.read.parquet(Artifacts.resolve("t73_corpus", sfDir)),
+      spark.read.parquet(Artifacts.resolve("t73_eval", sfDir)))
+  }
+
+  /** SEMANTIC DECONTAMINATION AT THE 10K-ITEM DEPLOYMENT EVAL SET —
+    * the round-16 verdict's item 6, and an honest CORRECTION to
+    * t72's scaladoc: the claim that the v69 occupancy chooser
+    * "applies verbatim" to a 10k eval index is measured FALSE. On the
+    * spread fixture the chooser picks bb = 9 (load 28.6 ≤ 48), but
+    * hamming-1 probing at that width serves flag recall 293/300 and
+    * 85/105 on the two contaminated strata, and eval-side hamming-1
+    * fan-out (radius 2) still misses 1 + 5 — the radius-1 probe's
+    * angular coverage COLLAPSES as the prefix widens (a τ = 0.95
+    * pair flips each plane with p ≈ 0.101, so at 9 bits ≥2 flips is a
+    * 22% event per qualifying pair; t72's 3-bit fixture survives only
+    * because 3 planes rarely flip twice). The design that scales is
+    * the WIDE-SKETCH HAMMING MARGIN: sketch BOTH sides at
+    * [[SemMarginPlanes]] planes, candidates = eval items within
+    * [[semMarginH]] flips of the doc's sketch (a 4σ Chernoff bound on
+    * the qualifying set's flip count — see the constant's scaladoc),
+    * exact-cosine rescore of candidates only. Per doc that is 10k
+    * XOR+popcounts (one long each) + ~27 exact cosines instead of
+    * 10k × 64 multiply-adds — and the eval side rides as ONE
+    * broadcast array exactly like t71/t72, corpus never shuffles,
+    * zero joins. MEASURED: flag recall **1.0 on every stratum**
+    * (300/300, 105/105 on the contaminated strata) at cand_per_doc
+    * 25-28 of 10,000 — the same constant the 36-item fixture reads
+    * (t72: 23.7 of 36), so the work meter holds ~flat across a 278×
+    * eval-set growth, which is the deployment claim t72 deferred.
+    * The oracle replays both 56-plane sketches from the floats, the
+    * margin rule, the popcount pair join, both argmaxes, the strata,
+    * recalls and candidate meters in SQL.
+    */
+  def semanticPrefilter10k(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import graft.functions.VectorFunctions.cosineSim
+    val (corpus, eval) = t73Fixture(spark, sfDir)
+    val planes = SemMarginPlanes
+    val h = semMarginH(0.95, planes)
+    val evRow = eval
+      .withColumn("sk", graft.functions.HashFunctions
+        .cosineLshBits(col("evec"), planes))
+      .agg(sort_array(collect_list(
+        struct(col("eval_id"), col("sk"), col("evec")))).as("evsk"))
+    val evalsRow = eval
+      .agg(sort_array(collect_list(struct(col("eval_id"), col("evec"))))
+        .as("evals"))
+    val both = corpus
+      .withColumn("dsk", graft.functions.HashFunctions
+        .cosineLshBits(col("embedding"), planes))
+      .crossJoin(broadcast(evRow))
+      .withColumn("_cands", filter(col("evsk"), e =>
+        bit_count(e.getField("sk").bitwiseXOR(col("dsk"))) <= h))
+      .withColumn("n_cand", size(col("_cands")).cast("long"))
+      .withColumn("best", aggregate(col("_cands"),
+        struct(lit(-2.0).as("s"), lit(-1L).as("eval_id")),
+        (acc, e) => {
+          val s = cosineSim(e.getField("evec"), col("embedding"))
+          when(s > acc.getField("s") ||
+              (s === acc.getField("s") &&
+                e.getField("eval_id") < acc.getField("eval_id")),
+            struct(s.as("s"), e.getField("eval_id").as("eval_id")))
+            .otherwise(acc)
+        }))
+      .crossJoin(broadcast(evalsRow))
+      .withColumn("ebest", aggregate(col("evals"),
+        struct(lit(-2.0).as("s"), lit(-1L).as("eval_id")),
+        (acc, e) => {
+          val s = cosineSim(e.getField("evec"), col("embedding"))
+          when(s > acc.getField("s"),
+            struct(s.as("s"), e.getField("eval_id").as("eval_id")))
+            .otherwise(acc)
+        }))
+      .select(pmod(col("vec_id"), lit(5L)).as("stratum"),
+        col("n_cand"),
+        (col("best.s") >= 0.95).as("pre_flag"),
+        (col("ebest.s") >= 0.95).as("ex_flag"))
+    both.groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ex_flag"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("pre_flag"), 1L).otherwise(0L)).as("n_prefilter"),
+        sum(when(col("pre_flag") && col("ex_flag"), 1L).otherwise(0L))
+          .as("n_both"),
+        round(avg(col("n_cand")), 4).as("cand_per_doc"),
+        // empty exact set → 1.0 (nothing to recall — the ServeGate
+        // recallOf convention)
+        round(coalesce(
+          sum(when(col("pre_flag") && col("ex_flag"), 1L).otherwise(0L))
+            .cast("double") /
+          when(sum(when(col("ex_flag"), 1L).otherwise(0L)) > 0L,
+            sum(when(col("ex_flag"), 1L).otherwise(0L))),
+          lit(1.0)), 6).as("flag_recall"))
+      .withColumn("margin_bits", lit(h.toLong))
+      .orderBy("stratum")
+  }
+
   /** ANN-PREFILTERED SEMANTIC DECONTAMINATION — t71's deployment rung
     * (round-15 verdict item 2): the exact per-doc argmax costs
     * |eval|·d multiply-adds inside the scan — fine at 36 eval items,
@@ -1609,10 +1771,15 @@ object TextQueries {
     * (vec_id mod 5) and emits it next to the measured work meter
     * (cand_per_doc vs the 36 the exact path scores). MEASURED:
     * flag_recall 1.0 on every stratum at cand_per_doc ≈ 23.7 — ⅔ of
-    * the exact work on a fixture whose 12 centers pack 8 buckets; at
-    * a 10k-item deployment eval set the same geometry (wider prefix,
-    * occupancy-chosen — v69's chooser applies verbatim to the eval
-    * index) holds cand_per_doc at a constant while |eval| grows. The
+    * the exact work on a fixture whose 12 centers pack 8 buckets. At
+    * a 10k-item deployment eval set this BUCKET-PREFIX geometry does
+    * NOT scale (round-17 measurement, correcting this scaladoc's
+    * earlier claim): the chooser's wider prefix makes hamming-1
+    * coverage collapse (≥2 plane flips of 9 is a 22% event per
+    * qualifying pair) and recall drops below 1.0 — t73
+    * ([[semanticPrefilter10k]]) is the deployment rung, a wide-sketch
+    * hamming-margin prefilter that holds recall 1.0 AND
+    * cand_per_doc ≈ this fixture's constant at 278× the eval set. The
     * oracle replays the 3-plane sketch of BOTH sides, the full probe
     * fan-out, the candidate join, both argmaxes, both flag sets, the
     * per-stratum counts, recalls and candidate meters in SQL.
@@ -2358,7 +2525,8 @@ object TextQueries {
       "t47_incremental_substr" -> ((s, d) => baseSubstrIndex(s, d): Unit),
       "t37_curation_v2" -> ((s, d) => curationKeptSpans(s, d): Unit),
       "t66_bpe_merges" -> ((s, d) => bpeModel(s, d): Unit),
-      "t68_bpe_heldout" -> ((s, d) => bpeSplitModel(s, d): Unit))
+      "t68_bpe_heldout" -> ((s, d) => bpeSplitModel(s, d): Unit),
+      "t73_sem_prefilter_10k" -> ((s, d) => t73Fixture(s, d): Unit))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t64_mixing_plan" -> (mixingPlan(_, _)),
@@ -2368,6 +2536,7 @@ object TextQueries {
     "t70_token_savings" -> (tokenSavings(_, _)),
     "t71_semantic_decontam" -> (semanticDecontaminate(_, _)),
     "t72_semantic_prefilter" -> (semanticDecontaminatePrefiltered(_, _)),
+    "t73_sem_prefilter_10k" -> (semanticPrefilter10k(_, _)),
     "t60_vocab_growth" -> (vocabGrowth(_, _)),
     "t46_training_export" -> (trainingExport(_, _)),
     "t37_curation_v2" -> (curationV2(_, _)),
@@ -3307,6 +3476,84 @@ object TextQueries {
     // corpus × eval cosine matrix, per-doc argmax (sim desc, eval_id
     // asc — the strict-> first-wins rule over the id-sorted array),
     // threshold, rounding
+    // the 10k hamming-margin replay: BOTH 56-plane sketches from the
+    // floats, the 4sigma margin re-derived in SQL from the same
+    // closed form (acos/ceil/sqrt), the popcount pair join, both
+    // argmaxes, strata, recalls, candidate meters
+    "t73_sem_prefilter_10k" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM read_parquet('${Artifacts.oracleGlob("t73_corpus")}')),
+         |ev AS (SELECT eval_id, CAST(evec AS DOUBLE[]) AS q
+         |       FROM read_parquet('${Artifacts.oracleGlob("t73_eval")}')),
+         |hh AS (SELECT CAST(ceil(56 * (acos(0.95) / pi()) +
+         |                4 * sqrt(56 * (acos(0.95) / pi()) *
+         |                         (1 - acos(0.95) / pi())))
+         |              AS BIGINT) AS h),
+         |jj AS (SELECT unnest(range(0, 56)) AS j),
+         |de AS (SELECT ev.eval_id, jj.j,
+         |         list_sum(list_transform(range(0, len(ev.q)), i ->
+         |           ev.q[CAST(i + 1 AS INT)] *
+         |           (CASE WHEN CAST(concat('0x', substring(
+         |                  md5(concat('srp:', jj.j, ':', i)), 1, 15))
+         |                  AS BIGINT)
+         |                 % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
+         |       FROM ev, jj),
+         |be AS (SELECT eval_id,
+         |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
+         |                       ELSE 0 END) AS BIGINT) AS sk
+         |       FROM de GROUP BY eval_id),
+         |dv AS (SELECT v.vec_id, jj.j,
+         |         list_sum(list_transform(range(0, len(v.e)), i ->
+         |           v.e[CAST(i + 1 AS INT)] *
+         |           (CASE WHEN CAST(concat('0x', substring(
+         |                  md5(concat('srp:', jj.j, ':', i)), 1, 15))
+         |                  AS BIGINT)
+         |                 % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
+         |       FROM v, jj),
+         |bv AS (SELECT vec_id,
+         |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
+         |                       ELSE 0 END) AS BIGINT) AS sk
+         |       FROM dv GROUP BY vec_id),
+         |cand AS (SELECT bv.vec_id, be.eval_id
+         |         FROM bv, be, hh
+         |         WHERE bit_count(xor(bv.sk, be.sk)) <= hh.h),
+         |nc AS (SELECT v.vec_id, count(cand.eval_id) AS n_cand
+         |       FROM v LEFT JOIN cand USING (vec_id) GROUP BY v.vec_id),
+         |ps AS (SELECT cand.vec_id, cand.eval_id,
+         |         list_cosine_similarity(v.e, ev.q) AS s
+         |       FROM cand JOIN v USING (vec_id) JOIN ev USING (eval_id)),
+         |pb AS (SELECT vec_id, eval_id, s,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY s DESC, eval_id) AS rn FROM ps),
+         |pf AS (SELECT vec_id FROM pb WHERE rn = 1 AND s >= 0.95),
+         |eb AS (SELECT v.vec_id, list_cosine_similarity(v.e, ev.q) AS s,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |           ORDER BY list_cosine_similarity(v.e, ev.q) DESC,
+         |                    ev.eval_id) AS rn
+         |       FROM v, ev),
+         |ef AS (SELECT vec_id FROM eb WHERE rn = 1 AND s >= 0.95)
+         |SELECT v.vec_id % 5 AS stratum, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN ef.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_exact,
+         |       CAST(sum(CASE WHEN pf.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_prefilter,
+         |       CAST(sum(CASE WHEN pf.vec_id IS NOT NULL
+         |                      AND ef.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_both,
+         |       round(avg(nc.n_cand), 4) AS cand_per_doc,
+         |       round(CASE
+         |         WHEN sum(CASE WHEN ef.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              = 0 THEN 1.0
+         |         ELSE CAST(sum(CASE WHEN pf.vec_id IS NOT NULL
+         |                        AND ef.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |                 AS DOUBLE) /
+         |              sum(CASE WHEN ef.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         END, 6) AS flag_recall,
+         |       (SELECT h FROM hh) AS margin_bits
+         |FROM v JOIN nc USING (vec_id)
+         |LEFT JOIN pf ON v.vec_id = pf.vec_id
+         |LEFT JOIN ef ON v.vec_id = ef.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the prefilter replay (shared CTEs) + both flag sets, per-stratum
     // counts, candidate meters and flag recall vs the exact argmax
     "t72_semantic_prefilter" ->
