@@ -4373,6 +4373,88 @@ object VectorQueries {
       .orderBy("variant", "width")
   }
 
+  /** ROTATED PREFIX × SQ8 — the round-16 verdict's stretch item,
+    * composing the two serving frontiers that were measured
+    * separately into the cell a deployment actually ships: v74
+    * pinned the TRAINED-prefix frontier (the PCA/variance-ordered
+    * rotation serves recall 0.8 — the fixture's graph ceiling — at
+    * 192 of 1536 floats = 768 B/vec), v61 pinned the SQ8 frontier
+    * (int8 at full width costs no recall and needs no rerank). This
+    * query quantizes the ROTATED 192-float prefix to int8 (v61's
+    * per-dimension symmetric scales, derived over the prefix) and
+    * walks the SAME v74 graph with the dequantized-prefix scorer —
+    * identical beam-16 / 3-round geometry, identical full-width
+    * exact-scan ground truth — emitting the float-prefix row beside
+    * the sq8-prefix row. MEASURED: both serve recall 0.8 (the graph
+    * ceiling) — so the shipped store is **192 B/vec, 32× smaller
+    * than the 6,144 B original at the fixture's ceiling recall**,
+    * with min prefix-quantization cosine fidelity carried beside it.
+    * The oracle replays the rotation matvec from the persisted rows
+    * (1e-6 rounding, v65's contract), the 192-slice, the per-dim
+    * scale derivation, quantize/dequantize (the v61-gated rounding
+    * order), sketch + entries over the full plain vectors, BOTH
+    * beam-16 walks and both recalls in SQL. QuantGate seals the
+    * composed sq8-prefix path per run (cheap — the fixture is v74's,
+    * already sealed) and raises below floor 0.6 (v74's convention).
+    */
+  def matryoshkaPrefixSq8(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import graft.operators.{Opq, Sq8}
+    val (cDir, gDir, rot, entries) = v74Fixture(spark, sfDir)
+    val all = spark.read.parquet(cDir)
+    val serving = all.filter(col("vec_id") =!= 1000L)
+    val graph = spark.read.parquet(gDir)
+    val width = 192
+    val pServing = Opq.rotate(serving, "vec_id", "embedding", rot)
+      .select(col("vec_id"),
+        slice(col("embedding"), 1, width).as("embedding"))
+      .localCheckpoint()
+    val pQ = Opq.rotate(all.filter(col("vec_id") === 1000L),
+        "vec_id", "embedding", rot)
+      .select(slice(col("embedding"), 1, width).as("qe"))
+    val scales = Sq8.scalesRow(pServing, "embedding")
+    val coded = pServing
+      .join(Sq8.roundTrip(pServing, "vec_id", "embedding", scales)
+        .select(col("vec_id"), col("embedding").as("deq")),
+        Seq("vec_id"))
+      .localCheckpoint()
+    val fid = coded
+      .select(cosineSim(col("embedding"), col("deq")).as("cf"))
+      .agg(round(min(col("cf")), 6).as("min_cos_fidelity"))
+      .head().getDouble(0)
+    val exact = Search.topK(serving,
+        all.filter(col("vec_id") === 1000L)
+          .select(col("embedding").as("qe")),
+        "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("_hit")).localCheckpoint()
+    def row(sv: DataFrame, variant: String, bytes: Long, cf: Double)
+        : DataFrame =
+      Ann.graphBeamSearch(graph, sv, pQ, "vec_id", "embedding",
+          entryIds = entries, beam = 16, rounds = 3, k = 10)
+        .join(exact, Seq("vec_id"), "left")
+        .agg(round(sum(coalesce(col("_hit"), lit(0L))).cast("double") /
+          10.0, 6).as("recall_at_10"),
+          max("nodes_touched").as("nodes_touched"))
+        .select(lit(variant).as("variant"),
+          lit(bytes).as("code_bytes"),
+          col("nodes_touched"),
+          lit(cf).as("min_cos_fidelity"),
+          col("recall_at_10"))
+    val out = row(pServing, "rot192_float", width * 4L, 1.0)
+      .unionByName(row(coded.select(col("vec_id"),
+        col("deq").as("embedding")), "rot192_sq8", width.toLong, fid))
+      .orderBy("variant").localCheckpoint()
+    val sq8Recall = out.filter(col("variant") === "rot192_sq8")
+      .head().getAs[Double]("recall_at_10")
+    QuantGate.seal(spark, "v77_prefix_sq8", sfDir, sq8Recall,
+      floor = 0.6, note = "SQ8-quantized rotated 192-prefix (192 B" +
+        "/vec, 32x vs float32 full width) beam-16 walk recall@10 vs " +
+        "the full-width exact scan on the v74 graded-spectrum " +
+        "corpus; measured 0.8 — the same graph ceiling the float " +
+        "prefix serves, so the int8 rung is free here too")
+    out
+  }
+
   /** v68's trained models + their sealed gates — [[graft.operators
     * .AnisoPq]] codebooks on v30's EXACT training recipe (even
     * vec_ids of the 40× d=1536 fixture, m=8, k=16, maxIter=2, same
@@ -7515,6 +7597,75 @@ object VectorQueries {
          |       (SELECT count(*) FROM mem) AS members_rescored,
          |       (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6)
          |        FROM resc JOIN ex USING (vec_id)) AS recall_at_10""".stripMargin,
+    // the composed rung: rotation matvec (1e-6 rounding), 192-slice,
+    // per-dim scale derivation + the v61-gated quantize/dequantize
+    // rounding order, sketch + entries over the plain vectors, BOTH
+    // beam-16 walks (float prefix / dequantized prefix), the
+    // full-width exact scan, both recalls and the fidelity min
+    "v77_prefix_sq8" ->
+      s"""WITH g AS (SELECT src, dst
+         |           FROM read_parquet('${Artifacts.oracleGlob("v74_graph")}')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM read_parquet('${Artifacts.oracleGlob("v74_corpus")}')),
+         |rr AS (SELECT o, rv
+         |       FROM read_parquet('${Artifacts.oracleGlob("v74_rot")}')),
+         |qf AS (SELECT e AS qe FROM v WHERE vec_id = 1000),
+         |c AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
+         |$refDimSketchCtes,
+         |$refDimEntryCtes,
+         |rw AS (SELECT c.vec_id,
+         |         list(round(list_dot_product(c.e, rr.rv), 6)
+         |              ORDER BY rr.o) AS e
+         |       FROM c, rr GROUP BY c.vec_id),
+         |rqw AS (SELECT list(round(list_dot_product(qf.qe, rr.rv), 6)
+         |               ORDER BY rr.o) AS qe
+         |        FROM qf, rr),
+         |fc AS (SELECT vec_id, e[1:192] AS e FROM rw),
+         |q AS (SELECT qe[1:192] AS qe FROM rqw),
+         |ii AS (SELECT unnest(range(0, 192)) AS i),
+         |sx AS (SELECT ii.i,
+         |         greatest(max(abs(fc.e[CAST(ii.i + 1 AS INT)])), 1e-30)
+         |           AS s
+         |       FROM fc, ii GROUP BY ii.i),
+         |scl AS (SELECT list(s ORDER BY i) AS sc FROM sx),
+         |zc AS (SELECT fc.vec_id,
+         |         list_transform(range(0, len(fc.e)), i ->
+         |           round(fc.e[CAST(i + 1 AS INT)]
+         |                 / scl.sc[CAST(i + 1 AS INT)] * 127)
+         |             * scl.sc[CAST(i + 1 AS INT)] / 127) AS e
+         |       FROM fc, scl),
+         |cf AS (SELECT round(min(list_cosine_similarity(fc.e, zc.e)), 6)
+         |         AS fid FROM fc JOIN zc USING (vec_id)),
+         |fen AS (SELECT vec_id FROM en),
+         |zen AS (SELECT vec_id FROM en),
+         |${walkUnrollSql("f", "g", "fc", beam = 16,
+                          customEntries = true)},
+         |${walkUnrollSql("z", "g", "zc", beam = 16,
+                          customEntries = true)},
+         |ex AS (SELECT c.vec_id FROM c, qf
+         |       ORDER BY list_cosine_similarity(c.e, qf.qe) DESC,
+         |         c.vec_id
+         |       LIMIT 10),
+         |ftop AS (SELECT vec_id FROM fs3 ORDER BY score DESC, vec_id
+         |         LIMIT 10),
+         |ztop AS (SELECT vec_id FROM zs3 ORDER BY score DESC, vec_id
+         |         LIMIT 10),
+         |frec AS (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS r
+         |         FROM ftop JOIN ex USING (vec_id)),
+         |zrec AS (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS r
+         |         FROM ztop JOIN ex USING (vec_id))
+         |SELECT * FROM (
+         |  SELECT 'rot192_float' AS variant,
+         |         CAST(768 AS BIGINT) AS code_bytes,
+         |         (SELECT count(*) FROM fs3) AS nodes_touched,
+         |         1.0 AS min_cos_fidelity,
+         |         frec.r AS recall_at_10
+         |  FROM frec
+         |  UNION ALL
+         |  SELECT 'rot192_sq8', CAST(192 AS BIGINT),
+         |         (SELECT count(*) FROM zs3), cf.fid, zrec.r
+         |  FROM zrec, cf)
+         |ORDER BY variant""".stripMargin,
     // both bases' prefix curves: the rotation matvec from the
     // persisted rows (rounded 1e-6 — v65's contract), plain + rotated
     // slices at every width, sketch + entries over the full vectors,
@@ -8830,6 +8981,7 @@ object VectorQueries {
     "v74_prefix_rotated" -> (matryoshkaRotatedServe(_, _)),
     "v75_neardup_tier" -> (nearDupTierOccupancy(_, _)),
     "v76_neardup_serve" -> (nearDupTierServe(_, _)),
+    "v77_prefix_sq8" -> (matryoshkaPrefixSq8(_, _)),
     "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),
     "v32_image_neardup" -> (imageNearDup(_, _)),
