@@ -362,7 +362,23 @@ object PlansDump {
           "pruned_read_schema column additionally pins the blob-free " +
           "projection reading (id, content), with pruned bodies " +
           "skipped inside the record decoder, not dropped after " +
-          "materialization."))
+          "materialization."),
+      "v76_neardup_serve" ->
+        ("Serving through the near-dup tier: the rep store's walk " +
+          "rounds are TakeOrderedAndProject beams + broadcast point-" +
+          "lookup joins over the 607-rep frame; the sidecar expansion " +
+          "is a BROADCAST of the 10 hit reps joined into the sidecar, " +
+          "and the exact rerank touches only the expanded members — " +
+          "the 2,239-row corpus appears once, in the rerank join and " +
+          "the exact-truth scan, never in a corpus-wide shuffle."),
+      "t73_sem_prefilter_10k" ->
+        ("10k-eval hamming-margin decontamination: the 10,000-item " +
+          "eval array (ids + 56-bit sketches + vectors) rides the " +
+          "plan as ONE broadcast row; per-doc candidate selection is " +
+          "a higher-order filter (XOR + bit_count inside the scan) " +
+          "and both argmaxes are aggregate lambdas over arrays — the " +
+          "corpus never shuffles; the only exchange is the 5-row " +
+          "stratum rollup."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")
