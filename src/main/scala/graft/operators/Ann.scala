@@ -1259,8 +1259,18 @@ object Ann {
   def fineBucketNearDupReps(emb: DataFrame, idCol: String,
                             vecCol: String, bits: Int, fineBits: Int,
                             tau: Double,
-                            maxBucketRows: Long = 100000L): DataFrame = {
-    val idx = srpBucketIndex(emb, idCol, vecCol, bits, fineBits)
+                            maxBucketRows: Long = 100000L): DataFrame =
+    nearDupRepsFromIndex(
+      srpBucketIndex(emb, idCol, vecCol, bits, fineBits),
+      idCol, vecCol, tau, maxBucketRows)
+
+  /** [[fineBucketNearDupReps]]'s core on an ALREADY-BUCKETED index
+    * frame (idCol, vecCol, bucket) — factored out so the LSM update
+    * ([[updateNearDupReps]]) can repair a crossing bucket by
+    * recomputing exactly that bucket's rows without re-sketching. */
+  private def nearDupRepsFromIndex(idx: DataFrame, idCol: String,
+                                   vecCol: String, tau: Double,
+                                   maxBucketRows: Long): DataFrame = {
     val guard = idx.groupBy("bucket").agg(count(lit(1)).as("_bn"))
       .agg(max("_bn").as("_mx"))
     val a = idx.select(col("bucket"), col(idCol).as("_m_id"),
@@ -1304,6 +1314,172 @@ object Ann {
         .localCheckpoint()
     }
     kept.unionByName(members)
+  }
+
+  /** O(delta) LSM MAINTENANCE FOR THE NEAR-DUP TIER — the incremental
+    * twin of [[fineBucketNearDupReps]], completing the tier's LSM
+    * story (round-17 verdict item 1): v75/v76 build the tier on a
+    * STATIC corpus, while every other index structure in the engine
+    * maintains itself per delta batch (t31's Jaccard index, t47's
+    * substring index, [[updateKnnGraphIncremental]]'s graph sidecar).
+    * Without this, a delta batch containing near-dups of existing
+    * reps has no O(delta) path into the (member → rep) sidecar and
+    * the tier silently degrades into a rebuild-cadence artifact.
+    *
+    * Inputs are the store's persisted snapshot artifacts: `baseIndex`
+    * = the fine-bucket index (idCol, vecCol, bucket at `fineBits`) of
+    * EVERY existing row — kept AND dropped, because the keep rule
+    * compares a new row against all smaller same-bucket ids, not just
+    * kept ones — and `baseSidecar` = the existing (idCol, rep_id)
+    * fixpoint (every rep_id a kept id; kept rows map to themselves).
+    * Per delta batch the update pays: ONE sketch pass over the DELTA,
+    * the fine-bucket equi-join of the delta's rows against base∪delta
+    * index rows in the delta's buckets only (with a hive-partitioned
+    * index store, only those bucket directories are read), and
+    * O(log chain) pointer-jump joins over the delta's dropped subset.
+    * Nothing rescans the base corpus.
+    *
+    * Equality contract (the t31 discipline, v78-gated): the updated
+    * sidecar equals a FULL tier rebuild on base ∪ delta — keep set,
+    * one-hop reps and chain fixpoints row-identical — in ALL cases,
+    * including id-order CROSSINGS: a delta row with a SMALLER id than
+    * an existing same-fine-bucket row at cos ≥ tau makes the rebuild
+    * revisit that existing row's decisions (steal its rep-ness or
+    * lower its one-hop minimum), so the append-only path cannot stay
+    * exact there. The repair exploits the tier's structure: one-hop
+    * reps are always FINE-BUCKET MATES, so rep chains never leave
+    * their bucket, and a crossing can only invalidate decisions
+    * INSIDE the crossing bucket — the update therefore recomputes
+    * crossing buckets wholesale (the batch rule on just those
+    * buckets' rows, existing ∪ delta: work Σ|bucket|², bounded by
+    * `maxBucketRows` exactly like the batch tier) while crossing-free
+    * buckets take the cheap append path. The crossing report is the
+    * repair-mass METER (t31's maxDf-crossing discipline, upgraded
+    * from refuse-to-answer to priced exactness): one row per crossing
+    * pair (delta id, crossing_id = the larger existing id it
+    * undercuts); under monotone ingest ids it is empty and the whole
+    * update is the append path.
+    *
+    * Append-path chain resolution stays delta-proportional: a dropped
+    * delta row's one-hop rep is either an existing id — resolved to a
+    * kept id by ONE join through `baseSidecar` (already a fixpoint;
+    * crossing-free buckets cannot change any existing row's chain) —
+    * or a delta id, resolved by pointer-jumping within the delta's
+    * own one-hop map (rep ids strictly decrease, so unresolved chain
+    * length halves per join round, on the delta subset only).
+    *
+    * Returns (upsert rows (idCol, rep_id) — every delta row plus
+    * every existing row of a repaired bucket; the caller replaces
+    * by id: `baseSidecar anti-join upserts on id, union upserts` —
+    * with a bucket-partitioned sidecar store only crossing-bucket
+    * partitions rewrite — and crossing pairs (idCol, crossing_id)).
+    */
+  def updateNearDupReps(baseIndex: DataFrame, baseSidecar: DataFrame,
+                        delta: DataFrame, idCol: String,
+                        vecCol: String, bits: Int, fineBits: Int,
+                        tau: Double,
+                        maxBucketRows: Long = 100000L)
+      : (DataFrame, DataFrame) = {
+    val deltaIdx = srpBucketIndex(
+        delta.select(col(idCol), col(vecCol)), idCol, vecCol, bits,
+        fineBits)
+      .localCheckpoint()
+    // work guard, scoped to the buckets this delta actually touches:
+    // combined |bucket| there stays under maxBucketRows or the update
+    // refuses loudly (the same bound the batch tier enforces — the
+    // floor being removed is bounded by construction)
+    val touched = deltaIdx.select("bucket").distinct()
+    val guard = baseIndex.join(touched, Seq("bucket"), "left_semi")
+      .select("bucket")
+      .unionByName(deltaIdx.select("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("_bn"))
+      .agg(coalesce(max("_bn"), lit(0L)).as("_mx"))
+    // geometry guard on the persisted index (the
+    // updateKnnGraphIncremental convention): a bucket outside
+    // [0, 2^fineBits) means the artifact was built at another width
+    val checkedBucket = when(
+      col("bucket") < 0 || col("bucket") >= (1L << fineBits),
+      raise_error(concat(
+        lit("updateNearDupReps: baseIndex bucket "), col("bucket"),
+        lit(s" out of range for fineBits=$fineBits — the persisted " +
+          "index was built at a different width"))).cast("long"))
+      .otherwise(col("bucket"))
+    val a = deltaIdx.select(col("bucket"), col(idCol).as("_m_id"),
+        col(vecCol).as("_m_vec"))
+      .crossJoin(broadcast(guard))
+      .filter(when(col("_mx") > maxBucketRows,
+          raise_error(concat(
+            lit("updateNearDupReps: combined fine bucket of "),
+            col("_mx"),
+            lit(s" rows exceeds maxBucketRows=$maxBucketRows — " +
+              "schedule the tier rebuild instead"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("_mx")
+    val bExist = baseIndex
+      .select(checkedBucket.as("bucket"), col(idCol).as("_n_id"),
+        col(vecCol).as("_n_vec"), lit(true).as("_ex"))
+    val bDelta = deltaIdx.select(col("bucket"), col(idCol).as("_n_id"),
+      col(vecCol).as("_n_vec"), lit(false).as("_ex"))
+    val cand = a.join(bExist.unionByName(bDelta), Seq("bucket"), "left")
+      .withColumn("_sim", cosineSim(col("_m_vec"), col("_n_vec")))
+      .localCheckpoint()
+    val crossings = cand
+      .filter(col("_ex") && col("_n_id") > col("_m_id") &&
+        col("_sim") >= tau)
+      .select(col("bucket"), col("_m_id").as(idCol),
+        col("_n_id").as("crossing_id"))
+      .localCheckpoint()
+    // crossing buckets: append-only would diverge from the rebuild
+    // there — recompute them wholesale below (chains never leave
+    // their fine bucket, so the repair is exactly bucket-local)
+    val crossBuckets = crossings.select("bucket").distinct()
+      .localCheckpoint()
+    val oneHop = cand
+      .join(broadcast(crossBuckets), Seq("bucket"), "left_anti")
+      .withColumn("_match",
+        when(col("_n_id") < col("_m_id") && col("_sim") >= tau,
+          col("_n_id")))
+      .groupBy(col("_m_id").as(idCol))
+      .agg(coalesce(min(col("_match")), min(col("_m_id")))
+        .as("rep_id"))
+    val kept = oneHop.filter(col("rep_id") === col(idCol))
+      .localCheckpoint()
+    val baseMap = baseSidecar
+      .select(col(idCol).as("_bid"), col("rep_id").as("_brep"))
+    def resolveBase(m: DataFrame): DataFrame =
+      m.join(baseMap, m("rep_id") === col("_bid"), "left")
+        .select(m(idCol),
+          coalesce(col("_brep"), m("rep_id")).as("rep_id"))
+    var members = resolveBase(
+        oneHop.filter(col("rep_id") =!= col(idCol)))
+      .localCheckpoint()
+    // unresolved while a rep_id is itself a dropped DELTA id (existing
+    // ids are fixpoints after resolveBase; delta kept ids are their
+    // own reps) — each jump halves the unresolved chain length
+    def unresolved(m: DataFrame): Long =
+      m.join(m.select(col(idCol).as("_cid")),
+        m("rep_id") === col("_cid")).count()
+    while (unresolved(members) > 0) {
+      val hop = members.select(col(idCol).as("_cid"),
+        col("rep_id").as("_crep"))
+      members = members.join(hop,
+          members("rep_id") === col("_cid"), "left")
+        .select(members(idCol),
+          coalesce(col("_crep"), members("rep_id")).as("rep_id"))
+        .localCheckpoint()
+    }
+    // the repair: every row (existing ∪ delta) of a crossing bucket,
+    // recomputed by the batch rule — identical to the rebuild on
+    // those buckets because the rule and chains are bucket-local
+    val repairIdx = baseIndex
+      .select(checkedBucket.as("bucket"), col(idCol), col(vecCol))
+      .unionByName(deltaIdx.select(col("bucket"), col(idCol),
+        col(vecCol)))
+      .join(broadcast(crossBuckets), Seq("bucket"), "left_semi")
+    val repaired = nearDupRepsFromIndex(repairIdx, idCol, vecCol, tau,
+      maxBucketRows)
+    (kept.unionByName(members).unionByName(repaired),
+      crossings.select(col(idCol), col("crossing_id")))
   }
 
   /** Batched [[graphBeamSearch]]: Q queries walk ONE shared graph in a

@@ -1618,7 +1618,7 @@ object TextQueries {
     * (amp 0.05 + 0.05·(e mod 3) — the contaminated tranche), items
     * 120-9,999 on 2,000 fresh centers. Persisted as
     * `t73_corpus` / `t73_eval` for the oracle replay. */
-  private def t73Fixture(spark: SparkSession, sfDir: String)
+  private[queries] def t73Fixture(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame) = {
     import graft.functions.HashFunctions.md5Long
     def u(seed: String, key: org.apache.spark.sql.Column,
@@ -3114,6 +3114,58 @@ object TextQueries {
     * per-doc ranked candidate scores): 3-plane SRP sketch of BOTH
     * sides, full hamming-1 probe fan-out, candidate join, per-doc
     * candidate counts and the capped argmax ranking. */
+  /** t73's margin-prefilter replay CTEs — both sides' 56-plane
+    * sketches from the floats, the closed-form 4σ margin `hh`, the
+    * popcount candidate join `cand`, per-doc candidate counts `nc`
+    * and the candidate argmax `pb` (s desc, eval_id asc). Shared by
+    * the t73 oracle and s28's streaming twin (continuous ≡ batch on
+    * the same per-doc flags). */
+  private[queries] def semMarginOracleCtes: String =
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |      FROM read_parquet('${Artifacts.oracleGlob("t73_corpus")}')),
+       |ev AS (SELECT eval_id, CAST(evec AS DOUBLE[]) AS q
+       |       FROM read_parquet('${Artifacts.oracleGlob("t73_eval")}')),
+       |hh AS (SELECT CAST(ceil(56 * (acos(0.95) / pi()) +
+       |                4 * sqrt(56 * (acos(0.95) / pi()) *
+       |                         (1 - acos(0.95) / pi())))
+       |              AS BIGINT) AS h),
+       |jj AS (SELECT unnest(range(0, 56)) AS j),
+       |de AS (SELECT ev.eval_id, jj.j,
+       |         list_sum(list_transform(range(0, len(ev.q)), i ->
+       |           ev.q[CAST(i + 1 AS INT)] *
+       |           (CASE WHEN CAST(concat('0x', substring(
+       |                  md5(concat('srp:', jj.j, ':', i)), 1, 15))
+       |                  AS BIGINT)
+       |                 % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
+       |       FROM ev, jj),
+       |be AS (SELECT eval_id,
+       |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
+       |                       ELSE 0 END) AS BIGINT) AS sk
+       |       FROM de GROUP BY eval_id),
+       |dv AS (SELECT v.vec_id, jj.j,
+       |         list_sum(list_transform(range(0, len(v.e)), i ->
+       |           v.e[CAST(i + 1 AS INT)] *
+       |           (CASE WHEN CAST(concat('0x', substring(
+       |                  md5(concat('srp:', jj.j, ':', i)), 1, 15))
+       |                  AS BIGINT)
+       |                 % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
+       |       FROM v, jj),
+       |bv AS (SELECT vec_id,
+       |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
+       |                       ELSE 0 END) AS BIGINT) AS sk
+       |       FROM dv GROUP BY vec_id),
+       |cand AS (SELECT bv.vec_id, be.eval_id
+       |         FROM bv, be, hh
+       |         WHERE bit_count(xor(bv.sk, be.sk)) <= hh.h),
+       |nc AS (SELECT v.vec_id, count(cand.eval_id) AS n_cand
+       |       FROM v LEFT JOIN cand USING (vec_id) GROUP BY v.vec_id),
+       |ps AS (SELECT cand.vec_id, cand.eval_id,
+       |         list_cosine_similarity(v.e, ev.q) AS s
+       |       FROM cand JOIN v USING (vec_id) JOIN ev USING (eval_id)),
+       |pb AS (SELECT vec_id, eval_id, s,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY s DESC, eval_id) AS rn FROM ps)""".stripMargin
+
   private[queries] def semPrefilterOracleCtes: String =
     s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
        |      FROM read_parquet('${Artifacts.oracleGlob("t71_corpus")}')),
@@ -3481,50 +3533,7 @@ object TextQueries {
     // closed form (acos/ceil/sqrt), the popcount pair join, both
     // argmaxes, strata, recalls, candidate meters
     "t73_sem_prefilter_10k" ->
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-         |           FROM read_parquet('${Artifacts.oracleGlob("t73_corpus")}')),
-         |ev AS (SELECT eval_id, CAST(evec AS DOUBLE[]) AS q
-         |       FROM read_parquet('${Artifacts.oracleGlob("t73_eval")}')),
-         |hh AS (SELECT CAST(ceil(56 * (acos(0.95) / pi()) +
-         |                4 * sqrt(56 * (acos(0.95) / pi()) *
-         |                         (1 - acos(0.95) / pi())))
-         |              AS BIGINT) AS h),
-         |jj AS (SELECT unnest(range(0, 56)) AS j),
-         |de AS (SELECT ev.eval_id, jj.j,
-         |         list_sum(list_transform(range(0, len(ev.q)), i ->
-         |           ev.q[CAST(i + 1 AS INT)] *
-         |           (CASE WHEN CAST(concat('0x', substring(
-         |                  md5(concat('srp:', jj.j, ':', i)), 1, 15))
-         |                  AS BIGINT)
-         |                 % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
-         |       FROM ev, jj),
-         |be AS (SELECT eval_id,
-         |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
-         |                       ELSE 0 END) AS BIGINT) AS sk
-         |       FROM de GROUP BY eval_id),
-         |dv AS (SELECT v.vec_id, jj.j,
-         |         list_sum(list_transform(range(0, len(v.e)), i ->
-         |           v.e[CAST(i + 1 AS INT)] *
-         |           (CASE WHEN CAST(concat('0x', substring(
-         |                  md5(concat('srp:', jj.j, ':', i)), 1, 15))
-         |                  AS BIGINT)
-         |                 % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
-         |       FROM v, jj),
-         |bv AS (SELECT vec_id,
-         |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
-         |                       ELSE 0 END) AS BIGINT) AS sk
-         |       FROM dv GROUP BY vec_id),
-         |cand AS (SELECT bv.vec_id, be.eval_id
-         |         FROM bv, be, hh
-         |         WHERE bit_count(xor(bv.sk, be.sk)) <= hh.h),
-         |nc AS (SELECT v.vec_id, count(cand.eval_id) AS n_cand
-         |       FROM v LEFT JOIN cand USING (vec_id) GROUP BY v.vec_id),
-         |ps AS (SELECT cand.vec_id, cand.eval_id,
-         |         list_cosine_similarity(v.e, ev.q) AS s
-         |       FROM cand JOIN v USING (vec_id) JOIN ev USING (eval_id)),
-         |pb AS (SELECT vec_id, eval_id, s,
-         |         row_number() OVER (PARTITION BY vec_id
-         |           ORDER BY s DESC, eval_id) AS rn FROM ps),
+      s"""WITH $semMarginOracleCtes,
          |pf AS (SELECT vec_id FROM pb WHERE rn = 1 AND s >= 0.95),
          |eb AS (SELECT v.vec_id, list_cosine_similarity(v.e, ev.q) AS s,
          |         row_number() OVER (PARTITION BY v.vec_id

@@ -4147,6 +4147,147 @@ object VectorQueries {
         col("members_rescored"), col("recall_at_10"))
   }
 
+  /** INCREMENTAL MAINTENANCE FOR THE NEAR-DUP TIER — the round-17
+    * verdict's top item: v75 builds the tier and v76 serves through
+    * it, but both on a STATIC 320× corpus, while every other index
+    * structure in the engine is LSM (t31/t47/v48/v58/s27). This query
+    * runs the tier's O(delta) maintenance loop
+    * ([[Ann.updateNearDupReps]]) over the SAME accretion sequence the
+    * graph family uses (base = the 40× snapshot, then the three
+    * clustered delta batches to 80×/160×/320×), carrying the
+    * persisted artifacts a deployment would — the fine-bucket index
+    * of every row and the (member → rep) sidecar fixpoint — and
+    * hash-gates incremental ≡ FULL TIER REBUILD at every rung:
+    *
+    *   - per step, `n_kept_s{0..3}` from the INCREMENTAL path while
+    *     the oracle replays the per-prefix REBUILD keep rule from the
+    *     floats (pair set computed once over the full corpus, sliced
+    *     per step by arrival key) — count equality per rung;
+    *   - per step, `sidecar_diff_s{1..3}` = the symmetric difference
+    *     between the accumulated incremental sidecar and a from-
+    *     scratch [[Ann.fineBucketNearDupReps]] rebuild on that prefix
+    *     — SET equality of (member, rep) rows including chain
+    *     fixpoints, computed genuinely in the query and pinned 0 by
+    *     the oracle (s27's `edges_diff_vs_batch` convention);
+    *   - `crossings_total` — the t31-style exactness report, upgraded
+    *     from refuse-to-answer to PRICED exactness: a delta row with
+    *     a smaller id than an existing same-fine-bucket row at
+    *     cos ≥ τ makes the rebuild revisit that existing row's
+    *     decisions, so the operator recomputes the crossing BUCKETS
+    *     wholesale (chains never leave their fine bucket — the repair
+    *     is exactly bucket-local and maxBucketRows-bounded) and
+    *     reports every crossing pair as the repair-mass meter. This
+    *     fixture genuinely crosses: vec_id is doc-major while arrival
+    *     is copy-major, so a later doc-6 copy undercuts an existing
+    *     doc-7 base row inside a shared fine bucket — 602 pairs
+    *     across the sequence (22/102/478 per step), at least one of
+    *     which (6082 → 7039 at cos 0.819) flips a keep decision the
+    *     repair then fixes;
+    *   - the SERVED top-10 through v76's composed path (the persisted
+    *     rep graph + beam-8/3-round walk + sidecar expansion + exact
+    *     rerank), expanded through the INCREMENTAL sidecar vs v76's
+    *     rebuilt one: `served_top10_diff` pinned 0, plus the same
+    *     recall@10 / nodes_touched / members_rescored v76 pins (0.9 /
+    *     189 / 372) — the tier a stream maintains serves identically
+    *     to the tier a rebuild produces.
+    *
+    * Scale shape: per delta batch the update pays one sketch pass
+    * over the DELTA, a fine-bucket equi-join against only the
+    * delta's buckets of the persisted index, and O(log chain)
+    * pointer-jump joins over the delta's dropped subset — nothing
+    * rescans the base corpus (the per-step Scala rebuilds here are
+    * the GATE's other side, not the deployed path). The oracle
+    * replays the 20-plane sketch, the τ pair join with per-row
+    * arrival keys, per-step keep counts, the crossing rule, and
+    * v76's full serve chain (fixpoint unroll, chooser, entries,
+    * walk, expansion, rerank) in SQL.
+    */
+  def nearDupTierLsm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (gDir, rDir, bb) = v76Store(spark, sfDir)
+    val all = spark.read.parquet(v71Corpus(spark, sfDir))
+    val corpus = all.filter(col("vec_id") =!= 1000L)
+      .withColumn("_k", pmod(col("vec_id"), lit(1000L)))
+      .localCheckpoint()
+    def prefix(lim: Long): DataFrame =
+      corpus.filter(col("_k") < lim).select("vec_id", "embedding")
+    val base = prefix(40L)
+    var sidecar = Ann.fineBucketNearDupReps(base, "vec_id",
+      "embedding", bits = 20, fineBits = 20, tau = 0.8)
+      .localCheckpoint()
+    var index = Ann.srpBucketIndex(base, "vec_id", "embedding", 20, 20)
+      .localCheckpoint()
+    def keptCount: Long =
+      sidecar.filter(col("rep_id") === col("vec_id")).count()
+    val nKept = scala.collection.mutable.ArrayBuffer[Long](keptCount)
+    val sidecarDiffs = scala.collection.mutable.ArrayBuffer[Long]()
+    var crossingsTotal = 0L
+    for ((lo, hi) <- Seq((40L, 80L), (80L, 160L), (160L, 320L))) {
+      val delta = corpus.filter(col("_k") >= lo && col("_k") < hi)
+        .select("vec_id", "embedding")
+      val (rows, crossings) = Ann.updateNearDupReps(index, sidecar,
+        delta, "vec_id", "embedding", bits = 20, fineBits = 20,
+        tau = 0.8)
+      crossingsTotal += crossings.count()
+      // upsert: repaired crossing-bucket rows REPLACE their old
+      // entries (bucket-partitioned store = partition rewrite)
+      sidecar = sidecar
+        .join(rows.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(rows).localCheckpoint()
+      index = index.unionByName(Ann.srpBucketIndex(delta, "vec_id",
+        "embedding", 20, 20)).localCheckpoint()
+      nKept += keptCount
+      val rebuilt = Ann.fineBucketNearDupReps(prefix(hi), "vec_id",
+        "embedding", bits = 20, fineBits = 20, tau = 0.8)
+      sidecarDiffs += sidecar.exceptAll(rebuilt)
+        .unionByName(rebuilt.exceptAll(sidecar)).count()
+    }
+    // serve through v76's composed path, expanding through the
+    // incrementally-maintained sidecar; the rebuild side expands
+    // through v76's persisted reps over the SAME walk
+    val graph = spark.read.parquet(gDir)
+    val keptInc = sidecar.filter(col("rep_id") === col("vec_id"))
+      .select("vec_id")
+    val collapsed = corpus.join(keptInc, Seq("vec_id"))
+      .select("vec_id", "embedding")
+    val entries = Ann.topDegreeEntriesPerBucket(graph,
+      Ann.srpBucketIndex(collapsed, "vec_id", "embedding", 20, bb),
+      "vec_id", perBucket = 2)
+    val q = all.filter(col("vec_id") === 1000L)
+      .select(col("embedding").as("qe"))
+    val walked = Ann.graphBeamSearch(graph, collapsed, q, "vec_id",
+        "embedding", entryIds = entries, beam = 8, rounds = 3, k = 10)
+      .localCheckpoint()
+    val walkedReps = walked.select(col("vec_id").as("rep_id"))
+    def expandRerank(sc: DataFrame): DataFrame = {
+      val members = sc.join(broadcast(walkedReps), Seq("rep_id"))
+        .select("vec_id")
+      Search.topK(corpus.join(members, Seq("vec_id")), q, "vec_id",
+        "embedding", "qe", 10)
+    }
+    val servedInc = expandRerank(sidecar).select("vec_id")
+      .localCheckpoint()
+    val servedReb = expandRerank(spark.read.parquet(rDir))
+      .select("vec_id")
+    val top10Diff = servedInc.exceptAll(servedReb)
+      .unionByName(servedReb.exceptAll(servedInc)).count()
+    val exact = Search.topK(corpus, q, "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("_hit"))
+    val recall = servedInc.join(exact, Seq("vec_id"), "left")
+      .agg(round(sum(coalesce(col("_hit"), lit(0L))).cast("double") /
+        10.0, 6)).head().getDouble(0)
+    val nodes = walked.agg(max("nodes_touched")).head().getLong(0)
+    val membersRescored = sidecar
+      .join(broadcast(walkedReps), Seq("rep_id")).count()
+    Seq((nKept(0), nKept(1), nKept(2), nKept(3), crossingsTotal,
+        sidecarDiffs(0), sidecarDiffs(1), sidecarDiffs(2), top10Diff,
+        nodes, membersRescored, recall))
+      .toDF("n_kept_s0", "n_kept_s1", "n_kept_s2", "n_kept_s3",
+        "crossings_total", "sidecar_diff_s1", "sidecar_diff_s2",
+        "sidecar_diff_s3", "served_top10_diff", "nodes_touched",
+        "members_rescored", "recall_at_10")
+  }
+
   /** v74's fixture geometry, shared by the builder, the query and the
     * oracle text. The bucket width is fixture-PINNED (the occupancy
     * chooser's measured pick on the sealed corpus — the builder
@@ -7597,6 +7738,117 @@ object VectorQueries {
          |       (SELECT count(*) FROM mem) AS members_rescored,
          |       (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6)
          |        FROM resc JOIN ex USING (vec_id)) AS recall_at_10""".stripMargin,
+    // incremental ≡ rebuild for the near-dup tier: per-step keep
+    // counts replayed as per-prefix REBUILDS (the τ pair set computed
+    // once over the full corpus, sliced per step by arrival key
+    // k = vec_id % 1000 — a pair is active at the step where BOTH
+    // endpoints have arrived), the crossing rule (a pair whose
+    // smaller id arrives in a LATER step than its larger id), and
+    // v76's full serve chain verbatim. The diff columns are computed
+    // genuinely in the query (incremental sidecar vs a from-scratch
+    // Scala rebuild per step / served top-10 vs the persisted v76
+    // reps' expansion) and pinned 0 here — s27's edges_diff
+    // convention: the hash match IS the equality proof.
+    "v78_neardup_tier_lsm" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM read_parquet('${Artifacts.oracleGlob("v71_corpus")}')),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 1000),
+         |c AS (SELECT vec_id, vec_id % 1000 AS k, e FROM v
+         |      WHERE vec_id != 1000),
+         |jj AS (SELECT unnest(range(0, 20)) AS j),
+         |d AS (SELECT c.vec_id, jj.j,
+         |        list_sum(list_transform(range(0, len(c.e)), i ->
+         |          c.e[CAST(i + 1 AS INT)] *
+         |          (CASE WHEN CAST(concat('0x', substring(
+         |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
+         |                 AS BIGINT)
+         |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
+         |      FROM c, jj),
+         |fb AS (SELECT vec_id,
+         |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
+         |                       ELSE 0 END) AS BIGINT) AS fb
+         |       FROM d GROUP BY vec_id),
+         |pr AS (SELECT f1.vec_id AS m, cm.k AS ka,
+         |              f2.vec_id AS nn, cn.k AS kb
+         |       FROM fb f1 JOIN fb f2
+         |         ON f1.fb = f2.fb AND f2.vec_id < f1.vec_id
+         |       JOIN c cm ON cm.vec_id = f1.vec_id
+         |       JOIN c cn ON cn.vec_id = f2.vec_id
+         |       WHERE list_cosine_similarity(cm.e, cn.e) >= 0.8),
+         |lims AS (SELECT unnest([40, 80, 160, 320]) AS lim),
+         |tot AS (SELECT lim, count(*) AS n FROM lims, c
+         |        WHERE c.k < lim GROUP BY lim),
+         |drp AS (SELECT lim, count(DISTINCT m) AS n FROM lims, pr
+         |        WHERE ka < lim AND kb < lim GROUP BY lim),
+         |nkc AS (SELECT lims.lim, tot.n - coalesce(drp.n, 0) AS n
+         |        FROM lims JOIN tot USING (lim)
+         |        LEFT JOIN drp USING (lim)),
+         |xr AS (SELECT count(*) AS n FROM pr
+         |       WHERE (CASE WHEN kb < 40 THEN 0 WHEN kb < 80 THEN 1
+         |                   WHEN kb < 160 THEN 2 ELSE 3 END) >
+         |             (CASE WHEN ka < 40 THEN 0 WHEN ka < 80 THEN 1
+         |                   WHEN ka < 160 THEN 2 ELSE 3 END)),
+         |oh AS (SELECT m AS id, min(nn) AS rep FROM pr GROUP BY m),
+         |o1 AS (SELECT a.id, coalesce(b.rep, a.rep) AS rep
+         |       FROM oh a LEFT JOIN oh b ON a.rep = b.id),
+         |o2 AS (SELECT a.id, coalesce(b.rep, a.rep) AS rep
+         |       FROM o1 a LEFT JOIN o1 b ON a.rep = b.id),
+         |o3 AS (SELECT a.id, coalesce(b.rep, a.rep) AS rep
+         |       FROM o2 a LEFT JOIN o2 b ON a.rep = b.id),
+         |keep AS (SELECT c.vec_id FROM c LEFT JOIN oh ON oh.id = c.vec_id
+         |         WHERE oh.id IS NULL),
+         |rp AS (SELECT vec_id AS id, vec_id AS rep FROM keep
+         |       UNION ALL SELECT id, rep FROM o3),
+         |ck AS (SELECT c.vec_id, c.e FROM c JOIN keep USING (vec_id)),
+         |bb AS (SELECT unnest(range(3, 21)) AS bucket_bits),
+         |hc AS (SELECT bb.bucket_bits,
+         |              fb.fb % CAST(2 ** bb.bucket_bits AS BIGINT)
+         |                AS bucket, count(*) AS bn
+         |       FROM fb JOIN keep USING (vec_id), bb GROUP BY 1, 2),
+         |oc AS (SELECT bucket_bits,
+         |              round(CAST(sum(bn * bn) AS DOUBLE) / sum(bn), 4)
+         |                AS size_biased
+         |       FROM hc GROUP BY 1),
+         |chc AS (SELECT coalesce(min(bucket_bits)
+         |                 FILTER (WHERE size_biased <= 48.0), 20) AS b
+         |        FROM oc),
+         |bk AS (SELECT fb.vec_id,
+         |         fb.fb % CAST(2 ** (SELECT b FROM chc) AS BIGINT)
+         |           AS bucket FROM fb JOIN keep USING (vec_id)),
+         |g AS (SELECT src, dst
+         |      FROM read_parquet('${Artifacts.oracleGlob("v76_graph")}')),
+         |dg AS (SELECT dst AS vec_id, count(*) AS deg FROM g
+         |       GROUP BY dst),
+         |nen AS (SELECT vec_id FROM (
+         |          SELECT bk.vec_id,
+         |                 row_number() OVER (PARTITION BY bk.bucket
+         |                   ORDER BY dg.deg DESC, bk.vec_id) AS rn
+         |          FROM bk JOIN dg USING (vec_id)) WHERE rn <= 2),
+         |${walkUnrollSql("n", "g", "ck", beam = 8, customEntries = true)},
+         |ntop AS (SELECT vec_id FROM ns3 ORDER BY score DESC, vec_id
+         |         LIMIT 10),
+         |mem AS (SELECT rp.id AS vec_id FROM rp
+         |        JOIN ntop ON rp.rep = ntop.vec_id),
+         |resc AS (SELECT c.vec_id FROM c JOIN mem USING (vec_id), q
+         |         ORDER BY list_cosine_similarity(c.e, q.qe) DESC,
+         |           c.vec_id
+         |         LIMIT 10),
+         |ex AS (SELECT c.vec_id FROM c, q
+         |       ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
+         |       LIMIT 10)
+         |SELECT (SELECT n FROM nkc WHERE lim = 40) AS n_kept_s0,
+         |       (SELECT n FROM nkc WHERE lim = 80) AS n_kept_s1,
+         |       (SELECT n FROM nkc WHERE lim = 160) AS n_kept_s2,
+         |       (SELECT n FROM nkc WHERE lim = 320) AS n_kept_s3,
+         |       (SELECT n FROM xr) AS crossings_total,
+         |       CAST(0 AS BIGINT) AS sidecar_diff_s1,
+         |       CAST(0 AS BIGINT) AS sidecar_diff_s2,
+         |       CAST(0 AS BIGINT) AS sidecar_diff_s3,
+         |       CAST(0 AS BIGINT) AS served_top10_diff,
+         |       (SELECT count(*) FROM ns3) AS nodes_touched,
+         |       (SELECT count(*) FROM mem) AS members_rescored,
+         |       (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6)
+         |        FROM resc JOIN ex USING (vec_id)) AS recall_at_10""".stripMargin,
     // the composed rung: rotation matvec (1e-6 rounding), 192-slice,
     // per-dim scale derivation + the v61-gated quantize/dequantize
     // rounding order, sketch + entries over the plain vectors, BOTH
@@ -8981,6 +9233,7 @@ object VectorQueries {
     "v74_prefix_rotated" -> (matryoshkaRotatedServe(_, _)),
     "v75_neardup_tier" -> (nearDupTierOccupancy(_, _)),
     "v76_neardup_serve" -> (nearDupTierServe(_, _)),
+    "v78_neardup_tier_lsm" -> (nearDupTierLsm(_, _)),
     "v77_prefix_sq8" -> (matryoshkaPrefixSq8(_, _)),
     "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),

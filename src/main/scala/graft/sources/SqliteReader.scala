@@ -14,8 +14,10 @@ import java.nio.ByteBuffer
   * chains (the 6144-byte float32 blobs always overflow a 4096-byte
   * page), all integer/float/text/blob serial types, rowid-alias
   * columns (INTEGER PRIMARY KEY stores NULL in the record; the value
-  * is the B-tree rowid). Not supported (not needed for migration
-  * reads): indexes, freelists, WAL, pointer-map pages, non-UTF8 text
+  * is the B-tree rowid), and index B-trees for the UNIQUE-constraint
+  * autoindex (equality lookups + counts — [[readTableByContent]]).
+  * Not supported (not needed for migration reads): general secondary
+  * indexes, freelists, WAL, pointer-map pages, non-UTF8 text
   * encodings.
   *
   * Pure function over the file bytes → runs inside executors; see
@@ -102,8 +104,15 @@ object SqliteReader {
       val hdr = off + (if (root == 1L) 100 else 0)
       def anyAbove(prevKey: Long): Boolean = // (prevKey, +inf) hits?
         ranges.exists(_._2 > prevKey)
-      def anySpan(prevKey: Long, key: Long): Boolean = // (prev, key]
-        ranges.exists(r => r._1 <= key && r._2 > prevKey)
+      // `incl` marks the FIRST child, whose coverage is [-inf, key]:
+      // prev is seeded at Long.MinValue, and a range whose upper
+      // bound IS MinValue (filter id = Long.MinValue) must still
+      // select it — the strict `> prevKey` alone would skip every
+      // child on a multi-level tree while a single-leaf table's
+      // inRanges check returned the row (depth-dependent results)
+      def anySpan(prevKey: Long, key: Long, incl: Boolean): Boolean =
+        ranges.exists(r => r._1 <= key &&
+          (r._2 > prevKey || (incl && r._2 == prevKey)))
       def inRanges(r: Long): Boolean =
         ranges.exists(t => t._1 <= r && r <= t._2)
       u8(hdr) match {
@@ -112,14 +121,19 @@ object SqliteReader {
           // cell pointer array starts after the 12-byte interior header;
           // each cell = 4-byte child page + varint key (child's max)
           var prev = Long.MinValue
+          var first = true
           val picked = Vector.newBuilder[Long]
           (0 until nCells).foreach { i =>
             val cellOff = off + u16(hdr + 12 + 2 * i)
             val key = varint(cellOff + 4)._1
-            if (anySpan(prev, key)) picked += u32(cellOff)
+            if (anySpan(prev, key, first)) picked += u32(cellOff)
             prev = key
+            first = false
           }
-          if (anyAbove(prev)) picked += u32(hdr + 8) // right-most
+          // right-most child: (prev, +inf) — or everything, when the
+          // page somehow has no separator cells
+          if (anyAbove(prev) || (first && ranges.nonEmpty))
+            picked += u32(hdr + 8)
           picked.result().iterator.flatMap(tableRows(_, keep, ranges))
         case 0x0d => // leaf table page
           val nCells = u16(hdr + 3)
@@ -263,6 +277,160 @@ object SqliteReader {
         }
         .getOrElse(throw new NoSuchElementException(
           s"table '$table' not found in sqlite_master"))
+
+    /** rootpage of `table`'s UNIQUE-constraint autoindex
+      * (`sqlite_autoindex_<table>_1`) — the index b-tree a stock
+      * sqlite3 probes for its duplicate check (reference
+      * server.js:198) and [[SqliteWriter.writeFull]] bulk-loads. */
+    def indexRootOf(table: String): Option[Long] =
+      tableRows(1L).collectFirst {
+        case Row(_, vs)
+            if vs.lift(0).contains("index") &&
+              vs.lift(1).contains(s"sqlite_autoindex_${table}_1") =>
+          vs(3).asInstanceOf[Long]
+      }
+
+    /** Reassemble the payload of an INDEX cell whose payload-length
+      * varint starts at `off`. Index pages use their own local-size
+      * split (X = (usable−12)·64/255 − 23, vs usable−35 for table
+      * leaves); the overflow chain walk is the same. */
+    private def indexPayload(off: Int): Array[Byte] = {
+      val (payloadLen, n1) = varint(off)
+      val payloadOff = off + n1
+      val maxLocal = (usable - 12) * 64 / 255 - 23
+      if (payloadLen <= maxLocal) {
+        require(payloadOff + payloadLen <= bytes.length,
+          s"index cell payload at $payloadOff+$payloadLen overruns " +
+            s"${bytes.length}-byte file (corrupt cell pointer?)")
+        java.util.Arrays.copyOfRange(bytes, payloadOff,
+          payloadOff + payloadLen.toInt)
+      } else {
+        val minLocal = (usable - 12) * 32 / 255 - 23
+        val k = minLocal + ((payloadLen - minLocal) % (usable - 4)).toInt
+        val local = if (k > maxLocal) minLocal else k
+        val out = new Array[Byte](payloadLen.toInt)
+        System.arraycopy(bytes, payloadOff, out, 0, local)
+        var written = local
+        var page = u32(payloadOff + local)
+        while (page != 0L && written < payloadLen) {
+          val po = pageOff(page)
+          val take = math.min(usable - 4, payloadLen.toInt - written)
+          System.arraycopy(bytes, po + 4, out, written, take)
+          written += take
+          page = u32(po)
+        }
+        require(written == payloadLen,
+          s"index overflow chain ended early: $written of $payloadLen")
+        out
+      }
+    }
+
+    /** Batched equality lookup in an index b-tree: ONE descent for
+      * ALL probe keys, each interior page partitioning the probes
+      * among its children, so a k-key IN reads O(depth + k) pages
+      * regardless of table size. Index interior cells hold REAL
+      * entries (SQLite's index b-trees are not blind separators), so
+      * equality can hit mid-descent. Keys compare as unsigned
+      * byte-wise UTF-8 — SQLite's BINARY collation, the autoindex's
+      * default. Returns decoded (key, rowid) hits. */
+    def indexHits(root: Long, probes: IndexedSeq[Array[Byte]])
+        : IndexedSeq[(String, Long)] =
+      if (probes.isEmpty) IndexedSeq.empty
+      else {
+        btreePagesVisited += 1
+        val off = pageOff(root)
+        val hdr = off // index pages are never page 1
+        def entryOf(p: Array[Byte]): (String, Long) = {
+          val vs = decodeRecord(p, _ => true)
+          (vs(0).asInstanceOf[String], vs(1).asInstanceOf[Long])
+        }
+        u8(hdr) match {
+          case 0x02 => // interior index page
+            val nCells = u16(hdr + 3)
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(String, Long)]
+            var remaining = probes
+            (0 until nCells).foreach { i =>
+              if (remaining.nonEmpty) {
+                val cellOff = off + u16(hdr + 12 + 2 * i)
+                val (keyStr, rowid) = entryOf(indexPayload(cellOff + 4))
+                val kb = keyStr.getBytes("UTF-8")
+                val (below, rest) = remaining.partition(p =>
+                  java.util.Arrays.compareUnsigned(p, kb) < 0)
+                if (below.nonEmpty)
+                  out ++= indexHits(u32(cellOff), below)
+                val (eq, above) = rest.partition(p =>
+                  java.util.Arrays.equals(p, kb))
+                if (eq.nonEmpty) out += ((keyStr, rowid))
+                remaining = above
+              }
+            }
+            if (remaining.nonEmpty)
+              out ++= indexHits(u32(hdr + 8), remaining)
+            out.toIndexedSeq
+          case 0x0a => // leaf index page
+            val nCells = u16(hdr + 3)
+            (0 until nCells).flatMap { i =>
+              val cellOff = off + u16(hdr + 8 + 2 * i)
+              val (keyStr, rowid) = entryOf(indexPayload(cellOff))
+              val kb = keyStr.getBytes("UTF-8")
+              if (probes.exists(java.util.Arrays.equals(_, kb)))
+                Some((keyStr, rowid))
+              else None
+            }
+          case t => throw new IllegalStateException(
+            s"unexpected index page type 0x${t.toHexString} at $root")
+        }
+      }
+
+    /** COUNT the rows in `ranges` WITHOUT decoding any payload: the
+      * interior pruning of [[tableRows]], but leaves only read cell
+      * counts (full range: the page header's cell count — zero varint
+      * reads) or rowid varints (pruned range). Overflow chains are
+      * never followed, so a table of 6 KiB blobs counts at pure
+      * b-tree-page cost. */
+    def countRowsWalk(root: Long,
+                      ranges: IndexedSeq[(Long, Long)]): Long = {
+      btreePagesVisited += 1
+      val off = pageOff(root)
+      val hdr = off + (if (root == 1L) 100 else 0)
+      val full = ranges == FullRange
+      def anyAbove(prevKey: Long): Boolean =
+        ranges.exists(_._2 > prevKey)
+      def anySpan(prevKey: Long, key: Long, incl: Boolean): Boolean =
+        ranges.exists(r => r._1 <= key &&
+          (r._2 > prevKey || (incl && r._2 == prevKey)))
+      def inRanges(r: Long): Boolean =
+        ranges.exists(t => t._1 <= r && r <= t._2)
+      u8(hdr) match {
+        case 0x05 =>
+          val nCells = u16(hdr + 3)
+          var prev = Long.MinValue
+          var first = true
+          var n = 0L
+          (0 until nCells).foreach { i =>
+            val cellOff = off + u16(hdr + 12 + 2 * i)
+            val key = varint(cellOff + 4)._1
+            if (anySpan(prev, key, first))
+              n += countRowsWalk(u32(cellOff), ranges)
+            prev = key
+            first = false
+          }
+          if (anyAbove(prev) || (first && ranges.nonEmpty))
+            n += countRowsWalk(u32(hdr + 8), ranges)
+          n
+        case 0x0d =>
+          val nCells = u16(hdr + 3)
+          if (full) nCells.toLong
+          else (0 until nCells).count { i =>
+            val cellOff = off + u16(hdr + 8 + 2 * i)
+            val (_, n1) = varint(cellOff)
+            inRanges(varint(cellOff + n1)._1)
+          }.toLong
+        case t => throw new IllegalStateException(
+          s"unexpected b-tree page type 0x${t.toHexString} at $root")
+      }
+    }
   }
 
   /** All rows of `table`, rowid-aliased NULL integer-primary-key
@@ -300,6 +468,83 @@ object SqliteReader {
       }
     }
     (it, () => db.btreePagesVisited)
+  }
+
+  /** CONTENT-KEYED lookup through the UNIQUE autoindex — the
+    * reference's own duplicate-check shape (server.js:198: probe by
+    * `content` before INSERT) served at b-tree cost: ONE batched
+    * descent of `sqlite_autoindex_<table>_1` for all `keys`
+    * (O(depth + k) index pages), then point-reads of the hit rowids
+    * through the table b-tree (O(depth) each) — never a table scan.
+    * `ranges` intersects additionally-pushed rowid bounds (a hit
+    * outside them is dropped before any table page is read). Returns
+    * the projected rows plus a pages-visited thunk spanning BOTH
+    * walks. Throws NoSuchElementException when the file has no
+    * autoindex for `table` — callers must not silently fall back,
+    * the pushdown contract is exactness. */
+  def readTableByContent(bytes: Array[Byte], table: String,
+                         ordinals: Array[Int], keys: Seq[String],
+                         ranges: IndexedSeq[(Long, Long)] = FullRange)
+      : (Iterator[IndexedSeq[Any]], () => Long) = {
+    val db = new Db(bytes)
+    val idxRoot = db.indexRootOf(table).getOrElse(
+      throw new NoSuchElementException(
+        s"no sqlite_autoindex_${table}_1 in sqlite_master — " +
+          "content-keyed lookup needs the UNIQUE autoindex"))
+    val tblRoot = db.rootPageOf(table)
+    db.btreePagesVisited = 0L
+    def inRanges(r: Long): Boolean =
+      ranges.exists(t => t._1 <= r && r <= t._2)
+    val rowids = db.indexHits(idxRoot,
+        keys.distinct.map(_.getBytes("UTF-8")).toIndexedSeq)
+      .map(_._2).filter(inRanges).distinct.sorted
+    val keep = ordinals.toSet
+    val it =
+      if (rowids.isEmpty) Iterator.empty
+      else db.tableRows(tblRoot, keep.contains,
+          rowids.map(r => (r, r))).map { r =>
+        ordinals.toIndexedSeq.map { o =>
+          val v = r.values.lift(o).orNull
+          if (o == 0 && v == null) r.rowid else v
+        }
+      }
+    (it, () => db.btreePagesVisited)
+  }
+
+  /** COUNT(*) at pure b-tree cost (the DSv2 aggregate pushdown —
+    * the reference's sync guard `SELECT COUNT(*)`, server.js:67):
+    * full-range counts read each leaf's header cell count (zero
+    * payload or even rowid decode), pruned ranges read rowid varints
+    * only; overflow chains never load. Returns (count, pages). */
+  def countRows(bytes: Array[Byte], table: String,
+                ranges: IndexedSeq[(Long, Long)] = FullRange)
+      : (Long, Long) = {
+    val db = new Db(bytes)
+    val root = db.rootPageOf(table)
+    db.btreePagesVisited = 0L
+    val n = if (ranges.isEmpty) 0L else db.countRowsWalk(root, ranges)
+    (n, db.btreePagesVisited)
+  }
+
+  /** [[countRows]] under a content-key constraint: the count is the
+    * number of autoindex hits inside `ranges` — NO table page is
+    * read at all. */
+  def countByContent(bytes: Array[Byte], table: String,
+                     keys: Seq[String],
+                     ranges: IndexedSeq[(Long, Long)] = FullRange)
+      : (Long, Long) = {
+    val db = new Db(bytes)
+    val idxRoot = db.indexRootOf(table).getOrElse(
+      throw new NoSuchElementException(
+        s"no sqlite_autoindex_${table}_1 in sqlite_master — " +
+          "content-keyed count needs the UNIQUE autoindex"))
+    db.btreePagesVisited = 0L
+    def inRanges(r: Long): Boolean =
+      ranges.exists(t => t._1 <= r && r <= t._2)
+    val n = db.indexHits(idxRoot,
+        keys.distinct.map(_.getBytes("UTF-8")).toIndexedSeq)
+      .map(_._2).filter(inRanges).distinct.size.toLong
+    (n, db.btreePagesVisited)
   }
 
   def readTable(bytes: Array[Byte], table: String): Iterator[Row] = {

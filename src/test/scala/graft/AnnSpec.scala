@@ -851,6 +851,117 @@ class AnnSpec extends SparkSpec {
     assert(reps.values.forall(kept.contains), reps)
   }
 
+  test("updateNearDupReps: incremental tier update over an accretion " +
+      "sequence equals the batch rebuild, chains resolved through " +
+      "the persisted sidecar") {
+    // the angle-sweep chain triple (see the fixpoint test above), but
+    // ACCRETED: base = {a}, delta1 = {b}, delta2 = {c}. c's one-hop
+    // rep is b — a DROPPED existing row — so the resolution must go
+    // through the persisted base sidecar (b → a), the path a batch
+    // rebuild takes via pointer-jumping. Plus a second cluster that
+    // arrives whole inside one delta (internal chain resolution).
+    def triple(baseDeg: Int): Seq[(Long, Seq[Float])] =
+      Seq(0, 25, 50).zipWithIndex.map { case (off, i) =>
+        val a = math.toRadians(baseDeg + off)
+        (baseDeg * 10L + 1 + i,
+          Seq(math.cos(a).toFloat, math.sin(a).toFloat, 0f, 0f))
+      }
+    val buckets = Ann
+      .srpBucketIndex(vecsDf((0 until 90).flatMap(triple): _*),
+        "vec_id", "embedding", bits = 12, bucketBits = 4)
+      .select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    val t = (0 until 90).find { t =>
+      buckets(t * 10L + 1) == buckets(t * 10L + 2) &&
+        buckets(t * 10L + 2) == buckets(t * 10L + 3)
+    }
+    assert(t.isDefined,
+      "no co-bucketed chain triple in the angle sweep — rehash fixture")
+    val Seq(a0, b0, c0) = triple(t.get)
+    // re-key so ids are monotone with arrival (no crossings) and a
+    // same-delta pair exists: delta2 carries c (chain tail) AND a
+    // near-identical mate of c (internal one-hop within the delta)
+    val aV = (1L, a0._2); val bV = (2L, b0._2)
+    val cV = (3L, c0._2)
+    val cMate = (4L, c0._2.map(x => x * 1.0001f))
+    val all = vecsDf(aV, bV, cV, cMate)
+    val batch = Ann.fineBucketNearDupReps(all, "vec_id", "embedding",
+        bits = 12, fineBits = 4, tau = 0.9)
+      .as[(Long, Long)].collect().toMap
+    // the accretion: persisted artifacts carried between steps
+    var index = Ann.srpBucketIndex(vecsDf(aV), "vec_id", "embedding",
+      bits = 12, bucketBits = 4).localCheckpoint()
+    var sidecar = Ann.fineBucketNearDupReps(vecsDf(aV), "vec_id",
+      "embedding", bits = 12, fineBits = 4, tau = 0.9).localCheckpoint()
+    var crossTotal = 0L
+    for (delta <- Seq(vecsDf(bV), vecsDf(cV, cMate))) {
+      val (rows, crossings) = Ann.updateNearDupReps(index, sidecar,
+        delta, "vec_id", "embedding", bits = 12, fineBits = 4,
+        tau = 0.9)
+      crossTotal += crossings.count()
+      sidecar = sidecar
+        .join(rows.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(rows).localCheckpoint()
+      index = index.unionByName(Ann.srpBucketIndex(delta, "vec_id",
+        "embedding", bits = 12, bucketBits = 4)).localCheckpoint()
+    }
+    assert(crossTotal == 0L)
+    val inc = sidecar.as[(Long, Long)].collect().toMap
+    assert(inc == batch, s"inc=$inc batch=$batch")
+    // the chain semantics the equality is made of: c collapsed to a
+    // THROUGH dropped b; the same-delta mate collapsed to c's rep
+    assert(inc(3L) == 1L && inc(4L) == 1L && inc(2L) == 1L)
+  }
+
+  test("updateNearDupReps: an id-order CROSSING is repaired exactly " +
+      "and reported as the repair-mass meter") {
+    // delta row 1 undercuts existing rows 2 and 3 (same fine bucket,
+    // cos ≈ 1 ≥ tau, smaller id arriving later): a rebuild re-points
+    // the whole bucket at 1 — the update recomputes the crossing
+    // bucket wholesale (chains are bucket-local), so the upsert rows
+    // REPLACE 2's and 3's old entries, and both pairs are reported
+    val base = vecsDf((2L, Seq(10f, 0f, 0f, 0f)),
+      (3L, Seq(10.02f, 0f, 0f, 0f)))
+    val delta = vecsDf((1L, Seq(10.01f, 0f, 0f, 0f)))
+    val index = Ann.srpBucketIndex(base, "vec_id", "embedding",
+      bits = 12, bucketBits = 12)
+    val sidecar = Ann.fineBucketNearDupReps(base, "vec_id",
+      "embedding", bits = 12, fineBits = 12, tau = 0.9)
+    // pre-state: 3 collapsed onto 2 (smallest id then)
+    assert(sidecar.as[(Long, Long)].collect().toMap ==
+      Map(2L -> 2L, 3L -> 2L))
+    val (rows, crossings) = Ann.updateNearDupReps(index, sidecar,
+      delta, "vec_id", "embedding", bits = 12, fineBits = 12,
+      tau = 0.9)
+    // the repair recomputes the bucket: 1 is now the rep of all three
+    assert(rows.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(crossings.as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (1L, 3L)))
+    // upsert ≡ batch rebuild on base ∪ delta
+    val upserted = sidecar
+      .join(rows.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(rows)
+    val batch = Ann.fineBucketNearDupReps(
+      vecsDf((1L, Seq(10.01f, 0f, 0f, 0f)),
+        (2L, Seq(10f, 0f, 0f, 0f)), (3L, Seq(10.02f, 0f, 0f, 0f))),
+      "vec_id", "embedding", bits = 12, fineBits = 12, tau = 0.9)
+    assert(upserted.as[(Long, Long)].collect().toMap ==
+      batch.as[(Long, Long)].collect().toMap)
+    // the wrong-width geometry guard fires on a stale persisted index
+    val wide = base.select(col("vec_id"), col("embedding"),
+      lit(70000L).as("bucket")) // >= 2^12: another width's bucket
+    val e = intercept[Exception] {
+      Ann.updateNearDupReps(wide, sidecar, delta, "vec_id",
+        "embedding", bits = 12, fineBits = 12, tau = 0.9)
+        ._1.count()
+    }
+    def msgs(th: Throwable): Seq[String] =
+      if (th == null) Nil
+      else Option(th.getMessage).toSeq ++ msgs(th.getCause)
+    assert(msgs(e).exists(_.contains("different width")), msgs(e))
+  }
+
   test("genRefDimCorpus two-range keying: no aliasing past 1000 " +
       "copies, low range bit-identical to the sealed fixtures") {
     import graft.queries.VectorQueries
