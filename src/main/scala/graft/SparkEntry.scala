@@ -25,8 +25,33 @@ object SparkEntry {
       TextQueries.queries ++ IngestQueries.queries ++ StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
-    VectorQueries.oracles ++ RelationalQueries.oracles ++
-      TextQueries.oracles ++ IngestQueries.oracles ++ StreamingQueries.oracles
+    (VectorQueries.oracles ++ RelationalQueries.oracles ++
+      TextQueries.oracles ++ IngestQueries.oracles ++
+      StreamingQueries.oracles)
+      .view.mapValues(materializeCtes).toMap
+
+  /** DuckDB 1.0 INLINES every plain CTE at each reference site, so an
+    * oracle whose expensive CTE (the 20-plane × 1536-dim sketch, the
+    * blocked pair join, the rotation matvec) is referenced N times
+    * pays it N times — measured on the round-18 tree: the v76/v78
+    * replays cost 721 s / 629 s plain vs 36 s / 35 s with
+    * `AS MATERIALIZED`, identical results (the whole 245-oracle
+    * sweep was ~42 min, dominated by exactly this). Every top-level
+    * CTE is therefore pinned MATERIALIZED at the dump point — one
+    * mechanical rewrite instead of 245 hand-audits; single-use CTEs
+    * are materialization-neutral at these (model-sized) widths.
+    * Recursive WITH-lists are left untouched: duckdb 1.0
+    * mis-evaluates plain CTEs inside a WITH RECURSIVE list as it is
+    * (the v76 scaladoc's measured bug), and the iteration-semantics
+    * interaction with MATERIALIZED is not worth auditing for the few
+    * cheap closure oracles that use them. */
+  private def materializeCtes(sql: String): String =
+    if (sql.contains("RECURSIVE")) sql
+    else sql
+      .replaceAll("(?m)^WITH ([a-zA-Z][a-zA-Z0-9_]*) AS \\(",
+        "WITH $1 AS MATERIALIZED (")
+      .replaceAll("(?m)^([a-zA-Z][a-zA-Z0-9_]*) AS \\(",
+        "$1 AS MATERIALIZED (")
 
   /** OWNER queries of the build-once per-corpus artifacts (near-dup
     * pair graph + components, Jaccard/substring indexes, SemDeDup and
@@ -72,6 +97,8 @@ object SparkEntry {
     "v74_prefix_rotated",   // graded-spectrum corpus + graph + rotation
     "v75_neardup_tier",     // shares the v71 accreted corpus
     "v76_neardup_serve",    // rep graph + (member -> rep) sidecar
+    "v79_neardup_tau_sweep",// per-tau rep graphs + sidecars
+    "v80_prefix_sq8_lsm",   // delta corpus + codes + LSM sidecars
   )
 
   /** Artifact-only warmers: per owner, build/seal/load its shared

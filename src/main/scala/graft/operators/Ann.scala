@@ -486,7 +486,19 @@ object Ann {
     */
   def topDegreeEntriesPerBucket(graph: DataFrame, index: DataFrame,
                                 idCol: String,
-                                perBucket: Int): Seq[Long] = {
+                                perBucket: Int): Seq[Long] =
+    topDegreeEntriesPerBucketFrame(graph, index, idCol, perBucket)
+      .collect().map(_.getLong(0)).toSeq.sorted
+
+  /** [[topDegreeEntriesPerBucket]] WITHOUT the driver collect: the
+    * same per-bucket top-in-degree aggregate as a one-column (idCol)
+    * FRAME, consumable inside the plan — the form the walk uses above
+    * [[EntryLiteralMaxBits]], where `perBucket·2^bucketBits` entry
+    * ids no longer belong in a driver Seq or a plan literal (the
+    * round-17 watch note: fine at bb = 7, a liability at bb ≥ 20). */
+  def topDegreeEntriesPerBucketFrame(graph: DataFrame,
+                                     index: DataFrame, idCol: String,
+                                     perBucket: Int): DataFrame = {
     val deg = graph.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
     index.select(col(idCol).as("dst"), col("bucket"))
       .join(deg, Seq("dst"))
@@ -494,8 +506,15 @@ object Ann {
         Window.partitionBy(col("bucket"))
           .orderBy(col("deg").desc, col("dst"))))
       .filter(col("_rn") <= perBucket)
-      .select(col("dst")).collect().map(_.getLong(0)).toSeq.sorted
+      .select(col("dst").as(idCol))
   }
+
+  /** Widths up to this many bucket bits collect their per-bucket
+    * entries to a driver Seq / plan literal (tiny, keeps the walk's
+    * round-0 a codegen'd isin filter); above it the entries stay a
+    * broadcast FRAME inside the plan — no driver-size liability at
+    * any width. */
+  val EntryLiteralMaxBits: Int = 11
 
   /** The walk LOOP under an ARBITRARY scorer — `score` maps an id
     * frame to (idCol, score) with larger = closer; beam and tie rules
@@ -528,9 +547,24 @@ object Ann {
                              vecCol: String, entryIds: Seq[Long],
                              beam: Int, rounds: Int): DataFrame = {
     require(entryIds.nonEmpty, "beam walk: entryIds must be non-empty")
+    beamWalkScoredFrom(graph, vectors, query, idCol, vecCol,
+      vectors.select(col(idCol)).filter(col(idCol).isin(entryIds: _*)),
+      beam, rounds)
+  }
+
+  /** [[beamWalkScored]] seeded from an entry-id FRAME instead of a
+    * literal — round 0 is a broadcast equi-join, so the entry set
+    * never touches the driver (the above-[[EntryLiteralMaxBits]]
+    * form). */
+  private def beamWalkScoredFrom(graph: DataFrame, vectors: DataFrame,
+                                 query: DataFrame, idCol: String,
+                                 vecCol: String, entries: DataFrame,
+                                 beam: Int, rounds: Int): DataFrame = {
     val q = broadcast(query)
     beamWalkGeneric(graph,
-      vectors.select(col(idCol)).filter(col(idCol).isin(entryIds: _*)),
+      vectors.select(col(idCol))
+        .join(broadcast(entries.select(col(idCol))), Seq(idCol),
+          "left_semi"),
       idCol, beam, rounds) { ids =>
       ids.join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
         .crossJoin(q)
@@ -622,12 +656,9 @@ object Ann {
         col("score"), col("nodes_touched"))
   }
 
-  def graphBeamSearch(graph: DataFrame, vectors: DataFrame,
-                      query: DataFrame, idCol: String, vecCol: String,
-                      entryIds: Seq[Long], beam: Int, rounds: Int,
-                      k: Int): DataFrame = {
-    val scored = beamWalkScored(graph, vectors, query, idCol, vecCol,
-      entryIds, beam, rounds)
+  /** The walk's ranked-top-k tail shared by every entry form. */
+  private def walkTopK(scored: DataFrame, idCol: String, k: Int)
+      : DataFrame = {
     val touched = scored.agg(count(lit(1)).as("nodes_touched"))
     scored.orderBy(col("score").desc, col(idCol)).limit(k)
       .withColumn("rank",
@@ -637,6 +668,50 @@ object Ann {
       .select(col("rank").cast("long").as("rank"), col(idCol),
         col("score"), col("nodes_touched"))
   }
+
+  def graphBeamSearch(graph: DataFrame, vectors: DataFrame,
+                      query: DataFrame, idCol: String, vecCol: String,
+                      entryIds: Seq[Long], beam: Int, rounds: Int,
+                      k: Int): DataFrame =
+    walkTopK(beamWalkScored(graph, vectors, query, idCol, vecCol,
+      entryIds, beam, rounds), idCol, k)
+
+  /** [[graphBeamSearch]] with the entry set as a FRAME — round 0 is
+    * a broadcast semi-join, so the entries never touch the driver or
+    * the plan text as a literal. Identical traversal, beams and tie
+    * rules. */
+  def graphBeamSearchFrameEntries(graph: DataFrame, vectors: DataFrame,
+                                  query: DataFrame, idCol: String,
+                                  vecCol: String, entries: DataFrame,
+                                  beam: Int, rounds: Int, k: Int)
+      : DataFrame =
+    walkTopK(beamWalkScoredFrom(graph, vectors, query, idCol, vecCol,
+      entries, beam, rounds), idCol, k)
+
+  /** The per-bucket-entries walk BEHIND THE SIZE SWITCH (the
+    * round-17 watch note made structural): derive the per-bucket
+    * top-in-degree entries and walk — at widths ≤
+    * [[EntryLiteralMaxBits]] the entries collect to a tiny literal
+    * (codegen'd isin, the historical plan shape, byte-identical
+    * results); above it they stay an in-plan frame
+    * ([[topDegreeEntriesPerBucketFrame]] +
+    * [[graphBeamSearchFrameEntries]]) — per-bucket entry derivation
+    * at bb = 20 is ~2M rows, which belongs in a broadcast join, not
+    * a driver Seq. */
+  def graphBeamSearchPerBucket(graph: DataFrame, vectors: DataFrame,
+                               query: DataFrame, idCol: String,
+                               vecCol: String, index: DataFrame,
+                               perBucket: Int, bucketBits: Int,
+                               beam: Int, rounds: Int, k: Int)
+      : DataFrame =
+    if (bucketBits <= EntryLiteralMaxBits)
+      graphBeamSearch(graph, vectors, query, idCol, vecCol,
+        topDegreeEntriesPerBucket(graph, index, idCol, perBucket),
+        beam, rounds, k)
+    else
+      graphBeamSearchFrameEntries(graph, vectors, query, idCol, vecCol,
+        topDegreeEntriesPerBucketFrame(graph, index, idCol, perBucket),
+        beam, rounds, k)
 
   /** FILTERED graph serving — the metadata-constrained search every
     * vector store exposes (the v05/v29 filtered family completed for
@@ -1264,6 +1339,80 @@ object Ann {
       srpBucketIndex(emb, idCol, vecCol, bits, fineBits),
       idCol, vecCol, tau, maxBucketRows)
 
+  /** The member → rep FIXPOINT loop shared by every tier form: kept
+    * rows are their own reps; `members0` (idCol, rep_id) may point at
+    * other dropped rows — pointer-jump until every rep_id is a kept
+    * id (rep ids strictly decrease, so unresolved chain length halves
+    * per join round, on the duplicate subset only). */
+  private def repFixpoint(kept: DataFrame, members0: DataFrame,
+                          idCol: String): DataFrame = {
+    var members = members0.localCheckpoint()
+    def unresolved(m: DataFrame): Long =
+      m.join(m.select(col(idCol).as("_cid")),
+        m("rep_id") === col("_cid")).count()
+    while (unresolved(members) > 0) {
+      val hop = members.select(col(idCol).as("_cid"),
+        col("rep_id").as("_crep"))
+      members = members.join(hop,
+          members("rep_id") === col("_cid"), "left")
+        .select(members(idCol),
+          coalesce(col("_crep"), members("rep_id")).as("rep_id"))
+        .localCheckpoint()
+    }
+    kept.unionByName(members)
+  }
+
+  /** The tier's blocked pair join ALONE: every same-fine-bucket pair
+    * (m_id, n_id < m_id, cosine ≥ tauMin) — the SHARED pair relation
+    * a τ-sweep derives every tighter keep set from (v79: the pair
+    * work is paid ONCE at the loosest τ; each candidate τ is then a
+    * filter + fixpoint over this frame, the way t63 prices the
+    * Jaccard threshold over one pair artifact). Same guard and
+    * blocking economics as [[fineBucketNearDupReps]]. */
+  def fineBucketScoredPairs(emb: DataFrame, idCol: String,
+                            vecCol: String, bits: Int, fineBits: Int,
+                            tauMin: Double,
+                            maxBucketRows: Long = 100000L): DataFrame = {
+    val idx = srpBucketIndex(emb, idCol, vecCol, bits, fineBits)
+    val guard = idx.groupBy("bucket").agg(count(lit(1)).as("_bn"))
+      .agg(max("_bn").as("_mx"))
+    val a = idx.select(col("bucket"), col(idCol).as("m_id"),
+        col(vecCol).as("_m_vec"))
+      .crossJoin(broadcast(guard))
+      .filter(when(col("_mx") > maxBucketRows,
+          raise_error(concat(
+            lit("fineBucketScoredPairs: fine bucket of "), col("_mx"),
+            lit(s" rows exceeds maxBucketRows=$maxBucketRows")))
+          .cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("_mx")
+    val b = idx.select(col("bucket"), col(idCol).as("n_id"),
+      col(vecCol).as("_n_vec"))
+    a.join(b, Seq("bucket"))
+      .filter(col("n_id") < col("m_id"))
+      .select(col("m_id"), col("n_id"),
+        cosineSim(col("_m_vec"), col("_n_vec")).as("sim"))
+      .filter(col("sim") >= tauMin)
+  }
+
+  /** Keep set + rep fixpoint derived from a PRECOMPUTED scored pair
+    * relation ([[fineBucketScoredPairs]]) at threshold `tau` ≥ the
+    * relation's tauMin — row-identical to [[fineBucketNearDupReps]]
+    * at the same τ (the one-hop rule and chains read ONLY qualifying
+    * pairs, which the relation holds in full). */
+  def nearDupRepsFromPairs(ids: DataFrame, pairs: DataFrame,
+                           idCol: String, tau: Double): DataFrame = {
+    val oneHop = pairs.filter(col("sim") >= tau)
+      .groupBy(col("m_id").as(idCol))
+      .agg(min(col("n_id")).as("rep_id"))
+      .localCheckpoint()
+    val kept = ids.select(col(idCol))
+      .join(oneHop.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("rep_id", col(idCol))
+      .localCheckpoint()
+    repFixpoint(kept, oneHop, idCol)
+  }
+
   /** [[fineBucketNearDupReps]]'s core on an ALREADY-BUCKETED index
     * frame (idCol, vecCol, bucket) — factored out so the LSM update
     * ([[updateNearDupReps]]) can repair a crossing bucket by
@@ -1295,25 +1444,10 @@ object Ann {
       .agg(coalesce(min(col("_match")), min(col("_m_id")))
         .as("rep_id"))
     // fixpoint: only the dropped rows can chain, so the loop runs on
-    // the duplicate subset; a member is unresolved while its rep_id is
-    // itself a member id (i.e. a dropped row)
-    val kept = oneHop.filter(col("rep_id") === col(idCol))
-      .localCheckpoint()
-    var members = oneHop.filter(col("rep_id") =!= col(idCol))
-      .localCheckpoint()
-    def unresolved(m: DataFrame): Long =
-      m.join(m.select(col(idCol).as("_cid")),
-        m("rep_id") === col("_cid")).count()
-    while (unresolved(members) > 0) {
-      val hop = members.select(col(idCol).as("_cid"),
-        col("rep_id").as("_crep"))
-      members = members.join(hop,
-          members("rep_id") === col("_cid"), "left")
-        .select(members(idCol),
-          coalesce(col("_crep"), members("rep_id")).as("rep_id"))
-        .localCheckpoint()
-    }
-    kept.unionByName(members)
+    // the duplicate subset ([[repFixpoint]])
+    repFixpoint(
+      oneHop.filter(col("rep_id") === col(idCol)).localCheckpoint(),
+      oneHop.filter(col("rep_id") =!= col(idCol)), idCol)
   }
 
   /** O(delta) LSM MAINTENANCE FOR THE NEAR-DUP TIER — the incremental

@@ -48,11 +48,17 @@ object Sq8 {
         .as("ps"))
       .select(transform(col("ps"), p => p.getField("s")).as("scales"))
 
-  /** The quantize column expression: array<tinyint> codes. Codes are
-    * in [-127, 127] by construction (|x| ≤ s). */
+  /** The quantize column expression: array<tinyint> codes, SATURATED
+    * to [-127, 127] (FAISS's QT_8bit discipline). When the scales are
+    * the corpus's own max-|x| statistics the clamp is a no-op (|x| ≤
+    * s by construction — v61's regime); under FROZEN scales applied
+    * to later-arriving data (the LSM cell, v80) out-of-range values
+    * saturate instead of overflowing, and the cost surfaces in the
+    * per-row cosine-fidelity meter rather than as a cast error. */
   def quantizeCol(vec: Column, scales: Column): Column =
     zip_with(vec, scales,
-      (x, s) => round(x / s * lit(127), 0).cast("tinyint"))
+      (x, s) => least(greatest(round(x / s * lit(127), 0),
+        lit(-127.0)), lit(127.0)).cast("tinyint"))
 
   /** The dequantize column expression: array<double> reconstruction.
     * Exact given the integral codes — no rounding on this side. */

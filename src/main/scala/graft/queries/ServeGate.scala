@@ -78,14 +78,38 @@ object ServeGate {
     * (recall@10, nodes the walk touched, members the rerank scored) —
     * the walk's cost is rep-store-sized and the rerank's is bounded by
     * the hit reps' group sizes, never the corpus. */
+  /** [[nearDupExpandRecall]] with the entry derivation routed through
+    * [[Ann.graphBeamSearchPerBucket]]'s size switch: below
+    * [[Ann.EntryLiteralMaxBits]] identical to the literal form; above
+    * it the entries stay an in-plan frame. */
+  def nearDupExpandRecallPerBucket(corpus: DataFrame,
+                                   collapsed: DataFrame,
+                                   reps: DataFrame, graph: DataFrame,
+                                   index: DataFrame, bucketBits: Int,
+                                   qDf: DataFrame, idCol: String,
+                                   vecCol: String, beam: Int,
+                                   rounds: Int): (Double, Long, Long) =
+    nearDupExpandFrom(corpus, reps,
+      Ann.graphBeamSearchPerBucket(graph, collapsed, qDf, idCol,
+        vecCol, index, perBucket = 2, bucketBits = bucketBits, beam,
+        rounds, k = 10).localCheckpoint(),
+      qDf, idCol, vecCol)
+
   def nearDupExpandRecall(corpus: DataFrame, collapsed: DataFrame,
                           reps: DataFrame, graph: DataFrame,
                           entries: Seq[Long], qDf: DataFrame,
                           idCol: String, vecCol: String, beam: Int,
-                          rounds: Int): (Double, Long, Long) = {
-    val walked = Ann.graphBeamSearch(graph, collapsed, qDf, idCol,
-        vecCol, entries, beam, rounds, k = 10)
-      .localCheckpoint()
+                          rounds: Int): (Double, Long, Long) =
+    nearDupExpandFrom(corpus, reps,
+      Ann.graphBeamSearch(graph, collapsed, qDf, idCol, vecCol,
+        entries, beam, rounds, k = 10).localCheckpoint(),
+      qDf, idCol, vecCol)
+
+  /** The expansion + rerank tail shared by both entry forms. */
+  private def nearDupExpandFrom(corpus: DataFrame, reps: DataFrame,
+                                walked: DataFrame, qDf: DataFrame,
+                                idCol: String, vecCol: String)
+      : (Double, Long, Long) = {
     val nodes = walked.agg(max("nodes_touched")).head().getLong(0)
     val hitReps = walked.select(col(idCol).as("rep_id"))
     val members = reps.join(broadcast(hitReps), Seq("rep_id"))

@@ -3130,26 +3130,25 @@ object TextQueries {
        |                         (1 - acos(0.95) / pi())))
        |              AS BIGINT) AS h),
        |jj AS (SELECT unnest(range(0, 56)) AS j),
-       |de AS (SELECT ev.eval_id, jj.j,
-       |         list_sum(list_transform(range(0, len(ev.q)), i ->
-       |           ev.q[CAST(i + 1 AS INT)] *
-       |           (CASE WHEN CAST(concat('0x', substring(
-       |                  md5(concat('srp:', jj.j, ':', i)), 1, 15))
-       |                  AS BIGINT)
-       |                 % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
-       |       FROM ev, jj),
+       |sgm AS (SELECT jj.j,
+       |         list(CASE WHEN CAST(concat('0x', substring(
+       |                md5(concat('srp:', jj.j, ':', ix.i)), 1, 15))
+       |                AS BIGINT)
+       |               % 2 = 1 THEN 1.0 ELSE -1.0 END
+       |              ORDER BY ix.i) AS sv
+       |        FROM jj, (SELECT unnest(range(0,
+       |          (SELECT max(len(e)) FROM v))) AS i) ix
+       |        GROUP BY jj.j),
+       |de AS (SELECT ev.eval_id, sgm.j,
+       |         list_dot_product(ev.q, sgm.sv) AS dot
+       |       FROM ev, sgm),
        |be AS (SELECT eval_id,
        |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
        |                       ELSE 0 END) AS BIGINT) AS sk
        |       FROM de GROUP BY eval_id),
-       |dv AS (SELECT v.vec_id, jj.j,
-       |         list_sum(list_transform(range(0, len(v.e)), i ->
-       |           v.e[CAST(i + 1 AS INT)] *
-       |           (CASE WHEN CAST(concat('0x', substring(
-       |                  md5(concat('srp:', jj.j, ':', i)), 1, 15))
-       |                  AS BIGINT)
-       |                 % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
-       |       FROM v, jj),
+       |dv AS (SELECT v.vec_id, sgm.j,
+       |         list_dot_product(v.e, sgm.sv) AS dot
+       |       FROM v, sgm),
        |bv AS (SELECT vec_id,
        |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
        |                       ELSE 0 END) AS BIGINT) AS sk

@@ -4034,14 +4034,12 @@ object VectorQueries {
             col("src").as("dst"))).distinct(),
           "v76_graph", sfDir)
         val graph = spark.read.parquet(gDir)
-        val entries = Ann.topDegreeEntriesPerBucket(graph,
-          Ann.srpBucketIndex(collapsed, "vec_id", "embedding", 20, bb),
-          "vec_id", perBucket = 2)
         val q = all.filter(col("vec_id") === 1000L)
           .select(col("embedding").as("qe"))
-        val (rec, _, _) = ServeGate.nearDupExpandRecall(corpus,
-          collapsed, reps, graph, entries, q, "vec_id", "embedding",
-          beam = 8, rounds = 3)
+        val (rec, _, _) = ServeGate.nearDupExpandRecallPerBucket(
+          corpus, collapsed, reps, graph,
+          Ann.srpBucketIndex(collapsed, "vec_id", "embedding", 20, bb),
+          bb, q, "vec_id", "embedding", beam = 8, rounds = 3)
         QuantGate.seal(spark, "v76_serve", sfDir, rec, floor = 0.8,
           note = "rep-graph walk + (member -> rep) sidecar expansion " +
             "+ exact rerank, recall@10 vs the FULL 320x-accreted " +
@@ -4112,13 +4110,14 @@ object VectorQueries {
       reps.filter(col("rep_id") === col("vec_id")).select("vec_id"),
       Seq("vec_id"))
     val graph = spark.read.parquet(gDir)
-    val entries = Ann.topDegreeEntriesPerBucket(graph,
-      Ann.srpBucketIndex(collapsed, "vec_id", "embedding", 20, bb),
-      "vec_id", perBucket = 2)
     val exact = Search.topK(corpus, q, "vec_id", "embedding", "qe", 10)
       .select(col("vec_id"), lit(1L).as("_hit")).localCheckpoint()
-    val walked = Ann.graphBeamSearch(graph, collapsed, q, "vec_id",
-        "embedding", entryIds = entries, beam = 8, rounds = 3, k = 10)
+    // entries via the size switch (literal at this bb; a drifted
+    // chooser past EntryLiteralMaxBits flips to the in-plan frame)
+    val walked = Ann.graphBeamSearchPerBucket(graph, collapsed, q,
+        "vec_id", "embedding",
+        Ann.srpBucketIndex(collapsed, "vec_id", "embedding", 20, bb),
+        perBucket = 2, bucketBits = bb, beam = 8, rounds = 3, k = 10)
       .localCheckpoint()
     val members = reps
       .join(broadcast(walked.select(col("vec_id").as("rep_id"))),
@@ -4250,13 +4249,12 @@ object VectorQueries {
       .select("vec_id")
     val collapsed = corpus.join(keptInc, Seq("vec_id"))
       .select("vec_id", "embedding")
-    val entries = Ann.topDegreeEntriesPerBucket(graph,
-      Ann.srpBucketIndex(collapsed, "vec_id", "embedding", 20, bb),
-      "vec_id", perBucket = 2)
     val q = all.filter(col("vec_id") === 1000L)
       .select(col("embedding").as("qe"))
-    val walked = Ann.graphBeamSearch(graph, collapsed, q, "vec_id",
-        "embedding", entryIds = entries, beam = 8, rounds = 3, k = 10)
+    val walked = Ann.graphBeamSearchPerBucket(graph, collapsed, q,
+        "vec_id", "embedding",
+        Ann.srpBucketIndex(collapsed, "vec_id", "embedding", 20, bb),
+        perBucket = 2, bucketBits = bb, beam = 8, rounds = 3, k = 10)
       .localCheckpoint()
     val walkedReps = walked.select(col("vec_id").as("rep_id"))
     def expandRerank(sc: DataFrame): DataFrame = {
@@ -4286,6 +4284,105 @@ object VectorQueries {
         "crossings_total", "sidecar_diff_s1", "sidecar_diff_s2",
         "sidecar_diff_s3", "served_top10_diff", "nodes_touched",
         "members_rescored", "recall_at_10")
+  }
+
+  /** v79's three per-τ stores: keep set + rep sidecar derived from
+    * the SHARED scored pair relation ([[Ann.fineBucketScoredPairs]]
+    * at the loosest τ — the pair work paid once, each τ a filter +
+    * fixpoint), the symmetrized rep graph at each τ's chooser width
+    * (v76's build rule verbatim). Sealed per τ; the chooser re-runs
+    * per JVM and rides the fingerprint. */
+  private val v79Cache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Int, String, String, Int)]]
+
+  private def v79Stores(spark: SparkSession, sfDir: String)
+      : Seq[(Int, String, String, Int)] =
+    v79Cache.getOrElseUpdate(sfDir, {
+      val all = spark.read.parquet(v71Corpus(spark, sfDir))
+      val corpus = all.filter(col("vec_id") =!= 1000L)
+      val pairs = Ann.fineBucketScoredPairs(corpus, "vec_id",
+        "embedding", bits = 20, fineBits = 20, tauMin = 0.7)
+        .localCheckpoint()
+      Seq(70, 80, 90).map { tp =>
+        val reps = Ann.nearDupRepsFromPairs(corpus.select("vec_id"),
+          pairs, "vec_id", tau = tp / 100.0).localCheckpoint()
+        val collapsed = corpus.join(
+          reps.filter(col("rep_id") === col("vec_id"))
+            .select("vec_id"), Seq("vec_id"))
+        val bb = Ann.occupancyBucketBits(collapsed, "embedding",
+          bits = 20, bbMin = 3, bbMax = 20)
+        Artifacts.reuseOrBuild(sfDir,
+            s"v79:v1:copies=320,tau0.$tp,bb$bb,deg8,sym:" +
+              Artifacts.inputDigest(RefDb),
+            Seq(s"v79_graph_t$tp", s"v79_reps_t$tp")) {
+          Artifacts.write(reps, s"v79_reps_t$tp", sfDir)
+          val fwd = Ann.buildKnnGraph(collapsed, "vec_id",
+            "embedding", bits = 20, bucketBits = bb, degree = 8)
+          Artifacts.write(
+            fwd.unionByName(fwd.select(col("dst").as("src"),
+              col("src").as("dst"))).distinct(),
+            s"v79_graph_t$tp", sfDir): Unit
+        }
+        (tp, Artifacts.resolve(s"v79_graph_t$tp", sfDir),
+          Artifacts.resolve(s"v79_reps_t$tp", sfDir), bb)
+      }
+    })
+
+  /** τ-SWEEP PRICING FOR THE COLLAPSE RADIUS — the round-17
+    * verdict's item 5: v76 ships the tier at τ = 0.8 and its one
+    * miss is priced at exactly that radius (the exact hit's rep sits
+    * 0.095 cosine below it), but nothing yet put ALTERNATIVE radii
+    * on the table — the decision a deployment reads before fixing τ,
+    * the way t63 prices the Jaccard dedup threshold. This query
+    * serves the SAME query through the SAME composed path (chooser-
+    * width symmetrized rep graph, per-bucket top-2 entries, beam-8 /
+    * 3-round walk, sidecar expansion, exact rerank) at τ ∈ {0.7,
+    * 0.8, 0.9}, all three keep sets derived from ONE shared scored
+    * pair relation ([[Ann.fineBucketScoredPairs]] at the loosest τ —
+    * the Σ|bucket|² pair work is paid once, each τ is a filter +
+    * fixpoint over it). Per τ it emits the tier's full price row:
+    * n_reps (index size), chosen_bits (serving geometry), the walk's
+    * nodes_touched, the expansion's members_rescored, and recall@10
+    * vs the full corpus's exact scan. MEASURED — the table a
+    * deployment reads before fixing τ: 0.7 and 0.8 serve identically
+    * (recall 0.9 @ 189 nodes / 372 members; 0.7 collapses just 2
+    * extra rows — 605 vs 607 reps), while 0.9 is a CLIFF: the
+    * replica cores' mutual cosines sit below 0.9, so the tier stops
+    * collapsing them (1,334 reps — the occupancy floor v75 removes
+    * comes back), the chooser re-tightens to 11 bits, and the walk
+    * serves recall 0.0 with only 24 members to rerank — the tier's
+    * entire benefit evaporates when the radius is tighter than the
+    * near-dup mass it exists to remove. The oracle replays the pair
+    * relation once from the floats, every τ's one-hop + 3-jump
+    * fixpoint + keep set + chooser, reads the three persisted
+    * graphs, replays all three walks, expansions, reranks and
+    * recalls in SQL.
+    */
+  def nearDupTauSweep(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val stores = v79Stores(spark, sfDir)
+    val all = spark.read.parquet(v71Corpus(spark, sfDir))
+    val corpus = all.filter(col("vec_id") =!= 1000L)
+    val q = all.filter(col("vec_id") === 1000L)
+      .select(col("embedding").as("qe"))
+    stores.map { case (tp, gDir, rDir, bb) =>
+        val reps = spark.read.parquet(rDir)
+        val collapsed = corpus.join(
+          reps.filter(col("rep_id") === col("vec_id"))
+            .select("vec_id"), Seq("vec_id"))
+        val graph = spark.read.parquet(gDir)
+        val (rec, nodes, members) =
+          ServeGate.nearDupExpandRecallPerBucket(corpus, collapsed,
+            reps, graph,
+            Ann.srpBucketIndex(collapsed, "vec_id", "embedding", 20,
+              bb), bb, q, "vec_id", "embedding", beam = 8, rounds = 3)
+        (tp / 100.0, collapsed.count(), bb.toLong, nodes, members,
+          rec)
+      }
+      .toDF("tau", "n_reps", "chosen_bits", "nodes_touched",
+        "members_rescored", "recall_at_10")
+      .orderBy("tau")
   }
 
   /** v74's fixture geometry, shared by the builder, the query and the
@@ -4593,6 +4690,266 @@ object VectorQueries {
         "the full-width exact scan on the v74 graded-spectrum " +
         "corpus; measured 0.8 — the same graph ceiling the float " +
         "prefix serves, so the int8 rung is free here too")
+    out
+  }
+
+  /** v80's delta batches: 1,200 fresh points landing INSIDE v74's 80
+    * graded-spectrum clusters (same center kernel, fresh noise seed,
+    * same per-dimension variance decay and DCT-IV mix) — the
+    * in-place densification v71 models, on the corpus family where
+    * prefix serving is meaningful. Ids 2000 + i (disjoint from the
+    * fixture's 0-799 and query 1000); batch s covers
+    * [2000 + 400(s−1), 2000 + 400s). */
+  private def genV80Deltas(spark: SparkSession): DataFrame = {
+    import graft.operators.Opq
+    import graft.functions.HashFunctions.md5Long
+    def u(seed: String, key: org.apache.spark.sql.Column,
+          dd: org.apache.spark.sql.Column) =
+      (md5Long(concat(lit(seed), key.cast("string"), lit(":"),
+          dd.cast("string"))) % 2001L).cast("double") / 1000.0 - 1.0
+    val gen0 = spark.range(1200)
+      .select((col("id") + 2000L).as("vec_id"),
+        pmod(col("id"), lit(80)).as("cid"))
+    val latent = gen0.withColumn("z",
+      transform(sequence(lit(0), lit(1535)), dd =>
+        (u("v74c:", col("cid"), dd) +
+          lit(0.8) * u("v80n:", col("vec_id"), dd)) /
+          (lit(1.0) + dd.cast("double") / lit(24.0))))
+    latent.select(col("vec_id"),
+      transform(Opq.rotateCol(col("z"), dctIv(1536)),
+        x => x.cast("float")).as("embedding"))
+  }
+
+  /** Accretion-step key for a v80 row: 0 = the v74 base fixture,
+    * 1-3 = the delta batch. */
+  private def v80Step(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(c < 2000L, lit(0L))
+      .otherwise(floor((c - lit(2000L)) / lit(400.0)).cast("long") +
+        lit(1L))
+
+  /** v80's persisted store: the delta corpus, the rotated-192 SQ8
+    * codes for EVERY row (scales FROZEN from the base snapshot — the
+    * deployment quantizes deltas with the scales it trained at
+    * compaction time; per-row cosine fidelity rides beside the
+    * code), and the three LSM sidecars from
+    * [[Ann.updateKnnGraphIncremental]] at the base-frozen bucket
+    * geometry. Serve gates seal per snapshot (see
+    * [[prefixSq8Lsm]]'s contract) and re-check on every cache hit. */
+  private val v80Cache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String, Seq[String])]
+
+  private def v80Store(spark: SparkSession, sfDir: String)
+      : (String, String, Seq[String]) =
+    v80Cache.getOrElseUpdate(sfDir, {
+      import graft.operators.{Opq, Sq8}
+      val (cDir, _, rot, _) = v74Fixture(spark, sfDir)
+      val fp = "v80:v1:deltas=3x400,w192,sq8-base-scales,bb5,deg8"
+      val names = Seq("v80_delta", "v80_codes", "v80_sc1", "v80_sc2",
+        "v80_sc3")
+      if (!names.forall(Artifacts.cachedHit(_, sfDir, fp))) {
+        val dDir = Artifacts.write(genV80Deltas(spark), "v80_delta",
+          sfDir)
+        val deltas = spark.read.parquet(dDir)
+        val base = spark.read.parquet(cDir)
+          .filter(col("vec_id") =!= 1000L)
+        val allRows = base.unionByName(deltas)
+        val pAll = Opq.rotate(allRows, "vec_id", "embedding", rot)
+          .select(col("vec_id"),
+            slice(col("embedding"), 1, 192).as("embedding"))
+          .localCheckpoint()
+        val pBase = pAll.join(base.select("vec_id"), Seq("vec_id"))
+        val scales = Sq8.scalesRow(pBase, "embedding")
+        Artifacts.write(pAll
+          .join(Sq8.roundTrip(pAll, "vec_id", "embedding", scales)
+            .select(col("vec_id"), col("embedding").as("deq")),
+            Seq("vec_id"))
+          .select(col("vec_id"), col("deq"),
+            round(cosineSim(col("embedding"), col("deq")), 6)
+              .as("fid")),
+          "v80_codes", sfDir)
+        var index = Ann.srpBucketIndex(base, "vec_id", "embedding",
+          20, V74Bb).localCheckpoint()
+        var hist = Ann.fineOccupancyHistogram(base, "embedding", 20,
+          20).localCheckpoint()
+        for (s <- 1 to 3) {
+          val delta = deltas.filter(v80Step(col("vec_id")) === s)
+          val (sidecar, folded, _) = Ann.updateKnnGraphIncremental(
+            index, hist, delta, "vec_id", "embedding", bits = 20,
+            bucketBits = V74Bb, degree = 8, bbMin = 3, bbMax = 20)
+          Artifacts.write(sidecar, s"v80_sc$s", sfDir)
+          hist = folded.localCheckpoint()
+          index = index.unionByName(Ann.srpBucketIndex(delta,
+            "vec_id", "embedding", 20, V74Bb)).localCheckpoint()
+        }
+        names.foreach(Artifacts.seal(_, sfDir, fp))
+        // seal the per-snapshot serve gates from a fresh serve pass
+        v80Rows(spark, sfDir).collect().foreach { r =>
+          val s = r.getLong(0)
+          val gateVal =
+            if (r.getLong(4) == 1L) 1.0 else r.getDouble(7)
+          QuantGate.seal(spark, s"v80_snap$s", sfDir, gateVal,
+            floor = 0.6, note = "composed rotated-192xSQ8 serve " +
+              s"under LSM accretion, snapshot $s: gate value = " +
+              "recall@10 while the drift verdict is quiet, 1.0 " +
+              "(deferred to the scheduled fold) once rebucket " +
+              "fires — the store never serves degraded recall " +
+              "SILENTLY")
+        }
+      }
+      (0 to 3).foreach(s =>
+        QuantGate.check(spark, s"v80_snap$s", sfDir))
+      (Artifacts.resolve("v80_delta", sfDir),
+        Artifacts.resolve("v80_codes", sfDir),
+        (1 to 3).map(s => Artifacts.resolve(s"v80_sc$s", sfDir)))
+    })
+
+  /** The per-snapshot serve rows (shared by the build-time gate
+    * sealing and the query): for each accretion snapshot, the drift
+    * verdict from the progressively folded histogram, the SQ8
+    * fidelity floor over the snapshot's codes, the beam-16 walk over
+    * the snapshot's graph scored on dequantized prefixes, recall vs
+    * the snapshot's full-width exact scan, and the serve-gate
+    * verdict. */
+  private def v80Rows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Opq
+    val (cDir, gDir, rot, _) = v74Fixture(spark, sfDir)
+    val dDir = Artifacts.resolve("v80_delta", sfDir)
+    val codesDir = Artifacts.resolve("v80_codes", sfDir)
+    val base = spark.read.parquet(cDir).filter(col("vec_id") =!= 1000L)
+    val deltas = spark.read.parquet(dDir)
+    val all = base.unionByName(deltas)
+      .withColumn("_s", v80Step(col("vec_id")))
+      .localCheckpoint()
+    val codes = spark.read.parquet(codesDir)
+    val q = spark.read.parquet(cDir).filter(col("vec_id") === 1000L)
+    val qe = q.select(col("embedding").as("qe"))
+    val pQ = Opq.rotate(q, "vec_id", "embedding", rot)
+      .select(slice(col("embedding"), 1, 192).as("qe"))
+      .localCheckpoint()
+    // drift verdicts: v72's fold, collapsed to ONE corpus pass — the
+    // per-snapshot fine histograms are prefix-sums of the (fb, step)
+    // counts, folded driver-side (model-sized rows)
+    val hrows = all.select(
+        graft.functions.HashFunctions.cosineLshBits(col("embedding"),
+          20).bitwiseAND(lit((1L << 20) - 1)).as("fb"), col("_s"))
+      .groupBy("fb", "_s").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val verdicts = (0 to 3).map { s =>
+      val folded = hrows.filter(_._2 <= s)
+        .groupBy(_._1).view.mapValues(_.map(_._3).sum)
+        .toSeq.map { case (fb, cnt) => (fb, cnt) }
+      (s.toLong, Ann.maintenanceCheckFromHistogram(
+        folded.toDF("fb", "cnt"), V74Bb, bbMin = 3, bbMax = 20))
+    }
+    // ALL FOUR snapshots serve in ONE multi-index batched walk
+    // (query_id = snapshot): per-snapshot graphs from the persisted
+    // sidecars, per-snapshot entries derived IN-PLAN (the frame form
+    // — no driver entry Seq), the store = dequantized 192-prefixes
+    val snaps = Seq(0L, 1L, 2L, 3L).toDF("query_id")
+    val gAll = spark.read.parquet(gDir).withColumn("_t", lit(0L))
+      .unionByName((1 to 3).map(s =>
+        spark.read.parquet(Artifacts.resolve(s"v80_sc$s", sfDir))
+          .withColumn("_t", lit(s.toLong))).reduce(_ unionByName _))
+    val g4 = gAll.crossJoin(broadcast(snaps))
+      .filter(col("_t") <= col("query_id"))
+      .select("query_id", "src", "dst")
+    val bk = all.withColumn("bucket",
+      graft.functions.HashFunctions.cosineLshBits(col("embedding"), 20)
+        .bitwiseAND(lit((1L << V74Bb) - 1)))
+    val vis = bk.crossJoin(broadcast(snaps))
+      .filter(col("_s") <= col("query_id"))
+      .localCheckpoint()
+    val deg4 = g4.groupBy("query_id", "dst")
+      .agg(count(lit(1)).as("deg"))
+    val e4 = vis.select(col("query_id"), col("vec_id").as("dst"),
+        col("bucket"))
+      .join(deg4, Seq("query_id", "dst"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("query_id", "bucket")
+          .orderBy(col("deg").desc, col("dst"))))
+      .filter(col("_rn") <= 2)
+      .select(col("query_id"), col("dst").as("vec_id"))
+    val v4 = vis.select("query_id", "vec_id")
+      .join(codes.select(col("vec_id"), col("deq").as("embedding")),
+        Seq("vec_id"))
+      .select("query_id", "vec_id", "embedding")
+    val q4 = pQ.crossJoin(broadcast(snaps)).select("query_id", "qe")
+    val walked = Ann.graphBeamSearchMultiIndex(g4, v4, q4, e4,
+        "vec_id", "embedding", "query_id", beam = 16, rounds = 3,
+        k = 10)
+      .localCheckpoint()
+    val exact4 = Search.topKPerQuery(
+      vis.crossJoin(broadcast(qe))
+        .select(col("query_id"), col("vec_id"),
+          cosineSim(col("embedding"), col("qe")).as("score")),
+      "query_id", "vec_id", 10)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("_hit"))
+    val served = walked
+      .join(exact4, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(round(sum(coalesce(col("_hit"), lit(0L))).cast("double") /
+          10.0, 6).as("recall_at_10"),
+        max("nodes_touched").as("nodes_touched"))
+    val fid4 = vis.select("query_id", "vec_id")
+      .join(codes.select("vec_id", "fid"), Seq("vec_id"))
+      .groupBy("query_id")
+      .agg(round(min("fid"), 6).as("min_cos_fidelity"),
+        count(lit(1)).as("n_vectors"))
+    val vdf = verdicts.map { case (s, m) =>
+        (s, math.rint(m.currentLoad * 1e4) / 1e4,
+          m.chosenBits.toLong, if (m.rebucket) 1L else 0L)
+      }.toDF("query_id", "frozen_load", "chosen_bits", "rebucket")
+    fid4.join(served, Seq("query_id")).join(broadcast(vdf),
+        Seq("query_id"))
+      .select(col("query_id").as("step"), col("n_vectors"),
+        col("frozen_load"), col("chosen_bits"), col("rebucket"),
+        col("min_cos_fidelity"), col("nodes_touched"),
+        col("recall_at_10"),
+        when(col("recall_at_10") >= 0.6 || col("rebucket") === 1L,
+          1L).otherwise(0L).as("gate_ok"))
+      .orderBy("step")
+  }
+
+  /** THE COMPOSED SERVING CELL UNDER LSM ACCRETION — the round-17
+    * verdict's item 6, closing the loop between the two round-17
+    * frontiers: v77 gates the rotated-192×SQ8 cell (192 B/vec at the
+    * graph ceiling) on a STATIC fixture, and s27/v73 prove the LSM
+    * maintenance loop — but nothing yet served THROUGH the composed
+    * cell while deltas accrete. This query runs v74's graded-
+    * spectrum fixture through three clustered delta batches (800 →
+    * 1,200 → 1,600 → 2,000 points densifying the same 80 clusters —
+    * [[genV80Deltas]]), each delta arriving via
+    * [[Ann.updateKnnGraphIncremental]] at the base-frozen geometry
+    * (the O(delta) path, sidecars persisted as the store's real
+    * artifacts) and ENCODED INTO THE CELL with the base-frozen
+    * rotation and SQ8 scales — exactly what a deployment does
+    * between compactions. Per snapshot it emits the full health row:
+    * the drift verdict from the folded histogram (v72's O(delta)
+    * form), the cell's fidelity floor (quantizing OUTSIDE the scales
+    * the base froze shows up here first), the beam-16 walk over the
+    * accreted graph scored on dequantized 192-prefixes, recall@10
+    * vs the snapshot's full-width exact scan, and `gate_ok` — the
+    * deployment contract this query exists to pin: at EVERY
+    * snapshot, either the composed cell still serves ≥ 0.6 recall
+    * or the drift verdict has fired and scheduled the fold. A store
+    * that degrades silently (low recall, quiet verdict) fails the
+    * gate, the Scala require AND the sealed per-snapshot QuantGate.
+    * The oracle replays the whole composition from the floats: the
+    * rotation matvec, base-scale derivation, quantize/dequantize,
+    * the per-snapshot histograms and verdicts, the accreted graphs
+    * from the persisted sidecars, all four walks, exact scans,
+    * recalls and gate verdicts in SQL.
+    */
+  def prefixSq8Lsm(spark: SparkSession, sfDir: String): DataFrame = {
+    v80Store(spark, sfDir)
+    val out = v80Rows(spark, sfDir).localCheckpoint()
+    val bad = out.filter(col("gate_ok") === 0L).count()
+    require(bad == 0L,
+      s"v80 serve gate: $bad snapshot(s) serve degraded recall with " +
+        "a QUIET drift verdict — the composed cell is failing " +
+        "silently; schedule the fold")
     out
   }
 
@@ -5745,14 +6102,18 @@ object VectorQueries {
     * bucket = sign bits. */
   private val refDimSketchCtes: String =
     """jj AS (SELECT unnest(range(0, 5)) AS j),
-      |d AS (SELECT c.vec_id, jj.j,
-      |        list_sum(list_transform(range(0, len(c.e)), i ->
-      |          c.e[CAST(i + 1 AS INT)] *
-      |          (CASE WHEN CAST(concat('0x', substring(
-      |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
-      |                 AS BIGINT)
-      |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
-      |      FROM c, jj),
+      |sgm AS (SELECT jj.j,
+      |         list(CASE WHEN CAST(concat('0x', substring(
+      |                md5(concat('srp:', jj.j, ':', ix.i)), 1, 15))
+      |                AS BIGINT)
+      |               % 2 = 1 THEN 1.0 ELSE -1.0 END
+      |              ORDER BY ix.i) AS sv
+      |        FROM jj, (SELECT unnest(range(0,
+      |          (SELECT max(len(e)) FROM c))) AS i) ix
+      |        GROUP BY jj.j),
+      |d AS (SELECT c.vec_id, sgm.j,
+      |        list_dot_product(c.e, sgm.sv) AS dot
+      |      FROM c, sgm),
       |bk AS (SELECT vec_id,
       |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
       |                       ELSE 0 END) AS BIGINT) AS bucket
@@ -5798,6 +6159,150 @@ object VectorQueries {
     }
     entries + (s0 +: steps).mkString(",\n")
   }
+
+  /** v79's per-τ replay block — expects CTEs `c` (vec_id, e), `q`
+    * (qe), `fb` (vec_id, fb — the 20-plane fine sketch) and `pr`
+    * (m, nn, sim — the shared scored pair relation at the loosest
+    * τ). Emits `$p`-prefixed: one-hop at `0.$tp`, the 3-jump
+    * fixpoint, keep set, rep map, collapsed corpus + histogram +
+    * chooser, bucket index, the persisted graph read, per-bucket
+    * top-2 entries, the unrolled walk, expansion and rerank. */
+  private def tauSweepCtes(p: String, tp: Int): String =
+    s"""${p}oh AS (SELECT m AS id, min(nn) AS rep FROM pr
+       |       WHERE sim >= 0.$tp GROUP BY m),
+       |${p}o1 AS (SELECT x.id, coalesce(y.rep, x.rep) AS rep
+       |       FROM ${p}oh x LEFT JOIN ${p}oh y ON x.rep = y.id),
+       |${p}o2 AS (SELECT x.id, coalesce(y.rep, x.rep) AS rep
+       |       FROM ${p}o1 x LEFT JOIN ${p}o1 y ON x.rep = y.id),
+       |${p}o3 AS (SELECT x.id, coalesce(y.rep, x.rep) AS rep
+       |       FROM ${p}o2 x LEFT JOIN ${p}o2 y ON x.rep = y.id),
+       |${p}keep AS (SELECT c.vec_id FROM c
+       |         LEFT JOIN ${p}oh ON ${p}oh.id = c.vec_id
+       |         WHERE ${p}oh.id IS NULL),
+       |${p}rp AS (SELECT vec_id AS id, vec_id AS rep FROM ${p}keep
+       |       UNION ALL SELECT id, rep FROM ${p}o3),
+       |${p}ck AS (SELECT c.vec_id, c.e FROM c
+       |       JOIN ${p}keep USING (vec_id)),
+       |${p}hc AS (SELECT bb.bucket_bits,
+       |              fb.fb % CAST(2 ** bb.bucket_bits AS BIGINT)
+       |                AS bucket, count(*) AS bn
+       |       FROM fb JOIN ${p}keep USING (vec_id), bb
+       |       GROUP BY 1, 2),
+       |${p}oc AS (SELECT bucket_bits,
+       |              round(CAST(sum(bn * bn) AS DOUBLE) / sum(bn), 4)
+       |                AS size_biased
+       |       FROM ${p}hc GROUP BY 1),
+       |${p}chc AS (SELECT coalesce(min(bucket_bits)
+       |                 FILTER (WHERE size_biased <= 48.0), 20) AS b
+       |        FROM ${p}oc),
+       |${p}bk AS (SELECT fb.vec_id,
+       |         fb.fb % CAST(2 ** (SELECT b FROM ${p}chc) AS BIGINT)
+       |           AS bucket FROM fb JOIN ${p}keep USING (vec_id)),
+       |${p}g AS (SELECT src, dst
+       |      FROM read_parquet('${Artifacts.oracleGlob(s"v79_graph_t$tp")}')),
+       |${p}dg AS (SELECT dst AS vec_id, count(*) AS deg FROM ${p}g
+       |       GROUP BY dst),
+       |${p}en AS (SELECT vec_id FROM (
+       |          SELECT ${p}bk.vec_id,
+       |                 row_number() OVER (PARTITION BY ${p}bk.bucket
+       |                   ORDER BY ${p}dg.deg DESC, ${p}bk.vec_id)
+       |                   AS rn
+       |          FROM ${p}bk JOIN ${p}dg USING (vec_id))
+       |        WHERE rn <= 2),
+       |${walkUnrollSql(p, s"${p}g", s"${p}ck", beam = 8,
+                        customEntries = true)},
+       |${p}top AS (SELECT vec_id FROM ${p}s3
+       |         ORDER BY score DESC, vec_id LIMIT 10),
+       |${p}mem AS (SELECT ${p}rp.id AS vec_id FROM ${p}rp
+       |        JOIN ${p}top ON ${p}rp.rep = ${p}top.vec_id),
+       |${p}resc AS (SELECT c.vec_id FROM c
+       |         JOIN ${p}mem USING (vec_id), q
+       |         ORDER BY list_cosine_similarity(c.e, q.qe) DESC,
+       |           c.vec_id
+       |         LIMIT 10)""".stripMargin
+
+  /** v80's per-snapshot replay block — expects CTEs `va` (vec_id, e,
+    * step), `qf` (full-width query), `q` (rotated 192-prefix query),
+    * `fbv` (20-bit fine sketch), `bkv` (bb=5 bucket), `zc`
+    * (dequantized prefix store), `fc` (float prefix), `bb` (widths
+    * 3..20) and `g0`/`sc1..3` (the graph artifacts). Emits the
+    * snapshot's accreted graph, in-plan entries, histogram loads +
+    * drift verdict, the beam-16 walk, exact scan and fidelity. */
+  private def v80SnapCtes(p: String, s: Int): String = {
+    val g = "SELECT src, dst FROM g0" +
+      (1 to s).map(t => s" UNION ALL SELECT src, dst FROM sc$t")
+        .mkString
+    s"""${p}cs AS (SELECT vec_id FROM va WHERE step <= $s),
+       |${p}g AS ($g),
+       |${p}dg AS (SELECT dst AS vec_id, count(*) AS deg FROM ${p}g
+       |       GROUP BY dst),
+       |${p}en AS (SELECT vec_id FROM (
+       |          SELECT bkv.vec_id,
+       |                 row_number() OVER (PARTITION BY bkv.bucket
+       |                   ORDER BY ${p}dg.deg DESC, bkv.vec_id) AS rn
+       |          FROM bkv JOIN ${p}cs USING (vec_id)
+       |          JOIN ${p}dg USING (vec_id)) WHERE rn <= 2),
+       |${p}zc AS (SELECT zc.vec_id, zc.e FROM zc
+       |       JOIN ${p}cs USING (vec_id)),
+       |${walkUnrollSql(p, s"${p}g", s"${p}zc", beam = 16,
+                        customEntries = true)},
+       |${p}top AS (SELECT vec_id FROM ${p}s3
+       |         ORDER BY score DESC, vec_id LIMIT 10),
+       |${p}ex AS (SELECT va.vec_id FROM va JOIN ${p}cs USING (vec_id),
+       |         qf
+       |       ORDER BY list_cosine_similarity(va.e, qf.qe) DESC,
+       |         va.vec_id
+       |       LIMIT 10),
+       |${p}hc AS (SELECT bb.bucket_bits,
+       |              fbv.fb % CAST(2 ** bb.bucket_bits AS BIGINT)
+       |                AS bucket, count(*) AS bn
+       |       FROM fbv JOIN ${p}cs USING (vec_id), bb GROUP BY 1, 2),
+       |${p}oc AS (SELECT bucket_bits,
+       |              round(CAST(sum(bn * bn) AS DOUBLE) / sum(bn), 4)
+       |                AS size_biased
+       |       FROM ${p}hc GROUP BY 1),
+       |${p}chc AS (SELECT coalesce(min(bucket_bits)
+       |                 FILTER (WHERE size_biased <= 48.0), 20) AS b
+       |        FROM ${p}oc)""".stripMargin
+  }
+
+  /** v80's per-snapshot output row over [[v80SnapCtes]]'s frames. */
+  private def v80SnapRow(p: String, s: Int): String =
+    s"""SELECT CAST($s AS BIGINT) AS step,
+       |       (SELECT count(*) FROM ${p}cs) AS n_vectors,
+       |       (SELECT size_biased FROM ${p}oc WHERE bucket_bits = 5)
+       |         AS frozen_load,
+       |       CAST((SELECT b FROM ${p}chc) AS BIGINT) AS chosen_bits,
+       |       (CASE WHEN (SELECT size_biased FROM ${p}oc
+       |                   WHERE bucket_bits = 5) > 48.0
+       |             THEN 1 ELSE 0 END)::BIGINT AS rebucket,
+       |       (SELECT round(min(round(
+       |          list_cosine_similarity(fc.e, zc.e), 6)), 6)
+       |        FROM fc JOIN zc USING (vec_id)
+       |        JOIN ${p}cs USING (vec_id)) AS min_cos_fidelity,
+       |       (SELECT count(*) FROM ${p}s3) AS nodes_touched,
+       |       (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6)
+       |        FROM ${p}top JOIN ${p}ex USING (vec_id))
+       |         AS recall_at_10,
+       |       (CASE WHEN (SELECT round(CAST(count(*) AS DOUBLE)
+       |                       / 10.0, 6)
+       |                   FROM ${p}top JOIN ${p}ex USING (vec_id))
+       |                  >= 0.6
+       |               OR (SELECT size_biased FROM ${p}oc
+       |                   WHERE bucket_bits = 5) > 48.0
+       |             THEN 1 ELSE 0 END)::BIGINT AS gate_ok"""
+      .stripMargin
+
+  /** v79's per-τ output row over [[tauSweepCtes]]'s frames. */
+  private def tauSweepRow(p: String, tp: Int): String =
+    s"""SELECT CAST(0.$tp AS DOUBLE) AS tau,
+       |       (SELECT count(*) FROM ${p}keep) AS n_reps,
+       |       CAST((SELECT b FROM ${p}chc) AS BIGINT) AS chosen_bits,
+       |       (SELECT count(*) FROM ${p}s3) AS nodes_touched,
+       |       (SELECT count(*) FROM ${p}mem) AS members_rescored,
+       |       (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6)
+       |        FROM ${p}resc JOIN ex USING (vec_id)) AS recall_at_10"""
+      .stripMargin
 
   /** The BATCHED beam walk ([[Ann.graphBeamSearchBatch]]'s rounds)
     * unrolled as CTEs for an arbitrary round count — the batch twin of
@@ -5908,14 +6413,18 @@ object VectorQueries {
          |c AS (SELECT vec_id, vec_id % 1000 AS k, e FROM v
          |      WHERE vec_id != 1000),
          |jj AS (SELECT unnest(range(0, 20)) AS j),
-         |d AS (SELECT c.vec_id, c.k, jj.j,
-         |        list_sum(list_transform(range(0, len(c.e)), i ->
-         |          c.e[CAST(i + 1 AS INT)] *
-         |          (CASE WHEN CAST(concat('0x', substring(
-         |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
-         |                 AS BIGINT)
-         |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
-         |      FROM c, jj),
+         |sgm AS (SELECT jj.j,
+         |         list(CASE WHEN CAST(concat('0x', substring(
+         |                md5(concat('srp:', jj.j, ':', ix.i)), 1, 15))
+         |                AS BIGINT)
+         |               % 2 = 1 THEN 1.0 ELSE -1.0 END
+         |              ORDER BY ix.i) AS sv
+         |        FROM jj, (SELECT unnest(range(0,
+         |          (SELECT max(len(e)) FROM c))) AS i) ix
+         |        GROUP BY jj.j),
+         |d AS (SELECT c.vec_id, c.k, sgm.j,
+         |        list_dot_product(c.e, sgm.sv) AS dot
+         |      FROM c, sgm),
          |fb AS (SELECT vec_id, k,
          |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
          |                       ELSE 0 END) AS BIGINT) AS fb
@@ -7435,14 +7944,18 @@ object VectorQueries {
          |           FROM read_parquet('${Artifacts.oracleGlob("v57_corpus")}')),
          |c AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
          |jj AS (SELECT unnest(range(0, 20)) AS j),
-         |d AS (SELECT c.vec_id, jj.j,
-         |        list_sum(list_transform(range(0, len(c.e)), i ->
-         |          c.e[CAST(i + 1 AS INT)] *
-         |          (CASE WHEN CAST(concat('0x', substring(
-         |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
-         |                 AS BIGINT)
-         |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
-         |      FROM c, jj),
+         |sgm AS (SELECT jj.j,
+         |         list(CASE WHEN CAST(concat('0x', substring(
+         |                md5(concat('srp:', jj.j, ':', ix.i)), 1, 15))
+         |                AS BIGINT)
+         |               % 2 = 1 THEN 1.0 ELSE -1.0 END
+         |              ORDER BY ix.i) AS sv
+         |        FROM jj, (SELECT unnest(range(0,
+         |          (SELECT max(len(e)) FROM c))) AS i) ix
+         |        GROUP BY jj.j),
+         |d AS (SELECT c.vec_id, sgm.j,
+         |        list_dot_product(c.e, sgm.sv) AS dot
+         |      FROM c, sgm),
          |fb AS (SELECT vec_id,
          |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
          |                       ELSE 0 END) AS BIGINT) AS fb
@@ -7492,14 +8005,18 @@ object VectorQueries {
          |       WHERE vec_id != 1000),
          |q AS (SELECT e AS qe FROM v WHERE vec_id = 1000),
          |jj AS (SELECT unnest(range(0, 20)) AS j),
-         |d AS (SELECT ck.vec_id, ck.k, jj.j,
-         |        list_sum(list_transform(range(0, len(ck.e)), i ->
-         |          ck.e[CAST(i + 1 AS INT)] *
-         |          (CASE WHEN CAST(concat('0x', substring(
-         |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
-         |                 AS BIGINT)
-         |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
-         |      FROM ck, jj),
+         |sgm AS (SELECT jj.j,
+         |         list(CASE WHEN CAST(concat('0x', substring(
+         |                md5(concat('srp:', jj.j, ':', ix.i)), 1, 15))
+         |                AS BIGINT)
+         |               % 2 = 1 THEN 1.0 ELSE -1.0 END
+         |              ORDER BY ix.i) AS sv
+         |        FROM jj, (SELECT unnest(range(0,
+         |          (SELECT max(len(e)) FROM ck))) AS i) ix
+         |        GROUP BY jj.j),
+         |d AS (SELECT ck.vec_id, ck.k, sgm.j,
+         |        list_dot_product(ck.e, sgm.sv) AS dot
+         |      FROM ck, sgm),
          |fb AS (SELECT vec_id, k,
          |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
          |                       ELSE 0 END) AS BIGINT) AS fb
@@ -7584,14 +8101,18 @@ object VectorQueries {
          |           FROM read_parquet('${Artifacts.oracleGlob("v71_corpus")}')),
          |c AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
          |jj AS (SELECT unnest(range(0, 20)) AS j),
-         |d AS (SELECT c.vec_id, jj.j,
-         |        list_sum(list_transform(range(0, len(c.e)), i ->
-         |          c.e[CAST(i + 1 AS INT)] *
-         |          (CASE WHEN CAST(concat('0x', substring(
-         |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
-         |                 AS BIGINT)
-         |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
-         |      FROM c, jj),
+         |sgm AS (SELECT jj.j,
+         |         list(CASE WHEN CAST(concat('0x', substring(
+         |                md5(concat('srp:', jj.j, ':', ix.i)), 1, 15))
+         |                AS BIGINT)
+         |               % 2 = 1 THEN 1.0 ELSE -1.0 END
+         |              ORDER BY ix.i) AS sv
+         |        FROM jj, (SELECT unnest(range(0,
+         |          (SELECT max(len(e)) FROM c))) AS i) ix
+         |        GROUP BY jj.j),
+         |d AS (SELECT c.vec_id, sgm.j,
+         |        list_dot_product(c.e, sgm.sv) AS dot
+         |      FROM c, sgm),
          |fb AS (SELECT vec_id,
          |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
          |                       ELSE 0 END) AS BIGINT) AS fb
@@ -7664,14 +8185,18 @@ object VectorQueries {
          |q AS (SELECT e AS qe FROM v WHERE vec_id = 1000),
          |c AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
          |jj AS (SELECT unnest(range(0, 20)) AS j),
-         |d AS (SELECT c.vec_id, jj.j,
-         |        list_sum(list_transform(range(0, len(c.e)), i ->
-         |          c.e[CAST(i + 1 AS INT)] *
-         |          (CASE WHEN CAST(concat('0x', substring(
-         |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
-         |                 AS BIGINT)
-         |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
-         |      FROM c, jj),
+         |sgm AS (SELECT jj.j,
+         |         list(CASE WHEN CAST(concat('0x', substring(
+         |                md5(concat('srp:', jj.j, ':', ix.i)), 1, 15))
+         |                AS BIGINT)
+         |               % 2 = 1 THEN 1.0 ELSE -1.0 END
+         |              ORDER BY ix.i) AS sv
+         |        FROM jj, (SELECT unnest(range(0,
+         |          (SELECT max(len(e)) FROM c))) AS i) ix
+         |        GROUP BY jj.j),
+         |d AS (SELECT c.vec_id, sgm.j,
+         |        list_dot_product(c.e, sgm.sv) AS dot
+         |      FROM c, sgm),
          |fb AS (SELECT vec_id,
          |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
          |                       ELSE 0 END) AS BIGINT) AS fb
@@ -7756,14 +8281,18 @@ object VectorQueries {
          |c AS (SELECT vec_id, vec_id % 1000 AS k, e FROM v
          |      WHERE vec_id != 1000),
          |jj AS (SELECT unnest(range(0, 20)) AS j),
-         |d AS (SELECT c.vec_id, jj.j,
-         |        list_sum(list_transform(range(0, len(c.e)), i ->
-         |          c.e[CAST(i + 1 AS INT)] *
-         |          (CASE WHEN CAST(concat('0x', substring(
-         |                 md5(concat('srp:', jj.j, ':', i)), 1, 15))
-         |                 AS BIGINT)
-         |                % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
-         |      FROM c, jj),
+         |sgm AS (SELECT jj.j,
+         |         list(CASE WHEN CAST(concat('0x', substring(
+         |                md5(concat('srp:', jj.j, ':', ix.i)), 1, 15))
+         |                AS BIGINT)
+         |               % 2 = 1 THEN 1.0 ELSE -1.0 END
+         |              ORDER BY ix.i) AS sv
+         |        FROM jj, (SELECT unnest(range(0,
+         |          (SELECT max(len(e)) FROM c))) AS i) ix
+         |        GROUP BY jj.j),
+         |d AS (SELECT c.vec_id, sgm.j,
+         |        list_dot_product(c.e, sgm.sv) AS dot
+         |      FROM c, sgm),
          |fb AS (SELECT vec_id,
          |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
          |                       ELSE 0 END) AS BIGINT) AS fb
@@ -7849,6 +8378,137 @@ object VectorQueries {
          |       (SELECT count(*) FROM mem) AS members_rescored,
          |       (SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6)
          |        FROM resc JOIN ex USING (vec_id)) AS recall_at_10""".stripMargin,
+    // the τ-sweep: the scored pair relation ONCE from the floats,
+    // then three complete tier + serve replays (fixpoint, keep,
+    // chooser, entries from the persisted per-τ graphs, walk,
+    // expansion, rerank) — one row per τ
+    "v79_neardup_tau_sweep" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM read_parquet('${Artifacts.oracleGlob("v71_corpus")}')),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 1000),
+         |c AS (SELECT vec_id, e FROM v WHERE vec_id != 1000),
+         |jj AS (SELECT unnest(range(0, 20)) AS j),
+         |sgm AS (SELECT jj.j,
+         |         list(CASE WHEN CAST(concat('0x', substring(
+         |                md5(concat('srp:', jj.j, ':', ix.i)), 1, 15))
+         |                AS BIGINT)
+         |               % 2 = 1 THEN 1.0 ELSE -1.0 END
+         |              ORDER BY ix.i) AS sv
+         |        FROM jj, (SELECT unnest(range(0,
+         |          (SELECT max(len(e)) FROM c))) AS i) ix
+         |        GROUP BY jj.j),
+         |d AS (SELECT c.vec_id, sgm.j,
+         |        list_dot_product(c.e, sgm.sv) AS dot
+         |      FROM c, sgm),
+         |fb AS (SELECT vec_id,
+         |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
+         |                       ELSE 0 END) AS BIGINT) AS fb
+         |       FROM d GROUP BY vec_id),
+         |bb AS (SELECT unnest(range(3, 21)) AS bucket_bits),
+         |pr AS (SELECT f1.vec_id AS m, f2.vec_id AS nn,
+         |              list_cosine_similarity(cm.e, cn.e) AS sim
+         |       FROM fb f1 JOIN fb f2
+         |         ON f1.fb = f2.fb AND f2.vec_id < f1.vec_id
+         |       JOIN c cm ON cm.vec_id = f1.vec_id
+         |       JOIN c cn ON cn.vec_id = f2.vec_id
+         |       WHERE list_cosine_similarity(cm.e, cn.e) >= 0.7),
+         |ex AS (SELECT c.vec_id FROM c, q
+         |       ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
+         |       LIMIT 10),
+         |${tauSweepCtes("a", 70)},
+         |${tauSweepCtes("b", 80)},
+         |${tauSweepCtes("c", 90)}
+         |SELECT * FROM (
+         |${tauSweepRow("a", 70)}
+         |UNION ALL
+         |${tauSweepRow("b", 80)}
+         |UNION ALL
+         |${tauSweepRow("c", 90)})
+         |ORDER BY tau""".stripMargin,
+    // the composed cell under accretion: base ∪ deltas with step
+    // keys, the rotation matvec + BASE-frozen scales + saturating
+    // SQ8 from the floats, per-snapshot histograms/verdicts, graphs
+    // from the persisted sidecars, four walks, exacts, fidelities
+    // and gate verdicts
+    "v80_prefix_sq8_lsm" ->
+      s"""WITH vb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM read_parquet('${Artifacts.oracleGlob("v74_corpus")}')),
+         |vd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |       FROM read_parquet('${Artifacts.oracleGlob("v80_delta")}')),
+         |va AS (SELECT vec_id, e, CAST(0 AS BIGINT) AS step FROM vb
+         |       WHERE vec_id != 1000
+         |       UNION ALL
+         |       SELECT vec_id, e,
+         |              1 + CAST(floor((vec_id - 2000) / 400.0)
+         |                  AS BIGINT) AS step
+         |       FROM vd),
+         |qf AS (SELECT e AS qe FROM vb WHERE vec_id = 1000),
+         |rr AS (SELECT o, rv
+         |       FROM read_parquet('${Artifacts.oracleGlob("v74_rot")}')),
+         |rw AS (SELECT va.vec_id,
+         |         list(round(list_dot_product(va.e, rr.rv), 6)
+         |              ORDER BY rr.o) AS e
+         |       FROM va, rr WHERE rr.o < 192 GROUP BY va.vec_id),
+         |fc AS (SELECT vec_id, e[1:192] AS e FROM rw),
+         |rqw AS (SELECT list(round(list_dot_product(qf.qe, rr.rv), 6)
+         |               ORDER BY rr.o) AS qe
+         |        FROM qf, rr WHERE rr.o < 192),
+         |q AS (SELECT qe[1:192] AS qe FROM rqw),
+         |ii AS (SELECT unnest(range(0, 192)) AS i),
+         |sx AS (SELECT ii.i,
+         |         greatest(max(abs(fc.e[CAST(ii.i + 1 AS INT)])),
+         |           1e-30) AS s
+         |       FROM fc JOIN va USING (vec_id), ii
+         |       WHERE va.step = 0 GROUP BY ii.i),
+         |scl AS (SELECT list(s ORDER BY i) AS sc FROM sx),
+         |zc AS (SELECT fc.vec_id,
+         |         list_transform(range(0, len(fc.e)), i ->
+         |           least(greatest(
+         |             round(fc.e[CAST(i + 1 AS INT)]
+         |                   / scl.sc[CAST(i + 1 AS INT)] * 127),
+         |             -127), 127)
+         |             * scl.sc[CAST(i + 1 AS INT)] / 127) AS e
+         |       FROM fc, scl),
+         |jj AS (SELECT unnest(range(0, 20)) AS j),
+         |sgm AS (SELECT jj.j,
+         |         list(CASE WHEN CAST(concat('0x', substring(
+         |                md5(concat('srp:', jj.j, ':', ix.i)), 1, 15))
+         |                AS BIGINT)
+         |               % 2 = 1 THEN 1.0 ELSE -1.0 END
+         |              ORDER BY ix.i) AS sv
+         |        FROM jj, (SELECT unnest(range(0,
+         |          (SELECT max(len(e)) FROM va))) AS i) ix
+         |        GROUP BY jj.j),
+         |dsk AS (SELECT va.vec_id, sgm.j,
+         |        list_dot_product(va.e, sgm.sv) AS dot
+         |      FROM va, sgm),
+         |fbv AS (SELECT vec_id,
+         |         CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT)
+         |                       ELSE 0 END) AS BIGINT) AS fb
+         |       FROM dsk GROUP BY vec_id),
+         |bkv AS (SELECT vec_id, fb % 32 AS bucket FROM fbv),
+         |bb AS (SELECT unnest(range(3, 21)) AS bucket_bits),
+         |g0 AS (SELECT src, dst
+         |       FROM read_parquet('${Artifacts.oracleGlob("v74_graph")}')),
+         |sc1 AS (SELECT src, dst
+         |        FROM read_parquet('${Artifacts.oracleGlob("v80_sc1")}')),
+         |sc2 AS (SELECT src, dst
+         |        FROM read_parquet('${Artifacts.oracleGlob("v80_sc2")}')),
+         |sc3 AS (SELECT src, dst
+         |        FROM read_parquet('${Artifacts.oracleGlob("v80_sc3")}')),
+         |${v80SnapCtes("p0", 0)},
+         |${v80SnapCtes("p1", 1)},
+         |${v80SnapCtes("p2", 2)},
+         |${v80SnapCtes("p3", 3)}
+         |SELECT * FROM (
+         |${v80SnapRow("p0", 0)}
+         |UNION ALL
+         |${v80SnapRow("p1", 1)}
+         |UNION ALL
+         |${v80SnapRow("p2", 2)}
+         |UNION ALL
+         |${v80SnapRow("p3", 3)})
+         |ORDER BY step""".stripMargin,
     // the composed rung: rotation matvec (1e-6 rounding), 192-slice,
     // per-dim scale derivation + the v61-gated quantize/dequantize
     // rounding order, sketch + entries over the plain vectors, BOTH
@@ -7868,10 +8528,10 @@ object VectorQueries {
          |rw AS (SELECT c.vec_id,
          |         list(round(list_dot_product(c.e, rr.rv), 6)
          |              ORDER BY rr.o) AS e
-         |       FROM c, rr GROUP BY c.vec_id),
+         |       FROM c, rr WHERE rr.o < 192 GROUP BY c.vec_id),
          |rqw AS (SELECT list(round(list_dot_product(qf.qe, rr.rv), 6)
          |               ORDER BY rr.o) AS qe
-         |        FROM qf, rr),
+         |        FROM qf, rr WHERE rr.o < 192),
          |fc AS (SELECT vec_id, e[1:192] AS e FROM rw),
          |q AS (SELECT qe[1:192] AS qe FROM rqw),
          |ii AS (SELECT unnest(range(0, 192)) AS i),
@@ -7936,10 +8596,10 @@ object VectorQueries {
          |rw AS (SELECT c.vec_id,
          |         list(round(list_dot_product(c.e, rr.rv), 6)
          |              ORDER BY rr.o) AS e
-         |       FROM c, rr GROUP BY c.vec_id),
+         |       FROM c, rr WHERE rr.o < 768 GROUP BY c.vec_id),
          |rqw AS (SELECT list(round(list_dot_product(q.qe, rr.rv), 6)
          |               ORDER BY rr.o) AS qe
-         |        FROM q, rr),
+         |        FROM q, rr WHERE rr.o < 768),
          |wd AS (SELECT unnest([96, 192, 384, 768]) AS width),
          |ex AS (SELECT c.vec_id FROM c, q
          |       ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
@@ -9173,6 +9833,8 @@ object VectorQueries {
       "v74_prefix_rotated" -> ((s, d) => v74Fixture(s, d): Unit),
       "v75_neardup_tier" -> ((s, d) => v71Corpus(s, d): Unit),
       "v76_neardup_serve" -> ((s, d) => v76Store(s, d): Unit),
+      "v79_neardup_tau_sweep" -> ((s, d) => v79Stores(s, d): Unit),
+      "v80_prefix_sq8_lsm" -> ((s, d) => v80Store(s, d): Unit),
       "v72_hist_fold_drift" -> ((s, d) => {
         val all = s.read.parquet(v71Corpus(s, d))
           .filter(col("vec_id") =!= 1000L)
@@ -9234,6 +9896,8 @@ object VectorQueries {
     "v75_neardup_tier" -> (nearDupTierOccupancy(_, _)),
     "v76_neardup_serve" -> (nearDupTierServe(_, _)),
     "v78_neardup_tier_lsm" -> (nearDupTierLsm(_, _)),
+    "v79_neardup_tau_sweep" -> (nearDupTauSweep(_, _)),
+    "v80_prefix_sq8_lsm" -> (prefixSq8Lsm(_, _)),
     "v77_prefix_sq8" -> (matryoshkaPrefixSq8(_, _)),
     "v56_crossmodal" -> (crossModalSearch(_, _)),
     "v24_media_search" -> (mediaSearch(_, _)),

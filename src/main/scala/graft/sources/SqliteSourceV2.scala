@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -147,11 +148,18 @@ private[sources] class SqliteWriteBuilder(
 private[sources] class SqliteScanBuilder(full: StructType,
                                          options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = full
   private var accepted: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
   private var ranges: IndexedSeq[(Long, Long)] = SqliteReader.FullRange
+  // content-key pushdown through the UNIQUE autoindex: None = not
+  // constrained; Some(keys) = only rows whose unique column is one of
+  // `keys` (possibly empty — contradictory equalities prune the scan)
+  private var contentKeys: Option[Seq[String]] = None
+  private var uniqueCol: Option[String] = None
+  private var countCols = 0
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the FILE's column order (the decoder walks serial types in
@@ -170,50 +178,114 @@ private[sources] class SqliteScanBuilder(full: StructType,
     * alias: SQLite stores NULL and the value IS the rowid, which is
     * what makes rowid pruning equal value filtering); otherwise every
     * filter stays residual and Spark evaluates them post-scan. */
+  /** Equality / IN keys over column `c` — the shape the autoindex
+    * serves. Non-string or null values stay residual. */
+  private def contentKeysOf(f: org.apache.spark.sql.sources.Filter,
+                            c: String): Option[Seq[String]] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    f match {
+      case EqualTo(`c`, s: String) => Some(Seq(s))
+      case In(`c`, vs) if vs.nonEmpty && vs.forall(v =>
+          v.isInstanceOf[String]) =>
+        Some(vs.toSeq.map(_.asInstanceOf[String]))
+      case _ => None
+    }
+  }
+
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     val rowidCol = full.fields.headOption
       .filter(_.dataType == LongType).map(_.name)
-    val aliasOk = rowidCol.isDefined &&
+    // cheap translation check FIRST: the DDL verdicts read the whole
+    // head .db on the driver, so only pay them when some filter would
+    // actually push (and then once per file version — they're cached)
+    val rsup = rowidCol.map(c => filters.filter(f =>
+      SqliteSourceV2.filterRanges(f, c).isDefined)).getOrElse(Array())
+    val rOk = rsup.nonEmpty &&
       SqliteSourceV2.firstColIsRowidAlias(options)
-    if (!aliasOk) filters
-    else {
-      val (sup, unsup) = filters.partition(f =>
-        SqliteSourceV2.filterRanges(f, rowidCol.get).isDefined)
-      sup.foreach { f =>
-        ranges = SqliteSourceV2.intersectRanges(ranges,
-          SqliteSourceV2.filterRanges(f, rowidCol.get).get)
-      }
-      accepted = sup
-      unsup
+    if (rOk) rsup.foreach { f =>
+      ranges = SqliteSourceV2.intersectRanges(ranges,
+        SqliteSourceV2.filterRanges(f, rowidCol.get).get)
     }
+    // content-key pushdown: engages only when the head DDL declares a
+    // UNIQUE text column with its autoindex present, and a filter is
+    // an equality/IN on exactly that column
+    val shaped = filters.exists(f => full.fields.drop(1).exists(fl =>
+      fl.dataType == StringType && contentKeysOf(f, fl.name).isDefined))
+    uniqueCol =
+      if (shaped) SqliteSourceV2.uniqueIndexCol(options) else None
+    val csup = uniqueCol.map(c => filters.filter(f =>
+      contentKeysOf(f, c).isDefined)).getOrElse(Array())
+    csup.foreach { f =>
+      val ks = contentKeysOf(f, uniqueCol.get).get
+      contentKeys = Some(
+        contentKeys.map(_.intersect(ks)).getOrElse(ks))
+    }
+    accepted = (if (rOk) rsup else Array.empty[
+      org.apache.spark.sql.sources.Filter]) ++ csup
+    filters.filterNot(accepted.contains)
   }
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     accepted
 
+  /** Ungrouped COUNT(*) pushdown (the reference's sync guard —
+    * `SELECT COUNT(*)`, server.js:67): each file partition returns
+    * its count from b-tree cell counts alone — no payload (or even
+    * rowid, on the full range) decode, no overflow chains — and
+    * Spark sums the partials (complete pushdown stays off because a
+    * directory scan has one partial per file). Composes with the
+    * pushed rowid ranges and content keys: a content-keyed count
+    * never reads a table page at all. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    false
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    if (ok) countCols = agg.aggregateExpressions.length
+    ok
+  }
+
   override def build(): Scan =
     new SqliteScan(full, required,
       Option(options.get("table")).getOrElse("documents"),
-      SqliteSourceV2.resolveFiles(options), ranges)
+      SqliteSourceV2.resolveFiles(options), ranges, contentKeys,
+      uniqueCol, countCols)
 }
 
 private[graft] class SqliteScan(full: StructType, required: StructType,
                                   table: String, files: Seq[String],
                                   private[graft] val pushedRanges:
-                                    IndexedSeq[(Long, Long)])
+                                    IndexedSeq[(Long, Long)],
+                                  private[graft] val pushedKeys:
+                                    Option[Seq[String]] = None,
+                                  uniqueCol: Option[String] = None,
+                                  private[graft] val countCols: Int = 0)
     extends Scan with Batch {
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (countCols > 0)
+      StructType((0 until countCols).map(i =>
+        StructField(s"count$i", LongType, nullable = false)))
+    else required
   override def toBatch: Batch = this
   override def description(): String =
     s"SqliteScan(table=$table, files=${files.size}, " +
       s"pushedRowidRanges=${
         if (pushedRanges == SqliteReader.FullRange) "ALL"
-        else pushedRanges.mkString(",")})"
+        else pushedRanges.mkString(",")}" +
+      pushedKeys.map(ks =>
+        s", pushedContentKeys=${ks.size}").getOrElse("") +
+      (if (countCols > 0) ", PushedAggregation=[COUNT(*)]" else "") +
+      ")"
   override def planInputPartitions(): Array[InputPartition] =
     // contradictory pushed filters prune the whole scan at plan time
-    if (pushedRanges.isEmpty) Array.empty
+    // (a pushed COUNT still answers — with 0 — so it keeps its files)
+    if (countCols == 0 &&
+        (pushedRanges.isEmpty || pushedKeys.exists(_.isEmpty)))
+      Array.empty
     else files.map(f => SqliteFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
     val ordinals = required.fields
@@ -226,7 +298,8 @@ private[graft] class SqliteScan(full: StructType, required: StructType,
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
     val conf = sc.broadcast(
       new SerializableHadoopConf(SqliteSourceV2.driverHadoopConf()))
-    SqliteReaderFactory(table, ordinals, required, conf, pushedRanges)
+    SqliteReaderFactory(table, ordinals, required, conf, pushedRanges,
+      pushedKeys, uniqueCol, countCols)
   }
 }
 
@@ -254,22 +327,58 @@ private[sources] final class SerializableHadoopConf(
 private[sources] final case class SqliteReaderFactory(
     table: String, ordinals: Array[Int], required: StructType,
     conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
-    ranges: IndexedSeq[(Long, Long)])
+    ranges: IndexedSeq[(Long, Long)],
+    contentKeys: Option[Seq[String]] = None,
+    uniqueCol: Option[String] = None,
+    countCols: Int = 0)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[SqliteFilePartition].path
-    val (rows, _) = SqliteReader.readTableRanges(
-      SqliteSourceV2.readBytes(path, conf.value.value), table, ordinals,
-      ranges)
+    val bytes = SqliteSourceV2.readBytes(path, conf.value.value)
+    // pushdown was planned from the HEAD file's DDL; a directory scan
+    // may mix files, and pushing rowid ranges (or content keys) into
+    // a table whose columns differ would filter by the wrong key and
+    // return wrong rows — validate per file, fail loudly
+    if (ranges != SqliteReader.FullRange)
+      require(SqliteSourceV2.ddlFirstColIsRowidAlias(bytes, table),
+        s"sqlite scan: rowid-range pushdown was planned from the " +
+          s"head file's DDL, but '$path' table '$table' does not " +
+          "declare its first column INTEGER PRIMARY KEY — rowid " +
+          "ranges would filter this file by the wrong key; make the " +
+          "scanned files' DDLs uniform or drop the rowid filter")
+    if (contentKeys.isDefined)
+      require(
+        SqliteSourceV2.ddlUniqueIndexCol(bytes, table) == uniqueCol,
+        s"sqlite scan: content-key pushdown was planned against the " +
+          s"head file's UNIQUE column ${uniqueCol.orNull}, but " +
+          s"'$path' table '$table' indexes a different column (or " +
+          "none) — make the scanned files' DDLs uniform or drop the " +
+          "content filter")
+    val rows: Iterator[IndexedSeq[Any]] =
+      if (countCols > 0) {
+        val n = contentKeys match {
+          case Some(ks) =>
+            SqliteReader.countByContent(bytes, table, ks, ranges)._1
+          case None => SqliteReader.countRows(bytes, table, ranges)._1
+        }
+        Iterator.single(IndexedSeq.fill(countCols)(n))
+      } else contentKeys match {
+        case Some(ks) =>
+          SqliteReader.readTableByContent(bytes, table, ordinals, ks,
+            ranges)._1
+        case None =>
+          SqliteReader.readTableRanges(bytes, table, ordinals,
+            ranges)._1
+      }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) {
           val vs = rows.next()
-          val out = new Array[Any](ordinals.length)
+          val out = new Array[Any](vs.length)
           var i = 0
-          while (i < ordinals.length) {
+          while (i < vs.length) {
             out(i) = vs(i) match {
               case s: String => UTF8String.fromString(s)
               case other => other
@@ -339,6 +448,17 @@ private[graft] object SqliteSourceV2 {
     unique.foreach(u => require(schema.fieldNames.contains(u),
       s"sqlite write: unique column '$u' not in schema " +
         schema.fieldNames.mkString("(", ", ", ")")))
+    // the first column BECOMES the INTEGER PRIMARY KEY rowid alias —
+    // a non-integral first column would produce a DDL that lies about
+    // the data and fail deep inside the page assembler with a cast
+    // error; refuse up front with the actual contract instead
+    schema.fields.headOption.foreach(f => require(
+      f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == ShortType,
+      s"sqlite write: the first column ('${f.name}': ${f.dataType
+        .simpleString}) must be integral — it becomes the table's " +
+        "INTEGER PRIMARY KEY rowid alias; reorder the columns or " +
+        "add an id column first"))
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       val t = f.dataType match {
         case LongType | IntegerType | ShortType => "INTEGER"
@@ -391,21 +511,85 @@ private[graft] object SqliteSourceV2 {
       .getOrElse(throw new NoSuchElementException(
         s"table '$table' not found in sqlite_master"))
 
+  /** The stored DDL's verdict on file `bytes` — shared by the
+    * planning-time head-file check and the per-file reader guard. */
+  def ddlFirstColIsRowidAlias(bytes: Array[Byte],
+                              table: String): Boolean = {
+    val sql = createSqlOf(bytes, table)
+    val inner = sql.substring(sql.indexOf('(') + 1)
+    val first = inner.split(",").head.trim
+      .toUpperCase(java.util.Locale.ROOT)
+    first.contains("INTEGER") && first.contains("PRIMARY KEY")
+  }
+
+  /** The UNIQUE-indexed TEXT column of `table` in file `bytes`, iff
+    * its autoindex b-tree is present — the precondition for
+    * content-key pushdown (the planned keys descend
+    * `sqlite_autoindex_<table>_1`, so the index must exist AND index
+    * exactly the filtered column). Shared by the planning-time head
+    * check and the per-file reader guard. */
+  def ddlUniqueIndexCol(bytes: Array[Byte],
+                        table: String): Option[String] = {
+    val hasIdx = SqliteReader.readTable(bytes, "sqlite_master")
+      .exists(r => r.values.lift(0).contains("index") &&
+        r.values.lift(1).contains(s"sqlite_autoindex_${table}_1"))
+    if (!hasIdx) None
+    else {
+      val sql = createSqlOf(bytes, table)
+      val inner = sql.substring(sql.indexOf('(') + 1)
+      inner.split(",").map(_.trim).collectFirst {
+        case d if d.toUpperCase(java.util.Locale.ROOT)
+            .split("\\s+").contains("UNIQUE") =>
+          d.split("\\s+").head
+      }
+    }
+  }
+
+  /** Planning-time DDL verdicts, keyed by (head file, table, length,
+    * mtime) — pushFilters runs once per filtered query, and reading
+    * the whole head .db just to parse sqlite_master is driver work
+    * worth paying once per file version, not per plan. */
+  private val aliasCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Long, Long), Boolean]
+
+  private val uniqueColCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Long, Long), Option[String]]
+
+  /** [[ddlUniqueIndexCol]] on the HEAD resolved file, cached per file
+    * version (the [[firstColIsRowidAlias]] discipline). */
+  def uniqueIndexCol(options: CaseInsensitiveStringMap)
+      : Option[String] = {
+    val files = resolveFiles(options)
+    if (files.isEmpty) None
+    else {
+      val table = Option(options.get("table")).getOrElse("documents")
+      val conf = driverHadoopConf()
+      val hp = new org.apache.hadoop.fs.Path(files.head)
+      val st = hp.getFileSystem(conf).getFileStatus(hp)
+      uniqueColCache.getOrElseUpdate(
+        (files.head, table, st.getLen, st.getModificationTime),
+        ddlUniqueIndexCol(readBytes(files.head, conf), table))
+    }
+  }
+
   /** True iff the stored DDL declares the FIRST column `INTEGER
     * PRIMARY KEY` — the rowid alias (SQLite stores NULL; the value IS
     * the b-tree rowid), which is the precondition for rowid-range
     * filter pushdown to equal value filtering. Reads the head file's
-    * master table (one driver-side read, same as inferSchema). */
+    * master table (one driver-side read, same as inferSchema; cached
+    * per file version). Every OTHER file of a directory scan is
+    * re-validated executor-side by the partition reader before its
+    * pushed ranges apply. */
   def firstColIsRowidAlias(options: CaseInsensitiveStringMap): Boolean = {
     val files = resolveFiles(options)
     files.nonEmpty && {
       val table = Option(options.get("table")).getOrElse("documents")
-      val sql = createSqlOf(readBytes(files.head, driverHadoopConf()),
-        table)
-      val inner = sql.substring(sql.indexOf('(') + 1)
-      val first = inner.split(",").head.trim
-        .toUpperCase(java.util.Locale.ROOT)
-      first.contains("INTEGER") && first.contains("PRIMARY KEY")
+      val conf = driverHadoopConf()
+      val hp = new org.apache.hadoop.fs.Path(files.head)
+      val st = hp.getFileSystem(conf).getFileStatus(hp)
+      aliasCache.getOrElseUpdate(
+        (files.head, table, st.getLen, st.getModificationTime),
+        ddlFirstColIsRowidAlias(readBytes(files.head, conf), table))
     }
   }
 

@@ -521,4 +521,46 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"),
       s"no hashed equi-join for the wedge stage:\n$p")
   }
+
+  test("graph-walk entries above the size switch stay IN-PLAN — no " +
+      "driver literal; below it, literal; both paths rank-identical") {
+    import graft.operators.Ann
+    // a small two-cluster fixture with a connected 2-NN graph
+    val emb = vecsDf((1L, Seq(10f, 0f)), (2L, Seq(9f, 1f)),
+      (3L, Seq(11f, 0.5f)), (4L, Seq(0f, 10f)), (5L, Seq(1f, 9f)),
+      (6L, Seq(0.5f, 11f)))
+    val graph = Ann.buildKnnGraph(emb, "vec_id", "embedding",
+      bits = 12, bucketBits = 2, degree = 2)
+    val q = emb.filter(col("vec_id") === 1L)
+      .select(col("embedding").as("qe"))
+    val idx = Ann.srpBucketIndex(emb, "vec_id", "embedding", 12, 12)
+    // the frame form: entries never touch the driver or the plan as
+    // a literal — round 0 is a broadcast semi-join over the entries
+    // frame (assert on the construction the walk's round 0 uses)
+    val entriesDf = Ann.topDegreeEntriesPerBucketFrame(graph, idx,
+      "vec_id", 2)
+    val round0 = emb.select(col("vec_id"))
+      .join(broadcast(entriesDf.select(col("vec_id"))), Seq("vec_id"),
+        "left_semi")
+    val p0 = round0.queryExecution.optimizedPlan.toString
+    assert(!p0.contains("vec_id IN") && !p0.contains("INSET"),
+      s"entry literal leaked into the in-plan form:\n$p0")
+    // result equality across the switch: bucketBits = 12 (> the
+    // literal max of 11) routes to the frame path; forcing the
+    // literal path on the same inputs must rank identically
+    val viaSwitch = Ann.graphBeamSearchPerBucket(graph, emb, q,
+        "vec_id", "embedding", idx, perBucket = 2, bucketBits = 12,
+        beam = 4, rounds = 2, k = 3)
+      .select("rank", "vec_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSeq
+    val viaLiteral = Ann.graphBeamSearch(graph, emb, q, "vec_id",
+        "embedding",
+        Ann.topDegreeEntriesPerBucket(graph, idx, "vec_id", 2),
+        beam = 4, rounds = 2, k = 3)
+      .select("rank", "vec_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSwitch == viaLiteral && viaSwitch.nonEmpty,
+      s"switch=$viaSwitch literal=$viaLiteral")
+    assert(Ann.EntryLiteralMaxBits == 11)
+  }
 }

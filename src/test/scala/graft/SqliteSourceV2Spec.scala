@@ -170,6 +170,113 @@ class SqliteSourceV2Spec extends SparkSpec {
       IndexedSeq((5L, 25L))) == IndexedSeq((5L, 10L), (20L, 25L)))
   }
 
+  test("content-key pushdown through the UNIQUE autoindex: " +
+      "O(depth + k) pages, plan-asserted keys, pushed COUNT(*)") {
+    import org.apache.spark.sql.functions.col
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("content", StringType, nullable = false),
+      StructField("vector", BinaryType, nullable = false)))
+    val rows = (1L to 2000L).map(i =>
+      Row(i, f"row-$i%04d", Array.tabulate(4)(j => (i + j).toByte)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val dir = Files.createTempDirectory("graft_cpush").toString
+    val db = Paths.get(dir, "c.db").toString
+    df.write.format("sqlite").mode("overwrite")
+      .option("table", "docs").option("unique", "content").save(db)
+    val bytes = Files.readAllBytes(Paths.get(db))
+    // the meter: a full scan visits every leaf; a 3-key content
+    // lookup descends the autoindex once (O(depth + k) index pages)
+    // then point-reads the 2 hit rowids (O(depth) each)
+    val (fullIt, fullPages) = SqliteReader.readTableRanges(bytes,
+      "docs", Array(0, 1), SqliteReader.FullRange)
+    assert(fullIt.size == 2000)
+    val (hitIt, hitPages) = SqliteReader.readTableByContent(bytes,
+      "docs", Array(0, 1), Seq("row-1234", "row-0007", "missing"))
+    val hits = hitIt.toSeq
+    assert(hits.map(_.head).toSet == Set(1234L, 7L) &&
+      hits.map(_(1)).toSet == Set("row-1234", "row-0007"))
+    assert(fullPages() >= 10,
+      s"fixture too small for the claim: ${fullPages()} pages")
+    assert(hitPages() <= 9,
+      s"content lookup visited ${hitPages()} of ${fullPages()} pages")
+    // COUNT(*) from cell counts: no payload decode, pages bounded by
+    // the b-tree walk; a content-keyed count reads NO table page
+    val (n, cPages) = SqliteReader.countRows(bytes, "docs")
+    assert(n == 2000L && cPages <= fullPages())
+    val (nRange, _) = SqliteReader.countRows(bytes, "docs",
+      IndexedSeq((100L, 199L)))
+    assert(nRange == 100L)
+    val (nc, ncPages) = SqliteReader.countByContent(bytes, "docs",
+      Seq("row-0001", "row-0002", "nope"))
+    assert(nc == 2L && ncPages <= 5,
+      s"content count visited $ncPages pages")
+    // end-to-end through the DSv2 plan
+    def scanOf(q: org.apache.spark.sql.DataFrame)
+        : graft.sources.SqliteScan =
+      q.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[graft.sources.SqliteScan]
+      }.head
+    val base = spark.read.format("sqlite").option("table", "docs")
+      .load(db)
+    val eq = base.filter(col("content") === "row-0099")
+    assert(scanOf(eq).pushedKeys.contains(Seq("row-0099")))
+    assert(eq.collect().map(_.getLong(0)).toSeq == Seq(99L))
+    val in = base.filter(
+      col("content").isin("row-0003", "row-1999", "zzz"))
+    assert(scanOf(in).pushedKeys.map(_.toSet)
+      .contains(Set("row-0003", "row-1999", "zzz")))
+    assert(in.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(3L, 1999L))
+    // composes with a pushed rowid range (intersection)
+    val both = base.filter(
+      col("content").isin("row-0003", "row-1999") && col("id") < 100L)
+    assert(both.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // contradictory content key sets prune the scan at plan time
+    val none = base.filter(col("content").isin("row-0003", "row-0004")
+      && col("content").isin("row-0005"))
+    assert(scanOf(none).pushedKeys.contains(Seq.empty) &&
+      none.count() == 0)
+    // the pushed ungrouped COUNT(*) — and it composes with filters
+    val cnt = base.groupBy().count()
+    assert(scanOf(cnt).countCols == 1)
+    assert(cnt.head().getLong(0) == 2000L)
+    assert(base.filter(col("id") >= 100L && col("id") < 200L)
+      .groupBy().count().head().getLong(0) == 100L)
+    assert(base.filter(col("content").isin("row-0005", "zzz"))
+      .groupBy().count().head().getLong(0) == 1L)
+    // a file WITHOUT the autoindex: content filters stay residual
+    // (and still evaluate correctly post-scan)
+    val db2 = Paths.get(dir, "noidx.db").toString
+    df.limit(200).write.format("sqlite").mode("overwrite")
+      .option("table", "docs").save(db2)
+    val base2 = spark.read.format("sqlite").option("table", "docs")
+      .load(db2)
+    val eq2 = base2.filter(col("content") === "row-0099")
+    assert(scanOf(eq2).pushedKeys.isEmpty)
+    assert(eq2.collect().map(_.getLong(0)).toSeq == Seq(99L))
+    // mixed-DDL directory: pushdown planned from the indexed head
+    // file must FAIL LOUDLY on a file without the index, not filter
+    // it wrong
+    val dir3 = Files.createTempDirectory("graft_cpush_mix").toString
+    df.limit(100).write.format("sqlite").mode("overwrite")
+      .option("table", "docs").option("unique", "content")
+      .save(Paths.get(dir3, "a.db").toString)
+    df.limit(100).write.format("sqlite").mode("overwrite")
+      .option("table", "docs")
+      .save(Paths.get(dir3, "b.db").toString)
+    val mixed = spark.read.format("sqlite").option("table", "docs")
+      .load(dir3).filter(col("content") === "row-0042")
+    def msgs3(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs3(t.getCause)
+    val e3 = intercept[Exception] { mixed.collect() }
+    assert(msgs3(e3).exists(_.contains("indexes a different column")),
+      msgs3(e3).take(3))
+  }
+
   test("DSv2 WRITE: df.write.format(\"sqlite\") round-trips, derives " +
       "the DDL, enforces UNIQUE, rejects append and remote paths") {
     val schema = StructType(Seq(
