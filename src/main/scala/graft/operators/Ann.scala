@@ -897,18 +897,29 @@ object Ann {
       : DataFrame = {
     require(0 < bbMin && bbMin <= bbMax,
       s"occupancyFromHistogram: need 0 < bbMin=$bbMin <= bbMax=$bbMax")
-    val f = fine.localCheckpoint()
-    (bbMin to bbMax).map { bb =>
-      f
-        .groupBy(col("fb").bitwiseAND(lit((1L << bb) - 1)).as("bucket"))
-        .agg(sum("cnt").as("bn"))
-        .agg(count(lit(1)).as("n_buckets"),
-          max("bn").as("max_bucket"),
-          round(sum(col("bn") * col("bn")).cast("double") /
-            sum(col("bn")), 4).as("size_biased"))
-        .select(lit(bb).as("bucket_bits"), col("n_buckets"),
-          col("max_bucket"), col("size_biased"))
-    }.reduce(_ unionByName _)
+    // ALL candidate widths in ONE two-aggregation plan: each (fb, cnt)
+    // row fans out to its (bbMax−bbMin+1) mask prefixes (coarser
+    // buckets are mask-prefixes of finer ones — the AnnSpec-pinned
+    // property), then (width, bucket) partial sums reduce to the
+    // per-width row. The previous per-width UNION planned 2 exchanges
+    // PER WIDTH (36 shuffle materializations at the 3..20 sweep, ~2 s
+    // of fixed stage overhead per call — the round-18 profile's
+    // hottest maintenance line); this is the identical table, same
+    // arithmetic and rounding, in 2 exchanges total. Fan-out rows:
+    // |histogram| × widths — model-sized at any corpus scale.
+    fine.select(explode(array((bbMin to bbMax).map(lit): _*))
+        .as("bucket_bits"), col("fb"), col("cnt"))
+      .groupBy(col("bucket_bits"),
+        expr("fb & (shiftleft(cast(1 as bigint), bucket_bits) - 1)")
+          .as("bucket"))
+      .agg(sum("cnt").as("bn"))
+      .groupBy(col("bucket_bits"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max("bn").as("max_bucket"),
+        round(sum(col("bn") * col("bn")).cast("double") /
+          sum(col("bn")), 4).as("size_biased"))
+      .select(col("bucket_bits"), col("n_buckets"),
+        col("max_bucket"), col("size_biased"))
   }
 
   /** OCCUPANCY-DRIVEN bucket geometry: the smallest bucketBits in
@@ -1436,6 +1447,10 @@ object Ann {
       .drop("_mx")
     val b = idx.select(col("bucket"), col(idCol).as("_n_id"),
       col(vecCol).as("_n_vec"))
+    // materialize the Σ|bucket|² pair aggregation ONCE — kept and
+    // members are cheap filters over the checkpointed frame (the
+    // round-18 profile showed the two separate checkpoints each
+    // re-running the full pair join: 2× the tier's dominant cost)
     val oneHop = a.join(b, Seq("bucket"), "left")
       .withColumn("_match",
         when(col("_n_id") < col("_m_id") &&
@@ -1443,10 +1458,11 @@ object Ann {
       .groupBy(col("_m_id").as(idCol))
       .agg(coalesce(min(col("_match")), min(col("_m_id")))
         .as("rep_id"))
+      .localCheckpoint()
     // fixpoint: only the dropped rows can chain, so the loop runs on
     // the duplicate subset ([[repFixpoint]])
     repFixpoint(
-      oneHop.filter(col("rep_id") === col(idCol)).localCheckpoint(),
+      oneHop.filter(col("rep_id") === col(idCol)),
       oneHop.filter(col("rep_id") =!= col(idCol)), idCol)
   }
 
@@ -1614,6 +1630,36 @@ object Ann {
       maxBucketRows)
     (kept.unionByName(members).unionByName(repaired),
       crossings.select(col(idCol), col("crossing_id")))
+  }
+
+  /** COUNT of the multiset symmetric difference — row-identical to
+    * `a.exceptAll(b).unionByName(b.exceptAll(a)).count()` (each group
+    * contributes |cntA − cntB| rows) in ONE shuffle instead of the
+    * four the two exceptAll anti-joins pay. The equality gates
+    * (v78's sidecar-vs-rebuild, served-top10 diffs) call this on
+    * every accretion step, so the fixed per-shuffle overhead is paid
+    * per GATE, not per direction. */
+  def symDiffCountAll(a: DataFrame, b: DataFrame): Long = {
+    val cols = a.columns.toSeq.map(col)
+    a.withColumn("_sd", lit(1L))
+      .unionByName(b.withColumn("_sd", lit(-1L)))
+      .groupBy(cols: _*).agg(sum(col("_sd")).as("_d"))
+      .agg(coalesce(sum(abs(col("_d"))), lit(0L)))
+      .head().getLong(0)
+  }
+
+  /** COUNT of the SET symmetric difference — row-identical to
+    * `a.except(b).unionByName(b.except(a)).count()` (groups present
+    * on exactly one side), one shuffle (s27's stream-vs-batch edge
+    * diff). */
+  def symDiffCountDistinct(a: DataFrame, b: DataFrame): Long = {
+    val cols = a.columns.toSeq.map(col)
+    a.withColumn("_sd", lit(1L))
+      .unionByName(b.withColumn("_sd", lit(2L)))
+      .groupBy(cols: _*)
+      .agg(bit_or(col("_sd")).as("_m"))
+      .filter(col("_m") =!= 3L)
+      .count()
   }
 
   /** Batched [[graphBeamSearch]]: Q queries walk ONE shared graph in a

@@ -734,8 +734,7 @@ object StreamingQueries {
     Artifacts.write(st.edges, "s27_edges", sfDir)
     val (fDir, _, _, _) = VectorQueries.v73Stores(spark, sfDir)
     val fg = spark.read.parquet(fDir)
-    val diff = st.edges.except(fg).unionByName(fg.except(st.edges))
-      .count()
+    val diff = Ann.symDiffCountDistinct(st.edges, fg)
     st.rows.toDF("step", "n_vectors", "frozen_bits", "frozen_load",
         "chosen_bits", "chosen_load", "rebucket")
       .withColumn("edges_diff_vs_batch", lit(diff))
@@ -756,13 +755,19 @@ object StreamingQueries {
   def streamDsirScore(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.TextAnalysis
     val docs = graft.Tables.documents(spark, sfDir)
-    val docBuckets = TextAnalysis.hashedNgramBuckets(
+    // the model only needs per-(bucket, target) TOTALS, so feed the
+    // occurrence stream straight into the fold (c = 1 per occurrence,
+    // map-side-combined to ≤buckets rows) — the per-doc grouping the
+    // batch t52 pays is for its scoring reuse, which the STREAM side
+    // here re-featurizes anyway; one exchange instead of two, same
+    // sums, bit-identical model
+    val occ = TextAnalysis.hashedNgramBuckets(
         docs.select(col("doc_id"), (col("lang") === "en").as("_tgt"),
           col("text")), "text", TextQueries.DsirBuckets)
-      .groupBy("doc_id", "_tgt", "b").agg(count(lit(1)).as("c"))
+      .select(col("_tgt"), col("b"), lit(1L).as("c"))
     // artifact-sized collect (≤1024 rows): pins the fitted model so
     // micro-batches re-read a local table, never re-fit the corpus
-    val model = TextAnalysis.dsirModel(docBuckets, TextQueries.DsirBuckets)
+    val model = TextAnalysis.dsirModel(occ, TextQueries.DsirBuckets)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     import spark.implicits._
     val modelDf = model.toDF("b", "lwu")

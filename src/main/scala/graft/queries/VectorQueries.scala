@@ -4211,9 +4211,24 @@ object VectorQueries {
     def prefix(lim: Long): DataFrame =
       corpus.filter(col("_k") < lim).select("vec_id", "embedding")
     val base = prefix(40L)
-    var sidecar = Ann.fineBucketNearDupReps(base, "vec_id",
-      "embedding", bits = 20, fineBits = 20, tau = 0.8)
+    // ONE shared scored pair relation for the base tier AND the three
+    // rebuild control legs (v79's pricing economics applied to the
+    // equality gate): fine buckets are per-row deterministic, so any
+    // accretion prefix's pair set is exactly this relation filtered
+    // to both endpoints inside the prefix — the Σ|bucket|² pair work
+    // is paid once per run instead of once per snapshot, and
+    // [[Ann.nearDupRepsFromPairs]] is row-identical to the direct
+    // [[Ann.fineBucketNearDupReps]] build at the same τ.
+    val pairs = Ann.fineBucketScoredPairs(
+        corpus.select(col("vec_id"), col("embedding")), "vec_id",
+        "embedding", bits = 20, fineBits = 20, tauMin = 0.8)
       .localCheckpoint()
+    def rebuiltReps(lim: Long): DataFrame =
+      Ann.nearDupRepsFromPairs(prefix(lim).select("vec_id"),
+        pairs.filter(pmod(col("m_id"), lit(1000L)) < lim &&
+          pmod(col("n_id"), lit(1000L)) < lim),
+        "vec_id", tau = 0.8)
+    var sidecar = rebuiltReps(40L).localCheckpoint()
     var index = Ann.srpBucketIndex(base, "vec_id", "embedding", 20, 20)
       .localCheckpoint()
     def keptCount: Long =
@@ -4236,10 +4251,7 @@ object VectorQueries {
       index = index.unionByName(Ann.srpBucketIndex(delta, "vec_id",
         "embedding", 20, 20)).localCheckpoint()
       nKept += keptCount
-      val rebuilt = Ann.fineBucketNearDupReps(prefix(hi), "vec_id",
-        "embedding", bits = 20, fineBits = 20, tau = 0.8)
-      sidecarDiffs += sidecar.exceptAll(rebuilt)
-        .unionByName(rebuilt.exceptAll(sidecar)).count()
+      sidecarDiffs += Ann.symDiffCountAll(sidecar, rebuiltReps(hi))
     }
     // serve through v76's composed path, expanding through the
     // incrementally-maintained sidecar; the rebuild side expands
@@ -4267,8 +4279,7 @@ object VectorQueries {
       .localCheckpoint()
     val servedReb = expandRerank(spark.read.parquet(rDir))
       .select("vec_id")
-    val top10Diff = servedInc.exceptAll(servedReb)
-      .unionByName(servedReb.exceptAll(servedInc)).count()
+    val top10Diff = Ann.symDiffCountAll(servedInc, servedReb)
     val exact = Search.topK(corpus, q, "vec_id", "embedding", "qe", 10)
       .select(col("vec_id"), lit(1L).as("_hit"))
     val recall = servedInc.join(exact, Seq("vec_id"), "left")
@@ -4366,22 +4377,90 @@ object VectorQueries {
     val corpus = all.filter(col("vec_id") =!= 1000L)
     val q = all.filter(col("vec_id") === 1000L)
       .select(col("embedding").as("qe"))
-    stores.map { case (tp, gDir, rDir, bb) =>
-        val reps = spark.read.parquet(rDir)
-        val collapsed = corpus.join(
-          reps.filter(col("rep_id") === col("vec_id"))
-            .select("vec_id"), Seq("vec_id"))
-        val graph = spark.read.parquet(gDir)
-        val (rec, nodes, members) =
-          ServeGate.nearDupExpandRecallPerBucket(corpus, collapsed,
-            reps, graph,
-            Ann.srpBucketIndex(collapsed, "vec_id", "embedding", 20,
-              bb), bb, q, "vec_id", "embedding", beam = 8, rounds = 3)
-        (tp / 100.0, collapsed.count(), bb.toLong, nodes, members,
-          rec)
-      }
-      .toDF("tau", "n_reps", "chosen_bits", "nodes_touched",
-        "members_rescored", "recall_at_10")
+    // ALL THREE τ rungs serve in ONE batched pipeline (query_id = τ
+    // percent): tagged rep stores + graphs feed a single multi-index
+    // walk, one shared sidecar expansion + rerank, and ONE exact
+    // full-corpus scan (the three rungs' ground truth is identical) —
+    // per-rung traversal, entries, expansion and tie rules unchanged,
+    // so every emitted row matches the sequential form.
+    val meta = stores.map { case (tp, _, _, bb) =>
+      (tp.toLong, tp / 100.0, bb.toLong, (1L << bb) - 1) }
+      .toDF("query_id", "tau", "chosen_bits", "_mask")
+    val reps3 = stores.map { case (tp, _, rDir, _) =>
+      spark.read.parquet(rDir).withColumn("query_id", lit(tp.toLong)) }
+      .reduce(_ unionByName _)
+    val kept3 = reps3.filter(col("rep_id") === col("vec_id"))
+      .select("query_id", "vec_id")
+    val collapsed3 = corpus.join(kept3, Seq("vec_id"))
+      .select("query_id", "vec_id", "embedding")
+      .localCheckpoint()
+    val g3 = stores.map { case (tp, gDir, _, _) =>
+      spark.read.parquet(gDir).withColumn("query_id", lit(tp.toLong)) }
+      .reduce(_ unionByName _)
+      .select("query_id", "src", "dst")
+    // per-τ bucket index at ITS chooser width: one sketch pass over
+    // the tagged collapsed stores, masked per rung
+    val idx3 = collapsed3
+      .join(broadcast(meta.select("query_id", "_mask")), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.HashFunctions.cosineLshBits(col("embedding"),
+          20).bitwiseAND(col("_mask")).as("bucket"))
+    // per-(τ, bucket) top-2 in-degree entries — the
+    // graphBeamSearchPerBucket derivation, τ-keyed
+    val deg3 = g3.groupBy("query_id", "dst")
+      .agg(count(lit(1)).as("deg"))
+    val e3 = idx3.select(col("query_id"), col("vec_id").as("dst"),
+        col("bucket"))
+      .join(deg3, Seq("query_id", "dst"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("query_id", "bucket")
+          .orderBy(col("deg").desc, col("dst"))))
+      .filter(col("_rn") <= 2)
+      .select(col("query_id"), col("dst").as("vec_id"))
+    val q3 = q.crossJoin(broadcast(meta.select("query_id")))
+      .select("query_id", "qe")
+    val walked = Ann.graphBeamSearchMultiIndex(g3, collapsed3, q3, e3,
+        "vec_id", "embedding", "query_id", beam = 8, rounds = 3,
+        k = 10)
+      .localCheckpoint()
+    val nodes3 = walked.groupBy("query_id")
+      .agg(max("nodes_touched").as("nodes_touched"))
+    val members3 = reps3
+      .join(walked.select(col("query_id"), col("vec_id").as("rep_id")),
+        Seq("query_id", "rep_id"))
+      .select("query_id", "vec_id")
+      .localCheckpoint()
+    val mcount3 = members3.groupBy("query_id")
+      .agg(count(lit(1)).as("members_rescored"))
+    val reranked = Search.topKPerQuery(
+      corpus.join(members3, Seq("vec_id")).crossJoin(broadcast(q))
+        .select(col("query_id"), col("vec_id"),
+          cosineSim(col("embedding"), col("qe")).as("score")),
+      "query_id", "vec_id", 10)
+    val exact = Search.topK(corpus, q, "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"), lit(1L).as("_hit")).localCheckpoint()
+    val exactN = exact.count()
+    // recallOf's conventions exactly: empty exact set → 1.0; a rung
+    // with an empty rerank shortlist → 0.0 (left joins + coalesce so
+    // no rung row is ever dropped)
+    val recall3 = reranked.join(exact, Seq("vec_id"), "left")
+      .groupBy("query_id")
+      .agg((if (exactN == 0L) lit(1.0)
+            else sum(coalesce(col("_hit"), lit(0L))).cast("double") /
+              lit(exactN.toDouble)).as("recall_at_10"))
+    val nreps3 = kept3.groupBy("query_id")
+      .agg(count(lit(1)).as("n_reps"))
+    broadcast(meta).join(nreps3, Seq("query_id"), "left")
+      .join(nodes3, Seq("query_id"), "left")
+      .join(mcount3, Seq("query_id"), "left")
+      .join(recall3, Seq("query_id"), "left")
+      .select(col("tau"), coalesce(col("n_reps"), lit(0L)).as("n_reps"),
+        col("chosen_bits"),
+        coalesce(col("nodes_touched"), lit(0L)).as("nodes_touched"),
+        coalesce(col("members_rescored"), lit(0L))
+          .as("members_rescored"),
+        coalesce(col("recall_at_10"),
+          lit(if (exactN == 0L) 1.0 else 0.0)).as("recall_at_10"))
       .orderBy("tau")
   }
 
@@ -4573,41 +4652,53 @@ object VectorQueries {
       .select(col("embedding").as("qe"))
     val exact = Search.topK(serving, qDf, "vec_id", "embedding", "qe",
       10).select(col("vec_id"), lit(1L).as("_hit")).localCheckpoint()
-    val wdf = Seq(96L, 192L, 384L, 768L).toDF("query_id")
-    def curve(sv: DataFrame, qv: DataFrame, variant: String)
-        : DataFrame = {
-      val pv = sv.crossJoin(broadcast(wdf))
-        .select(col("query_id"), col("vec_id"),
-          slice(col("embedding"), lit(1), col("query_id").cast("int"))
-            .as("embedding"))
-        .localCheckpoint()
-      val g4 = graph.crossJoin(broadcast(wdf))
-        .select(col("query_id"), col("src"), col("dst"))
-      val e4 = wdf.crossJoin(entries.toDF("vec_id"))
-      val qe4 = qv.crossJoin(broadcast(wdf))
-        .select(col("query_id"),
-          slice(col("qe"), lit(1), col("query_id").cast("int"))
-            .as("qe"))
-      Ann.graphBeamSearchMultiIndex(g4, pv, qe4, e4,
-          "vec_id", "embedding", "query_id", beam = 16, rounds = 3,
-          k = 10)
-        .join(exact, Seq("vec_id"), "left")
-        .groupBy(col("query_id"))
-        .agg(max(col("nodes_touched")).as("nodes_touched"),
-          round(sum(coalesce(col("_hit"), lit(0L))).cast("double") /
-            10.0, 6).as("recall_at_10"))
-        .select(lit(variant).as("variant"),
-          col("query_id").as("width"),
-          (col("query_id") * 4).as("bytes_per_vec"),
-          col("nodes_touched"), col("recall_at_10"))
-    }
-    curve(serving, qDf, "plain")
-      .unionByName(curve(
+    // BOTH variants × all four widths in ONE multi-index walk (the
+    // v49/v50 batching economics): query_id = width + 10000·rotated,
+    // so the 2×4 experiment pays rounds-many join stages total
+    // instead of per variant — identical per-(variant, width) walks,
+    // beams and tie rules, so every emitted row is unchanged.
+    val wdf = Seq(96L, 192L, 384L, 768L).toDF("_w")
+    val variants: Seq[(String, Long, DataFrame, DataFrame)] = Seq(
+      ("plain", 0L, serving, qDf),
+      ("rotated", 10000L,
         Opq.rotate(serving, "vec_id", "embedding", rot),
         Opq.rotate(all.filter(col("vec_id") === 1000L),
             "vec_id", "embedding", rot)
-          .select(col("embedding").as("qe")),
-        "rotated"))
+          .select(col("embedding").as("qe"))))
+    val pv = variants.map { case (_, off, sv, _) =>
+      sv.crossJoin(broadcast(wdf))
+        .select((col("_w") + off).as("query_id"), col("vec_id"),
+          slice(col("embedding"), lit(1), col("_w").cast("int"))
+            .as("embedding"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val offs = variants.map(_._2).toDF("_off")
+    val qid = wdf.crossJoin(offs)
+      .select((col("_w") + col("_off")).as("query_id"))
+    val g8 = graph.crossJoin(broadcast(qid))
+      .select(col("query_id"), col("src"), col("dst"))
+    val e8 = qid.crossJoin(entries.toDF("vec_id"))
+    val qe8 = variants.map { case (_, off, _, qv) =>
+      qv.crossJoin(broadcast(wdf))
+        .select((col("_w") + off).as("query_id"),
+          slice(col("qe"), lit(1), col("_w").cast("int")).as("qe"))
+    }.reduce(_ unionByName _)
+    val vname = variants.map { case (n, off, _, _) => (n, off) }
+      .toDF("variant", "_off")
+    Ann.graphBeamSearchMultiIndex(g8, pv, qe8, e8,
+        "vec_id", "embedding", "query_id", beam = 16, rounds = 3,
+        k = 10)
+      .join(exact, Seq("vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(max(col("nodes_touched")).as("nodes_touched"),
+        round(sum(coalesce(col("_hit"), lit(0L))).cast("double") /
+          10.0, 6).as("recall_at_10"))
+      .withColumn("_off", (col("query_id") >= 10000L)
+        .cast("long") * 10000L)
+      .join(broadcast(vname), Seq("_off"))
+      .select(col("variant"),
+        (col("query_id") - col("_off")).as("width"),
+        ((col("query_id") - col("_off")) * 4).as("bytes_per_vec"),
+        col("nodes_touched"), col("recall_at_10"))
       .orderBy("variant", "width")
   }
 
@@ -4665,22 +4756,37 @@ object VectorQueries {
           .select(col("embedding").as("qe")),
         "vec_id", "embedding", "qe", 10)
       .select(col("vec_id"), lit(1L).as("_hit")).localCheckpoint()
-    def row(sv: DataFrame, variant: String, bytes: Long, cf: Double)
-        : DataFrame =
-      Ann.graphBeamSearch(graph, sv, pQ, "vec_id", "embedding",
-          entryIds = entries, beam = 16, rounds = 3, k = 10)
-        .join(exact, Seq("vec_id"), "left")
-        .agg(round(sum(coalesce(col("_hit"), lit(0L))).cast("double") /
-          10.0, 6).as("recall_at_10"),
-          max("nodes_touched").as("nodes_touched"))
-        .select(lit(variant).as("variant"),
-          lit(bytes).as("code_bytes"),
-          col("nodes_touched"),
-          lit(cf).as("min_cos_fidelity"),
-          col("recall_at_10"))
-    val out = row(pServing, "rot192_float", width * 4L, 1.0)
-      .unionByName(row(coded.select(col("vec_id"),
-        col("deq").as("embedding")), "rot192_sq8", width.toLong, fid))
+    // both variants walk the SAME graph in ONE multi-index plan
+    // (query_id = variant) — identical per-variant traversal, beams
+    // and tie rules, half the fixed per-round stage cost
+    import spark.implicits._
+    val vmeta = Seq(("rot192_float", 0L, width * 4L, 1.0),
+        ("rot192_sq8", 1L, width.toLong, fid))
+      .toDF("variant", "query_id", "code_bytes", "min_cos_fidelity")
+    val vids = Seq(0L, 1L).toDF("query_id")
+    val v2 = pServing.withColumn("query_id", lit(0L))
+      .unionByName(coded
+        .select(col("vec_id"), col("deq").as("embedding"))
+        .withColumn("query_id", lit(1L)))
+      .select("query_id", "vec_id", "embedding")
+    val g2 = graph.crossJoin(broadcast(vids))
+      .select("query_id", "src", "dst")
+    val e2 = vids.crossJoin(entries.toDF("vec_id"))
+    val q2 = pQ.crossJoin(broadcast(vids)).select("query_id", "qe")
+    val out = Ann.graphBeamSearchMultiIndex(g2, v2, q2, e2,
+        "vec_id", "embedding", "query_id", beam = 16, rounds = 3,
+        k = 10)
+      .join(exact, Seq("vec_id"), "left")
+      .groupBy("query_id")
+      .agg(round(sum(coalesce(col("_hit"), lit(0L))).cast("double") /
+        10.0, 6).as("recall_at_10"),
+        max("nodes_touched").as("nodes_touched"))
+      .join(broadcast(vmeta), Seq("query_id"))
+      .select(col("variant"),
+        col("code_bytes"),
+        col("nodes_touched"),
+        col("min_cos_fidelity"),
+        col("recall_at_10"))
       .orderBy("variant").localCheckpoint()
     val sq8Recall = out.filter(col("variant") === "rot192_sq8")
       .head().getAs[Double]("recall_at_10")
