@@ -897,6 +897,16 @@ object Ann {
       : DataFrame = {
     require(0 < bbMin && bbMin <= bbMax,
       s"occupancyFromHistogram: need 0 < bbMin=$bbMin <= bbMax=$bbMax")
+    occupancyTable(fine, bbMin to bbMax)
+  }
+
+  /** The occupancy plan over an EXPLICIT width list — the core of
+    * [[occupancyFromHistogram]], also consumed with a width-0 pseudo
+    * row by [[maintenanceAndCountFromHistogram]] (at width 0 every fb
+    * masks to one bucket, so that row's max_bucket IS the corpus
+    * total — the count rides the verdict's aggregation for free). */
+  private def occupancyTable(fine: DataFrame, widths: Seq[Int])
+      : DataFrame = {
     // ALL candidate widths in ONE two-aggregation plan: each (fb, cnt)
     // row fans out to its (bbMax−bbMin+1) mask prefixes (coarser
     // buckets are mask-prefixes of finer ones — the AnnSpec-pinned
@@ -907,7 +917,7 @@ object Ann {
     // hottest maintenance line); this is the identical table, same
     // arithmetic and rounding, in 2 exchanges total. Fan-out rows:
     // |histogram| × widths — model-sized at any corpus scale.
-    fine.select(explode(array((bbMin to bbMax).map(lit): _*))
+    fine.select(explode(array(widths.map(lit): _*))
         .as("bucket_bits"), col("fb"), col("cnt"))
       .groupBy(col("bucket_bits"),
         expr("fb & (shiftleft(cast(1 as bigint), bucket_bits) - 1)")
@@ -962,14 +972,77 @@ object Ann {
     * already-computed [[bucketOccupancy]] table — split out so a
     * caller that also REPORTS the table (v69) pays the sketch pass
     * once. Driver-side: the table is (bbMax−bbMin+1) rows. */
-  def chooseBucketBits(occ: DataFrame, targetSizeBiased: Double): Int = {
-    val rows = occ.select("bucket_bits", "size_biased")
+  def chooseBucketBits(occ: DataFrame, targetSizeBiased: Double): Int =
+    chooseFromOcc(occ.select("bucket_bits", "size_biased")
       .collect()
-      .map(r => (r.getInt(0), r.getDouble(1)))
-      .sortBy(_._1)
-    require(rows.nonEmpty, "chooseBucketBits: empty occupancy table")
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq, targetSizeBiased)
+
+  /** [[chooseBucketBits]]'s decision rule over an already-COLLECTED
+    * (bucket_bits, size_biased) table — split out so a caller that
+    * needs the geometry choice AND the maintenance verdict from the
+    * same histogram ([[maintenanceFromOcc]]) collects the
+    * (bbMax−bbMin+1)-row occupancy table once (s27's snapshot
+    * bootstrap previously paid a second corpus sketch pass for it). */
+  def chooseFromOcc(occ: Seq[(Int, Double)],
+                    targetSizeBiased: Double = DefaultTargetSizeBiased)
+      : Int = {
+    require(occ.nonEmpty, "chooseFromOcc: empty occupancy table")
+    val rows = occ.sortBy(_._1)
     rows.find(_._2 <= targetSizeBiased).map(_._1).getOrElse(rows.last._1)
   }
+
+  /** [[maintenanceCheckFromHistogram]]'s verdict over the same
+    * already-collected (bucket_bits, size_biased) table — identical
+    * decision, zero extra jobs. */
+  def maintenanceFromOcc(occ: Seq[(Int, Double)], currentBits: Int,
+                         targetSizeBiased: Double =
+                           DefaultTargetSizeBiased): GraphMaintenance = {
+    val m = occ.toMap
+    require(m.contains(currentBits),
+      s"maintenanceFromOcc: currentBits=$currentBits not in the " +
+        s"occupancy table (widths ${occ.map(_._1).sorted})")
+    val chosen = chooseFromOcc(occ, targetSizeBiased)
+    GraphMaintenance(currentBits, m(currentBits), chosen, m(chosen),
+      targetSizeBiased)
+  }
+
+  /** [[occupancyFromHistogram]] computed DRIVER-SIDE over an
+    * already-collected fine histogram — identical arithmetic (exact
+    * Long sums, IEEE double division, the same HALF_UP 4-dp rounding
+    * Spark's `round` applies via BigDecimal.valueOf) with zero Spark
+    * jobs. ONLY for histograms a caller already holds on the driver
+    * (v80 folds per-snapshot histograms from one collected
+    * (fb, step, cnt) frame — re-distributing each fold to run a
+    * 2-exchange aggregation was 4 round trips of pure overhead); the
+    * distributed form remains the at-scale path. */
+  def occupancyFromCollected(hist: Seq[(Long, Long)], bbMin: Int,
+                             bbMax: Int): Seq[(Int, Long, Long, Double)] = {
+    require(0 < bbMin && bbMin <= bbMax,
+      s"occupancyFromCollected: need 0 < bbMin=$bbMin <= bbMax=$bbMax")
+    (bbMin to bbMax).map { bb =>
+      val m = new java.util.HashMap[java.lang.Long, Long]()
+      hist.foreach { case (fb, cnt) =>
+        m.merge(fb & ((1L << bb) - 1), cnt, _ + _) }
+      var mx = 0L; var s = 0L; var s2 = 0L
+      m.values.forEach { bn =>
+        if (bn > mx) mx = bn; s += bn; s2 += bn * bn }
+      val sb = java.math.BigDecimal.valueOf(s2.toDouble / s.toDouble)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      (bb, m.size.toLong, mx, sb)
+    }
+  }
+
+  /** [[maintenanceCheckFromHistogram]] over a DRIVER-HELD fine
+    * histogram — the [[occupancyFromCollected]] arithmetic feeding
+    * [[maintenanceFromOcc]]'s decision, zero jobs. */
+  def maintenanceFromCollected(hist: Seq[(Long, Long)], currentBits: Int,
+                               bbMin: Int, bbMax: Int,
+                               targetSizeBiased: Double =
+                                 DefaultTargetSizeBiased)
+      : GraphMaintenance =
+    maintenanceFromOcc(
+      occupancyFromCollected(hist, bbMin, bbMax)
+        .map(r => (r._1, r._4)), currentBits, targetSizeBiased)
 
   /** Calibration target for [[occupancyBucketBits]]: the own-bucket
     * size-biased load the hand-pinned v57 geometry (bucketBits = 5 on
@@ -1159,14 +1232,55 @@ object Ann {
     require(bbMin <= currentBits && currentBits <= bbMax,
       s"maintenanceCheckFromHistogram: currentBits=$currentBits " +
         s"outside [$bbMin, $bbMax]")
-    val occ = occupancyFromHistogram(fine, bbMin, bbMax)
+    maintenanceFromOcc(
+      occupancyFromHistogram(fine, bbMin, bbMax)
+        .collect()
+        .map(r => (r.getInt(0), r.getDouble(3))).toSeq,
+      currentBits, targetSizeBiased)
+  }
+
+  /** The COLLECTED occupancy table plus the corpus total in ONE round
+    * trip (the width-0 pseudo-row trick of
+    * [[maintenanceAndCountFromHistogram]]) — the snapshot-bootstrap
+    * form: a caller choosing geometry ([[chooseFromOcc]]), building
+    * the step-0 verdict ([[maintenanceFromOcc]]) AND reporting n pays
+    * one collect for all three (s27 previously paid three). */
+  def occupancyAndCount(fine: DataFrame, bbMin: Int, bbMax: Int)
+      : (Seq[(Int, Double)], Long) = {
+    require(0 < bbMin && bbMin <= bbMax,
+      s"occupancyAndCount: need 0 < bbMin=$bbMin <= bbMax=$bbMax")
+    val rows = occupancyTable(fine, 0 +: (bbMin to bbMax))
       .collect()
-      .map(r => (r.getInt(0), r.getDouble(3)))
-      .toMap
-    val chosen = occ.toSeq.sortBy(_._1)
-      .find(_._2 <= targetSizeBiased).map(_._1).getOrElse(bbMax)
-    GraphMaintenance(currentBits, occ(currentBits), chosen, occ(chosen),
-      targetSizeBiased)
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3)))
+    (rows.filter(_._1 > 0).map(r => (r._1, r._3)).toSeq,
+      rows.find(_._1 == 0).map(_._2).getOrElse(0L))
+  }
+
+  /** [[maintenanceCheckFromHistogram]] PLUS the corpus total in the
+    * SAME collect — a width-0 pseudo row rides the occupancy
+    * aggregation (all fb mask to one bucket, so its max_bucket = Σcnt)
+    * and the verdict reads the real widths: one Spark round trip where
+    * the stream loop (s27) previously paid two per trigger (verdict +
+    * a separate SUM over the folded histogram). Identical verdict,
+    * identical count. */
+  def maintenanceAndCountFromHistogram(fine: DataFrame, currentBits: Int,
+                                       bbMin: Int, bbMax: Int,
+                                       targetSizeBiased: Double =
+                                         DefaultTargetSizeBiased)
+      : (GraphMaintenance, Long) = {
+    require(bbMin <= currentBits && currentBits <= bbMax,
+      s"maintenanceAndCountFromHistogram: currentBits=$currentBits " +
+        s"outside [$bbMin, $bbMax]")
+    require(0 < bbMin,
+      s"maintenanceAndCountFromHistogram: need 0 < bbMin=$bbMin")
+    val rows = occupancyTable(fine, 0 +: (bbMin to bbMax))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3)))
+    val n = rows.find(_._1 == 0)
+      .map(_._2)
+      .getOrElse(0L)
+    (maintenanceFromOcc(rows.filter(_._1 > 0).map(r => (r._1, r._3)).toSeq,
+      currentBits, targetSizeBiased), n)
   }
 
   /** [[updateKnnGraph]] WITH the occupancy re-check — the maintenance
@@ -1249,21 +1363,56 @@ object Ann {
                                 maxProbes: Int = DefaultMaxProbes,
                                 maxBucketGroup: Long = DefaultMaxBucketGroup)
       : (DataFrame, DataFrame, GraphMaintenance) = {
+    val (sidecar, folded, _, m, _) = updateKnnGraphIncrementalWithIndex(
+      baseIndex, baseHist, delta, idCol, vecCol, bits, bucketBits,
+      degree, bbMin, bbMax, targetSizeBiased, maxProbes, maxBucketGroup)
+    (sidecar, folded, m)
+  }
+
+  /** [[updateKnnGraphIncremental]] that ALSO returns the delta's
+    * bucket-index rows (idCol, vecCol, bucket) and the post-fold
+    * corpus total. The index rows derive from the one delta sketch
+    * pass the update already pays and checkpoints, so a caller
+    * extending its persisted index per batch (s27's stream loop, the
+    * v80 store build) appends these instead of re-sketching the same
+    * delta with [[srpBucketIndex]]: one sketch pass per batch, not
+    * two — row-identical to the re-sketch (the sketch is
+    * deterministic and the join bucket is a mask-prefix of the fine
+    * bucket, the AnnSpec-pinned property). The total rides the
+    * verdict's own collect ([[maintenanceAndCountFromHistogram]]), so
+    * a loop emitting (n_vectors, verdict) rows per trigger pays one
+    * round trip, not three. */
+  def updateKnnGraphIncrementalWithIndex(
+      baseIndex: DataFrame, baseHist: DataFrame,
+      delta: DataFrame, idCol: String,
+      vecCol: String, bits: Int,
+      bucketBits: Int, degree: Int,
+      bbMin: Int, bbMax: Int,
+      targetSizeBiased: Double = DefaultTargetSizeBiased,
+      maxProbes: Int = DefaultMaxProbes,
+      maxBucketGroup: Long = DefaultMaxBucketGroup)
+      : (DataFrame, DataFrame, DataFrame, GraphMaintenance, Long) = {
     require(0 < bucketBits && bucketBits <= bbMax && bbMax <= bits,
       s"updateKnnGraphIncremental: need 0 < bucketBits=$bucketBits <= " +
         s"bbMax=$bbMax <= bits=$bits")
     // geometry guard: the fold ≡ from-scratch contract only holds when
     // the persisted artifacts were built at THESE widths — a stale or
     // wrong-width artifact would silently yield wrong salt counts,
-    // candidates and drift verdicts. baseHist is model-sized, so the
-    // check is one tiny driver-side agg; baseIndex is corpus-scale, so
-    // its check rides the union projection as an inline raise_error
-    // (zero extra pass — see checked bucket below).
-    val histMax = baseHist.agg(max("fb")).head()
-    require(histMax.isNullAt(0) || histMax.getLong(0) < (1L << bbMax),
-      s"updateKnnGraphIncremental: baseHist has fb=${histMax.get(0)} " +
-        s">= 2^$bbMax — the persisted fine histogram was folded at a " +
-        "different width than bbMax; refusing to fold")
+    // candidates and drift verdicts. BOTH checks ride their frames as
+    // inline raise_error projections (zero extra pass, zero extra
+    // job): the histogram guard trips when the fold materializes —
+    // still inside this call, before anything consumes wrong data —
+    // where the previous eager driver-side agg paid one full Spark
+    // round trip per trigger just to validate a model-sized frame.
+    val checkedHist = baseHist.select(
+      when(col("fb") < 0 || col("fb") >= (1L << bbMax),
+        raise_error(concat(
+          lit("updateKnnGraphIncremental: baseHist has fb="), col("fb"),
+          lit(s" >= 2^$bbMax — the persisted fine histogram was " +
+            "folded at a different width than bbMax; refusing to " +
+            "fold"))).cast("long"))
+        .otherwise(col("fb")).as("fb"),
+      col("cnt"))
     // one sketch pass over the delta feeds BOTH derived frames: the
     // fine histogram bucket and the join bucket are prefixes of the
     // same planes (the AnnSpec mask-prefix gate)
@@ -1272,7 +1421,7 @@ object Ann {
           .bitwiseAND(lit((1L << bbMax) - 1)).as("fb"))
       .localCheckpoint()
     val deltaHist = deltaFine.groupBy("fb").agg(count(lit(1)).as("cnt"))
-    val folded = foldOccupancyHistogram(baseHist, deltaHist)
+    val folded = foldOccupancyHistogram(checkedHist, deltaHist)
       .localCheckpoint() // model-sized; reused by counts AND verdict
     val bMask = lit((1L << bucketBits) - 1)
     val checkedBucket = when(
@@ -1301,9 +1450,11 @@ object Ann {
         cosineSim(col(vecCol), col("_se")).as("score"))
     val sidecar = Search.topKPerQuery(scored, "src", idCol, degree)
       .select(col("src"), col(idCol).as("dst"))
-    (sidecar, folded,
-      maintenanceCheckFromHistogram(folded, bucketBits, bbMin, bbMax,
-        targetSizeBiased))
+    val deltaIdx = deltaFine.select(col(idCol), col(vecCol),
+      col("fb").bitwiseAND(bMask).as("bucket"))
+    val (verdict, n) = maintenanceAndCountFromHistogram(folded,
+      bucketBits, bbMin, bbMax, targetSizeBiased)
+    (sidecar, folded, deltaIdx, verdict, n)
   }
 
   /** NEAR-DUP COLLAPSE TIER for the graph build — the fix for the

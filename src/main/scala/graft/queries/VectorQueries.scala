@@ -3842,20 +3842,28 @@ object VectorQueries {
           20, frozenBits).localCheckpoint()
         var hist = Ann.fineOccupancyHistogram(base, "embedding",
           20, 20).localCheckpoint()
-        var edges = Ann.buildKnnGraph(base, "vec_id", "embedding",
-          bits = 20, bucketBits = frozenBits, degree = 8)
-          .localCheckpoint()
+        // edges accumulate as LAZY pieces (nothing reads them until
+        // the one write below) over checkpointed inputs — the
+        // previous loop re-materialized the whole accreted edge set
+        // per step; the index likewise unions checkpointed pieces
+        // (deltaIdx is a select over the update's checkpointed delta
+        // sketch), keeping per-step work delta-proportional
+        val edgePieces = scala.collection.mutable.ArrayBuffer(
+          Ann.buildKnnGraph(base, "vec_id", "embedding",
+            bits = 20, bucketBits = frozenBits, degree = 8))
         for ((lo, hi) <- Seq((40L, 80L), (80L, 160L), (160L, 320L))) {
           val delta = all.filter(col("_k") >= lo && col("_k") < hi)
-          val (sidecar, folded, _) = Ann.updateKnnGraphIncremental(
-            index, hist, delta, "vec_id", "embedding", bits = 20,
-            bucketBits = frozenBits, degree = 8, bbMin = 3, bbMax = 20)
-          edges = edges.unionByName(sidecar).localCheckpoint()
+          val (sidecar, folded, deltaIdx, _, _) =
+            Ann.updateKnnGraphIncrementalWithIndex(
+              index, hist, delta, "vec_id", "embedding", bits = 20,
+              bucketBits = frozenBits, degree = 8, bbMin = 3,
+              bbMax = 20)
+          edgePieces += sidecar
           hist = folded
-          index = index.unionByName(Ann.srpBucketIndex(delta,
-            "vec_id", "embedding", 20, frozenBits)).localCheckpoint()
+          index = index.unionByName(deltaIdx)
         }
-        Artifacts.write(edges, "v73_frozen_graph", sfDir): Unit
+        Artifacts.write(edgePieces.reduce(_ unionByName _),
+          "v73_frozen_graph", sfDir): Unit
         Artifacts.write(
           Ann.buildKnnGraph(all, "vec_id", "embedding", bits = 20,
             bucketBits = freshBits, degree = 8),
@@ -4880,13 +4888,15 @@ object VectorQueries {
           20).localCheckpoint()
         for (s <- 1 to 3) {
           val delta = deltas.filter(v80Step(col("vec_id")) === s)
-          val (sidecar, folded, _) = Ann.updateKnnGraphIncremental(
-            index, hist, delta, "vec_id", "embedding", bits = 20,
-            bucketBits = V74Bb, degree = 8, bbMin = 3, bbMax = 20)
+          val (sidecar, folded, deltaIdx, _, _) =
+            Ann.updateKnnGraphIncrementalWithIndex(
+              index, hist, delta, "vec_id", "embedding", bits = 20,
+              bucketBits = V74Bb, degree = 8, bbMin = 3, bbMax = 20)
           Artifacts.write(sidecar, s"v80_sc$s", sfDir)
-          hist = folded.localCheckpoint()
-          index = index.unionByName(Ann.srpBucketIndex(delta,
-            "vec_id", "embedding", 20, V74Bb)).localCheckpoint()
+          hist = folded
+          // lazy union of checkpointed pieces — no per-step
+          // re-materialization of the growing store
+          index = index.unionByName(deltaIdx)
         }
         names.foreach(Artifacts.seal(_, sfDir, fp))
         // seal the per-snapshot serve gates from a fresh serve pass
@@ -4946,8 +4956,13 @@ object VectorQueries {
       val folded = hrows.filter(_._2 <= s)
         .groupBy(_._1).view.mapValues(_.map(_._3).sum)
         .toSeq.map { case (fb, cnt) => (fb, cnt) }
-      (s.toLong, Ann.maintenanceCheckFromHistogram(
-        folded.toDF("fb", "cnt"), V74Bb, bbMin = 3, bbMax = 20))
+      // the fold is ALREADY driver-held (one collected corpus pass
+      // above) — the verdict arithmetic runs driver-side instead of
+      // re-distributing each fold into a 2-exchange aggregation:
+      // 4 Spark round trips of pure fixed overhead removed, same
+      // sums, same HALF_UP rounding ([[Ann.occupancyFromCollected]])
+      (s.toLong, Ann.maintenanceFromCollected(folded, V74Bb,
+        bbMin = 3, bbMax = 20))
     }
     // ALL FOUR snapshots serve in ONE multi-index batched walk
     // (query_id = snapshot): per-snapshot graphs from the persisted

@@ -1000,15 +1000,20 @@ class AnnSpec extends SparkSpec {
     val baseHist = Ann.fineOccupancyHistogram(base, "embedding",
       bits = 12, bbMax = 12)
     // a histogram persisted at a WIDER fine width than bbMax: its fb
-    // values overflow 2^bbMax — the driver-side guard refuses the fold
+    // values overflow 2^bbMax — the inline guard trips when the fold
+    // materializes, still inside the call (the fold is checkpointed
+    // eagerly), before anything consumes wrong data
     val wideHist = Ann.fineOccupancyHistogram(base, "embedding",
       bits = 16, bbMax = 16)
-    val eh = intercept[IllegalArgumentException] {
+    def msgs2(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
+    val eh = intercept[Exception] {
       Ann.updateKnnGraphIncremental(baseIndex, wideHist, delta,
         "vec_id", "embedding", bits = 12, bucketBits = 2, degree = 2,
         bbMin = 1, bbMax = 12)
     }
-    assert(eh.getMessage.contains("different width"), eh.getMessage)
+    assert(msgs2(eh).exists(_.contains("different width")), msgs2(eh))
     // an index persisted at a WIDER bucket width: bucket values
     // overflow 2^bucketBits — the inline raise_error trips when the
     // union is consumed
@@ -1020,9 +1025,6 @@ class AnnSpec extends SparkSpec {
       delta, "vec_id", "embedding", bits = 12, bucketBits = 2,
       degree = 2, bbMin = 1, bbMax = 12)
     val ei = intercept[Exception] { sc2.count() }
-    def msgs2(t: Throwable): Seq[String] =
-      if (t == null) Nil
-      else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
     assert(msgs2(ei).exists(_.contains("built at a different width")),
       msgs2(ei))
   }
