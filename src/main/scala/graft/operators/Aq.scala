@@ -193,7 +193,9 @@ object Aq {
     * literal. */
   def encodeJoint(emb: DataFrame, idCol: String, vecCol: String,
                   cb1: Pq.PqModel, cb2: Pq.PqModel): DataFrame =
-    emb.select(col(idCol), col(vecCol),
+    // fan out first: the k1·k2 enumeration is the costliest encode in
+    // the engine and a one-file corpus scan would single-thread it
+    Kernels.fanOut(emb).select(col(idCol), col(vecCol),
       encodeJointCol(col(vecCol), cb1, cb2).as("codes"))
 
   /** One Broadcast per DISTINCT codebook pair per JVM, keyed by a

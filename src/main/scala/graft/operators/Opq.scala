@@ -241,11 +241,14 @@ object Opq {
   /** (idCol, vecCol → R·x rounded to 1e-6) — the rotated frame
     * codebook training, encode and LUTs consume; the 1e-6 quantization
     * (builtin `round`, DuckDB-mirrored) makes every downstream argmin
-    * engine-portable. One narrow kernel pass, no shuffle.
+    * engine-portable. One narrow kernel pass; the input fans out
+    * across cores first ([[Kernels.fanOut]]) — the d×d matvec is the
+    * engine's heaviest per-row kernel and a one-file corpus scan
+    * would otherwise run it on a single core.
     */
   def rotate(df: DataFrame, idCol: String, vecCol: String,
              rot: Array[Array[Double]]): DataFrame =
-    df.select(col(idCol),
+    Kernels.fanOut(df).select(col(idCol),
       transform(rotateCol(col(vecCol), rot), x => round(x, 6))
         .as(vecCol))
 }

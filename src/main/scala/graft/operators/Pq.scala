@@ -127,11 +127,14 @@ object Pq {
       model.dsub, model.codebooks))
 
   /** (idCol, codes) — codes(j) = argmin_c L2(subvector_j, codebook_j_c),
-    * ties to the lower code. One narrow kernel pass, no shuffle.
+    * ties to the lower code. One narrow kernel pass; the input fans
+    * out across cores first ([[Kernels.fanOut]] — a one-file corpus
+    * scan would run the m·k argmin kernel on a single core).
     */
   def encode(emb: DataFrame, idCol: String, vecCol: String,
              model: PqModel): DataFrame =
-    emb.select(col(idCol), encodeCol(vecCol, model).as("codes"))
+    Kernels.fanOut(emb)
+      .select(col(idCol), encodeCol(vecCol, model).as("codes"))
 
   /** Approximate squared-L2 distance of every encoded vector to `query`
     * via the per-query lookup table: LUT(j)(c) = ||query_j − book_j_c||²,

@@ -498,16 +498,22 @@ object TextAnalysis {
       .persist()
     val uni = toks.select(col(idCol), explode(col("_ws")).as("w"))
     val uc = uni.groupBy("w").agg(count(lit(1)).as("uc"))
-    val total = uni.count()
+    // the unigram total rides the plan as a 1-row broadcast scalar
+    // instead of a separate driver count() action — the count was a
+    // full token-scan job per call (t19/t53/t58 each pay it) for a
+    // number the final plan can carry itself; Spark's `/` casts both
+    // sides to double, so uc / _tot is the identical IEEE division
+    val total = uni.agg(count(lit(1)).as("_tot"))
     val cc = bg.groupBy("w1").agg(count(lit(1)).as("cc"))
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
     val nll = -log(
       lit(lambda) * (col("bc") / col("cc")) +
-        lit(1.0 - lambda) * (col("uc") / lit(total.toDouble)))
+        lit(1.0 - lambda) * (col("uc") / col("_tot")))
     bg
       .join(bc, Seq("w1", "w2"))
       .join(cc, Seq("w1"))
       .join(uc, col("w") === col("w2"))
+      .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), round(avg(nll), 6).as("nll"))
   }
