@@ -218,6 +218,12 @@ object Ann {
                      bits: Int, bucketBits: Int): DataFrame = {
     require(bucketBits > 0 && bucketBits <= bits,
       s"srpBucketIndex: bucketBits=$bucketBits must be in [1, bits=$bits]")
+    // deliberately NOT Kernels.fanOut: the bits×d sketch is ~5 flops
+    // per input byte — measured at sf0.1, repartitioning the wide
+    // embedding rows (plus round-robin's sort-before-repartition)
+    // costs more than the kernel parallelism buys (v75 1.65→3.25 s,
+    // v78 7.8→15.8 s with fanOut here); the matvec/encode kernels
+    // (~100 flops/byte) are where fanOut pays
     index.select(col(idCol), col(vecCol),
       graft.functions.HashFunctions.cosineLshBits(col(vecCol), bits)
         .bitwiseAND(lit((1L << bucketBits) - 1)).as("bucket"))
@@ -871,6 +877,8 @@ object Ann {
                              bbMax: Int): DataFrame = {
     require(0 < bbMax && bbMax <= bits,
       s"fineOccupancyHistogram: need 0 < bbMax=$bbMax <= bits=$bits")
+    // no fanOut: see srpBucketIndex — the sketch's flops/byte don't
+    // cover the exchange of the wide embedding rows
     emb.select(
         graft.functions.HashFunctions.cosineLshBits(col(vecCol), bits)
           .bitwiseAND(lit((1L << bbMax) - 1)).as("fb"))
