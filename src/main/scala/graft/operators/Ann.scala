@@ -1589,21 +1589,28 @@ object Ann {
     * recomputing exactly that bucket's rows without re-sketching. */
   private def nearDupRepsFromIndex(idx: DataFrame, idCol: String,
                                    vecCol: String, tau: Double,
-                                   maxBucketRows: Long): DataFrame = {
-    val guard = idx.groupBy("bucket").agg(count(lit(1)).as("_bn"))
-      .agg(max("_bn").as("_mx"))
-    val a = idx.select(col("bucket"), col(idCol).as("_m_id"),
+                                   maxBucketRows: Long,
+                                   guarded: Boolean = true): DataFrame = {
+    // guarded=false: the caller PROVED the bound already (the crossing
+    // repair runs on buckets the update's own guard just checked) —
+    // the redundant Σ|bucket| aggregation subquery is skipped
+    val aRaw = idx.select(col("bucket"), col(idCol).as("_m_id"),
       col(vecCol).as("_m_vec"))
-      .crossJoin(broadcast(guard))
-      .filter(when(col("_mx") > maxBucketRows,
-          raise_error(concat(
-            lit("fineBucketNearDupReps: fine bucket of "), col("_mx"),
-            lit(s" rows exceeds maxBucketRows=$maxBucketRows — the " +
-              "floor this tier removes is bounded by construction; a " +
-              "bucket this hot means the sketch width or corpus " +
-              "changed"))).cast("boolean"))
-        .otherwise(lit(true)))
-      .drop("_mx")
+    val a = if (!guarded) aRaw else {
+      val guard = idx.groupBy("bucket").agg(count(lit(1)).as("_bn"))
+        .agg(max("_bn").as("_mx"))
+      aRaw
+        .crossJoin(broadcast(guard))
+        .filter(when(col("_mx") > maxBucketRows,
+            raise_error(concat(
+              lit("fineBucketNearDupReps: fine bucket of "), col("_mx"),
+              lit(s" rows exceeds maxBucketRows=$maxBucketRows — the " +
+                "floor this tier removes is bounded by construction; a " +
+                "bucket this hot means the sketch width or corpus " +
+                "changed"))).cast("boolean"))
+          .otherwise(lit(true)))
+        .drop("_mx")
+    }
     val b = idx.select(col("bucket"), col(idCol).as("_n_id"),
       col(vecCol).as("_n_vec"))
     // materialize the Σ|bucket|² pair aggregation ONCE — kept and
@@ -1785,8 +1792,10 @@ object Ann {
       .unionByName(deltaIdx.select(col("bucket"), col(idCol),
         col(vecCol)))
       .join(broadcast(crossBuckets), Seq("bucket"), "left_semi")
+    // guarded=false: crossing buckets ⊆ this update's touched buckets,
+    // whose combined sizes the guard above already bounded
     val repaired = nearDupRepsFromIndex(repairIdx, idCol, vecCol, tau,
-      maxBucketRows)
+      maxBucketRows, guarded = false)
     (kept.unionByName(members).unionByName(repaired),
       crossings.select(col(idCol), col("crossing_id")))
   }

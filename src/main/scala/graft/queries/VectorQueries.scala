@@ -4236,12 +4236,21 @@ object VectorQueries {
         pairs.filter(pmod(col("m_id"), lit(1000L)) < lim &&
           pmod(col("n_id"), lit(1000L)) < lim),
         "vec_id", tau = 0.8)
-    var sidecar = rebuiltReps(40L).localCheckpoint()
+    // the kept-set size RIDES each sidecar checkpoint as an observed
+    // metric (CollectMetrics fires on the checkpoint's own job) — the
+    // previous per-step count() was a separate Spark round trip per
+    // snapshot for a number the materialization already passes over
+    def ckptWithKept(sc: DataFrame): (DataFrame, Long) = {
+      val obs = new org.apache.spark.sql.Observation()
+      val c = sc.observe(obs,
+        sum(when(col("rep_id") === col("vec_id"), 1L).otherwise(0L))
+          .as("kept")).localCheckpoint()
+      (c, obs.get("kept").asInstanceOf[Long])
+    }
+    var (sidecar, kept0) = ckptWithKept(rebuiltReps(40L))
     var index = Ann.srpBucketIndex(base, "vec_id", "embedding", 20, 20)
       .localCheckpoint()
-    def keptCount: Long =
-      sidecar.filter(col("rep_id") === col("vec_id")).count()
-    val nKept = scala.collection.mutable.ArrayBuffer[Long](keptCount)
+    val nKept = scala.collection.mutable.ArrayBuffer[Long](kept0)
     val sidecarDiffs = scala.collection.mutable.ArrayBuffer[Long]()
     var crossingsTotal = 0L
     for ((lo, hi) <- Seq((40L, 80L), (80L, 160L), (160L, 320L))) {
@@ -4253,12 +4262,13 @@ object VectorQueries {
       crossingsTotal += crossings.count()
       // upsert: repaired crossing-bucket rows REPLACE their old
       // entries (bucket-partitioned store = partition rewrite)
-      sidecar = sidecar
+      val (sc2, kept2) = ckptWithKept(sidecar
         .join(rows.select("vec_id"), Seq("vec_id"), "left_anti")
-        .unionByName(rows).localCheckpoint()
+        .unionByName(rows))
+      sidecar = sc2
       index = index.unionByName(Ann.srpBucketIndex(delta, "vec_id",
         "embedding", 20, 20)).localCheckpoint()
-      nKept += keptCount
+      nKept += kept2
       sidecarDiffs += Ann.symDiffCountAll(sidecar, rebuiltReps(hi))
     }
     // serve through v76's composed path, expanding through the
