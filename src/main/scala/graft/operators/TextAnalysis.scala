@@ -498,22 +498,21 @@ object TextAnalysis {
       .persist()
     val uni = toks.select(col(idCol), explode(col("_ws")).as("w"))
     val uc = uni.groupBy("w").agg(count(lit(1)).as("uc"))
-    // the unigram total rides the plan as a 1-row broadcast scalar
-    // instead of a separate driver count() action — the count was a
-    // full token-scan job per call (t19/t53/t58 each pay it) for a
-    // number the final plan can carry itself; Spark's `/` casts both
-    // sides to double, so uc / _tot is the identical IEEE division
-    val total = uni.agg(count(lit(1)).as("_tot"))
+    // deliberately a separate driver count(), NOT an in-plan broadcast
+    // scalar: measured at sf0.1, folding the total into the final plan
+    // as a 1-row crossJoin SLOWED t58 2.3→4.0 s and t53 1.6→2.1 s (the
+    // broadcast subquery serializes ahead of the probe-side stages the
+    // separate action used to overlap with)
+    val total = uni.count()
     val cc = bg.groupBy("w1").agg(count(lit(1)).as("cc"))
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
     val nll = -log(
       lit(lambda) * (col("bc") / col("cc")) +
-        lit(1.0 - lambda) * (col("uc") / col("_tot")))
+        lit(1.0 - lambda) * (col("uc") / lit(total.toDouble)))
     bg
       .join(bc, Seq("w1", "w2"))
       .join(cc, Seq("w1"))
       .join(uc, col("w") === col("w2"))
-      .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), round(avg(nll), 6).as("nll"))
   }
